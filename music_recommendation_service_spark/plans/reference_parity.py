@@ -1,0 +1,410 @@
+"""Reference-parity pipelines, re-expressed on the driver's star schema.
+
+The five analytical programs of the reference (SURVEY.md §5, FIXTURES.md §9)
+— weekly trending, playlist co-occurrence, collaborative filtering, likes
+analysis, hybrid recommendation scoring — mapped onto the TESTDATA tables:
+
+  listening events      -> ``events`` (user activity stream)
+  playlist->track       -> ``lineitem`` baskets per ``l_orderkey``
+  user "likes"          -> returned lineitems (``l_returnflag = 'R'``)
+  follow graph (1-hop)  -> same-nation customers (``c_nationkey``)
+  dim_songs / dim_users -> ``part`` / ``customer``
+
+Every query is deterministic: the reference's ``current_date() - 7`` sliding
+window (``process_silver_trending_tracks.py:27``) is parameterized to a fixed
+anchor (SURVEY.md §7.3 hard-part d).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from music_recommendation_service_spark.operators.pairs import (
+    cooccurrence_pairs,
+    symmetrize_pairs,
+)
+from music_recommendation_service_spark.plans import register
+
+# Deterministic window anchor: events span 2024-01-01 .. 2024-01-30 (TESTDATA).
+ANCHOR = "2024-01-31"
+TREND_CUTOFF = "2001-06-01"  # orders span 1995-01-01 .. 2001-08-01
+
+# Hybrid-model weights, mirroring RecommendationSettings.cs:9-15.
+W_CF, W_SIM, W_SOCIAL, W_TREND = 1.5, 0.6, 0.5, 0.2
+TREND_TOP = 20
+RECO_K = 5
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from music_recommendation_service_spark.sources.catalog import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# q01 — weekly trending (process_silver_trending_tracks.py:18-40; S2,P1,P3,
+# P4,P5,J1,A1,O1). Physical shape: pushed-down scan filters -> partial+final
+# hash agg on user_id -> broadcast-able dim join -> project.
+# ---------------------------------------------------------------------------
+@register(
+    "q01_weekly_trending",
+    oracle=f"""
+    SELECT e.user_id,
+           c.c_name                 AS user_name,
+           CAST(count(*) AS BIGINT) AS listen_count,
+           DATE '{ANCHOR}'          AS processing_date
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'view'
+      AND e.ts >= TIMESTAMP '2024-01-24 00:00:00'
+      AND e.ts <  TIMESTAMP '{ANCHOR} 00:00:00'
+    GROUP BY e.user_id, c.c_name
+    """,
+    bench=True,
+    tags=("reference", "S2", "P4", "P5", "J1", "A1"),
+)
+def q01_weekly_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day activity counts joined to the user dim."""
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    counts = (
+        events.filter(
+            (F.col("event_type") == "view")
+            & (F.col("ts") >= F.lit("2024-01-24 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit(f"{ANCHOR} 00:00:00").cast("timestamp"))
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("listen_count"))
+    )
+    return counts.join(
+        F.broadcast(customer), counts.user_id == customer.c_custkey
+    ).select(
+        "user_id",
+        F.col("c_name").alias("user_name"),
+        "listen_count",
+        F.lit(ANCHOR).cast("date").alias("processing_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q02 — basket co-occurrence (process_song_similarity.py:30-39; J2,A2):
+# items co-occurring in the same order, canonical pair ordering.
+# ---------------------------------------------------------------------------
+@register(
+    "q02_song_similarity",
+    oracle="""
+    WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey             AS l_partkey_1,
+           b.l_partkey             AS l_partkey_2,
+           CAST(count(*) AS BIGINT) AS score
+    FROM basket a
+    JOIN basket b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    """,
+    bench=True,
+    tags=("reference", "J2", "A2", "P6"),
+)
+def q02_song_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self equi+theta join on the basket key with pair-count aggregation."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return cooccurrence_pairs(lineitem, "l_orderkey", "l_partkey")
+
+
+# ---------------------------------------------------------------------------
+# q03 — collaborative filtering (process_collaborative_filtering.py:25-43;
+# P6,J3,A2): distinct (user, liked item), self-join on user.
+# ---------------------------------------------------------------------------
+_LIKES_SQL = """
+    likes AS (
+        SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item_id
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_returnflag = 'R'
+    )
+"""
+
+
+@register(
+    "q03_collaborative_filtering",
+    oracle=f"""
+    WITH {_LIKES_SQL}
+    SELECT a.item_id               AS item_id_1,
+           b.item_id               AS item_id_2,
+           CAST(count(*) AS BIGINT) AS score
+    FROM likes a
+    JOIN likes b ON a.user_id = b.user_id AND a.item_id < b.item_id
+    GROUP BY a.item_id, b.item_id
+    """,
+    bench=True,
+    tags=("reference", "J3", "A2", "P6"),
+)
+def q03_collaborative_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-like pair counts over the distinct user->item 'likes' relation."""
+    likes = _likes(spark, sf_dir)
+    return cooccurrence_pairs(likes, "user_id", "item_id", score_col="score").select(
+        F.col("item_id_1"), F.col("item_id_2"), F.col("score")
+    )
+
+
+def _likes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# q04 — likes analysis (analyze_listening_data.py:12-34; U1,J4,J5,P7,A3):
+# per-user total likes vs likes on "relevant" items (items that appear in a
+# strong co-occurrence pair), left join + zero-fill.
+# ---------------------------------------------------------------------------
+@register(
+    "q04_likes_analysis",
+    oracle=f"""
+    WITH {_LIKES_SQL},
+    like_events AS (
+        SELECT o.o_custkey AS user_id, l.l_partkey AS item_id
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_returnflag = 'R'
+    ),
+    pairs AS (
+        SELECT a.item_id AS i1, b.item_id AS i2, count(*) AS score
+        FROM likes a
+        JOIN likes b ON a.user_id = b.user_id AND a.item_id < b.item_id
+        GROUP BY a.item_id, b.item_id
+        HAVING count(*) >= 2
+    ),
+    relevant AS (
+        SELECT i1 AS item_id FROM pairs UNION SELECT i2 FROM pairs
+    ),
+    totals AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS total_likes_count
+        FROM like_events GROUP BY user_id
+    ),
+    rel AS (
+        SELECT e.user_id, CAST(count(*) AS BIGINT) AS relevant_likes_count
+        FROM like_events e
+        WHERE e.item_id IN (SELECT item_id FROM relevant)
+        GROUP BY e.user_id
+    )
+    SELECT t.user_id,
+           t.total_likes_count,
+           COALESCE(r.relevant_likes_count, 0) AS relevant_likes_count
+    FROM totals t LEFT JOIN rel r ON t.user_id = r.user_id
+    """,
+    tags=("reference", "U1", "J4", "J5", "P7"),
+)
+def q04_likes_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union+distinct relevant set, semi-join filter, left join + na.fill."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    like_events = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id"))
+    )
+    pairs = cooccurrence_pairs(
+        like_events, "user_id", "item_id", score_col="score"
+    ).filter(F.col("score") >= 2)
+    relevant = (
+        pairs.select(F.col("item_id_1").alias("item_id"))
+        .unionByName(pairs.select(F.col("item_id_2").alias("item_id")))
+        .distinct()
+    )
+    totals = like_events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("total_likes_count")
+    )
+    rel = (
+        like_events.join(relevant, "item_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("relevant_likes_count"))
+    )
+    return totals.join(rel, "user_id", "left").na.fill(0, ["relevant_likes_count"])
+
+
+# ---------------------------------------------------------------------------
+# q05 — hybrid recommendations (RecommendationService.cs:20-102, A6,A7,J6,J7,
+# J8,U2,O5) as one relational program materialized for every user:
+#   score(u, i) = 1.5*CF + 0.6*similarity + 0.5*social + 0.2*trending
+# anti-join already-liked, top-5 per user.
+# ---------------------------------------------------------------------------
+@register(
+    "q05_hybrid_recommendations",
+    oracle=f"""
+    WITH {_LIKES_SQL},
+    cf_pairs AS (
+        SELECT a.item_id AS i1, b.item_id AS i2, count(*) AS score
+        FROM likes a JOIN likes b
+          ON a.user_id = b.user_id AND a.item_id < b.item_id
+        GROUP BY a.item_id, b.item_id
+    ),
+    cf_sym AS (
+        SELECT i1 AS src, i2 AS dst, score FROM cf_pairs
+        UNION ALL SELECT i2, i1, score FROM cf_pairs
+    ),
+    basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    sim_pairs AS (
+        SELECT a.l_partkey AS i1, b.l_partkey AS i2, count(*) AS score
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    ),
+    sim_sym AS (
+        SELECT i1 AS src, i2 AS dst, score FROM sim_pairs
+        UNION ALL SELECT i2, i1, score FROM sim_pairs
+    ),
+    cf_cand AS (
+        SELECT l.user_id, p.dst AS item_id, {W_CF} * sum(p.score) AS score
+        FROM likes l JOIN cf_sym p ON l.item_id = p.src
+        GROUP BY l.user_id, p.dst
+    ),
+    sim_cand AS (
+        SELECT l.user_id, p.dst AS item_id, {W_SIM} * sum(p.score) AS score
+        FROM likes l JOIN sim_sym p ON l.item_id = p.src
+        GROUP BY l.user_id, p.dst
+    ),
+    follows AS (
+        SELECT a.c_custkey AS user_id, b.c_custkey AS follows_id
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey <> b.c_custkey
+    ),
+    social_cand AS (
+        SELECT f.user_id, l.item_id, {W_SOCIAL} * count(*) AS score
+        FROM follows f JOIN likes l ON f.follows_id = l.user_id
+        GROUP BY f.user_id, l.item_id
+    ),
+    plays AS (
+        SELECT l.l_partkey AS item_id, count(*) AS play_count
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '{TREND_CUTOFF} 00:00:00'
+        GROUP BY l.l_partkey
+    ),
+    trending AS (
+        SELECT item_id,
+               {W_TREND} * play_count / (SELECT max(play_count) FROM plays) AS score
+        FROM plays
+        ORDER BY play_count DESC, item_id
+        LIMIT {TREND_TOP}
+    ),
+    active_users AS (SELECT DISTINCT user_id FROM likes),
+    trend_cand AS (
+        SELECT u.user_id, t.item_id, t.score
+        FROM active_users u CROSS JOIN trending t
+    ),
+    unioned AS (
+        SELECT * FROM cf_cand UNION ALL SELECT * FROM sim_cand
+        UNION ALL SELECT * FROM social_cand UNION ALL SELECT * FROM trend_cand
+    ),
+    scored AS (
+        SELECT user_id, item_id, round(sum(score), 6) AS score
+        FROM unioned
+        GROUP BY user_id, item_id
+    ),
+    filtered AS (
+        SELECT s.* FROM scored s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM likes l
+            WHERE l.user_id = s.user_id AND l.item_id = s.item_id
+        )
+    )
+    SELECT user_id, item_id, score, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY score DESC, item_id
+        ) AS rank
+        FROM filtered
+    )
+    WHERE rank <= {RECO_K}
+    """,
+    bench=True,
+    tags=("reference", "A6", "A7", "J6", "J7", "J8", "U2", "O5"),
+)
+def q05_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving layer's weighted 4-model scorer as pure DataFrame ops."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    likes = _likes(spark, sf_dir)
+
+    cf_sym = symmetrize_pairs(
+        cooccurrence_pairs(likes, "user_id", "item_id"), "item_id_1", "item_id_2"
+    )
+    sim_sym = symmetrize_pairs(
+        cooccurrence_pairs(lineitem, "l_orderkey", "l_partkey"),
+        "l_partkey_1",
+        "l_partkey_2",
+    )
+
+    def model_cand(sym: DataFrame, weight: float) -> DataFrame:
+        return (
+            likes.join(sym, likes.item_id == sym.src)
+            .groupBy("user_id", "dst")
+            .agg((F.lit(weight) * F.sum("score")).alias("score"))
+            .select("user_id", F.col("dst").alias("item_id"), "score")
+        )
+
+    cf_cand = model_cand(cf_sym, W_CF)
+    sim_cand = model_cand(sim_sym, W_SIM)
+
+    # 1-hop "social" graph: same-nation customers (J7), likes of followed users.
+    a, b = customer.alias("a"), customer.alias("b")
+    follows = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") != F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_custkey").alias("user_id"), F.col("b.c_custkey").alias("follows_id")
+    )
+    social_cand = (
+        follows.join(likes, follows.follows_id == likes.user_id)
+        .groupBy(follows.user_id, "item_id")
+        .agg((F.lit(W_SOCIAL) * F.count(F.lit(1))).alias("score"))
+        .select(follows.user_id.alias("user_id"), "item_id", "score")
+    )
+
+    # Trending: recent play counts normalized by the max (A6), top-N items
+    # broadcast to every active user (the reference adds trending tracks to
+    # every candidate pool, RecommendationService.cs:85-94).
+    plays = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .filter(F.col("o_orderdate") >= F.lit(f"{TREND_CUTOFF} 00:00:00").cast("timestamp"))
+        .groupBy(F.col("l_partkey").alias("item_id"))
+        .agg(F.count(F.lit(1)).alias("play_count"))
+    )
+    max_play = plays.agg(F.max("play_count").alias("m"))
+    trending = (
+        plays.crossJoin(F.broadcast(max_play))
+        .select(
+            "item_id",
+            (F.lit(W_TREND) * F.col("play_count") / F.col("m")).alias("score"),
+            "play_count",
+        )
+        .orderBy(F.desc("play_count"), F.asc("item_id"))
+        .limit(TREND_TOP)
+        .select("item_id", "score")
+    )
+    active_users = likes.select("user_id").distinct()
+    trend_cand = active_users.crossJoin(F.broadcast(trending))
+
+    scored = (
+        cf_cand.unionByName(sim_cand)
+        .unionByName(social_cand)
+        .unionByName(trend_cand)
+        .groupBy("user_id", "item_id")
+        .agg(F.round(F.sum("score"), 6).alias("score"))
+    )
+    # Anti-join already-liked (J8), then deterministic top-k per user (O5).
+    filtered = scored.join(likes, ["user_id", "item_id"], "left_anti")
+    w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("item_id"))
+    return (
+        filtered.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RECO_K)
+        .select("user_id", "item_id", "score", "rank")
+    )

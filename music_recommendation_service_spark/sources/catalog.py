@@ -1,0 +1,101 @@
+"""Table catalog over the lake directory.
+
+The reference reads tables by hard-coded s3a paths with per-job schema
+literals (``pyspark_jobs/spark_utils.py:42-49``, ``process_historical_data.py:66``).
+Here a single catalog maps table name -> path and returns DataFrames, so every
+query addresses tables by name and the physical format is swappable
+(parquet today; Delta when ``delta-spark`` is importable — SURVEY.md §7.2-1).
+
+Scale notes
+-----------
+- Readers never infer schema from data: parquet carries its schema; CSV reads
+  require an explicit StructType (reference behavior S1,
+  ``process_historical_data.py:66``). Schema inference at 100 TB is a full
+  extra scan.
+- ``register_views`` exposes every table to spark.sql — the Thrift-equivalent
+  SQL entry point (SURVEY.md §3.3b).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+# The driver-provided benchmark tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# Columns stored as TIMESTAMP(NANOS) in the driver parquet; with
+# spark.sql.legacy.parquet.nanosAsLong they surface as LongType nanos and are
+# normalized back to TimestampType here (values are micro-aligned).
+NANO_TS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table with timestamp normalization applied."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    # Runtime-settable SQL conf; applied here so the engine also works under
+    # a caller-provided session that lacks the config.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    for c in NANO_TS_COLS.get(name, ()):
+        if c in df.columns and isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def _delta_available() -> bool:
+    try:  # pragma: no cover - environment probe
+        import delta  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+class Catalog:
+    """Name -> DataFrame resolution over a lake directory of one file/table."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+
+    def path(self, name: str) -> str:
+        p = f"{self.root}/{name}.parquet"
+        if os.path.exists(p) or "://" in self.root:
+            return p
+        return f"{self.root}/{name}"
+
+    def table(self, name: str) -> DataFrame:
+        """Columnar batch scan (S2). Parquet-first; Catalyst handles predicate
+        pushdown + column pruning from whatever the caller selects/filters."""
+        return load_table(self.spark, self.root, name)
+
+    def csv(self, path: str, schema: StructType) -> DataFrame:
+        """Landing-zone CSV scan with declared schema (S1,
+        ``process_historical_data.py:66``)."""
+        return self.spark.read.csv(path, header=True, schema=schema)
+
+    def register_views(self, names: tuple[str, ...] = TABLES) -> None:
+        """Expose catalog tables as temp views for the spark.sql surface."""
+        for name in names:
+            self.table(name).createOrReplaceTempView(name)

@@ -1,0 +1,53 @@
+"""Lake sinks.
+
+Mirrors the reference's write surface (SURVEY.md §2.1 S4-S7,S9):
+overwrite-with-schema-evolution, partitioned bronze writes, strict append.
+Delta when importable, parquet otherwise — same API either way.
+
+Scale notes
+-----------
+- Partitioned fact writes (``partitionBy("year","month")`` in the reference,
+  ``process_historical_data.py:75``) are the unit of partition pruning at
+  read time; keep partition columns low-cardinality (hundreds, not millions
+  of directories).
+- Appends pin ``mergeSchema=false`` like the reference
+  (``process_weekly_trends.py:39``): schema drift should fail loudly in a
+  pipeline feeding 100 TB tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def _format() -> str:
+    try:  # pragma: no cover - environment probe
+        import delta  # noqa: F401
+
+        return "delta"
+    except Exception:
+        return "parquet"
+
+
+def write_table(df: DataFrame, path: str) -> None:
+    """Full overwrite, schema evolution allowed (S4, ``spark_utils.py:51-66``)."""
+    w = df.write.format(_format()).mode("overwrite")
+    if _format() == "delta":
+        w = w.option("overwriteSchema", "true")
+    w.save(path)
+
+
+def write_partitioned(df: DataFrame, path: str, *cols: str) -> None:
+    """Partitioned overwrite (S5, ``process_historical_data.py:75``)."""
+    write = df.write.format(_format()).mode("overwrite").partitionBy(*cols)
+    if _format() == "delta":
+        write = write.option("overwriteSchema", "true")
+    write.save(path)
+
+
+def append_table(df: DataFrame, path: str) -> None:
+    """Strict append — no silent schema merge (S6, ``process_weekly_trends.py:39``)."""
+    w = df.write.format(_format()).mode("append")
+    if _format() == "delta":
+        w = w.option("mergeSchema", "false")
+    w.save(path)
