@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from music_recommendation_service_spark.functions import rnd
 from music_recommendation_service_spark.operators.pairs import (
     cooccurrence_pairs,
     symmetrize_pairs,
@@ -33,6 +34,8 @@ TREND_CUTOFF = "2001-06-01"  # orders span 1995-01-01 .. 2001-08-01
 # Hybrid-model weights, mirroring RecommendationSettings.cs:9-15.
 W_CF, W_SIM, W_SOCIAL, W_TREND = 1.5, 0.6, 0.5, 0.2
 TREND_TOP = 20
+SOCIAL_TOP = 50  # per-nation social candidate cap (scale guard, see q05 notes)
+NEIGHBOR_TOP = 20  # item-kNN truncation: neighbors kept per item (scale guard)
 RECO_K = 5
 
 
@@ -245,9 +248,16 @@ def q04_likes_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON a.user_id = b.user_id AND a.item_id < b.item_id
         GROUP BY a.item_id, b.item_id
     ),
-    cf_sym AS (
+    cf_sym_full AS (
         SELECT i1 AS src, i2 AS dst, score FROM cf_pairs
         UNION ALL SELECT i2, i1, score FROM cf_pairs
+    ),
+    cf_sym AS (
+        SELECT src, dst, score FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY src ORDER BY score DESC, dst
+            ) AS rnk FROM cf_sym_full
+        ) WHERE rnk <= {NEIGHBOR_TOP}
     ),
     basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     sim_pairs AS (
@@ -256,9 +266,16 @@ def q04_likes_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY a.l_partkey, b.l_partkey
     ),
-    sim_sym AS (
+    sim_sym_full AS (
         SELECT i1 AS src, i2 AS dst, score FROM sim_pairs
         UNION ALL SELECT i2, i1, score FROM sim_pairs
+    ),
+    sim_sym AS (
+        SELECT src, dst, score FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY src ORDER BY score DESC, dst
+            ) AS rnk FROM sim_sym_full
+        ) WHERE rnk <= {NEIGHBOR_TOP}
     ),
     cf_cand AS (
         SELECT l.user_id, p.dst AS item_id, {W_CF} * sum(p.score) AS score
@@ -270,15 +287,23 @@ def q04_likes_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM likes l JOIN sim_sym p ON l.item_id = p.src
         GROUP BY l.user_id, p.dst
     ),
-    follows AS (
-        SELECT a.c_custkey AS user_id, b.c_custkey AS follows_id
-        FROM customer a JOIN customer b
-          ON a.c_nationkey = b.c_nationkey AND a.c_custkey <> b.c_custkey
+    nation_likes AS (
+        SELECT c.c_nationkey AS nationkey, l.item_id, count(*) AS cnt
+        FROM likes l JOIN customer c ON l.user_id = c.c_custkey
+        GROUP BY c.c_nationkey, l.item_id
+    ),
+    nation_top AS (
+        SELECT nationkey, item_id, cnt
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY nationkey ORDER BY cnt DESC, item_id
+            ) AS rnk
+            FROM nation_likes
+        ) WHERE rnk <= {SOCIAL_TOP}
     ),
     social_cand AS (
-        SELECT f.user_id, l.item_id, {W_SOCIAL} * count(*) AS score
-        FROM follows f JOIN likes l ON f.follows_id = l.user_id
-        GROUP BY f.user_id, l.item_id
+        SELECT c.c_custkey AS user_id, t.item_id, {W_SOCIAL} * t.cnt AS score
+        FROM customer c JOIN nation_top t ON c.c_nationkey = t.nationkey
     ),
     plays AS (
         SELECT l.l_partkey AS item_id, count(*) AS play_count
@@ -303,7 +328,7 @@ def q04_likes_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL SELECT * FROM social_cand UNION ALL SELECT * FROM trend_cand
     ),
     scored AS (
-        SELECT user_id, item_id, round(sum(score), 6) AS score
+        SELECT user_id, item_id, round(sum(score) + 1e-9, 6) AS score
         FROM unioned
         GROUP BY user_id, item_id
     ),
@@ -333,40 +358,72 @@ def q05_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
     likes = _likes(spark, sf_dir)
 
-    cf_sym = symmetrize_pairs(
-        cooccurrence_pairs(likes, "user_id", "item_id"), "item_id_1", "item_id_2"
+    # Item-kNN neighbor truncation: only the top-NEIGHBOR_TOP neighbors per
+    # item can influence a top-RECO_K result meaningfully; truncating BEFORE
+    # the per-user fan-out join cuts the candidate row count ~4x at sf0.1 and
+    # bounds hot-item skew (a product in every basket would otherwise fan out
+    # to every user).
+    def truncate(sym: DataFrame) -> DataFrame:
+        w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+        return (
+            sym.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= NEIGHBOR_TOP)
+            .drop("rnk")
+        )
+
+    cf_sym = truncate(
+        symmetrize_pairs(
+            cooccurrence_pairs(likes, "user_id", "item_id"), "item_id_1", "item_id_2"
+        )
     )
-    sim_sym = symmetrize_pairs(
-        cooccurrence_pairs(lineitem, "l_orderkey", "l_partkey"),
-        "l_partkey_1",
-        "l_partkey_2",
+    sim_sym = truncate(
+        symmetrize_pairs(
+            cooccurrence_pairs(lineitem, "l_orderkey", "l_partkey"),
+            "l_partkey_1",
+            "l_partkey_2",
+        )
     )
 
+    # Raw weighted candidate rows, NOT pre-aggregated per model: the final
+    # groupBy below sums everything in one shuffle (map-side partial agg),
+    # instead of one shuffle per model + a final one. Sum associativity makes
+    # this identical to the per-model aggregation the reference does.
     def model_cand(sym: DataFrame, weight: float) -> DataFrame:
-        return (
-            likes.join(sym, likes.item_id == sym.src)
-            .groupBy("user_id", "dst")
-            .agg((F.lit(weight) * F.sum("score")).alias("score"))
-            .select("user_id", F.col("dst").alias("item_id"), "score")
+        return likes.join(sym, likes.item_id == sym.src).select(
+            "user_id",
+            F.col("dst").alias("item_id"),
+            (F.lit(weight) * F.col("score")).alias("score"),
         )
 
     cf_cand = model_cand(cf_sym, W_CF)
     sim_cand = model_cand(sim_sym, W_SIM)
 
-    # 1-hop "social" graph: same-nation customers (J7), likes of followed users.
-    a, b = customer.alias("a"), customer.alias("b")
-    follows = a.join(
-        b,
-        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-        & (F.col("a.c_custkey") != F.col("b.c_custkey")),
-    ).select(
-        F.col("a.c_custkey").alias("user_id"), F.col("b.c_custkey").alias("follows_id")
+    # 1-hop "social" graph (J7): followed users = same-nation customers.
+    # Scale note: materializing the follow edge list and joining likes fans
+    # out to O(|group|^2 * likes) rows (~90M at sf0.1) before aggregating.
+    # Because group membership fully determines the neighborhood, aggregate
+    # FIRST — likes per (nation, item) — then take the top-N items per nation
+    # and broadcast that tiny table back onto users. Self-likes need no
+    # correction: candidate items the user already liked are anti-joined away
+    # below, matching the reference (it excludes liked tracks after scoring,
+    # RecommendationService.cs:98).
+    nation_likes = (
+        likes.join(customer, likes.user_id == customer.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"), "item_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    social_cand = (
-        follows.join(likes, follows.follows_id == likes.user_id)
-        .groupBy(follows.user_id, "item_id")
-        .agg((F.lit(W_SOCIAL) * F.count(F.lit(1))).alias("score"))
-        .select(follows.user_id.alias("user_id"), "item_id", "score")
+    w_nation = Window.partitionBy("nationkey").orderBy(F.desc("cnt"), F.asc("item_id"))
+    nation_top = (
+        nation_likes.withColumn("rnk", F.row_number().over(w_nation))
+        .filter(F.col("rnk") <= SOCIAL_TOP)
+        .drop("rnk")
+    )
+    social_cand = customer.join(
+        F.broadcast(nation_top), customer.c_nationkey == nation_top.nationkey
+    ).select(
+        F.col("c_custkey").alias("user_id"),
+        "item_id",
+        (F.lit(W_SOCIAL) * F.col("cnt")).alias("score"),
     )
 
     # Trending: recent play counts normalized by the max (A6), top-N items
@@ -398,7 +455,7 @@ def q05_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(social_cand)
         .unionByName(trend_cand)
         .groupBy("user_id", "item_id")
-        .agg(F.round(F.sum("score"), 6).alias("score"))
+        .agg(rnd(F.sum("score"), 6).alias("score"))
     )
     # Anti-join already-liked (J8), then deterministic top-k per user (O5).
     filtered = scored.join(likes, ["user_id", "item_id"], "left_anti")

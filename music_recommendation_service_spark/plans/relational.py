@@ -1,1 +1,445 @@
-"""(filled in incrementally)"""
+"""Relational operator coverage — one named query per SURVEY.md §2 primitive
+family that the reference exercises (plus the standard-agg generalizations it
+lists as trivially available: countDistinct, avg/min/max/stddev, rollup,
+top-k-per-key windows).
+
+All queries are deterministic: any LIMIT / row_number is fully tie-broken.
+Derived double aggregates use engine-portable rounding
+(functions.portable.rnd, see that module for the boundary analysis); raw
+stored doubles are projected unrounded — they are bit-identical across
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from music_recommendation_service_spark.functions import rnd, rnd_sql
+from music_recommendation_service_spark.operators.topk import topk, topk_per_key
+from music_recommendation_service_spark.plans import register
+from music_recommendation_service_spark.sources.catalog import load_table as _t
+
+
+# ---------------------------------------------------------------------------
+# q06 — pricing summary (TPC-H Q1 shape): partial+final hash agg with
+# multiple aggregates per group (A1/A4 generalized; SURVEY.md §2.4).
+# ---------------------------------------------------------------------------
+@register(
+    "q06_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           {rnd_sql("sum(l_quantity)", 2)}                         AS sum_qty,
+           {rnd_sql("sum(l_extendedprice)", 2)}                    AS sum_base_price,
+           {rnd_sql("sum(l_extendedprice * (1 - l_discount))", 2)} AS sum_disc_price,
+           {rnd_sql("avg(l_quantity)", 6)}                         AS avg_qty,
+           {rnd_sql("avg(l_extendedprice)", 6)}                    AS avg_price,
+           {rnd_sql("avg(l_discount)", 6)}                         AS avg_disc,
+           CAST(count(*) AS BIGINT)                                AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+    tags=("A1", "A4", "P4"),
+)
+def q06_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+            rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            rnd(F.avg("l_quantity"), 6).alias("avg_qty"),
+            rnd(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            rnd(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07 — global top-k by sort+limit (O2/O5) -> TakeOrderedAndProject, no
+# global sort shuffle. Fully tie-broken ordering.
+# ---------------------------------------------------------------------------
+@register(
+    "q07_top_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice AS total_price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("O2",),
+)
+def q07_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return topk(o, 10, F.desc("o_totalprice"), F.asc("o_orderkey")).select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").alias("total_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q08 — projection + rename + derived column + compound predicate
+# (P1,P2,P3,P4,P5,F2). Filters and pruned columns reach the parquet scan.
+# ---------------------------------------------------------------------------
+@register(
+    "q08_filter_project",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey                        AS customer_id,
+           o_totalprice                     AS total_price,
+           CAST(year(o_orderdate) AS INT)   AS order_year,
+           CAST(month(o_orderdate) AS INT)  AS order_month
+    FROM orders
+    WHERE o_orderstatus = 'F'
+      AND o_totalprice > 150000
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    """,
+    tags=("P1", "P2", "P3", "P4", "P5", "F2"),
+)
+def q08_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_totalprice") > 150000)
+            & (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").alias("customer_id"),
+            F.col("o_totalprice").alias("total_price"),
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q09 — distinct projection (P6).
+# ---------------------------------------------------------------------------
+@register(
+    "q09_distinct_custkeys",
+    oracle="SELECT DISTINCT o_custkey FROM orders",
+    tags=("P6",),
+)
+def q09_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+
+
+# ---------------------------------------------------------------------------
+# q10 — dim-chain enrichment joins (J1): fact -> customer -> nation -> region.
+# nation/region are broadcast; customer-side join is AQE's call at scale.
+# ---------------------------------------------------------------------------
+@register(
+    "q10_join_enrich",
+    oracle="""
+    SELECT o.o_orderkey,
+           c.c_name  AS customer_name,
+           n.n_name  AS nation_name,
+           r.r_name  AS region_name,
+           o.o_totalprice AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'O'
+    """,
+    bench=True,
+    tags=("J1",),
+)
+def q10_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select(
+            "o_orderkey",
+            F.col("c_name").alias("customer_name"),
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+            F.col("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11/q12 — semi & anti joins (J4/J8). Semi/anti never widen rows, so they
+# shuffle only the keys — the scalable form of IN / NOT IN.
+# ---------------------------------------------------------------------------
+@register(
+    "q11_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("J4",),
+)
+def q11_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q12_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("J8",),
+)
+def q12_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 — left join + zero-fill (J5/P7), the analyze_listening_data.py:32-33
+# pattern generalized.
+# ---------------------------------------------------------------------------
+@register(
+    "q13_left_join_fill",
+    oracle="""
+    SELECT c.c_custkey,
+           COALESCE(o.n, 0) AS order_count
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+    tags=("J5", "P7", "A3"),
+)
+def q13_left_join_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("order_count"))
+    return (
+        c.join(counts, c.c_custkey == counts.o_custkey, "left")
+        .select("c_custkey", "order_count")
+        .na.fill(0, ["order_count"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 — union + distinct (U1), the analyze_listening_data.py:19-21 pattern.
+# ---------------------------------------------------------------------------
+@register(
+    "q14_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("U1",),
+)
+def q14_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+# ---------------------------------------------------------------------------
+# q15 — top-k per key via window (SURVEY.md §2.5's noted generalization):
+# one shuffle on the partition key, rank fully tie-broken.
+# ---------------------------------------------------------------------------
+@register(
+    "q15_top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           o_totalprice      AS total_price,
+           CAST(rnk AS INT)  AS rank
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rnk
+        FROM orders
+    ) WHERE rnk <= 3
+    """,
+    tags=("window", "O5"),
+)
+def q15_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return topk_per_key(
+        o, ["o_custkey"], 3, F.desc("o_totalprice"), F.asc("o_orderkey")
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_totalprice").alias("total_price"),
+        "rank",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — full aggregate battery (§2.4 generalizations): count, countDistinct,
+# min/max/avg/stddev.
+# ---------------------------------------------------------------------------
+@register(
+    "q16_agg_stats",
+    oracle=f"""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT)                    AS n_customers,
+           CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           {rnd_sql("avg(c_acctbal)", 4)}              AS avg_bal,
+           min(c_acctbal)                              AS min_bal,
+           max(c_acctbal)                              AS max_bal,
+           {rnd_sql("stddev_samp(c_acctbal)", 4)}      AS std_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("A1", "A3", "countDistinct"),
+)
+def q16_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        rnd(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        rnd(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — date derivations + daily rollup of the event stream (P3,F1-F5).
+# ---------------------------------------------------------------------------
+@register(
+    "q17_daily_event_stats",
+    oracle=f"""
+    SELECT CAST(ts AS DATE)              AS event_date,
+           CAST(year(ts) AS INT)         AS year,
+           CAST(month(ts) AS INT)        AS month,
+           event_type,
+           CAST(count(*) AS BIGINT)      AS n_events,
+           {rnd_sql("sum(value)", 2)}    AS total_value
+    FROM events
+    GROUP BY 1, 2, 3, 4
+    """,
+    bench=True,
+    tags=("P3", "F1", "F2", "A1"),
+)
+def q17_daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("event_date", F.to_date("ts"))
+        .withColumn("year", F.year("ts"))
+        .withColumn("month", F.month("ts"))
+        .groupBy("event_date", "year", "month", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — JSON extraction (F7/F8): the stream-parse pattern
+# (process_recommendation_events.py:66-67) on the events.props payload.
+# ---------------------------------------------------------------------------
+@register(
+    "q18_json_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           CAST(count(*) AS BIGINT)                            AS n,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("F7", "F8"),
+)
+def q18_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select((k % 10).alias("k_bucket"), k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — conditional bucketing (CASE WHEN) + aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "q19_price_buckets",
+    oracle=f"""
+    SELECT CASE WHEN o_totalprice < 50000  THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END             AS bucket,
+           CAST(count(*) AS BIGINT)          AS n_orders,
+           {rnd_sql("sum(o_totalprice)", 2)} AS total
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("P4", "case"),
+)
+def q19_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            rnd(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — rollup (grouping-sets family; "not present" in the reference,
+# SURVEY.md §2.4, exposed as the engine generalization).
+# ---------------------------------------------------------------------------
+@register(
+    "q20_rollup_orders",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           o.o_orderstatus,
+           CAST(count(*) AS BIGINT)            AS n_orders,
+           {rnd_sql("sum(o.o_totalprice)", 2)} AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY ROLLUP (c.c_mktsegment, o.o_orderstatus)
+    """,
+    tags=("rollup",),
+)
+def q20_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .rollup("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            rnd(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
