@@ -60,10 +60,11 @@ def hash16(token: Column) -> Column:
 
 
 def hash16_sql(token_expr: str) -> str:
-    """DuckDB twin of :func:`hash16`."""
+    """SQL twin of :func:`hash16` — instr/substring/md5 only, so the same
+    string parses in BOTH Spark SQL and DuckDB."""
     parts = []
     for i in range(1, 5):
-        parts.append(f"(strpos('{HEX}', substring(md5({token_expr}), {i}, 1)) - 1)")
+        parts.append(f"(instr('{HEX}', substring(md5({token_expr}), {i}, 1)) - 1)")
     expr = parts[0]
     for p in parts[1:]:
         expr = f"(({expr}) * 16 + {p})"

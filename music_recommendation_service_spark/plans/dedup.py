@@ -1,0 +1,319 @@
+"""Deduplication suite over the ``documents`` / ``embeddings`` tables —
+the core training-data-pipeline operators (exact dedup, n-gram Jaccard,
+MinHash+LSH banding, SimHash, embedding-cosine near-dup).
+
+The reference's only dedup-style op is ``distinct()`` before a self-join
+(SURVEY.md §2.2 P6, ``process_collaborative_filtering.py:25``); these queries
+generalize it to content-level near-duplicate detection.
+
+Scale design
+------------
+- Exact dedup (q26): hash-groupBy on md5(text) — one shuffle keyed by the
+  content hash; at 100 TB the hash (not the text) is the shuffle key, so
+  shuffle volume is O(rows × 32 B).
+- Candidate generation is ALWAYS inverted-index / banding — never a cross
+  join. q27 joins on shared shingles (with a document-frequency cap so a
+  stop-shingle can't create a quadratic hot key — the standard skew guard);
+  q28 joins on MinHash band buckets (r=2, b=4: 32-bit band keys, collision
+  pairs ~J²-selective); q29 joins on SimHash nibble bands. Each is one
+  equi-join shuffle whose key space grows with the corpus, so AQE can split
+  skewed buckets.
+- q30 embedding near-dup is the brute-force O(n²) *baseline* kept for
+  oracle-checkable exactness at test SF; the ANN-at-scale path is the LSH
+  variant in plans/similarity.py.
+
+Cross-engine parity: every query is ONE generated SQL text rendered per
+dialect (Spark SQL vs DuckDB differ only in list-function names), with
+engine-portable md5-derived hashes (operators/text.hash16) — so the DuckDB
+oracle pins the exact semantics, including hash values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from music_recommendation_service_spark.functions import rnd_sql
+from music_recommendation_service_spark.operators.text import hash16_sql
+from music_recommendation_service_spark.plans import register
+from music_recommendation_service_spark.sources.catalog import load_table as _t
+
+# --------------------------------------------------------------------------
+# Minimal SQL dialect layer: Spark SQL and DuckDB agree on md5/instr/
+# substring/concat_ws/CASE/joins; they differ in list-function spellings.
+# --------------------------------------------------------------------------
+SPARK = {
+    "lt": "transform",          # list_transform
+    "lf": "filter",             # list_filter
+    "len": "size",              # list length
+    "ldistinct": "array_distinct",
+    "lmin": lambda l: f"array_min({l})",
+    "elem": lambda l, i: f"element_at({l}, {i})",
+    "seq": lambda a, b: f"sequence({a}, {b})",          # inclusive
+    "shr": lambda x, b: f"shiftright({x}, {b})",
+    "shl": lambda x, b: f"shiftleft({x}, {b})",
+    "xor": lambda a, b: f"({a} ^ {b})",
+    "explode": lambda e, al: f"explode({e}) AS {al}",
+    "split": lambda c: f"split({c}, ' ')",
+    "dblarr": lambda c: f"CAST({c} AS ARRAY<DOUBLE>)",
+    "dot": lambda a, b: (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        f" CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    ),
+}
+DUCK = {
+    "lt": "list_transform",
+    "lf": "list_filter",
+    "len": "len",
+    "ldistinct": "list_distinct",
+    "lmin": lambda l: f"list_aggregate({l}, 'min')",
+    "elem": lambda l, i: f"{l}[{i}]",
+    "seq": lambda a, b: f"range({a}, ({b}) + 1)",       # range is exclusive
+    "shr": lambda x, b: f"({x} >> {b})",
+    "shl": lambda x, b: f"({x} << {b})",
+    "xor": lambda a, b: f"xor({a}, {b})",
+    "explode": lambda e, al: f"unnest({e}) AS {al}",
+    "split": lambda c: f"string_split({c}, ' ')",
+    "dblarr": lambda c: f"CAST({c} AS DOUBLE[])",
+    "dot": lambda a, b: f"list_dot_product({a}, {b})",
+}
+
+
+def _shingles(d: dict, col: str = "text", n: int = 3) -> str:
+    """Distinct word n-gram shingle list (the near-dup comparison unit)."""
+    toks = d["split"](col)
+    joined = ", ".join(d["elem"](toks, f"i + {j}") for j in range(n))
+    upper = f"greatest({d['len']}({toks}) - {n - 1}, 0)"
+    seq = d["seq"](1, upper)
+    return f"{d['ldistinct']}({d['lt']}({seq}, i -> concat_ws(' ', {joined})))"
+
+
+def _register_sql(name: str, gen, tables: tuple[str, ...], **kw):
+    """Register a dialect-generated SQL query: Spark runs gen(SPARK) over
+    temp views; the oracle is gen(DUCK) verbatim."""
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        for t in tables:
+            _t(spark, sf_dir, t).createOrReplaceTempView(t)
+        return spark.sql(gen(SPARK))
+
+    build.__name__ = name
+    register(name, oracle=gen(DUCK), **kw)(build)
+
+
+# ---------------------------------------------------------------------------
+# q26 — exact deduplication by content hash. The corpus is the documents
+# table plus a deterministic 20% re-injection (doc_id%5==0 shifted by 1e6),
+# so known duplicate groups exist at every SF.
+# ---------------------------------------------------------------------------
+def _q26(d: dict) -> str:
+    return """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT md5(text)                    AS content_hash,
+           CAST(min(doc_id) AS BIGINT)  AS keep_doc_id,
+           CAST(count(*) AS BIGINT)     AS n_copies
+    FROM corpus
+    GROUP BY md5(text)
+    """
+
+
+_register_sql(
+    "q26_exact_dedup",
+    _q26,
+    ("documents",),
+    doc="Exact dedup: hash-groupBy on md5(text), keep min doc_id per group.",
+    tags=("dedup", "exact"),
+)
+
+
+# ---------------------------------------------------------------------------
+# q27 — n-gram Jaccard near-dup pairs via inverted shingle index (no cross
+# join): explode distinct shingles -> self-join on shingle -> per-pair shared
+# count -> Jaccard = shared / (|A|+|B|-shared). Shingles with document
+# frequency > 100 are dropped from candidate generation (skew guard).
+# ---------------------------------------------------------------------------
+def _q27(d: dict) -> str:
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {d['explode'](_shingles(d), 's')} FROM documents
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ),
+    common AS (
+        SELECT s FROM sh GROUP BY s HAVING count(*) <= 100
+    ),
+    pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS shared
+        FROM sh a
+        JOIN common c ON a.s = c.s
+        JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d1, d2, shared,
+           {rnd_sql("shared * 1.0 / (s1.n + s2.n - shared)", 6)} AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE shared * 1.0 / (s1.n + s2.n - shared) >= 0.1
+    """
+
+
+_register_sql(
+    "q27_ngram_jaccard_neardup",
+    _q27,
+    ("documents",),
+    doc="3-gram shingle Jaccard >= 0.1 near-dup pairs via inverted index.",
+    bench=True,
+    tags=("dedup", "jaccard"),
+)
+
+
+# ---------------------------------------------------------------------------
+# q28 — MinHash + LSH banding. 8 permutations (seeded portable md5 hashes of
+# each shingle), signature split into 4 bands of r=2; candidate pairs share a
+# band bucket; estimated Jaccard = matching signature positions / 8.
+# ---------------------------------------------------------------------------
+_K = 8     # minhash permutations
+_BANDS = 4  # bands of r = 2
+
+
+def _q28(d: dict) -> str:
+    sig_parts = []
+    for j in range(_K):
+        seeded = hash16_sql(f"concat('{j}:', s)")
+        hashed_list = f"{d['lt']}(sh, s -> {seeded})"
+        sig_parts.append(f"{d['lmin'](hashed_list)} AS m{j}")
+    sig_cols = ", ".join(sig_parts)
+    band_rows = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band, m{2 * b} AS v1, m{2 * b + 1} AS v2 FROM sig"
+        for b in range(_BANDS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END" for j in range(_K)
+    )
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, {_shingles(d)} AS sh FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, {sig_cols} FROM docs
+    ),
+    bands AS (
+{band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        FROM bands x
+        JOIN bands y ON x.band = y.band AND x.v1 = y.v1 AND x.v2 = y.v2
+                    AND x.doc_id < y.doc_id
+    )
+    SELECT c.d1, c.d2,
+           {rnd_sql(f"({matches}) / {_K}.0", 6)} AS est_jaccard
+    FROM cand c
+    JOIN sig a ON c.d1 = a.doc_id
+    JOIN sig b ON c.d2 = b.doc_id
+    """
+
+
+_register_sql(
+    "q28_minhash_lsh",
+    _q28,
+    ("documents",),
+    doc="MinHash (k=8) + LSH banding (b=4, r=2) candidate near-dup pairs "
+    "with estimated Jaccard.",
+    tags=("dedup", "minhash", "lsh"),
+)
+
+
+# ---------------------------------------------------------------------------
+# q29 — SimHash near-dup: 16-bit simhash over hashed shingles (per-bit
+# majority vote), candidates via 4-bit nibble banding, kept when Hamming
+# distance <= 2.
+# ---------------------------------------------------------------------------
+_SIMBITS = 16
+
+
+def _q29(d: dict) -> str:
+    bit_terms = " + ".join(
+        d["shl"](
+            f"(CASE WHEN 2 * {d['len']}({d['lf']}(hl, h -> ({d['shr']('h', b)} & 1) = 1))"
+            f" > {d['len']}(hl) THEN 1 ELSE 0 END)",
+            b,
+        )
+        for b in range(_SIMBITS)
+    )
+    nibble_rows = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {i} AS band, ({d['shr']('sim', 4 * i)} & 15) AS v FROM sig"
+        for i in range(4)
+    )
+    ham = f"bit_count({d['xor']('CAST(a.sim AS INT)', 'CAST(b.sim AS INT)')})"
+    return f"""
+    WITH hashed AS (
+        SELECT doc_id,
+               {d['lt']}({_shingles(d)}, s -> {hash16_sql('s')}) AS hl
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id, ({bit_terms}) AS sim FROM hashed
+    ),
+    bands AS (
+{nibble_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        FROM bands x
+        JOIN bands y ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
+    )
+    SELECT c.d1, c.d2,
+           CAST(a.sim AS INT)  AS simhash1,
+           CAST(b.sim AS INT)  AS simhash2,
+           CAST({ham} AS INT)  AS hamming
+    FROM cand c
+    JOIN sig a ON c.d1 = a.doc_id
+    JOIN sig b ON c.d2 = b.doc_id
+    WHERE {ham} <= 2
+    """
+
+
+_register_sql(
+    "q29_simhash_neardup",
+    _q29,
+    ("documents",),
+    doc="16-bit shingle SimHash, nibble-banded candidates, Hamming <= 2.",
+    tags=("dedup", "simhash"),
+)
+
+
+# ---------------------------------------------------------------------------
+# q30 — embedding-cosine near-dup pairs (brute-force baseline; the banded
+# ANN scale path is plans/similarity.py). Pairs with cosine >= 0.4.
+# ---------------------------------------------------------------------------
+def _q30(d: dict) -> str:
+    dot = d["dot"]("a.v", "b.v")
+    cos = f"({dot}) / (a.nrm * b.nrm)"
+    return f"""
+    WITH e AS (
+        SELECT vec_id, {d['dblarr']('embedding')} AS v FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v, sqrt({d['dot']('v', 'v')}) AS nrm FROM e
+    )
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           {rnd_sql(cos, 6)} AS cosine
+    FROM n a
+    JOIN n b ON a.vec_id < b.vec_id
+    WHERE {cos} >= 0.4
+    """
+
+
+_register_sql(
+    "q30_embedding_neardup",
+    _q30,
+    ("embeddings",),
+    doc="Embedding cosine >= 0.4 near-dup pairs (exact brute-force baseline).",
+    tags=("dedup", "embedding"),
+)
