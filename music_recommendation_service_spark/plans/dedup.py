@@ -30,52 +30,9 @@ oracle pins the exact semantics, including hash values.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
-
 from music_recommendation_service_spark.functions import rnd_sql
+from music_recommendation_service_spark.functions.dialect import DUCK, SPARK, register_sql
 from music_recommendation_service_spark.operators.text import hash16_sql
-from music_recommendation_service_spark.plans import register
-from music_recommendation_service_spark.sources.catalog import load_table as _t
-
-# --------------------------------------------------------------------------
-# Minimal SQL dialect layer: Spark SQL and DuckDB agree on md5/instr/
-# substring/concat_ws/CASE/joins; they differ in list-function spellings.
-# --------------------------------------------------------------------------
-SPARK = {
-    "lt": "transform",          # list_transform
-    "lf": "filter",             # list_filter
-    "len": "size",              # list length
-    "ldistinct": "array_distinct",
-    "lmin": lambda l: f"array_min({l})",
-    "elem": lambda l, i: f"element_at({l}, {i})",
-    "seq": lambda a, b: f"sequence({a}, {b})",          # inclusive
-    "shr": lambda x, b: f"shiftright({x}, {b})",
-    "shl": lambda x, b: f"shiftleft({x}, {b})",
-    "xor": lambda a, b: f"({a} ^ {b})",
-    "explode": lambda e, al: f"explode({e}) AS {al}",
-    "split": lambda c: f"split({c}, ' ')",
-    "dblarr": lambda c: f"CAST({c} AS ARRAY<DOUBLE>)",
-    "dot": lambda a, b: (
-        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
-        f" CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    ),
-}
-DUCK = {
-    "lt": "list_transform",
-    "lf": "list_filter",
-    "len": "len",
-    "ldistinct": "list_distinct",
-    "lmin": lambda l: f"list_aggregate({l}, 'min')",
-    "elem": lambda l, i: f"{l}[{i}]",
-    "seq": lambda a, b: f"range({a}, ({b}) + 1)",       # range is exclusive
-    "shr": lambda x, b: f"({x} >> {b})",
-    "shl": lambda x, b: f"({x} << {b})",
-    "xor": lambda a, b: f"xor({a}, {b})",
-    "explode": lambda e, al: f"unnest({e}) AS {al}",
-    "split": lambda c: f"string_split({c}, ' ')",
-    "dblarr": lambda c: f"CAST({c} AS DOUBLE[])",
-    "dot": lambda a, b: f"list_dot_product({a}, {b})",
-}
 
 
 def _shingles(d: dict, col: str = "text", n: int = 3) -> str:
@@ -85,19 +42,6 @@ def _shingles(d: dict, col: str = "text", n: int = 3) -> str:
     upper = f"greatest({d['len']}({toks}) - {n - 1}, 0)"
     seq = d["seq"](1, upper)
     return f"{d['ldistinct']}({d['lt']}({seq}, i -> concat_ws(' ', {joined})))"
-
-
-def _register_sql(name: str, gen, tables: tuple[str, ...], **kw):
-    """Register a dialect-generated SQL query: Spark runs gen(SPARK) over
-    temp views; the oracle is gen(DUCK) verbatim."""
-
-    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
-        for t in tables:
-            _t(spark, sf_dir, t).createOrReplaceTempView(t)
-        return spark.sql(gen(SPARK))
-
-    build.__name__ = name
-    register(name, oracle=gen(DUCK), **kw)(build)
 
 
 # ---------------------------------------------------------------------------
@@ -120,7 +64,7 @@ def _q26(d: dict) -> str:
     """
 
 
-_register_sql(
+register_sql(
     "q26_exact_dedup",
     _q26,
     ("documents",),
@@ -162,7 +106,7 @@ def _q27(d: dict) -> str:
     """
 
 
-_register_sql(
+register_sql(
     "q27_ngram_jaccard_neardup",
     _q27,
     ("documents",),
@@ -219,7 +163,7 @@ def _q28(d: dict) -> str:
     """
 
 
-_register_sql(
+register_sql(
     "q28_minhash_lsh",
     _q28,
     ("documents",),
@@ -279,7 +223,7 @@ def _q29(d: dict) -> str:
     """
 
 
-_register_sql(
+register_sql(
     "q29_simhash_neardup",
     _q29,
     ("documents",),
@@ -310,7 +254,7 @@ def _q30(d: dict) -> str:
     """
 
 
-_register_sql(
+register_sql(
     "q30_embedding_neardup",
     _q30,
     ("embeddings",),

@@ -1,1 +1,168 @@
-"""(filled in incrementally)"""
+"""Similarity search over the ``embeddings`` table (``array<float>`` column):
+brute-force cosine top-k as the exact baseline, and a random-hyperplane
+LSH-bucketed approximate variant as the scale path.
+
+Scale design
+------------
+- q31 (brute force) is exact k-NN: the query set (a small fixed slice) is
+  broadcast against the candidate corpus — one pass over the big side, no
+  shuffle of the corpus itself; ranking shuffles only (query, candidate,
+  score) triples, partitioned by query id. Cost is O(|Q| x N): the baseline
+  you run per-batch, not per-request.
+- q32 (LSH ANN) replaces the O(|Q| x N) scan with signature buckets: 16
+  deterministic random-hyperplane sign bits per vector (a pure map, computed
+  in one pass, whole-stage codegen), banded 2 x 8 bits; candidates are
+  vectors sharing a band bucket with a query, so the join is equi on
+  (band, bucket) and the per-query work is O(bucket size). At 100 TB the
+  signature table is the only thing shuffled (~24 B/row), and band buckets
+  are splittable by AQE if skewed.
+
+Hyperplanes are derived from md5 in pure Python (no RNG state) and inlined
+as double-literal arrays into BOTH dialects, so Spark and the DuckDB oracle
+score identical geometry.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from music_recommendation_service_spark.functions import rnd_sql
+from music_recommendation_service_spark.functions.dialect import DUCK, SPARK, register_sql
+
+DIM = 64
+N_PLANES = 16
+_BAND_BITS = 8  # 2 bands of 8 sign bits
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1)^DIM from md5 —
+    reproducible across engines/sessions with no RNG."""
+    planes = []
+    for i in range(N_PLANES):
+        row = []
+        for j in range(DIM):
+            h = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16)
+            row.append(round(h / 2**31 - 1.0, 6))
+        planes.append(row)
+    return planes
+
+
+HYPERPLANES = _hyperplanes()
+
+
+# ---------------------------------------------------------------------------
+# q31 — exact brute-force cosine top-k (k=10) for the fixed query slice
+# vec_id % 100 == 0. Ties broken by neighbor id.
+# ---------------------------------------------------------------------------
+def _q31(d: dict) -> str:
+    dot_qc = d["dot"]("q.v", "c.v")
+    return f"""
+    WITH e AS (
+        SELECT vec_id, {d['dblarr']('embedding')} AS v FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v, sqrt({d['dot']('v', 'v')}) AS nrm FROM e
+    ),
+    q AS (
+        SELECT vec_id, v, nrm FROM n WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id,
+               c.vec_id AS neighbor_id,
+               ({dot_qc}) / (q.nrm * c.nrm) AS cos
+        FROM q JOIN n c ON q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           {rnd_sql('cos', 6)}  AS cosine,
+           CAST(rnk AS INT)     AS rank
+    FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+               ) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 10
+    """
+
+
+register_sql(
+    "q31_knn_bruteforce",
+    _q31,
+    ("embeddings",),
+    doc="Exact cosine top-10 neighbors for the fixed query slice "
+    "(broadcast queries x one corpus pass).",
+    bench=True,
+    tags=("similarity", "knn"),
+)
+
+
+# ---------------------------------------------------------------------------
+# q32 — LSH approximate nearest neighbors: random-hyperplane sign signature,
+# 2 bands x 8 bits; candidates share a band bucket with the query; exact
+# cosine re-rank within candidates, top-10 per query.
+# ---------------------------------------------------------------------------
+def _q32(d: dict) -> str:
+    bit_terms = []
+    for i in range(N_PLANES):
+        proj = d["dot"]("v", d["arrlit"](HYPERPLANES[i]))
+        bit_terms.append(
+            d["shl"](f"(CASE WHEN ({proj}) >= 0 THEN 1 ELSE 0 END)", i)
+        )
+    sig = " + ".join(bit_terms)
+    mask = (1 << _BAND_BITS) - 1
+    band_rows = "\n        UNION ALL\n".join(
+        f"        SELECT vec_id, {b} AS band,"
+        f" ({d['shr']('sig', b * _BAND_BITS)} & {mask}) AS bucket FROM sig"
+        for b in range(N_PLANES // _BAND_BITS)
+    )
+    dot_qc = d["dot"]("q.v", "c.v")
+    return f"""
+    WITH e AS (
+        SELECT vec_id, {d['dblarr']('embedding')} AS v FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v, sqrt({d['dot']('v', 'v')}) AS nrm FROM e
+    ),
+    sig AS (
+        SELECT vec_id, ({sig}) AS sig FROM e
+    ),
+    bands AS (
+{band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+        FROM bands qb
+        JOIN bands cb ON qb.band = cb.band AND qb.bucket = cb.bucket
+                     AND qb.vec_id <> cb.vec_id
+        WHERE qb.vec_id % 100 = 0
+    ),
+    scored AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               ({dot_qc}) / (q.nrm * c.nrm) AS cos
+        FROM cand cd
+        JOIN n q ON cd.query_id = q.vec_id
+        JOIN n c ON cd.neighbor_id = c.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           {rnd_sql('cos', 6)}  AS cosine,
+           CAST(rnk AS INT)     AS rank
+    FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+               ) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 10
+    """
+
+
+register_sql(
+    "q32_ann_lsh",
+    _q32,
+    ("embeddings",),
+    doc="Random-hyperplane LSH (16 bits, 2x8 bands) approximate top-10 "
+    "neighbors with exact cosine re-rank inside buckets.",
+    tags=("similarity", "ann", "lsh"),
+)
