@@ -52,6 +52,7 @@ def registry() -> dict[str, QueryDef]:
         relational,
         textops,
         similarity,
+        windows,
     )
 
     return dict(_REGISTRY)

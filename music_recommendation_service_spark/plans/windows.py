@@ -1,0 +1,111 @@
+"""Event-time window queries (batch twins of the streaming operators in
+``streaming/pipeline.py`` — identical ``window``/``session_window``
+expressions, so the oracle-pinned batch semantics transfer to the stream).
+
+The reference computes its "weekly window" as a plain timestamp-range batch
+filter (SURVEY.md §2.9 — no event-time windows anywhere); these are the
+engine generalizations its north star requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from music_recommendation_service_spark.functions import rnd, rnd_sql
+from music_recommendation_service_spark.plans import register
+from music_recommendation_service_spark.sources.catalog import load_table as _t
+
+
+# ---------------------------------------------------------------------------
+# q33 — tumbling 1-hour event-time windows. One shuffle keyed by
+# (window, event_type); partial aggregation collapses each input partition
+# to |windows x types| rows first.
+# ---------------------------------------------------------------------------
+@register(
+    "q33_tumbling_windows",
+    oracle=f"""
+    SELECT date_trunc('hour', ts)                   AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT)                 AS n_events,
+           {rnd_sql("sum(value)", 2)}               AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="Tumbling 1h event-time windows (batch twin of streaming "
+    "tumbling_counts).",
+    tags=("window", "event-time"),
+)
+def q33_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q34 — session windows (30-minute inactivity gap) per user. The DuckDB twin
+# is the gaps-and-islands formulation: a new session starts when the gap to
+# the previous event is >= 30 min (session windows are half-open
+# [start, last+gap)), sessions numbered by a running sum of breaks.
+# ---------------------------------------------------------------------------
+@register(
+    "q34_session_windows",
+    oracle=f"""
+    WITH x AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               sum(brk) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sess
+        FROM x
+    )
+    SELECT user_id,
+           min(ts)                    AS session_start,
+           max(ts)                    AS last_event_ts,
+           CAST(count(*) AS BIGINT)   AS n_events,
+           {rnd_sql("sum(value)", 2)} AS total_value
+    FROM s
+    GROUP BY user_id, sess
+    """,
+    doc="Per-user session windows with 30-min gap (batch twin of streaming "
+    "session_stats; oracle via gaps-and-islands).",
+    tags=("window", "session"),
+)
+def q34_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            (F.col("session_window.end") - F.expr("INTERVAL 30 MINUTES")).alias(
+                "last_event_ts"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,158 @@
+"""Structured Streaming pipelines.
+
+Reference parity (SURVEY.md §2.9): the reference runs one streaming job —
+Kafka -> cast(value as string) -> from_json(declared schema) -> flatten ->
+Delta append with checkpoint (``process_recommendation_events.py:57-84``,
+T1/T2). It has NO watermarks, event-time windows, or stateful aggregation;
+those are the generalizations a 100 TB engine needs and are provided here
+(tumbling/sliding/session windows with late-data handling).
+
+Scale design
+------------
+- Sources are swappable: the same parse/window/sink graph runs over Kafka
+  (production) or a file directory (tests/backfill). Micro-batch offsets +
+  sink checkpointing give exactly-once into the lake (T2).
+- Watermarks bound state: a window aggregate without a watermark grows state
+  forever at 100 TB/day; every windowed helper here requires one.
+- Window aggregates are partial-aggregated per input partition before the
+  single keyed-state shuffle (Catalyst does this for streaming aggs the same
+  way as batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+
+def stream_from_directory(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream: picks up files as they land (the landing-zone
+    pattern, ``dag_weekly_trends_ingestion.py`` S1 made incremental).
+    Schema is declared, never inferred (reference behavior §1.3)."""
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka source (S3, ``process_recommendation_events.py:57-62``).
+    Requires the spark-sql-kafka package on the cluster classpath."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+
+
+def parse_json_payload(raw: DataFrame, schema: StructType, value_col: str = "value") -> DataFrame:
+    """T1 parse step: binary/string payload -> struct -> flattened columns
+    (``process_recommendation_events.py:66-67``)."""
+    return raw.select(
+        F.from_json(F.col(value_col).cast("string"), schema).alias("data")
+    ).select("data.*")
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Event-time tumbling-window counts with late-data bound."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *keys,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Sliding windows: each event lands in window/slide buckets."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            *keys,
+            "n_events",
+        )
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key: str = "user_id",
+) -> DataFrame:
+    """Session windows (dynamic length, closed after ``gap`` of silence).
+    ``session_window.end`` is last-event + gap, so last_event_ts is
+    recovered by subtracting the gap."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key, F.session_window(ts_col, gap))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            key,
+            F.col("session_window.start").alias("session_start"),
+            (F.col("session_window.end") - F.expr(f"INTERVAL {gap}")).alias(
+                "last_event_ts"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def write_stream_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Checkpointed append sink (S7 semantics on parquet; Delta when the
+    package is present). availableNow drains everything pending then stops —
+    the batch-backfill trigger; pass False for a continuous micro-batch job."""
+    writer = (
+        df.writeStream.outputMode(output_mode)
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
