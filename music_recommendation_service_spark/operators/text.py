@@ -71,6 +71,19 @@ def hash16_sql(token_expr: str) -> str:
     return expr
 
 
+def md5_word16_sql(expr: str, word: int) -> str:
+    """Portable 16-bit word ``word`` (0-7) of md5(expr) — the SQL twin of
+    ``int(hashlib.md5(x).hexdigest()[4*w:4*w+4], 16)``. Parses in both
+    Spark SQL and DuckDB."""
+    parts = []
+    for i in range(4 * word + 1, 4 * word + 5):
+        parts.append(f"(instr('{HEX}', substring(md5({expr}), {i}, 1)) - 1)")
+    out = parts[0]
+    for p in parts[1:]:
+        out = f"(({out}) * 16 + {p})"
+    return out
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles (space-joined), the dedup unit for MinHash/Jaccard.
 

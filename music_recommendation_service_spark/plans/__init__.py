@@ -48,6 +48,7 @@ def registry() -> dict[str, QueryDef]:
     # Import side-effect modules once, on first use.
     from music_recommendation_service_spark.plans import (  # noqa: F401
         dedup,
+        multimodal,
         reference_parity,
         relational,
         textops,

@@ -1,0 +1,87 @@
+"""Multimodal catalog queries: the ``mapInPandas`` media path (featurize,
+frame-sample) driven end-to-end through the Python worker — and still
+oracle-checked, because the deterministic fake decode is md5-derived and so
+expressible in DuckDB SQL (operators/text.md5_word16_sql). The plumbing the
+oracle pins: Arrow batch transfer, binary payload handling, output schema,
+1->N expansion, partition independence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from music_recommendation_service_spark.functions import rnd, rnd_sql
+from music_recommendation_service_spark.operators.multimodal import (
+    FEATURE_DIM,
+    FRAME_EVERY_MS,
+    featurize_media,
+    media_frame,
+    sample_frames,
+)
+from music_recommendation_service_spark.operators.text import md5_word16_sql
+from music_recommendation_service_spark.plans import register
+from music_recommendation_service_spark.sources.catalog import load_table as _t
+
+_KIND_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+)
+
+
+# ---------------------------------------------------------------------------
+# q35 — media featurization through mapInPandas (Arrow-batched Python).
+# ---------------------------------------------------------------------------
+_FEATS = ", ".join(
+    rnd_sql(f"({md5_word16_sql('text', w)}) / 65535.0", 6) for w in range(FEATURE_DIM)
+)
+
+
+@register(
+    "q35_media_features",
+    oracle=f"""
+    SELECT doc_id                        AS media_id,
+           {_KIND_SQL}                   AS kind,
+           CAST(length(text) AS INT)     AS n_bytes,
+           [{_FEATS}]                    AS feature
+    FROM documents
+    """,
+    doc="Binary media payloads -> feature vectors via Arrow-batched "
+    "mapInPandas (deterministic fake decode; oracle reproduces it in SQL).",
+    tags=("multimodal", "mapInPandas"),
+)
+def q35_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_frame(_t(spark, sf_dir, "documents"))
+    feats = featurize_media(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.transform("feature", lambda x: rnd(x, 6)).alias("feature"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q36 — video frame sampling: 1->N expansion inside mapInPandas, one row per
+# FRAME_EVERY_MS of metadata duration.
+# ---------------------------------------------------------------------------
+@register(
+    "q36_frame_sample",
+    oracle=f"""
+    SELECT media_id,
+           CAST(i AS INT)                     AS frame_idx,
+           CAST(i * {FRAME_EVERY_MS} AS INT)  AS frame_ts_ms
+    FROM (
+        SELECT doc_id AS media_id,
+               unnest(range((1000 + (n_chars % 50) * 100) // {FRAME_EVERY_MS}))
+                   AS i
+        FROM documents
+        WHERE doc_id % 3 = 2
+    )
+    """,
+    doc="Per-video frame index sampling (1->N mapInPandas expansion from "
+    "metadata duration).",
+    tags=("multimodal", "mapInPandas", "frames"),
+)
+def q36_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_frame(_t(spark, sf_dir, "documents"))
+    return sample_frames(media)
