@@ -79,22 +79,28 @@ register_sql(
 # count -> Jaccard = shared / (|A|+|B|-shared). Shingles with document
 # frequency > 100 are dropped from candidate generation (skew guard).
 # ---------------------------------------------------------------------------
-def _q27(d: dict) -> str:
+def _q27_sh(d: dict) -> str:
+    """The exploded shingle inverted index (doc_id, shingle)."""
+    return f"SELECT doc_id, {d['explode'](_shingles(d), 's')} FROM documents"
+
+
+def _q27(d: dict, sh_src: str | None = None) -> str:
+    """``sh_src`` substitutes a pre-materialized shingle relation; default
+    inlines it as a CTE (the oracle form)."""
+    sh_cte = f"sh AS (\n        {_q27_sh(d)}\n    ),\n    " if sh_src is None else ""
+    sh = "sh" if sh_src is None else sh_src
     return f"""
-    WITH sh AS (
-        SELECT doc_id, {d['explode'](_shingles(d), 's')} FROM documents
-    ),
-    sizes AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    WITH {sh_cte}sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM {sh} GROUP BY doc_id
     ),
     common AS (
-        SELECT s FROM sh GROUP BY s HAVING count(*) <= 100
+        SELECT s FROM {sh} GROUP BY s HAVING count(*) <= 100
     ),
     pairs AS (
         SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS shared
-        FROM sh a
+        FROM {sh} a
         JOIN common c ON a.s = c.s
-        JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        JOIN {sh} b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT d1, d2, shared,
@@ -106,6 +112,10 @@ def _q27(d: dict) -> str:
     """
 
 
+# Note: materializing the sh CTE with persist() was measured at sf0.1 and is
+# a NET LOSS (5.7s -> 27s): the cached relation hides stats from AQE and the
+# shingle self-join degrades to un-adaptive sort-merge. Spark's CTE
+# re-execution is cheaper than losing adaptive planning here.
 register_sql(
     "q27_ngram_jaccard_neardup",
     _q27,

@@ -356,6 +356,10 @@ def q05_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     lineitem = _t(spark, sf_dir, "lineitem")
+    # likes feeds six operators below. Measured at sf0.1: persisting it is a
+    # NET LOSS (13s -> 21s) — the cached InMemoryRelation hides source stats
+    # from AQE, flipping downstream broadcast joins to sort-merge. Recompute
+    # is cheaper than losing adaptive planning.
     likes = _likes(spark, sf_dir)
 
     # Item-kNN neighbor truncation: only the top-NEIGHBOR_TOP neighbors per

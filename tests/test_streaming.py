@@ -112,3 +112,52 @@ def test_windowed_agg_matches_batch(spark, sf_dir, event_batches, tmp_path):
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_stateful_running_totals(spark, sf_dir, event_batches, tmp_path):
+    """applyInPandasWithState: lifetime per-user totals survive across TWO
+    separate availableNow runs (state restored from the checkpoint), and the
+    final state equals the batch aggregate over all events."""
+    from pyspark.sql import functions as F
+
+    from music_recommendation_service_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    in_dir, batches, _ = event_batches
+    cp = str(tmp_path / "scp")
+    out = str(tmp_path / "sout")
+
+    def run_once():
+        stream = stream_from_directory(spark, str(in_dir), EVENT_SCHEMA)
+        q = (
+            running_user_totals(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    _land(*batches[0])
+    run_once()
+    _land(*batches[1])
+    run_once()
+
+    # last emitted update per user == lifetime totals
+    got = {}
+    for r in spark.read.parquet(out).collect():
+        prev = got.get(r["user_id"])
+        if prev is None or r["n_events"] > prev[0]:
+            got[r["user_id"]] = (r["n_events"], round(r["total_value"], 6))
+    want = {
+        r["user_id"]: (r["n"], round(r["tv"], 6))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert got == want
