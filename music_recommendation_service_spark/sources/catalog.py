@@ -41,6 +41,14 @@ TABLES = (
 # Columns stored as TIMESTAMP(NANOS) in the driver parquet; with
 # spark.sql.legacy.parquet.nanosAsLong they surface as LongType nanos and are
 # normalized back to TimestampType here (values are micro-aligned).
+#
+# Scale note: the conversion is a projection, so range predicates on a
+# converted column do NOT reach the parquet scan (only IsNotNull pushes;
+# column pruning is unaffected — verified in tests/test_plans.py). This is
+# an artifact of the nano-typed *testdata* only: tables written by this
+# engine (sources/writers.py) carry TIMESTAMP(MICROS) and push down fine,
+# and the bronze layout's year/month partition columns (reference parity)
+# remain the primary pruning mechanism for time predicates.
 NANO_TS_COLS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
     "orders": ("o_orderdate",),

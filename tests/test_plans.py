@@ -1,0 +1,59 @@
+"""Physical-plan assertions: the properties that matter at 100 TB must be
+visible in the plan, not assumed — filter pushdown, column pruning,
+broadcast dim joins, top-k without a global sort, no cartesian products.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from music_recommendation_service_spark.plans import registry
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = registry()[name].build(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q06_pushdown_and_pruning(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q06_pricing_summary")
+    # The shipdate range predicate reaches the parquet scan...
+    assert "LessThanOrEqual(l_shipdate" in p
+    # ...and the scan reads only the columns the query needs.
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_comment" not in read and "l_orderkey" not in read
+
+
+def test_q10_broadcasts_dims(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q10_join_enrich")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # dims are small; nothing should SMJ
+    assert "CartesianProduct" not in p
+
+
+def test_q07_takeordered_not_global_sort(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q07_top_orders")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_no_cartesian_in_hybrid(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q05_hybrid_recommendations")
+    assert "CartesianProduct" not in p
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q27_ngram_jaccard_neardup", "q28_minhash_lsh", "q29_simhash_neardup"],
+)
+def test_dedup_candidates_are_equijoins(spark, sf_dir, name):
+    """Near-dup candidate generation must be banding/inverted-index equi
+    joins, never a cross join over the corpus."""
+    p = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
