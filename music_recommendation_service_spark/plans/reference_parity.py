@@ -356,11 +356,14 @@ def q05_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     lineitem = _t(spark, sf_dir, "lineitem")
-    # likes feeds six operators below. Measured at sf0.1: persisting it is a
-    # NET LOSS (13s -> 21s) — the cached InMemoryRelation hides source stats
-    # from AQE, flipping downstream broadcast joins to sort-merge. Recompute
-    # is cheaper than losing adaptive planning.
-    likes = _likes(spark, sf_dir)
+    # likes feeds six operators below. Measured at sf0.1: persist() is a NET
+    # LOSS (13s -> 21s; the cached InMemoryRelation hides source stats from
+    # AQE, flipping downstream broadcast joins to sort-merge), while a
+    # scratch-parquet round-trip wins ~20% (single execution AND real file
+    # stats) — the materialize-a-silver-table pattern at lake scale.
+    from music_recommendation_service_spark.sources.writers import scratch_materialize
+
+    likes = scratch_materialize(_likes(spark, sf_dir), "likes")
 
     # Item-kNN neighbor truncation: only the top-NEIGHBOR_TOP neighbors per
     # item can influence a top-RECO_K result meaningfully; truncating BEFORE

@@ -166,3 +166,42 @@ register_sql(
     "neighbors with exact cosine re-rank inside buckets.",
     tags=("similarity", "ann", "lsh"),
 )
+
+
+# ---------------------------------------------------------------------------
+# q39 — per-label embedding centroids (the IVF coarse-quantizer builder):
+# posexplode components -> one (label, dim) hash aggregate. At scale this is
+# the standard vector-average shuffle: volume O(labels x DIM), not O(rows).
+# ---------------------------------------------------------------------------
+def _q39(d: dict) -> str:
+    from music_recommendation_service_spark.functions import rnd_sql
+
+    if d["name"] == "duck":
+        inner = (
+            "SELECT label, generate_subscripts(v, 1) AS dim, unnest(v) AS val "
+            f"FROM (SELECT label, {d['dblarr']('embedding')} AS v FROM embeddings)"
+        )
+    else:
+        inner = (
+            "SELECT label, pos + 1 AS dim, val "
+            f"FROM (SELECT label, {d['dblarr']('embedding')} AS v FROM embeddings) "
+            "LATERAL VIEW posexplode(v) t AS pos, val"
+        )
+    return f"""
+    SELECT label,
+           CAST(dim AS INT)          AS dim,
+           {rnd_sql('avg(val)', 6)}  AS centroid_component,
+           CAST(count(*) AS BIGINT)  AS n_vectors
+    FROM ({inner})
+    GROUP BY label, dim
+    """
+
+
+register_sql(
+    "q39_label_centroids",
+    _q39,
+    ("embeddings",),
+    doc="Per-label centroid vectors via posexplode + hash aggregate "
+    "(IVF coarse-quantizer construction).",
+    tags=("similarity", "ivf", "vector-agg"),
+)

@@ -249,3 +249,40 @@ def q25_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("token"))
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# q38 — token counting, whitespace + BPE-ish: subword estimate as
+# ceil(len/4) chunks per word (the standard ~4-chars-per-token budget rule),
+# all JVM-side array expressions. Dialect-generated, oracle = same text.
+# ---------------------------------------------------------------------------
+def _q38(d: dict) -> str:
+    toks = d["split"]("text")
+    sub = f"{d['lt']}({toks}, t -> CAST(ceil(length(t) / 4.0) AS BIGINT))"
+    if d["name"] == "duck":
+        n_sub = f"CAST(list_sum({sub}) AS BIGINT)"
+    else:
+        n_sub = f"aggregate({sub}, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    return f"""
+    SELECT doc_id,
+           CAST({d['len']}({toks}) AS BIGINT) AS n_ws_tokens,
+           {n_sub}                            AS n_bpe_tokens,
+           CAST(length(text) AS BIGINT)       AS n_chars_actual
+    FROM documents
+    """
+
+
+def _register_q38():
+    from music_recommendation_service_spark.functions.dialect import register_sql
+
+    register_sql(
+        "q38_token_budget",
+        _q38,
+        ("documents",),
+        doc="Whitespace + BPE-ish (ceil(len/4) subword) token counts per doc "
+        "— the training-token budget estimator.",
+        tags=("text", "tokens", "bpe"),
+    )
+
+
+_register_q38()

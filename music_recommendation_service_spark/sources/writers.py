@@ -45,6 +45,30 @@ def write_partitioned(df: DataFrame, path: str, *cols: str) -> None:
     write.save(path)
 
 
+def scratch_materialize(df: DataFrame, name: str = "scratch") -> DataFrame:
+    """Materialize a shared intermediate to scratch parquet and re-read it.
+
+    For a relation consumed by several downstream operators, Spark re-executes
+    the subtree per consumer. ``persist()`` avoids that but hides source
+    statistics from AQE (measured: broadcast joins degrade to sort-merge —
+    see plans/reference_parity.py q05 notes). A parquet round-trip keeps real
+    file-level stats AND single execution — the same pattern as materializing
+    a silver table on the lake at 100 TB. Falls back to the original
+    DataFrame if scratch space is unavailable.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    root = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
+    path = f"{root}/spark_graft_scratch/{name}-{uuid.uuid4().hex[:12]}"
+    try:
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+    except Exception:  # pragma: no cover - scratch space unavailable
+        return df
+
+
 def append_table(df: DataFrame, path: str) -> None:
     """Strict append — no silent schema merge (S6, ``process_weekly_trends.py:39``)."""
     w = df.write.format(_format()).mode("append")
