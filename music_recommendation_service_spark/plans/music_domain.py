@@ -1,0 +1,187 @@
+"""The reference's five analytical programs on its ACTUAL music-domain
+schemas (FIXTURES.md §1-§8) as DataFrame -> DataFrame functions — the
+engine's reusable pipeline layer, independent of any storage path.
+
+Each function cites the reference job it re-expresses; semantics parity is
+enforced by tests/test_music_domain.py against DuckDB oracles over seeded
+fixtures (FIXTURES.md §9 golden shapes).
+
+Scale design mirrors the catalog queries: canonical `<` pair self-joins
+(never `!=`), distinct-before-self-join, neighbor truncation before the
+per-user fan-out, broadcast dims, single final aggregate for the hybrid
+union (sum associativity), anti-join exclusion last.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from music_recommendation_service_spark.operators.pairs import (
+    cooccurrence_pairs,
+    symmetrize_pairs,
+)
+from music_recommendation_service_spark.operators.quality import QualityGate
+
+# Reference model weights (RecommendationSettings.cs:9-15).
+W_CF, W_SIM, W_SOCIAL, W_TREND = 1.5, 0.6, 0.5, 0.2
+
+BRONZE_GATE = QualityGate(
+    expect_columns=[
+        "event_id", "user_id", "track_id", "event_type", "timestamp",
+        "event_date", "year", "month",
+    ],
+    not_null=("event_id", "user_id", "track_id"),
+    value_in_set={"event_type": ("complete_listen", "like", "skip")},
+)
+
+
+def bronze_ingest(raw_events: DataFrame, validate: bool = True) -> DataFrame:
+    """CSV/stream rows -> bronze fact with derived partition columns
+    (process_historical_data.py:70-75) + the corrected quality gate
+    (FIXTURES.md §10)."""
+    bronze = (
+        raw_events.withColumn("event_date", F.to_date("timestamp"))
+        .withColumn("year", F.year("timestamp"))
+        .withColumn("month", F.month("timestamp"))
+    )
+    return BRONZE_GATE.run(bronze) if validate else bronze
+
+
+def silver_weekly_trending(
+    bronze: DataFrame, dim_songs: DataFrame, anchor: str
+) -> DataFrame:
+    """process_silver_trending_tracks.py:18-40 with the current_date()-7
+    window parameterized to ``anchor`` (SURVEY.md §7.3d)."""
+    counts = (
+        bronze.filter(F.col("event_type") == "complete_listen")
+        .filter(
+            (F.col("timestamp") >= F.date_sub(F.lit(anchor).cast("date"), 7))
+            & (F.col("timestamp") < F.lit(anchor).cast("date").cast("timestamp"))
+        )
+        .groupBy("track_id")
+        .agg(F.count(F.lit(1)).alias("listen_count"))
+    )
+    return (
+        counts.join(F.broadcast(dim_songs), "track_id")
+        .select(
+            "track_id",
+            F.col("title").alias("track_name"),
+            "artist_name",
+            "listen_count",
+            F.lit(anchor).cast("date").alias("processing_date"),
+        )
+        .orderBy(F.desc("listen_count"), F.asc("track_id"))
+    )
+
+
+def song_similarity(bridge: DataFrame) -> DataFrame:
+    """Playlist co-occurrence pairs (process_song_similarity.py:30-39):
+    canonical t1 < t2 ordering, score = co-playlist count."""
+    pairs = cooccurrence_pairs(bridge, "playlist_id", "track_id")
+    return pairs.select(
+        F.col("track_id_1"), F.col("track_id_2"), F.col("score")
+    ).orderBy(F.desc("score"), F.asc("track_id_1"), F.asc("track_id_2"))
+
+
+def collaborative_filtering(bronze: DataFrame) -> DataFrame:
+    """Co-like pairs (process_collaborative_filtering.py:25-43): distinct
+    (user, track) likes FIRST, then the canonical self-join."""
+    likes = (
+        bronze.filter(F.col("event_type") == "like")
+        .select("user_id", "track_id")
+        .distinct()
+    )
+    return cooccurrence_pairs(likes, "user_id", "track_id").select(
+        "track_id_1", "track_id_2", "score"
+    )
+
+
+def likes_analysis(bronze: DataFrame, sim_pairs: DataFrame) -> DataFrame:
+    """analyze_listening_data.py:12-34: total likes per user vs likes on
+    'relevant' tracks (tracks in any similarity pair), left join + 0-fill."""
+    likes = bronze.filter(F.col("event_type") == "like")
+    relevant = (
+        sim_pairs.select(F.col("track_id_1").alias("track_id"))
+        .unionByName(sim_pairs.select(F.col("track_id_2").alias("track_id")))
+        .distinct()
+    )
+    totals = likes.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("total_likes_count")
+    )
+    rel = (
+        likes.join(relevant, "track_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("relevant_likes_count"))
+    )
+    return (
+        totals.join(rel, "user_id", "left")
+        .na.fill(0, ["relevant_likes_count"])
+        .select("user_id", "total_likes_count", "relevant_likes_count")
+    )
+
+
+def hybrid_recommendations(
+    bronze: DataFrame,
+    sim_pairs: DataFrame,
+    cf_pairs: DataFrame,
+    follows: DataFrame,
+    trending: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """RecommendationService.cs:20-102: weighted 4-model scorer for every
+    user — CF 1.5 / similarity 0.6 / social 0.5 / trending 0.2 — excluding
+    already-liked tracks, deterministic top-k.
+
+    Social is the real 1-hop follow-graph join (J7): likes of followed users
+    (edges stored symmetric, so one direction suffices). Trending is the
+    silver table's play counts normalized by max (A6)."""
+    likes = (
+        bronze.filter(F.col("event_type") == "like")
+        .select("user_id", "track_id")
+        .distinct()
+    )
+
+    def model_cand(pairs: DataFrame, t1: str, t2: str, weight: float) -> DataFrame:
+        sym = symmetrize_pairs(pairs, t1, t2)
+        return likes.join(sym, likes.track_id == sym.src).select(
+            "user_id",
+            F.col("dst").alias("cand_track"),
+            (F.lit(weight) * F.col("score")).alias("s"),
+        )
+
+    cf_cand = model_cand(cf_pairs, "track_id_1", "track_id_2", W_CF)
+    sim_cand = model_cand(sim_pairs, "track_id_1", "track_id_2", W_SIM)
+
+    social_cand = (
+        follows.join(likes, follows.user_id_b == likes.user_id)
+        .groupBy(F.col("user_id_a").alias("user_id"), F.col("track_id").alias("cand_track"))
+        .agg((F.lit(W_SOCIAL) * F.count(F.lit(1))).alias("s"))
+    )
+
+    max_play = trending.agg(F.max("listen_count").alias("m"))
+    trend_norm = trending.crossJoin(F.broadcast(max_play)).select(
+        F.col("track_id").alias("cand_track"),
+        (F.lit(W_TREND) * F.col("listen_count") / F.col("m")).alias("s"),
+    )
+    active = likes.select("user_id").distinct()
+    trend_cand = active.crossJoin(F.broadcast(trend_norm))
+
+    scored = (
+        cf_cand.unionByName(sim_cand)
+        .unionByName(social_cand)
+        .unionByName(trend_cand)
+        .groupBy("user_id", "cand_track")
+        .agg(F.round(F.sum("s") + F.lit(1e-9), 6).alias("score"))
+    )
+    filtered = scored.join(
+        likes.withColumnRenamed("track_id", "cand_track"),
+        ["user_id", "cand_track"],
+        "left_anti",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("cand_track"))
+    return (
+        filtered.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("user_id", F.col("cand_track").alias("track_id"), "score", "rank")
+    )

@@ -1,0 +1,250 @@
+"""Golden E2E: the five reference pipelines on the ACTUAL music-domain
+schemas (FIXTURES.md), checked against DuckDB oracles over the same seeded
+parquet fixtures — the §5 test strategy the reference itself lacks."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from music_recommendation_service_spark.plans.music_domain import (
+    bronze_ingest,
+    collaborative_filtering,
+    hybrid_recommendations,
+    likes_analysis,
+    silver_weekly_trending,
+    song_similarity,
+)
+from music_recommendation_service_spark.operators.quality import QualityGateError
+
+ANCHOR = "2024-02-08"
+
+_LIKES = """
+likes AS (
+    SELECT DISTINCT user_id, track_id FROM fact_listening_events
+    WHERE event_type = 'like'
+)"""
+
+_SIM = """
+sim_pairs AS (
+    SELECT a.track_id AS track_id_1, b.track_id AS track_id_2,
+           CAST(count(*) AS BIGINT) AS score
+    FROM (SELECT DISTINCT playlist_id, track_id FROM bridge_playlist_tracks) a
+    JOIN (SELECT DISTINCT playlist_id, track_id FROM bridge_playlist_tracks) b
+      ON a.playlist_id = b.playlist_id AND a.track_id < b.track_id
+    GROUP BY 1, 2
+)"""
+
+_TRENDING = f"""
+trending AS (
+    SELECT e.track_id, CAST(count(*) AS BIGINT) AS listen_count
+    FROM fact_listening_events e
+    WHERE e.event_type = 'complete_listen'
+      AND e.timestamp >= DATE '{ANCHOR}' - INTERVAL 7 DAY
+      AND e.timestamp < TIMESTAMP '{ANCHOR} 00:00:00'
+    GROUP BY 1
+)"""
+
+
+@pytest.fixture(scope="module")
+def music(spark, tmp_path_factory):
+    from tests.music_fixtures import build_fixtures
+
+    out = str(tmp_path_factory.mktemp("music_fixtures"))
+    paths = build_fixtures(out)
+    dfs = {name: spark.read.parquet(p) for name, p in paths.items()}
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for name, p in paths.items():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    yield dfs, con
+    con.close()
+
+
+def _compare(spark_df, con, sql, name):
+    s_cols = spark_df.columns
+    d_cur = con.execute(sql)
+    d_cols = [d[0] for d in d_cur.description]
+    d_rows = d_cur.fetchall()
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), f"{name}: {len(s_rows)} vs {len(d_rows)}"
+
+    def canon(cols, rows):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        out = []
+        for r in rows:
+            vals = []
+            for i in order:
+                v = r[i]
+                if isinstance(v, float):
+                    v = "NaN" if math.isnan(v) else round(v, 6)
+                vals.append(str(v))
+            out.append(tuple(vals))
+        return sorted(out)
+
+    assert canon(s_cols, s_rows) == canon(d_cols, d_rows), f"{name} values differ"
+
+
+def test_bronze_ingest_gate(music):
+    dfs, _ = music
+    bronze = bronze_ingest(dfs["fact_listening_events"])
+    assert bronze.columns[-3:] == ["event_date", "year", "month"]
+    bad = dfs["fact_listening_events"].withColumn(
+        "event_type",
+        __import__("pyspark.sql.functions", fromlist=["lit"]).lit("play"),
+    )
+    with pytest.raises(QualityGateError, match="value_in_set"):
+        bronze_ingest(bad)
+
+
+def test_silver_weekly_trending(music):
+    dfs, con = music
+    out = silver_weekly_trending(
+        bronze_ingest(dfs["fact_listening_events"]), dfs["dim_songs"], ANCHOR
+    )
+    _compare(
+        out,
+        con,
+        f"""
+        WITH {_TRENDING}
+        SELECT t.track_id, s.title AS track_name, s.artist_name,
+               t.listen_count, DATE '{ANCHOR}' AS processing_date
+        FROM trending t JOIN dim_songs s USING (track_id)
+        """,
+        "silver_trending",
+    )
+    assert out.count() > 0
+
+
+def test_song_similarity(music):
+    dfs, con = music
+    out = song_similarity(dfs["bridge_playlist_tracks"])
+    _compare(out, con, f"WITH {_SIM} SELECT * FROM sim_pairs", "song_similarity")
+
+
+def test_collaborative_filtering(music):
+    dfs, con = music
+    out = collaborative_filtering(bronze_ingest(dfs["fact_listening_events"]))
+    _compare(
+        out,
+        con,
+        f"""
+        WITH {_LIKES}
+        SELECT a.track_id AS track_id_1, b.track_id AS track_id_2,
+               CAST(count(*) AS BIGINT) AS score
+        FROM likes a JOIN likes b
+          ON a.user_id = b.user_id AND a.track_id < b.track_id
+        GROUP BY 1, 2
+        """,
+        "cf",
+    )
+
+
+def test_likes_analysis(music):
+    dfs, con = music
+    bronze = bronze_ingest(dfs["fact_listening_events"])
+    out = likes_analysis(bronze, song_similarity(dfs["bridge_playlist_tracks"]))
+    _compare(
+        out,
+        con,
+        f"""
+        WITH {_LIKES}, {_SIM},
+        raw_likes AS (
+            SELECT user_id, track_id FROM fact_listening_events
+            WHERE event_type = 'like'
+        ),
+        relevant AS (
+            SELECT track_id_1 AS track_id FROM sim_pairs
+            UNION
+            SELECT track_id_2 FROM sim_pairs
+        ),
+        totals AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS total_likes_count
+            FROM raw_likes GROUP BY 1
+        ),
+        rel AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS relevant_likes_count
+            FROM raw_likes WHERE track_id IN (SELECT track_id FROM relevant)
+            GROUP BY 1
+        )
+        SELECT t.user_id, t.total_likes_count,
+               COALESCE(r.relevant_likes_count, 0) AS relevant_likes_count
+        FROM totals t LEFT JOIN rel r USING (user_id)
+        """,
+        "likes_analysis",
+    )
+
+
+def test_hybrid_recommendations(music):
+    dfs, con = music
+    bronze = bronze_ingest(dfs["fact_listening_events"])
+    sim = song_similarity(dfs["bridge_playlist_tracks"])
+    cf = collaborative_filtering(bronze)
+    trending = silver_weekly_trending(bronze, dfs["dim_songs"], ANCHOR).select(
+        "track_id", "listen_count"
+    )
+    out = hybrid_recommendations(
+        bronze, sim, cf, dfs["graph_user_follows"], trending, k=5
+    )
+    _compare(
+        out,
+        con,
+        f"""
+        WITH {_LIKES}, {_SIM}, {_TRENDING},
+        cf_pairs AS (
+            SELECT a.track_id AS track_id_1, b.track_id AS track_id_2,
+                   CAST(count(*) AS BIGINT) AS score
+            FROM likes a JOIN likes b
+              ON a.user_id = b.user_id AND a.track_id < b.track_id
+            GROUP BY 1, 2
+        ),
+        cf_sym AS (
+            SELECT track_id_1 AS src, track_id_2 AS dst, score FROM cf_pairs
+            UNION ALL SELECT track_id_2, track_id_1, score FROM cf_pairs
+        ),
+        sim_sym AS (
+            SELECT track_id_1 AS src, track_id_2 AS dst, score FROM sim_pairs
+            UNION ALL SELECT track_id_2, track_id_1, score FROM sim_pairs
+        ),
+        cand AS (
+            SELECT l.user_id, p.dst AS cand_track, 1.5 * sum(p.score) AS s
+            FROM likes l JOIN cf_sym p ON l.track_id = p.src
+            GROUP BY 1, 2
+            UNION ALL
+            SELECT l.user_id, p.dst, 0.6 * sum(p.score)
+            FROM likes l JOIN sim_sym p ON l.track_id = p.src
+            GROUP BY 1, 2
+            UNION ALL
+            SELECT f.user_id_a, l.track_id, 0.5 * count(*)
+            FROM graph_user_follows f JOIN likes l ON f.user_id_b = l.user_id
+            GROUP BY 1, 2
+            UNION ALL
+            SELECT u.user_id, t.track_id,
+                   0.2 * t.listen_count / (SELECT max(listen_count) FROM trending)
+            FROM (SELECT DISTINCT user_id FROM likes) u CROSS JOIN trending t
+        ),
+        scored AS (
+            SELECT user_id, cand_track, round(sum(s) + 1e-9, 6) AS score
+            FROM cand GROUP BY 1, 2
+        ),
+        filtered AS (
+            SELECT s.* FROM scored s
+            WHERE NOT EXISTS (
+                SELECT 1 FROM likes l
+                WHERE l.user_id = s.user_id AND l.track_id = s.cand_track
+            )
+        )
+        SELECT user_id, cand_track AS track_id, score, CAST(rnk AS INT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY score DESC, cand_track
+            ) AS rnk FROM filtered
+        )
+        WHERE rnk <= 5
+        """,
+        "hybrid",
+    )
+    assert out.count() > 0
