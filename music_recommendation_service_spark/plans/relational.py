@@ -443,3 +443,114 @@ def q20_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q40 — approximate aggregates (HLL distinct, approximate percentiles):
+# sketch-based, so NO cross-engine oracle (Spark's HLL++/GK differ from
+# DuckDB's sketches by design); accuracy is bounds-tested against exact
+# values in tests/test_approx.py. At 100 TB these replace exact distincts:
+# fixed-size sketch state, one pass, mergeable partials.
+# ---------------------------------------------------------------------------
+@register(
+    "q40_approx_stats",
+    oracle=None,  # approximate by design; see tests/test_approx.py bounds
+    doc="approx_count_distinct + approx_percentile per event_type "
+    "(sketch aggregates; rows-only driver check, bounds-tested in pytest).",
+    tags=("approx", "sketch"),
+)
+def q40_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("approx_value_p50_p95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q41 — set operations the reference lacks (SURVEY.md §2.7 "not present"):
+# INTERSECT / EXCEPT as engine generalizations of U1.
+# ---------------------------------------------------------------------------
+@register(
+    "q41_setops",
+    oracle="""
+    SELECT 'both' AS which, nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    )
+    UNION ALL
+    SELECT 'only_building', nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    )
+    """,
+    tags=("setops", "U1"),
+)
+def q41_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    m = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    # subtract == SQL EXCEPT (set semantics); exceptAll is bag difference
+    # and would keep keys present in BOTH sides when the left has more.
+    return b.intersect(m).select(F.lit("both").alias("which"), "nationkey").unionByName(
+        b.subtract(m).select(F.lit("only_building").alias("which"), "nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q42 — conditional pivot (CASE-based, fully portable): event-type counts as
+# columns per day. One scan, one group-by shuffle — the scalable pivot form
+# (Spark's pivot() needs a distinct-values pass or an explicit list anyway).
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+@register(
+    "q42_pivot_event_types",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS event_date,
+           {", ".join(
+               f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+               for t in _EVENT_TYPES
+           )}
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("pivot",),
+)
+def q42_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in _EVENT_TYPES
+    ]
+    return e.groupBy(F.to_date("ts").alias("event_date")).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# q43 — exact interpolated percentiles (Spark percentile == DuckDB
+# quantile_cont on DOUBLE input).
+# ---------------------------------------------------------------------------
+@register(
+    "q43_percentiles",
+    oracle=f"""
+    SELECT event_type,
+           {rnd_sql("quantile_cont(CAST(value AS DOUBLE), 0.5)", 6)}  AS p50,
+           {rnd_sql("quantile_cont(CAST(value AS DOUBLE), 0.95)", 6)} AS p95
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("percentile", "A-family"),
+)
+def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        rnd(F.expr("percentile(CAST(value AS DOUBLE), 0.5)"), 6).alias("p50"),
+        rnd(F.expr("percentile(CAST(value AS DOUBLE), 0.95)"), 6).alias("p95"),
+    )
