@@ -205,3 +205,99 @@ register_sql(
     "(IVF coarse-quantizer construction).",
     tags=("similarity", "ivf", "vector-agg"),
 )
+
+
+# ---------------------------------------------------------------------------
+# q44 — IVF-flat ANN search: build 10 coarse centroids (per-label means),
+# assign every vector to its NEAREST centroid (not its label — real IVF
+# assignment), probe the nprobe=2 closest lists per query, exact cosine
+# re-rank inside the probed lists.
+#
+# Scale shape: centroids are tiny (broadcast); assignment is a map over the
+# corpus; candidate generation is an equi-join on centroid id — per-query
+# work is O(probed-list size), the IVF contract. Compare q32 (LSH): same
+# contract, hash buckets instead of learned lists.
+# ---------------------------------------------------------------------------
+def _q44(d: dict) -> str:
+    from music_recommendation_service_spark.functions import rnd_sql
+
+    if d["name"] == "duck":
+        comp = (
+            "SELECT label, generate_subscripts(v, 1) AS dim, unnest(v) AS val "
+            "FROM e"
+        )
+        rebuild = "list(avg_val ORDER BY dim)"
+    else:
+        comp = (
+            "SELECT label, pos + 1 AS dim, val FROM e "
+            "LATERAL VIEW posexplode(v) t AS pos, val"
+        )
+        rebuild = (
+            "transform(sort_array(collect_list(struct(dim, avg_val))),"
+            " s -> s.avg_val)"
+        )
+    cos_vc = f"({d['dot']('a.v', 'c.c')}) / (a.nrm * c.cnrm)"
+    cos_qc = f"({d['dot']('q.v', 'x.v')}) / (q.nrm * x.nrm)"
+    return f"""
+    WITH e AS (
+        SELECT vec_id, label, {d['dblarr']('embedding')} AS v FROM embeddings
+    ),
+    comp AS ({comp}),
+    cent AS (
+        SELECT label AS cid, {rebuild} AS c
+        FROM (SELECT label, dim, avg(val) AS avg_val FROM comp GROUP BY label, dim)
+        GROUP BY label
+    ),
+    cent_n AS (
+        SELECT cid, c, sqrt({d['dot']('c', 'c')}) AS cnrm FROM cent
+    ),
+    en AS (
+        SELECT vec_id, v, sqrt({d['dot']('v', 'v')}) AS nrm FROM e
+    ),
+    affinity AS (
+        SELECT a.vec_id, c.cid, {cos_vc} AS cos,
+               row_number() OVER (
+                   PARTITION BY a.vec_id ORDER BY {cos_vc} DESC, c.cid
+               ) AS rnk
+        FROM en a CROSS JOIN cent_n c
+    ),
+    assigned AS (
+        SELECT vec_id, cid FROM affinity WHERE rnk = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cid FROM affinity
+        WHERE rnk <= 2 AND vec_id % 100 = 0
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assigned a ON p.cid = a.cid
+        WHERE p.query_id <> a.vec_id
+    ),
+    scored AS (
+        SELECT cd.query_id, cd.neighbor_id, {cos_qc} AS cos
+        FROM cand cd
+        JOIN en q ON cd.query_id = q.vec_id
+        JOIN en x ON cd.neighbor_id = x.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           {rnd_sql('cos', 6)}  AS cosine,
+           CAST(rnk AS INT)     AS rank
+    FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+               ) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 10
+    """
+
+
+register_sql(
+    "q44_ann_ivf",
+    _q44,
+    ("embeddings",),
+    doc="IVF-flat ANN: per-label mean centroids, nearest-centroid "
+    "assignment, nprobe=2 probing, exact cosine re-rank in probed lists.",
+    tags=("similarity", "ann", "ivf"),
+)
