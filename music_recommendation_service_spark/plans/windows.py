@@ -109,3 +109,47 @@ def q34_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q45 — sliding windows (1h window, 30m slide) in batch: every event lands
+# in exactly window/slide = 2 buckets. Oracle: each event's two candidate
+# starts are time_bucket(30m, ts) and that minus 30m (both always contain ts
+# when window = 2 x slide; both engines epoch-align 30m buckets).
+# ---------------------------------------------------------------------------
+@register(
+    "q45_sliding_windows",
+    oracle=f"""
+    SELECT ws                         AS window_start,
+           ws + INTERVAL 1 HOUR       AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT)   AS n_events,
+           {rnd_sql("sum(value)", 2)} AS total_value
+    FROM (
+        SELECT event_type, value,
+               unnest([time_bucket(INTERVAL 30 MINUTES, ts),
+                       time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES]) AS ws
+        FROM events
+    )
+    GROUP BY 1, 2, 3
+    """,
+    doc="Sliding 1h/30m event-time windows (batch twin of streaming "
+    "sliding_counts).",
+    tags=("window", "sliding"),
+)
+def q45_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
