@@ -161,3 +161,24 @@ def test_stateful_running_totals(spark, sf_dir, event_batches, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_dedup(spark, event_batches, tmp_path):
+    """Streaming dropDuplicates keyed on event_id with a watermark: the
+    duplicate landing file (same events land twice) yields each event once —
+    the stream-dedup operator the reference lacks (SURVEY §2.9)."""
+    in_dir, batches, total = event_batches
+    _land(*batches[0])
+    # land batch 0 AGAIN under a different file name (duplicate arrivals)
+    dup_path = batches[0][0].parent / "dup0.json"
+    _land(dup_path, batches[0][1])
+    _land(*batches[1])
+
+    out, cp = str(tmp_path / "dout"), str(tmp_path / "dcp")
+    stream = stream_from_directory(spark, str(in_dir), EVENT_SCHEMA)
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicates(["event_id"])
+    write_stream_parquet(deduped, out, cp).awaitTermination(240)
+
+    got = spark.read.parquet(out)
+    assert got.count() == total
+    assert got.select("event_id").distinct().count() == total
