@@ -92,3 +92,29 @@ def test_sql_surface(spark, sf_dir):
         """
     )
     assert out.count() == 5
+
+
+def test_avro_roundtrip_if_available(spark):
+    """S11 (Avro + Schema Registry producer path): to_avro/from_avro
+    round-trip. The spark-avro module is an external jar; when absent the
+    engine degrades to the JSON path (SURVEY §2.1 S11), and this test
+    documents the gate by skipping."""
+    from pyspark.sql.avro.functions import from_avro, to_avro
+
+    schema = (
+        '{"type":"record","name":"RecommendationEvent","fields":['
+        '{"name":"requestedUserId","type":"long"},'
+        '{"name":"recommendations","type":{"type":"array","items":"long"}}]}'
+    )
+    df = spark.createDataFrame(
+        [(101, [102, 105])], ["requestedUserId", "recommendations"]
+    )
+    try:
+        packed = df.select(
+            to_avro(F.struct("requestedUserId", "recommendations"), schema).alias("value")
+        )
+        out = packed.select(from_avro("value", schema).alias("data")).select("data.*")
+        rows = out.collect()
+    except Exception as e:  # pragma: no cover - jar not on classpath
+        pytest.skip(f"spark-avro not available: {e}")
+    assert [tuple(r) for r in rows] == [(101, [102, 105])]
