@@ -1,0 +1,150 @@
+"""Property-based tests (hypothesis): operators vs brute-force Python
+references on randomized small inputs — the §5 strategy layer above the
+fixed-fixture oracles. Few examples per property (each example round-trips
+through Spark), unbounded deadline."""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from music_recommendation_service_spark.operators.asof import asof_join
+from music_recommendation_service_spark.operators.pairs import (
+    cooccurrence_pairs,
+    symmetrize_pairs,
+)
+from music_recommendation_service_spark.operators.topk import topk_per_key
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from music_recommendation_service_spark.session import get_spark
+
+        _spark = get_spark("props")
+    return _spark
+
+
+pairs_rows = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 8)), min_size=0, max_size=40
+)
+
+
+@given(rows=pairs_rows)
+@SETTINGS
+def test_cooccurrence_matches_bruteforce(rows):
+    spark = _get_spark()
+    df = spark.createDataFrame(rows or [(0, 0)], ["g", "item"])
+    if not rows:
+        df = df.filter("g < 0")
+    got = {
+        (r["item_1"], r["item_2"]): r["score"]
+        for r in cooccurrence_pairs(df, "g", "item").collect()
+    }
+    want = Counter()
+    groups = {}
+    for g, i in set(rows):
+        groups.setdefault(g, set()).add(i)
+    for items in groups.values():
+        s = sorted(items)
+        for a in range(len(s)):
+            for b in range(a + 1, len(s)):
+                want[(s[a], s[b])] += 1
+    assert got == dict(want)
+
+
+@given(rows=pairs_rows)
+@SETTINGS
+def test_symmetrize_is_involution_free(rows):
+    spark = _get_spark()
+    df = spark.createDataFrame(rows or [(0, 0)], ["g", "item"])
+    if not rows:
+        df = df.filter("g < 0")
+    pairs = cooccurrence_pairs(df, "g", "item")
+    sym = symmetrize_pairs(pairs, "item_1", "item_2")
+    got = {(r["src"], r["dst"], r["score"]) for r in sym.collect()}
+    fwd = {(r["item_1"], r["item_2"], r["score"]) for r in pairs.collect()}
+    assert got == fwd | {(b, a, s) for a, b, s in fwd}
+    assert sym.count() == 2 * pairs.count()  # no self-pairs existed to collide
+
+
+asof_left = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=25
+)
+asof_right = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100), st.floats(0, 10)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(left=asof_left, right=asof_right)
+@SETTINGS
+def test_asof_matches_bruteforce(left, right):
+    spark = _get_spark()
+    base = dt.datetime(2024, 1, 1)
+
+    # dedupe right to one row per (key, ts) for deterministic semantics
+    rdict = {}
+    for k, t, v in right:
+        rdict[(k, t)] = max(v, rdict.get((k, t), float("-inf")))
+    l_rows = [(i, k, base + dt.timedelta(seconds=t)) for i, (k, t) in enumerate(left)]
+    r_rows = [
+        (k, base + dt.timedelta(seconds=t), v) for (k, t), v in sorted(rdict.items())
+    ]
+    ldf = spark.createDataFrame(l_rows, ["row_id", "k", "ts"])
+    if r_rows:
+        rdf = spark.createDataFrame(r_rows, ["k", "rts", "price"])
+    else:
+        rdf = spark.createDataFrame(
+            [(0, base, 0.0)], ["k", "rts", "price"]
+        ).filter("k < 0")
+    got = {
+        r["row_id"]: r["price"]
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="rts", right_payload=("price",)
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, v) for (rk, rt), v in rdict.items() if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, t, got[i], want)
+
+
+topk_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=30
+)
+
+
+@given(rows=topk_rows)
+@SETTINGS
+def test_topk_per_key_matches_sort(rows):
+    from pyspark.sql import functions as F
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)], ["k", "v", "uid"]
+    )
+    got = [
+        (r["k"], r["v"], r["uid"], r["rank"])
+        for r in topk_per_key(df, ["k"], 3, F.desc("v"), F.asc("uid")).collect()
+    ]
+    by_key = {}
+    for i, (k, v) in enumerate(rows):
+        by_key.setdefault(k, []).append((v, i))
+    want = []
+    for k, vs in by_key.items():
+        for rank, (v, i) in enumerate(sorted(vs, key=lambda x: (-x[0], x[1]))[:3], 1):
+            want.append((k, v, i, rank))
+    assert sorted(got) == sorted(want)
