@@ -271,3 +271,58 @@ register_sql(
     doc="Embedding cosine >= 0.4 near-dup pairs (exact brute-force baseline).",
     tags=("dedup", "embedding"),
 )
+
+
+# ---------------------------------------------------------------------------
+# q48 — dedup cluster formation: connected components over the q27 near-dup
+# graph (Jaccard >= 0.1), via iterative min-label propagation
+# (operators/components.py). Oracle: DuckDB WITH RECURSIVE reachability —
+# an independent formulation of the same fixpoint.
+# ---------------------------------------------------------------------------
+def _q48_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_q27(DUCK)}),
+    edges AS (
+        SELECT d1 AS a, d2 AS b FROM pairs
+        UNION ALL
+        SELECT d2, d1 FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+        SELECT node, node AS lab FROM nodes
+        UNION
+        SELECT e.b AS node, reach.lab FROM reach JOIN edges e ON reach.node = e.a
+    )
+    SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """
+
+
+def _q48_build(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from music_recommendation_service_spark.operators.components import (
+        connected_components,
+    )
+    from music_recommendation_service_spark.sources.catalog import load_table
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    pairs = spark.sql(_q27(SPARK))
+    return connected_components(pairs, src="d1", dst="d2").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+def _register_q48():
+    from music_recommendation_service_spark.plans import register
+
+    register(
+        "q48_dedup_clusters",
+        oracle=_q48_oracle(),
+        doc="Near-dup clusters: connected components (min-label propagation) "
+        "over the Jaccard >= 0.1 pair graph; oracle via recursive CTE.",
+        tags=("dedup", "components", "iterative"),
+    )(_q48_build)
+
+
+_register_q48()
