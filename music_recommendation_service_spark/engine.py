@@ -1,0 +1,59 @@
+"""Engine facade: the one object a reference user switches to.
+
+Bundles the session factory, the table catalog over a lake directory, the
+named query catalog (SURVEY §2 operators as executable queries), and the
+SQL surface (the Thrift-equivalent entry point, SURVEY §3.3b).
+
+    from music_recommendation_service_spark.engine import Engine
+
+    eng = Engine("/root/testdata/sf0.01")
+    eng.sql("SELECT count(*) FROM lineitem").show()
+    eng.query("q05_hybrid_recommendations").show()
+    eng.table("orders").filter("o_orderstatus = 'O'").count()
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from music_recommendation_service_spark.sources.catalog import TABLES, Catalog
+
+
+class Engine:
+    def __init__(self, root: str, spark: SparkSession | None = None):
+        from music_recommendation_service_spark.session import get_spark
+
+        self.spark = spark or get_spark()
+        self.root = root
+        self.catalog = Catalog(self.spark, root)
+        self._views_registered = False
+
+    # -- tables ------------------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        return self.catalog.table(name)
+
+    def tables(self) -> tuple[str, ...]:
+        return TABLES
+
+    # -- SQL surface -------------------------------------------------------
+    def sql(self, query: str) -> DataFrame:
+        if not self._views_registered:
+            self.catalog.register_views()
+            self._views_registered = True
+        return self.spark.sql(query)
+
+    # -- named query catalog ----------------------------------------------
+    def query(self, name: str) -> DataFrame:
+        from music_recommendation_service_spark.plans import registry
+
+        reg = registry()
+        if name not in reg:
+            raise KeyError(
+                f"unknown query {name!r}; available: {sorted(reg)}"
+            )
+        return reg[name].build(self.spark, self.root)
+
+    def queries(self) -> list[str]:
+        from music_recommendation_service_spark.plans import registry
+
+        return sorted(registry())

@@ -1,0 +1,41 @@
+"""Engine facade + skew-join tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from music_recommendation_service_spark.engine import Engine
+from music_recommendation_service_spark.operators.skew import salted_join
+
+
+def test_engine_facade(spark, sf_dir):
+    eng = Engine(sf_dir, spark)
+    assert eng.sql("SELECT count(*) AS n FROM region").collect()[0]["n"] == 5
+    assert eng.table("nation").count() == 25
+    assert "q05_hybrid_recommendations" in eng.queries()
+    df = eng.query("q07_top_orders")
+    assert df.count() == 10
+    with pytest.raises(KeyError):
+        eng.query("nope")
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    eng = Engine(sf_dir, spark)
+    o = eng.table("orders").select("o_orderkey", "o_custkey")
+    c = eng.table("customer").select("c_custkey", "c_nationkey").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = o.join(c, "o_custkey")
+    salted = salted_join(o, c, on="o_custkey", factor=8)
+    assert salted.count() == plain.count()
+    a = {tuple(r) for r in plain.collect()}
+    b = {tuple(r) for r in salted.collect()}
+    assert a == b
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, "x"), (2, "y"), (99, "z")], ["k", "v"])
+    small = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "w"])
+    out = {r["k"]: r["w"] for r in salted_join(big, small, on="k", how="left").collect()}
+    assert out == {1: 10.0, 2: 20.0, 99: None}
