@@ -70,8 +70,27 @@ def scratch_materialize(df: DataFrame, name: str = "scratch") -> DataFrame:
 
 
 def append_table(df: DataFrame, path: str) -> None:
-    """Strict append — no silent schema merge (S6, ``process_weekly_trends.py:39``)."""
-    w = df.write.format(_format()).mode("append")
-    if _format() == "delta":
+    """Strict append — no silent schema merge (S6, ``process_weekly_trends.py:39``).
+
+    Delta enforces this via ``mergeSchema=false``; plain parquet appends are
+    UNCHECKED by Spark (mixed-schema files land silently), so the engine
+    enforces the same contract explicitly: column names+types must match the
+    existing table exactly."""
+    fmt = _format()
+    w = df.write.format(fmt).mode("append")
+    if fmt == "delta":
         w = w.option("mergeSchema", "false")
+    else:
+        try:
+            existing = df.sparkSession.read.parquet(path).schema
+        except Exception:
+            existing = None  # first write — nothing to validate against
+        if existing is not None:
+            incoming = [(f.name, f.dataType) for f in df.schema.fields]
+            current = [(f.name, f.dataType) for f in existing.fields]
+            if incoming != current:
+                raise ValueError(
+                    f"append schema mismatch at {path}: "
+                    f"existing={current} incoming={incoming}"
+                )
     w.save(path)

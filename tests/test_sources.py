@@ -118,3 +118,20 @@ def test_avro_roundtrip_if_available(spark):
     except Exception as e:  # pragma: no cover - jar not on classpath
         pytest.skip(f"spark-avro not available: {e}")
     assert [tuple(r) for r in rows] == [(101, [102, 105])]
+
+
+def test_append_rejects_schema_drift(spark, tmp_path):
+    from music_recommendation_service_spark.sources.writers import (
+        append_table,
+        write_table,
+    )
+
+    out = str(tmp_path / "strict")
+    write_table(spark.createDataFrame([(1, "a")], ["id", "v"]), out)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        append_table(
+            spark.createDataFrame([(2, "b", 1.5)], ["id", "v", "extra"]), out
+        )
+    # same schema still appends
+    append_table(spark.createDataFrame([(3, "c")], ["id", "v"]), out)
+    assert spark.read.parquet(out).count() == 2
