@@ -50,6 +50,7 @@ def registry() -> dict[str, QueryDef]:
         asof,
         dedup,
         multimodal,
+        rangequery,
         reference_parity,
         relational,
         textops,
