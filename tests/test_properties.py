@@ -148,3 +148,37 @@ def test_topk_per_key_matches_sort(rows):
         for rank, (v, i) in enumerate(sorted(vs, key=lambda x: (-x[0], x[1]))[:3], 1):
             want.append((k, v, i, rank))
     assert sorted(got) == sorted(want)
+
+
+range_points = st.lists(st.floats(0, 100, allow_nan=False), min_size=1, max_size=20)
+range_intervals = st.lists(
+    st.tuples(st.floats(0, 100, allow_nan=False), st.floats(0, 50, allow_nan=False)),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(points=range_points, intervals=range_intervals, width=st.sampled_from([3.0, 10.0, 40.0]))
+@SETTINGS
+def test_range_join_matches_bruteforce(points, intervals, width):
+    from music_recommendation_service_spark.operators.rangejoin import range_join
+
+    spark = _get_spark()
+    ldf = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(points)], ["pid", "v"]
+    )
+    rdf = spark.createDataFrame(
+        [(j, float(lo), float(lo) + float(w)) for j, (lo, w) in enumerate(intervals)],
+        ["iid", "lo", "hi"],
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(ldf, rdf, point="v", lo="lo", hi="hi", bucket_width=width).collect()
+    }
+    want = {
+        (i, j)
+        for i, p in enumerate(points)
+        for j, (lo, w) in enumerate(intervals)
+        if lo <= p < lo + w
+    }
+    assert got == want
