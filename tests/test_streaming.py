@@ -182,3 +182,57 @@ def test_stream_dedup(spark, event_batches, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == total
     assert got.select("event_id").distinct().count() == total
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, event_batches, tmp_path):
+    """Stream-stream inner join (purchase ⋈ click by user within 10 min,
+    watermarked both sides — Spark requires the event-time bound to expire
+    join state): draining with availableNow yields exactly the batch join."""
+    in_dir, batches, _ = event_batches
+    for b in batches:
+        _land(*b)
+    out, cp = str(tmp_path / "jout"), str(tmp_path / "jcp")
+
+    def shaped(df, etype, prefix):
+        return (
+            df.filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "30 minutes")
+        )
+
+    stream = stream_from_directory(spark, str(in_dir), EVENT_SCHEMA)
+    joined = shaped(stream, "purchase", "p").join(
+        shaped(stream, "click", "c"),
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts AND c_ts <= p_ts + INTERVAL 10 MINUTES"
+        ),
+    )
+    write_stream_parquet(joined, out, cp).awaitTermination(240)
+    got = {
+        (r["p_id"], r["c_id"]) for r in spark.read.parquet(out).collect()
+    }
+
+    e = load_table(spark, sf_dir, "events")
+    def bshaped(etype, prefix):
+        return e.filter(F.col("event_type") == etype).select(
+            F.col("event_id").alias(f"{prefix}_id"),
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("ts").alias(f"{prefix}_ts"),
+        )
+    want = {
+        (r["p_id"], r["c_id"])
+        for r in bshaped("purchase", "p")
+        .join(
+            bshaped("click", "c"),
+            F.expr(
+                "p_user = c_user AND c_ts >= p_ts AND c_ts <= p_ts + INTERVAL 10 MINUTES"
+            ),
+        )
+        .collect()
+    }
+    assert len(want) > 0
+    assert got == want
