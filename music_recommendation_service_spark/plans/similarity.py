@@ -31,7 +31,13 @@ from music_recommendation_service_spark.functions.dialect import DUCK, SPARK, re
 
 DIM = 64
 N_PLANES = 16
-_BAND_BITS = 8  # 2 bands of 8 sign bits
+# 4 bands of 4 sign bits. Tuning: per-band match probability for two vectors
+# at angle θ is (1 - θ/π)^r; this corpus is near-random (max cos ~0.5), so
+# r=8 bands collapse to ~1% bucket share and recall@10 of 4%, while r=4
+# yields ~23% candidate share and 5-10x better recall — measured in
+# tests/test_ann_recall.py. Clustered production embeddings tolerate wider
+# bands; r is THE knob that trades candidates for recall.
+_BAND_BITS = 4
 
 
 def _hyperplanes() -> list[list[float]]:
