@@ -656,3 +656,40 @@ def q47_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q50 — correlated-subquery decorrelation (TPC-H Q17 shape): lineitems below
+# 20% of their part's average quantity. Spark expresses the correlation as
+# an explicit pre-aggregated join (the decorrelated plan every optimizer
+# targets: one partial+final agg on l_partkey, one equi-join — no per-row
+# subquery execution); the oracle keeps the correlated form, so the test
+# proves the decorrelation is semantics-preserving.
+# ---------------------------------------------------------------------------
+@register(
+    "q50_small_quantity_orders",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_small,
+           {rnd_sql("sum(l.l_extendedprice) / 7.0", 2)} AS avg_yearly
+    FROM lineitem l
+    WHERE l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity)
+        FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+    )
+    """,
+    tags=("tpch", "correlated-subquery"),
+)
+def q50_small_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    avg_qty = l.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        l.join(avg_qty, l.l_partkey == avg_qty.p_key)
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            rnd(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        )
+    )
