@@ -693,3 +693,265 @@ def q50_small_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q51 — two-nation trade volume (TPC-H Q7 shape): revenue shipped between a
+# pair of nations in either direction, by ship year. Six-way join; both
+# nation sides broadcast (25 rows), the symmetric nation-pair predicate is
+# applied AFTER the broadcasts so it rides the join as a residual filter —
+# no extra shuffle. The big fact-fact join (orders ⋈ lineitem) stays a
+# single shuffle on orderkey.
+# ---------------------------------------------------------------------------
+@register(
+    "q51_nation_trade_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           {rnd_sql("sum(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+    bench=True,
+    tags=("tpch", "J1", "A1", "F2"),
+)
+def q51_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    # Pre-filter both nation dims to the two nations of interest: the filter
+    # cascades through the broadcast joins, shrinking supplier/customer
+    # before the fact join (partition pruning the dims, not post-filtering).
+    n_pair = F.col("n_name").isin("NATION_3", "NATION_8")
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").filter(n_pair).select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").filter(n_pair).select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    return (
+        s.join(n1, s.s_nationkey == F.col("n1_key"))
+        .join(l, s.s_suppkey == l.l_suppkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .join(c.join(n2, c.c_nationkey == F.col("n2_key")), o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q52 — national market share (TPC-H Q8 shape): a nation's share of regional
+# revenue for one part type, by order year. The share is a conditional-sum /
+# total-sum ratio — sum(CASE WHEN ...) / sum(...) in one aggregate pass, no
+# second scan or self-join.
+# ---------------------------------------------------------------------------
+@register(
+    "q52_market_share",
+    oracle=f"""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           {rnd_sql(
+               "sum(CASE WHEN n2.n_name = 'NATION_7' "
+               "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) "
+               "/ sum(l.l_extendedprice * (1 - l.l_discount))", 6)} AS mkt_share
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+    JOIN region r   ON n1.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND p.p_type = 'PROMO'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY year(o.o_orderdate)
+    """,
+    tags=("tpch", "J1", "A1", "case"),
+)
+def q52_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = F.broadcast(_t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO"))
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n1 = F.broadcast(_t(spark, sf_dir, "nation"))
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    r = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(n1, c.c_nationkey == n1.n_nationkey)
+        .join(r, F.col("n_regionkey") == r.r_regionkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(n2, s.s_nationkey == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            rnd(
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q53 — dormant high-balance customers (TPC-H Q22 shape): customers whose
+# balance beats the global positive-balance average and who placed NO order
+# in the trailing 18 months, grouped by nation. Two decorrelations in one
+# query: the scalar-aggregate subquery becomes a 1-row broadcast cross-join;
+# NOT EXISTS becomes a left-anti join (with the date predicate pushed into
+# the anti side's scan). Both are exactly what Catalyst's RewriteCorrelated
+# rules produce — here declared explicitly so the plan is visible.
+# ---------------------------------------------------------------------------
+DORMANT_CUTOFF = "2000-02-01"  # orders span 1995-01-01 .. 2001-08-01
+
+
+@register(
+    "q53_dormant_customers",
+    oracle=f"""
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           {rnd_sql("sum(c.c_acctbal)", 2)} AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0.0
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '{DORMANT_CUTOFF} 00:00:00'
+    )
+    GROUP BY c.c_nationkey
+    """,
+    tags=("tpch", "J8", "scalar-subquery", "anti-join"),
+)
+def q53_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(f"{DORMANT_CUTOFF} 00:00:00").cast("timestamp")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            rnd(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q54 — cumulative analytics (window-frame family): per-customer running
+# spend, previous-order gap (lag), and trailing-3-order moving average over
+# the order history. One Window spec (partitionBy custkey, orderBy date+key)
+# serves all three functions — a single shuffle + sort, three frame scans.
+# ---------------------------------------------------------------------------
+@register(
+    "q54_running_spend",
+    oracle=f"""
+    SELECT o_custkey,
+           o_orderkey,
+           {rnd_sql(
+               "sum(o_totalprice) OVER ("
+               "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)", 2)}
+             AS running_spend,
+           CAST(date_diff('day',
+               lag(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS BIGINT) AS days_since_prev,
+           {rnd_sql(
+               "avg(o_totalprice) OVER ("
+               "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+               "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)", 4)} AS trailing3_avg
+    FROM orders
+    WHERE o_custkey % 10 = 0
+    """,
+    tags=("window", "lag", "frame", "running-sum"),
+)
+def q54_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        rnd(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
+        .alias("running_spend"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).cast("long").alias("days_since_prev"),
+        rnd(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias("trailing3_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q55 — cube with grouping_id: order counts and revenue across every
+# combination of (orderstatus, orderpriority) including both marginals and
+# the grand total. Spark plans a single Expand + hash-agg — one scan, one
+# shuffle, all 4 grouping sets.
+# ---------------------------------------------------------------------------
+@register(
+    "q55_status_priority_cube",
+    oracle=f"""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+             AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {rnd_sql("sum(o_totalprice)", 2)} AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("cube", "grouping-sets", "A1"),
+)
+def q55_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        rnd(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
