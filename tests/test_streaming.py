@@ -236,3 +236,81 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, event_batches, tmp_path
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_transform_with_state_user_stats(spark, sf_dir, event_batches, tmp_path):
+    """transformWithStateInPandas (arbitrary-state v2): multi-variable state
+    (ValueState scalars + bounded ListState) survives a checkpointed restart,
+    and the final per-user stats equal the batch aggregate. Needs the RocksDB
+    state store provider — set for the duration of the test only.
+
+    The Python<->JVM state protocol of transformWithState is protobuf-based
+    (pyspark/sql/streaming/proto/StateMessage_pb2.py); without the protobuf
+    package the driver-side schema worker crashes before init, so skip."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state protocol requires protobuf",
+    )
+    from music_recommendation_service_spark.streaming.stateful import (
+        RECENT_K,
+        user_stats_tws,
+    )
+
+    in_dir, batches, _ = event_batches
+    cp = str(tmp_path / "tws_cp")
+    out = str(tmp_path / "tws_out")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+
+        def run_once():
+            stream = stream_from_directory(spark, str(in_dir), EVENT_SCHEMA)
+            q = (
+                user_stats_tws(stream)
+                .writeStream.outputMode("update")
+                .foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(240)
+
+        _land(*batches[0])
+        run_once()
+        _land(*batches[1])
+        run_once()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+    got = {}
+    for r in spark.read.parquet(out).collect():
+        prev_row = got.get(r["user_id"])
+        if prev_row is None or r["n_events"] > prev_row[0]:
+            got[r["user_id"]] = (
+                r["n_events"],
+                round(r["total_value"], 6),
+                round(r["max_value"], 6),
+                r["n_recent"],
+            )
+    want = {
+        r["user_id"]: (
+            r["n"],
+            round(r["tv"], 6),
+            round(r["mx"], 6),
+            min(r["n"], RECENT_K),
+        )
+        for r in load_table(spark, sf_dir, "events")
+        .withColumn("value", F.coalesce("value", F.lit(0.0)))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert len(got) == len(want)
+    assert got == want
