@@ -51,9 +51,11 @@ def registry() -> dict[str, QueryDef]:
         dedup,
         multimodal,
         rangequery,
+        pipeline_ops,
         reference_parity,
         relational,
         textops,
+        tpch_more,
         similarity,
         windows,
     )

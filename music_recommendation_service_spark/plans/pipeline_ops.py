@@ -1,0 +1,271 @@
+"""Training-data pipeline operators (q68-q72): the corpus-management ops a
+large-scale LLM-data pipeline runs downstream of dedup/quality — dataset
+splitting, stratified sampling, TF-IDF term weighting, denylist redaction,
+and leakage-safe (dedup-aware) split assignment.
+
+All randomness is DETERMINISTIC ARITHMETIC (multiplicative hashing on ids),
+never engine RNG: the same document lands in the same split/sample in Spark,
+in the DuckDB oracle, and on any re-run — reproducibility is a correctness
+property for training data, and it is what makes these oracle-checkable.
+
+Scale notes (100 TB):
+- Split/sample assignment is a stateless per-row projection (no shuffle at
+  all for q68's assignment; one group-shuffle only where per-group ranks are
+  required). A modulo over a multiplicative hash gives uniform buckets
+  without sorting or sampling passes over the corpus.
+- TF-IDF shuffles (term) and (doc,term) keys — both bounded by token counts,
+  with document frequency computed from the POST-aggregation per-doc term
+  list, not the raw token stream.
+- Redaction is one regexp projection inside whole-stage codegen; no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from music_recommendation_service_spark.functions import rnd, rnd_sql
+from music_recommendation_service_spark.plans import register
+from music_recommendation_service_spark.sources.catalog import load_table as _t
+
+# Knuth-style multiplicative hash constants; products stay far below 2^63
+# for any realistic doc_id, so the arithmetic is exact (and identical) in
+# both engines' BIGINT.
+_MULT = 2654435761
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2147483648
+
+
+def _bucket_sql(key: str) -> str:
+    return f"(({key}) * {_MULT}) % 100"
+
+
+def _bucket_col(key) -> F.Column:
+    return (key * F.lit(_MULT)) % 100
+
+
+_SPLIT_CASE = "CASE WHEN {b} < 80 THEN 'train' WHEN {b} < 90 THEN 'val' ELSE 'test' END"
+
+
+def _split_col(bucket) -> F.Column:
+    return (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q68 — deterministic train/val/test split (80/10/10) by multiplicative hash
+# of doc_id, reported per split x language. The assignment itself is a pure
+# projection — at 100 TB it pushes into the scan with zero shuffles; only
+# the small report aggregation shuffles (split, lang) keys.
+# ---------------------------------------------------------------------------
+@register(
+    "q68_dataset_split",
+    oracle=f"""
+    SELECT {_SPLIT_CASE.format(b=_bucket_sql("doc_id"))} AS split,
+           lang,
+           CAST(count(*) AS BIGINT)   AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    tags=("pipeline", "split", "deterministic"),
+)
+def q68_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    split = _split_col(_bucket_col(F.col("doc_id")))
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q69 — stratified sample: 20 documents per language, chosen by rank over an
+# LCG hash of doc_id (deterministic "random" order, fully tie-broken). One
+# shuffle on the stratum key; the window never materializes more than each
+# partition's rows.
+# ---------------------------------------------------------------------------
+@register(
+    "q69_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, CAST(rk AS INT) AS sample_rank
+    FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY (doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M}, doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= 20
+    """,
+    tags=("pipeline", "sampling", "window"),
+)
+def q69_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * _LCG_A + _LCG_C) % _LCG_M
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= 20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q70 — TF-IDF top terms: tf from the exploded token stream, df from
+# distinct (doc, term) pairs, idf = ln((N+1)/(df+1)); top-3 terms per doc
+# (sampled every 20th doc to bound output), ties broken by term. N is a
+# 1-row broadcast. Both shuffles move (doc,term)/(term) aggregates, not raw
+# tokens.
+# ---------------------------------------------------------------------------
+@register(
+    "q70_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) AS tfidf
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        WHERE tf.doc_id % 20 = 0
+    )
+    SELECT doc_id, term, {rnd_sql("tfidf", 6)} AS tfidf, CAST(rk AS INT) AS rank
+    FROM (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term
+               ) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """,
+    tags=("pipeline", "tfidf", "text"),
+)
+def q70_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy(F.col("term").alias("df_term")).agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.filter(F.col("doc_id") % 20 == 0)
+        .join(df, tf.term == F.col("df_term"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0))
+            ).alias("raw_tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("raw_tfidf"), F.asc("term"))
+    return (
+        scored.select(
+            "doc_id",
+            "term",
+            "raw_tfidf",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", rnd(F.col("raw_tfidf"), 6).alias("tfidf"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q71 — denylist redaction: scrub a term denylist from every document (the
+# dictionary-based PII/compliance scrub shape — same plumbing as regex PII
+# patterns, with a corpus-realistic denylist so the operator provably
+# fires). One regexp projection in whole-stage codegen; no UDF, no shuffle
+# before the report agg.
+# ---------------------------------------------------------------------------
+_DENY_RE = r"\b(customer|user|key)\b"
+
+
+@register(
+    "q71_denylist_redaction",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_DENY_RE}')) AS INT) AS n_redacted,
+           CAST(length(regexp_replace(text, '{_DENY_RE}', '[REDACTED]', 'g'))
+                AS INT) AS redacted_len
+    FROM documents
+    WHERE len(regexp_extract_all(text, '{_DENY_RE}')) > 0
+    """,
+    tags=("pipeline", "redaction", "regex"),
+)
+def q71_denylist_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    # Spark SQL string literals ESCAPE backslashes (DuckDB's don't), so the
+    # pattern embedded in expr() needs them doubled; the Python-API
+    # regexp_replace below takes the raw Java regex unescaped.
+    sql_re = _DENY_RE.replace("\\", "\\\\")
+    n_red = F.size(F.expr(f"regexp_extract_all(text, '{sql_re}', 0)"))
+    red_len = F.length(F.regexp_replace("text", _DENY_RE, "[REDACTED]"))
+    return (
+        d.select(
+            "doc_id",
+            n_red.cast("int").alias("n_redacted"),
+            red_len.cast("int").alias("redacted_len"),
+        )
+        .filter(F.col("n_redacted") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q72 — leakage-safe split: exact-duplicate groups (md5 of text) must land
+# in ONE split, so the split key is the group representative (min doc_id),
+# not the document. This is the dedup-aware splitting every training
+# pipeline needs to stop near-identical documents straddling train/test.
+# One shuffle on content hash; the re-agg moves group-level rows.
+# ---------------------------------------------------------------------------
+@register(
+    "q72_leakage_safe_split",
+    oracle=f"""
+    WITH groups AS (
+        SELECT md5(text) AS h,
+               CAST(min(doc_id) AS BIGINT) AS rep,
+               CAST(count(*) AS BIGINT)    AS group_size
+        FROM documents
+        GROUP BY md5(text)
+    )
+    SELECT {_SPLIT_CASE.format(b=_bucket_sql("rep"))} AS split,
+           CAST(count(*) AS BIGINT)        AS n_groups,
+           CAST(sum(group_size) AS BIGINT) AS n_docs
+    FROM groups
+    GROUP BY 1
+    """,
+    tags=("pipeline", "split", "dedup-aware"),
+)
+def q72_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    groups = d.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
+        F.min("doc_id").alias("rep"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    split = _split_col(_bucket_col(F.col("rep")))
+    return (
+        groups.select(split.alias("split"), "group_size")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("group_size").cast("long").alias("n_docs"),
+        )
+    )
