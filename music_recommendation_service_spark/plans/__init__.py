@@ -49,6 +49,7 @@ def registry() -> dict[str, QueryDef]:
     from music_recommendation_service_spark.plans import (  # noqa: F401
         asof,
         dedup,
+        graphops,
         multimodal,
         rangequery,
         pipeline_ops,

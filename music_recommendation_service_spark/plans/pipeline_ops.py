@@ -237,6 +237,48 @@ def q71_denylist_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # One shuffle on content hash; the re-agg moves group-level rows.
 # ---------------------------------------------------------------------------
 @register(
+    "q74_source_mixture",
+    oracle=f"""
+    WITH rated AS (
+        SELECT doc_id, source, n_chars,
+               CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                    THEN 100 ELSE 25 END AS keep_pct
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (WHERE {_bucket_sql("doc_id")} < keep_pct)
+                AS BIGINT)          AS n_kept,
+           CAST(sum(n_chars) FILTER (WHERE {_bucket_sql("doc_id")} < keep_pct)
+                AS BIGINT)          AS kept_chars
+    FROM rated
+    GROUP BY source
+    """,
+    doc="Weighted per-source downsampling (training-mixture construction): "
+    "even-numbered sources keep 100%, odd keep 25%, membership decided by "
+    "the deterministic doc_id hash — a pure projection, zero extra passes.",
+    tags=("pipeline", "sampling", "mixture"),
+)
+def q74_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    keep_pct = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, 100
+    ).otherwise(25)
+    kept = _bucket_col(F.col("doc_id")) < keep_pct
+    return (
+        d.select("doc_id", "source", "n_chars", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_chars"))).cast("long").alias(
+                "kept_chars"
+            ),
+        )
+    )
+
+
+@register(
     "q72_leakage_safe_split",
     oracle=f"""
     WITH groups AS (

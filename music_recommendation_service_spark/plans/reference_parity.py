@@ -378,6 +378,11 @@ def q05_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("rnk")
         )
 
+    # symmetrize_pairs consumes its input twice (forward + reversed select),
+    # but NO materialization is needed: both union branches hang off the same
+    # shuffle, and Spark plans the second as a ReusedExchange. Measured at
+    # sf0.1: scratch-materializing the pair tables here is a net LOSS
+    # (adds the parquet write, saves no recompute).
     cf_sym = truncate(
         symmetrize_pairs(
             cooccurrence_pairs(likes, "user_id", "item_id"), "item_id_1", "item_id_2"
@@ -395,15 +400,18 @@ def q05_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groupBy below sums everything in one shuffle (map-side partial agg),
     # instead of one shuffle per model + a final one. Sum associativity makes
     # this identical to the per-model aggregation the reference does.
-    def model_cand(sym: DataFrame, weight: float) -> DataFrame:
-        return likes.join(sym, likes.item_id == sym.src).select(
-            "user_id",
-            F.col("dst").alias("item_id"),
-            (F.lit(weight) * F.col("score")).alias("score"),
-        )
+    # The two item-neighbor models share one fan-out join: weights are
+    # applied per-model BEFORE unioning the sym tables, so likes ⋈ neighbors
+    # shuffles once, not once per model.
+    def weighted(sym: DataFrame, weight: float) -> DataFrame:
+        return sym.select("src", "dst", (F.lit(weight) * F.col("score")).alias("score"))
 
-    cf_cand = model_cand(cf_sym, W_CF)
-    sim_cand = model_cand(sim_sym, W_SIM)
+    sym_all = weighted(cf_sym, W_CF).unionByName(weighted(sim_sym, W_SIM))
+    item_cand = likes.join(sym_all, likes.item_id == sym_all.src).select(
+        "user_id",
+        F.col("dst").alias("item_id"),
+        "score",
+    )
 
     # 1-hop "social" graph (J7): followed users = same-nation customers.
     # Scale note: materializing the follow edge list and joining likes fans
@@ -458,8 +466,7 @@ def q05_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     trend_cand = active_users.crossJoin(F.broadcast(trending))
 
     scored = (
-        cf_cand.unionByName(sim_cand)
-        .unionByName(social_cand)
+        item_cand.unionByName(social_cand)
         .unionByName(trend_cand)
         .groupBy("user_id", "item_id")
         .agg(rnd(F.sum("score"), 6).alias("score"))

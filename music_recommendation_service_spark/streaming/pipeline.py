@@ -137,6 +137,63 @@ def session_stats(
     )
 
 
+def foreach_batch_upsert(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: tuple[str, ...],
+    seq_col: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream-materialized KEYED table: upsert each micro-batch by key,
+    keeping the row with the highest ``seq_col`` per key (last-writer-wins).
+
+    This is the stream->dim-table pattern the reference's append-only sink
+    (S7) cannot express: ``recommendation_events`` appends forever; a keyed
+    table needs MERGE. With Delta on the classpath this body would be a
+    single ``MERGE INTO``; the parquet fallback below does copy-on-write of
+    the whole table (read + anti-join + union + rewrite), which is correct
+    and idempotent but O(|table|) per batch — fine for dimension-sized
+    tables, and exactly why 100 TB fact tables want Delta/Iceberg MERGE
+    (file-level pruning + rewrite of matched files only) instead.
+
+    Idempotence under micro-batch REPLAY (the exactly-once contract,
+    SURVEY.md T2): re-upserting an already-applied batch anti-joins away its
+    own earlier rows and rewrites the same result.
+    """
+    from pyspark.sql import Window
+
+    def upsert(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        w = Window.partitionBy(*key_cols).orderBy(F.desc(seq_col))
+        latest = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            existing = spark.read.parquet(path)
+        except Exception:
+            existing = None
+        if existing is not None:
+            kept = existing.join(latest.select(*key_cols), list(key_cols), "left_anti")
+            out = kept.unionByName(latest)
+        else:
+            out = latest
+        # The output plan READS ``path`` lazily, so land the merged result on
+        # a staging dir first, then rewrite the table from the staged copy.
+        staging = f"{path}__staging"
+        out.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).write.mode("overwrite").parquet(path)
+
+    writer = df.writeStream.foreachBatch(upsert).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def write_stream_parquet(
     df: DataFrame,
     path: str,

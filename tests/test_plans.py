@@ -57,3 +57,45 @@ def test_dedup_candidates_are_equijoins(spark, sf_dir, name):
     p = _plan(spark, sf_dir, name)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q57_exists_realized_as_semi_join(spark, sf_dir):
+    """EXISTS must decorrelate to a semi join (keys-only shuffle), with the
+    returnflag filter pushed into the lineitem scan."""
+    p = _plan(spark, sf_dir, "q57_priority_returns")
+    assert "LeftSemi" in p
+    assert "EqualTo(l_returnflag,R)" in p
+
+
+def test_q63_not_in_realized_as_anti_join(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q63_part_supplier_variety")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q58_dims_broadcast(spark, sf_dir):
+    """The Q9-shaped profit query must broadcast every dim side — the only
+    sort-merge-eligible join is lineitem ⋈ orders on orderkey."""
+    p = _plan(spark, sf_dir, "q58_nation_profit")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+
+
+def test_q68_split_assignment_is_scan_level(spark, sf_dir):
+    """The split projection must not introduce a pre-aggregation shuffle:
+    exactly one Exchange (the final groupBy) in the whole plan."""
+    p = _plan(spark, sf_dir, "q68_dataset_split")
+    # Count Exchange operator nodes in the detail sections ("(4) Exchange"),
+    # not tree-rendering lines, so each operator counts once.
+    exchanges = [
+        l for l in p.splitlines()
+        if l.strip().startswith("(") and l.strip().endswith(" Exchange")
+    ]
+    assert len(exchanges) == 1, p
+
+
+def test_q73_triangle_reuses_edge_relation(spark, sf_dir):
+    """The three triangle legs read the SAME materialized edge relation —
+    no cartesian, no nested-loop fallback."""
+    p = _plan(spark, sf_dir, "q73_triangle_count")
+    assert "CartesianProduct" not in p

@@ -314,3 +314,39 @@ def test_transform_with_state_user_stats(spark, sf_dir, event_batches, tmp_path)
     }
     assert len(got) == len(want)
     assert got == want
+
+
+def test_foreach_batch_upsert_last_writer_wins(spark, event_batches, tmp_path):
+    """Keyed stream materialization: per-user latest event wins, across two
+    incremental availableNow runs (new arrivals overwrite matched keys,
+    unmatched keys survive)."""
+    from music_recommendation_service_spark.streaming.pipeline import (
+        foreach_batch_upsert,
+    )
+
+    in_dir, batches, _total = event_batches
+    out, cp = str(tmp_path / "upsert_out"), str(tmp_path / "upsert_cp")
+
+    _land(*batches[0])
+    stream = stream_from_directory(spark, str(in_dir), EVENT_SCHEMA)
+    foreach_batch_upsert(
+        stream, out, cp, key_cols=("user_id",), seq_col="event_id"
+    ).awaitTermination(120)
+
+    _land(*batches[1])
+    stream = stream_from_directory(spark, str(in_dir), EVENT_SCHEMA)
+    foreach_batch_upsert(
+        stream, out, cp, key_cols=("user_id",), seq_col="event_id"
+    ).awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in spark.read.parquet(out).select("user_id", "event_id").collect()
+    }
+    # Batch oracle: highest event_id per user over ALL events.
+    all_rows = [r for _, chunk in batches for r in chunk]
+    want = {}
+    for r in all_rows:
+        if r["user_id"] not in want or r["event_id"] > want[r["user_id"]]:
+            want[r["user_id"]] = r["event_id"]
+    assert got == set(want.items())
