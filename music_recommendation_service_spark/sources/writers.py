@@ -94,3 +94,46 @@ def append_table(df: DataFrame, path: str) -> None:
                     f"existing={current} incoming={incoming}"
                 )
     w.save(path)
+
+
+def compact_table(
+    spark,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    sort_cols: tuple[str, ...] = (),
+) -> tuple[int, int]:
+    """Small-file compaction (lake maintenance): rewrite a table into
+    ``ceil(rows / target_rows_per_file)`` files, optionally range-clustered.
+
+    Streaming appends (S7) and incremental batch appends (S6) accrete one+
+    file per micro-batch/run; at 100 TB that is millions of files, and file
+    listing + per-file open cost dominates scans long before data volume
+    does. Compaction is the standing maintenance job every lakehouse runs
+    (Delta OPTIMIZE / Iceberg rewrite_data_files); on plain parquet it is a
+    read -> repartition -> staged rewrite.
+
+    ``sort_cols`` additionally range-partitions AND sorts within files, so
+    every file covers a narrow key range — parquet row-group min/max stats
+    then let scans skip whole files on those predicates (the poor man's
+    Z-order; single-dimension clustering only).
+
+    Returns (files_before, files_after). Not concurrency-safe on plain
+    parquet (no transaction log) — run it as an exclusive maintenance task.
+    """
+    import math
+
+    df = spark.read.parquet(path)
+    files_before = df.inputFiles()
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    if sort_cols:
+        compacted = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        compacted = df.repartition(n_files)
+    staging = f"{path}__compact_staging"
+    compacted.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    staged.write.mode("overwrite").parquet(path)
+    return len(files_before), len(spark.read.parquet(path).inputFiles())

@@ -135,3 +135,28 @@ def test_append_rejects_schema_drift(spark, tmp_path):
     # same schema still appends
     append_table(spark.createDataFrame([(3, "c")], ["id", "v"]), out)
     assert spark.read.parquet(out).count() == 2
+
+
+def test_compact_table_small_files(spark, sf_dir, tmp_path):
+    """Many tiny append files -> one compacted, clustered file; data and
+    schema survive byte-identically."""
+    from music_recommendation_service_spark.sources.writers import (
+        append_table,
+        compact_table,
+    )
+
+    path = str(tmp_path / "accreted")
+    orders = load_table(spark, sf_dir, "orders")
+    # Simulate 8 micro-batch appends (8+ files).
+    for i in range(8):
+        append_table(orders.filter(F.col("o_orderkey") % 8 == i), path)
+    before_rows = spark.read.parquet(path).count()
+    assert len(spark.read.parquet(path).inputFiles()) >= 8
+
+    n_before, n_after = compact_table(
+        spark, path, target_rows_per_file=10_000_000, sort_cols=("o_orderdate",)
+    )
+    assert n_before >= 8 and n_after == 1
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows
+    assert after.schema == orders.schema

@@ -350,3 +350,33 @@ def test_foreach_batch_upsert_last_writer_wins(spark, event_batches, tmp_path):
         if r["user_id"] not in want or r["event_id"] > want[r["user_id"]]:
             want[r["user_id"]] = r["event_id"]
     assert got == set(want.items())
+
+
+def test_stream_static_enrichment_join(spark, sf_dir, event_batches, tmp_path):
+    """Stream-static join: streaming events enrich against the static
+    customer dim (broadcast per micro-batch — no stream state, the J1
+    pattern applied to a stream)."""
+    in_dir, batches, _total = event_batches
+    out, cp = str(tmp_path / "enrich_out"), str(tmp_path / "enrich_cp")
+
+    _land(*batches[0])
+    customers = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_name"), F.col("c_nationkey")
+    )
+    stream = stream_from_directory(spark, str(in_dir), EVENT_SCHEMA)
+    enriched = stream.join(
+        F.broadcast(customers), stream.user_id == customers.c_custkey
+    ).select("event_id", "user_id", "c_name", "c_nationkey")
+    write_stream_parquet(enriched, out, cp).awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    # Batch oracle over the same arrivals.
+    batch_events = spark.createDataFrame(
+        [(r["event_id"], r["user_id"]) for r in batches[0][1]],
+        ["event_id", "user_id"],
+    )
+    want = batch_events.join(
+        customers, batch_events.user_id == customers.c_custkey
+    ).count()
+    assert got.count() == want
+    assert set(got.columns) == {"event_id", "user_id", "c_name", "c_nationkey"}
