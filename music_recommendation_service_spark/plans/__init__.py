@@ -47,6 +47,7 @@ def register(
 def registry() -> dict[str, QueryDef]:
     # Import side-effect modules once, on first use.
     from music_recommendation_service_spark.plans import (  # noqa: F401
+        analytics_ext,
         asof,
         dedup,
         graphops,

@@ -1,0 +1,191 @@
+"""Analytical extensions (q75-q77): batch sessionization, statistical
+outlier detection, and embedding quantization — three shapes a production
+analytics/training pipeline runs constantly that the reference lacks
+entirely (its "session" notion is a 7-day batch filter, its quality gate is
+schema-level only, and it has no vector processing).
+
+Scale notes (100 TB):
+- q75 sessionization is ONE shuffle (user key) + one in-partition sort —
+  the lag/cumsum trick turns gap-based sessions into window arithmetic with
+  no iteration, no state store, and no session-length bound needed (its
+  streaming twin q34 needs watermark-bounded state).
+- q76 broadcasts the per-type moment table (|event_types| rows) back onto
+  the stream — the fact is scanned twice but shuffled never.
+- q77 quantization is a pure per-row projection (array lambda inside
+  whole-stage codegen): int8 storage is 4x smaller than float32, which at
+  100 TB of embeddings is the difference between fitting the ANN working
+  set in cluster memory or not. Values stay integer end-to-end so the
+  DuckDB oracle matches bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from music_recommendation_service_spark.functions import rnd, rnd_sql
+from music_recommendation_service_spark.plans import register
+from music_recommendation_service_spark.sources.catalog import load_table as _t
+
+SESSION_GAP_S = 1800  # 30 minutes, matching the streaming session gap (q34)
+
+
+# ---------------------------------------------------------------------------
+# q75 — batch sessionization: gap > 30 min starts a new session; session_id
+# is the running count of session starts (lag + conditional cumsum). The
+# batch twin of the streaming session_window query (q34) — same gap
+# semantics, zero state.
+# ---------------------------------------------------------------------------
+@register(
+    "q75_batch_sessionize",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_S}
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WHERE user_id % 50 = 0
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_id, ts, value,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS session_id
+        FROM ordered
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT)  AS session_id,
+           CAST(count(*) AS BIGINT)    AS n_events,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s,
+           {rnd_sql("sum(value)", 2)}  AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("sessionization", "window", "lag", "cumsum"),
+)
+def q75_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    sessions = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("session_id"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "duration_s"
+        ),
+        rnd(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q76 — statistical outliers: events whose value is > 3 sample standard
+# deviations from their type's mean. The per-type moment table decorrelates
+# to a broadcast join (the scalar-subquery-per-group pattern); reported as
+# per-type counts + extremes so the output is stable.
+# ---------------------------------------------------------------------------
+@register(
+    "q76_value_outliers",
+    oracle=f"""
+    WITH stats AS (
+        SELECT event_type,
+               avg(value)         AS m,
+               stddev_samp(value) AS s
+        FROM events
+        GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_outliers,
+           {rnd_sql("min(e.value)", 4)} AS min_outlier,
+           {rnd_sql("max(e.value)", 4)} AS max_outlier
+    FROM events e
+    JOIN stats t ON e.event_type = t.event_type
+    WHERE abs(e.value - t.m) > 3 * t.s
+    GROUP BY e.event_type
+    """,
+    tags=("quality", "outliers", "scalar-subquery"),
+)
+def q76_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    stats = e.groupBy(F.col("event_type").alias("t_type")).agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("s")
+    )
+    return (
+        e.join(F.broadcast(stats), e.event_type == F.col("t_type"))
+        .filter(F.abs(F.col("value") - F.col("m")) > 3 * F.col("s"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            rnd(F.min("value"), 4).alias("min_outlier"),
+            rnd(F.max("value"), 4).alias("max_outlier"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q77 — per-vector uint8 quantization: min/max scale each embedding to
+# 0..255 (floor(x*scale + 0.5 + eps) keeps the rounding decision identical
+# across engines — same trick as functions/portable.rnd). Output stays
+# integer (sum + first/last quantized dims), so the check is exact.
+# ---------------------------------------------------------------------------
+@register(
+    "q77_embedding_quantize",
+    oracle="""
+    WITH prep AS (
+        SELECT vec_id,
+               CAST(embedding AS DOUBLE[]) AS v,
+               CAST(list_aggregate(CAST(embedding AS DOUBLE[]), 'min') AS DOUBLE) AS mn,
+               CAST(list_aggregate(CAST(embedding AS DOUBLE[]), 'max') AS DOUBLE) AS mx
+        FROM embeddings
+        WHERE vec_id % 10 = 0
+    ),
+    q AS (
+        SELECT vec_id,
+               list_transform(
+                   v, x -> CAST(floor((x - mn) * (255.0 / (mx - mn)) + 0.5 + 1e-9)
+                               AS BIGINT)
+               ) AS qv
+        FROM prep
+    )
+    SELECT vec_id,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+           CAST(qv[1] AS BIGINT)                     AS q_first,
+           CAST(qv[64] AS BIGINT)                    AS q_last
+    FROM q
+    """,
+    tags=("vector", "quantization", "codegen"),
+)
+def q77_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    prep = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).select(
+        "vec_id",
+        "v",
+        F.array_min("v").alias("mn"),
+        F.array_max("v").alias("mx"),
+    )
+    q = prep.select(
+        "vec_id",
+        F.expr(
+            "transform(v, x -> CAST(floor((x - mn) * (255.0 / (mx - mn))"
+            " + 0.5 + 1e-9) AS BIGINT))"
+        ).alias("qv"),
+    )
+    return q.select(
+        "vec_id",
+        F.expr("aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x)").alias("q_sum"),
+        F.element_at("qv", 1).alias("q_first"),
+        F.element_at("qv", 64).alias("q_last"),
+    )
