@@ -60,11 +60,22 @@ def kafka_source(
     )
 
 
+# Timestamp wire format for JSON payloads: Spark's to_json default emits
+# milliseconds only, silently truncating microsecond event times on the
+# producer side — pin a microsecond format on BOTH directions of the
+# contract (SURVEY.md §3.2's schema-mismatch lesson applied to precision).
+JSON_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
 def parse_json_payload(raw: DataFrame, schema: StructType, value_col: str = "value") -> DataFrame:
     """T1 parse step: binary/string payload -> struct -> flattened columns
     (``process_recommendation_events.py:66-67``)."""
     return raw.select(
-        F.from_json(F.col(value_col).cast("string"), schema).alias("data")
+        F.from_json(
+            F.col(value_col).cast("string"),
+            schema,
+            {"timestampFormat": JSON_TS_FORMAT},
+        ).alias("data")
     ).select("data.*")
 
 
@@ -134,6 +145,52 @@ def session_stats(
             "n_events",
             "total_value",
         )
+    )
+
+
+def write_stream_console(
+    df: DataFrame, truncate: bool = False, num_rows: int = 20
+) -> StreamingQuery:
+    """Console debug sink (S8, ``process_recommendation_events.py:70-74``):
+    the reference tees its stream to console alongside the lake sink."""
+    return (
+        df.writeStream.outputMode("append")
+        .format("console")
+        .option("truncate", str(truncate).lower())
+        .option("numRows", str(num_rows))
+        .start()
+    )
+
+
+def kafka_json_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+    key_col: str | None = None,
+) -> StreamingQuery:
+    """Kafka producer sink (S10, ``KafkaEventProducer.cs:42-51`` engine-side):
+    every row serialized as one JSON message via ``to_json(struct(*))`` —
+    the exact payload shape the reference's .NET producer emits and its
+    Spark job parses back (T1). Avro (S11) swaps ``to_json`` for
+    ``to_avro`` when the spark-avro package is on the classpath.
+
+    Requires spark-sql-kafka on the cluster classpath; construction is
+    lazy, so building the writer without a broker is side-effect free."""
+    cols = [
+        F.to_json(
+            F.struct(*df.columns), {"timestampFormat": JSON_TS_FORMAT}
+        ).alias("value")
+    ]
+    if key_col is not None:
+        cols.insert(0, F.col(key_col).cast("string").alias("key"))
+    return (
+        df.select(*cols)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
     )
 
 
