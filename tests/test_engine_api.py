@@ -39,3 +39,34 @@ def test_salted_left_join_keeps_unmatched(spark):
     small = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "w"])
     out = {r["k"]: r["w"] for r in salted_join(big, small, on="k", how="left").collect()}
     assert out == {1: 10.0, 2: 20.0, 99: None}
+
+
+def test_cli_list_and_query(tmp_path):
+    """The spark-submit surface: list + query + lake write via subprocess."""
+    import subprocess
+    import sys
+
+    env_root = "/root/repo"
+    r = subprocess.run(
+        [sys.executable, "-m", "music_recommendation_service_spark", "list"],
+        capture_output=True, text=True, cwd=env_root, timeout=300,
+    )
+    assert r.returncode == 0
+    assert "q01_weekly_trending" in r.stdout
+
+    out = str(tmp_path / "gold")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "music_recommendation_service_spark",
+            "query", "q07_top_orders",
+            "--root", "/root/testdata/sf0.001", "--out", out,
+        ],
+        capture_output=True, text=True, cwd=env_root, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import duckdb
+
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{out}/*.parquet')"
+    ).fetchone()[0]
+    assert n == 10
