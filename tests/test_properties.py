@@ -182,3 +182,93 @@ def test_range_join_matches_bruteforce(points, intervals, width):
         if lo <= p < lo + w
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Sessionization invariants (q75 logic): within-session gaps <= GAP,
+# between-session gaps > GAP, sessions partition the events exactly.
+# ---------------------------------------------------------------------------
+session_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 100_000)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=session_rows)
+@SETTINGS
+def test_sessionize_invariants(rows):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    GAP = 1800
+    spark = _get_spark()
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (u, i, base + dt.timedelta(seconds=s))
+        for i, (u, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, ["user_id", "event_id", "ts"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > GAP), 1).otherwise(0)
+    sess = df.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    ).collect()
+
+    # Brute-force reference per user.
+    by_user = {}
+    for u, i, ts in data:
+        by_user.setdefault(u, []).append((ts, i))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        sid = 0
+        prev = None
+        for ts, i in evs:
+            if prev is None or (ts - prev).total_seconds() > GAP:
+                sid += 1
+            want[(u, i)] = sid
+            prev = ts
+    got = {(r["user_id"], r["event_id"]): r["session_id"] for r in sess}
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (q73 core) vs brute force on random small graphs.
+# ---------------------------------------------------------------------------
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=30
+)
+
+
+@given(raw=edge_lists)
+@SETTINGS
+def test_triangle_count_matches_bruteforce(raw):
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    spark = _get_spark()
+    edges = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    df = spark.createDataFrame(list(edges) or [(0, 0)], ["a", "b"])
+    if not edges:
+        df = df.filter("a < 0")
+    e1, e2, e3 = df.alias("e1"), df.alias("e2"), df.alias("e3")
+    got = (
+        e1.join(e2, (F.col("e2.a") == F.col("e1.a")) & (F.col("e2.b") > F.col("e1.b")))
+        .join(e3, (F.col("e3.a") == F.col("e1.b")) & (F.col("e3.b") == F.col("e2.b")))
+        .count()
+    )
+    verts = {v for e in edges for v in e}
+    want = sum(
+        1
+        for x, y, z in combinations(sorted(verts), 3)
+        if (x, y) in edges and (x, z) in edges and (y, z) in edges
+    )
+    assert got == want
