@@ -44,7 +44,26 @@ def main(argv: list[str] | None = None) -> int:
     p_sql.add_argument("--limit", type=int, default=20)
     p_sql.add_argument("--out", default=None)
 
+    p_pipe = sub.add_parser(
+        "pipeline", help="run the full bronze->silver->gold medallion pipeline"
+    )
+    p_pipe.add_argument("--source", required=True, help="source tables directory")
+    p_pipe.add_argument("--lake", required=True, help="output lake directory")
+    p_pipe.add_argument("--anchor", required=True, help="trending window anchor date")
+    p_pipe.add_argument("--k", type=int, default=5)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "pipeline":
+        from music_recommendation_service_spark.pipelines import run_full_pipeline
+        from music_recommendation_service_spark.session import get_spark
+
+        paths = run_full_pipeline(
+            get_spark("pipeline"), args.source, args.lake, args.anchor, k=args.k
+        )
+        for name, path in paths.items():
+            print(f"{name}\t{path}")
+        return 0
 
     from music_recommendation_service_spark.plans import registry
 
