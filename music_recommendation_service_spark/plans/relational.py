@@ -955,3 +955,45 @@ def q55_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         rnd(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q78 — distribution-rank family completeness: ntile deciles, percent_rank,
+# cume_dist, and first/last-value frames over one window spec. Like q54,
+# ONE shuffle+sort serves every function; the full-partition frame for
+# last_value is explicit (default frames stop at CURRENT ROW).
+# ---------------------------------------------------------------------------
+@register(
+    "q78_balance_distribution",
+    oracle=f"""
+    SELECT c_custkey,
+           c_mktsegment,
+           CAST(ntile(10) OVER w AS INT)          AS decile,
+           {rnd_sql("percent_rank() OVER w", 6)}  AS pct_rank,
+           {rnd_sql("cume_dist() OVER w", 6)}     AS cum_dist,
+           first_value(c_custkey) OVER w          AS poorest_custkey,
+           last_value(c_custkey) OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           )                                      AS richest_custkey
+    FROM customer
+    WHERE c_custkey % 20 = 0
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window", "ntile", "percent_rank", "cume_dist", "frame"),
+)
+def q78_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 20 == 0)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(10).over(w).alias("decile"),
+        rnd(F.percent_rank().over(w), 6).alias("pct_rank"),
+        rnd(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.first("c_custkey").over(w).alias("poorest_custkey"),
+        F.last("c_custkey").over(w_full).alias("richest_custkey"),
+    )
