@@ -55,11 +55,19 @@ def run_full_pipeline(
     anchor: str,
     k: int = 5,
     validate: bool = True,
+    metrics: dict | None = None,
 ) -> dict[str, str]:
     """Run all five pipelines source -> bronze -> silver -> gold.
 
     ``anchor`` parameterizes the reference's ``current_date() - 7`` window
     (SURVEY.md §7.3d) so runs are reproducible. Returns table -> path.
+
+    Pass a dict as ``metrics`` to receive observed bronze ingest metrics
+    (row count, key null counts) measured DURING the write job via
+    ``df.observe`` — zero extra scans, the one-pass monitoring pattern that
+    replaces a separate metrics query at 100 TB. (The quality gate's
+    correctness checks still run their own single-pass aggregate because
+    they must be able to FAIL the job before anything lands.)
     """
     src = {t: spark.read.parquet(f"{source_dir}/{t}.parquet") for t in SOURCE_TABLES}
     out: dict[str, str] = {}
@@ -75,11 +83,27 @@ def run_full_pipeline(
 
     # Bronze: derived partition columns + quality gate, partitioned write
     # (process_historical_data.py:70-78). Dims land as-is (S4).
-    bronze = land(
-        "bronze/fact_listening_events",
-        bronze_ingest(src["fact_listening_events"], validate=validate),
-        ("year", "month"),
-    )
+    bronze_df = bronze_ingest(src["fact_listening_events"], validate=validate)
+    obs = None
+    if metrics is not None:
+        from pyspark.sql import Observation
+
+        obs = Observation("bronze_ingest")
+        bronze_df = bronze_df.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias(
+                "null_user_id"
+            ),
+            F.sum(F.when(F.col("track_id").isNull(), 1).otherwise(0)).alias(
+                "null_track_id"
+            ),
+            F.min("event_date").alias("first_day"),
+            F.max("event_date").alias("last_day"),
+        )
+    bronze = land("bronze/fact_listening_events", bronze_df, ("year", "month"))
+    if obs is not None:
+        metrics.update(obs.get)
     for dim in ("dim_songs", "dim_users", "dim_playlists", "graph_user_follows"):
         land(f"bronze/{dim}", src[dim])
 

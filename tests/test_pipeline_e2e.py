@@ -61,3 +61,24 @@ def test_full_pipeline(spark, tmp_path):
         .distinct()
     )
     assert gold.join(likes, ["user_id", "track_id"], "inner").count() == 0
+
+
+def test_pipeline_observed_metrics(spark, tmp_path):
+    """df.observe metrics ride the bronze write job — no extra scan — and
+    must agree with directly-computed values."""
+    from tests.music_fixtures import build_fixtures
+
+    src = tmp_path / "src2"
+    src.mkdir()
+    build_fixtures(str(src))
+    lake = str(tmp_path / "lake2")
+
+    metrics: dict = {}
+    run_full_pipeline(spark, str(src), lake, ANCHOR, metrics=metrics)
+    events = spark.read.parquet(f"{src}/fact_listening_events.parquet")
+    assert metrics["rows"] == events.count()
+    assert metrics["null_user_id"] == 0 and metrics["null_track_id"] == 0
+    lo, hi = events.select(
+        F.min(F.to_date("timestamp")), F.max(F.to_date("timestamp"))
+    ).first()
+    assert (metrics["first_day"], metrics["last_day"]) == (lo, hi)
