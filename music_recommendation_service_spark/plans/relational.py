@@ -997,3 +997,62 @@ def q78_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_custkey").over(w).alias("poorest_custkey"),
         F.last("c_custkey").over(w_full).alias("richest_custkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q79 — array aggregation: per-customer sorted DISTINCT order-year list
+# (collect_set is unordered by contract in BOTH engines — sort_array makes
+# it deterministic, the only way list-valued results can be oracle-checked).
+# ---------------------------------------------------------------------------
+@register(
+    "q79_order_year_arrays",
+    oracle="""
+    SELECT c_custkey,
+           list_sort(list(DISTINCT CAST(year(o_orderdate) AS INT))) AS order_years,
+           CAST(len(list(DISTINCT year(o_orderdate))) AS INT)       AS n_years
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey % 100 = 0
+    GROUP BY c_custkey
+    """,
+    tags=("array", "collect_set", "A-family"),
+)
+def q79_order_year_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 100 == 0)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.sort_array(F.collect_set(F.year("o_orderdate"))).alias("order_years"),
+            F.size(F.collect_set(F.year("o_orderdate"))).alias("n_years"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q80 — positional array search: first position of a keyword in the token
+# stream (array_position / list_position normalized to a common missing
+# convention), position-bucket distribution. Pure scan-level projection +
+# one small aggregate — the F-family generalized to positional array ops.
+# ---------------------------------------------------------------------------
+@register(
+    "q80_keyword_position",
+    oracle="""
+    SELECT COALESCE(list_position(string_split(text, ' '), 'customer'), 0) // 10
+             AS pos_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("array", "position", "F-family"),
+)
+def q80_keyword_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    # Spark array_position: 0 when absent; DuckDB list_position: NULL ->
+    # COALESCE to 0. Integer division buckets match exactly.
+    pos = F.array_position(F.split("text", " "), "customer")
+    return (
+        d.select((pos / 10).cast("long").alias("pos_bucket"))
+        .groupBy("pos_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
