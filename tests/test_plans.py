@@ -99,3 +99,32 @@ def test_q73_triangle_reuses_edge_relation(spark, sf_dir):
     no cartesian, no nested-loop fallback."""
     p = _plan(spark, sf_dir, "q73_triangle_count")
     assert "CartesianProduct" not in p
+
+
+# Queries that INTENTIONALLY cross-join a broadcast scalar/tiny frame
+# (1-row aggregates, top-N trending, fixed query slices): the nested-loop
+# there is a deliberate O(n * tiny) pattern, not an accident.
+_CROSS_OK = frozenset({
+    "q05_hybrid_recommendations",  # 1-row max + top-20 trending broadcast
+    "q31_knn_bruteforce",          # fixed query-vector slice x corpus
+    "q30_embedding_neardup",       # brute-force O(n^2) baseline by design
+    "q39_label_centroids",
+    "q44_ann_ivf",                 # centroid table x query slice
+    "q53_dormant_customers",       # 1-row avg-balance broadcast
+    "q60_important_parts",         # 1-row threshold broadcast
+    "q62_top_supplier",            # 1-row max-revenue broadcast
+    "q70_tfidf_top_terms",         # 1-row corpus-size broadcast
+    "q73_triangle_count",          # 1-row edge-count broadcast
+    "q76_value_outliers",          # per-type moments broadcast
+})
+
+
+@pytest.mark.parametrize("name", sorted(registry()))
+def test_no_accidental_cartesian(spark, sf_dir, name):
+    """No catalog query may plan an unbounded cartesian/nested-loop join
+    unless it is a declared scalar-broadcast pattern."""
+    p = _plan(spark, sf_dir, name)
+    if name in _CROSS_OK:
+        return
+    assert "CartesianProduct" not in p, name
+    assert "BroadcastNestedLoopJoin" not in p, name
