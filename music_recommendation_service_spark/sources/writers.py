@@ -137,3 +137,62 @@ def compact_table(
     staged = spark.read.parquet(staging)
     staged.write.mode("overwrite").parquet(path)
     return len(files_before), len(spark.read.parquet(path).inputFiles())
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Two-dimensional Z-order (Morton) clustered write.
+
+    ``compact_table``'s range clustering skips files on ONE dimension;
+    interleaving the bits of two quantized dimensions gives files whose
+    min/max envelopes are narrow in BOTH — parquet row-group stats then
+    prune scans filtered on either column (the Delta OPTIMIZE ZORDER BY
+    idea, realized with pure column expressions inside codegen).
+
+    Each column is min/max-quantized to ``bits`` bits via a 1-row broadcast
+    of its bounds (one extra partial-agg pass, no shuffle), the Morton code
+    is a 2*bits-bit interleave, and the layout is repartitionByRange +
+    sortWithinPartitions on that code. The Z-code is dropped before the
+    write — it is layout, not data.
+    """
+    from pyspark.sql import functions as F
+
+    a, b = cols
+    bounds = df.agg(
+        F.min(a).alias("__amin"),
+        F.max(a).alias("__amax"),
+        F.min(b).alias("__bmin"),
+        F.max(b).alias("__bmax"),
+    )
+    top = (1 << bits) - 1
+
+    def quant(c, lo, hi):
+        span = F.when(F.col(hi) > F.col(lo), F.col(hi) - F.col(lo)).otherwise(
+            F.lit(1)
+        )
+        q = F.floor(
+            (F.col(c).cast("double") - F.col(lo)) / span * top
+        ).cast("long")
+        return F.greatest(F.lit(0), F.least(F.lit(top), q))
+
+    with_bounds = df.crossJoin(F.broadcast(bounds))
+    qa = quant(a, "__amin", "__amax")
+    qb = quant(b, "__bmin", "__bmax")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        # Column `|` is LOGICAL or in PySpark — bitwiseOR is the bit op.
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(qa, i) % 2, 2 * i + 1)
+        ).bitwiseOR(F.shiftleft(F.shiftright(qb, i) % 2, 2 * i))
+    clustered = (
+        with_bounds.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", "__amin", "__amax", "__bmin", "__bmax")
+    )
+    clustered.write.mode("overwrite").parquet(path)
