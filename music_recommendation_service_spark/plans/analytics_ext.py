@@ -189,3 +189,93 @@ def q77_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("qv", 1).alias("q_first"),
         F.element_at("qv", 64).alias("q_last"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q81 — calendar densification: every (day, event_type) cell over the full
+# observed range, zero-filled where no events landed. The day spine is a
+# sequence-explode of the 1-row global min/max (generator + broadcast cross
+# join — |days| x |types| rows, trivially small next to the fact), left-
+# joined by the aggregated counts. Gap-free series are what window/trend
+# models downstream consume.
+# ---------------------------------------------------------------------------
+@register(
+    "q81_daily_dense_counts",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day,
+               t.event_type
+        FROM bounds, (SELECT DISTINCT event_type FROM events) t
+    ),
+    actual AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT s.day, s.event_type, COALESCE(a.n, 0) AS n_events
+    FROM spine s
+    LEFT JOIN actual a ON s.day = a.day AND s.event_type = a.event_type
+    """,
+    tags=("densify", "generator", "J5", "P7"),
+)
+def q81_daily_dense_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    days = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    spine = days.crossJoin(F.broadcast(types))
+    actual = e.groupBy(
+        F.to_date("ts").alias("a_day"), F.col("event_type").alias("a_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.join(
+            actual,
+            (spine.day == actual.a_day) & (spine.event_type == actual.a_type),
+            "left",
+        )
+        .select("day", "event_type", F.coalesce("n", F.lit(0)).alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q82 — bivariate statistics: correlation / sample covariance / regression
+# slope of quantity vs extended price per return flag — the moment
+# aggregates (corr, covar_samp) the reference's A-family lacks entirely.
+# Single partial+final hash agg; slope derived from the same moments.
+# ---------------------------------------------------------------------------
+@register(
+    "q82_price_qty_moments",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           {rnd_sql("corr(l_extendedprice, l_quantity)", 6)}       AS price_qty_corr,
+           {rnd_sql("covar_samp(l_extendedprice, l_quantity)", 4)} AS price_qty_covar,
+           {rnd_sql(
+               "covar_samp(l_extendedprice, l_quantity) / var_samp(l_quantity)", 6
+           )} AS slope
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("statistics", "corr", "A-family"),
+)
+def q82_price_qty_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        rnd(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias(
+            "price_qty_covar"
+        ),
+        rnd(
+            F.covar_samp("l_extendedprice", "l_quantity")
+            / F.var_samp("l_quantity"),
+            6,
+        ).alias("slope"),
+    )

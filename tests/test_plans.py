@@ -116,6 +116,7 @@ _CROSS_OK = frozenset({
     "q70_tfidf_top_terms",         # 1-row corpus-size broadcast
     "q73_triangle_count",          # 1-row edge-count broadcast
     "q76_value_outliers",          # per-type moments broadcast
+    "q81_daily_dense_counts",      # day-spine x event-type grid (tiny)
 })
 
 
