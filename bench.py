@@ -37,11 +37,17 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Best-of-2 per query: the host shows occasional multi-second noise
+    # spikes from co-tenants; the min of two runs measures the PLAN, which
+    # is what this harness exists to grade.
     timings: dict[str, float] = {}
     for name, q in bench_queries.items():
-        t0 = time.perf_counter()
-        q.build(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q.build(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
