@@ -421,3 +421,100 @@ def test_kafka_json_sink_payload_roundtrip(spark, sf_dir):
     a = {tuple(r) for r in e.collect()}
     b = {tuple(r) for r in back.collect()}
     assert a == b
+
+
+def test_malformed_payload_tolerance(spark):
+    """§3.2 lesson generalized: a corrupt/mismatched JSON payload must
+    degrade to nulls (PERMISSIVE from_json), never kill the pipeline —
+    the reference's producer/consumer schema drift produced exactly this."""
+    from music_recommendation_service_spark.streaming.pipeline import (
+        parse_json_payload,
+    )
+
+    rows = [
+        ('{"event_id": 1, "user_id": 7, "event_type": "click", '
+         '"value": 1.5, "props": "{}", "ts": "2024-01-01T00:00:00.000000Z"}',),
+        ('{"event_id": "NOT_A_NUMBER", "user_id": 8}',),   # type mismatch
+        ("not json at all",),                               # garbage
+        ('{"unknownField": 42}',),                          # missing everything
+    ]
+    raw = spark.createDataFrame(rows, ["value"])
+    parsed = parse_json_payload(raw, EVENT_SCHEMA).collect()
+    assert len(parsed) == 4                      # no rows dropped, no crash
+    ok = [r for r in parsed if r["event_id"] == 1]
+    assert len(ok) == 1 and ok[0]["user_id"] == 7
+    garbage = [r for r in parsed if r["event_id"] is None]
+    assert len(garbage) == 3                     # degraded to nulls
+
+
+def test_stream_stream_left_outer_join(spark, event_batches, tmp_path):
+    """Left-outer stream-stream join: purchases with no click within the
+    10-minute bound must STILL emit (null-padded) once the watermark
+    expires their state — the semantics append-only inner joins cannot
+    give. availableNow drains everything, so every unmatched purchase
+    appears exactly once."""
+    in_dir, batches, _ = event_batches
+    for b in batches:
+        _land(*b)
+    out, cp = str(tmp_path / "ljout"), str(tmp_path / "ljcp")
+
+    def shaped(df, etype, prefix):
+        return (
+            df.filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "30 minutes")
+        )
+
+    stream = stream_from_directory(spark, str(in_dir), EVENT_SCHEMA)
+    joined = shaped(stream, "purchase", "p").join(
+        shaped(stream, "click", "c"),
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts AND c_ts <= p_ts + INTERVAL 10 MINUTES"
+        ),
+        "leftOuter",
+    )
+    write_stream_parquet(joined, out, cp).awaitTermination(240)
+    got = spark.read.parquet(out)
+
+    import datetime as dt
+
+    all_rows = [r for _, chunk in batches for r in chunk]
+
+    def ts(r):
+        return dt.datetime.fromisoformat(r["ts"].replace("Z", "+00:00")).replace(
+            tzinfo=None
+        )
+
+    p_rows = [r for r in all_rows if r["event_type"] == "purchase"]
+    c_rows = [r for r in all_rows if r["event_type"] == "click"]
+    purchases = {r["event_id"] for r in p_rows}
+    matched_want = {
+        p["event_id"]
+        for p in p_rows
+        for c in c_rows
+        if c["user_id"] == p["user_id"]
+        and dt.timedelta(0) <= ts(c) - ts(p) <= dt.timedelta(minutes=10)
+    }
+    # Null-padding emits only once the global watermark (min over both
+    # sides of max event time - 30min) passes the purchase's last possible
+    # match time (p_ts + 10min) — the state-expiry contract.
+    wm = min(max(ts(r) for r in p_rows), max(ts(r) for r in c_rows)) - dt.timedelta(
+        minutes=30
+    )
+    expired_unmatched = {
+        p["event_id"]
+        for p in p_rows
+        if p["event_id"] not in matched_want
+        and ts(p) + dt.timedelta(minutes=10) < wm
+    }
+
+    matched = {r["p_id"] for r in got.filter(F.col("c_id").isNotNull()).collect()}
+    unmatched = {r["p_id"] for r in got.filter(F.col("c_id").isNull()).collect()}
+    assert matched == matched_want
+    assert unmatched == expired_unmatched
+    assert matched | unmatched <= purchases
+    assert len(unmatched) > 0  # the left-outer semantics actually fired
