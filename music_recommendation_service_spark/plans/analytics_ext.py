@@ -279,3 +279,40 @@ def q82_price_qty_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q83 — SCD Type-2 interval construction: each user's event stream becomes
+# versioned validity intervals [ts, next_ts) via lead(), open-ended for the
+# current version — the dimension-history builder every warehouse runs, and
+# the natural join target for the as-of operator (q37). Same
+# one-shuffle-per-user-window shape as q54/q75.
+# ---------------------------------------------------------------------------
+@register(
+    "q83_scd2_intervals",
+    oracle="""
+    SELECT user_id,
+           event_id   AS version_id,
+           ts         AS effective_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      AS effective_to,
+           CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL AS INT) AS is_current,
+           event_type AS state
+    FROM events
+    WHERE user_id % 100 = 0
+    """,
+    tags=("scd2", "lead", "window", "warehouse"),
+)
+def q83_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 100 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        F.col("event_id").alias("version_id"),
+        F.col("ts").alias("effective_from"),
+        nxt.alias("effective_to"),
+        nxt.isNull().cast("int").alias("is_current"),
+        F.col("event_type").alias("state"),
+    )
