@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from music_recommendation_service_spark.functions import rnd, rnd_sql
+from music_recommendation_service_spark.functions.dialect import register_sql
 from music_recommendation_service_spark.plans import register
 from music_recommendation_service_spark.sources.catalog import load_table as _t
 
@@ -311,3 +312,97 @@ def q72_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("group_size").cast("long").alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q84 — benchmark decontamination: flag training documents sharing word
+# 5-gram shingles with a held-out "benchmark" slice (doc_id % 50 = 0 stands
+# in for an eval set; production pipelines use 8-13-grams over real
+# benchmarks). The canonical pretraining-hygiene op the reference has no
+# analogue for (its only dedup-style op is P6 distinct,
+# process_collaborative_filtering.py:25).
+#
+# Scale design: the benchmark shingle index is DISTINCT'd and BROADCAST —
+# eval suites are O(1e6) shingles regardless of corpus size, so the 100 TB
+# train side streams through a broadcast hash join with ZERO train-side
+# shuffle; the only shuffle is the per-doc count aggregation (partial+final,
+# rows = docs x 1). The /*+ BROADCAST(e) */ hint pins the plan even when
+# file-level stats are missing; DuckDB reads it as a plain block comment, so
+# ONE SQL text serves both engines.
+# ---------------------------------------------------------------------------
+def _grams_sql(d: dict, n: int) -> str:
+    """Word n-gram list (with duplicates), same construction as dedup.py."""
+    toks = d["split"]("text")
+    joined = ", ".join(d["elem"](toks, f"i + {j}") for j in range(n))
+    upper = f"greatest({d['len']}({toks}) - {n - 1}, 0)"
+    return f"{d['lt']}({d['seq'](1, upper)}, i -> concat_ws(' ', {joined}))"
+
+
+def _q84(d: dict) -> str:
+    distinct_grams = f"{d['ldistinct']}({_grams_sql(d, 5)})"
+    return f"""
+    WITH ev AS (
+        SELECT DISTINCT {d["explode"](distinct_grams, "s")}
+        FROM documents WHERE doc_id % 50 = 0
+    ),
+    tr AS (
+        SELECT doc_id, {d["explode"](distinct_grams, "s")}
+        FROM documents WHERE doc_id % 50 <> 0
+    )
+    SELECT /*+ BROADCAST(e) */
+           t.doc_id,
+           CAST(count(*) AS BIGINT)   AS n_shingles,
+           CAST(count(e.s) AS BIGINT) AS n_shared,
+           {rnd_sql("count(e.s) * 1.0 / count(*)", 6)} AS contamination,
+           CAST(count(e.s) * 4 >= count(*) AS INT) AS is_contaminated
+    FROM tr t LEFT JOIN ev e ON t.s = e.s
+    GROUP BY t.doc_id
+    """
+
+
+register_sql(
+    "q84_benchmark_decontamination",
+    _q84,
+    ("documents",),
+    doc="Train-vs-benchmark 5-gram overlap via a broadcast eval shingle "
+    "index; contamination = shared/total distinct shingles, flagged at 25%.",
+    tags=("pipeline", "decontamination", "dedup", "broadcast"),
+)
+
+
+# ---------------------------------------------------------------------------
+# q85 — intra-document repetition signals (the Gopher repetition filters
+# q23's length/punct/stopword score does not cover): duplicate-2-gram
+# fraction and top-2-gram fraction per document. Entirely row-local array
+# lambdas inside whole-stage codegen — an embarrassingly-parallel map with
+# NO shuffle at any scale. The top-gram count is O(distinct x total) per row,
+# fine for these docs (<=99 words); for book-length documents the scale path
+# is array_sort + run-length aggregate (O(n log n) row-local, still no
+# shuffle).
+# ---------------------------------------------------------------------------
+def _q85(d: dict) -> str:
+    lmax = (
+        (lambda l: f"array_max({l})")
+        if d["name"] == "spark"
+        else (lambda l: f"list_aggregate({l}, 'max')")
+    )
+    top = lmax(f"{d['lt']}({d['ldistinct']}(g), x -> {d['len']}({d['lf']}(g, y -> y = x)))")
+    n = f"{d['len']}(g)"
+    nd = f"{d['len']}({d['ldistinct']}(g))"
+    return f"""
+    SELECT doc_id,
+           CAST({n} AS BIGINT) AS n_grams,
+           {rnd_sql(f"({n} - {nd}) * 1.0 / {n}", 6)} AS dup_gram_frac,
+           {rnd_sql(f"{top} * 1.0 / {n}", 6)}        AS top_gram_frac
+    FROM (SELECT doc_id, {_grams_sql(d, 2)} AS g FROM documents)
+    """
+
+
+register_sql(
+    "q85_repetition_signals",
+    _q85,
+    ("documents",),
+    doc="Gopher-style repetition quality signals: duplicate-2-gram and "
+    "top-2-gram fractions, computed row-locally with zero shuffles.",
+    tags=("text", "quality", "repetition"),
+)
