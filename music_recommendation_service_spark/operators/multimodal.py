@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -40,6 +41,7 @@ from pyspark.sql.types import (
 
 FEATURE_DIM = 4
 FRAME_EVERY_MS = 500
+THUMB_W, THUMB_H = 64, 64
 
 FEATURE_SCHEMA = StructType(
     [
@@ -55,6 +57,17 @@ FRAME_SCHEMA = StructType(
         StructField("media_id", LongType()),
         StructField("frame_idx", IntegerType()),
         StructField("frame_ts_ms", IntegerType()),
+    ]
+)
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("src_w", IntegerType()),
+        StructField("src_h", IntegerType()),
+        StructField("dst_w", IntegerType()),
+        StructField("dst_h", IntegerType()),
+        StructField("thumb", BinaryType()),
     ]
 )
 
@@ -111,6 +124,28 @@ def decode_audio(payload: bytes):  # pragma: no cover - stub
         ) from e
 
 
+def resize_image(payload: bytes, w: int, h: int):  # pragma: no cover - stub
+    """Real image resize (PIL) — STUB: raises unless pillow is installed."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore
+
+        return Image.open(io.BytesIO(payload)).resize((w, h))
+    except ImportError as e:
+        raise NotImplementedError(
+            "image resize requires pillow; use fake_decode_dims + the md5 "
+            "thumbnail stand-in for deterministic tests"
+        ) from e
+
+
+def fake_decode_dims(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for decode-then-read-dimensions: md5 16-bit
+    words 0/1 mapped into [16, 4111]. Exact SQL twin in q86's oracle."""
+    h = hashlib.md5(payload).hexdigest()
+    return 16 + int(h[0:4], 16) % 4096, 16 + int(h[4:8], 16) % 4096
+
+
 def fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Deterministic stand-in for decode+embed: 16-bit md5 words scaled to
     [0, 1]. Exact SQL twin: operators.text.md5_word16_sql."""
@@ -139,6 +174,33 @@ def featurize_media(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_media(media: DataFrame, dst: tuple[int, int] = (THUMB_W, THUMB_H)) -> DataFrame:
+    """Thumbnail generation for image rows: decode -> resize -> re-encode in
+    production (``resize_image``); here the decode is the deterministic fake
+    (dims from md5 words, thumbnail payload = md5 digest bytes) so the Arrow
+    round-trip of a produced BINARY column is itself under test. Pure map,
+    image rows only — no shuffle, partitioning preserved."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = pdf[pdf["kind"] == "image"]
+            if imgs.empty:
+                continue
+            dims = [fake_decode_dims(bytes(p)) for p in imgs["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": imgs["media_id"].to_numpy(),
+                    "src_w": pd.Series([d[0] for d in dims], dtype="int32"),
+                    "src_h": pd.Series([d[1] for d in dims], dtype="int32"),
+                    "dst_w": pd.Series([dst[0]] * len(imgs), dtype="int32"),
+                    "dst_h": pd.Series([dst[1]] * len(imgs), dtype="int32"),
+                    "thumb": [hashlib.md5(bytes(p)).digest() for p in imgs["payload"]],
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(run, RESIZE_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_ms: int = FRAME_EVERY_MS) -> DataFrame:

@@ -15,8 +15,11 @@ from music_recommendation_service_spark.functions import rnd, rnd_sql
 from music_recommendation_service_spark.operators.multimodal import (
     FEATURE_DIM,
     FRAME_EVERY_MS,
+    THUMB_H,
+    THUMB_W,
     featurize_media,
     media_frame,
+    resize_media,
     sample_frames,
 )
 from music_recommendation_service_spark.operators.text import md5_word16_sql
@@ -85,3 +88,39 @@ def q35_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q36_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_frame(_t(spark, sf_dir, "documents"))
     return sample_frames(media)
+
+
+# ---------------------------------------------------------------------------
+# q86 — image resize/thumbnail plumbing: decode -> read dims -> resize ->
+# re-encode as a produced BINARY column through mapInPandas (the decode and
+# resample are the deterministic md5 fakes; production swaps in
+# operators.multimodal.resize_image). The oracle reproduces the fake dims
+# from md5 16-bit words and pins the thumbnail bytes via their hex form —
+# binary column production + Arrow round-trip is what's under test.
+# ---------------------------------------------------------------------------
+@register(
+    "q86_image_resize",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(16 + ({md5_word16_sql("text", 0)}) % 4096 AS INT) AS src_w,
+           CAST(16 + ({md5_word16_sql("text", 1)}) % 4096 AS INT) AS src_h,
+           CAST({THUMB_W} AS INT) AS dst_w,
+           CAST({THUMB_H} AS INT) AS dst_h,
+           md5(text)              AS thumb_hex
+    FROM documents
+    WHERE doc_id % 3 = 0
+    """,
+    doc="Thumbnail stage for image rows: mapInPandas decode/resize stub "
+    "producing a BINARY column, dims pinned by the md5-word oracle.",
+    tags=("multimodal", "mapInPandas", "resize"),
+)
+def q86_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_frame(_t(spark, sf_dir, "documents"))
+    return resize_media(media).select(
+        "media_id",
+        "src_w",
+        "src_h",
+        "dst_w",
+        "dst_h",
+        F.lower(F.hex("thumb")).alias("thumb_hex"),
+    )

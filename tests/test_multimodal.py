@@ -52,3 +52,41 @@ def test_fake_decode_deterministic():
 def test_real_decode_is_stubbed():
     with pytest.raises((NotImplementedError, Exception)):
         decode_image(b"not-an-image")
+
+
+def test_resize_media_images_only(spark, sf_dir):
+    """resize_media: image rows only, dims deterministic and in range, thumb
+    is the 16-byte md5 digest, independent of batch boundaries."""
+    import hashlib
+
+    from music_recommendation_service_spark.operators.multimodal import (
+        fake_decode_dims,
+        resize_media,
+    )
+
+    media = media_frame(load_table(spark, sf_dir, "documents"))
+    n_images = media.filter("kind = 'image'").count()
+
+    def rows(df):
+        return {
+            (r["media_id"], r["src_w"], r["src_h"], r["dst_w"], r["dst_h"], bytes(r["thumb"]))
+            for r in df.collect()
+        }
+
+    one = rows(resize_media(media.repartition(1)))
+    many = rows(resize_media(media.repartition(8)))
+    assert one == many
+    assert len(one) == n_images
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.filter("kind = 'image'").collect()}
+    for mid, sw, sh, dw, dh, thumb in one:
+        assert (sw, sh) == fake_decode_dims(payloads[mid])
+        assert 16 <= sw <= 4111 and 16 <= sh <= 4111
+        assert (dw, dh) == (64, 64)
+        assert thumb == hashlib.md5(payloads[mid]).digest()
+
+
+def test_resize_image_is_stubbed():
+    from music_recommendation_service_spark.operators.multimodal import resize_image
+
+    with pytest.raises((NotImplementedError, Exception)):
+        resize_image(b"not-an-image", 64, 64)
