@@ -129,3 +129,22 @@ def test_no_accidental_cartesian(spark, sf_dir, name):
         return
     assert "CartesianProduct" not in p, name
     assert "BroadcastNestedLoopJoin" not in p, name
+
+
+# Queries whose plan is DECLARED to contain a Python stage: the multimodal
+# mapInPandas path (Arrow-batched, vectorized). Everything else must stay
+# entirely JVM-side — a row-at-a-time BatchEvalPython anywhere is a bug.
+_PYTHON_OK = frozenset({
+    "q35_media_features",
+    "q36_frame_sample",
+    "q86_image_resize",
+})
+
+
+@pytest.mark.parametrize("name", sorted(registry()))
+def test_no_python_row_udfs(spark, sf_dir, name):
+    p = _plan(spark, sf_dir, name)
+    assert "BatchEvalPython" not in p, name  # pickled row-at-a-time UDF
+    if name not in _PYTHON_OK:
+        assert "MapInPandas" not in p, name
+        assert "EvalPython" not in p, name
