@@ -316,3 +316,42 @@ def q83_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().cast("int").alias("is_current"),
         F.col("event_type").alias("state"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q88 — keep-newest-per-key dedup via max_by: the CDC/compaction primitive
+# (latest state per user) expressed as a ONE-PASS aggregate instead of the
+# row_number()-over-window idiom. At 100 TB this is the difference between
+# a partial+final hash aggregate (map-side combine collapses each partition
+# to |keys| rows before the single shuffle) and a full shuffle+sort of every
+# row that the window form pays. Ties on ts are broken by event_id through
+# the struct ordering, so the result is deterministic even if a key has two
+# events in the same microsecond. Reference analogue: the serving layer's
+# "latest table state" reads (SURVEY.md §2.1 S13/S14) — here as a query.
+# ---------------------------------------------------------------------------
+@register(
+    "q88_latest_events",
+    oracle="""
+    SELECT user_id,
+           event_id   AS last_event_id,
+           ts         AS last_ts,
+           event_type AS last_type,
+           round(value, 6) AS last_value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    doc="Latest event per user: max_by one-pass aggregate (map-side "
+    "combinable) replacing the shuffle+sort row_number window idiom; "
+    "oracle runs the window form to pin identical semantics.",
+    tags=("dedup", "max_by", "cdc", "compaction"),
+)
+def q88_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    key = "struct(ts, event_id)"
+    return e.groupBy("user_id").agg(
+        F.expr(f"max_by(event_id, {key})").alias("last_event_id"),
+        F.max("ts").alias("last_ts"),
+        F.expr(f"max_by(event_type, {key})").alias("last_type"),
+        F.round(F.expr(f"max_by(value, {key})"), 6).alias("last_value"),
+    )

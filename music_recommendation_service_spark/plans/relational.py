@@ -1056,3 +1056,43 @@ def q80_keyword_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pos_bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q87 — explicit GROUPING SETS (vs q20's ROLLUP and q55's CUBE): the two
+# single-column marginals plus the grand total, skipping the (status,
+# priority) cross that CUBE would also compute. Spark plans one Expand (3
+# replicas instead of CUBE's 4) + one hash aggregate — for report-style
+# queries at scale, enumerating exactly the needed sets cuts the expanded
+# row volume proportionally. Subtotal rows are labeled 'ALL' via COALESCE
+# (both grouping columns are non-null in the data, so the label is
+# unambiguous without grouping_id bit-order concerns across engines).
+# ---------------------------------------------------------------------------
+@register(
+    "q87_grouping_sets",
+    oracle=f"""
+    SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(count(*) AS BIGINT)         AS n_orders,
+           {rnd_sql("sum(o_totalprice)", 2)} AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("grouping-sets", "expand", "A1"),
+)
+def q87_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    gs = o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        rnd(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    return gs.select(
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        "n_orders",
+        "revenue",
+    )
