@@ -35,7 +35,8 @@ _KIND_SQL = (
 # q35 — media featurization through mapInPandas (Arrow-batched Python).
 # ---------------------------------------------------------------------------
 _FEATS = ", ".join(
-    rnd_sql(f"({md5_word16_sql('text', w)}) / 65535.0", 6) for w in range(FEATURE_DIM)
+    rnd_sql(f"({md5_word16_sql('text', w)}) / 65535.0", 6) + f" AS f{w}"
+    for w in range(FEATURE_DIM)
 )
 
 
@@ -45,11 +46,13 @@ _FEATS = ", ".join(
     SELECT doc_id                        AS media_id,
            {_KIND_SQL}                   AS kind,
            CAST(length(text) AS INT)     AS n_bytes,
-           [{_FEATS}]                    AS feature
+           {_FEATS}
     FROM documents
     """,
     doc="Binary media payloads -> feature vectors via Arrow-batched "
-    "mapInPandas (deterministic fake decode; oracle reproduces it in SQL).",
+    "mapInPandas (deterministic fake decode; oracle reproduces it in SQL). "
+    "Feature vector flattened to scalar f0..fN columns so every output cell "
+    "is row-hashable (driver comparator builds Python hash tables over rows).",
     tags=("multimodal", "mapInPandas"),
 )
 def q35_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,7 +62,10 @@ def q35_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "kind",
         "n_bytes",
-        F.transform("feature", lambda x: rnd(x, 6)).alias("feature"),
+        *[
+            rnd(F.col("feature")[w], 6).alias(f"f{w}")
+            for w in range(FEATURE_DIM)
+        ],
     )
 
 

@@ -456,14 +456,17 @@ def q20_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q40_approx_stats",
     oracle=None,  # approximate by design; see tests/test_approx.py bounds
     doc="approx_count_distinct + approx_percentile per event_type "
-    "(sketch aggregates; rows-only driver check, bounds-tested in pytest).",
+    "(sketch aggregates; rows-only driver check, bounds-tested in pytest). "
+    "Percentiles emitted as two scalar columns, not an array, so the "
+    "driver's row-hash comparator can hash every cell.",
     tags=("approx", "sketch"),
 )
 def q40_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95], 10000).alias("approx_value_p50_p95"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.percentile_approx("value", 0.95, 10000).alias("approx_p95"),
     )
 
 
@@ -1003,12 +1006,16 @@ def q78_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q79 — array aggregation: per-customer sorted DISTINCT order-year list
 # (collect_set is unordered by contract in BOTH engines — sort_array makes
 # it deterministic, the only way list-valued results can be oracle-checked).
+# The list is emitted CSV-serialized (concat_ws) so every output cell is a
+# hashable scalar for the driver's row-hash comparator; the array op under
+# test (collect_set -> sort_array) is unchanged upstream of the serialize.
 # ---------------------------------------------------------------------------
 @register(
     "q79_order_year_arrays",
     oracle="""
     SELECT c_custkey,
-           list_sort(list(DISTINCT CAST(year(o_orderdate) AS INT))) AS order_years,
+           array_to_string(list_sort(list(DISTINCT CAST(year(o_orderdate) AS INT))), ',')
+                                                                    AS order_years,
            CAST(len(list(DISTINCT year(o_orderdate))) AS INT)       AS n_years
     FROM orders JOIN customer ON o_custkey = c_custkey
     WHERE c_custkey % 100 = 0
@@ -1023,7 +1030,9 @@ def q79_order_year_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey")
         .agg(
-            F.sort_array(F.collect_set(F.year("o_orderdate"))).alias("order_years"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_set(F.year("o_orderdate")))
+            ).alias("order_years"),
             F.size(F.collect_set(F.year("o_orderdate"))).alias("n_years"),
         )
     )
