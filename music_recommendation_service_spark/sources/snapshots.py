@@ -5,26 +5,32 @@ The reference ships a ~145-LoC C# reader that replays a Delta table's
 (SURVEY.md §2.1 S13, ``MusicRecommendationService/Services/MinioService.cs:71-216``).
 With delta-spark on the classpath none of this is needed; this module is the
 engine's OWN minimal realization of the same protocol for environments
-without it — giving atomic overwrite, time travel, and rollback on any
-filesystem Spark can write:
+without it — giving atomic overwrite, metadata-only append, time travel,
+rollback, and keyed MERGE on any filesystem Spark can write:
 
-    layout:  <path>/v=<N>/*.parquet     immutable data per version
-             <path>/_snapshots/<N>.json manifest: data dir + row count + schema
+    layout:  <path>/v=<N>-*/*.parquet   immutable data per version
+             <path>/_snapshots/<N>.json manifest: active FILE list (+ per-file
+                                        min/max key stats) + row count + schema
 
 Commit protocol (mirrors Delta's optimistic log append):
 - data lands FIRST under a new ``v=<N>`` dir (invisible to readers — they
   only trust manifests);
 - the manifest is created with O_EXCL (``open(..., "x")``): two concurrent
-  writers racing to version N cannot both win — the loser retries at N+1.
-  Readers always see the highest fully-written manifest: a crash between
-  data and manifest leaves only an orphaned data dir (vacuumable), never a
-  torn table.
+  writers racing to version N cannot both win. The loser RE-READS the new
+  latest manifest and rebuilds its own manifest against it before retrying
+  (append stacks on top of the winner's files; merge aborts with
+  ``ConcurrentSnapshotError`` because its rewrite decisions are stale) —
+  the same rebase-or-abort rule as Delta's optimistic concurrency, so a
+  lost race can never silently drop the winner's rows.
+- Readers always see the highest fully-written manifest: a crash between
+  data and manifest leaves only an orphaned data dir (vacuumable after a
+  retention window), never a torn table.
 
-At 100 TB the same protocol holds — manifests are O(1) metadata; the data
-dirs are whatever Spark wrote in parallel. (Delta/Iceberg add file-level
-add/remove actions so appends need not rewrite; ``snapshot_append`` here
-keeps manifests self-contained by listing BOTH old and new data dirs —
-append is metadata-only, no data rewrite.)
+At 100 TB the same protocol holds — manifests are O(files) metadata, the
+data dirs are whatever Spark wrote in parallel, and ``snapshot_merge``
+prunes by per-file min/max key stats exactly the way Delta's MERGE prunes
+by add-action stats: only files that can contain a matched key are read or
+rewritten; everything else is carried into the new version by reference.
 """
 
 from __future__ import annotations
@@ -32,8 +38,16 @@ from __future__ import annotations
 import json
 import os
 import time
+from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ConcurrentSnapshotError(RuntimeError):
+    """A concurrent commit landed between this operation's read of the
+    table state and its manifest write; the operation's rewrite plan is
+    stale and must be recomputed by the caller."""
 
 
 def _manifest_dir(path: str) -> str:
@@ -60,18 +74,75 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(f)
 
 
-def _commit(path: str, data_dirs: list[str], n_rows: int, schema_json: str) -> int:
-    """Atomically claim the next version; retry on contention."""
+def _latest_manifest(path: str) -> dict | None:
+    versions = snapshot_versions(path)
+    return _read_manifest(path, versions[-1]) if versions else None
+
+
+def _manifest_files(path: str, m: dict) -> list[dict]:
+    """Active file entries of a manifest: ``{"path": rel, "rows": int|None,
+    "stats": {col: [min, max]}|None}``. Legacy dir-level manifests are
+    expanded by listing their data dirs (no stats)."""
+    if "files" in m:
+        return m["files"]
+    out = []
+    for d in m["data_dirs"]:
+        full = os.path.join(path, d)
+        for f in sorted(os.listdir(full)):
+            if f.endswith(".parquet"):
+                out.append({"path": f"{d}/{f}", "rows": None, "stats": None})
+    return out
+
+
+def _scan_file_entries(
+    spark: SparkSession, full_dir: str, rel_dir: str, stats_cols: Sequence[str]
+) -> tuple[list[dict], int]:
+    """List the parquet files of a freshly-written data dir and (in ONE
+    column-pruned scan) compute per-file row counts and min/max stats for
+    ``stats_cols`` — the metadata ``snapshot_merge`` prunes by."""
+    names = sorted(f for f in os.listdir(full_dir) if f.endswith(".parquet"))
+    if not names:
+        return [], 0
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"_min_{c}"))
+        aggs.append(F.max(c).alias(f"_max_{c}"))
+    per_file = (
+        spark.read.parquet(full_dir)
+        .groupBy(F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_f"))
+        .agg(*aggs)
+        .collect()
+    )
+    by_name = {r["_f"]: r for r in per_file}
+    entries, total = [], 0
+    for name in names:
+        r = by_name.get(name)
+        rows = int(r["_rows"]) if r is not None else 0
+        stats = None
+        if r is not None and stats_cols:
+            stats = {c: [r[f"_min_{c}"], r[f"_max_{c}"]] for c in stats_cols}
+        entries.append({"path": f"{rel_dir}/{name}", "rows": rows, "stats": stats})
+        total += rows
+    return entries, total
+
+
+def _dirs_of(files: list[dict]) -> list[str]:
+    return sorted({e["path"].rsplit("/", 1)[0] for e in files})
+
+
+def _commit(path: str, build: Callable[[dict | None, int], dict]) -> int:
+    """Atomically claim the next version. ``build(latest_manifest, version)``
+    is re-invoked against the FRESH latest manifest on every attempt, so a
+    loser of a commit race rebases on (or rejects, by raising) the state the
+    winner left — never blindly re-commits a stale view (lost update)."""
     os.makedirs(_manifest_dir(path), exist_ok=True)
     while True:
-        version = (snapshot_versions(path) or [0])[-1] + 1
-        manifest = {
-            "version": version,
-            "data_dirs": data_dirs,
-            "n_rows": n_rows,
-            "schema": schema_json,
-            "committed_at": time.time(),
-        }
+        versions = snapshot_versions(path)
+        latest = _read_manifest(path, versions[-1]) if versions else None
+        version = (versions[-1] if versions else 0) + 1
+        manifest = build(latest, version)
+        manifest["version"] = version
+        manifest["committed_at"] = time.time()
         target = os.path.join(_manifest_dir(path), f"{version}.json")
         try:
             with open(target, "x") as f:  # O_EXCL: loser of a race retries
@@ -81,38 +152,230 @@ def _commit(path: str, data_dirs: list[str], n_rows: int, schema_json: str) -> i
             continue
 
 
-def snapshot_write(df: DataFrame, path: str) -> int:
+def _new_data_dir(path: str) -> tuple[str, str]:
+    versions = snapshot_versions(path)
+    hint = (versions[-1] if versions else 0) + 1
+    rel = f"v={hint}-{os.getpid()}-{int(time.time() * 1000)}"
+    return rel, os.path.join(path, rel)
+
+
+def snapshot_write(
+    df: DataFrame, path: str, stats_cols: Sequence[str] = ()
+) -> int:
     """Overwrite: land a new immutable data dir, then commit. Returns the
     new version. Readers of older versions are unaffected (their files are
-    never touched)."""
-    versions = snapshot_versions(path)
-    next_hint = (versions[-1] if versions else 0) + 1
-    data_dir = f"v={next_hint}-{os.getpid()}-{int(time.time() * 1000)}"
-    full = os.path.join(path, data_dir)
+    never touched). ``stats_cols`` adds per-file min/max stats to the
+    manifest so later ``snapshot_merge`` calls can prune files."""
+    rel, full = _new_data_dir(path)
     df.write.mode("error").parquet(full)
-    n = df.sparkSession.read.parquet(full).count()
-    return _commit(path, [data_dir], n, df.schema.json())
+    spark = df.sparkSession
+    files, n = _scan_file_entries(spark, full, rel, stats_cols)
+    schema_json = df.schema.json()
+
+    def build(latest: dict | None, version: int) -> dict:
+        # Overwrite replaces whatever the latest state is — no rebase needed.
+        return {
+            "data_dirs": _dirs_of(files),
+            "files": files,
+            "n_rows": n,
+            "schema": schema_json,
+        }
+
+    return _commit(path, build)
 
 
-def snapshot_append(df: DataFrame, path: str) -> int:
-    """Append as a NEW version: new data dir + manifest listing old dirs
-    too — metadata-only append, no rewrite of existing data. Schema must
-    match the current version exactly (S6 strict-append contract)."""
-    versions = snapshot_versions(path)
-    if not versions:
-        return snapshot_write(df, path)
-    cur = _read_manifest(path, versions[-1])
+def snapshot_append(
+    df: DataFrame, path: str, stats_cols: Sequence[str] = ()
+) -> int:
+    """Append as a NEW version: new data dir + manifest carrying the current
+    version's files by reference — metadata-only append, no data rewrite.
+    Schema must match the current version exactly (S6 strict-append
+    contract). On a commit race the loser rebases onto the winner's file
+    list, so concurrent appends both survive."""
+    if not snapshot_versions(path):
+        return snapshot_write(df, path, stats_cols)
+    rel, full = _new_data_dir(path)
+    df.write.mode("error").parquet(full)
+    spark = df.sparkSession
+    new_files, n = _scan_file_entries(spark, full, rel, stats_cols)
+    schema_json = df.schema.json()
+
+    def build(latest: dict | None, version: int) -> dict:
+        if latest is None:
+            return {
+                "data_dirs": _dirs_of(new_files),
+                "files": new_files,
+                "n_rows": n,
+                "schema": schema_json,
+            }
+        if schema_json != latest["schema"]:
+            raise ValueError(
+                f"append schema mismatch at {path}: manifest={latest['schema']} "
+                f"incoming={schema_json}"
+            )
+        base = _manifest_files(path, latest)
+        files = base + new_files
+        base_rows = latest["n_rows"]
+        return {
+            "data_dirs": _dirs_of(files),
+            "files": files,
+            "n_rows": base_rows + n,
+            "schema": schema_json,
+        }
+
+    return _commit(path, build)
+
+
+def _stats_may_contain(stats: dict | None, col: str, lo, hi) -> bool:
+    """Can a file with these stats contain any key in [lo, hi]? Missing
+    stats => must assume yes (legacy manifests)."""
+    if not stats or col not in stats:
+        return True
+    mn, mx = stats[col]
+    if mn is None or mx is None:
+        return True
+    return not (mx < lo or mn > hi)
+
+
+def snapshot_merge(
+    df: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    seq_col: str,
+) -> int:
+    """Keyed MERGE (upsert) as a new snapshot version, rewriting ONLY the
+    files that contain a matched key — Delta-MERGE semantics on the plain-
+    parquet protocol, and the scale-safe replacement for whole-table
+    copy-on-write (reference parity: the stream-materialized keyed table the
+    append-only S7 sink cannot express).
+
+    Per key, the surviving row is the one with the highest ``seq_col``;
+    on a seq tie the INCOMING row wins, which makes replaying an
+    already-applied micro-batch a no-op in content (exactly-once replay,
+    SURVEY.md T2).
+
+    File pruning, in metadata only (no data read):
+      1. per-file min/max stats from the manifest are intersected with the
+         incoming batch's key bounds;
+      2. surviving candidates get ONE column-pruned key-membership scan
+         (key columns + ``input_file_name`` only) to find files that truly
+         hold a matched key.
+    Untouched files are carried into the new manifest by reference. A
+    concurrent commit between our state read and manifest write raises
+    ``ConcurrentSnapshotError`` (the rewrite plan would be stale).
+    """
+    key_cols = list(key_cols)
+    spark = df.sparkSession
+    if not snapshot_versions(path):
+        # First version: just dedup the batch per key and write.
+        latest_rows = _latest_per_key(df, key_cols, seq_col)
+        return snapshot_write(latest_rows, path, stats_cols=key_cols)
+
+    base_version = snapshot_versions(path)[-1]
+    cur = _read_manifest(path, base_version)
     if df.schema.json() != cur["schema"]:
         raise ValueError(
-            f"append schema mismatch at {path}: manifest={cur['schema']} "
+            f"merge schema mismatch at {path}: manifest={cur['schema']} "
             f"incoming={df.schema.json()}"
         )
-    data_dir = f"v={versions[-1] + 1}-{os.getpid()}-{int(time.time() * 1000)}"
-    full = os.path.join(path, data_dir)
-    df.write.mode("error").parquet(full)
-    n = df.sparkSession.read.parquet(full).count()
-    return _commit(
-        path, cur["data_dirs"] + [data_dir], cur["n_rows"] + n, cur["schema"]
+    incoming = _latest_per_key(df, key_cols, seq_col)
+
+    files = _manifest_files(path, cur)
+    # --- prune stage 1: manifest stats vs incoming key bounds ------------
+    bounds = incoming.agg(
+        *[F.min(c).alias(f"_lo_{c}") for c in key_cols],
+        *[F.max(c).alias(f"_hi_{c}") for c in key_cols],
+    ).collect()[0]
+    candidates = [
+        e
+        for e in files
+        if all(
+            _stats_may_contain(
+                e.get("stats"), c, bounds[f"_lo_{c}"], bounds[f"_hi_{c}"]
+            )
+            for c in key_cols
+        )
+    ]
+    # --- prune stage 2: exact key membership over candidates only --------
+    touched_paths: set[str] = set()
+    if candidates:
+        cand_full = [os.path.join(path, e["path"]) for e in candidates]
+        hits = (
+            spark.read.parquet(*cand_full)
+            .select(*key_cols, F.input_file_name().alias("_file"))
+            .join(F.broadcast(incoming.select(*key_cols).distinct()), key_cols)
+            .select(F.element_at(F.split("_file", "/"), -1).alias("_f"))
+            .distinct()
+            .collect()
+        )
+        hit_names = {r["_f"] for r in hits}
+        touched_paths = {
+            e["path"] for e in candidates if e["path"].rsplit("/", 1)[-1] in hit_names
+        }
+    touched = [e for e in files if e["path"] in touched_paths]
+    untouched = [e for e in files if e["path"] not in touched_paths]
+
+    # --- rewrite: touched rows ⊎ incoming, keep highest seq per key ------
+    if touched:
+        existing = spark.read.parquet(
+            *[os.path.join(path, e["path"]) for e in touched]
+        ).withColumn("_src", F.lit(0))
+    else:
+        existing = None
+    tagged = incoming.withColumn("_src", F.lit(1))
+    merged_in = tagged if existing is None else existing.unionByName(tagged)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(seq_col), F.desc("_src")  # seq wins; incoming wins seq ties
+    )
+    merged = (
+        merged_in.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+    rel, full = _new_data_dir(path)
+    merged.write.mode("error").parquet(full)
+    new_files, n_new = _scan_file_entries(spark, full, rel, key_cols)
+
+    if any(e["rows"] is None for e in untouched):
+        untouched_rows = (
+            spark.read.parquet(*[os.path.join(path, e["path"]) for e in untouched])
+            .count()
+            if untouched
+            else 0
+        )
+    else:
+        untouched_rows = sum(e["rows"] for e in untouched)
+    out_files = untouched + new_files
+
+    def build(latest: dict | None, version: int) -> dict:
+        if latest is None or latest["version"] != base_version:
+            raise ConcurrentSnapshotError(
+                f"{path}: version moved {base_version} -> "
+                f"{latest['version'] if latest else None} during merge; "
+                "recompute the merge against the new state"
+            )
+        return {
+            "data_dirs": _dirs_of(out_files),
+            "files": out_files,
+            "n_rows": untouched_rows + n_new,
+            "schema": cur["schema"],
+        }
+
+    return _commit(path, build)
+
+
+def _latest_per_key(
+    df: DataFrame, key_cols: Sequence[str], seq_col: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(seq_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 
@@ -127,6 +390,16 @@ def snapshot_read(
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
     m = _read_manifest(path, v)
+    if "files" in m:
+        if not m["files"]:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], schema=StructType.fromJson(json.loads(m["schema"]))
+            )
+        return spark.read.parquet(
+            *[os.path.join(path, e["path"]) for e in m["files"]]
+        )
     return spark.read.parquet(*[os.path.join(path, d) for d in m["data_dirs"]])
 
 
@@ -134,30 +407,66 @@ def snapshot_rollback(path: str, version: int) -> int:
     """RESTORE: commit a NEW version whose manifest points at an old
     version's files (history is preserved — same as Delta RESTORE)."""
     m = _read_manifest(path, version)
-    return _commit(path, m["data_dirs"], m["n_rows"], m["schema"])
+
+    def build(latest: dict | None, _version: int) -> dict:
+        out = {
+            "data_dirs": m["data_dirs"],
+            "n_rows": m["n_rows"],
+            "schema": m["schema"],
+        }
+        if "files" in m:
+            out["files"] = m["files"]
+        return out
+
+    return _commit(path, build)
 
 
-def snapshot_vacuum(path: str, keep_last: int = 2) -> list[str]:
-    """Drop data dirs referenced ONLY by manifests older than the last
-    ``keep_last`` versions (and those manifests). Returns removed dirs.
-    Like Delta VACUUM this breaks time travel past the horizon."""
+def snapshot_vacuum(
+    path: str, keep_last: int = 2, orphan_min_age_sec: float = 600.0
+) -> list[str]:
+    """Drop data no longer referenced by the last ``keep_last`` manifests
+    (and the older manifests themselves). Returns removed paths. Like Delta
+    VACUUM this breaks time travel past the horizon.
+
+    Orphaned ``v=*`` dirs (data landed, manifest never committed) are only
+    swept once older than ``orphan_min_age_sec`` — a concurrent writer that
+    has landed its data but not yet committed its manifest is mid-protocol,
+    not dead (Delta VACUUM's retention window exists for the same reason).
+    Committed-but-expired data has no such race and is removed immediately.
+    """
     import shutil
 
     versions = snapshot_versions(path)
     keep, drop = versions[-keep_last:], versions[:-keep_last]
-    live = {d for v in keep for d in _read_manifest(path, v)["data_dirs"]}
+    keep_manifests = [_read_manifest(path, v) for v in keep]
+    live_files = {
+        e["path"] for m in keep_manifests for e in _manifest_files(path, m)
+    }
+    live_dirs = {p.rsplit("/", 1)[0] for p in live_files}
     removed = []
     for v in drop:
-        for d in _read_manifest(path, v)["data_dirs"]:
-            if d not in live and os.path.isdir(os.path.join(path, d)):
+        for e in _manifest_files(path, _read_manifest(path, v)):
+            d = e["path"].rsplit("/", 1)[0]
+            if d not in live_dirs and os.path.isdir(os.path.join(path, d)):
                 shutil.rmtree(os.path.join(path, d))
                 removed.append(d)
+            elif (
+                d in live_dirs
+                and e["path"] not in live_files
+                and os.path.isfile(os.path.join(path, e["path"]))
+            ):
+                # merge rewrote this file but siblings in its dir are live
+                os.remove(os.path.join(path, e["path"]))
+                removed.append(e["path"])
         os.remove(os.path.join(_manifest_dir(path), f"{v}.json"))
-    # Orphans from crashed writes (data dir, no surviving manifest) are dead.
+    # Orphans from crashed writes (data dir, no surviving manifest): honor
+    # the retention window — a too-eager sweep would delete a concurrent
+    # writer's landed-but-uncommitted data mid-commit.
+    now = time.time()
     for entry in os.listdir(path):
-        if entry.startswith("v=") and entry not in live:
+        if entry.startswith("v=") and entry not in live_dirs:
             full = os.path.join(path, entry)
-            if os.path.isdir(full):
+            if os.path.isdir(full) and now - os.path.getmtime(full) >= orphan_min_age_sec:
                 shutil.rmtree(full)
                 removed.append(entry)
     return removed

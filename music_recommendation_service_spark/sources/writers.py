@@ -119,8 +119,13 @@ def compact_table(
 
     Returns (files_before, files_after). Not concurrency-safe on plain
     parquet (no transaction log) — run it as an exclusive maintenance task.
+    Crash recovery: the final overwrite of ``path`` is itself non-atomic; if
+    the process dies between the delete and the rewrite, the complete
+    compacted copy survives at ``<path>__compact_staging`` and can be moved
+    into place by hand. On success the staging copy is removed.
     """
     import math
+    import shutil
 
     df = spark.read.parquet(path)
     files_before = df.inputFiles()
@@ -136,7 +141,9 @@ def compact_table(
     compacted.write.mode("overwrite").parquet(staging)
     staged = spark.read.parquet(staging)
     staged.write.mode("overwrite").parquet(path)
-    return len(files_before), len(spark.read.parquet(path).inputFiles())
+    files_after = len(spark.read.parquet(path).inputFiles())
+    shutil.rmtree(staging, ignore_errors=True)
+    return len(files_before), files_after
 
 
 def zorder_write(

@@ -29,6 +29,8 @@ def test_approx_within_bounds(spark, sf_dir):
     for t in exact:
         got, want = approx[t]["approx_users"], exact[t]["users"]
         assert abs(got - want) <= max(2, 0.05 * want), (t, got, want)
-        for g, w in zip(approx[t]["approx_value_p50_p95"], exact[t]["pcts"]):
+        for g, w in zip(
+            (approx[t]["approx_p50"], approx[t]["approx_p95"]), exact[t]["pcts"]
+        ):
             spread = abs(w) + 1.0
             assert abs(g - w) <= 0.1 * spread, (t, g, w)

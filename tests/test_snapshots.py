@@ -55,7 +55,142 @@ def test_snapshot_lifecycle(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError):
         snapshot_read(spark, path, version=1)
 
-    # orphaned data dir from a crashed write is swept
+    # a FRESH orphan (a concurrent writer mid-commit: data landed, manifest
+    # not yet) must survive default vacuum — the retention window
     os.makedirs(os.path.join(path, "v=99-crashed"), exist_ok=True)
     removed = snapshot_vacuum(path, keep_last=2)
+    assert "v=99-crashed" not in removed
+    assert os.path.isdir(os.path.join(path, "v=99-crashed"))
+    # past the retention window it is dead and swept
+    removed = snapshot_vacuum(path, keep_last=2, orphan_min_age_sec=0.0)
     assert "v=99-crashed" in removed
+
+
+def _snap_df(spark, rows):
+    return spark.createDataFrame(rows, ["k", "seq", "payload"])
+
+
+def test_snapshot_merge_rewrites_only_matched_files(spark, tmp_path):
+    """Keyed MERGE through the manifest: files whose min/max key stats (and
+    exact key membership) don't intersect the batch keep their PATHS in the
+    new version — no rewrite; only matched files are replaced."""
+    from music_recommendation_service_spark.sources.snapshots import (
+        _manifest_files,
+        _read_manifest,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_versions,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "merge")
+    base = _snap_df(spark, [(k, 1, f"base-{k}") for k in range(100)])
+    # 4 range-clustered files so key ranges are disjoint per file
+    snapshot_write(base.repartitionByRange(4, "k"), path, stats_cols=["k"])
+    m1 = _read_manifest(path, snapshot_versions(path)[-1])
+    files1 = {e["path"] for e in _manifest_files(path, m1)}
+    assert len(files1) == 4
+    assert all(e["stats"] and "k" in e["stats"] for e in m1["files"])
+
+    # touch keys 0 and 3 (one file's range) + insert a brand-new key 1000
+    batch = _snap_df(spark, [(0, 2, "upd-0"), (3, 2, "upd-3"), (1000, 2, "new")])
+    snapshot_merge(batch, path, key_cols=["k"], seq_col="seq")
+    m2 = _read_manifest(path, snapshot_versions(path)[-1])
+    files2 = {e["path"] for e in _manifest_files(path, m2)}
+
+    carried = files1 & files2
+    assert len(carried) == 3, "files without matched keys must survive by path"
+    got = {r["k"]: (r["seq"], r["payload"]) for r in snapshot_read(spark, path).collect()}
+    assert len(got) == 101
+    assert got[0] == (2, "upd-0") and got[3] == (2, "upd-3")
+    assert got[1000] == (2, "new")
+    assert got[50] == (1, "base-50")
+    assert m2["n_rows"] == 101
+
+
+def test_snapshot_merge_seq_and_replay(spark, tmp_path):
+    """Highest seq wins across table and batch (stale rows can't regress a
+    key), and replaying an applied batch is a content no-op."""
+    from music_recommendation_service_spark.sources.snapshots import (
+        snapshot_merge,
+        snapshot_read,
+    )
+
+    path = str(tmp_path / "merge_seq")
+    snapshot_merge(
+        _snap_df(spark, [(1, 10, "v10"), (2, 10, "w10")]),
+        path, key_cols=["k"], seq_col="seq",
+    )
+    # out-of-order batch: lower seq for k=1 must NOT replace the stored row
+    snapshot_merge(
+        _snap_df(spark, [(1, 5, "stale"), (2, 11, "w11")]),
+        path, key_cols=["k"], seq_col="seq",
+    )
+    got = {r["k"]: (r["seq"], r["payload"]) for r in snapshot_read(spark, path).collect()}
+    assert got == {1: (10, "v10"), 2: (11, "w11")}
+
+    # replay the same batch: content identical
+    snapshot_merge(
+        _snap_df(spark, [(1, 5, "stale"), (2, 11, "w11")]),
+        path, key_cols=["k"], seq_col="seq",
+    )
+    again = {r["k"]: (r["seq"], r["payload"]) for r in snapshot_read(spark, path).collect()}
+    assert again == got
+
+
+def test_snapshot_merge_concurrent_commit_aborts(spark, tmp_path, monkeypatch):
+    """A commit landing between merge's state read and its manifest write
+    must abort the merge (its rewrite plan is stale), not silently drop the
+    concurrent writer's rows."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "merge_race")
+    S.snapshot_merge(
+        _snap_df(spark, [(1, 1, "a"), (2, 1, "b")]),
+        path, key_cols=["k"], seq_col="seq",
+    )
+
+    real = S._new_data_dir
+    fired = {"done": False}
+
+    def racing(p):
+        # sneak a concurrent append in after merge read its base state
+        if p == path and not fired["done"]:
+            fired["done"] = True
+            S.snapshot_append(_snap_df(spark, [(99, 1, "raced")]), path)
+        return real(p)
+
+    monkeypatch.setattr(S, "_new_data_dir", racing)
+    with pytest.raises(S.ConcurrentSnapshotError):
+        S.snapshot_merge(
+            _snap_df(spark, [(1, 2, "upd")]), path, key_cols=["k"], seq_col="seq"
+        )
+    # the concurrent append's row is intact
+    ks = {r["k"] for r in S.snapshot_read(spark, path).collect()}
+    assert 99 in ks
+
+
+def test_snapshot_append_rebases_on_conflict(spark, tmp_path, monkeypatch):
+    """The loser of an append commit race rebuilds its manifest from the
+    winner's — BOTH appends' rows land (no lost update)."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "append_race")
+    S.snapshot_write(_snap_df(spark, [(0, 1, "base")]), path)
+
+    real = S._new_data_dir
+    fired = {"done": False}
+
+    def racing(p):
+        rel, full = real(p)
+        # winner commits while the loser's data is landing
+        if p == path and not fired["done"]:
+            fired["done"] = True
+            S.snapshot_append(_snap_df(spark, [(1, 1, "winner")]), path)
+        return rel, full
+
+    monkeypatch.setattr(S, "_new_data_dir", racing)
+    S.snapshot_append(_snap_df(spark, [(2, 1, "loser")]), path)
+    ks = {r["k"] for r in S.snapshot_read(spark, path).collect()}
+    assert ks == {0, 1, 2}
+    assert S.snapshot_read(spark, path).count() == 3

@@ -518,3 +518,94 @@ def test_stream_stream_left_outer_join(spark, event_batches, tmp_path):
     assert unmatched == expired_unmatched
     assert matched | unmatched <= purchases
     assert len(unmatched) > 0  # the left-outer semantics actually fired
+
+
+def test_foreach_batch_upsert_out_of_order_seq(spark, tmp_path):
+    """A late micro-batch carrying LOWER sequence numbers than the stored
+    rows must not regress keys to stale state (out-of-order arrival is
+    normal in streaming)."""
+    import json as _json
+
+    from music_recommendation_service_spark.streaming.pipeline import (
+        foreach_batch_upsert,
+    )
+
+    in_dir = tmp_path / "ooo_in"
+    in_dir.mkdir()
+    out, cp = str(tmp_path / "ooo_out"), str(tmp_path / "ooo_cp")
+
+    def land(name, rows):
+        with open(in_dir / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    # fresh state: user 1 at event 100, user 2 at event 50
+    land("b0.json", [
+        {"event_id": 100, "ts": "2024-01-01T00:00:00Z", "user_id": 1,
+         "event_type": "like", "value": 1.0, "props": "{}"},
+        {"event_id": 50, "ts": "2024-01-01T00:00:00Z", "user_id": 2,
+         "event_type": "like", "value": 1.0, "props": "{}"},
+    ])
+    stream = stream_from_directory(spark, str(in_dir), EVENT_SCHEMA)
+    foreach_batch_upsert(
+        stream, out, cp, key_cols=("user_id",), seq_col="event_id"
+    ).awaitTermination(120)
+
+    # late batch: STALE event 90 for user 1 (must lose), fresh 60 for user 2
+    land("b1.json", [
+        {"event_id": 90, "ts": "2024-01-01T00:00:00Z", "user_id": 1,
+         "event_type": "skip", "value": 0.0, "props": "{}"},
+        {"event_id": 60, "ts": "2024-01-01T00:00:00Z", "user_id": 2,
+         "event_type": "skip", "value": 0.0, "props": "{}"},
+    ])
+    stream = stream_from_directory(spark, str(in_dir), EVENT_SCHEMA)
+    foreach_batch_upsert(
+        stream, out, cp, key_cols=("user_id",), seq_col="event_id"
+    ).awaitTermination(120)
+
+    got = {
+        r["user_id"]: r["event_id"]
+        for r in spark.read.parquet(out).select("user_id", "event_id").collect()
+    }
+    assert got == {1: 100, 2: 60}
+
+
+def test_foreach_batch_merge_snapshot_sink(spark, event_batches, tmp_path):
+    """The scale-path keyed sink: each micro-batch becomes one snapshot-MERGE
+    version; the final table matches the batch highest-seq-per-key oracle and
+    an incremental second run only merges the new arrivals."""
+    from music_recommendation_service_spark.sources.snapshots import (
+        snapshot_read,
+        snapshot_versions,
+    )
+    from music_recommendation_service_spark.streaming.pipeline import (
+        foreach_batch_merge,
+    )
+
+    in_dir, batches, _total = event_batches
+    out, cp = str(tmp_path / "merge_out"), str(tmp_path / "merge_cp")
+
+    _land(*batches[0])
+    stream = stream_from_directory(spark, str(in_dir), EVENT_SCHEMA)
+    foreach_batch_merge(
+        stream, out, cp, key_cols=("user_id",), seq_col="event_id"
+    ).awaitTermination(120)
+    v_after_first = snapshot_versions(out)[-1]
+
+    _land(*batches[1])
+    stream = stream_from_directory(spark, str(in_dir), EVENT_SCHEMA)
+    foreach_batch_merge(
+        stream, out, cp, key_cols=("user_id",), seq_col="event_id"
+    ).awaitTermination(120)
+    assert snapshot_versions(out)[-1] > v_after_first
+
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in snapshot_read(spark, out).select("user_id", "event_id").collect()
+    }
+    all_rows = [r for _, chunk in batches for r in chunk]
+    want = {}
+    for r in all_rows:
+        if r["user_id"] not in want or r["event_id"] > want[r["user_id"]]:
+            want[r["user_id"]] = r["event_id"]
+    assert got == set(want.items())
