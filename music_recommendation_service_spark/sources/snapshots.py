@@ -403,6 +403,79 @@ def snapshot_read(
     return spark.read.parquet(*[os.path.join(path, d) for d in m["data_dirs"]])
 
 
+def snapshot_compact(
+    spark: SparkSession,
+    path: str,
+    small_file_max_rows: int = 1_000_000,
+    target_files: int | None = None,
+) -> int | None:
+    """OPTIMIZE: fold the latest version's small files into fewer, larger
+    ones and commit the result as a NEW version — content-identical, fewer
+    files. Delta OPTIMIZE semantics on the snapshot protocol: readers of any
+    prior version are untouched (their files are only dereferenced, never
+    deleted — ``snapshot_vacuum`` reclaims them later), and a concurrent
+    commit landing mid-compaction aborts with ``ConcurrentSnapshotError``
+    rather than clobbering it (compaction is always safe to just re-run).
+
+    Files with more than ``small_file_max_rows`` rows (or legacy entries
+    with unknown counts) are carried by reference; the small ones are read
+    once, coalesced to ``target_files`` outputs (default: total small rows /
+    ``small_file_max_rows``, min 1), and rewritten. Returns the new version,
+    or ``None`` when fewer than two small files exist (nothing to fold).
+
+    Small-file proliferation is the failure mode of per-micro-batch MERGE
+    commits at scale — every batch adds a rewrite dir; compaction is the
+    companion maintenance op (reference parity: Delta's OPTIMIZE next to
+    ``MinioService.cs``'s active-file replay, which degrades linearly with
+    file count).
+    """
+    versions = snapshot_versions(path)
+    if not versions:
+        return None
+    base_version = versions[-1]
+    cur = _read_manifest(path, base_version)
+    files = _manifest_files(path, cur)
+    small = [
+        e for e in files if e["rows"] is not None and e["rows"] <= small_file_max_rows
+    ]
+    small_paths = {e["path"] for e in small}
+    big = [e for e in files if e["path"] not in small_paths]
+    if len(small) < 2:
+        return None
+    small_rows = sum(e["rows"] for e in small)
+    n_out = target_files or max(1, small_rows // max(small_file_max_rows, 1))
+    # Stats columns carried by the manifest are preserved on the rewrite.
+    stats_cols = sorted(
+        {c for e in small if e.get("stats") for c in e["stats"]}
+    )
+    folded = spark.read.parquet(
+        *[os.path.join(path, e["path"]) for e in small]
+    ).coalesce(n_out)
+    rel, full = _new_data_dir(path)
+    folded.write.mode("error").parquet(full)
+    new_files, n_new = _scan_file_entries(spark, full, rel, stats_cols)
+    assert n_new == small_rows, (
+        f"compaction row-count drift at {path}: {small_rows} in, {n_new} out"
+    )
+    out_files = big + new_files
+
+    def build(latest: dict | None, version: int) -> dict:
+        if latest is None or latest["version"] != base_version:
+            raise ConcurrentSnapshotError(
+                f"{path}: version moved {base_version} -> "
+                f"{latest['version'] if latest else None} during compaction; "
+                "re-run compaction against the new state"
+            )
+        return {
+            "data_dirs": _dirs_of(out_files),
+            "files": out_files,
+            "n_rows": cur["n_rows"],
+            "schema": cur["schema"],
+        }
+
+    return _commit(path, build)
+
+
 def snapshot_rollback(path: str, version: int) -> int:
     """RESTORE: commit a NEW version whose manifest points at an old
     version's files (history is preserved — same as Delta RESTORE)."""

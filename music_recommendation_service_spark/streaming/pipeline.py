@@ -40,6 +40,10 @@ def stream_from_directory(
     pattern, ``dag_weekly_trends_ingestion.py`` S1 made incremental).
     Schema is declared, never inferred (reference behavior §1.3)."""
     reader = spark.readStream.schema(schema).format(fmt)
+    if fmt == "json":
+        # Same wire contract as the producer side (JSON_TS_OPTIONS below).
+        for k, v in JSON_TS_OPTIONS.items():
+            reader = reader.option(k, v)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.load(path)
@@ -62,11 +66,20 @@ def kafka_source(
     )
 
 
-# Timestamp wire format for JSON payloads: Spark's to_json default emits
+# Timestamp wire formats for JSON payloads: Spark's to_json default emits
 # milliseconds only, silently truncating microsecond event times on the
 # producer side — pin a microsecond format on BOTH directions of the
 # contract (SURVEY.md §3.2's schema-mismatch lesson applied to precision).
+# TIMESTAMP (instant) columns carry a zone offset; TIMESTAMP_NTZ (wall-clock)
+# columns are serialized offset-free — an ntz value has no instant, so an
+# offset suffix would force a spurious zone interpretation on reparse. Both
+# options ride on every serialize/parse call so a schema may mix the two.
 JSON_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+JSON_TS_NTZ_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+JSON_TS_OPTIONS = {
+    "timestampFormat": JSON_TS_FORMAT,
+    "timestampNTZFormat": JSON_TS_NTZ_FORMAT,
+}
 
 
 def parse_json_payload(raw: DataFrame, schema: StructType, value_col: str = "value") -> DataFrame:
@@ -76,7 +89,7 @@ def parse_json_payload(raw: DataFrame, schema: StructType, value_col: str = "val
         F.from_json(
             F.col(value_col).cast("string"),
             schema,
-            {"timestampFormat": JSON_TS_FORMAT},
+            JSON_TS_OPTIONS,
         ).alias("data")
     ).select("data.*")
 
@@ -180,9 +193,7 @@ def kafka_json_sink(
     Requires spark-sql-kafka on the cluster classpath; construction is
     lazy, so building the writer without a broker is side-effect free."""
     cols = [
-        F.to_json(
-            F.struct(*df.columns), {"timestampFormat": JSON_TS_FORMAT}
-        ).alias("value")
+        F.to_json(F.struct(*df.columns), JSON_TS_OPTIONS).alias("value")
     ]
     if key_col is not None:
         cols.insert(0, F.col(key_col).cast("string").alias("key"))
@@ -263,6 +274,7 @@ def foreach_batch_merge(
     key_cols: tuple[str, ...],
     seq_col: str,
     available_now: bool = True,
+    max_merge_retries: int = 5,
 ) -> StreamingQuery:
     """Keyed stream materialization through the snapshot protocol's MERGE —
     the scale path of :func:`foreach_batch_upsert`. Each micro-batch becomes
@@ -274,11 +286,28 @@ def foreach_batch_merge(
     Same merge contract as the parquet fallback: highest ``seq_col`` per key
     wins across batch and table; incoming wins seq ties, so replaying an
     already-applied batch is a content no-op.
+
+    A concurrent writer committing between a merge's state read and its
+    manifest write makes the merge's rewrite plan stale; ``snapshot_merge``
+    detects that and raises ``ConcurrentSnapshotError``. Each retry is a
+    FULL recompute against the fresh manifest (pruning included), so the
+    merge result is correct whatever the competing commit changed. After
+    ``max_merge_retries`` stale attempts the batch fails — by then the table
+    is under sustained multi-writer contention and crash-looping the stream
+    is better signal than spinning.
     """
-    from music_recommendation_service_spark.sources.snapshots import snapshot_merge
+    from music_recommendation_service_spark.sources import snapshots
 
     def merge(batch: DataFrame, _batch_id: int) -> None:
-        snapshot_merge(batch, path, key_cols=key_cols, seq_col=seq_col)
+        for attempt in range(max_merge_retries):
+            try:
+                snapshots.snapshot_merge(
+                    batch, path, key_cols=key_cols, seq_col=seq_col
+                )
+                return
+            except snapshots.ConcurrentSnapshotError:
+                if attempt == max_merge_retries - 1:
+                    raise
 
     writer = df.writeStream.foreachBatch(merge).option(
         "checkpointLocation", checkpoint

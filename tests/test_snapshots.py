@@ -194,3 +194,83 @@ def test_snapshot_append_rebases_on_conflict(spark, tmp_path, monkeypatch):
     ks = {r["k"] for r in S.snapshot_read(spark, path).collect()}
     assert ks == {0, 1, 2}
     assert S.snapshot_read(spark, path).count() == 3
+
+
+def test_snapshot_compact_folds_small_files(spark, tmp_path):
+    """OPTIMIZE semantics: small files fold into fewer files as a NEW
+    version with identical content; the prior version's files are untouched
+    (still readable mid-/post-compaction); per-file stats survive."""
+    from music_recommendation_service_spark.sources.snapshots import (
+        _manifest_files,
+        _read_manifest,
+        snapshot_append,
+        snapshot_compact,
+        snapshot_read,
+        snapshot_versions,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "compact")
+    base = _snap_df(spark, [(k, 1, f"p{k}") for k in range(100)])
+    snapshot_write(base.repartition(8), path, stats_cols=["k"])
+    for i in range(3):
+        snapshot_append(
+            _snap_df(spark, [(100 + i, 1, f"a{i}")]).coalesce(1),
+            path,
+            stats_cols=["k"],
+        )
+    v_before = snapshot_versions(path)[-1]
+    m_before = _read_manifest(path, v_before)
+    n_files_before = len(_manifest_files(path, m_before))
+    assert n_files_before >= 11
+    want = {
+        r["k"]: (r["seq"], r["payload"])
+        for r in snapshot_read(spark, path).collect()
+    }
+
+    v_new = snapshot_compact(spark, path, small_file_max_rows=1000)
+    assert v_new == v_before + 1
+    m_after = _read_manifest(path, v_new)
+    assert len(m_after["files"]) == 1  # 103 rows << 1000/file
+    assert m_after["n_rows"] == 103
+    assert all(e["stats"] and "k" in e["stats"] for e in m_after["files"])
+
+    got = {
+        r["k"]: (r["seq"], r["payload"])
+        for r in snapshot_read(spark, path).collect()
+    }
+    assert got == want
+    # prior version untouched: every one of its files still readable
+    assert snapshot_read(spark, path, version=v_before).count() == 103
+
+    # idempotence / no-op guard: one file left => nothing to fold
+    assert snapshot_compact(spark, path, small_file_max_rows=1000) is None
+
+
+def test_snapshot_compact_concurrent_commit_aborts(spark, tmp_path, monkeypatch):
+    """A commit landing between compaction's state read and its manifest
+    write aborts it (safe: compaction can simply be re-run) — the
+    concurrent writer's rows survive."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "compact_race")
+    S.snapshot_write(
+        _snap_df(spark, [(k, 1, "x") for k in range(10)]).repartition(4),
+        path,
+        stats_cols=["k"],
+    )
+
+    real = S._new_data_dir
+    fired = {"done": False}
+
+    def racing(p):
+        if p == path and not fired["done"]:
+            fired["done"] = True
+            S.snapshot_append(_snap_df(spark, [(99, 1, "raced")]), path)
+        return real(p)
+
+    monkeypatch.setattr(S, "_new_data_dir", racing)
+    with pytest.raises(S.ConcurrentSnapshotError):
+        S.snapshot_compact(spark, path, small_file_max_rows=1000)
+    ks = {r["k"] for r in S.snapshot_read(spark, path).collect()}
+    assert 99 in ks

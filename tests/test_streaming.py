@@ -20,11 +20,18 @@ from pyspark.sql.types import (
 
 from music_recommendation_service_spark.sources.catalog import load_table
 from music_recommendation_service_spark.streaming.pipeline import (
+    JSON_TS_FORMAT,
     stream_from_directory,
     tumbling_counts,
     write_stream_parquet,
 )
 
+# The wire contract pins ts as a zoned instant (TimestampType): Spark rejects
+# TIMESTAMP_NTZ as an event-time/watermark column (EVENT_TIME_IS_NOT_ON_
+# TIMESTAMP_TYPE), so a streamable payload MUST carry instants. The driver
+# testdata's events.ts is wall-clock TIMESTAMP_NTZ; the producer normalizes
+# it to an instant (UTC session, value-preserving) before serializing — see
+# test_kafka_json_sink_payload_roundtrip.
 EVENT_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -41,7 +48,7 @@ EVENT_SCHEMA = StructType(
 def event_batches(spark, sf_dir, tmp_path):
     """The events table as two JSON file batches (simulated arrivals)."""
     e = load_table(spark, sf_dir, "events").withColumn(
-        "ts", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+        "ts", F.date_format(F.col("ts").cast("timestamp"), JSON_TS_FORMAT)
     )
     rows = [r.asDict() for r in e.collect()]
     rows.sort(key=lambda r: r["event_id"])
@@ -407,13 +414,18 @@ def test_kafka_json_sink_payload_roundtrip(spark, sf_dir):
         parse_json_payload,
     )
 
-    from music_recommendation_service_spark.streaming.pipeline import JSON_TS_FORMAT
+    from music_recommendation_service_spark.streaming.pipeline import JSON_TS_OPTIONS
 
-    e = load_table(spark, sf_dir, "events").limit(100)
+    # Producer-side normalization: the lake's wall-clock ntz ts becomes a
+    # zoned instant (UTC session => value-preserving) so the payload is
+    # watermarkable on the consumer side (EVENT_SCHEMA contract).
+    e = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .limit(100)
+    )
     payload = e.select(
-        F.to_json(
-            F.struct(*e.columns), {"timestampFormat": JSON_TS_FORMAT}
-        ).alias("value"),
+        F.to_json(F.struct(*e.columns), JSON_TS_OPTIONS).alias("value"),
         F.col("event_id").cast("string").alias("key"),
     )
     back = parse_json_payload(payload, EVENT_SCHEMA)
@@ -541,9 +553,9 @@ def test_foreach_batch_upsert_out_of_order_seq(spark, tmp_path):
 
     # fresh state: user 1 at event 100, user 2 at event 50
     land("b0.json", [
-        {"event_id": 100, "ts": "2024-01-01T00:00:00Z", "user_id": 1,
+        {"event_id": 100, "ts": "2024-01-01T00:00:00.000000Z", "user_id": 1,
          "event_type": "like", "value": 1.0, "props": "{}"},
-        {"event_id": 50, "ts": "2024-01-01T00:00:00Z", "user_id": 2,
+        {"event_id": 50, "ts": "2024-01-01T00:00:00.000000Z", "user_id": 2,
          "event_type": "like", "value": 1.0, "props": "{}"},
     ])
     stream = stream_from_directory(spark, str(in_dir), EVENT_SCHEMA)
@@ -553,9 +565,9 @@ def test_foreach_batch_upsert_out_of_order_seq(spark, tmp_path):
 
     # late batch: STALE event 90 for user 1 (must lose), fresh 60 for user 2
     land("b1.json", [
-        {"event_id": 90, "ts": "2024-01-01T00:00:00Z", "user_id": 1,
+        {"event_id": 90, "ts": "2024-01-01T00:00:00.000000Z", "user_id": 1,
          "event_type": "skip", "value": 0.0, "props": "{}"},
-        {"event_id": 60, "ts": "2024-01-01T00:00:00Z", "user_id": 2,
+        {"event_id": 60, "ts": "2024-01-01T00:00:00.000000Z", "user_id": 2,
          "event_type": "skip", "value": 0.0, "props": "{}"},
     ])
     stream = stream_from_directory(spark, str(in_dir), EVENT_SCHEMA)
@@ -609,3 +621,84 @@ def test_foreach_batch_merge_snapshot_sink(spark, event_batches, tmp_path):
         if r["user_id"] not in want or r["event_id"] > want[r["user_id"]]:
             want[r["user_id"]] = r["event_id"]
     assert got == set(want.items())
+
+
+def test_foreach_batch_merge_retry_on_conflict(spark, tmp_path, monkeypatch):
+    """A concurrent writer committing mid-merge makes the micro-batch's
+    first snapshot_merge attempt stale (ConcurrentSnapshotError); the sink
+    must recompute against the fresh manifest and retry, so the stream
+    completes and BOTH writers' rows survive."""
+    import datetime as dt
+    import json as _json
+
+    from music_recommendation_service_spark.sources import snapshots as S
+    from music_recommendation_service_spark.streaming.pipeline import (
+        foreach_batch_merge,
+    )
+
+    in_dir = tmp_path / "retry_in"
+    in_dir.mkdir()
+    out, cp = str(tmp_path / "retry_out"), str(tmp_path / "retry_cp")
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [
+                (eid, dt.datetime(2024, 1, 1), uid, "like", 1.0, "{}")
+                for eid, uid in rows
+            ],
+            EVENT_SCHEMA,
+        )
+
+    # seed table: user 1 @ seq 10, user 2 @ seq 20
+    S.snapshot_write(frame([(10, 1), (20, 2)]), out, stats_cols=["user_id"])
+
+    # chaos: first data-dir claim inside the merge triggers a REAL competing
+    # append (user 99) AFTER the merge has read its base state
+    real_ndd = S._new_data_dir
+    fired = {"done": False}
+
+    def racing(p):
+        if p == out and not fired["done"]:
+            fired["done"] = True
+            S.snapshot_append(frame([(5, 99)]), out, stats_cols=["user_id"])
+        return real_ndd(p)
+
+    monkeypatch.setattr(S, "_new_data_dir", racing)
+
+    real_merge = S.snapshot_merge
+    calls = {"n": 0}
+
+    def counting_merge(*a, **kw):
+        calls["n"] += 1
+        return real_merge(*a, **kw)
+
+    monkeypatch.setattr(S, "snapshot_merge", counting_merge)
+
+    # micro-batch: update user 1 (seq 100) + brand-new user 3 (seq 30)
+    with open(in_dir / "b0.json", "w") as f:
+        for eid, uid in ((100, 1), (30, 3)):
+            f.write(
+                _json.dumps(
+                    {
+                        "event_id": eid,
+                        "ts": "2024-01-01T00:00:00.000000Z",
+                        "user_id": uid,
+                        "event_type": "like",
+                        "value": 1.0,
+                        "props": "{}",
+                    }
+                )
+                + "\n"
+            )
+    stream = stream_from_directory(spark, str(in_dir), EVENT_SCHEMA)
+    q = foreach_batch_merge(
+        stream, out, cp, key_cols=("user_id",), seq_col="event_id"
+    )
+    q.awaitTermination(120)
+
+    assert calls["n"] == 2  # first attempt aborted stale, retry succeeded
+    got = {
+        r["user_id"]: r["event_id"]
+        for r in S.snapshot_read(spark, out).select("user_id", "event_id").collect()
+    }
+    assert got == {1: 100, 2: 20, 99: 5, 3: 30}
