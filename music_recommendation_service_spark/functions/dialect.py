@@ -36,6 +36,7 @@ SPARK = {
     "shr": lambda x, b: f"shiftright({x}, {b})",
     "shl": lambda x, b: f"shiftleft({x}, {b})",
     "xor": lambda a, b: f"({a} ^ {b})",
+    "idiv": lambda a, b: f"({a} DIV {b})",
     "explode": lambda e, al: f"explode({e}) AS {al}",
     "split": lambda c: f"split({c}, ' ')",
     "dblarr": lambda c: f"CAST({c} AS ARRAY<DOUBLE>)",
@@ -58,6 +59,7 @@ DUCK = {
     "shr": lambda x, b: f"({x} >> {b})",
     "shl": lambda x, b: f"({x} << {b})",
     "xor": lambda a, b: f"xor({a}, {b})",
+    "idiv": lambda a, b: f"({a} // {b})",
     "explode": lambda e, al: f"unnest({e}) AS {al}",
     "split": lambda c: f"string_split({c}, ' ')",
     "dblarr": lambda c: f"CAST({c} AS DOUBLE[])",

@@ -30,14 +30,20 @@ from music_recommendation_service_spark.functions import rnd_sql
 from music_recommendation_service_spark.functions.dialect import DUCK, SPARK, register_sql
 
 DIM = 64
-N_PLANES = 16
-# 4 bands of 4 sign bits. Tuning: per-band match probability for two vectors
-# at angle θ is (1 - θ/π)^r; this corpus is near-random (max cos ~0.5), so
-# r=8 bands collapse to ~1% bucket share and recall@10 of 4%, while r=4
-# yields ~23% candidate share and 5-10x better recall — measured in
-# tests/test_ann_recall.py. Clustered production embeddings tolerate wider
-# bands; r is THE knob that trades candidates for recall.
-_BAND_BITS = 4
+N_PLANES = 24
+# 4 bands of 6 sign bits + margin-ordered multi-probe (Lv et al., "Multi-
+# Probe LSH", VLDB'07). Per-band match probability for two vectors at angle
+# θ is (1 - θ/π)^r, so longer bands (r=6) cut the random-pair candidate
+# share ~8x vs r=4 — and the recall that costs is bought back by ALSO
+# probing, per band, the buckets reached by flipping the _N_PROBES sign
+# bits with the smallest |projection| margin (a near-duplicate's wrong bit
+# is overwhelmingly a near-boundary bit). Measured on the fixed testdata
+# (tests/test_ann_recall.py): recall@10 0.70 at 29% candidate share
+# (sf0.001), vs 0.44 at 22% for the old exact-bucket r=4 config.
+# _BAND_BITS trades candidates for recall; _N_PROBES buys recall back at
+# ~linear probe-row cost (probe rows are metadata — 3 ints per row).
+_BAND_BITS = 6
+_N_PROBES = 4
 
 
 def _hyperplanes() -> list[list[float]]:
@@ -104,25 +110,46 @@ register_sql(
 
 
 # ---------------------------------------------------------------------------
-# q32 — LSH approximate nearest neighbors: random-hyperplane sign signature,
-# 2 bands x 8 bits; candidates share a band bucket with the query; exact
+# q32 — multi-probe LSH approximate nearest neighbors: random-hyperplane
+# sign signatures banded 4 x 6 bits; each query probes, per band, its exact
+# bucket PLUS the buckets reached by flipping the _N_PROBES smallest-margin
+# sign bits (the bits most likely to disagree for a true neighbor); exact
 # cosine re-rank within candidates, top-10 per query.
+#
+# Margins are rounded to 6 decimals before ranking (bit index tiebreak) so
+# Spark and DuckDB order probes identically despite fold-order float drift.
 # ---------------------------------------------------------------------------
-def _q32(d: dict) -> str:
-    bit_terms = []
-    for i in range(N_PLANES):
-        proj = d["dot"]("v", d["arrlit"](HYPERPLANES[i]))
-        bit_terms.append(
-            d["shl"](f"(CASE WHEN ({proj}) >= 0 THEN 1 ELSE 0 END)", i)
-        )
-    sig = " + ".join(bit_terms)
+def _q32_cand_cte(d: dict) -> str:
+    """Shared WITH-prefix up through the ``cand`` CTE — used by the full
+    q32 query and by the candidate-share diagnostic the recall test guards
+    (one SQL text, no drift between measurement and query)."""
+    proj_terms = ", ".join(
+        d["dot"]("v", d["arrlit"](HYPERPLANES[i])) for i in range(N_PLANES)
+    )
+    arr = f"array({proj_terms})" if d["name"] == "spark" else f"[{proj_terms}]"
+    bit_terms = " + ".join(
+        d["shl"](f"(CASE WHEN {d['elem']('pr', i + 1)} >= 0 THEN 1 ELSE 0 END)", i)
+        for i in range(N_PLANES)
+    )
     mask = (1 << _BAND_BITS) - 1
     band_rows = "\n        UNION ALL\n".join(
         f"        SELECT vec_id, {b} AS band,"
         f" ({d['shr']('sig', b * _BAND_BITS)} & {mask}) AS bucket FROM sig"
         for b in range(N_PLANES // _BAND_BITS)
     )
-    dot_qc = d["dot"]("q.v", "c.v")
+    if d["name"] == "spark":
+        qm_inner = (
+            "SELECT vec_id, pos AS i, abs(val) AS margin FROM proj "
+            "LATERAL VIEW posexplode(pr) t AS pos, val "
+            "WHERE vec_id % 100 = 0"
+        )
+    else:
+        qm_inner = (
+            "SELECT vec_id, dim - 1 AS i, abs(val) AS margin FROM ("
+            "SELECT vec_id, generate_subscripts(pr, 1) AS dim, unnest(pr) AS val "
+            "FROM proj) WHERE vec_id % 100 = 0"
+        )
+    band_of_i = d["idiv"]("i", _BAND_BITS)
     return f"""
     WITH e AS (
         SELECT vec_id, {d['dblarr']('embedding')} AS v FROM embeddings
@@ -130,19 +157,43 @@ def _q32(d: dict) -> str:
     n AS (
         SELECT vec_id, v, sqrt({d['dot']('v', 'v')}) AS nrm FROM e
     ),
+    proj AS (
+        SELECT vec_id, {arr} AS pr FROM e
+    ),
     sig AS (
-        SELECT vec_id, ({sig}) AS sig FROM e
+        SELECT vec_id, ({bit_terms}) AS sig FROM proj
     ),
     bands AS (
 {band_rows}
     ),
+    qmargin AS (
+        SELECT vec_id, {band_of_i} AS band, i % {_BAND_BITS} AS bit,
+               row_number() OVER (
+                   PARTITION BY vec_id, {band_of_i}
+                   ORDER BY {rnd_sql('margin', 6)}, i % {_BAND_BITS}
+               ) AS rn
+        FROM ({qm_inner})
+    ),
+    probes AS (
+        SELECT vec_id, band, bucket FROM bands WHERE vec_id % 100 = 0
+        UNION ALL
+        SELECT f.vec_id, f.band,
+               {d['xor']('b.bucket', d['shl']('1', 'f.bit'))} AS bucket
+        FROM qmargin f
+        JOIN bands b ON f.vec_id = b.vec_id AND f.band = b.band
+        WHERE f.rn <= {_N_PROBES}
+    ),
     cand AS (
         SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
-        FROM bands qb
+        FROM probes qb
         JOIN bands cb ON qb.band = cb.band AND qb.bucket = cb.bucket
                      AND qb.vec_id <> cb.vec_id
-        WHERE qb.vec_id % 100 = 0
-    ),
+    )"""
+
+
+def _q32(d: dict) -> str:
+    dot_qc = d["dot"]("q.v", "c.v")
+    return f"""{_q32_cand_cte(d)},
     scored AS (
         SELECT cd.query_id, cd.neighbor_id,
                ({dot_qc}) / (q.nrm * c.nrm) AS cos
@@ -164,12 +215,30 @@ def _q32(d: dict) -> str:
     """
 
 
+def ann_candidate_counts(spark, sf_dir: str) -> tuple[int, int, int]:
+    """(n_candidate_pairs, n_queries, corpus_size) for the exact candidate
+    set q32 re-ranks — the recall test's candidate-share guard reads the
+    REAL query's own CTE, not a reimplementation."""
+    from music_recommendation_service_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("embeddings")
+    row = spark.sql(
+        f"""{_q32_cand_cte(SPARK)}
+        SELECT CAST(count(*) AS BIGINT) AS n_cand,
+               CAST(count(DISTINCT query_id) AS BIGINT) AS n_q
+        FROM cand"""
+    ).collect()[0]
+    return int(row["n_cand"]), int(row["n_q"]), emb.count()
+
+
 register_sql(
     "q32_ann_lsh",
     _q32,
     ("embeddings",),
-    doc="Random-hyperplane LSH (16 bits, 2x8 bands) approximate top-10 "
-    "neighbors with exact cosine re-rank inside buckets.",
+    doc="Multi-probe random-hyperplane LSH (24 bits, 4x6 bands, 4 smallest-"
+    "margin bit flips per band) approximate top-10 neighbors with exact "
+    "cosine re-rank inside probed buckets.",
     tags=("similarity", "ann", "lsh"),
 )
 

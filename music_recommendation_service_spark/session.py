@@ -65,6 +65,21 @@ def get_spark(app_name: str = "music_recommendation_service_spark") -> SparkSess
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    try:
+        # Delta session wiring (reference parity: ``spark_utils.py:33-37``
+        # configures the same two settings). Only when delta-spark is
+        # importable — on plain-parquet environments the engine's snapshot
+        # protocol (sources/snapshots.py) supplies the transactional layer.
+        import delta  # noqa: F401
+
+        builder = builder.config(
+            "spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension"
+        ).config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
+    except Exception:
+        pass
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -207,6 +207,65 @@ def kafka_json_sink(
     )
 
 
+def avro_payload(df: DataFrame, json_format_schema: str | None = None) -> DataFrame:
+    """S11 producer-side packaging (``KafkaEventProducer.cs:53-65``): rows ->
+    one Avro-binary ``value`` column via ``to_avro(struct(*))``. Schema may
+    be pinned explicitly (the Schema-Registry contract) or derived from the
+    DataFrame schema.
+
+    Requires the spark-avro module; the Spark binary distro does not bundle
+    it, so this import-gates at call time (tests/test_gated_formats.py runs
+    the roundtrip wherever the jar is present)."""
+    from pyspark.sql.avro.functions import to_avro
+
+    packed = F.struct(*df.columns)
+    col = to_avro(packed) if json_format_schema is None else to_avro(packed, json_format_schema)
+    return df.select(col.alias("value"))
+
+
+def parse_avro_payload(
+    raw: DataFrame, json_format_schema: str, value_col: str = "value"
+) -> DataFrame:
+    """S11 consumer side: Avro binary -> struct -> flattened columns under a
+    DECLARED Avro schema (the reference fetches it from Schema Registry;
+    the engine takes the JSON text — same contract, no SR dependency)."""
+    from pyspark.sql.avro.functions import from_avro
+
+    return raw.select(
+        from_avro(F.col(value_col), json_format_schema).alias("data")
+    ).select("data.*")
+
+
+def kafka_avro_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+    json_format_schema: str | None = None,
+    key_col: str | None = None,
+) -> StreamingQuery:
+    """Kafka producer sink, Avro payload (S11): ``kafka_json_sink`` with
+    ``to_avro`` packaging. Requires spark-avro AND spark-sql-kafka on the
+    classpath; construction is lazy."""
+    from pyspark.sql.avro.functions import to_avro
+
+    packed = F.struct(*df.columns)
+    value = (
+        to_avro(packed) if json_format_schema is None else to_avro(packed, json_format_schema)
+    ).alias("value")
+    cols = [value]
+    if key_col is not None:
+        cols.insert(0, F.col(key_col).cast("string").alias("key"))
+    return (
+        df.select(*cols)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def foreach_batch_upsert(
     df: DataFrame,
     path: str,

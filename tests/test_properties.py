@@ -272,3 +272,52 @@ def test_triangle_count_matches_bruteforce(raw):
         if (x, y) in edges and (x, z) in edges and (y, z) in edges
     )
     assert got == want
+
+
+def test_cooccurrence_hot_key_cap_bounds_and_preserves():
+    """cap_group_size is the 100 TB hot-key guard (SURVEY §4.2): a
+    pathological 10k-item group must contribute at most C(cap,2) pairs —
+    the deterministic first-``cap`` items in item order — while groups
+    under the cap produce byte-identical results with or without it."""
+    spark = _get_spark()
+    cap = 50
+
+    # pathological hot key: one group holding 10k distinct items (uncapped
+    # this is ~5e7 pairs — the runaway-shuffle shape), landed in scrambled
+    # order so the test pins WHICH items survive (smallest by item order)
+    hot_items = [(i * 7919) % 10_000 for i in range(10_000)]  # permutation
+    hot = [(0, i) for i in hot_items]
+    df_hot = spark.createDataFrame(hot, ["g", "item"])
+    got = {
+        (r["item_1"], r["item_2"]): r["score"]
+        for r in cooccurrence_pairs(
+            df_hot, "g", "item", cap_group_size=cap
+        ).collect()
+    }
+    kept = sorted(set(hot_items))[:cap]
+    want = {
+        (kept[a], kept[b]): 1
+        for a in range(len(kept))
+        for b in range(a + 1, len(kept))
+    }
+    assert got == want
+    assert len(got) == cap * (cap - 1) // 2  # bounded, not O(n^2)
+
+    # under-cap groups: capped result == uncapped result, byte-identical
+    normal = (
+        [(1, i) for i in range(5)]
+        + [(2, i) for i in (3, 7, 9)]
+        + [(3, 42)]
+        + [(1, 2)]  # duplicate row: distinct-first semantics unchanged
+    )
+    df_n = spark.createDataFrame(normal, ["g", "item"])
+    uncapped = sorted(
+        tuple(r) for r in cooccurrence_pairs(df_n, "g", "item").collect()
+    )
+    capped = sorted(
+        tuple(r)
+        for r in cooccurrence_pairs(
+            df_n, "g", "item", cap_group_size=cap
+        ).collect()
+    )
+    assert capped == uncapped
