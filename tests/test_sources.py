@@ -198,3 +198,32 @@ def test_zorder_write_clusters_both_dims(spark, sf_dir, tmp_path):
     # the property that makes min/max pruning fire for either predicate.
     assert coverage("o_custkey") < 0.45
     assert coverage("o_totalprice") < 0.45
+
+
+def test_scratch_materialize_reuses_within_session(spark, sf_dir):
+    """Same analyzed plan => second materialization reads the FIRST copy
+    (identical backing files, no second write); a different plan gets its
+    own scratch path. Content equality is pinned in both cases."""
+    from music_recommendation_service_spark.sources.writers import (
+        scratch_materialize,
+    )
+    from music_recommendation_service_spark.sources.catalog import load_table
+
+    base = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    a = scratch_materialize(base, "reuse_probe")
+    b = scratch_materialize(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"),
+        "reuse_probe",
+    )
+    assert sorted(a.inputFiles()) == sorted(b.inputFiles())
+    assert {tuple(r) for r in b.collect()} == {tuple(r) for r in base.collect()}
+
+    other = scratch_materialize(
+        load_table(spark, sf_dir, "nation").select("n_nationkey"), "reuse_probe"
+    )
+    assert sorted(other.inputFiles()) != sorted(a.inputFiles())
+    assert other.columns == ["n_nationkey"]
+
+    # opt-out: a fresh copy every call
+    c = scratch_materialize(base, "reuse_probe", reuse=False)
+    assert sorted(c.inputFiles()) != sorted(a.inputFiles())
