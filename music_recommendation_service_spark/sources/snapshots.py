@@ -476,6 +476,98 @@ def snapshot_compact(
     return _commit(path, build)
 
 
+def snapshot_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Change data feed between two versions (Delta CDF parity on the
+    snapshot protocol): row-level changes computed from the MANIFEST file
+    diff, so cost is O(changed files), never O(table) — the property that
+    makes incremental downstream consumption (silver rebuilds, training-set
+    refresh) viable when the table is 100 TB and a micro-batch touched three
+    files.
+
+    Without ``key_cols`` (append-only consumption): rows in files added
+    since ``from_version`` are ``insert``, rows in files dropped are
+    ``delete``. With ``key_cols`` the file-level sets are reconciled per
+    key the way Delta CDF does: a key only in new files is ``insert``, only
+    in old files is ``delete``, present in both with different payloads
+    yields ``update_preimage`` + ``update_postimage``, and rows merely
+    carried into a rewritten file (byte-identical payload) emit nothing.
+
+    Output: the table's columns plus ``_change_type``. Requires both
+    versions to still be within the vacuum horizon (their files on disk).
+    """
+    versions = snapshot_versions(path)
+    if from_version not in versions:
+        raise ValueError(f"version {from_version} not in {versions}")
+    v_to = versions[-1] if to_version is None else to_version
+    if v_to not in versions:
+        raise ValueError(f"version {v_to} not in {versions}")
+    m_from = _read_manifest(path, from_version)
+    m_to = _read_manifest(path, v_to)
+    files_from = {e["path"] for e in _manifest_files(path, m_from)}
+    files_to = {e["path"] for e in _manifest_files(path, m_to)}
+    added = sorted(files_to - files_from)
+    removed = sorted(files_from - files_to)
+
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(m_to["schema"]))
+
+    def read_files(rel_paths: list[str]) -> DataFrame:
+        if not rel_paths:
+            return spark.createDataFrame([], schema=schema)
+        return spark.read.parquet(*[os.path.join(path, p) for p in rel_paths])
+
+    new_rows = read_files(added)
+    old_rows = read_files(removed)
+    if not key_cols:
+        return new_rows.withColumn(
+            "_change_type", F.lit("insert")
+        ).unionByName(old_rows.withColumn("_change_type", F.lit("delete")))
+
+    key_cols = list(key_cols)
+    payload = [c for c in schema.fieldNames() if c not in key_cols]
+    if not payload:
+        # key-only table: no payload to diff — presence changes only
+        ins = new_rows.join(old_rows, key_cols, "left_anti").withColumn(
+            "_change_type", F.lit("insert")
+        )
+        dels = old_rows.join(new_rows, key_cols, "left_anti").withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return ins.unionByName(dels)
+    n = new_rows.select(*key_cols, F.struct(*payload).alias("_n"))
+    r = old_rows.select(*key_cols, F.struct(*payload).alias("_r"))
+    j = n.join(r, key_cols, "full_outer")
+
+    def shape(side: str, change: str) -> DataFrame:
+        return j.filter(side_filters[change]).select(
+            *key_cols,
+            *[F.col(f"{side}.{c}").alias(c) for c in payload],
+            F.lit(change).alias("_change_type"),
+        )
+
+    side_filters = {
+        "insert": F.col("_r").isNull() & F.col("_n").isNotNull(),
+        "delete": F.col("_n").isNull() & F.col("_r").isNotNull(),
+        "update_postimage": F.col("_n").isNotNull()
+        & F.col("_r").isNotNull()
+        & ~F.col("_n").eqNullSafe(F.col("_r")),
+    }
+    side_filters["update_preimage"] = side_filters["update_postimage"]
+    return (
+        shape("_n", "insert")
+        .unionByName(shape("_r", "delete"))
+        .unionByName(shape("_r", "update_preimage"))
+        .unionByName(shape("_n", "update_postimage"))
+    )
+
+
 def snapshot_rollback(path: str, version: int) -> int:
     """RESTORE: commit a NEW version whose manifest points at an old
     version's files (history is preserved — same as Delta RESTORE)."""

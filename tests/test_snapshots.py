@@ -274,3 +274,82 @@ def test_snapshot_compact_concurrent_commit_aborts(spark, tmp_path, monkeypatch)
         S.snapshot_compact(spark, path, small_file_max_rows=1000)
     ks = {r["k"] for r in S.snapshot_read(spark, path).collect()}
     assert 99 in ks
+
+
+def test_snapshot_changes_append_only(spark, tmp_path):
+    """CDF without keys: appended rows surface as inserts; nothing else."""
+    from music_recommendation_service_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_changes,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "cdf_append")
+    v1 = snapshot_write(_snap_df(spark, [(1, 1, "a"), (2, 1, "b")]), path)
+    v2 = snapshot_append(_snap_df(spark, [(3, 1, "c")]), path)
+    got = {
+        (r["k"], r["_change_type"])
+        for r in snapshot_changes(spark, path, v1, v2).collect()
+    }
+    assert got == {(3, "insert")}
+
+
+def test_snapshot_changes_keyed_merge(spark, tmp_path):
+    """CDF across a MERGE: inserts, update pre/post images, silence for
+    carried rows (same file rewritten) and untouched files — and the diff
+    plan reads ONLY the changed files."""
+    from music_recommendation_service_spark.sources.snapshots import (
+        _manifest_files,
+        _read_manifest,
+        snapshot_changes,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "cdf_merge")
+    base = _snap_df(spark, [(k, 1, f"base-{k}") for k in range(100)])
+    v1 = snapshot_write(base.repartitionByRange(4, "k"), path, stats_cols=["k"])
+
+    # update k=0, insert k=1000; k=1,2,3 share k=0's file (carried); the
+    # other three files are untouched
+    v2 = snapshot_merge(
+        _snap_df(spark, [(0, 2, "upd-0"), (1000, 2, "new")]),
+        path, key_cols=["k"], seq_col="seq",
+    )
+    cdf = snapshot_changes(spark, path, v1, v2, key_cols=["k"])
+    got = {(r["k"], r["_change_type"]): (r["seq"], r["payload"]) for r in cdf.collect()}
+    assert got == {
+        (0, "update_preimage"): (1, "base-0"),
+        (0, "update_postimage"): (2, "upd-0"),
+        (1000, "insert"): (2, "new"),
+    }
+
+    # efficiency contract: only the one rewritten + one new file are read
+    f1 = {e["path"] for e in _manifest_files(path, _read_manifest(path, v1))}
+    f2 = {e["path"] for e in _manifest_files(path, _read_manifest(path, v2))}
+    changed = {str(tmp_path / "cdf_merge" / p) for p in (f1 ^ f2)}
+    read_files = {f.replace("file://", "") for f in cdf.inputFiles()}
+    assert read_files <= changed
+    assert len(read_files) < len(snapshot_read(spark, path).inputFiles()) + 1
+
+
+def test_snapshot_changes_overwrite_full_diff(spark, tmp_path):
+    """CDF across an overwrite: every surviving key diffs, dropped keys
+    delete, new keys insert (keyed reconciliation over the full file swap)."""
+    from music_recommendation_service_spark.sources.snapshots import (
+        snapshot_changes,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "cdf_ow")
+    v1 = snapshot_write(_snap_df(spark, [(1, 1, "a"), (2, 1, "b")]), path)
+    v2 = snapshot_write(_snap_df(spark, [(2, 2, "b2"), (3, 1, "c")]), path)
+    got = {(r["k"], r["_change_type"]): (r["seq"], r["payload"]) for r in
+           snapshot_changes(spark, path, v1, v2, key_cols=["k"]).collect()}
+    assert got == {
+        (1, "delete"): (1, "a"),
+        (2, "update_preimage"): (1, "b"),
+        (2, "update_postimage"): (2, "b2"),
+        (3, "insert"): (1, "c"),
+    }
