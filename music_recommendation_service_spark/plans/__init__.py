@@ -59,6 +59,7 @@ def registry() -> dict[str, QueryDef]:
         textops,
         tpch_more,
         similarity,
+        skewops,
         windows,
     )
 

@@ -441,6 +441,10 @@ def q05_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     def weighted(sym: DataFrame, weight: float) -> DataFrame:
         return sym.select("src", "dst", (F.lit(weight) * F.col("score")).alias("score"))
 
+    # Measured (round 3): scratch-materializing the truncated+weighted
+    # sym_all is a net LOSS (+1s even with cross-run reuse) — the window
+    # truncation over the parquet-backed pair tables is cheaper than the
+    # extra write; only the PAIR tables earn materialization.
     sym_all = weighted(cf_sym, W_CF).unionByName(weighted(sim_sym, W_SIM))
     item_cand = likes.join(sym_all, likes.item_id == sym_all.src).select(
         "user_id",

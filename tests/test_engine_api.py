@@ -27,7 +27,7 @@ def test_salted_join_equals_plain(spark, sf_dir):
         "c_custkey", "o_custkey"
     )
     plain = o.join(c, "o_custkey")
-    salted = salted_join(o, c, on="o_custkey", factor=8)
+    salted = salted_join(o, c, on="o_custkey", n_salts=8)
     assert salted.count() == plain.count()
     a = {tuple(r) for r in plain.collect()}
     b = {tuple(r) for r in salted.collect()}

@@ -321,3 +321,84 @@ def test_cooccurrence_hot_key_cap_bounds_and_preserves():
         ).collect()
     )
     assert capped == uncapped
+
+
+salted_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(-5, 5), st.floats(-10, 10)),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(rows=salted_rows)
+@SETTINGS
+def test_salted_aggregate_matches_plain(rows):
+    """Two-phase salted aggregation == plain groupBy for every algebraic
+    aggregate, on randomized inputs including a degenerate empty frame."""
+    from pyspark.sql import functions as F
+
+    from music_recommendation_service_spark.operators.skew import salted_aggregate
+
+    spark = _get_spark()
+    df = spark.createDataFrame(rows or [(0, 0, 0.0)], ["k", "a", "x"])
+    if not rows:
+        df = df.filter("k < 0")
+    got = {
+        r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in salted_aggregate(
+            df,
+            ["k"],
+            [("n", "*", "count"), ("s", "a", "sum"), ("mn", "x", "min"), ("mx", "x", "max")],
+            n_salts=4,
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("a").alias("s"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+@given(rows=salted_rows, dim=st.lists(st.tuples(st.integers(0, 3), st.text(max_size=3)), max_size=8))
+@SETTINGS
+def test_salted_join_matches_plain(rows, dim):
+    """Salted inner and left joins == the plain joins (multiset equality),
+    including duplicate dim keys and unmatched probe rows."""
+    from music_recommendation_service_spark.operators.skew import salted_join
+
+    spark = _get_spark()
+    left = spark.createDataFrame(rows or [(0, 0, 0.0)], ["k", "a", "x"])
+    right = spark.createDataFrame(dim or [(0, "")], ["k", "lbl"])
+    if not rows:
+        left = left.filter("k < 0")
+    if not dim:
+        right = right.filter("k < 0")
+    for how in ("inner", "left"):
+        got = sorted(
+            tuple(r) for r in salted_join(left, right, ["k"], n_salts=3, how=how).collect()
+        )
+        want = sorted(tuple(r) for r in left.join(right, ["k"], how).collect())
+        assert got == want, how
+
+
+def test_salted_join_rejects_outer_shapes():
+    import pytest as _pytest
+
+    from music_recommendation_service_spark.operators.skew import (
+        salted_aggregate,
+        salted_join,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame([(1, 2)], ["k", "v"])
+    with _pytest.raises(ValueError, match="only inner/left"):
+        salted_join(df, df, ["k"], how="full")
+    with _pytest.raises(ValueError, match="non-algebraic"):
+        salted_aggregate(df, ["k"], [("m", "v", "median")])
