@@ -568,6 +568,50 @@ def snapshot_changes(
     )
 
 
+def snapshot_consume_changes(
+    spark: SparkSession,
+    path: str,
+    cursor_path: str,
+    key_cols: Sequence[str] = (),
+) -> tuple[DataFrame, int, Callable[[], None]]:
+    """Cursor-based incremental consumption of a snapshot table's changes —
+    the downstream half of the CDF: a consumer (silver rebuild, training-set
+    refresh) calls this per run, applies the returned delta, then commits
+    the cursor. At-least-once: a crash between apply and commit replays the
+    same delta next run, so the application step must be idempotent (keyed
+    MERGE / overwrite-by-key both are).
+
+    Returns ``(changes, to_version, commit)``:
+    - first run (no cursor): the whole current version as ``insert`` rows —
+      the initial load;
+    - caught up: an empty frame with the change schema;
+    - otherwise: ``snapshot_changes(last_seen, latest)``.
+    ``commit()`` durably advances the cursor to ``to_version`` (atomic
+    write+rename).
+    """
+    latest = snapshot_versions(path)[-1]
+    last: int | None = None
+    if os.path.exists(cursor_path):
+        with open(cursor_path) as f:
+            last = int(f.read().strip())
+    if last is None:
+        changes = snapshot_read(spark, path, latest).withColumn(
+            "_change_type", F.lit("insert")
+        )
+    elif last == latest:
+        changes = snapshot_changes(spark, path, latest, latest, key_cols).limit(0)
+    else:
+        changes = snapshot_changes(spark, path, last, latest, key_cols)
+
+    def commit() -> None:
+        tmp = f"{cursor_path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(str(latest))
+        os.replace(tmp, cursor_path)
+
+    return changes, latest, commit
+
+
 def snapshot_rollback(path: str, version: int) -> int:
     """RESTORE: commit a NEW version whose manifest points at an old
     version's files (history is preserved — same as Delta RESTORE)."""

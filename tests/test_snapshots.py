@@ -353,3 +353,68 @@ def test_snapshot_changes_overwrite_full_diff(spark, tmp_path):
         (2, "update_postimage"): (2, "b2"),
         (3, "insert"): (1, "c"),
     }
+
+
+def test_snapshot_consume_changes_incremental_silver(spark, tmp_path):
+    """E2E incremental loop: a keyed MERGE table consumed through the CDF
+    cursor keeps a downstream per-payload count EXACTLY equal to a full
+    recompute after every step — initial load, an update+insert merge, a
+    caught-up no-op, and a crash-replay (cursor not committed)."""
+    from collections import Counter
+
+    from music_recommendation_service_spark.sources.snapshots import (
+        snapshot_consume_changes,
+        snapshot_merge,
+        snapshot_read,
+    )
+
+    path = str(tmp_path / "inc_src")
+    cursor = str(tmp_path / "consumer.cursor")
+
+    def apply_delta(counts: Counter, changes) -> None:
+        for r in changes.collect():
+            if r["_change_type"] in ("insert", "update_postimage"):
+                counts[r["payload"]] += 1
+            elif r["_change_type"] in ("delete", "update_preimage"):
+                counts[r["payload"]] -= 1
+
+    def recompute() -> Counter:
+        c = Counter(
+            r["payload"] for r in snapshot_read(spark, path).collect()
+        )
+        return c
+
+    counts: Counter = Counter()
+    snapshot_merge(
+        _snap_df(spark, [(1, 1, "a"), (2, 1, "b"), (3, 1, "b")]),
+        path, key_cols=["k"], seq_col="seq",
+    )
+    # initial load
+    ch, v, commit = snapshot_consume_changes(spark, path, cursor, key_cols=["k"])
+    apply_delta(counts, ch)
+    commit()
+    assert +counts == recompute()
+
+    # update k=2 b->c, insert k=4 a
+    snapshot_merge(
+        _snap_df(spark, [(2, 2, "c"), (4, 1, "a")]),
+        path, key_cols=["k"], seq_col="seq",
+    )
+    ch, v, commit = snapshot_consume_changes(spark, path, cursor, key_cols=["k"])
+    apply_delta(counts, ch)
+    assert +counts == recompute()
+
+    # crash before commit: replay must hand back the SAME delta
+    ch2, v2, commit2 = snapshot_consume_changes(spark, path, cursor, key_cols=["k"])
+    assert v2 == v
+    a = sorted(tuple(r) for r in ch.collect())
+    b = sorted(tuple(r) for r in ch2.collect())
+    assert a == b
+    commit2()
+
+    # caught up: empty delta, schema intact
+    ch3, _, commit3 = snapshot_consume_changes(spark, path, cursor, key_cols=["k"])
+    assert ch3.count() == 0
+    assert "_change_type" in ch3.columns
+    commit3()
+    assert +counts == recompute()
