@@ -418,3 +418,98 @@ def test_snapshot_consume_changes_incremental_silver(spark, tmp_path):
     assert "_change_type" in ch3.columns
     commit3()
     assert +counts == recompute()
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_rows_strategy = st.dictionaries(
+    st.integers(0, 6),                                   # key
+    st.tuples(st.integers(0, 9), st.sampled_from("abc")),  # (seq, payload)
+    min_size=1,
+    max_size=4,
+)
+_ops_strategy = st.lists(
+    st.one_of(
+        st.tuples(st.just("write"), _rows_strategy),
+        st.tuples(st.just("merge"), _rows_strategy),
+        st.tuples(st.just("rollback"), st.integers(0, 5)),
+        st.tuples(st.just("compact"), st.none()),
+        st.tuples(st.just("vacuum"), st.none()),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(ops=_ops_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_snapshot_protocol_matches_model(tmp_path_factory, ops):
+    """Model-based test: random interleavings of write / merge / rollback /
+    compact / vacuum match an in-memory dict model at EVERY step — the
+    protocol's content semantics hold under arbitrary maintenance mixed
+    into the write path."""
+    from music_recommendation_service_spark.session import get_spark
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    spark = get_spark("tests")
+    path = str(tmp_path_factory.mktemp("model") / "tbl")
+
+    model_versions: dict[int, dict] = {}   # committed version -> {k: (seq, payload)}
+    latest: dict = {}
+    has_table = False
+
+    def df_of(rows: dict):
+        return spark.createDataFrame(
+            [(k, s, p) for k, (s, p) in sorted(rows.items())], ["k", "seq", "payload"]
+        )
+
+    for op, arg in ops:
+        if op == "write":
+            v = S.snapshot_write(df_of(arg), path, stats_cols=["k"])
+            latest = dict(arg)
+            model_versions[v] = dict(arg)
+            has_table = True
+        elif op == "merge":
+            v = S.snapshot_merge(df_of(arg), path, key_cols=["k"], seq_col="seq")
+            new = dict(latest)
+            for k, (s, p) in arg.items():
+                if k not in new or s >= new[k][0]:
+                    new[k] = (s, p)
+            latest = new
+            model_versions[v] = new
+            has_table = True
+        elif op == "rollback":
+            if not has_table:
+                continue
+            targets = sorted(set(S.snapshot_versions(path)) & set(model_versions))
+            if not targets:
+                continue
+            target = targets[arg % len(targets)]
+            v = S.snapshot_rollback(path, target)
+            latest = dict(model_versions[target])
+            model_versions[v] = latest
+        elif op == "compact":
+            if not has_table:
+                continue
+            v = S.snapshot_compact(spark, path, small_file_max_rows=1000)
+            if v is not None:
+                model_versions[v] = dict(latest)
+        elif op == "vacuum":
+            if not has_table:
+                continue
+            S.snapshot_vacuum(path, keep_last=2, orphan_min_age_sec=1e9)
+            kept = set(S.snapshot_versions(path))
+            model_versions = {
+                v: m for v, m in model_versions.items() if v in kept
+            }
+        if has_table:
+            got = {
+                r["k"]: (r["seq"], r["payload"])
+                for r in S.snapshot_read(spark, path).collect()
+            }
+            assert got == latest, f"after {op}"
