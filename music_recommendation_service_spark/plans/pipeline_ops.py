@@ -406,3 +406,55 @@ register_sql(
     "top-2-gram fractions, computed row-locally with zero shuffles.",
     tags=("text", "quality", "repetition"),
 )
+
+
+# ---------------------------------------------------------------------------
+# q91 — sequence packing (concat-and-chunk): documents are laid end-to-end
+# per language shard in doc_id order and cut into fixed 512-token training
+# sequences; each doc gets its chunk id, its token offset inside the shard
+# stream, and a straddle flag (crosses a chunk boundary -> would be split
+# across training sequences).
+#
+# Scale shape: ONE window per shard (partitionBy lang), cumulative-sum only
+# — no joins, no explode. Shards bound window-state and parallelize the
+# sort; at 100 TB the shard key is (lang, file-group) so every partition
+# sorts a bounded slice. The window is the whole operator: packing IS a
+# prefix sum.
+# ---------------------------------------------------------------------------
+_SEQ_LEN = 512
+
+
+def _q91(d: dict) -> str:
+    n_tokens = f"CAST({d['len']}({d['split']('text')}) AS BIGINT)"
+    start = "(cum - n_tokens)"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {n_tokens} AS n_tokens FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, lang, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM toks
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST({d['idiv'](start, _SEQ_LEN)} AS INT)    AS bin_id,
+           CAST({start} AS BIGINT)                      AS start_offset,
+           CAST(CASE WHEN {d['idiv'](start, _SEQ_LEN)}
+                      <> {d['idiv']('(cum - 1)', _SEQ_LEN)}
+                THEN 1 ELSE 0 END AS INT)               AS straddles
+    FROM packed
+    """
+
+
+register_sql(
+    "q91_sequence_packing",
+    _q91,
+    ("documents",),
+    doc="Concat-and-chunk sequence packing into 512-token training bins per "
+    "language shard: chunk id, stream offset, boundary-straddle flag via "
+    "one per-shard prefix-sum window.",
+    tags=("pipeline", "packing", "tokens"),
+)
