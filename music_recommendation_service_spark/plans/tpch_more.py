@@ -1,4 +1,4 @@
-"""Wider TPC-H-shaped relational coverage (q56-q67).
+"""Wider TPC-H-shaped relational coverage (q56-q67, q92-q95).
 
 The reference's four dataflows exercise only a narrow relational core
 (SURVEY.md §2: equi/theta joins, count aggregates, sort+limit). These
@@ -596,4 +596,200 @@ def q67_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q92 — volume shipping (TPC-H Q7 shape): bidirectional nation-pair trade
+# flows by ship year. Plan shape: the OR-pair residual sits ON TOP of
+# pushable IN(1,2) filters on both nation keys — each side prunes to two
+# nations BEFORE any join, then tiny dims broadcast and lineitem⋈orders
+# rides one shuffle on the order key.
+# ---------------------------------------------------------------------------
+@register(
+    "q92_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           {rnd_sql('sum(l.l_extendedprice * (1 - l.l_discount))', 6)} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE ((s.s_nationkey = 1 AND c.c_nationkey = 2)
+        OR (s.s_nationkey = 2 AND c.c_nationkey = 1))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+    doc="Bidirectional nation-pair trade volume by year (TPC-H Q7 shape): "
+    "pushable IN filters under an OR-pair residual, broadcast dims.",
+    tags=("tpch", "join", "multi-dim"),
+)
+def q92_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1999-01-01 00:00:00"))
+    )
+    sup = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey").isin(1, 2))
+    cus = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(1, 2))
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    joined = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cus, orders.o_custkey == cus.c_custkey)
+        .filter(
+            ((F.col("s_nationkey") == 1) & (F.col("c_nationkey") == 2))
+            | ((F.col("s_nationkey") == 2) & (F.col("c_nationkey") == 1))
+        )
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("sk"),
+                                      F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("ck"),
+                                      F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+    ).agg(
+        rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+            "revenue"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q93 — national market share (TPC-H Q8 shape): one nation's supplier share
+# of a part-type segment's revenue inside one customer region, per order
+# year — conditional aggregation over a star join, ratio at the end.
+# ---------------------------------------------------------------------------
+@register(
+    "q93_market_share",
+    oracle=f"""
+    SELECT CAST(o_year AS INT) AS o_year,
+           {rnd_sql("sum(CASE WHEN is_target THEN volume ELSE 0 END) / sum(volume)", 6)}
+               AS mkt_share
+    FROM (
+        SELECT year(o.o_orderdate) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               s.s_nationkey = 1 AS is_target
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        WHERE p.p_type = 'PROMO' AND n.n_regionkey = 1
+    )
+    GROUP BY o_year
+    """,
+    doc="Per-year national market share within a part-type segment and "
+    "customer region (TPC-H Q8 shape): conditional agg + final ratio.",
+    tags=("tpch", "join", "conditional-agg"),
+)
+def q93_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cus = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cus, orders.o_custkey == cus.c_custkey)
+        .join(F.broadcast(nation), cus.c_nationkey == nation.n_nationkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            (F.col("s_nationkey") == 1).alias("is_target"),
+        )
+    )
+    return joined.groupBy(F.col("o_year").cast("int").alias("o_year")).agg(
+        rnd(
+            F.sum(F.when(F.col("is_target"), F.col("volume")).otherwise(0.0))
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q94 — shipping-delay priority classes (TPC-H Q12 shape, re-anchored:
+# the testdata has no ship mode or commit/receipt dates, so the class key
+# is l_linestatus and "late" = shipped more than 90 days after the order
+# date — same conditional-count-over-a-fact-join plan shape).
+# ---------------------------------------------------------------------------
+@register(
+    "q94_late_shipment_priority",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY l.l_linestatus
+    """,
+    doc="Late-shipment counts split by order priority class (TPC-H Q12 "
+    "shape on the columns the testdata carries).",
+    tags=("tpch", "join", "conditional-agg"),
+)
+def q94_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q95 — promo revenue share (TPC-H Q14 shape): one global conditional ratio
+# over a month window — broadcast part dim, single partial+final agg.
+# ---------------------------------------------------------------------------
+@register(
+    "q95_promo_revenue",
+    oracle=f"""
+    SELECT {rnd_sql(
+        "100.0 * sum(CASE WHEN p.p_type = 'PROMO' "
+        "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) "
+        "/ sum(l.l_extendedprice * (1 - l.l_discount))", 6)} AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-03-01 00:00:00'
+    """,
+    doc="Promo part-type revenue share in a ship window (TPC-H Q14 shape).",
+    tags=("tpch", "join", "conditional-agg"),
+)
+def q95_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-03-01 00:00:00"))
+    )
+    part = _t(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(rnd(F.lit(100.0) * F.sum(promo) / F.sum(vol), 6).alias("promo_revenue"))
     )
