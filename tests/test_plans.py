@@ -148,3 +148,32 @@ def test_no_python_row_udfs(spark, sf_dir, name):
     if name not in _PYTHON_OK:
         assert "MapInPandas" not in p, name
         assert "EvalPython" not in p, name
+
+
+def test_q89_salted_agg_two_phase(spark, sf_dir):
+    """The salted aggregate is exactly two keyed aggregations: partials on
+    (key, salt), combine on key — and the combine's input is the partial
+    OUTPUT (small), never the raw fact."""
+    p = _plan(spark, sf_dir, "q89_salted_agg")
+    assert p.count("HashAggregate") >= 4  # 2 logical aggs x partial+final
+    assert "xxhash64" in p  # full-row salt, not a key-derived one
+    assert "CartesianProduct" not in p
+
+
+def test_q91_packing_is_one_window(spark, sf_dir):
+    """Sequence packing must stay a single per-shard prefix-sum window —
+    no joins, no explode, one Sort per shard partition."""
+    p = _plan(spark, sf_dir, "q91_sequence_packing")
+    # formatted explain names each node twice (tree + detail): "Window (N)"
+    # appears once per physical Window node in the tree section
+    assert p.count("Window (") == 1
+    assert "Join" not in p
+    assert "Generate" not in p  # no explode crept in
+
+
+def test_q92_broadcasts_all_dims(spark, sf_dir):
+    """Q7-shape: every dim side broadcasts; the only shuffled join is
+    lineitem ⋈ orders on the order key."""
+    p = _plan(spark, sf_dir, "q92_volume_shipping")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
