@@ -500,6 +500,10 @@ def snapshot_changes(
 
     Output: the table's columns plus ``_change_type``. Requires both
     versions to still be within the vacuum horizon (their files on disk).
+    Keyed mode assumes keys are unique per version — the invariant every
+    ``snapshot_merge``-maintained table holds; on an append-built table
+    with duplicate keys the per-key reconciliation would multiply rows
+    (use the keyless mode there).
     """
     versions = snapshot_versions(path)
     if from_version not in versions:

@@ -702,3 +702,38 @@ def test_foreach_batch_merge_retry_on_conflict(spark, tmp_path, monkeypatch):
         for r in S.snapshot_read(spark, out).select("user_id", "event_id").collect()
     }
     assert got == {1: 100, 2: 20, 99: 5, 3: 30}
+
+
+def test_max_files_per_trigger_incremental_batches(spark, event_batches, tmp_path):
+    """Rate-limited file source: maxFilesPerTrigger=1 must process the
+    landed files as MULTIPLE micro-batches inside one availableNow drain —
+    same final content, bounded per-batch work (the backfill-throttle knob
+    a 100 TB landing zone needs)."""
+    in_dir, batches, total = event_batches
+    for b in batches:
+        _land(*b)
+    out, cp = str(tmp_path / "mft_out"), str(tmp_path / "mft_cp")
+
+    stream = stream_from_directory(
+        spark, str(in_dir), EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    seen_batches = []
+
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: (
+                seen_batches.append(bid),
+                df.write.mode("append").parquet(out),
+            )
+            and None
+        )
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    assert len(seen_batches) >= 2  # one micro-batch per file, not one blob
+    got = spark.read.parquet(out)
+    assert got.count() == total
+    assert got.select("event_id").distinct().count() == total
