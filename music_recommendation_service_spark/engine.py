@@ -35,6 +35,22 @@ class Engine:
     def tables(self) -> tuple[str, ...]:
         return TABLES
 
+    def snapshot(
+        self, path: str, version: int | None = None, view: str | None = None
+    ) -> DataFrame:
+        """A versioned snapshot table (sources/snapshots.py protocol) as a
+        DataFrame — latest or time-traveled; optionally registered as a
+        temp view so ``eng.sql`` can join it against catalog tables (the
+        serving path of SURVEY §3.3 over engine-managed tables)."""
+        from music_recommendation_service_spark.sources.snapshots import (
+            snapshot_read,
+        )
+
+        df = snapshot_read(self.spark, path, version)
+        if view is not None:
+            df.createOrReplaceTempView(view)
+        return df
+
     # -- SQL surface -------------------------------------------------------
     def sql(self, query: str) -> DataFrame:
         if not self._views_registered:

@@ -50,6 +50,15 @@ class ConcurrentSnapshotError(RuntimeError):
     stale and must be recomputed by the caller."""
 
 
+class StaleCursorError(RuntimeError):
+    """An incremental consumer's cursor points at a version that vacuum
+    has already dropped — the change feed between there and now is gone.
+    The consumer must re-bootstrap: discard its derived state AND its
+    cursor file, then take a fresh initial load. (Applying the initial
+    load as if it were a delta would double-count everything that
+    survived — hence an error, never a silent fallback.)"""
+
+
 def _manifest_dir(path: str) -> str:
     return os.path.join(path, "_snapshots")
 
@@ -593,11 +602,18 @@ def snapshot_consume_changes(
     ``commit()`` durably advances the cursor to ``to_version`` (atomic
     write+rename).
     """
-    latest = snapshot_versions(path)[-1]
+    versions = snapshot_versions(path)
+    latest = versions[-1]
     last: int | None = None
     if os.path.exists(cursor_path):
         with open(cursor_path) as f:
             last = int(f.read().strip())
+    if last is not None and last not in versions:
+        raise StaleCursorError(
+            f"{path}: cursor at version {last}, but only {versions} survive "
+            "vacuum — re-bootstrap (drop derived state + cursor, take a "
+            "fresh initial load)"
+        )
     if last is None:
         changes = snapshot_read(spark, path, latest).withColumn(
             "_change_type", F.lit("insert")

@@ -513,3 +513,54 @@ def test_snapshot_protocol_matches_model(tmp_path_factory, ops):
                 for r in S.snapshot_read(spark, path).collect()
             }
             assert got == latest, f"after {op}"
+
+
+def test_stale_cursor_requires_rebootstrap(spark, tmp_path):
+    """A consumer whose cursor version was vacuumed away must get a loud
+    StaleCursorError, never a silent wrong delta."""
+    from music_recommendation_service_spark.sources.snapshots import (
+        StaleCursorError,
+        snapshot_consume_changes,
+        snapshot_merge,
+        snapshot_vacuum,
+    )
+
+    path = str(tmp_path / "stale_src")
+    cursor = str(tmp_path / "stale.cursor")
+    snapshot_merge(_snap_df(spark, [(1, 1, "a")]), path, key_cols=["k"], seq_col="seq")
+    ch, _, commit = snapshot_consume_changes(spark, path, cursor, key_cols=["k"])
+    commit()
+    # three more versions, then vacuum past the cursor
+    for s in (2, 3, 4):
+        snapshot_merge(
+            _snap_df(spark, [(1, s, f"v{s}")]), path, key_cols=["k"], seq_col="seq"
+        )
+    snapshot_vacuum(path, keep_last=2, orphan_min_age_sec=1e9)
+    with pytest.raises(StaleCursorError, match="re-bootstrap"):
+        snapshot_consume_changes(spark, path, cursor, key_cols=["k"])
+
+
+def test_engine_snapshot_surface(spark, tmp_path):
+    """Engine.snapshot: snapshot tables join catalog tables through the
+    SQL surface, with time travel."""
+    from music_recommendation_service_spark.engine import Engine
+    from music_recommendation_service_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_write,
+    )
+
+    import tests.conftest as C
+
+    path = str(tmp_path / "eng_snap")
+    snapshot_write(_snap_df(spark, [(1, 1, "a")]), path)
+    snapshot_append(_snap_df(spark, [(2, 1, "b")]), path)
+
+    eng = Engine(C.SF_DIR, spark)
+    assert eng.snapshot(path).count() == 2
+    assert eng.snapshot(path, version=1).count() == 1
+    eng.snapshot(path, view="snap_view")
+    got = eng.sql(
+        "SELECT s.k, n.n_name FROM snap_view s "
+        "JOIN nation n ON s.k = n.n_nationkey ORDER BY s.k"
+    ).collect()
+    assert [r["k"] for r in got] == [1, 2]
