@@ -564,3 +564,55 @@ def test_engine_snapshot_surface(spark, tmp_path):
         "JOIN nation n ON s.k = n.n_nationkey ORDER BY s.k"
     ).collect()
     assert [r["k"] for r in got] == [1, 2]
+
+
+@given(
+    batches=st.lists(_rows_strategy, min_size=2, max_size=5),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_snapshot_changes_match_model(tmp_path_factory, batches):
+    """CDF property: for EVERY consecutive version pair produced by a
+    random merge sequence, snapshot_changes equals the dict-model diff
+    (inserts / updates with both images / silence for unchanged keys)."""
+    from music_recommendation_service_spark.session import get_spark
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    spark = get_spark("tests")
+    path = str(tmp_path_factory.mktemp("cdfmodel") / "tbl")
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [(k, s, p) for k, (s, p) in sorted(rows.items())], ["k", "seq", "payload"]
+        )
+
+    states = []  # model state after each committed version, with version id
+    latest = {}
+    for rows in batches:
+        v = S.snapshot_merge(df_of(rows), path, key_cols=["k"], seq_col="seq")
+        new = dict(latest)
+        for k, (s, p) in rows.items():
+            if k not in new or s >= new[k][0]:
+                new[k] = (s, p)
+        states.append((v, new))
+        latest = new
+
+    for (v1, m1), (v2, m2) in zip(states, states[1:]):
+        got = {}
+        for r in S.snapshot_changes(spark, path, v1, v2, key_cols=["k"]).collect():
+            got.setdefault((r["k"], r["_change_type"]), []).append(
+                (r["seq"], r["payload"])
+            )
+        want = {}
+        for k in set(m1) | set(m2):
+            if k not in m1:
+                want[(k, "insert")] = [m2[k]]
+            elif k not in m2:
+                want[(k, "delete")] = [m1[k]]
+            elif m1[k] != m2[k]:
+                want[(k, "update_preimage")] = [m1[k]]
+                want[(k, "update_postimage")] = [m2[k]]
+        assert got == want, (v1, v2)
