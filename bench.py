@@ -6,6 +6,22 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query is timed end-to-end (plan + execute); results are drained with
 ``df.write.format("noop")`` so the full plan executes without driver-side
 materialization cost dominating.
+
+Cold/warm split
+---------------
+Queries run in a fixed order, N_RUNS times each. Per query the artifact
+reports BOTH:
+- ``queries_cold[name]`` — the FIRST run in this session. The engine's
+  scratch cache (``scratch_materialize(reuse=True)``) is keyed per
+  application id, so within one bench process the first run of a query pays
+  any silver-table materialization it owns; queries sharing a silver table
+  (q02/q03/q05 share the pair tables) pay it once in whichever of them runs
+  first — exactly the cold path of a real pipeline run.
+- ``queries[name]`` — min over the remaining runs (the warm/cached path;
+  this is also what ``value`` sums, keeping the headline comparable with
+  BENCH_r01..r03 which used best-of-2).
+``runs[name]`` lists every raw timing so host-noise spikes are visible in
+the artifact itself instead of argued about after the fact.
 """
 
 from __future__ import annotations
@@ -19,6 +35,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def main() -> None:
@@ -37,26 +54,28 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # Best-of-2 per query: the host shows occasional multi-second noise
-    # spikes from co-tenants; the min of two runs measures the PLAN, which
-    # is what this harness exists to grade.
-    timings: dict[str, float] = {}
-    for name, q in bench_queries.items():
-        runs = []
-        for _ in range(2):
+    runs: dict[str, list[float]] = {name: [] for name in bench_queries}
+    for _ in range(N_RUNS):
+        for name, q in bench_queries.items():
             t0 = time.perf_counter()
             q.build(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(min(runs), 3)
+            runs[name].append(round(time.perf_counter() - t0, 3))
+
+    cold = {name: r[0] for name, r in runs.items()}
+    warm_min = {name: round(min(r[1:] or r), 3) for name, r in runs.items()}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "catalog_headline_queries_total",
-                "value": round(sum(timings.values()), 3),
+                "value": round(sum(warm_min.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": warm_min,
+                "queries_cold": cold,
+                "value_cold": round(sum(cold.values()), 3),
+                "runs": runs,
+                "n_runs": N_RUNS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

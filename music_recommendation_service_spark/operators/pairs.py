@@ -26,8 +26,48 @@ Scale notes
 
 from __future__ import annotations
 
+import os
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class PairConfig:
+    """Hot-key policy for the pair self-join (SURVEY.md §4.2 names self-join
+    explosion as THE scale hazard of J2/J3).
+
+    - ``cap_group_size``: keep at most N items per group before pairing —
+      BOUNDS the output (a 10^6-track playlist contributes C(N,2) pairs, not
+      5*10^11) but CHANGES it (pairs beyond the cap are dropped), so it is
+      off by default wherever an oracle pins exact output.
+    - ``salt_buckets``: exact rewrite — split each group's items into B
+      hash buckets and join on (group, bucket), replicating the probe side
+      B×. The hot group's self-join work lands on B partitions instead of
+      one, output identical. Costs a B× replication of one side, so only
+      worth it when a key is truly pathological; AQE's skew-join split is
+      the first line of defense and needs no replication.
+
+    Defaults come from the environment so an operator can be re-run against
+    a skewed table without code changes:
+      SPARK_GRAFT_PAIR_CAP   (int)  — cap_group_size
+      SPARK_GRAFT_PAIR_SALT  (int)  — salt_buckets
+    """
+
+    cap_group_size: int | None = None
+    salt_buckets: int | None = None
+
+    @staticmethod
+    def from_env() -> "PairConfig":
+        def _i(name: str) -> int | None:
+            v = os.environ.get(name, "").strip()
+            return int(v) if v.isdigit() and int(v) > 0 else None
+
+        return PairConfig(
+            cap_group_size=_i("SPARK_GRAFT_PAIR_CAP"),
+            salt_buckets=_i("SPARK_GRAFT_PAIR_SALT"),
+        )
 
 
 def cooccurrence_pairs(
@@ -36,27 +76,53 @@ def cooccurrence_pairs(
     item_col: str,
     score_col: str = "score",
     cap_group_size: int | None = None,
+    config: PairConfig | None = None,
 ) -> DataFrame:
     """Distinct (group, item) -> canonical pair counts.
 
     Returns columns ``{item_col}_1, {item_col}_2, {score_col}`` with
     ``_1 < _2`` (canonical ordering removes self-pairs and mirror
     duplicates, per ``process_song_similarity.py:33-34``).
+
+    ``config`` threads the hot-key policy (cap / exact salting); the
+    explicit ``cap_group_size`` argument wins over ``config`` for
+    backward compatibility.
     """
+    cfg = config or PairConfig()
+    cap = cap_group_size if cap_group_size is not None else cfg.cap_group_size
     base = df.select(group_col, item_col).distinct()
-    if cap_group_size is not None:
+    if cap is not None:
         rn = F.row_number().over(
             Window.partitionBy(group_col).orderBy(F.col(item_col))
         )
-        base = base.withColumn("_rn", rn).filter(F.col("_rn") <= cap_group_size).drop("_rn")
+        base = base.withColumn("_rn", rn).filter(F.col("_rn") <= cap).drop("_rn")
 
-    left = base.alias("l")
-    right = base.alias("r")
-    pairs = left.join(
-        right,
-        (F.col(f"l.{group_col}") == F.col(f"r.{group_col}"))
-        & (F.col(f"l.{item_col}") < F.col(f"r.{item_col}")),
-    ).select(
+    if cfg.salt_buckets is not None and cfg.salt_buckets > 1:
+        b = cfg.salt_buckets
+        # Exact salted self-join: the build side carries a content-derived
+        # bucket hash(item) % B; the probe side is replicated across ALL B
+        # bucket values, so every in-group item pair still matches exactly
+        # once — on the (group, bucket) key, which splits a hot group's
+        # join work B ways. (Key-derived salt on BOTH sides would be the
+        # classic wrong way: pairs across different buckets would vanish.)
+        left = base.withColumn(
+            "_pb", F.pmod(F.hash(F.col(item_col)), F.lit(b))
+        ).alias("l")
+        right = base.withColumn(
+            "_pb", F.explode(F.array(*[F.lit(i) for i in range(b)]))
+        ).alias("r")
+        join_cond = (
+            (F.col(f"l.{group_col}") == F.col(f"r.{group_col}"))
+            & (F.col("l._pb") == F.col("r._pb"))
+            & (F.col(f"l.{item_col}") < F.col(f"r.{item_col}"))
+        )
+    else:
+        left = base.alias("l")
+        right = base.alias("r")
+        join_cond = (
+            F.col(f"l.{group_col}") == F.col(f"r.{group_col}")
+        ) & (F.col(f"l.{item_col}") < F.col(f"r.{item_col}"))
+    pairs = left.join(right, join_cond).select(
         F.col(f"l.{item_col}").alias(f"{item_col}_1"),
         F.col(f"r.{item_col}").alias(f"{item_col}_2"),
     )

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from music_recommendation_service_spark.functions import rnd
 from music_recommendation_service_spark.operators.pairs import (
+    PairConfig,
     cooccurrence_pairs,
     symmetrize_pairs,
 )
@@ -184,7 +185,12 @@ def _cf_pairs_m(spark: SparkSession, sf_dir: str) -> DataFrame:
     from music_recommendation_service_spark.sources.writers import scratch_materialize
 
     return scratch_materialize(
-        cooccurrence_pairs(_likes_m(spark, sf_dir), "user_id", "item_id"),
+        cooccurrence_pairs(
+            _likes_m(spark, sf_dir),
+            "user_id",
+            "item_id",
+            config=PairConfig.from_env(),
+        ),
         "cf_pairs",
     )
 
@@ -196,7 +202,10 @@ def _sim_pairs_m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return scratch_materialize(
         cooccurrence_pairs(
-            _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
+            _t(spark, sf_dir, "lineitem"),
+            "l_orderkey",
+            "l_partkey",
+            config=PairConfig.from_env(),
         ),
         "sim_pairs",
     )

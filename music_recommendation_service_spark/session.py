@@ -32,6 +32,36 @@ def _env_int(name: str, default: int) -> int:
         return default
 
 
+def _delta_jars_available() -> bool:
+    """True only when BOTH the delta-spark Python package and the Delta JVM
+    jars are present. The reference pins the jars via
+    ``spark.jars.packages`` (``spark_utils.py``); offline we can only use
+    what is already on disk, so probe pyspark's bundled jars dir plus an
+    optional override dir instead of trusting ``import delta``."""
+    try:
+        import delta  # noqa: F401
+    except Exception:
+        return False
+    import glob
+
+    dirs = []
+    extra = os.environ.get("SPARK_GRAFT_DELTA_JARS", "").strip()
+    if extra:
+        dirs.append(extra)
+    try:
+        import pyspark
+
+        dirs.append(os.path.join(os.path.dirname(pyspark.__file__), "jars"))
+    except Exception:
+        pass
+    for d in dirs:
+        if glob.glob(os.path.join(d, "delta-spark*.jar")) or glob.glob(
+            os.path.join(d, "delta-core*.jar")
+        ):
+            return True
+    return False
+
+
 def get_spark(app_name: str = "music_recommendation_service_spark") -> SparkSession:
     """Build (or reuse) the engine session.
 
@@ -65,21 +95,22 @@ def get_spark(app_name: str = "music_recommendation_service_spark") -> SparkSess
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
-    try:
+    if _delta_jars_available():
         # Delta session wiring (reference parity: ``spark_utils.py:33-37``
-        # configures the same two settings). Only when delta-spark is
-        # importable — on plain-parquet environments the engine's snapshot
-        # protocol (sources/snapshots.py) supplies the transactional layer.
-        import delta  # noqa: F401
-
+        # configures the same two settings). The pip ``delta-spark`` package
+        # alone is NOT enough — it ships no JVM jars, and setting the
+        # DeltaCatalog without them turns every catalog-touching operation
+        # into a runtime ClassNotFoundException. Wire Delta only when the
+        # jars are actually on the classpath (pyspark's jars dir or an
+        # explicit SPARK_GRAFT_DELTA_JARS dir); on plain-parquet
+        # environments the engine's snapshot protocol
+        # (sources/snapshots.py) supplies the transactional layer.
         builder = builder.config(
             "spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension"
         ).config(
             "spark.sql.catalog.spark_catalog",
             "org.apache.spark.sql.delta.catalog.DeltaCatalog",
         )
-    except Exception:
-        pass
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -463,9 +463,11 @@ def snapshot_compact(
     rel, full = _new_data_dir(path)
     folded.write.mode("error").parquet(full)
     new_files, n_new = _scan_file_entries(spark, full, rel, stats_cols)
-    assert n_new == small_rows, (
-        f"compaction row-count drift at {path}: {small_rows} in, {n_new} out"
-    )
+    if n_new != small_rows:
+        # Not an assert: integrity checks must survive ``python -O``.
+        raise RuntimeError(
+            f"compaction row-count drift at {path}: {small_rows} in, {n_new} out"
+        )
     out_files = big + new_files
 
     def build(latest: dict | None, version: int) -> dict:
@@ -480,6 +482,10 @@ def snapshot_compact(
             "files": out_files,
             "n_rows": cur["n_rows"],
             "schema": cur["schema"],
+            # Delta marks OPTIMIZE commits dataChange=false; the change feed
+            # skips them so keyless consumers don't see the whole compacted
+            # set as insert+delete (see snapshot_changes).
+            "data_change": False,
         }
 
     return _commit(path, build)
@@ -520,12 +526,42 @@ def snapshot_changes(
     v_to = versions[-1] if to_version is None else to_version
     if v_to not in versions:
         raise ValueError(f"version {v_to} not in {versions}")
-    m_from = _read_manifest(path, from_version)
+    if from_version > v_to:
+        # An inverted range would silently swap insert/delete labels.
+        raise ValueError(
+            f"from_version {from_version} > to_version {v_to} at {path}"
+        )
     m_to = _read_manifest(path, v_to)
-    files_from = {e["path"] for e in _manifest_files(path, m_from)}
-    files_to = {e["path"] for e in _manifest_files(path, m_to)}
-    added = sorted(files_to - files_from)
-    removed = sorted(files_from - files_to)
+    # Walk the commit chain rather than diffing the endpoint manifests:
+    # pure-rewrite commits (snapshot_compact, manifest data_change=false)
+    # swap content-identical files, and Delta CDF excludes such OPTIMIZE
+    # commits from the feed. Skipping their steps here keeps keyless
+    # consumers from seeing the whole compacted set as insert+delete.
+    # (Vacuum only drops a prefix of versions, so the surviving chain
+    # between two surviving versions is always contiguous.)
+    chain = [v for v in versions if from_version <= v <= v_to]
+    added_set: set[str] = set()
+    removed_set: set[str] = set()
+    prev_files = {
+        e["path"] for e in _manifest_files(path, _read_manifest(path, chain[0]))
+    }
+    for v in chain[1:]:
+        m = _read_manifest(path, v)
+        cur_files = {e["path"] for e in _manifest_files(path, m)}
+        if m.get("data_change", True):
+            for p in cur_files - prev_files:
+                if p in removed_set:
+                    removed_set.discard(p)
+                else:
+                    added_set.add(p)
+            for p in prev_files - cur_files:
+                if p in added_set:
+                    added_set.discard(p)
+                else:
+                    removed_set.add(p)
+        prev_files = cur_files
+    added = sorted(added_set)
+    removed = sorted(removed_set)
 
     from pyspark.sql.types import StructType
 

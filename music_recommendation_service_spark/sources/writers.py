@@ -58,9 +58,16 @@ def scratch_materialize(
     a silver table on the lake at 100 TB. Falls back to the original
     DataFrame if scratch space is unavailable.
 
-    With ``reuse`` (default), the scratch path is keyed on the analyzed
-    plan's ``semanticHash`` + the Spark application id, and an existing
-    complete copy is read back instead of re-executed — so REPEATED runs of
+    With ``reuse`` (default), the scratch path is keyed on a SHA-256 digest
+    of the CANONICALIZED analyzed plan (expression IDs normalized, so two
+    constructions of the same logical query agree) together with the plan's
+    ``semanticHash``, the scan's leaf input files, and the result schema,
+    plus the Spark application id; a sidecar ``_plan.json`` records
+    the full digest + schema and is verified before an existing complete
+    copy is read back instead of re-executed. (A 32-bit ``semanticHash``
+    alone risks silent collisions — a hash is not plan equality; the
+    256-bit digest plus the schema check on the reuse path closes that.)
+    An existing copy means REPEATED runs of
     the same query in one session (dashboards, bench iterations, a DAG
     invoking the same subquery twice) pay the materialization once. The key
     is plan identity, NOT data content: within a session the lake tables
@@ -70,6 +77,8 @@ def scratch_materialize(
     The commit is an atomic directory rename, so a concurrent twin of the
     same key either wins the rename or reads the winner's copy.
     """
+    import hashlib
+    import json
     import os
     import shutil
     import tempfile
@@ -79,13 +88,41 @@ def scratch_materialize(
     try:
         spark = df.sparkSession
         if reuse:
-            sem = df._jdf.queryExecution().analyzed().semanticHash() & 0xFFFFFFFF
+            analyzed = df._jdf.queryExecution().analyzed()
+            canon = analyzed.canonicalized().toString()
+            # canonicalized().toString() normalizes expression IDs (so two
+            # constructions of one query agree) but ELIDES data-source file
+            # paths — two scans of different directories can stringify
+            # identically. semanticHash + the leaf input files pin the
+            # actual data identity.
+            sem = analyzed.semanticHash()
+            files = "\n".join(sorted(df.inputFiles()))
+            schema_json = df.schema.json()
+            digest = hashlib.sha256(
+                f"{canon}\n{sem}\n{files}\n{schema_json}".encode()
+            ).hexdigest()
             app = spark.sparkContext.applicationId
-            path = f"{root}/spark_graft_scratch/{name}-{app}-{sem:08x}"
+            path = f"{root}/spark_graft_scratch/{name}-{app}-{digest[:20]}"
+            sidecar = os.path.join(path, "_plan.json")
             if os.path.exists(os.path.join(path, "_SUCCESS")):
-                return spark.read.parquet(path)
+                ok = False
+                try:
+                    with open(sidecar) as f:
+                        rec = json.load(f)
+                    ok = (
+                        rec.get("digest") == digest
+                        and rec.get("schema") == schema_json
+                    )
+                except Exception:
+                    ok = False
+                if ok:
+                    return spark.read.parquet(path)
+                # fingerprint mismatch: never serve another plan's data
+                shutil.rmtree(path, ignore_errors=True)
             tmp = f"{path}.tmp-{uuid.uuid4().hex[:12]}"
             df.write.mode("overwrite").parquet(tmp)
+            with open(os.path.join(tmp, "_plan.json"), "w") as f:
+                json.dump({"digest": digest, "schema": schema_json}, f)
             try:
                 os.rename(tmp, path)
             except OSError:

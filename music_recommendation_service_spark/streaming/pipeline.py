@@ -79,6 +79,12 @@ JSON_TS_NTZ_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 JSON_TS_OPTIONS = {
     "timestampFormat": JSON_TS_FORMAT,
     "timestampNTZFormat": JSON_TS_NTZ_FORMAT,
+    # The pinned microsecond format is the PRODUCER contract; payloads from
+    # other producers legitimately carry second/millisecond precision
+    # ('2024-01-01T00:00:00Z'). Without the fallback those would strict-fail
+    # the SSSSSS pattern and become silent nulls in PERMISSIVE mode; with it
+    # Spark retries the standard ISO-8601 parser. Write paths ignore the key.
+    "enableDateTimeParsingFallback": "true",
 }
 
 

@@ -323,6 +323,54 @@ def test_cooccurrence_hot_key_cap_bounds_and_preserves():
     assert capped == uncapped
 
 
+@given(rows=pairs_rows, buckets=st.sampled_from([2, 3, 5]))
+@SETTINGS
+def test_cooccurrence_salted_is_exact(rows, buckets):
+    """PairConfig(salt_buckets=B) is an EXACT algebraic rewrite of the pair
+    self-join (the hot-key mitigation for the flagship q02/q03/q05 path):
+    output identical to the unsalted join for every input and bucket
+    count — no pair lost across buckets, none double-counted."""
+    from music_recommendation_service_spark.operators.pairs import PairConfig
+
+    spark = _get_spark()
+    df = spark.createDataFrame(rows or [(0, 0)], ["g", "item"])
+    if not rows:
+        df = df.filter("g < 0")
+    plain = sorted(
+        tuple(r) for r in cooccurrence_pairs(df, "g", "item").collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in cooccurrence_pairs(
+            df, "g", "item", config=PairConfig(salt_buckets=buckets)
+        ).collect()
+    )
+    assert salted == plain
+
+
+def test_cooccurrence_salted_hot_group_exact():
+    """One pathological group (500 items -> ~125k pairs): salted output and
+    score sum match the unsalted join exactly."""
+    from music_recommendation_service_spark.operators.pairs import PairConfig
+
+    spark = _get_spark()
+    rows = [(0, (i * 7919) % 500) for i in range(500)] + [
+        (g, i) for g in range(1, 4) for i in range(g * 3)
+    ]
+    df = spark.createDataFrame(rows, ["g", "item"])
+    plain = cooccurrence_pairs(df, "g", "item").collect()
+    salted = cooccurrence_pairs(
+        df, "g", "item", config=PairConfig(salt_buckets=8)
+    ).collect()
+    assert sorted(map(tuple, salted)) == sorted(map(tuple, plain))
+    # the hot group alone covers every canonical pair key over items 0..499;
+    # the small groups' pairs merge into those keys as extra score
+    assert len(plain) == 500 * 499 // 2
+    assert sum(r["score"] for r in plain) == 500 * 499 // 2 + sum(
+        (g * 3) * (g * 3 - 1) // 2 for g in range(1, 4)
+    )
+
+
 salted_rows = st.lists(
     st.tuples(st.integers(0, 3), st.integers(-5, 5), st.floats(-10, 10)),
     min_size=0,

@@ -515,6 +515,83 @@ def test_snapshot_protocol_matches_model(tmp_path_factory, ops):
             assert got == latest, f"after {op}"
 
 
+def test_snapshot_changes_keyless_skips_compaction(spark, tmp_path):
+    """Compaction commits are dataChange=false (Delta OPTIMIZE parity):
+    keyless CDF must NOT report the compacted set as insert+delete — an
+    append-only consumer applying inserts would double-count the table."""
+    from music_recommendation_service_spark.sources.snapshots import (
+        _read_manifest,
+        snapshot_append,
+        snapshot_changes,
+        snapshot_compact,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "cdf_compact")
+    v1 = snapshot_write(
+        _snap_df(spark, [(k, 1, f"p{k}") for k in range(20)]).repartition(4),
+        path,
+        stats_cols=["k"],
+    )
+    v2 = snapshot_append(
+        _snap_df(spark, [(100, 1, "new")]).coalesce(1), path, stats_cols=["k"]
+    )
+    v3 = snapshot_compact(spark, path, small_file_max_rows=1000)
+    assert v3 == v2 + 1
+    assert _read_manifest(path, v3)["data_change"] is False
+
+    # pure-rewrite step: no changes at all
+    assert snapshot_changes(spark, path, v2, v3).count() == 0
+    # across append+compaction: only the appended row, once, as insert
+    got = [
+        (r["k"], r["_change_type"])
+        for r in snapshot_changes(spark, path, v1, v3).collect()
+    ]
+    assert got == [(100, "insert")]
+    # keyed mode agrees
+    got_keyed = [
+        (r["k"], r["_change_type"])
+        for r in snapshot_changes(spark, path, v1, v3, key_cols=["k"]).collect()
+    ]
+    assert got_keyed == [(100, "insert")]
+
+
+def test_snapshot_changes_inverted_range_raises(spark, tmp_path):
+    from music_recommendation_service_spark.sources.snapshots import (
+        snapshot_append,
+        snapshot_changes,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "cdf_inv")
+    v1 = snapshot_write(_snap_df(spark, [(1, 1, "a")]), path)
+    v2 = snapshot_append(_snap_df(spark, [(2, 1, "b")]), path)
+    with pytest.raises(ValueError, match="from_version"):
+        snapshot_changes(spark, path, v2, v1)
+
+
+def test_compaction_row_drift_raises(spark, tmp_path, monkeypatch):
+    """The compaction integrity check must be a real exception (asserts are
+    stripped under ``python -O``)."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "drift")
+    S.snapshot_write(
+        _snap_df(spark, [(k, 1, "x") for k in range(10)]).repartition(4),
+        path,
+        stats_cols=["k"],
+    )
+    real = S._scan_file_entries
+
+    def lying(spark_, full, rel, cols):
+        entries, total = real(spark_, full, rel, cols)
+        return entries, total - 1
+
+    monkeypatch.setattr(S, "_scan_file_entries", lying)
+    with pytest.raises(RuntimeError, match="row-count drift"):
+        S.snapshot_compact(spark, path, small_file_max_rows=1000)
+
+
 def test_stale_cursor_requires_rebootstrap(spark, tmp_path):
     """A consumer whose cursor version was vacuumed away must get a loud
     StaleCursorError, never a silent wrong delta."""
@@ -538,6 +615,107 @@ def test_stale_cursor_requires_rebootstrap(spark, tmp_path):
     snapshot_vacuum(path, keep_last=2, orphan_min_age_sec=1e9)
     with pytest.raises(StaleCursorError, match="re-bootstrap"):
         snapshot_consume_changes(spark, path, cursor, key_cols=["k"])
+
+
+_consumer_ops = st.lists(
+    st.tuples(
+        st.one_of(
+            st.tuples(st.just("write"), _rows_strategy),
+            st.tuples(st.just("merge"), _rows_strategy),
+            st.tuples(st.just("compact"), st.none()),
+            st.tuples(st.just("vacuum"), st.none()),
+        ),
+        st.booleans(),  # does the consumer run after this producer op?
+    ),
+    min_size=2,
+    max_size=7,
+)
+
+
+@given(ops=_consumer_ops)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_incremental_consumer_matches_recompute(tmp_path_factory, ops):
+    """Consumer-side twin of the producer model test: a CDF cursor consumer
+    incrementally maintaining a per-payload count stays EXACTLY equal to a
+    full recompute across random write/merge/compact/vacuum interleavings —
+    including lagging behind several commits (consumer doesn't run after
+    every op) and re-bootstrapping when vacuum outruns its cursor. This is
+    the subscription contract: incremental == recompute at every cursor
+    step (reference analogue: the serving layer's re-read-on-TTL,
+    ``MinioService.cs:53-56``, made incremental)."""
+    from collections import Counter
+
+    from music_recommendation_service_spark.session import get_spark
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    spark = get_spark("tests")
+    base = tmp_path_factory.mktemp("inc_model")
+    path = str(base / "tbl")
+    cursor = str(base / "cur")
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [(k, s, p) for k, (s, p) in sorted(rows.items())],
+            ["k", "seq", "payload"],
+        )
+
+    counts: Counter = Counter()
+    has_table = False
+
+    def apply_delta(ch) -> None:
+        for r in ch.collect():
+            if r["_change_type"] in ("insert", "update_postimage"):
+                counts[r["payload"]] += 1
+            elif r["_change_type"] in ("delete", "update_preimage"):
+                counts[r["payload"]] -= 1
+
+    def consume() -> None:
+        nonlocal counts
+        try:
+            ch, _, commit = S.snapshot_consume_changes(
+                spark, path, cursor, key_cols=["k"]
+            )
+        except S.StaleCursorError:
+            # documented contract: drop derived state AND cursor, reload
+            counts = Counter()
+            os.remove(cursor)
+            ch, _, commit = S.snapshot_consume_changes(
+                spark, path, cursor, key_cols=["k"]
+            )
+        apply_delta(ch)
+        commit()
+
+    for (op, arg), run_consumer in ops:
+        if op == "write":
+            S.snapshot_write(df_of(arg), path, stats_cols=["k"])
+            has_table = True
+        elif op == "merge":
+            S.snapshot_merge(df_of(arg), path, key_cols=["k"], seq_col="seq")
+            has_table = True
+        elif op == "compact":
+            if not has_table:
+                continue
+            S.snapshot_compact(spark, path, small_file_max_rows=1000)
+        elif op == "vacuum":
+            if not has_table:
+                continue
+            S.snapshot_vacuum(path, keep_last=2, orphan_min_age_sec=1e9)
+        if has_table and run_consumer:
+            consume()
+            want = Counter(
+                r["payload"] for r in S.snapshot_read(spark, path).collect()
+            )
+            assert +counts == want, f"after {op}"
+    if has_table:
+        consume()
+        want = Counter(
+            r["payload"] for r in S.snapshot_read(spark, path).collect()
+        )
+        assert +counts == want
 
 
 def test_engine_snapshot_surface(spark, tmp_path):
