@@ -1,0 +1,459 @@
+"""Pure-Python Avro binary codec + Confluent wire framing (S11 fallback).
+
+The reference produces Avro-framed Kafka messages with a Schema-Registry
+header (``KafkaEventProducer.cs:53-65``) under the ``RecommendationEvent``
+schema (``RecommendationEventSchema.cs:5-19``: a record of ``long``,
+``array<long>``, ``string``). The first-choice engine path is spark-avro's
+``to_avro``/``from_avro`` (``streaming/pipeline.py``), but that module is
+not bundled with the Spark binary distribution; where the jar is absent
+this codec supplies a spec-compliant executable path instead of a skip.
+
+Everything here is implemented from the public Apache Avro 1.x
+specification (binary encoding section) and the public Confluent wire
+format (magic byte 0x00 + big-endian 4-byte schema id + Avro body):
+
+- int/long   -> zigzag then base-128 little-endian varint
+- float      -> 4-byte IEEE little-endian; double -> 8-byte LE
+- boolean    -> single byte 0/1; null -> zero bytes
+- string     -> long byte-length prefix + UTF-8; bytes -> length + raw
+- array<T>   -> blocks: positive count, items..., terminated by count 0
+- map<T>     -> blocks of (string key, value) pairs, 0-terminated
+- union      -> long branch index, then the branch value
+- record     -> fields concatenated in schema-declared order
+- enum       -> int position; fixed(n) -> n raw bytes
+
+The binary form of a value under a given writer schema is deterministic
+(modulo array block splitting — this codec always emits one block, which
+Java Avro also does for in-memory arrays), so payloads interoperate with
+JVM producers/consumers byte-for-byte for the schema shapes the reference
+uses.
+
+Spark integration is Arrow-batched (``pandas_udf`` over a struct column) —
+per-row Python is never on a hot path here because Kafka payload
+encode/decode is inherently a per-record byte-format boundary; at 100 TB
+this stage is bounded by the sink/source itself, and the batch transfer
+keeps the Python cost to one Arrow exchange per partition batch.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Any, Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAGIC_BYTE = b"\x00"
+
+# ---------------------------------------------------------------------------
+# primitive encoders
+# ---------------------------------------------------------------------------
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def encode_long(n: int) -> bytes:
+    z = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def decode_long(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(acc), pos
+        shift += 7
+
+
+# ---------------------------------------------------------------------------
+# schema-driven codec
+# ---------------------------------------------------------------------------
+
+
+def _norm(schema: Any) -> Any:
+    """Accept a JSON document string or an already-parsed schema object.
+    Bare type-name strings ("long", "string", ...) pass through as-is."""
+    if isinstance(schema, str) and schema.lstrip()[:1] in ("{", "["):
+        return json.loads(schema)
+    return schema
+
+
+def _schema_type(schema: Any) -> Any:
+    # {"type": "long"} and "long" are equivalent; unions are lists.
+    if isinstance(schema, dict) and isinstance(schema.get("type"), str) and set(
+        schema
+    ) == {"type"}:
+        return schema["type"]
+    return schema
+
+
+def make_encoder(schema: Any) -> Callable[[Any], bytes]:
+    """Compile an Avro writer for ``schema`` -> function(value) -> bytes."""
+    schema = _schema_type(_norm(schema))
+    if isinstance(schema, list):  # union
+        branch_encoders = [make_encoder(s) for s in schema]
+        names = [_branch_name(s) for s in schema]
+
+        def enc_union(v: Any) -> bytes:
+            idx = _pick_branch(v, names)
+            return encode_long(idx) + branch_encoders[idx](v)
+
+        return enc_union
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            fields = [(f["name"], make_encoder(f["type"])) for f in schema["fields"]]
+
+            def enc_record(v: Any) -> bytes:
+                return b"".join(e(v[name]) for name, e in fields)
+
+            return enc_record
+        if t == "array":
+            item = make_encoder(schema["items"])
+
+            def enc_array(v: Any) -> bytes:
+                if v is None or len(v) == 0:
+                    return encode_long(0)
+                return (
+                    encode_long(len(v))
+                    + b"".join(item(x) for x in v)
+                    + encode_long(0)
+                )
+
+            return enc_array
+        if t == "map":
+            val = make_encoder(schema["values"])
+
+            def enc_map(v: Any) -> bytes:
+                if not v:
+                    return encode_long(0)
+                body = b"".join(
+                    _enc_str(k) + val(x) for k, x in v.items()
+                )
+                return encode_long(len(v)) + body + encode_long(0)
+
+            return enc_map
+        if t == "enum":
+            symbols = {s: i for i, s in enumerate(schema["symbols"])}
+            return lambda v: encode_long(symbols[v])
+        if t == "fixed":
+            size = schema["size"]
+
+            def enc_fixed(v: bytes) -> bytes:
+                if len(v) != size:
+                    raise ValueError(f"fixed size {size} != {len(v)}")
+                return bytes(v)
+
+            return enc_fixed
+        # logical types sit on a primitive "type"
+        return make_encoder(t)
+    # primitives
+    if schema in ("long", "int"):
+        return lambda v: encode_long(int(v))
+    if schema == "string":
+        return _enc_str
+    if schema == "bytes":
+        return lambda v: encode_long(len(v)) + bytes(v)
+    if schema == "boolean":
+        return lambda v: b"\x01" if v else b"\x00"
+    if schema == "float":
+        return lambda v: struct.pack("<f", float(v))
+    if schema == "double":
+        return lambda v: struct.pack("<d", float(v))
+    if schema == "null":
+        return lambda v: b""
+    raise ValueError(f"unsupported Avro schema: {schema!r}")
+
+
+def _enc_str(v: str) -> bytes:
+    b = str(v).encode("utf-8")
+    return encode_long(len(b)) + b
+
+
+def _dec_str(buf: bytes, pos: int) -> tuple[str, int]:
+    n, pos = decode_long(buf, pos)
+    return bytes(buf[pos : pos + n]).decode("utf-8"), pos + n
+
+
+def _branch_name(s: Any) -> str:
+    s = _schema_type(_norm(s))
+    if isinstance(s, dict):
+        return s["type"]
+    return s
+
+
+def _pick_branch(v: Any, names: list[str]) -> int:
+    if v is None:
+        if "null" in names:
+            return names.index("null")
+        raise ValueError("null value but no null branch")
+    for i, n in enumerate(names):
+        if n != "null":
+            return i
+    raise ValueError("no non-null branch")
+
+
+def make_decoder(schema: Any) -> Callable[[bytes, int], tuple[Any, int]]:
+    """Compile an Avro reader: function(buf, pos) -> (value, new_pos)."""
+    schema = _schema_type(_norm(schema))
+    if isinstance(schema, list):
+        branches = [make_decoder(s) for s in schema]
+
+        def dec_union(buf: bytes, pos: int) -> tuple[Any, int]:
+            idx, pos = decode_long(buf, pos)
+            return branches[idx](buf, pos)
+
+        return dec_union
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            fields = [(f["name"], make_decoder(f["type"])) for f in schema["fields"]]
+
+            def dec_record(buf: bytes, pos: int) -> tuple[Any, int]:
+                out = {}
+                for name, d in fields:
+                    out[name], pos = d(buf, pos)
+                return out, pos
+
+            return dec_record
+        if t == "array":
+            item = make_decoder(schema["items"])
+
+            def dec_array(buf: bytes, pos: int) -> tuple[Any, int]:
+                out: list[Any] = []
+                while True:
+                    count, pos = decode_long(buf, pos)
+                    if count == 0:
+                        return out, pos
+                    if count < 0:  # block with byte-size prefix
+                        count = -count
+                        _, pos = decode_long(buf, pos)
+                    for _ in range(count):
+                        v, pos = item(buf, pos)
+                        out.append(v)
+
+            return dec_array
+        if t == "map":
+            val = make_decoder(schema["values"])
+
+            def dec_map(buf: bytes, pos: int) -> tuple[Any, int]:
+                out: dict[str, Any] = {}
+                while True:
+                    count, pos = decode_long(buf, pos)
+                    if count == 0:
+                        return out, pos
+                    if count < 0:
+                        count = -count
+                        _, pos = decode_long(buf, pos)
+                    for _ in range(count):
+                        k, pos = _dec_str(buf, pos)
+                        out[k], pos = val(buf, pos)
+
+            return dec_map
+        if t == "enum":
+            symbols = schema["symbols"]
+
+            def dec_enum(buf: bytes, pos: int) -> tuple[str, int]:
+                i, pos = decode_long(buf, pos)
+                return symbols[i], pos
+
+            return dec_enum
+        if t == "fixed":
+            size = schema["size"]
+            return lambda buf, pos: (bytes(buf[pos : pos + size]), pos + size)
+        return make_decoder(t)
+    if schema in ("long", "int"):
+        return decode_long
+    if schema == "string":
+        return _dec_str
+    if schema == "bytes":
+
+        def dec_bytes(buf: bytes, pos: int) -> tuple[bytes, int]:
+            n, pos = decode_long(buf, pos)
+            return bytes(buf[pos : pos + n]), pos + n
+
+        return dec_bytes
+    if schema == "boolean":
+        return lambda buf, pos: (buf[pos] == 1, pos + 1)
+    if schema == "float":
+        return lambda buf, pos: (struct.unpack("<f", buf[pos : pos + 4])[0], pos + 4)
+    if schema == "double":
+        return lambda buf, pos: (struct.unpack("<d", buf[pos : pos + 8])[0], pos + 8)
+    if schema == "null":
+        return lambda buf, pos: (None, pos)
+    raise ValueError(f"unsupported Avro schema: {schema!r}")
+
+
+# ---------------------------------------------------------------------------
+# Confluent wire framing (KafkaEventProducer.cs:53-65 analogue)
+# ---------------------------------------------------------------------------
+
+
+def frame_confluent(payload: bytes, schema_id: int) -> bytes:
+    return MAGIC_BYTE + struct.pack(">I", schema_id) + payload
+
+
+def unframe_confluent(message: bytes) -> tuple[int, bytes]:
+    if not message or message[0:1] != MAGIC_BYTE:
+        raise ValueError("not a Confluent-framed Avro message (bad magic byte)")
+    (schema_id,) = struct.unpack(">I", message[1:5])
+    return schema_id, bytes(message[5:])
+
+
+# ---------------------------------------------------------------------------
+# Spark integration (Arrow-batched)
+# ---------------------------------------------------------------------------
+
+
+def spark_avro_on_classpath(spark) -> bool:
+    """True when the spark-avro datasource jar is actually loadable in the
+    JVM (the Python wrapper always imports; the class is what gates)."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.spark.sql.avro.AvroDataToCatalyst"
+        )
+        return True
+    except Exception:
+        return False
+
+
+_PRIMITIVES: dict[str, T.DataType] = {
+    "long": T.LongType(),
+    "int": T.IntegerType(),
+    "string": T.StringType(),
+    "bytes": T.BinaryType(),
+    "boolean": T.BooleanType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "null": T.NullType(),
+}
+
+
+def spark_schema_for_avro(schema: Any) -> T.DataType:
+    """Map an Avro schema to the Spark type spark-avro would produce, so the
+    pure-Python consumer yields the same typed columns as ``from_avro``."""
+    schema = _schema_type(_norm(schema))
+    if isinstance(schema, list):  # union -> nullable non-null branch
+        non_null = [s for s in schema if _branch_name(s) != "null"]
+        if len(non_null) != 1:
+            raise ValueError("only 2-branch null unions are supported")
+        return spark_schema_for_avro(non_null[0])
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            return T.StructType(
+                [
+                    T.StructField(
+                        f["name"],
+                        spark_schema_for_avro(f["type"]),
+                        nullable=_is_nullable(f["type"]),
+                    )
+                    for f in schema["fields"]
+                ]
+            )
+        if t == "array":
+            return T.ArrayType(spark_schema_for_avro(schema["items"]))
+        if t == "map":
+            return T.MapType(T.StringType(), spark_schema_for_avro(schema["values"]))
+        if t == "enum":
+            return T.StringType()
+        if t == "fixed":
+            return T.BinaryType()
+        return spark_schema_for_avro(t)
+    if schema in _PRIMITIVES:
+        return _PRIMITIVES[schema]
+    raise ValueError(f"unsupported Avro schema: {schema!r}")
+
+
+def _is_nullable(s: Any) -> bool:
+    s = _norm(s)
+    return isinstance(s, list) and any(_branch_name(b) == "null" for b in s)
+
+
+def avro_payload_py(
+    df: DataFrame,
+    json_format_schema: str,
+    schema_id: int | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """S11 producer fallback: pack all columns into one Avro-binary column
+    via a compiled pure-Python writer over Arrow batches. With
+    ``schema_id`` the payload is Confluent-framed exactly like the
+    reference producer (``KafkaEventProducer.cs:53-65``)."""
+    from pyspark.sql.functions import pandas_udf
+
+    schema_json = json_format_schema
+
+    # NOTE: a struct-typed input column reaches the UDF as a pd.DataFrame at
+    # runtime, but the signature must be hinted Series->Series (pyspark's
+    # hint inference rejects a DataFrame input annotation).
+    @pandas_udf(T.BinaryType())
+    def _encode(rows: pd.Series) -> pd.Series:
+        enc = make_encoder(schema_json)
+
+        def one(r) -> bytes:
+            d = r.to_dict() if hasattr(r, "to_dict") else dict(r)
+            body = enc(d)
+            return body if schema_id is None else frame_confluent(body, schema_id)
+
+        return rows.apply(one, axis=1)
+
+    packed = F.struct(*[F.col(c) for c in df.columns])
+    return df.select(_encode(packed).alias(value_col))
+
+
+def parse_avro_payload_py(
+    df: DataFrame,
+    json_format_schema: str,
+    spark_schema: T.StructType | None = None,
+    framed: bool = False,
+    value_col: str = "value",
+) -> DataFrame:
+    """S11 consumer fallback: Avro binary -> flattened typed columns under a
+    DECLARED schema (the reference fetches it from Schema Registry; here the
+    Avro JSON is authoritative and the Spark struct is derived from it
+    unless pinned explicitly)."""
+    if spark_schema is None:
+        derived = spark_schema_for_avro(json_format_schema)
+        if not isinstance(derived, T.StructType):
+            raise ValueError("top-level Avro schema must be a record")
+        spark_schema = derived
+    from pyspark.sql.functions import pandas_udf
+
+    schema_json = json_format_schema
+
+    @pandas_udf(spark_schema)
+    def _decode(col: pd.Series) -> pd.DataFrame:
+        dec = make_decoder(schema_json)
+
+        def one(b: bytes) -> dict:
+            body = unframe_confluent(bytes(b))[1] if framed else bytes(b)
+            v, _ = dec(body, 0)
+            return v
+
+        return pd.DataFrame([one(b) for b in col])
+
+    out = df.select(_decode(F.col(value_col)).alias("data"))
+    return out.select(*[F.col(f"data.{f.name}") for f in spark_schema.fields])

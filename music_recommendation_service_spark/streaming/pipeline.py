@@ -219,9 +219,21 @@ def avro_payload(df: DataFrame, json_format_schema: str | None = None) -> DataFr
     be pinned explicitly (the Schema-Registry contract) or derived from the
     DataFrame schema.
 
-    Requires the spark-avro module; the Spark binary distro does not bundle
-    it, so this import-gates at call time (tests/test_gated_formats.py runs
-    the roundtrip wherever the jar is present)."""
+    The spark-avro jar is the first-choice implementation (JVM-side,
+    codegen). Where it is absent (the Spark binary distro does not bundle
+    it) and a schema is pinned, this falls back to the spec-compliant
+    pure-Python codec in ``streaming/avrocodec.py`` — byte-compatible
+    output, Arrow-batched (tests/test_avro_codec.py pins the wire bytes;
+    tests/test_gated_formats.py runs the jar path wherever present)."""
+    from music_recommendation_service_spark.streaming.avrocodec import (
+        avro_payload_py,
+        spark_avro_on_classpath,
+    )
+
+    if json_format_schema is not None and not spark_avro_on_classpath(
+        df.sparkSession
+    ):
+        return avro_payload_py(df, json_format_schema)
     from pyspark.sql.avro.functions import to_avro
 
     packed = F.struct(*df.columns)
@@ -234,7 +246,16 @@ def parse_avro_payload(
 ) -> DataFrame:
     """S11 consumer side: Avro binary -> struct -> flattened columns under a
     DECLARED Avro schema (the reference fetches it from Schema Registry;
-    the engine takes the JSON text — same contract, no SR dependency)."""
+    the engine takes the JSON text — same contract, no SR dependency).
+    Falls back to the pure-Python codec when the spark-avro jar is absent
+    (same bytes, Arrow-batched — see ``streaming/avrocodec.py``)."""
+    from music_recommendation_service_spark.streaming.avrocodec import (
+        parse_avro_payload_py,
+        spark_avro_on_classpath,
+    )
+
+    if not spark_avro_on_classpath(raw.sparkSession):
+        return parse_avro_payload_py(raw, json_format_schema, value_col=value_col)
     from pyspark.sql.avro.functions import from_avro
 
     return raw.select(

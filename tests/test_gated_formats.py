@@ -85,11 +85,31 @@ def test_avro_roundtrip_or_gate(spark, sf_dir, tmp_path):
     if not _avro_available(spark):
         from music_recommendation_service_spark.streaming.pipeline import (
             avro_payload,
+            parse_avro_payload,
         )
 
+        # schema-less packaging needs the jar (schema derivation is
+        # spark-avro's) -> clean failure at call time
         with pytest.raises(Exception):
             avro_payload(e).collect()
-        pytest.skip("spark-avro runtime absent (not bundled, no network)")
+        # schema-PINNED packaging falls back to the pure-Python codec
+        # (streaming/avrocodec.py) — full producer->consumer roundtrip
+        # must work jarless
+        schema_json = (
+            '{"type":"record","name":"E","fields":['
+            '{"name":"event_id","type":"long"},'
+            '{"name":"user_id","type":"long"},'
+            '{"name":"event_type","type":"string"},'
+            '{"name":"value","type":"double"}]}'
+        )
+        back = parse_avro_payload(avro_payload(e, schema_json), schema_json)
+        assert {tuple(r) for r in back.collect()} == {
+            tuple(r) for r in e.collect()
+        }
+        pytest.skip(
+            "spark-avro jar absent — pure-Python codec roundtrip verified; "
+            "jar-path byte cross-check runs wherever the jar exists"
+        )
 
     from music_recommendation_service_spark.streaming.pipeline import (
         avro_payload,
