@@ -22,6 +22,17 @@ reports BOTH:
   BENCH_r01..r03 which used best-of-2).
 ``runs[name]`` lists every raw timing so host-noise spikes are visible in
 the artifact itself instead of argued about after the fact.
+
+Noise calibration
+-----------------
+This host exhibits multi-minute co-tenant bursts that inflate EVERY query
+in a sweep ~uniformly (observed: a whole sweep at ~10x, adjacent sweeps
+nominal). Before each sweep the harness times one fixed JVM-side probe
+(hash-agg over ``spark.range``, no I/O, no Python); ``calibration`` lists
+those probe times and ``noise_factor`` their ratio to the best sweep. A
+sweep whose factor is >>1 was measured during a burst — read its
+timings accordingly. Cold is a single unavoidable sample; its sweep's
+factor says how much to trust it.
 """
 
 from __future__ import annotations
@@ -54,8 +65,22 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    from pyspark.sql import functions as F
+
+    def calibrate() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 400_000_000, 1, 32).selectExpr(
+            "xxhash64(id) AS h"
+        ).groupBy((F.col("h") % 8).alias("b")).agg(
+            F.sum(F.col("h") % 1_000_003)  # bounded: no ANSI long overflow
+        ).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    calibrate()  # JIT warm for the probe itself
     runs: dict[str, list[float]] = {name: [] for name in bench_queries}
+    calibration: list[float] = []
     for _ in range(N_RUNS):
+        calibration.append(calibrate())
         for name, q in bench_queries.items():
             t0 = time.perf_counter()
             q.build(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -75,6 +100,10 @@ def main() -> None:
                 "queries_cold": cold,
                 "value_cold": round(sum(cold.values()), 3),
                 "runs": runs,
+                "calibration": calibration,
+                "noise_factor": [
+                    round(c / min(calibration), 2) for c in calibration
+                ],
                 "n_runs": N_RUNS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
