@@ -524,9 +524,21 @@ def q05_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     active_users = likes.select("user_id").distinct()
     trend_cand = active_users.crossJoin(F.broadcast(trending))
 
+    # The candidate keys are nearly unique (measured at sf0.1: 8.0M candidate
+    # rows -> 6.76M distinct (user, item) groups, a 1.18:1 reduction), so the
+    # default partial->shuffle->final aggregation buys nothing map-side and
+    # pays TWO multi-million-row shuffles: one on (user, item) for the agg,
+    # another on user for the ranking window. Hash-partitioning on user_id
+    # alone satisfies the clustered-distribution requirement of BOTH (equal
+    # (user, item) implies equal user), so one explicit repartition folds
+    # agg + window into a single shuffle; AQE can still coalesce it. At
+    # 100 TB user_id is also the natural serving shard key, and per-user
+    # candidate counts are bounded by |likes_u| * 2*NEIGHBOR_TOP +
+    # SOCIAL_TOP + TREND_TOP, so no hot partition can form.
     scored = (
         item_cand.unionByName(social_cand)
         .unionByName(trend_cand)
+        .repartition(F.col("user_id"))
         .groupBy("user_id", "item_id")
         .agg(rnd(F.sum("score"), 6).alias("score"))
     )

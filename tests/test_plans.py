@@ -47,6 +47,31 @@ def test_no_cartesian_in_hybrid(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_q05_single_shuffle_scoring_tail(spark, sf_dir):
+    """The candidate keys are nearly unique, so the scorer repartitions by
+    user_id once and the candidate aggregation AND the ranking window must
+    ride that ONE exchange — no second shuffle between agg and window
+    (plans/reference_parity.py scoring-tail note). The window sort must
+    also be group-limited, not global."""
+    import re
+
+    p = _plan(spark, sf_dir, "q05_hybrid_recommendations")
+    tree = p.split("\n\n")[0]
+    # walk the operator tree top-down: Window ... then HashAggregate, with
+    # no shuffle Exchange between them (BroadcastExchange is fine)
+    lines = [ln for ln in tree.splitlines()]
+    win_i = next(i for i, ln in enumerate(lines) if re.search(r"\bWindow \(", ln))
+    agg_i = next(
+        i for i, ln in enumerate(lines) if re.search(r"\bHashAggregate \(", ln)
+    )
+    assert win_i < agg_i, "ranking window should sit directly above the agg"
+    between = lines[win_i:agg_i]
+    assert not any(
+        re.search(r"(?<!Broadcast)Exchange \(", ln) for ln in between
+    ), f"unexpected shuffle between window and agg:\n" + "\n".join(between)
+    assert "WindowGroupLimit" in tree
+
+
 @pytest.mark.parametrize(
     "name",
     ["q27_ngram_jaccard_neardup", "q28_minhash_lsh", "q29_simhash_neardup"],
