@@ -44,6 +44,13 @@ def main(argv: list[str] | None = None) -> int:
     p_sql.add_argument("--limit", type=int, default=20)
     p_sql.add_argument("--out", default=None)
 
+    p_exp = sub.add_parser(
+        "explain", help="plan-quality audit + formatted plan for a query"
+    )
+    p_exp.add_argument("name")
+    p_exp.add_argument("--root", required=True)
+    p_exp.add_argument("--full", action="store_true", help="also print the plan")
+
     p_pipe = sub.add_parser(
         "pipeline", help="run the full bronze->silver->gold medallion pipeline"
     )
@@ -79,6 +86,18 @@ def main(argv: list[str] | None = None) -> int:
     from music_recommendation_service_spark.engine import Engine
 
     eng = Engine(args.root)
+    if args.cmd == "explain":
+        from music_recommendation_service_spark.plans.audit import format_audit
+
+        reg = registry()
+        if args.name not in reg:
+            print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+            return 2
+        df = reg[args.name].build(eng.spark, args.root)
+        print(format_audit(eng.audit(df)))
+        if args.full:
+            df.explain("formatted")
+        return 0
     if args.cmd == "query":
         reg = registry()
         if args.name not in reg:

@@ -73,3 +73,16 @@ class Engine:
         from music_recommendation_service_spark.plans import registry
 
         return sorted(registry())
+
+    def audit(self, name_or_df) -> dict:
+        """Plan-quality audit (shuffles, join strategies, Python stages,
+        pushdown, smells) of a catalog query or any DataFrame — the
+        check-the-plan-before-you-scale tool (plans/audit.py)."""
+        from music_recommendation_service_spark.plans.audit import plan_audit
+
+        df = (
+            name_or_df
+            if isinstance(name_or_df, DataFrame)
+            else self.query(name_or_df)
+        )
+        return plan_audit(df)

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from music_recommendation_service_spark.functions import rnd, rnd_sql
 from music_recommendation_service_spark.plans import register
 from music_recommendation_service_spark.sources.catalog import load_table as _t
 
@@ -84,3 +85,114 @@ def q73_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return tri.crossJoin(F.broadcast(n_edges))
+
+
+# ---------------------------------------------------------------------------
+# q96 — fixed-iteration PageRank over the same co-return graph.
+#
+# The reference's graph usage stops at 1-hop joins; PageRank is the canonical
+# ITERATIVE graph workload a general engine must express. Implemented as K
+# rounds of (edge ⋈ rank) + groupBy — each round one shuffle on dst — with
+# ``localCheckpoint`` truncating lineage per round the same way
+# operators/components.py does for label propagation (without it the plan
+# doubles every iteration and Catalyst re-optimizes a 2^K tree).
+#
+# Scale notes (100 TB):
+# - State per round is one (vertex, rank) table — O(V), re-materialized per
+#   iteration; the shuffle is E rows keyed by dst. Skewed in-degree is the
+#   hazard; the contribution sum is algebraically salt-able with
+#   operators/skew.py::salted_agg if a celebrity vertex appears.
+# - K is fixed (3): the point is the plan shape, not convergence; production
+#   runs iterate to a tolerance with the same per-round plan.
+# - The DuckDB oracle UNROLLS the same three rounds as chained CTEs, so the
+#   test proves the iterative DataFrame loop is semantics-identical to the
+#   closed relational form.
+# ---------------------------------------------------------------------------
+_PR_D = 0.85
+_PR_K = 3
+_PR_TOP = 20
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS (
+        SELECT s.dst AS v,
+               (1 - {_PR_D}) / (SELECT n FROM nv) + {_PR_D} * sum({prev}.r / deg.d) AS r
+        FROM sym s
+        JOIN {prev} ON {prev}.v = s.src
+        JOIN deg ON deg.src = s.src
+        GROUP BY s.dst
+    )"""
+
+
+@register(
+    "q96_pagerank",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    sym AS (
+        SELECT a AS src, b AS dst FROM edges
+        UNION ALL
+        SELECT b AS src, a AS dst FROM edges
+    ),
+    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM sym GROUP BY src),
+    nv AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT src AS v, 1.0 / (SELECT n FROM nv) AS r FROM deg),
+    {_pr_iter_sql("r0", "r1")},
+    {_pr_iter_sql("r1", "r2")},
+    {_pr_iter_sql("r2", "r3")}
+    SELECT CAST(v AS BIGINT) AS item_id, {rnd_sql("r", 6)} AS pagerank
+    FROM r3
+    ORDER BY pagerank DESC, item_id
+    LIMIT {_PR_TOP}
+    """,
+    tags=("graph", "pagerank", "iterative"),
+)
+def q96_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PR_TOP} vertices by 3-iteration PageRank (d=0.85) on the
+    symmetric co-return item graph. Every vertex has degree >= 1 by
+    construction (it appears in an edge), so there is no dangling-mass
+    term."""
+    from music_recommendation_service_spark.operators.pairs import cooccurrence_pairs
+    from music_recommendation_service_spark.plans.reference_parity import _likes
+    from music_recommendation_service_spark.sources.writers import scratch_materialize
+
+    likes = _likes(spark, sf_dir)
+    edges = scratch_materialize(
+        cooccurrence_pairs(likes, "user_id", "item_id")
+        .filter(F.col("score") >= 3)
+        .select(F.col("item_id_1").alias("a"), F.col("item_id_2").alias("b")),
+        "q73_edges",  # same silver edge table q73 materializes — shared key
+    )
+    sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    # deg and sym feed every iteration: materialize once (deg is also the
+    # vertex set). sym inherits edges' scratch backing; deg is tiny.
+    deg = scratch_materialize(
+        sym.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d")),
+        "q96_deg",
+    )
+    n_v = deg.count()
+    ranks = deg.select(F.col("src").alias("v"), (F.lit(1.0) / F.lit(n_v)).alias("r"))
+    for _ in range(_PR_K):
+        contribs = (
+            sym.join(ranks, sym.src == ranks.v)
+            .join(deg, "src")
+            .select("dst", (F.col("r") / F.col("d")).alias("c"))
+        )
+        ranks = (
+            contribs.groupBy(F.col("dst").alias("v"))
+            .agg(
+                (
+                    F.lit((1 - _PR_D) / n_v) + F.lit(_PR_D) * F.sum("c")
+                ).alias("r")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        ranks.select(
+            F.col("v").cast("long").alias("item_id"), rnd(F.col("r"), 6).alias("pagerank")
+        )
+        .orderBy(F.desc("pagerank"), F.asc("item_id"))
+        .limit(_PR_TOP)
+    )

@@ -169,12 +169,16 @@ def _new_data_dir(path: str) -> tuple[str, str]:
 
 
 def snapshot_write(
-    df: DataFrame, path: str, stats_cols: Sequence[str] = ()
+    df: DataFrame,
+    path: str,
+    stats_cols: Sequence[str] = (),
+    manifest_extra: dict | None = None,
 ) -> int:
     """Overwrite: land a new immutable data dir, then commit. Returns the
     new version. Readers of older versions are unaffected (their files are
     never touched). ``stats_cols`` adds per-file min/max stats to the
-    manifest so later ``snapshot_merge`` calls can prune files."""
+    manifest so later ``snapshot_merge`` calls can prune files;
+    ``manifest_extra`` merges caller metadata into the manifest."""
     rel, full = _new_data_dir(path)
     df.write.mode("error").parquet(full)
     spark = df.sparkSession
@@ -188,6 +192,7 @@ def snapshot_write(
             "files": files,
             "n_rows": n,
             "schema": schema_json,
+            **(manifest_extra or {}),
         }
 
     return _commit(path, build)
@@ -251,6 +256,8 @@ def snapshot_merge(
     path: str,
     key_cols: Sequence[str],
     seq_col: str,
+    delete_col: str | None = None,
+    manifest_extra: dict | None = None,
 ) -> int:
     """Keyed MERGE (upsert) as a new snapshot version, rewriting ONLY the
     files that contain a matched key — Delta-MERGE semantics on the plain-
@@ -262,6 +269,13 @@ def snapshot_merge(
     on a seq tie the INCOMING row wins, which makes replaying an
     already-applied micro-batch a no-op in content (exactly-once replay,
     SURVEY.md T2).
+
+    With ``delete_col`` (Delta ``WHEN MATCHED THEN DELETE`` parity), an
+    incoming row whose flag is true is a TOMBSTONE: if it wins its key's
+    seq race the key is dropped from the table; the flag column itself is
+    never stored. ``manifest_extra`` merges extra metadata keys into the
+    committed manifest (used by incremental maintenance to record the
+    consumed source version).
 
     File pruning, in metadata only (no data read):
       1. per-file min/max stats from the manifest are intersected with the
@@ -276,16 +290,25 @@ def snapshot_merge(
     key_cols = list(key_cols)
     spark = df.sparkSession
     if not snapshot_versions(path):
-        # First version: just dedup the batch per key and write.
+        # First version: dedup the batch per key, drop tombstones, write.
         latest_rows = _latest_per_key(df, key_cols, seq_col)
-        return snapshot_write(latest_rows, path, stats_cols=key_cols)
+        if delete_col is not None:
+            latest_rows = latest_rows.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            ).drop(delete_col)
+        return snapshot_write(
+            latest_rows, path, stats_cols=key_cols, manifest_extra=manifest_extra
+        )
 
     base_version = snapshot_versions(path)[-1]
     cur = _read_manifest(path, base_version)
-    if df.schema.json() != cur["schema"]:
+    stored_schema = (
+        df.drop(delete_col).schema.json() if delete_col is not None else df.schema.json()
+    )
+    if stored_schema != cur["schema"]:
         raise ValueError(
             f"merge schema mismatch at {path}: manifest={cur['schema']} "
-            f"incoming={df.schema.json()}"
+            f"incoming={stored_schema}"
         )
     incoming = _latest_per_key(df, key_cols, seq_col)
 
@@ -329,6 +352,8 @@ def snapshot_merge(
         existing = spark.read.parquet(
             *[os.path.join(path, e["path"]) for e in touched]
         ).withColumn("_src", F.lit(0))
+        if delete_col is not None:
+            existing = existing.withColumn(delete_col, F.lit(False))
     else:
         existing = None
     tagged = incoming.withColumn("_src", F.lit(1))
@@ -343,6 +368,11 @@ def snapshot_merge(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_src")
     )
+    if delete_col is not None:
+        # A winning tombstone removes its key; the flag is never stored.
+        merged = merged.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
     rel, full = _new_data_dir(path)
     merged.write.mode("error").parquet(full)
     new_files, n_new = _scan_file_entries(spark, full, rel, key_cols)
@@ -370,6 +400,7 @@ def snapshot_merge(
             "files": out_files,
             "n_rows": untouched_rows + n_new,
             "schema": cur["schema"],
+            **(manifest_extra or {}),
         }
 
     return _commit(path, build)
@@ -489,6 +520,148 @@ def snapshot_compact(
         }
 
     return _commit(path, build)
+
+
+def _zvalue(df: DataFrame, cols: Sequence[str], bits: int = 8):
+    """Morton (Z-order) key over numeric ``cols`` as ONE JVM-side column.
+
+    Each column is rank-normalized to a ``bits``-wide bucket id via its
+    empirical CDF — split points from ``approxQuantile`` (one
+    Greenwald-Khanna pass, driver receives 2^bits-1 doubles: metadata
+    scale), assignment via an array fold over the broadcast split literals.
+    Equal-depth (not equal-width) buckets make the curve robust to
+    outliers and skewed distributions. No global sort, no window, no
+    per-row Python: the fold is codegen'd shiftleft/or arithmetic.
+    """
+    nb = (1 << bits) - 1
+    ranked = df
+    rank_cols = []
+    for c in cols:
+        probs = [i / (nb + 1) for i in range(1, nb + 1)]
+        splits = df.select(F.col(c).cast("double").alias(c)).approxQuantile(
+            c, probs, 0.001
+        )
+        arr = F.array(*[F.lit(float(s)) for s in splits])
+        rc = f"_zr_{c}"
+        ranked = ranked.withColumn(
+            rc,
+            F.aggregate(
+                arr,
+                F.lit(0).cast("long"),
+                lambda acc, s: acc
+                + F.when(F.col(c).cast("double") >= s, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long"),
+            ),
+        )
+        rank_cols.append(rc)
+    z = F.lit(0).cast("long")
+    for bit in range(bits - 1, -1, -1):
+        for rc in rank_cols:
+            z = F.shiftleft(z, 1).bitwiseOR(
+                F.shiftright(F.col(rc), bit).bitwiseAND(F.lit(1))
+            )
+    return ranked.withColumn("_zval", z), rank_cols
+
+
+def snapshot_zorder(
+    spark: SparkSession,
+    path: str,
+    cols: Sequence[str],
+    target_files: int = 8,
+    bits: int = 8,
+) -> int | None:
+    """OPTIMIZE ZORDER BY: rewrite the latest version clustered along a
+    Morton curve over ``cols`` and commit as a new ``data_change=false``
+    version with per-file min/max stats on those columns.
+
+    A linear sort clusters one column perfectly and the others not at all;
+    the Z-curve gives every listed column locality, so ``snapshot_scan``
+    range predicates on ANY of them skip most files. This is the Delta
+    ``OPTIMIZE ZORDER BY`` maintenance op re-realized on the snapshot
+    protocol (the reference's serving layer replays every active file on
+    each TTL refresh, ``MinioService.cs:71-216`` — clustering + stats
+    pruning is what makes that replay sub-linear at scale).
+
+    Content-identical rewrite: same rows, new layout. Concurrent commits
+    abort with ``ConcurrentSnapshotError`` exactly like ``snapshot_compact``.
+    """
+    versions = snapshot_versions(path)
+    if not versions:
+        return None
+    base_version = versions[-1]
+    cur = _read_manifest(path, base_version)
+    data = snapshot_read(spark, path, base_version)
+    n_rows = cur["n_rows"]
+
+    zdf, helper_cols = _zvalue(data, cols, bits)
+    clustered = (
+        zdf.repartitionByRange(target_files, F.col("_zval"))
+        .sortWithinPartitions("_zval")
+        .drop("_zval", *helper_cols)
+    )
+    rel, full = _new_data_dir(path)
+    clustered.write.mode("error").parquet(full)
+    new_files, n_new = _scan_file_entries(spark, full, rel, sorted(cols))
+    if n_new != n_rows:
+        raise RuntimeError(
+            f"zorder row-count drift at {path}: {n_rows} in, {n_new} out"
+        )
+
+    def build(latest: dict | None, version: int) -> dict:
+        if latest is None or latest["version"] != base_version:
+            raise ConcurrentSnapshotError(
+                f"{path}: version moved {base_version} -> "
+                f"{latest['version'] if latest else None} during zorder; "
+                "re-run against the new state"
+            )
+        return {
+            "data_dirs": _dirs_of(new_files),
+            "files": new_files,
+            "n_rows": n_rows,
+            "schema": cur["schema"],
+            "data_change": False,
+            "clustered_by": list(cols),
+        }
+
+    return _commit(path, build)
+
+
+def snapshot_scan(
+    spark: SparkSession,
+    path: str,
+    predicates: dict[str, tuple] | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Stats-pruned read: open only the files whose manifest min/max stats
+    may contain the requested ``{col: (lo, hi)}`` ranges, then re-apply the
+    predicates exactly. Semantically identical to ``snapshot_read`` +
+    ``filter`` — the manifest stats only decide which files are OPENED
+    (file skipping on plain parquet, the same contract as Delta data
+    skipping). Files without stats for a column are always read.
+    """
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    v = versions[-1] if version is None else version
+    m = _read_manifest(path, v)
+    files = _manifest_files(path, m)
+    predicates = predicates or {}
+    kept = [
+        e
+        for e in files
+        if all(
+            _stats_may_contain(e.get("stats"), c, lo, hi)
+            for c, (lo, hi) in predicates.items()
+        )
+    ]
+    if not files or not kept:
+        base = snapshot_read(spark, path, v).limit(0)
+    else:
+        base = spark.read.parquet(*[os.path.join(path, e["path"]) for e in kept])
+    for c, (lo, hi) in predicates.items():
+        base = base.filter((F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi)))
+    return base
 
 
 def snapshot_changes(
@@ -666,6 +839,115 @@ def snapshot_consume_changes(
         os.replace(tmp, cursor_path)
 
     return changes, latest, commit
+
+
+def snapshot_maintain_aggregate(
+    spark: SparkSession,
+    source_path: str,
+    view_path: str,
+    cursor_path: str,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    key_cols: Sequence[str] = (),
+) -> int | None:
+    """Incrementally maintain a grouped COUNT/SUM materialized view of a
+    snapshot table from its change feed — the engine-level API for the
+    pattern the reference's serving layer approximates with re-read-on-TTL
+    (``MinioService.cs:53-66``): a downstream aggregate that stays current
+    without recomputing over the full source.
+
+    The view is itself a snapshot table at ``view_path`` with schema
+    ``group_cols + n (count) + sum_<c> per sum_cols + _maint_v``. Each call:
+
+    1. pulls the source delta via ``snapshot_consume_changes`` (insert /
+       delete / update pre+post rows),
+    2. folds it to SIGNED per-group contributions (+1 insert/postimage,
+       −1 delete/preimage) — count and sum are self-decrementable, which is
+       why this API offers exactly those (min/max need a recompute on
+       deletes),
+    3. MERGEs only the touched groups into the view, tombstoning groups
+       whose count reaches zero (``delete_col``),
+    4. advances the cursor.
+
+    Exactly-once: the view manifest records ``source_version``; a crash
+    between view commit and cursor commit is healed on the next call by
+    fast-forwarding the cursor without re-applying (the at-least-once
+    replay of ``snapshot_consume_changes`` made idempotent). Scale: the
+    delta shuffle is O(changed rows), the merge rewrites only files holding
+    touched groups (stats-pruned), and the view never sees the full source.
+
+    Returns the new view version, or None when already caught up.
+    """
+    group_cols = list(group_cols)
+    sum_cols = list(sum_cols)
+    changes, to_v, commit = snapshot_consume_changes(
+        spark, source_path, cursor_path, key_cols
+    )
+
+    view_exists = bool(snapshot_versions(view_path))
+    if view_exists:
+        applied = _latest_manifest(view_path).get("source_version", -1)
+        if applied >= to_v:
+            commit()  # crash-recovery fast-forward: view already has this
+            return None
+
+    sign = (
+        F.when(F.col("_change_type").isin("insert", "update_postimage"), F.lit(1))
+        .when(F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    aggs = [F.sum(sign).cast("long").alias("_d_n")]
+    for c in sum_cols:
+        aggs.append(F.sum(sign * F.col(c)).alias(f"_d_sum_{c}"))
+    delta = changes.groupBy(*group_cols).agg(*aggs)
+
+    if not view_exists:
+        init = delta.filter(F.col("_d_n") > 0).select(
+            *group_cols,
+            F.col("_d_n").alias("n"),
+            *[F.col(f"_d_sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+            F.lit(to_v).cast("long").alias("_maint_v"),
+        )
+        v = snapshot_write(
+            init,
+            view_path,
+            stats_cols=group_cols,
+            manifest_extra={"source_version": to_v},
+        )
+        commit()
+        return v
+    if len(changes.take(1)) == 0:
+        commit()
+        return None
+
+    current = snapshot_read(spark, view_path).select(
+        *group_cols, "n", *[f"sum_{c}" for c in sum_cols]
+    )
+    joined = delta.join(current, group_cols, "left")
+    new_n = F.coalesce(F.col("n"), F.lit(0)) + F.col("_d_n")
+    upsert = joined.select(
+        *group_cols,
+        new_n.alias("n"),
+        *[
+            (
+                F.coalesce(F.col(f"sum_{c}"), F.lit(0))
+                + F.col(f"_d_sum_{c}")
+            ).alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+        F.lit(to_v).cast("long").alias("_maint_v"),
+        (new_n == 0).alias("_tomb"),
+    )
+    v = snapshot_merge(
+        upsert,
+        view_path,
+        key_cols=group_cols,
+        seq_col="_maint_v",
+        delete_col="_tomb",
+        manifest_extra={"source_version": to_v},
+    )
+    commit()
+    return v
 
 
 def snapshot_rollback(path: str, version: int) -> int:

@@ -202,3 +202,35 @@ def test_q92_broadcasts_all_dims(spark, sf_dir):
     p = _plan(spark, sf_dir, "q92_volume_shipping")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_plan_audit_counts_and_smells(spark, sf_dir):
+    """plans/audit.py: the audit must agree with the plan-asserted facts
+    (q68 = exactly one shuffle; the catalog has no cartesians or
+    row-at-a-time Python) and flag a genuine cartesian."""
+    from music_recommendation_service_spark.plans import registry
+    from music_recommendation_service_spark.plans.audit import (
+        format_audit,
+        plan_audit,
+    )
+
+    reg = registry()
+    a68 = plan_audit(reg["q68_dataset_split"].build(spark, sf_dir))
+    assert a68["shuffle_exchanges"] == 1
+    assert a68["joins"]["cartesian"] == 0
+    assert a68["python_row_at_a_time"] == 0
+
+    a05 = plan_audit(reg["q05_hybrid_recommendations"].build(spark, sf_dir))
+    assert a05["joins"]["cartesian"] == 0
+    assert a05["joins"]["broadcast_hash"] >= 5
+    assert a05["window_group_limits"] >= 1
+    assert "no plan smells" in format_audit(a05) or a05["smells"]
+
+    bad = spark.range(100).crossJoin(
+        spark.range(100).withColumnRenamed("id", "id2")
+    )
+    a_bad = plan_audit(bad)
+    assert (
+        a_bad["joins"]["cartesian"] + a_bad["joins"]["broadcast_nested_loop"]
+        >= 1
+    )

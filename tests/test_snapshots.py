@@ -794,3 +794,272 @@ def test_snapshot_changes_match_model(tmp_path_factory, batches):
                 want[(k, "update_preimage")] = [m1[k]]
                 want[(k, "update_postimage")] = [m2[k]]
         assert got == want, (v1, v2)
+
+
+def test_snapshot_zorder_clusters_and_scan_prunes(spark, tmp_path):
+    """OPTIMIZE ZORDER BY semantics on the snapshot protocol: a rewrite
+    clustered along a Morton curve over (x, y) gives BOTH columns file
+    locality, so stats-pruned scans on either column open a fraction of
+    the files — which a linear sort can only do for one of them. Content
+    must be identical, the commit data_change=false (CDF-invisible), and
+    snapshot_scan must return exactly snapshot_read + filter."""
+    from music_recommendation_service_spark.sources.snapshots import (
+        _manifest_files,
+        _read_manifest,
+        snapshot_changes,
+        snapshot_read,
+        snapshot_scan,
+        snapshot_versions,
+        snapshot_write,
+        snapshot_zorder,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "ztab")
+    # two independent dimensions, deterministic pseudo-random layout
+    n = 20_000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("rid"),
+            (F.xxhash64(F.col("id")) % 1000).alias("x"),
+            (F.xxhash64(F.col("id"), F.lit(7)) % 1000).alias("y"),
+        )
+    )
+    snapshot_write(df.repartition(16), path, stats_cols=["x", "y"])
+    v0 = snapshot_versions(path)[-1]
+    want = {tuple(r) for r in snapshot_read(spark, path).collect()}
+
+    v1 = snapshot_zorder(spark, path, ["x", "y"], target_files=16)
+    assert v1 == v0 + 1
+    m = _read_manifest(path, v1)
+    assert m["clustered_by"] == ["x", "y"] and m["data_change"] is False
+    n_files = len(_manifest_files(path, m))
+    assert n_files > 4  # pruning claim below is meaningless otherwise
+
+    # identical content, CDF-invisible rewrite
+    assert {tuple(r) for r in snapshot_read(spark, path).collect()} == want
+    assert snapshot_changes(spark, path, v0, v1).count() == 0
+
+    # a ~10% range on EACH clustered column (placed off the median — a
+    # range straddling the top-level curve split legitimately touches both
+    # halves) prunes files; the 2-D conjunction prunes hardest — that is
+    # the property a linear sort cannot give both columns
+    lo, hi = 300, 500
+    for col in ("x", "y"):
+        pruned = snapshot_scan(spark, path, {col: (lo, hi)})
+        opened = {f.rsplit("/", 1)[-1] for f in pruned.inputFiles()}
+        assert len(opened) <= (n_files * 6) // 10, (col, len(opened), n_files)
+        full = snapshot_read(spark, path).filter(
+            (F.col(col) >= lo) & (F.col(col) <= hi)
+        )
+        assert {tuple(r) for r in pruned.collect()} == {
+            tuple(r) for r in full.collect()
+        }
+    both = snapshot_scan(spark, path, {"x": (lo, hi), "y": (lo, hi)})
+    opened = {f.rsplit("/", 1)[-1] for f in both.inputFiles()}
+    assert len(opened) <= n_files // 4, (len(opened), n_files)
+    full2 = snapshot_read(spark, path).filter(
+        (F.col("x").between(lo, hi)) & (F.col("y").between(lo, hi))
+    )
+    assert {tuple(r) for r in both.collect()} == {
+        tuple(r) for r in full2.collect()
+    }
+
+    # empty-range scan: no file may contain it -> 0 rows, schema preserved
+    nothing = snapshot_scan(spark, path, {"x": (10_000, 20_000)})
+    assert nothing.count() == 0
+    assert nothing.columns == ["rid", "x", "y"]
+
+
+def test_snapshot_zorder_concurrent_commit_aborts(spark, tmp_path):
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "zrace")
+    df = spark.range(100).select(
+        F.col("id").alias("x"), (F.col("id") % 7).alias("y")
+    )
+    S.snapshot_write(df, path, stats_cols=["x"])
+
+    real_commit = S._commit
+
+    def racing_commit(p, build):
+        # another writer lands a version right before ours
+        if getattr(racing_commit, "armed", True):
+            racing_commit.armed = False
+            S.snapshot_append(
+                df.limit(1), p, stats_cols=["x"]
+            )
+        return real_commit(p, build)
+
+    import pytest as _pytest
+
+    try:
+        S._commit = racing_commit
+        with _pytest.raises(S.ConcurrentSnapshotError):
+            S.snapshot_zorder(spark, path, ["x", "y"], target_files=2)
+    finally:
+        S._commit = real_commit
+
+
+def test_merge_delete_col_tombstones(spark, tmp_path):
+    """WHEN MATCHED DELETE parity: a winning tombstone removes its key, a
+    losing (stale-seq) tombstone is a no-op, the flag is never stored."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "tomb")
+    S.snapshot_merge(
+        _snap_df(spark, [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")]),
+        path,
+        key_cols=["k"],
+        seq_col="seq",
+    )
+    got = {r["k"]: r["payload"] for r in S.snapshot_read(spark, path).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+
+    batch = spark.createDataFrame(
+        [(1, 1, "x", True), (2, 5, "y", True), (3, 0, "z", True), (4, 5, "d", False)],
+        ["k", "seq", "payload", "_del"],
+    )
+    S.snapshot_merge(batch, path, key_cols=["k"], seq_col="seq", delete_col="_del")
+    got = {r["k"]: r["payload"] for r in S.snapshot_read(spark, path).collect()}
+    # k=1: seq TIE -> incoming tombstone wins -> deleted
+    # k=2: seq 5 beats 1 -> deleted
+    # k=3: STALE tombstone (seq 0 < stored 1) loses -> row survives
+    # k=4: plain insert
+    assert got == {3: "c", 4: "d"}
+    assert "_del" not in S.snapshot_read(spark, path).columns
+
+
+@given(ops=_consumer_ops)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_maintain_aggregate_matches_recompute(tmp_path_factory, ops):
+    """Engine-level incremental view maintenance: the per-payload
+    count+sum(seq) view maintained by snapshot_maintain_aggregate stays
+    EXACTLY equal to a full recompute of the same aggregate across random
+    write/merge/compact/vacuum interleavings with a lagging maintainer."""
+    from pyspark.sql import functions as F
+
+    from music_recommendation_service_spark.session import get_spark
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    spark = get_spark("tests")
+    base = tmp_path_factory.mktemp("maint_model")
+    path, view, cursor = str(base / "tbl"), str(base / "view"), str(base / "cur")
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [(k, s, p) for k, (s, p) in sorted(rows.items())],
+            ["k", "seq", "payload"],
+        )
+
+    def maintain():
+        try:
+            S.snapshot_maintain_aggregate(
+                spark, path, view, cursor,
+                group_cols=["payload"], sum_cols=["seq"], key_cols=["k"],
+            )
+        except S.StaleCursorError:
+            import shutil
+
+            shutil.rmtree(view, ignore_errors=True)
+            os.remove(cursor)
+            S.snapshot_maintain_aggregate(
+                spark, path, view, cursor,
+                group_cols=["payload"], sum_cols=["seq"], key_cols=["k"],
+            )
+
+    def check():
+        want = {
+            (r["payload"], r["n"], r["sum_seq"])
+            for r in S.snapshot_read(spark, path)
+            .groupBy("payload")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("seq").alias("sum_seq"),
+            )
+            .collect()
+        }
+        got = {
+            (r["payload"], r["n"], r["sum_seq"])
+            for r in S.snapshot_read(spark, view)
+            .select("payload", "n", "sum_seq")
+            .collect()
+        }
+        assert got == want
+
+    has_table = False
+    for (op, arg), run_maint in ops:
+        if op == "write":
+            S.snapshot_write(df_of(arg), path, stats_cols=["k"])
+            has_table = True
+        elif op == "merge":
+            S.snapshot_merge(df_of(arg), path, key_cols=["k"], seq_col="seq")
+            has_table = True
+        elif op == "compact" and has_table:
+            S.snapshot_compact(spark, path, small_file_max_rows=1000)
+        elif op == "vacuum" and has_table:
+            S.snapshot_vacuum(path, keep_last=2, orphan_min_age_sec=1e9)
+        if has_table and run_maint:
+            maintain()
+            check()
+    if has_table:
+        maintain()
+        check()
+
+
+def test_maintain_aggregate_crash_recovery(spark, tmp_path, monkeypatch):
+    """A crash between view commit and cursor commit must NOT double-apply:
+    the next call fast-forwards the cursor off the view's recorded
+    source_version."""
+    from pyspark.sql import functions as F
+
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path, view, cursor = (
+        str(tmp_path / "src"),
+        str(tmp_path / "view"),
+        str(tmp_path / "cur"),
+    )
+    S.snapshot_write(_snap_df(spark, [(k, 1, f"p{k % 3}") for k in range(9)]), path, stats_cols=["k"])
+    S.snapshot_maintain_aggregate(
+        spark, path, view, cursor, group_cols=["payload"], sum_cols=["seq"], key_cols=["k"]
+    )
+    S.snapshot_merge(_snap_df(spark, [(100, 7, "p0")]), path, key_cols=["k"], seq_col="seq")
+
+    # simulate the crash: consume succeeds, view commits, cursor does not
+    real = S.snapshot_consume_changes
+
+    def crashing(*a, **kw):
+        ch, v, commit = real(*a, **kw)
+        return ch, v, lambda: None  # cursor never advances
+
+    monkeypatch.setattr(S, "snapshot_consume_changes", crashing)
+    S.snapshot_maintain_aggregate(
+        spark, path, view, cursor, group_cols=["payload"], sum_cols=["seq"], key_cols=["k"]
+    )
+    monkeypatch.setattr(S, "snapshot_consume_changes", real)
+
+    # replayed call: must fast-forward (None), not apply twice
+    assert (
+        S.snapshot_maintain_aggregate(
+            spark, path, view, cursor, group_cols=["payload"], sum_cols=["seq"], key_cols=["k"]
+        )
+        is None
+    )
+    want = {
+        (r["payload"], r["n"], r["sum_seq"])
+        for r in S.snapshot_read(spark, path)
+        .groupBy("payload")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("seq").alias("sum_seq"))
+        .collect()
+    }
+    got = {
+        (r["payload"], r["n"], r["sum_seq"])
+        for r in S.snapshot_read(spark, view).select("payload", "n", "sum_seq").collect()
+    }
+    assert got == want
