@@ -135,3 +135,107 @@ def run_full_pipeline(
         ),
     )
     return out
+
+
+def incremental_file_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    bronze_path: str,
+    ledger_path: str,
+    suffix: str = ".parquet",
+    reader=None,
+    transform=None,
+) -> list[str]:
+    """Incremental landing-zone batch ingest with a processed-file ledger —
+    the reference's weekly-trends DAG dedup
+    (``airflow_dags/dag_weekly_trends_ingestion.py:31-65``: an Airflow
+    Variable holding the processed-file list, new files fanned out per run)
+    re-realized crash-safely on the snapshot protocol.
+
+    Re-running over an overlapping file set ingests each file EXACTLY once:
+
+    1. reconcile: the bronze table's latest manifest carries
+       ``pending_files`` — files whose rows committed to bronze but whose
+       ledger merge may not have landed (the crash window the Airflow
+       Variable pattern leaves open). Merge them into the ledger first
+       (keyed merge: idempotent).
+    2. list ``landing_dir`` for ``suffix`` files not in the ledger.
+    3. append their rows to bronze in ONE job (all new files in a single
+       ``spark.read`` — per-file fan-out like the DAG's dynamic tasks
+       would schedule O(files) jobs at 100 TB), recording the batch as
+       ``pending_files`` in the bronze manifest (same atomic commit as the
+       data).
+    4. merge the batch into the ledger.
+
+    A crash between 3 and 4 is healed by the next run's step 1; a crash
+    inside 3 leaves no committed manifest, so the batch simply re-runs.
+    Rows gain a ``_src_file`` lineage column. ``reader`` overrides the
+    default parquet reader (e.g. CSV with a declared schema — the
+    reference lands CSVs); ``transform`` maps the batch DataFrame before
+    landing (derived columns, quality gate). Returns the file names
+    ingested this run.
+    """
+    import os as _os
+
+    from music_recommendation_service_spark.sources.snapshots import (
+        _latest_manifest,
+        snapshot_append,
+        snapshot_merge,
+        snapshot_versions,
+        snapshot_write,
+    )
+
+    def ledger_merge(names: list[str]) -> None:
+        if not names:
+            return
+        batch = spark.createDataFrame(
+            [(n, 1) for n in sorted(names)], ["file_name", "seq"]
+        )
+        snapshot_merge(batch, ledger_path, key_cols=["file_name"], seq_col="seq")
+
+    # 1. reconcile a possibly-crashed previous run
+    if snapshot_versions(bronze_path):
+        pending = _latest_manifest(bronze_path).get("pending_files", [])
+        ledger_merge(list(pending))
+
+    done: set[str] = set()
+    if snapshot_versions(ledger_path):
+        from music_recommendation_service_spark.sources.snapshots import (
+            snapshot_read,
+        )
+
+        done = {
+            r["file_name"]
+            for r in snapshot_read(spark, ledger_path)
+            .select("file_name")
+            .collect()
+        }
+
+    # 2. the new files (names are the ledger key, as in the DAG)
+    listing = sorted(
+        f
+        for f in _os.listdir(landing_dir)
+        if f.endswith(suffix) and f not in done
+    )
+    if not listing:
+        return []
+
+    # 3. one read over all new files; lineage column via input_file_name
+    paths = [_os.path.join(landing_dir, f) for f in listing]
+    batch = (
+        reader(spark, paths) if reader is not None else spark.read.parquet(*paths)
+    )
+    batch = batch.withColumn(
+        "_src_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    if transform is not None:
+        batch = transform(batch)
+    extra = {"pending_files": listing}
+    if snapshot_versions(bronze_path):
+        snapshot_append(batch, bronze_path, manifest_extra=extra)
+    else:
+        snapshot_write(batch, bronze_path, manifest_extra=extra)
+
+    # 4. ledger commit
+    ledger_merge(listing)
+    return listing

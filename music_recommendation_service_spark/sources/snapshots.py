@@ -199,15 +199,20 @@ def snapshot_write(
 
 
 def snapshot_append(
-    df: DataFrame, path: str, stats_cols: Sequence[str] = ()
+    df: DataFrame,
+    path: str,
+    stats_cols: Sequence[str] = (),
+    manifest_extra: dict | None = None,
 ) -> int:
     """Append as a NEW version: new data dir + manifest carrying the current
     version's files by reference — metadata-only append, no data rewrite.
     Schema must match the current version exactly (S6 strict-append
     contract). On a commit race the loser rebases onto the winner's file
-    list, so concurrent appends both survive."""
+    list, so concurrent appends both survive. ``manifest_extra`` merges
+    caller metadata into the committed manifest (used by the ingest ledger
+    to record its pending-file batch atomically with the data)."""
     if not snapshot_versions(path):
-        return snapshot_write(df, path, stats_cols)
+        return snapshot_write(df, path, stats_cols, manifest_extra=manifest_extra)
     rel, full = _new_data_dir(path)
     df.write.mode("error").parquet(full)
     spark = df.sparkSession
@@ -221,6 +226,7 @@ def snapshot_append(
                 "files": new_files,
                 "n_rows": n,
                 "schema": schema_json,
+                **(manifest_extra or {}),
             }
         if schema_json != latest["schema"]:
             raise ValueError(
@@ -235,6 +241,7 @@ def snapshot_append(
             "files": files,
             "n_rows": base_rows + n,
             "schema": schema_json,
+            **(manifest_extra or {}),
         }
 
     return _commit(path, build)
@@ -536,11 +543,13 @@ def _zvalue(df: DataFrame, cols: Sequence[str], bits: int = 8):
     nb = (1 << bits) - 1
     ranked = df
     rank_cols = []
-    for c in cols:
-        probs = [i / (nb + 1) for i in range(1, nb + 1)]
-        splits = df.select(F.col(c).cast("double").alias(c)).approxQuantile(
-            c, probs, 0.001
-        )
+    probs = [i / (nb + 1) for i in range(1, nb + 1)]
+    # ONE Greenwald-Khanna pass for every clustered column (the
+    # multi-column approxQuantile form) — a per-column loop would scan the
+    # table len(cols) times before the rewrite scan even starts.
+    casted = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    all_splits = casted.approxQuantile(list(cols), probs, 0.001)
+    for c, splits in zip(cols, all_splits):
         arr = F.array(*[F.lit(float(s)) for s in splits])
         rc = f"_zr_{c}"
         ranked = ranked.withColumn(
@@ -692,6 +701,21 @@ def snapshot_changes(
     ``snapshot_merge``-maintained table holds; on an append-built table
     with duplicate keys the per-key reconciliation would multiply rows
     (use the keyless mode there).
+
+    Compaction handling: keyed mode processes ``data_change=false``
+    commits as ordinary file swaps — rows merely carried through an
+    OPTIMIZE land on both sides of the per-key reconciliation with equal
+    payloads and cancel (``eqNullSafe``), so the feed still excludes them,
+    and cancellation stays exact when a later commit rewrites a compacted
+    file. The cost is that a window spanning a compaction reads the
+    compacted file set on both sides (the compaction itself was an
+    O(compacted-set) rewrite, so this does not change the asymptotic
+    cost of the window). Keyless mode skips rewrite commits outright
+    (its contract is append-only tables, where compaction outputs are
+    never removed by later data changes); if a later data-change commit
+    DOES remove a skipped commit's output, the walk falls back to
+    processing every commit, which keeps insert-minus-delete net-exact
+    but emits carried rows as paired insert+delete.
     """
     versions = snapshot_versions(path)
     if from_version not in versions:
@@ -706,35 +730,54 @@ def snapshot_changes(
         )
     m_to = _read_manifest(path, v_to)
     # Walk the commit chain rather than diffing the endpoint manifests:
-    # pure-rewrite commits (snapshot_compact, manifest data_change=false)
-    # swap content-identical files, and Delta CDF excludes such OPTIMIZE
-    # commits from the feed. Skipping their steps here keeps keyless
-    # consumers from seeing the whole compacted set as insert+delete.
-    # (Vacuum only drops a prefix of versions, so the surviving chain
-    # between two surviving versions is always contiguous.)
+    # a file added then later removed inside the window cancels out, and
+    # (keyless mode) pure-rewrite commits (snapshot_compact, manifest
+    # data_change=false) can be skipped the way Delta CDF excludes
+    # OPTIMIZE commits from the feed. (Vacuum only drops a prefix of
+    # versions, so the surviving chain between two surviving versions is
+    # always contiguous.)
     chain = [v for v in versions if from_version <= v <= v_to]
-    added_set: set[str] = set()
-    removed_set: set[str] = set()
-    prev_files = {
-        e["path"] for e in _manifest_files(path, _read_manifest(path, chain[0]))
-    }
-    for v in chain[1:]:
-        m = _read_manifest(path, v)
-        cur_files = {e["path"] for e in _manifest_files(path, m)}
-        if m.get("data_change", True):
+    chain_manifests = [_read_manifest(path, v) for v in chain]
+
+    def walk(skip_rewrites: bool) -> tuple[set[str], set[str]] | None:
+        added_set: set[str] = set()
+        removed_set: set[str] = set()
+        # Files introduced by a skipped rewrite commit carry content that
+        # may duplicate files still sitting in added_set; if a later
+        # data-change commit removes one, pure file algebra double-counts
+        # (the round-4 keyed CDF bug) — signal the caller to re-walk
+        # without skipping, where cancellation is exact.
+        skip_outputs: set[str] = set()
+        prev_files = {e["path"] for e in _manifest_files(path, chain_manifests[0])}
+        for m in chain_manifests[1:]:
+            cur_files = {e["path"] for e in _manifest_files(path, m)}
+            if skip_rewrites and not m.get("data_change", True):
+                skip_outputs |= cur_files - prev_files
+                prev_files = cur_files
+                continue
             for p in cur_files - prev_files:
                 if p in removed_set:
                     removed_set.discard(p)
                 else:
                     added_set.add(p)
             for p in prev_files - cur_files:
+                if p in skip_outputs:
+                    return None  # poison: carried content being removed
                 if p in added_set:
                     added_set.discard(p)
                 else:
                     removed_set.add(p)
-        prev_files = cur_files
-    added = sorted(added_set)
-    removed = sorted(removed_set)
+            prev_files = cur_files
+        return added_set, removed_set
+
+    # Keyed mode never skips: per-key reconciliation cancels carried rows
+    # exactly, including across post-compaction rewrites. Keyless mode
+    # skips for Delta-CDF parity, falling back when the skip is unsound.
+    sets = walk(skip_rewrites=not key_cols)
+    if sets is None:
+        sets = walk(skip_rewrites=False)
+    added = sorted(sets[0])
+    removed = sorted(sets[1])
 
     from pyspark.sql.types import StructType
 
@@ -869,10 +912,14 @@ def snapshot_maintain_aggregate(
        whose count reaches zero (``delete_col``),
     4. advances the cursor.
 
-    Exactly-once: the view manifest records ``source_version``; a crash
-    between view commit and cursor commit is healed on the next call by
-    fast-forwarding the cursor without re-applying (the at-least-once
-    replay of ``snapshot_consume_changes`` made idempotent). Scale: the
+    Exactly-once: the view manifest records ``source_version``, which is
+    the AUTHORITATIVE applied state (the cursor is a hint that commits
+    after the view and can lag behind it across a crash). When the view
+    exists, the delta is computed from the view's recorded version, not
+    the cursor — so a crash between view commit and cursor commit never
+    re-applies the already-folded prefix even if the source advanced
+    before the recovery call (the at-least-once replay of
+    ``snapshot_consume_changes`` made idempotent). Scale: the
     delta shuffle is O(changed rows), the merge rewrites only files holding
     touched groups (stats-pruned), and the view never sees the full source.
 
@@ -890,6 +937,22 @@ def snapshot_maintain_aggregate(
         if applied >= to_v:
             commit()  # crash-recovery fast-forward: view already has this
             return None
+        if applied >= 0:
+            # The cursor may lag the view (crash between view commit and
+            # cursor commit). Consuming the cursor's delta would re-apply
+            # the (cursor, applied] prefix the view already folded in —
+            # silent aggregate corruption once the source has advanced.
+            # The view's recorded source_version is authoritative: consume
+            # exactly the unapplied suffix.
+            if applied not in snapshot_versions(source_path):
+                raise StaleCursorError(
+                    f"{source_path}: view applied version {applied} no "
+                    "longer survives vacuum — re-bootstrap (drop view + "
+                    "cursor, take a fresh initial load)"
+                )
+            changes = snapshot_changes(
+                spark, source_path, applied, to_v, key_cols
+            )
 
     sign = (
         F.when(F.col("_change_type").isin("insert", "update_postimage"), F.lit(1))

@@ -63,6 +63,10 @@ def _unzigzag(n: int) -> int:
 
 
 def encode_long(n: int) -> bytes:
+    if not (-(1 << 63) <= n < (1 << 63)):
+        # The 64-bit mask below would otherwise silently wrap the value;
+        # Avro long is int64, out-of-range input is a caller bug.
+        raise ValueError(f"avro long out of int64 range: {n}")
     z = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
     out = bytearray()
     while True:
@@ -115,6 +119,15 @@ def make_encoder(schema: Any) -> Callable[[Any], bytes]:
     if isinstance(schema, list):  # union
         branch_encoders = [make_encoder(s) for s in schema]
         names = [_branch_name(s) for s in schema]
+        if sum(1 for n in names if n != "null") > 1:
+            # _pick_branch tags any non-null value with the FIRST non-null
+            # branch — with 2+ non-null branches that silently mis-encodes
+            # (an int under ["null","string","long"] would be coerced to
+            # string). Mirror spark_schema_for_avro's explicit contract.
+            raise ValueError(
+                f"unsupported avro union {names}: only 2-branch "
+                "[null, T] unions are supported"
+            )
 
         def enc_union(v: Any) -> bytes:
             idx = _pick_branch(v, names)

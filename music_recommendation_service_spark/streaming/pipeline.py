@@ -230,10 +230,18 @@ def avro_payload(df: DataFrame, json_format_schema: str | None = None) -> DataFr
         spark_avro_on_classpath,
     )
 
-    if json_format_schema is not None and not spark_avro_on_classpath(
-        df.sparkSession
-    ):
-        return avro_payload_py(df, json_format_schema)
+    if not spark_avro_on_classpath(df.sparkSession):
+        if json_format_schema is not None:
+            return avro_payload_py(df, json_format_schema)
+        # The Python to_avro wrapper imports fine without the jar and only
+        # dies at action time with an opaque JVM ClassNotFoundException —
+        # fail here, at call time, with the actual remedy.
+        raise RuntimeError(
+            "avro_payload without a pinned schema needs the spark-avro jar "
+            "on the classpath (schema derivation happens JVM-side); either "
+            "add the jar or pass json_format_schema to use the pure-Python "
+            "codec fallback"
+        )
     from pyspark.sql.avro.functions import to_avro
 
     packed = F.struct(*df.columns)

@@ -90,3 +90,104 @@ def test_resize_image_is_stubbed():
 
     with pytest.raises((NotImplementedError, Exception)):
         resize_image(b"not-an-image", 64, 64)
+
+
+def test_pure_python_codecs_roundtrip():
+    """PPM/BMP/WAV decode on hand-constructed real bytes — no libraries."""
+    import struct
+
+    import numpy as np
+
+    from music_recommendation_service_spark.operators import multimodal as M
+
+    # PPM roundtrip (with a header comment)
+    arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    ppm = b"P6\n# a comment\n3 2\n255\n" + arr.tobytes()
+    w, h, got = M.decode_ppm(ppm)
+    assert (w, h) == (3, 2) and (got == arr).all()
+    assert M.decode_ppm(M.encode_ppm(arr))[2].tolist() == arr.tolist()
+    assert M.sniff_media(ppm) == "ppm"
+
+    # BMP: 2x2 24bpp bottom-up, stride padded to 8; known pixel colors
+    px = {  # (x, y, top-down) -> RGB
+        (0, 0): (255, 0, 0), (1, 0): (0, 255, 0),
+        (0, 1): (0, 0, 255), (1, 1): (255, 255, 255),
+    }
+    stride = 8
+    raster = bytearray(stride * 2)
+    for (x, y), (r, g, b) in px.items():
+        row = 1 - y  # bottom-up
+        raster[row * stride + x * 3 : row * stride + x * 3 + 3] = bytes([b, g, r])
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(raster), 0, 0, 0, 0)
+        + bytes(raster)
+    )
+    w, h, got = M.decode_bmp(bmp)
+    assert (w, h) == (2, 2)
+    for (x, y), rgb in px.items():
+        assert tuple(got[y, x]) == rgb
+    assert M.sniff_media(bmp) == "bmp"
+
+    # WAV PCM16 roundtrip
+    samples = (np.sin(np.linspace(0, 40 * np.pi, 800)) * 20000).astype("<i2")
+    wav = M.encode_wav(8000, samples)
+    rate, n_ch, got = M.decode_wav(wav)
+    assert (rate, n_ch) == (8000, 1) and (got == samples).all()
+    assert M.sniff_media(wav) == "wav"
+
+    # resize: nearest-neighbor on a 4x4 checkerboard down to 2x2
+    board = np.zeros((4, 4, 3), dtype=np.uint8)
+    board[::2, ::2] = 255
+    board[1::2, 1::2] = 255
+    small = M.resize_nearest(board, 2, 2)
+    assert small.shape == (2, 2, 3)
+    assert tuple(small[0, 0]) == (255, 255, 255)
+
+
+def test_real_media_e2e_through_spark_stages(spark):
+    """Producer -> decode -> feature/resize E2E over REAL bytes through the
+    actual mapInPandas stages: PPM and WAV payloads get real decoded
+    features; a synthetic (text) payload in the same frame still takes the
+    md5 fake path — the oracle contract is untouched."""
+    import numpy as np
+
+    from music_recommendation_service_spark.operators import multimodal as M
+
+    img = np.zeros((8, 6, 3), dtype=np.uint8)
+    img[..., 0] = 200  # constant red
+    ppm = M.encode_ppm(img)
+    wav = M.encode_wav(16000, (np.ones(1600) * 1000).astype("<i2"))
+    text = b"plain text payload"
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(ppm), {"duration_ms": 1000, "n_chars": 0, "codec": "ppm"}),
+            (2, "audio", bytearray(wav), {"duration_ms": 1000, "n_chars": 0, "codec": "wav"}),
+            (3, "image", bytearray(text), {"duration_ms": 1000, "n_chars": 18, "codec": "txt"}),
+        ],
+        "media_id: long, kind: string, payload: binary, "
+        "meta: struct<duration_ms: int, n_chars: int, codec: string>",
+    )
+
+    feats = {r["media_id"]: r["feature"] for r in M.featurize_media(media).collect()}
+    # image: [w, h, mean_luma/255, std/255]; constant red => luma = .299*200
+    assert feats[1][0] == 6.0 and feats[1][1] == 8.0
+    assert abs(feats[1][2] - (0.299 * 200) / 255.0) < 1e-9
+    # audio: [rate, n_frames, rms/32768, zcr]; constant 1000 => rms=1000, zcr=0
+    assert feats[2][0] == 16000.0 and feats[2][1] == 1600.0
+    assert abs(feats[2][2] - 1000.0 / 32768.0) < 1e-9 and feats[2][3] == 0.0
+    # synthetic payload: md5 fake unchanged
+    assert feats[3] == M.fake_decode_features(text)
+
+    rs = {r["media_id"]: r for r in M.resize_media(media).collect()}
+    # real image: true dims, thumbnail is a real PPM of the resized pixels
+    assert (rs[1]["src_w"], rs[1]["src_h"]) == (6, 8)
+    tw, th, tarr = M.decode_ppm(bytes(rs[1]["thumb"]))
+    assert (tw, th) == (64, 64)
+    assert (tarr[..., 0] == 200).all() and (tarr[..., 1] == 0).all()
+    # synthetic image payload: fake dims + md5 thumb stand-in
+    import hashlib as _hl
+
+    assert (rs[3]["src_w"], rs[3]["src_h"]) == M.fake_decode_dims(text)
+    assert bytes(rs[3]["thumb"]) == _hl.md5(text).digest()
