@@ -342,3 +342,70 @@ def _register_q48():
 
 
 _register_q48()
+
+
+# ---------------------------------------------------------------------------
+# q98 — EXACT-SUBSTRING duplication detection (the "exact substring dedup"
+# signal of LLM training-data pipelines: memorization-prone passages are
+# character spans repeated verbatim ACROSS documents, which document-level
+# near-dup metrics miss entirely).
+#
+# Every L-char window of every document is fingerprinted and grouped; a
+# fingerprint seen in >= 2 distinct documents is a duplicated passage.
+# Suffix-array implementations find maximal repeats; the fixed-L windowed
+# formulation is the shuffle-friendly equivalent (a repeat of length
+# >= L is detected by every one of its L-windows, so recall for passages
+# >= L is exact) and is what a Spark pipeline would run at scale.
+#
+# Scale design: the explode is a narrow map (no shuffle); the GROUP BY key
+# is the 16-bit-capped engine-portable hash of the window plus the window
+# TEXT itself to make collisions harmless (hash routes the shuffle, the
+# gram disambiguates inside a group at zero extra passes — at 100 TB you'd
+# widen the fingerprint to 64/128 bits and drop the raw gram from the
+# shuffle entirely, trading a ~1e-19 collision rate for L× less shuffle
+# volume; the semantics are otherwise identical). The corpus re-injects
+# the q26 20% duplicate set so repeated passages exist at every SF.
+# ---------------------------------------------------------------------------
+_SUBSTR_L = 24
+
+
+def _q98(d: dict) -> str:
+    n_windows = f"greatest(length(text) - {_SUBSTR_L - 1}, 0)"
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    windows AS (
+        SELECT doc_id,
+               {d['explode'](d['seq']('1', n_windows), 'i')},
+               text
+        FROM corpus
+    ),
+    grams AS (
+        SELECT doc_id,
+               substring(text, i, {_SUBSTR_L}) AS gram,
+               {hash16_sql(f"substring(text, i, {_SUBSTR_L})")} AS fp
+        FROM windows
+    )
+    SELECT CAST(fp AS BIGINT)                   AS fingerprint,
+           gram,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT)               AS n_occurrences
+    FROM grams
+    GROUP BY fp, gram
+    HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY n_occurrences DESC, n_docs DESC, gram
+    LIMIT 100
+    """
+
+
+register_sql(
+    "q98_substring_dupes",
+    _q98,
+    ("documents",),
+    doc=f"Exact {_SUBSTR_L}-char substring duplication across documents "
+    "(fingerprint-grouped windows; top repeated passages).",
+    tags=("dedup", "substring", "llm-pipeline"),
+)

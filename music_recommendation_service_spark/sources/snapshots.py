@@ -978,6 +978,7 @@ def snapshot_maintain_aggregate(
     group_cols: Sequence[str],
     sum_cols: Sequence[str] = (),
     key_cols: Sequence[str] = (),
+    minmax_cols: Sequence[str] = (),
 ) -> int | None:
     """Incrementally maintain a grouped COUNT/SUM materialized view of a
     snapshot table from its change feed — the engine-level API for the
@@ -986,17 +987,24 @@ def snapshot_maintain_aggregate(
     without recomputing over the full source.
 
     The view is itself a snapshot table at ``view_path`` with schema
-    ``group_cols + n (count) + sum_<c> per sum_cols + _maint_v``. Each call:
+    ``group_cols + n (count) + sum_<c> per sum_cols + min_<c>/max_<c> per
+    minmax_cols + _maint_v``. Each call:
 
     1. pulls the source delta via ``snapshot_consume_changes`` (insert /
        delete / update pre+post rows),
     2. folds it to SIGNED per-group contributions (+1 insert/postimage,
-       −1 delete/preimage) — count and sum are self-decrementable, which is
-       why this API offers exactly those (min/max need a recompute on
-       deletes),
-    3. MERGEs only the touched groups into the view, tombstoning groups
+       −1 delete/preimage) — count and sum are self-decrementable,
+    3. for ``minmax_cols`` (NOT self-decrementable): groups whose delta is
+       insert-only fold as ``least/greatest(old, incoming-min/max)``;
+       groups touched by any delete/preimage get a TARGETED recompute —
+       one pass over the source semi-joined (broadcast) to exactly those
+       group keys, so the cost is O(source rows in deleted-from groups),
+       never O(view) and never a full re-aggregation of untouched groups.
+       (With ``stats_cols=group_cols`` on the source the semi-join scan
+       additionally prunes whole files by manifest min/max.)
+    4. MERGEs only the touched groups into the view, tombstoning groups
        whose count reaches zero (``delete_col``),
-    4. advances the cursor.
+    5. advances the cursor.
 
     Exactly-once: the view manifest records ``source_version``, which is
     the AUTHORITATIVE applied state (the cursor is a hint that commits
@@ -1013,6 +1021,7 @@ def snapshot_maintain_aggregate(
     """
     group_cols = list(group_cols)
     sum_cols = list(sum_cols)
+    minmax_cols = list(minmax_cols)
     changes, to_v, commit = snapshot_consume_changes(
         spark, source_path, cursor_path, key_cols
     )
@@ -1045,16 +1054,59 @@ def snapshot_maintain_aggregate(
         .when(F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1))
         .otherwise(F.lit(0))
     )
+    is_add = F.col("_change_type").isin("insert", "update_postimage")
+    is_del = F.col("_change_type").isin("delete", "update_preimage")
     aggs = [F.sum(sign).cast("long").alias("_d_n")]
     for c in sum_cols:
         aggs.append(F.sum(sign * F.col(c)).alias(f"_d_sum_{c}"))
+    for c in minmax_cols:
+        aggs.append(F.min(F.when(is_add, F.col(c))).alias(f"_ins_min_{c}"))
+        aggs.append(F.max(F.when(is_add, F.col(c))).alias(f"_ins_max_{c}"))
+    if minmax_cols:
+        aggs.append(
+            F.max(F.when(is_del, F.lit(True)).otherwise(F.lit(False))).alias(
+                "_has_del"
+            )
+        )
     delta = changes.groupBy(*group_cols).agg(*aggs)
+
+    if minmax_cols:
+        # Targeted recompute for groups that lost rows: min/max are not
+        # self-decrementable, so re-aggregate exactly those groups from the
+        # CURRENT source (broadcast semi-join on the touched group keys).
+        del_groups = delta.filter(F.col("_has_del")).select(*group_cols)
+        recomputed = (
+            snapshot_read(spark, source_path)
+            .join(F.broadcast(del_groups), group_cols, "semi")
+            .groupBy(*group_cols)
+            .agg(
+                *[F.min(c).alias(f"_rc_min_{c}") for c in minmax_cols],
+                *[F.max(c).alias(f"_rc_max_{c}") for c in minmax_cols],
+            )
+        )
+        delta = delta.join(F.broadcast(recomputed), group_cols, "left")
+
+    # Per-group min/max: a recomputed value (groups that lost rows) wins;
+    # otherwise fold the incoming inserts against the stored value.
+    def minmax_out(mc: str, stored_min=None, stored_max=None) -> list:
+        rc_min, rc_max = F.col(f"_rc_min_{mc}"), F.col(f"_rc_max_{mc}")
+        ins_min, ins_max = F.col(f"_ins_min_{mc}"), F.col(f"_ins_max_{mc}")
+        if stored_min is None:
+            new_min, new_max = ins_min, ins_max
+        else:
+            new_min = F.least(stored_min, ins_min)
+            new_max = F.greatest(stored_max, ins_max)
+        return [
+            F.coalesce(rc_min, new_min).alias(f"min_{mc}"),
+            F.coalesce(rc_max, new_max).alias(f"max_{mc}"),
+        ]
 
     if not view_exists:
         init = delta.filter(F.col("_d_n") > 0).select(
             *group_cols,
             F.col("_d_n").alias("n"),
             *[F.col(f"_d_sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+            *[c for mc in minmax_cols for c in minmax_out(mc)],
             F.lit(to_v).cast("long").alias("_maint_v"),
         )
         v = snapshot_write(
@@ -1070,7 +1122,10 @@ def snapshot_maintain_aggregate(
         return None
 
     current = snapshot_read(spark, view_path).select(
-        *group_cols, "n", *[f"sum_{c}" for c in sum_cols]
+        *group_cols,
+        "n",
+        *[f"sum_{c}" for c in sum_cols],
+        *[c for mc in minmax_cols for c in (f"min_{mc}", f"max_{mc}")],
     )
     joined = delta.join(current, group_cols, "left")
     new_n = F.coalesce(F.col("n"), F.lit(0)) + F.col("_d_n")
@@ -1083,6 +1138,11 @@ def snapshot_maintain_aggregate(
                 + F.col(f"_d_sum_{c}")
             ).alias(f"sum_{c}")
             for c in sum_cols
+        ],
+        *[
+            c
+            for mc in minmax_cols
+            for c in minmax_out(mc, F.col(f"min_{mc}"), F.col(f"max_{mc}"))
         ],
         F.lit(to_v).cast("long").alias("_maint_v"),
         (new_n == 0).alias("_tomb"),

@@ -35,13 +35,23 @@ def main() -> int:
     import __spark_entry__ as E
     from tests.oracle import _canon, duck_run
 
-    spark = (
-        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', 8)}]")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", "32")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    def make_session():
+        # The driver contract itself is vanilla; the artifact sweep adds
+        # driver memory because it COLLECTS full result sets (q02 at sf0.1
+        # is 1.2M rows) — the default 1g driver dies mid-sweep otherwise.
+        s = (
+            SparkSession.builder.master(
+                f"local[{os.environ.get('SPARK_GRAFT_CPUS', 8)}]"
+            )
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.driver.memory", os.environ.get("SWEEP_DRIVER_MEM", "12g"))
+            .getOrCreate()
+        )
+        s.sparkContext.setLogLevel("ERROR")
+        return s
+
+    spark = make_session()
 
     queries = E.queries()
     oracles = E.oracle_sql()
@@ -87,6 +97,13 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — sweep must survive one bad query
             rec["err"] = f"{type(e).__name__}: {e}"[:500]
             n_bad += 1
+            if "ConnectionRefused" in rec["err"] or "Py4JNetworkError" in rec["err"]:
+                # the JVM died (OOM on a collect): restart and keep sweeping
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
+                spark = make_session()
         results[name] = rec
         flag = "OK" if rec["hash_match"] else "FAIL"
         print(

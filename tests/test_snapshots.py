@@ -982,37 +982,37 @@ def test_maintain_aggregate_matches_recompute(tmp_path_factory, ops):
     path, view, cursor = str(base / "tbl"), str(base / "view"), str(base / "cur")
 
     def maintain():
+        kw = dict(
+            group_cols=["payload"], sum_cols=["seq"], key_cols=["k"],
+            minmax_cols=["seq"],
+        )
         try:
-            S.snapshot_maintain_aggregate(
-                spark, path, view, cursor,
-                group_cols=["payload"], sum_cols=["seq"], key_cols=["k"],
-            )
+            S.snapshot_maintain_aggregate(spark, path, view, cursor, **kw)
         except S.StaleCursorError:
             import shutil
 
             shutil.rmtree(view, ignore_errors=True)
             if os.path.exists(cursor):
                 os.remove(cursor)
-            S.snapshot_maintain_aggregate(
-                spark, path, view, cursor,
-                group_cols=["payload"], sum_cols=["seq"], key_cols=["k"],
-            )
+            S.snapshot_maintain_aggregate(spark, path, view, cursor, **kw)
 
     def check():
         want = {
-            (r["payload"], r["n"], r["sum_seq"])
+            (r["payload"], r["n"], r["sum_seq"], r["min_seq"], r["max_seq"])
             for r in S.snapshot_read(spark, path)
             .groupBy("payload")
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum("seq").alias("sum_seq"),
+                F.min("seq").alias("min_seq"),
+                F.max("seq").alias("max_seq"),
             )
             .collect()
         }
         got = {
-            (r["payload"], r["n"], r["sum_seq"])
+            (r["payload"], r["n"], r["sum_seq"], r["min_seq"], r["max_seq"])
             for r in S.snapshot_read(spark, view)
-            .select("payload", "n", "sum_seq")
+            .select("payload", "n", "sum_seq", "min_seq", "max_seq")
             .collect()
         }
         assert got == want
@@ -1286,3 +1286,52 @@ def test_maintain_aggregate_crash_recovery_with_advance(spark, tmp_path, monkeyp
         for r in S.snapshot_read(spark, view).select("payload", "n", "sum_seq").collect()
     }
     assert got == want
+
+
+def test_maintain_aggregate_minmax_paths(spark, tmp_path):
+    """min/max maintenance: inserts fold as least/greatest against the
+    stored value (no source scan needed); a delete in a group triggers the
+    targeted recompute and yields the exact new extremum; a group whose
+    rows all vanish is tombstoned."""
+    from pyspark.sql import functions as F
+
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path, view, cursor = (
+        str(tmp_path / "src"),
+        str(tmp_path / "view"),
+        str(tmp_path / "cur"),
+    )
+    kw = dict(group_cols=["payload"], sum_cols=[], key_cols=["k"], minmax_cols=["seq"])
+
+    def view_rows():
+        return {
+            r["payload"]: (r["n"], r["min_seq"], r["max_seq"])
+            for r in S.snapshot_read(spark, view).collect()
+        }
+
+    S.snapshot_merge(
+        _snap_df(spark, [(1, 5, "a"), (2, 9, "a"), (3, 7, "b")]),
+        path, key_cols=["k"], seq_col="seq",
+    )
+    S.snapshot_maintain_aggregate(spark, path, view, cursor, **kw)
+    assert view_rows() == {"a": (2, 5, 9), "b": (1, 7, 7)}
+
+    # insert-only delta: fold, no recompute needed (new max for a)
+    S.snapshot_merge(_snap_df(spark, [(4, 11, "a")]), path, key_cols=["k"], seq_col="seq")
+    S.snapshot_maintain_aggregate(spark, path, view, cursor, **kw)
+    assert view_rows() == {"a": (3, 5, 11), "b": (1, 7, 7)}
+
+    # delete the CURRENT max of group a (k=4 seq 11 -> tombstone with higher seq)
+    S.snapshot_merge(
+        spark.createDataFrame([(4, 12, "a", True)], ["k", "seq", "payload", "_del"]),
+        path, key_cols=["k"], seq_col="seq", delete_col="_del",
+    )
+    S.snapshot_maintain_aggregate(spark, path, view, cursor, **kw)
+    assert view_rows() == {"a": (2, 5, 9), "b": (1, 7, 7)}
+
+    # update group-b's only row to a new payload: b empties -> tombstoned,
+    # c appears
+    S.snapshot_merge(_snap_df(spark, [(3, 8, "c")]), path, key_cols=["k"], seq_col="seq")
+    S.snapshot_maintain_aggregate(spark, path, view, cursor, **kw)
+    assert view_rows() == {"a": (2, 5, 9), "c": (1, 8, 8)}
