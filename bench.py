@@ -27,12 +27,15 @@ Noise calibration
 -----------------
 This host exhibits multi-minute co-tenant bursts that inflate EVERY query
 in a sweep ~uniformly (observed: a whole sweep at ~10x, adjacent sweeps
-nominal). Before each sweep the harness times one fixed JVM-side probe
-(hash-agg over ``spark.range``, no I/O, no Python); ``calibration`` lists
-those probe times and ``noise_factor`` their ratio to the best sweep. A
-sweep whose factor is >>1 was measured during a burst — read its
-timings accordingly. Cold is a single unavoidable sample; its sweep's
-factor says how much to trust it.
+nominal). Before AND after each sweep the harness times one fixed
+JVM-side probe (hash-agg over ``spark.range``, no I/O, no Python);
+``calibration``/``calibration_post`` list those probe times and
+``noise_factor`` takes the WORSE of each sweep's two brackets over the
+best probe — a burst that starts mid-sweep (observed: clean pre-probe,
+one query at ~10x) is caught by the post bracket. A sweep whose factor
+is >>1 was measured during a burst — read its timings accordingly. Cold
+is a single unavoidable sample; its sweep's factor says how much to
+trust it.
 """
 
 from __future__ import annotations
@@ -46,7 +49,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
 
 
 def main() -> None:
@@ -79,12 +82,17 @@ def main() -> None:
     calibrate()  # JIT warm for the probe itself
     runs: dict[str, list[float]] = {name: [] for name in bench_queries}
     calibration: list[float] = []
+    calibration_post: list[float] = []
     for _ in range(N_RUNS):
         calibration.append(calibrate())
         for name, q in bench_queries.items():
             t0 = time.perf_counter()
             q.build(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             runs[name].append(round(time.perf_counter() - t0, 3))
+        # a burst can START mid-sweep and be invisible to the pre-probe
+        # (observed: one sweep's q27 at ~10x with a clean pre-probe);
+        # the post-probe brackets each sweep from both sides.
+        calibration_post.append(calibrate())
 
     cold = {name: r[0] for name, r in runs.items()}
     warm_min = {name: round(min(r[1:] or r), 3) for name, r in runs.items()}
@@ -101,8 +109,10 @@ def main() -> None:
                 "value_cold": round(sum(cold.values()), 3),
                 "runs": runs,
                 "calibration": calibration,
+                "calibration_post": calibration_post,
                 "noise_factor": [
-                    round(c / min(calibration), 2) for c in calibration
+                    round(max(pre, post) / min(calibration + calibration_post), 2)
+                    for pre, post in zip(calibration, calibration_post)
                 ],
                 "n_runs": N_RUNS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
