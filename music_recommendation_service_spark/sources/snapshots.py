@@ -227,6 +227,22 @@ def _scan_file_entries(
     return entries, total
 
 
+def _read_declared(
+    spark: SparkSession, m: dict, paths: list[str]
+) -> DataFrame:
+    """Read data files under the MANIFEST's declared schema, not the file
+    footers' — after ``snapshot_add_columns`` a version legitimately mixes
+    files written before and after the widening; the declared read
+    null-fills the missing columns (Delta schema-evolution read semantics).
+    Falls back to footer inference for legacy manifests without a schema."""
+    from pyspark.sql.types import StructType
+
+    if "schema" in m:
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        return spark.read.schema(schema).parquet(*paths)
+    return spark.read.parquet(*paths)
+
+
 def _dirs_of(files: list[dict]) -> list[str]:
     return sorted({e["path"].rsplit("/", 1)[0] for e in files})
 
@@ -430,7 +446,7 @@ def snapshot_merge(
     if candidates:
         cand_full = [os.path.join(path, e["path"]) for e in candidates]
         hits = (
-            spark.read.parquet(*cand_full)
+            _read_declared(spark, cur, cand_full)
             .select(*key_cols, F.input_file_name().alias("_file"))
             .join(F.broadcast(incoming.select(*key_cols).distinct()), key_cols)
             .select(F.element_at(F.split("_file", "/"), -1).alias("_f"))
@@ -446,8 +462,8 @@ def snapshot_merge(
 
     # --- rewrite: touched rows ⊎ incoming, keep highest seq per key ------
     if touched:
-        existing = spark.read.parquet(
-            *[os.path.join(path, e["path"]) for e in touched]
+        existing = _read_declared(
+            spark, cur, [os.path.join(path, e["path"]) for e in touched]
         ).withColumn("_src", F.lit(0))
         if delete_col is not None:
             existing = existing.withColumn(delete_col, F.lit(False))
@@ -476,8 +492,9 @@ def snapshot_merge(
 
     if any(e["rows"] is None for e in untouched):
         untouched_rows = (
-            spark.read.parquet(*[os.path.join(path, e["path"]) for e in untouched])
-            .count()
+            _read_declared(
+                spark, cur, [os.path.join(path, e["path"]) for e in untouched]
+            ).count()
             if untouched
             else 0
         )
@@ -534,10 +551,12 @@ def snapshot_read(
             return spark.createDataFrame(
                 [], schema=StructType.fromJson(json.loads(m["schema"]))
             )
-        return spark.read.parquet(
-            *[os.path.join(path, e["path"]) for e in m["files"]]
+        return _read_declared(
+            spark, m, [os.path.join(path, e["path"]) for e in m["files"]]
         )
-    return spark.read.parquet(*[os.path.join(path, d) for d in m["data_dirs"]])
+    return _read_declared(
+        spark, m, [os.path.join(path, d) for d in m["data_dirs"]]
+    )
 
 
 def snapshot_compact(
@@ -585,8 +604,8 @@ def snapshot_compact(
     stats_cols = sorted(
         {c for e in small if e.get("stats") for c in e["stats"]}
     )
-    folded = spark.read.parquet(
-        *[os.path.join(path, e["path"]) for e in small]
+    folded = _read_declared(
+        spark, cur, [os.path.join(path, e["path"]) for e in small]
     ).coalesce(n_out)
     rel, full = _new_data_dir(path)
     folded.write.mode("error").parquet(full)
@@ -757,7 +776,9 @@ def snapshot_scan(
     if not files or not kept:
         base = snapshot_read(spark, path, v).limit(0)
     else:
-        base = spark.read.parquet(*[os.path.join(path, e["path"]) for e in kept])
+        base = _read_declared(
+            spark, m, [os.path.join(path, e["path"]) for e in kept]
+        )
     for c, (lo, hi) in predicates.items():
         base = base.filter((F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi)))
     return base
@@ -876,7 +897,9 @@ def snapshot_changes(
     def read_files(rel_paths: list[str]) -> DataFrame:
         if not rel_paths:
             return spark.createDataFrame([], schema=schema)
-        return spark.read.parquet(*[os.path.join(path, p) for p in rel_paths])
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(path, p) for p in rel_paths]
+        )
 
     new_rows = read_files(added)
     old_rows = read_files(removed)
@@ -1157,6 +1180,50 @@ def snapshot_maintain_aggregate(
     )
     commit()
     return v
+
+
+def snapshot_add_columns(path: str, new_fields) -> int:
+    """Schema evolution, Delta ``ADD COLUMNS`` parity: commit a NEW version
+    whose manifest carries the WIDENED schema over the SAME files — a pure
+    metadata commit (``data_change=false``; zero bytes rewritten at any
+    table size). Readers of the new version see the added columns as NULL
+    for pre-existing rows because every data read goes through the
+    manifest's declared schema (``_read_declared``); time travel to older
+    versions still shows the old schema. Appends/merges after the widening
+    must present the new schema — the strict check is unchanged, it just
+    compares against the evolved manifest.
+
+    ``new_fields`` is a list of ``pyspark.sql.types.StructField`` (or a
+    StructType) to append. Adding a field that already exists raises.
+    """
+    from pyspark.sql.types import StructType
+
+    fields = list(new_fields.fields if isinstance(new_fields, StructType) else new_fields)
+    if not fields:
+        raise ValueError("snapshot_add_columns: no fields given")
+
+    def build(latest: dict | None, _version: int) -> dict:
+        if latest is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        schema = StructType.fromJson(json.loads(latest["schema"]))
+        existing = set(schema.fieldNames())
+        for f in fields:
+            if f.name in existing:
+                raise ValueError(
+                    f"snapshot_add_columns: column {f.name!r} already exists"
+                )
+            schema = schema.add(f)
+        out = {
+            "data_dirs": latest["data_dirs"],
+            "n_rows": latest["n_rows"],
+            "schema": schema.json(),
+            "data_change": False,
+        }
+        if "files" in latest:
+            out["files"] = latest["files"]
+        return out
+
+    return _commit(path, build)
 
 
 def snapshot_rollback(path: str, version: int) -> int:

@@ -1335,3 +1335,56 @@ def test_maintain_aggregate_minmax_paths(spark, tmp_path):
     S.snapshot_merge(_snap_df(spark, [(3, 8, "c")]), path, key_cols=["k"], seq_col="seq")
     S.snapshot_maintain_aggregate(spark, path, view, cursor, **kw)
     assert view_rows() == {"a": (2, 5, 9), "c": (1, 8, 8)}
+
+
+def test_snapshot_add_columns_schema_evolution(spark, tmp_path):
+    """ADD COLUMNS parity: a metadata-only commit widens the schema; old
+    rows read back NULL-filled, time travel shows the old schema, strict
+    append/merge now expect the new schema, and the change feed across the
+    widening commit is empty (data_change=false, same files)."""
+    from pyspark.sql.types import LongType, StructField
+
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "evolve")
+    S.snapshot_merge(
+        _snap_df(spark, [(1, 1, "a"), (2, 1, "b")]), path, key_cols=["k"], seq_col="seq"
+    )
+    v1 = S.snapshot_versions(path)[-1]
+
+    v2 = S.snapshot_add_columns(path, [StructField("score", LongType())])
+    assert v2 == v1 + 1
+    got = {r["k"]: (r["payload"], r["score"]) for r in S.snapshot_read(spark, path).collect()}
+    assert got == {1: ("a", None), 2: ("b", None)}
+    # time travel: old version keeps the old schema
+    assert "score" not in S.snapshot_read(spark, path, version=v1).columns
+    # the widening emitted NO changes
+    assert S.snapshot_changes(spark, path, v1, v2, key_cols=["k"]).count() == 0
+
+    # duplicate add rejected
+    with pytest.raises(ValueError, match="already exists"):
+        S.snapshot_add_columns(path, [StructField("score", LongType())])
+
+    # old-schema append now fails loudly; new-schema append lands
+    with pytest.raises(ValueError, match="schema mismatch"):
+        S.snapshot_append(_snap_df(spark, [(3, 1, "c")]), path)
+    new_rows = spark.createDataFrame([(3, 1, "c", 30)], ["k", "seq", "payload", "score"])
+    S.snapshot_append(new_rows, path)
+
+    # merge under the evolved schema rewrites a PRE-alter file: its rows go
+    # through the declared read (null score) and survive
+    batch = spark.createDataFrame([(1, 2, "a2", 10)], ["k", "seq", "payload", "score"])
+    S.snapshot_merge(batch, path, key_cols=["k"], seq_col="seq")
+    got = {
+        r["k"]: (r["payload"], r["score"])
+        for r in S.snapshot_read(spark, path).collect()
+    }
+    assert got == {1: ("a2", 10), 2: ("b", None), 3: ("c", 30)}
+
+    # compaction folds mixed-schema files under the declared read
+    if S.snapshot_compact(spark, path, small_file_max_rows=1000) is not None:
+        got2 = {
+            r["k"]: (r["payload"], r["score"])
+            for r in S.snapshot_read(spark, path).collect()
+        }
+        assert got2 == got
