@@ -110,8 +110,14 @@ def main() -> None:
                 "runs": runs,
                 "calibration": calibration,
                 "calibration_post": calibration_post,
+                # Normalize each bracket within its own family: post-sweep
+                # probes run on a dirty heap and sit ~15-20% above pre-sweep
+                # probes even on a quiet host — comparing post to min(pre)
+                # would fake a burst every sweep.
                 "noise_factor": [
-                    round(max(pre, post) / min(calibration + calibration_post), 2)
+                    round(
+                        max(pre / min(calibration), post / min(calibration_post)), 2
+                    )
                     for pre, post in zip(calibration, calibration_post)
                 ],
                 "n_runs": N_RUNS,
