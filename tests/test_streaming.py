@@ -737,3 +737,97 @@ def test_max_files_per_trigger_incremental_batches(spark, event_batches, tmp_pat
     got = spark.read.parquet(out)
     assert got.count() == total
     assert got.select("event_id").distinct().count() == total
+
+
+def test_stream_to_maintained_view_e2e(spark, tmp_path):
+    """The full exactly-once medallion path with zero batch glue: landing
+    files -> streaming keyed MERGE into a bronze snapshot table
+    (foreach_batch_merge) -> CDF -> incrementally maintained silver
+    aggregate (snapshot_maintain_aggregate). After each wave the silver
+    view equals a full recompute over bronze — including a wave that
+    UPDATES existing keys (the feed's pre/postimages must net out)."""
+    import json as _json
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from music_recommendation_service_spark.sources import snapshots as S
+    from music_recommendation_service_spark.streaming.pipeline import (
+        foreach_batch_merge,
+        stream_from_directory,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    bronze = str(tmp_path / "bronze")
+    view = str(tmp_path / "view")
+    cursor = str(tmp_path / "cursor")
+    ckpt = str(tmp_path / "ckpt")
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("seq", LongType()),
+            StructField("payload", StringType()),
+        ]
+    )
+
+    def drop_wave(name, rows):
+        with open(landing / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    def run_wave():
+        q = foreach_batch_merge(
+            stream_from_directory(spark, str(landing), schema),
+            bronze,
+            ckpt,
+            key_cols=("k",),
+            seq_col="seq",
+        )
+        q.awaitTermination(120)
+        S.snapshot_maintain_aggregate(
+            spark, bronze, view, cursor,
+            group_cols=["payload"], sum_cols=["seq"], key_cols=["k"],
+            minmax_cols=["seq"],
+        )
+
+    def check():
+        want = {
+            tuple(r)
+            for r in S.snapshot_read(spark, bronze)
+            .groupBy("payload")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("seq").alias("sum_seq"),
+                F.min("seq").alias("min_seq"),
+                F.max("seq").alias("max_seq"),
+            )
+            .collect()
+        }
+        got = {
+            tuple(r)
+            for r in S.snapshot_read(spark, view)
+            .select("payload", "n", "sum_seq", "min_seq", "max_seq")
+            .collect()
+        }
+        assert got == want
+
+    drop_wave("w1.json", [{"k": 1, "seq": 1, "payload": "a"}, {"k": 2, "seq": 1, "payload": "b"}])
+    run_wave()
+    check()
+
+    # wave 2: new key + UPDATE of k=1 to another group (a loses its only
+    # row -> tombstone; the maintained min/max recompute path fires)
+    drop_wave("w2.json", [{"k": 3, "seq": 2, "payload": "b"}, {"k": 1, "seq": 3, "payload": "b"}])
+    run_wave()
+    check()
+    assert {r["payload"] for r in S.snapshot_read(spark, view).collect()} == {"b"}
+
+    # wave 3: stale row must not regress (seq 0 < stored 3): content no-op
+    drop_wave("w3.json", [{"k": 1, "seq": 0, "payload": "zzz"}])
+    run_wave()
+    check()
