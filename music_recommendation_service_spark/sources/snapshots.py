@@ -1226,6 +1226,47 @@ def snapshot_add_columns(path: str, new_fields) -> int:
     return _commit(path, build)
 
 
+def snapshot_drop_columns(path: str, names: Sequence[str]) -> int:
+    """Schema evolution, DROP COLUMNS: commit a NEW version whose manifest
+    schema omits ``names`` over the SAME files — metadata-only, zero bytes
+    rewritten. Because every read projects the manifest's declared schema,
+    the dropped column simply stops being read (parquet column projection);
+    the bytes remain in old files until those files are naturally rewritten
+    by merges/compactions, exactly Delta's drop-column behavior under
+    column mapping. Time travel to older versions still shows the column.
+    Dropping a missing column, or every column, raises."""
+    from pyspark.sql.types import StructType
+
+    drop = set(names)
+    if not drop:
+        raise ValueError("snapshot_drop_columns: no columns given")
+
+    def build(latest: dict | None, _version: int) -> dict:
+        if latest is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        schema = StructType.fromJson(json.loads(latest["schema"]))
+        have = set(schema.fieldNames())
+        missing = drop - have
+        if missing:
+            raise ValueError(
+                f"snapshot_drop_columns: {sorted(missing)} not in schema"
+            )
+        kept = [f for f in schema.fields if f.name not in drop]
+        if not kept:
+            raise ValueError("snapshot_drop_columns: cannot drop every column")
+        out = {
+            "data_dirs": latest["data_dirs"],
+            "n_rows": latest["n_rows"],
+            "schema": StructType(kept).json(),
+            "data_change": False,
+        }
+        if "files" in latest:
+            out["files"] = latest["files"]
+        return out
+
+    return _commit(path, build)
+
+
 def snapshot_rollback(path: str, version: int) -> int:
     """RESTORE: commit a NEW version whose manifest points at an old
     version's files (history is preserved — same as Delta RESTORE)."""

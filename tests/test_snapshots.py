@@ -1388,3 +1388,78 @@ def test_snapshot_add_columns_schema_evolution(spark, tmp_path):
             for r in S.snapshot_read(spark, path).collect()
         }
         assert got2 == got
+
+
+def test_concurrent_appends_thread_stress(spark, tmp_path):
+    """REAL concurrency (not monkeypatched interleavings): 4 threads race
+    12 appends through the claim-once commit; every append must land
+    exactly once (losers rebase onto winners — no lost update, no
+    duplicate) and the version chain must be gapless."""
+    import threading
+
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "race")
+    S.snapshot_write(_snap_df(spark, [(0, 0, "base")]), path)
+
+    errs: list[Exception] = []
+
+    def worker(wid: int) -> None:
+        try:
+            for i in range(3):
+                k = 1000 * (wid + 1) + i
+                S.snapshot_append(_snap_df(spark, [(k, 1, f"w{wid}-{i}")]), path)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errs, errs
+
+    versions = S.snapshot_versions(path)
+    assert versions == list(range(1, 14)), versions  # 1 base + 12 appends, gapless
+    rows = {r["k"]: r["payload"] for r in S.snapshot_read(spark, path).collect()}
+    assert len(rows) == 13
+    for wid in range(4):
+        for i in range(3):
+            assert rows[1000 * (wid + 1) + i] == f"w{wid}-{i}"
+    # every version's recorded row count is consistent with its file list
+    for v in versions:
+        m = S._read_manifest(path, v)
+        assert m["n_rows"] == S.snapshot_read(spark, path, version=v).count()
+
+
+def test_snapshot_drop_columns(spark, tmp_path):
+    """DROP COLUMNS as a metadata-only commit: the column vanishes from
+    reads (parquet projection under the declared schema), time travel
+    still shows it, the feed across the drop is empty, and post-drop
+    append/merge expect the narrowed schema."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "dropev")
+    S.snapshot_merge(
+        _snap_df(spark, [(1, 1, "a"), (2, 2, "b")]), path, key_cols=["k"], seq_col="seq"
+    )
+    v1 = S.snapshot_versions(path)[-1]
+    v2 = S.snapshot_drop_columns(path, ["payload"])
+    assert S.snapshot_read(spark, path).columns == ["k", "seq"]
+    assert "payload" in S.snapshot_read(spark, path, version=v1).columns
+    assert S.snapshot_changes(spark, path, v1, v2, key_cols=["k"]).count() == 0
+
+    with pytest.raises(ValueError, match="not in schema"):
+        S.snapshot_drop_columns(path, ["nope"])
+    with pytest.raises(ValueError, match="every column"):
+        S.snapshot_drop_columns(path, ["k", "seq"])
+
+    # old-shape append fails; narrowed append + merge work over mixed files
+    with pytest.raises(ValueError, match="schema mismatch"):
+        S.snapshot_append(_snap_df(spark, [(3, 3, "c")]), path)
+    S.snapshot_append(spark.createDataFrame([(3, 3)], ["k", "seq"]), path)
+    S.snapshot_merge(
+        spark.createDataFrame([(1, 9)], ["k", "seq"]), path, key_cols=["k"], seq_col="seq"
+    )
+    got = {r["k"]: r["seq"] for r in S.snapshot_read(spark, path).collect()}
+    assert got == {1: 9, 2: 2, 3: 3}
