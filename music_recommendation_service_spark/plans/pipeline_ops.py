@@ -458,3 +458,71 @@ register_sql(
     "one per-shard prefix-sum window.",
     tags=("pipeline", "packing", "tokens"),
 )
+
+
+# ---------------------------------------------------------------------------
+# q99 — the CURATION PIPELINE composed end-to-end: exact dedup (keep-first)
+# -> quality filter -> deterministic split -> per-(split, source) corpus
+# report. Each stage is an operator the catalog already proves in isolation
+# (q26 dedup, q23-style quality signals, q68 split); this query pins that
+# they COMPOSE — the shape a real training-data curation run has — with one
+# DuckDB oracle over the whole dataflow.
+#
+# Scale: dedup is the only wide stage (one shuffle keyed by the 32-byte
+# content hash); quality + split are stateless projections fused into the
+# same stage; the report is a low-cardinality groupBy. Nothing here is
+# quadratic and nothing leaves codegen.
+# ---------------------------------------------------------------------------
+def _q99(d: dict) -> str:
+    toks = d["split"]("text")
+    n_toks = f"{d['len']}({toks})"
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text, source
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    deduped AS (
+        SELECT doc_id, text, source
+        FROM (
+            SELECT doc_id, text, source,
+                   row_number() OVER (
+                       PARTITION BY md5(text) ORDER BY doc_id
+                   ) AS rn
+            FROM corpus
+        )
+        WHERE rn = 1
+    ),
+    scored AS (
+        SELECT doc_id, source,
+               CAST({n_toks} AS BIGINT) AS n_tokens,
+               length(text) AS n_chars
+        FROM deduped
+    ),
+    filtered AS (
+        SELECT * FROM scored
+        WHERE n_tokens >= 20 AND n_chars * 1.0 / n_tokens BETWEEN 3 AND 12
+    ),
+    assigned AS (
+        SELECT source, n_tokens,
+               {_SPLIT_CASE.format(b=_bucket_sql("doc_id"))} AS split
+        FROM filtered
+    )
+    SELECT split, source,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM assigned
+    GROUP BY split, source
+    ORDER BY split, source
+    """
+
+
+register_sql(
+    "q99_curation_pipeline",
+    _q99,
+    ("documents",),
+    doc="End-to-end curation: exact dedup (keep-first) -> quality filter "
+    "-> deterministic 80/10/10 split -> per-(split, source) token report.",
+    tags=("llm-pipeline", "composition", "dedup", "split"),
+)
