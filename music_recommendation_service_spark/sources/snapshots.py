@@ -1097,17 +1097,21 @@ def snapshot_maintain_aggregate(
         # Targeted recompute for groups that lost rows: min/max are not
         # self-decrementable, so re-aggregate exactly those groups from the
         # CURRENT source (broadcast semi-join on the touched group keys).
+        # No forced broadcast: these relations are O(touched groups) — tiny
+        # for a typical micro-batch but unbounded for a bulk delete, and a
+        # forced broadcast hint would OOM the driver exactly then. AQE
+        # picks broadcast when they really are small.
         del_groups = delta.filter(F.col("_has_del")).select(*group_cols)
         recomputed = (
             snapshot_read(spark, source_path)
-            .join(F.broadcast(del_groups), group_cols, "semi")
+            .join(del_groups, group_cols, "semi")
             .groupBy(*group_cols)
             .agg(
                 *[F.min(c).alias(f"_rc_min_{c}") for c in minmax_cols],
                 *[F.max(c).alias(f"_rc_max_{c}") for c in minmax_cols],
             )
         )
-        delta = delta.join(F.broadcast(recomputed), group_cols, "left")
+        delta = delta.join(recomputed, group_cols, "left")
 
     # Per-group min/max: a recomputed value (groups that lost rows) wins;
     # otherwise fold the incoming inserts against the stored value.
