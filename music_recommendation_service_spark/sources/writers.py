@@ -172,8 +172,10 @@ def scratch_lookup(df: DataFrame, name: str = "scratch"):
         return None
 
 
+import threading as _threading
+
 _ASYNC_INFLIGHT: set[str] = set()
-_ASYNC_LOCK = None
+_ASYNC_LOCK = _threading.Lock()
 
 
 def scratch_materialize_async(df: DataFrame, name: str = "scratch") -> None:
@@ -191,9 +193,6 @@ def scratch_materialize_async(df: DataFrame, name: str = "scratch") -> None:
     dependency."""
     import threading
 
-    global _ASYNC_LOCK
-    if _ASYNC_LOCK is None:
-        _ASYNC_LOCK = threading.Lock()
     try:
         digest, schema_json, path = _scratch_key(df, name)
     except Exception:  # pragma: no cover
