@@ -53,6 +53,12 @@ def main() -> int:
 
     spark = make_session()
 
+    # driver-contract smoke: entry() must run and return >=0 rows with a
+    # stable schema on the vanilla session
+    entry_df = E.entry(spark)
+    entry_rows = len(entry_df.collect())
+    print(f"entry: {entry_rows} rows, schema={entry_df.columns}")
+
     queries = E.queries()
     oracles = E.oracle_sql()
     if args.only:
