@@ -227,6 +227,26 @@ def _scan_file_entries(
     return entries, total
 
 
+def _mapping(m: dict) -> dict:
+    """logical -> physical column-name map (identity entries omitted)."""
+    return m.get("column_mapping", {})
+
+
+def _phys(mapping: dict, logical: str) -> str:
+    return mapping.get(logical, logical)
+
+
+def _to_physical_df(df: DataFrame, mapping: dict) -> DataFrame:
+    """Rename logical columns to their stored physical names before a data
+    write — files ALWAYS store physical names, so pre- and post-rename
+    files agree byte-for-byte on layout."""
+    if not mapping:
+        return df
+    return df.select(
+        *[F.col(c).alias(_phys(mapping, c)) for c in df.columns]
+    )
+
+
 def _read_declared(
     spark: SparkSession, m: dict, paths: list[str]
 ) -> DataFrame:
@@ -234,13 +254,31 @@ def _read_declared(
     footers' — after ``snapshot_add_columns`` a version legitimately mixes
     files written before and after the widening; the declared read
     null-fills the missing columns (Delta schema-evolution read semantics).
-    Falls back to footer inference for legacy manifests without a schema."""
-    from pyspark.sql.types import StructType
+    With a ``column_mapping`` (after ``snapshot_rename_columns``) files
+    store PHYSICAL names: read the physical schema, then alias back to the
+    logical names. Falls back to footer inference for legacy manifests
+    without a schema."""
+    from pyspark.sql.types import StructField, StructType
 
-    if "schema" in m:
-        schema = StructType.fromJson(json.loads(m["schema"]))
+    if "schema" not in m:
+        return spark.read.parquet(*paths)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    mapping = _mapping(m)
+    if not mapping:
         return spark.read.schema(schema).parquet(*paths)
-    return spark.read.parquet(*paths)
+    physical = StructType(
+        [
+            StructField(_phys(mapping, f.name), f.dataType, f.nullable, f.metadata)
+            for f in schema.fields
+        ]
+    )
+    df = spark.read.schema(physical).parquet(*paths)
+    return df.select(
+        *[
+            F.col(_phys(mapping, f.name)).alias(f.name)
+            for f in schema.fields
+        ]
+    )
 
 
 def _dirs_of(files: list[dict]) -> list[str]:
@@ -319,10 +357,13 @@ def snapshot_append(
     to record its pending-file batch atomically with the data)."""
     if not snapshot_versions(path):
         return snapshot_write(df, path, stats_cols, manifest_extra=manifest_extra)
+    mapping = _mapping(_latest_manifest(path) or {})
     rel, full = _new_data_dir(path)
-    df.write.mode("error").parquet(full)
+    _to_physical_df(df, mapping).write.mode("error").parquet(full)
     spark = df.sparkSession
-    new_files, n = _scan_file_entries(spark, full, rel, stats_cols)
+    new_files, n = _scan_file_entries(
+        spark, full, rel, [_phys(mapping, c) for c in stats_cols]
+    )
     schema_json = df.schema.json()
 
     def build(latest: dict | None, version: int) -> dict:
@@ -334,6 +375,10 @@ def snapshot_append(
                 "schema": schema_json,
                 **(manifest_extra or {}),
             }
+        if _mapping(latest) != mapping:
+            raise ConcurrentSnapshotError(
+                f"{path}: column mapping changed during append; retry"
+            )
         if schema_json != latest["schema"]:
             raise ValueError(
                 f"append schema mismatch at {path}: manifest={latest['schema']} "
@@ -342,13 +387,16 @@ def snapshot_append(
         base = _manifest_files(path, latest)
         files = base + new_files
         base_rows = latest["n_rows"]
-        return {
+        out = {
             "data_dirs": _dirs_of(files),
             "files": files,
             "n_rows": base_rows + n,
             "schema": schema_json,
             **(manifest_extra or {}),
         }
+        if mapping:
+            out["column_mapping"] = mapping
+        return out
 
     return _commit(path, build)
 
@@ -415,6 +463,7 @@ def snapshot_merge(
 
     base_version = snapshot_versions(path)[-1]
     cur = _read_manifest(path, base_version)
+    mapping = _mapping(cur)
     stored_schema = (
         df.drop(delete_col).schema.json() if delete_col is not None else df.schema.json()
     )
@@ -436,7 +485,7 @@ def snapshot_merge(
         for e in files
         if all(
             _stats_may_contain(
-                e.get("stats"), c, bounds[f"_lo_{c}"], bounds[f"_hi_{c}"]
+                e.get("stats"), _phys(mapping, c), bounds[f"_lo_{c}"], bounds[f"_hi_{c}"]
             )
             for c in key_cols
         )
@@ -487,8 +536,10 @@ def snapshot_merge(
             ~F.coalesce(F.col(delete_col), F.lit(False))
         ).drop(delete_col)
     rel, full = _new_data_dir(path)
-    merged.write.mode("error").parquet(full)
-    new_files, n_new = _scan_file_entries(spark, full, rel, key_cols)
+    _to_physical_df(merged, mapping).write.mode("error").parquet(full)
+    new_files, n_new = _scan_file_entries(
+        spark, full, rel, [_phys(mapping, c) for c in key_cols]
+    )
 
     if any(e["rows"] is None for e in untouched):
         untouched_rows = (
@@ -509,13 +560,16 @@ def snapshot_merge(
                 f"{latest['version'] if latest else None} during merge; "
                 "recompute the merge against the new state"
             )
-        return {
+        out = {
             "data_dirs": _dirs_of(out_files),
             "files": out_files,
             "n_rows": untouched_rows + n_new,
             "schema": cur["schema"],
             **(manifest_extra or {}),
         }
+        if mapping:
+            out["column_mapping"] = mapping
+        return out
 
     return _commit(path, build)
 
@@ -604,11 +658,12 @@ def snapshot_compact(
     stats_cols = sorted(
         {c for e in small if e.get("stats") for c in e["stats"]}
     )
+    mapping = _mapping(cur)
     folded = _read_declared(
         spark, cur, [os.path.join(path, e["path"]) for e in small]
     ).coalesce(n_out)
     rel, full = _new_data_dir(path)
-    folded.write.mode("error").parquet(full)
+    _to_physical_df(folded, mapping).write.mode("error").parquet(full)
     new_files, n_new = _scan_file_entries(spark, full, rel, stats_cols)
     if n_new != small_rows:
         # Not an assert: integrity checks must survive ``python -O``.
@@ -624,7 +679,7 @@ def snapshot_compact(
                 f"{latest['version'] if latest else None} during compaction; "
                 "re-run compaction against the new state"
             )
-        return {
+        out = {
             "data_dirs": _dirs_of(out_files),
             "files": out_files,
             "n_rows": cur["n_rows"],
@@ -634,6 +689,9 @@ def snapshot_compact(
             # set as insert+delete (see snapshot_changes).
             "data_change": False,
         }
+        if mapping:
+            out["column_mapping"] = mapping
+        return out
 
     return _commit(path, build)
 
@@ -718,9 +776,12 @@ def snapshot_zorder(
         .sortWithinPartitions("_zval")
         .drop("_zval", *helper_cols)
     )
+    mapping = _mapping(cur)
     rel, full = _new_data_dir(path)
-    clustered.write.mode("error").parquet(full)
-    new_files, n_new = _scan_file_entries(spark, full, rel, sorted(cols))
+    _to_physical_df(clustered, mapping).write.mode("error").parquet(full)
+    new_files, n_new = _scan_file_entries(
+        spark, full, rel, sorted(_phys(mapping, c) for c in cols)
+    )
     if n_new != n_rows:
         raise RuntimeError(
             f"zorder row-count drift at {path}: {n_rows} in, {n_new} out"
@@ -733,7 +794,7 @@ def snapshot_zorder(
                 f"{latest['version'] if latest else None} during zorder; "
                 "re-run against the new state"
             )
-        return {
+        out = {
             "data_dirs": _dirs_of(new_files),
             "files": new_files,
             "n_rows": n_rows,
@@ -741,6 +802,9 @@ def snapshot_zorder(
             "data_change": False,
             "clustered_by": list(cols),
         }
+        if mapping:
+            out["column_mapping"] = mapping
+        return out
 
     return _commit(path, build)
 
@@ -765,11 +829,12 @@ def snapshot_scan(
     m = _read_manifest(path, v)
     files = _manifest_files(path, m)
     predicates = predicates or {}
+    mapping = _mapping(m)
     kept = [
         e
         for e in files
         if all(
-            _stats_may_contain(e.get("stats"), c, lo, hi)
+            _stats_may_contain(e.get("stats"), _phys(mapping, c), lo, hi)
             for c, (lo, hi) in predicates.items()
         )
     ]
@@ -897,8 +962,8 @@ def snapshot_changes(
     def read_files(rel_paths: list[str]) -> DataFrame:
         if not rel_paths:
             return spark.createDataFrame([], schema=schema)
-        return spark.read.schema(schema).parquet(
-            *[os.path.join(path, p) for p in rel_paths]
+        return _read_declared(
+            spark, m_to, [os.path.join(path, p) for p in rel_paths]
         )
 
     new_rows = read_files(added)
@@ -1217,6 +1282,15 @@ def snapshot_add_columns(path: str, new_fields) -> int:
                     f"snapshot_add_columns: column {f.name!r} already exists"
                 )
             schema = schema.add(f)
+        mapping = _mapping(latest)
+        logical_names = [f["name"] for f in json.loads(latest["schema"])["fields"]]
+        phys_in_use = {_phys(mapping, n) for n in logical_names}
+        for f in fields:
+            if f.name in phys_in_use:
+                raise ValueError(
+                    f"snapshot_add_columns: {f.name!r} collides with a "
+                    "stored physical column name (rename history)"
+                )
         out = {
             "data_dirs": latest["data_dirs"],
             "n_rows": latest["n_rows"],
@@ -1225,6 +1299,70 @@ def snapshot_add_columns(path: str, new_fields) -> int:
         }
         if "files" in latest:
             out["files"] = latest["files"]
+        if mapping:
+            out["column_mapping"] = mapping
+        return out
+
+    return _commit(path, build)
+
+
+def snapshot_rename_columns(path: str, renames: dict) -> int:
+    """Schema evolution, RENAME COLUMNS via column mapping (Delta column
+    mapping parity): a metadata-only commit that changes the LOGICAL name
+    while the files keep storing the original PHYSICAL name — zero bytes
+    rewritten, and old files stay readable because every data read maps
+    physical -> logical through the manifest's ``column_mapping``. Time
+    travel shows each version's own names; stats stay valid because their
+    keys are physical. Renaming a missing column, renaming onto an existing
+    logical name, or colliding with a stored physical name raises."""
+    from pyspark.sql.types import StructField, StructType
+
+    if not renames:
+        raise ValueError("snapshot_rename_columns: no renames given")
+
+    def build(latest: dict | None, _version: int) -> dict:
+        if latest is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        schema = StructType.fromJson(json.loads(latest["schema"]))
+        names = schema.fieldNames()
+        mapping = dict(_mapping(latest))
+        for old_name, new_name in renames.items():
+            if old_name not in names:
+                raise ValueError(
+                    f"snapshot_rename_columns: {old_name!r} not in schema"
+                )
+            if new_name in names and new_name != old_name:
+                raise ValueError(
+                    f"snapshot_rename_columns: {new_name!r} already exists"
+                )
+        phys_in_use = {_phys(mapping, n) for n in names}
+        new_fields = []
+        for f in schema.fields:
+            if f.name in renames:
+                new_name = renames[f.name]
+                physical = mapping.pop(f.name, f.name)
+                if new_name != physical:
+                    if new_name in phys_in_use - {physical}:
+                        raise ValueError(
+                            f"snapshot_rename_columns: {new_name!r} collides "
+                            "with a stored physical column name"
+                        )
+                    mapping[new_name] = physical
+                new_fields.append(
+                    StructField(new_name, f.dataType, f.nullable, f.metadata)
+                )
+            else:
+                new_fields.append(f)
+        out = {
+            "data_dirs": latest["data_dirs"],
+            "n_rows": latest["n_rows"],
+            "schema": StructType(new_fields).json(),
+            "data_change": False,
+        }
+        if "files" in latest:
+            out["files"] = latest["files"]
+        if mapping:
+            out["column_mapping"] = mapping
         return out
 
     return _commit(path, build)
@@ -1266,6 +1404,11 @@ def snapshot_drop_columns(path: str, names: Sequence[str]) -> int:
         }
         if "files" in latest:
             out["files"] = latest["files"]
+        mapping = {
+            k: v for k, v in _mapping(latest).items() if k not in drop
+        }
+        if mapping:
+            out["column_mapping"] = mapping
         return out
 
     return _commit(path, build)
@@ -1284,6 +1427,8 @@ def snapshot_rollback(path: str, version: int) -> int:
         }
         if "files" in m:
             out["files"] = m["files"]
+        if _mapping(m):
+            out["column_mapping"] = _mapping(m)
         return out
 
     return _commit(path, build)

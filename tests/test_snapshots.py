@@ -1463,3 +1463,69 @@ def test_snapshot_drop_columns(spark, tmp_path):
     )
     got = {r["k"]: r["seq"] for r in S.snapshot_read(spark, path).collect()}
     assert got == {1: 9, 2: 2, 3: 3}
+
+
+def test_snapshot_rename_columns_column_mapping(spark, tmp_path):
+    """RENAME COLUMNS via column mapping: metadata-only, data intact under
+    the new logical names; time travel shows each version's own names; the
+    feed across the rename is empty; appends/merges use the new names and
+    file-level stats pruning STILL fires (stats keys are physical, so
+    pre-rename stats stay valid); rename-back drops the mapping entry."""
+    from music_recommendation_service_spark.sources import snapshots as S
+    from music_recommendation_service_spark.sources.snapshots import (
+        _manifest_files,
+        _read_manifest,
+    )
+
+    path = str(tmp_path / "ren")
+    base = _snap_df(spark, [(k, 1, f"p{k}") for k in range(100)])
+    S.snapshot_write(base.repartitionByRange(4, "k"), path, stats_cols=["k"])
+    v1 = S.snapshot_versions(path)[-1]
+
+    v2 = S.snapshot_rename_columns(path, {"k": "item_id", "payload": "note"})
+    df = S.snapshot_read(spark, path)
+    assert df.columns == ["item_id", "seq", "note"]
+    got = {r["item_id"]: r["note"] for r in df.collect()}
+    assert got[7] == "p7" and len(got) == 100
+    assert S.snapshot_read(spark, path, version=v1).columns == ["k", "seq", "payload"]
+    assert S.snapshot_changes(spark, path, v1, v2, key_cols=["item_id"]).count() == 0
+
+    # merge on the RENAMED key column: stats pruning must still carry
+    # untouched files by path (physical-keyed stats remain valid)
+    m_before = _read_manifest(path, S.snapshot_versions(path)[-1])
+    files_before = {e["path"] for e in _manifest_files(path, m_before)}
+    batch = spark.createDataFrame([(0, 2, "upd")], ["item_id", "seq", "note"])
+    S.snapshot_merge(batch, path, key_cols=["item_id"], seq_col="seq")
+    m_after = _read_manifest(path, S.snapshot_versions(path)[-1])
+    files_after = {e["path"] for e in _manifest_files(path, m_after)}
+    assert len(files_before & files_after) == 3, "stats pruning lost after rename"
+    got = {r["item_id"]: r["note"] for r in S.snapshot_read(spark, path).collect()}
+    assert got[0] == "upd" and got[50] == "p50"
+
+    # append with the new names; then evolve further: add + drop compose
+    S.snapshot_append(
+        spark.createDataFrame([(1000, 1, "new")], ["item_id", "seq", "note"]), path
+    )
+    from pyspark.sql.types import LongType, StructField
+
+    S.snapshot_add_columns(path, [StructField("score", LongType())])
+    S.snapshot_drop_columns(path, ["note"])
+    df = S.snapshot_read(spark, path)
+    assert df.columns == ["item_id", "seq", "score"]
+    assert df.count() == 101
+
+    # invalid renames
+    with pytest.raises(ValueError, match="not in schema"):
+        S.snapshot_rename_columns(path, {"nope": "x"})
+    with pytest.raises(ValueError, match="already exists"):
+        S.snapshot_rename_columns(path, {"seq": "item_id"})
+
+    # rename back to the original physical name drops the mapping entry
+    S.snapshot_rename_columns(path, {"item_id": "k"})
+    m = _read_manifest(path, S.snapshot_versions(path)[-1])
+    assert "k" not in m.get("column_mapping", {})
+    assert S.snapshot_read(spark, path).columns == ["k", "seq", "score"]
+
+    # compaction folds mixed physical files under the mapping
+    if S.snapshot_compact(spark, path, small_file_max_rows=1000) is not None:
+        assert S.snapshot_read(spark, path).count() == 101
