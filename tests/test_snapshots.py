@@ -626,6 +626,7 @@ _consumer_ops = st.lists(
             st.tuples(st.just("compact"), st.none()),
             st.tuples(st.just("zorder"), st.none()),
             st.tuples(st.just("rollback"), st.integers(0, 5)),
+            st.tuples(st.just("rename_roundtrip"), st.none()),
             st.tuples(st.just("vacuum"), st.none()),
         ),
         st.booleans(),  # does the consumer run after this producer op?
@@ -671,6 +672,26 @@ def _consumer_op_dispatch(S, spark, path, state):
         elif op == "rollback" and state["has_table"]:
             vs = S.snapshot_versions(path)
             S.snapshot_rollback(path, vs[arg % len(vs)])
+            # a rollback may restore the mid-roundtrip schema; heal so the
+            # model's fixed (k, seq, payload) writes keep matching
+            import json as _json
+
+            m = S._latest_manifest(path)
+            names = [f["name"] for f in _json.loads(m["schema"])["fields"]]
+            if "pl_tmp" in names:
+                S.snapshot_rename_columns(path, {"pl_tmp": "payload"})
+        elif op == "rename_roundtrip" and state["has_table"]:
+            # two metadata-only commits exercising column mapping through
+            # the feed; net identity so later merges keep their schema.
+            # Guard: a rollback may restore a pre-roundtrip schema, so only
+            # roundtrip when the CURRENT schema has the expected name.
+            import json as _json
+
+            m = S._latest_manifest(path)
+            names = [f["name"] for f in _json.loads(m["schema"])["fields"]]
+            if "payload" in names and "pl_tmp" not in names:
+                S.snapshot_rename_columns(path, {"payload": "pl_tmp"})
+                S.snapshot_rename_columns(path, {"pl_tmp": "payload"})
         elif op == "vacuum" and state["has_table"]:
             S.snapshot_vacuum(path, keep_last=2, orphan_min_age_sec=1e9)
 
