@@ -1,0 +1,214 @@
+"""Corpus-preparation operators (q100-q102): context-window chunking,
+corpus-LM quality scoring, and cluster-bounded semantic deduplication —
+the three ops that turn a deduped document store into model-ready shards.
+
+Scale design (100 TB)
+---------------------
+- q100 chunking is a stateless per-document flatMap expressed as
+  ``explode(sequence(...))`` + ``slice`` — pure whole-stage-codegen array
+  expressions, zero shuffles, output partitioning inherited from the scan.
+  Chunk identity is a 16-hex fingerprint so downstream exact-dedup of
+  chunks (q26's shape) joins on 8-byte keys, not chunk text.
+- q101 scores every document against a bigram language model trained on
+  the corpus ITSELF in the same job (the standard quality-filter loop:
+  held-in LM → per-doc mean log-prob → threshold). The model is two hash
+  aggregates (bigram counts, unigram counts) with map-side partial
+  aggregation — shuffle volume is O(observed vocab), not O(corpus
+  tokens) — and scoring is an equi-join of the exploded token stream
+  against those count tables. At 100 TB the count tables are the only
+  state; hot function-word keys are exactly the AQE-splittable case.
+- q102 is SemDeDup (Abbas et al., 2023): embeddings are assigned to a
+  coarse IVF centroid (shared CTE with q44's quantizer), and the O(n²)
+  cosine comparison runs ONLY inside each cluster — the cluster count is
+  the knob that bounds the quadratic. The join is equi on cluster id, so
+  Spark shuffles each cluster to one task; with k ~ sqrt(N) clusters and
+  a per-cluster cap (the PairConfig hot-key guard pattern from
+  operators/pairs.py) the worst task is bounded. Dropped rows carry their
+  keeper, so the decision is reproducible and auditable.
+
+Reference tie: the reference has no corpus ops at all (its only string op
+is ``split``, SURVEY.md §2.8); these extend the engine the way
+`generate_seed_data.py` extends its domain — as first-class pipeline
+stages with deterministic semantics. All three queries are dialect-
+generated so the DuckDB oracle pins cross-engine values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from music_recommendation_service_spark.functions import rnd_sql
+from music_recommendation_service_spark.functions.dialect import register_sql
+from music_recommendation_service_spark.plans.similarity import ivf_assign_cte
+
+# Context-window chunking: 40-token windows advancing 30 tokens — 10-token
+# overlap so no sequence boundary is ever unseen by the model.
+CHUNK_TOKENS = 40
+CHUNK_STRIDE = 30
+
+# SemDeDup cosine threshold (within-cluster near-duplicate).
+SEMDEDUP_TAU = 0.35
+
+
+def _lslice(d: dict, l: str, start: str, n: int) -> str:
+    """Dialect list slice: 1-based start, fixed length, clamped at the end."""
+    if d["name"] == "duck":
+        return f"list_slice({l}, {start}, ({start}) + {n - 1})"
+    return f"slice({l}, {start}, {n})"
+
+
+def _ljoin(d: dict, l: str) -> str:
+    if d["name"] == "duck":
+        return f"array_to_string({l}, ' ')"
+    return f"array_join({l}, ' ')"
+
+
+# ---------------------------------------------------------------------------
+# q100 — overlapping context-window chunking. One chunk per (doc, window
+# start); the last window is short (slice clamps); every token appears in
+# at least one chunk because stride <= window.
+# ---------------------------------------------------------------------------
+def _q100(d: dict) -> str:
+    nchunks_last = d["idiv"]("(n - 1)", CHUNK_STRIDE)  # last chunk index
+    if d["name"] == "duck":
+        expand = f"""
+        SELECT doc_id, tk,
+               unnest(range(0, ({nchunks_last}) + 1)) AS ci
+        FROM toks
+        """
+    else:
+        expand = f"""
+        SELECT doc_id, tk, ci
+        FROM toks LATERAL VIEW explode(sequence(0, {nchunks_last})) t AS ci
+        """
+    start = f"ci * {CHUNK_STRIDE} + 1"
+    chunk = _lslice(d, "tk", start, CHUNK_TOKENS)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {d['split']('text')} AS tk,
+               {d['len']}({d['split']('text')}) AS n
+        FROM documents
+    ),
+    expanded AS ({expand})
+    SELECT doc_id,
+           CAST(ci AS INT)                          AS chunk_idx,
+           CAST({d['len']}({chunk}) AS INT)         AS n_tokens,
+           substring(md5({_ljoin(d, chunk)}), 1, 16) AS fingerprint
+    FROM expanded
+    """
+
+
+register_sql(
+    "q100_doc_chunking",
+    _q100,
+    ("documents",),
+    doc=f"Overlapping context-window chunking ({CHUNK_TOKENS}-token windows, "
+    f"stride {CHUNK_STRIDE}): explode(sequence)+slice flatMap, chunk identity "
+    "as a 16-hex fingerprint.",
+    tags=("corpus", "chunking", "pipeline"),
+)
+
+
+# ---------------------------------------------------------------------------
+# q101 — corpus-trained bigram LM quality score: per-document mean
+# Laplace-smoothed bigram log-probability. Docs scoring far below the
+# corpus mean are boilerplate/garbage candidates (the classic
+# perplexity-filter signal, computed with no external model).
+# ---------------------------------------------------------------------------
+def _q101(d: dict) -> str:
+    if d["name"] == "duck":
+        expand = """
+        SELECT doc_id, tk, unnest(range(1, n)) AS i
+        FROM toks WHERE n >= 2
+        """
+    else:
+        expand = """
+        SELECT doc_id, tk, i
+        FROM (SELECT * FROM toks WHERE n >= 2)
+        LATERAL VIEW explode(sequence(1, n - 1)) t AS i
+        """
+    w1 = d["elem"]("tk", "i")
+    w2 = d["elem"]("tk", "i + 1")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {d['split']('text')} AS tk,
+               {d['len']}({d['split']('text')}) AS n
+        FROM documents
+    ),
+    expanded AS ({expand}),
+    big AS (
+        SELECT doc_id, {w1} AS w1, {w2} AS w2 FROM expanded
+    ),
+    c2 AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2
+    ),
+    c1 AS (
+        SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM big GROUP BY w1
+    ),
+    vocab AS (
+        SELECT CAST(count(DISTINCT w2) AS BIGINT) AS vsz FROM big
+    ),
+    scored AS (
+        SELECT b.doc_id,
+               ln((c2.c12 + 1.0) / (c1.c1 + vocab.vsz)) AS lp
+        FROM big b
+        JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        JOIN c1 ON b.w1 = c1.w1
+        CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)       AS n_bigrams,
+           {rnd_sql('avg(lp)', 6)}        AS avg_logprob
+    FROM scored
+    GROUP BY doc_id
+    """
+
+
+register_sql(
+    "q101_bigram_quality",
+    _q101,
+    ("documents",),
+    doc="Corpus-trained bigram LM quality score: Laplace-smoothed mean "
+    "log-probability per document (perplexity-filter signal, no external "
+    "model).",
+    tags=("corpus", "quality", "lm", "pipeline"),
+)
+
+
+# ---------------------------------------------------------------------------
+# q102 — SemDeDup: semantic near-duplicate removal bounded by IVF
+# clusters. A vector is DROPPED when a same-cluster vector with a smaller
+# id is within cosine >= tau; the emitted row names its keeper (the
+# smallest such id) so the decision replays deterministically.
+# ---------------------------------------------------------------------------
+def _q102(d: dict) -> str:
+    cos = f"({d['dot']('x.v', 'y.v')}) / (x.nrm * y.nrm)"
+    return f"""
+    WITH {ivf_assign_cte(d)},
+    members AS (
+        SELECT a.cid, a.vec_id, e.v, e.nrm
+        FROM assigned a JOIN en e ON a.vec_id = e.vec_id
+    ),
+    pairs AS (
+        SELECT x.vec_id AS dup_id, x.cid AS cid,
+               y.vec_id AS keep_cand, {cos} AS cos
+        FROM members x JOIN members y
+          ON x.cid = y.cid AND x.vec_id > y.vec_id
+        WHERE {cos} >= {SEMDEDUP_TAU}
+    )
+    SELECT dup_id                        AS vec_id,
+           CAST(cid AS INT)              AS cluster_id,
+           min(keep_cand)                AS kept_id,
+           CAST(count(*) AS BIGINT)      AS n_dups,
+           {rnd_sql('max(cos)', 6)}      AS max_cosine
+    FROM pairs
+    GROUP BY dup_id, cid
+    """
+
+
+register_sql(
+    "q102_semantic_dedup",
+    _q102,
+    ("embeddings",),
+    doc=f"SemDeDup: IVF-cluster-bounded cosine near-dup removal "
+    f"(tau={SEMDEDUP_TAU}); each dropped vector names its keeper.",
+    tags=("corpus", "dedup", "semantic", "ivf"),
+)

@@ -293,9 +293,16 @@ register_sql(
 # work is O(probed-list size), the IVF contract. Compare q32 (LSH): same
 # contract, hash buckets instead of learned lists.
 # ---------------------------------------------------------------------------
-def _q44(d: dict) -> str:
-    from music_recommendation_service_spark.functions import rnd_sql
+def ivf_assign_cte(d: dict) -> str:
+    """The shared IVF coarse-quantizer WITH-clause body: per-label mean
+    centroids, L2 norms, and nearest-centroid assignment of every vector.
 
+    Defines CTEs ``e`` (vec_id, label, v), ``cent_n`` (cid, c, cnrm),
+    ``en`` (vec_id, v, nrm), ``affinity`` (vec_id, cid, cos, rnk), and
+    ``assigned`` (vec_id, cid). Consumers append their own CTEs after it
+    (q44 ANN probing; q102 cluster-bounded semantic dedup). Returned text
+    starts after ``WITH `` so callers control the full statement.
+    """
     if d["name"] == "duck":
         comp = (
             "SELECT label, generate_subscripts(v, 1) AS dim, unnest(v) AS val "
@@ -312,9 +319,7 @@ def _q44(d: dict) -> str:
             " s -> s.avg_val)"
         )
     cos_vc = f"({d['dot']('a.v', 'c.c')}) / (a.nrm * c.cnrm)"
-    cos_qc = f"({d['dot']('q.v', 'x.v')}) / (q.nrm * x.nrm)"
-    return f"""
-    WITH e AS (
+    return f"""e AS (
         SELECT vec_id, label, {d['dblarr']('embedding')} AS v FROM embeddings
     ),
     comp AS ({comp}),
@@ -338,7 +343,15 @@ def _q44(d: dict) -> str:
     ),
     assigned AS (
         SELECT vec_id, cid FROM affinity WHERE rnk = 1
-    ),
+    )"""
+
+
+def _q44(d: dict) -> str:
+    from music_recommendation_service_spark.functions import rnd_sql
+
+    cos_qc = f"({d['dot']('q.v', 'x.v')}) / (q.nrm * x.nrm)"
+    return f"""
+    WITH {ivf_assign_cte(d)},
     probes AS (
         SELECT vec_id AS query_id, cid FROM affinity
         WHERE rnk <= 2 AND vec_id % 100 = 0

@@ -142,6 +142,8 @@ _CROSS_OK = frozenset({
     "q73_triangle_count",          # 1-row edge-count broadcast
     "q76_value_outliers",          # per-type moments broadcast
     "q81_daily_dense_counts",      # day-spine x event-type grid (tiny)
+    "q101_bigram_quality",         # 1-row vocab-size broadcast
+    "q102_semantic_dedup",         # centroid table x corpus (IVF assign)
 })
 
 
@@ -173,6 +175,30 @@ def test_no_python_row_udfs(spark, sf_dir, name):
     if name not in _PYTHON_OK:
         assert "MapInPandas" not in p, name
         assert "EvalPython" not in p, name
+
+
+def test_q100_chunking_is_shuffle_free_flatmap(spark, sf_dir):
+    """Context-window chunking must stay a stateless scan-level flatMap:
+    explode + slice with NO shuffle — output partitioning inherits the
+    scan's at any table size."""
+    p = _plan(spark, sf_dir, "q100_doc_chunking")
+    assert "Exchange" not in p
+    assert "Generate" in p  # the explode(sequence(...)) flatMap
+    assert "Join" not in p
+
+
+def test_q102_semdedup_pairs_join_is_equi_on_cluster(spark, sf_dir):
+    """SemDeDup's quadratic comparison must be bounded by the cluster
+    equi-join: the members self-join keys on cid (hash-partitioned), never
+    a cartesian over the corpus. The only nested-loop allowed is the tiny
+    centroid-table assignment broadcast."""
+    p = _plan(spark, sf_dir, "q102_semantic_dedup")
+    assert "CartesianProduct" not in p
+    # the members x members pair join is an equi join keyed on cluster id:
+    # formatted explain shows "Left keys [1]: [cid#...]" for the SMJ/SHJ
+    import re
+
+    assert re.search(r"Left keys \[1\]: \[cid#", p), p
 
 
 def test_q89_salted_agg_two_phase(spark, sf_dir):
