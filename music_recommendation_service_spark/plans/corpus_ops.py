@@ -204,6 +204,66 @@ def _q102(d: dict) -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# q103 — chunk-level exact dedup: q100's chunking composed with q26's
+# fingerprint-groupBy shape. Training pipelines dedup at CHUNK granularity
+# before packing (a boilerplate header shared by thousands of documents
+# never survives document-level dedup) — this finds every fingerprint that
+# occurs more than once and names the keeper (lowest doc_id, then lowest
+# chunk_idx). The shuffle moves 16-hex fingerprints, never chunk text.
+# ---------------------------------------------------------------------------
+def _q103(d: dict) -> str:
+    nchunks_last = d["idiv"]("(n - 1)", CHUNK_STRIDE)
+    if d["name"] == "duck":
+        expand = f"""
+        SELECT doc_id, tk,
+               unnest(range(0, ({nchunks_last}) + 1)) AS ci
+        FROM toks
+        """
+    else:
+        expand = f"""
+        SELECT doc_id, tk, ci
+        FROM toks LATERAL VIEW explode(sequence(0, {nchunks_last})) t AS ci
+        """
+    start = f"ci * {CHUNK_STRIDE} + 1"
+    chunk = _lslice(d, "tk", start, CHUNK_TOKENS)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {d['split']('text')} AS tk,
+               {d['len']}({d['split']('text')}) AS n
+        FROM documents
+    ),
+    expanded AS ({expand}),
+    chunks AS (
+        SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+               substring(md5({_ljoin(d, chunk)}), 1, 16) AS fingerprint
+        FROM expanded
+    )
+    SELECT fingerprint,
+           CAST(n_copies AS BIGINT)            AS n_copies,
+           {d['idiv']('keep_key', 100000)}     AS keep_doc_id,
+           CAST(keep_key % 100000 AS INT)      AS keep_chunk_idx
+    FROM (
+        SELECT fingerprint, count(*) AS n_copies,
+               min(doc_id * 100000 + chunk_idx) AS keep_key
+        FROM chunks
+        GROUP BY fingerprint
+        HAVING count(*) > 1
+    )
+    """
+
+
+register_sql(
+    "q103_chunk_dedup",
+    _q103,
+    ("documents",),
+    doc="Chunk-granularity exact dedup over q100's fingerprints: duplicated "
+    "chunks with copy counts and the kept (doc, chunk) — shuffles 16-hex "
+    "keys, never text.",
+    tags=("corpus", "dedup", "chunking"),
+)
+
+
 register_sql(
     "q102_semantic_dedup",
     _q102,

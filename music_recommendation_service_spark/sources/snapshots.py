@@ -1067,6 +1067,7 @@ def snapshot_maintain_aggregate(
     sum_cols: Sequence[str] = (),
     key_cols: Sequence[str] = (),
     minmax_cols: Sequence[str] = (),
+    approx_distinct_cols: Sequence[str] = (),
 ) -> int | None:
     """Incrementally maintain a grouped COUNT/SUM materialized view of a
     snapshot table from its change feed — the engine-level API for the
@@ -1090,6 +1091,18 @@ def snapshot_maintain_aggregate(
        never O(view) and never a full re-aggregation of untouched groups.
        (With ``stats_cols=group_cols`` on the source the semi-join scan
        additionally prunes whole files by manifest min/max.)
+       ``approx_distinct_cols`` follow the same insert-fold/recompute-on-
+       delete split: each maintains a Datasketches HLL sketch column
+       ``hll_<c>`` (estimate with ``F.hll_sketch_estimate``). HLL union is
+       register-wise max, so folding the insert delta's sketch into the
+       stored sketch yields EXACTLY the sketch of the union stream — the
+       incremental estimate equals a full recompute's, not an
+       approximation of it. Deletes are not subtractable from an HLL, so
+       deleted-from groups ride the same targeted-recompute semi-join.
+       At 100 TB this is the only way a distinct-count view stays cheap:
+       the merge state is one fixed-size sketch per group instead of a
+       per-group distinct set, and the micro-batch cost is O(changed
+       rows), not O(distinct values).
     4. MERGEs only the touched groups into the view, tombstoning groups
        whose count reaches zero (``delete_col``),
     5. advances the cursor.
@@ -1110,6 +1123,8 @@ def snapshot_maintain_aggregate(
     group_cols = list(group_cols)
     sum_cols = list(sum_cols)
     minmax_cols = list(minmax_cols)
+    approx_distinct_cols = list(approx_distinct_cols)
+    needs_recompute = bool(minmax_cols or approx_distinct_cols)
     changes, to_v, commit = snapshot_consume_changes(
         spark, source_path, cursor_path, key_cols
     )
@@ -1150,7 +1165,13 @@ def snapshot_maintain_aggregate(
     for c in minmax_cols:
         aggs.append(F.min(F.when(is_add, F.col(c))).alias(f"_ins_min_{c}"))
         aggs.append(F.max(F.when(is_add, F.col(c))).alias(f"_ins_max_{c}"))
-    if minmax_cols:
+    for c in approx_distinct_cols:
+        # Sketch of the insert-side values only; all-null input yields an
+        # EMPTY sketch (estimate 0), so the fold below is total.
+        aggs.append(
+            F.hll_sketch_agg(F.when(is_add, F.col(c))).alias(f"_ins_hll_{c}")
+        )
+    if needs_recompute:
         aggs.append(
             F.max(F.when(is_del, F.lit(True)).otherwise(F.lit(False))).alias(
                 "_has_del"
@@ -1158,8 +1179,8 @@ def snapshot_maintain_aggregate(
         )
     delta = changes.groupBy(*group_cols).agg(*aggs)
 
-    if minmax_cols:
-        # Targeted recompute for groups that lost rows: min/max are not
+    if needs_recompute:
+        # Targeted recompute for groups that lost rows: min/max/HLL are not
         # self-decrementable, so re-aggregate exactly those groups from the
         # CURRENT source (broadcast semi-join on the touched group keys).
         # No forced broadcast: these relations are O(touched groups) — tiny
@@ -1174,6 +1195,10 @@ def snapshot_maintain_aggregate(
             .agg(
                 *[F.min(c).alias(f"_rc_min_{c}") for c in minmax_cols],
                 *[F.max(c).alias(f"_rc_max_{c}") for c in minmax_cols],
+                *[
+                    F.hll_sketch_agg(c).alias(f"_rc_hll_{c}")
+                    for c in approx_distinct_cols
+                ],
             )
         )
         delta = delta.join(recomputed, group_cols, "left")
@@ -1193,16 +1218,46 @@ def snapshot_maintain_aggregate(
             F.coalesce(rc_max, new_max).alias(f"max_{mc}"),
         ]
 
+    # Per-group HLL: a recomputed sketch (groups that lost rows) wins;
+    # otherwise union the insert-side sketch into the stored one. Union is
+    # register-wise max, so fold order cannot drift the estimate.
+    def hll_out(hc: str, stored=None) -> F.Column:
+        rc = F.col(f"_rc_hll_{hc}")
+        ins = F.col(f"_ins_hll_{hc}")
+        if stored is None:
+            folded = ins
+        else:
+            folded = F.when(stored.isNull(), ins).otherwise(
+                F.hll_union(stored, ins)
+            )
+        return F.coalesce(rc, folded).alias(f"hll_{hc}")
+
+    def relax_hll_nullability(df: DataFrame) -> DataFrame:
+        # hll_sketch_agg infers NON-nullable while the update path's
+        # coalesce chain is nullable; the strict merge schema check
+        # compares nullability, so pin every sketch column nullable. A
+        # value-preserving runtime condition is the only reliable
+        # launderer: when(lit(True), x) and .to(schema) both keep the
+        # proven non-nullability.
+        out = df
+        for hc in approx_distinct_cols:
+            name = f"hll_{hc}"
+            out = out.withColumn(
+                name, F.when(F.octet_length(F.col(name)) >= 0, F.col(name))
+            )
+        return out
+
     if not view_exists:
         init = delta.filter(F.col("_d_n") > 0).select(
             *group_cols,
             F.col("_d_n").alias("n"),
             *[F.col(f"_d_sum_{c}").alias(f"sum_{c}") for c in sum_cols],
             *[c for mc in minmax_cols for c in minmax_out(mc)],
+            *[hll_out(hc) for hc in approx_distinct_cols],
             F.lit(to_v).cast("long").alias("_maint_v"),
         )
         v = snapshot_write(
-            init,
+            relax_hll_nullability(init),
             view_path,
             stats_cols=group_cols,
             manifest_extra={"source_version": to_v},
@@ -1218,6 +1273,7 @@ def snapshot_maintain_aggregate(
         "n",
         *[f"sum_{c}" for c in sum_cols],
         *[c for mc in minmax_cols for c in (f"min_{mc}", f"max_{mc}")],
+        *[f"hll_{hc}" for hc in approx_distinct_cols],
     )
     joined = delta.join(current, group_cols, "left")
     new_n = F.coalesce(F.col("n"), F.lit(0)) + F.col("_d_n")
@@ -1236,11 +1292,12 @@ def snapshot_maintain_aggregate(
             for mc in minmax_cols
             for c in minmax_out(mc, F.col(f"min_{mc}"), F.col(f"max_{mc}"))
         ],
+        *[hll_out(hc, F.col(f"hll_{hc}")) for hc in approx_distinct_cols],
         F.lit(to_v).cast("long").alias("_maint_v"),
         (new_n == 0).alias("_tomb"),
     )
     v = snapshot_merge(
-        upsert,
+        relax_hll_nullability(upsert),
         view_path,
         key_cols=group_cols,
         seq_col="_maint_v",

@@ -1005,7 +1005,7 @@ def test_maintain_aggregate_matches_recompute(tmp_path_factory, ops):
     def maintain():
         kw = dict(
             group_cols=["payload"], sum_cols=["seq"], key_cols=["k"],
-            minmax_cols=["seq"],
+            minmax_cols=["seq"], approx_distinct_cols=["k"],
         )
         try:
             S.snapshot_maintain_aggregate(spark, path, view, cursor, **kw)
@@ -1018,8 +1018,10 @@ def test_maintain_aggregate_matches_recompute(tmp_path_factory, ops):
             S.snapshot_maintain_aggregate(spark, path, view, cursor, **kw)
 
     def check():
+        # HLL union is register-wise max, so the incrementally-maintained
+        # sketch's estimate must EQUAL the full-recompute sketch's.
         want = {
-            (r["payload"], r["n"], r["sum_seq"], r["min_seq"], r["max_seq"])
+            (r["payload"], r["n"], r["sum_seq"], r["min_seq"], r["max_seq"], r["d_k"])
             for r in S.snapshot_read(spark, path)
             .groupBy("payload")
             .agg(
@@ -1027,13 +1029,17 @@ def test_maintain_aggregate_matches_recompute(tmp_path_factory, ops):
                 F.sum("seq").alias("sum_seq"),
                 F.min("seq").alias("min_seq"),
                 F.max("seq").alias("max_seq"),
+                F.hll_sketch_estimate(F.hll_sketch_agg("k")).alias("d_k"),
             )
             .collect()
         }
         got = {
-            (r["payload"], r["n"], r["sum_seq"], r["min_seq"], r["max_seq"])
+            (r["payload"], r["n"], r["sum_seq"], r["min_seq"], r["max_seq"], r["d_k"])
             for r in S.snapshot_read(spark, view)
-            .select("payload", "n", "sum_seq", "min_seq", "max_seq")
+            .select(
+                "payload", "n", "sum_seq", "min_seq", "max_seq",
+                F.hll_sketch_estimate("hll_k").alias("d_k"),
+            )
             .collect()
         }
         assert got == want
@@ -1356,6 +1362,69 @@ def test_maintain_aggregate_minmax_paths(spark, tmp_path):
     S.snapshot_merge(_snap_df(spark, [(3, 8, "c")]), path, key_cols=["k"], seq_col="seq")
     S.snapshot_maintain_aggregate(spark, path, view, cursor, **kw)
     assert view_rows() == {"a": (2, 5, 9), "c": (1, 8, 8)}
+
+
+def test_maintain_aggregate_approx_distinct_paths(spark, tmp_path):
+    """HLL approx-distinct maintenance: insert deltas fold by sketch union
+    (estimate EXACTLY equals a recompute's — union is register-wise max);
+    a delete triggers the targeted recompute so vanished values stop
+    counting; duplicate values across batches don't inflate the estimate."""
+    from pyspark.sql import functions as F
+
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path, view, cursor = (
+        str(tmp_path / "src"),
+        str(tmp_path / "view"),
+        str(tmp_path / "cur"),
+    )
+    kw = dict(
+        group_cols=["payload"], sum_cols=[], key_cols=["k"],
+        approx_distinct_cols=["seq"],
+    )
+
+    def view_rows():
+        return {
+            r["payload"]: (r["n"], r["d"])
+            for r in S.snapshot_read(spark, view)
+            .select("payload", "n", F.hll_sketch_estimate("hll_seq").alias("d"))
+            .collect()
+        }
+
+    # seq plays the "value whose distinct count we track" role here
+    S.snapshot_merge(
+        _snap_df(spark, [(1, 5, "a"), (2, 5, "a"), (3, 7, "b")]),
+        path, key_cols=["k"], seq_col="seq",
+    )
+    S.snapshot_maintain_aggregate(spark, path, view, cursor, **kw)
+    assert view_rows() == {"a": (2, 1), "b": (1, 1)}  # 5,5 -> 1 distinct
+
+    # insert-only fold: new value for a (distinct 2), duplicate for b (still 1)
+    S.snapshot_merge(
+        _snap_df(spark, [(4, 9, "a"), (5, 7, "b")]),
+        path, key_cols=["k"], seq_col="seq",
+    )
+    S.snapshot_maintain_aggregate(spark, path, view, cursor, **kw)
+    assert view_rows() == {"a": (3, 2), "b": (2, 1)}
+
+    # delete the only row carrying a's value 9 -> targeted recompute drops it
+    S.snapshot_merge(
+        spark.createDataFrame([(4, 10, "a", True)], ["k", "seq", "payload", "_del"]),
+        path, key_cols=["k"], seq_col="seq", delete_col="_del",
+    )
+    S.snapshot_maintain_aggregate(spark, path, view, cursor, **kw)
+    assert view_rows() == {"a": (2, 1), "b": (2, 1)}
+
+    # group that empties is tombstoned even with a sketch column
+    S.snapshot_merge(
+        spark.createDataFrame(
+            [(3, 11, "b", True), (5, 11, "b", True)],
+            ["k", "seq", "payload", "_del"],
+        ),
+        path, key_cols=["k"], seq_col="seq", delete_col="_del",
+    )
+    S.snapshot_maintain_aggregate(spark, path, view, cursor, **kw)
+    assert view_rows() == {"a": (2, 1)}
 
 
 def test_snapshot_add_columns_schema_evolution(spark, tmp_path):
