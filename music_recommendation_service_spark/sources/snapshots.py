@@ -37,6 +37,7 @@ rewritten; everything else is carried into the new version by reference.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -141,6 +142,13 @@ class ConcurrentSnapshotError(RuntimeError):
     """A concurrent commit landed between this operation's read of the
     table state and its manifest write; the operation's rewrite plan is
     stale and must be recomputed by the caller."""
+
+
+class ConstraintViolationError(ValueError):
+    """An incoming batch (or the existing table, for ADD CONSTRAINT)
+    contains rows that fail a table CHECK constraint. The write is
+    rejected BEFORE any data lands — constraint enforcement is part of
+    the commit contract, Delta-protocol ``delta.constraints.*`` parity."""
 
 
 class StaleCursorError(RuntimeError):
@@ -298,6 +306,13 @@ def _commit(path: str, build: Callable[[dict | None, int], dict]) -> int:
         manifest = build(latest, version)
         manifest["version"] = version
         manifest["committed_at"] = time.time()
+        # Sticky table metadata: CHECK constraints survive every commit
+        # type (overwrite, append, merge, compact, zorder, schema
+        # evolution) unless the build explicitly sets the key (add/drop
+        # constraint — and rollback, which restores the old manifest
+        # wholesale, old constraint set included).
+        if "constraints" not in manifest and latest and latest.get("constraints"):
+            manifest["constraints"] = latest["constraints"]
         target = os.path.join(_manifest_dir(path), f"{version}.json")
         # claim-once commit: O_EXCL locally, conditional PUT on an object
         # store (see SnapshotFS) — the loser of a race rebuilds and retries
@@ -323,6 +338,7 @@ def snapshot_write(
     never touched). ``stats_cols`` adds per-file min/max stats to the
     manifest so later ``snapshot_merge`` calls can prune files;
     ``manifest_extra`` merges caller metadata into the manifest."""
+    _enforce_constraints(df, path, "overwrite")
     rel, full = _new_data_dir(path)
     df.write.mode("error").parquet(full)
     spark = df.sparkSession
@@ -357,6 +373,7 @@ def snapshot_append(
     to record its pending-file batch atomically with the data)."""
     if not snapshot_versions(path):
         return snapshot_write(df, path, stats_cols, manifest_extra=manifest_extra)
+    _enforce_constraints(df, path, "append")
     mapping = _mapping(_latest_manifest(path) or {})
     rel, full = _new_data_dir(path)
     _to_physical_df(df, mapping).write.mode("error").parquet(full)
@@ -410,6 +427,101 @@ def _stats_may_contain(stats: dict | None, col: str, lo, hi) -> bool:
     if mn is None or mx is None:
         return True
     return not (mx < lo or mn > hi)
+
+
+def _expr_references(expr: str, col: str) -> bool:
+    """Conservative word-boundary test: does the constraint SQL mention the
+    column? (Over-matching — e.g. the name inside a string literal — errs
+    on the safe side: it blocks the schema change until the constraint is
+    dropped.)"""
+    import re
+
+    return re.search(rf"(?<![A-Za-z0-9_`]){re.escape(col)}(?![A-Za-z0-9_`])", expr) is not None
+
+
+def _enforce_constraints(df: DataFrame, path: str, op: str) -> None:
+    """Reject ``df`` if any row violates a table CHECK constraint. One
+    filtered ``take`` over the INCOMING batch only (existing rows were
+    validated when they landed or when the constraint was added) — O(batch)
+    at any table size, and Spark stops the scan at the first violation."""
+    latest = _latest_manifest(path)
+    cons = (latest or {}).get("constraints") or {}
+    if not cons:
+        return
+    viol = df.filter(
+        ~functools.reduce(
+            lambda a, b: a & b,
+            [F.coalesce(F.expr(e), F.lit(False)) for e in cons.values()],
+        )
+    )
+    bad = viol.take(1)
+    if bad:
+        raise ConstraintViolationError(
+            f"{op} at {path} violates CHECK constraint(s) "
+            f"{sorted(cons)}: example row {bad[0].asDict()}"
+        )
+
+
+def snapshot_add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT parity: validate the CURRENT data
+    satisfies ``expr`` (one filtered scan — rows where the predicate is
+    false OR null fail, matching Delta's CHECK semantics), then commit the
+    constraint as table metadata (data_change=false; zero bytes
+    rewritten). Every later write/append/merge validates its incoming
+    batch against the constraint set. NOT NULL is the special case
+    ``col IS NOT NULL``."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    validated_v = versions[-1]
+    cur = _read_manifest(path, validated_v)
+    if name in (cur.get("constraints") or {}):
+        raise ValueError(f"constraint {name!r} already exists at {path}")
+    bad = (
+        snapshot_read(spark, path, validated_v)
+        .filter(~F.coalesce(F.expr(expr), F.lit(False)))
+        .take(1)
+    )
+    if bad:
+        raise ConstraintViolationError(
+            f"cannot add CHECK constraint {name!r} ({expr}) at {path}: "
+            f"existing row violates it: {bad[0].asDict()}"
+        )
+
+    def build(latest: dict | None, _version: int) -> dict:
+        if latest is None or latest["version"] != validated_v:
+            # data moved under the validation scan — the proof is stale
+            raise ConcurrentSnapshotError(
+                f"{path}: table advanced past validated version "
+                f"{validated_v} while adding constraint {name!r}; retry"
+            )
+        out = {k: v for k, v in latest.items() if k not in ("version", "committed_at")}
+        out["constraints"] = {**(latest.get("constraints") or {}), name: expr}
+        out["data_change"] = False
+        return out
+
+    return _commit(path, build)
+
+
+def snapshot_drop_constraint(path: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT parity: metadata-only commit removing
+    the named constraint; raises KeyError if absent."""
+
+    def build(latest: dict | None, _version: int) -> dict:
+        if latest is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        cons = dict(latest.get("constraints") or {})
+        if name not in cons:
+            raise KeyError(f"no constraint {name!r} at {path}")
+        del cons[name]
+        out = {k: v for k, v in latest.items() if k not in ("version", "committed_at")}
+        out["constraints"] = cons
+        out["data_change"] = False
+        return out
+
+    return _commit(path, build)
 
 
 def snapshot_merge(
@@ -472,6 +584,17 @@ def snapshot_merge(
             f"merge schema mismatch at {path}: manifest={cur['schema']} "
             f"incoming={stored_schema}"
         )
+    # CHECK constraints apply to rows that will be STORED — tombstones
+    # never land, so their payloads are exempt (Delta parity: WHEN MATCHED
+    # DELETE carries no data).
+    if delete_col is not None:
+        _enforce_constraints(
+            df.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col),
+            path,
+            "merge",
+        )
+    else:
+        _enforce_constraints(df, path, "merge")
     incoming = _latest_per_key(df, key_cols, seq_col)
 
     files = _manifest_files(path, cur)
@@ -1388,6 +1511,13 @@ def snapshot_rename_columns(path: str, renames: dict) -> int:
                 raise ValueError(
                     f"snapshot_rename_columns: {old_name!r} not in schema"
                 )
+            for cname, cexpr in (latest.get("constraints") or {}).items():
+                if _expr_references(cexpr, old_name):
+                    raise ValueError(
+                        f"snapshot_rename_columns: {old_name!r} referenced "
+                        f"by CHECK constraint {cname!r} ({cexpr}); drop the "
+                        "constraint first (constraints bind LOGICAL names)"
+                    )
             if new_name in names and new_name != old_name:
                 raise ValueError(
                     f"snapshot_rename_columns: {new_name!r} already exists"
@@ -1453,6 +1583,14 @@ def snapshot_drop_columns(path: str, names: Sequence[str]) -> int:
         kept = [f for f in schema.fields if f.name not in drop]
         if not kept:
             raise ValueError("snapshot_drop_columns: cannot drop every column")
+        for cname, cexpr in (latest.get("constraints") or {}).items():
+            hit = sorted(c for c in drop if _expr_references(cexpr, c))
+            if hit:
+                raise ValueError(
+                    f"snapshot_drop_columns: {hit} referenced by CHECK "
+                    f"constraint {cname!r} ({cexpr}); drop the constraint "
+                    "first (Delta parity)"
+                )
         out = {
             "data_dirs": latest["data_dirs"],
             "n_rows": latest["n_rows"],
@@ -1486,6 +1624,9 @@ def snapshot_rollback(path: str, version: int) -> int:
             out["files"] = m["files"]
         if _mapping(m):
             out["column_mapping"] = _mapping(m)
+        # restore the target version's constraint set (possibly empty) —
+        # explicit so _commit's sticky carry can't resurrect a newer set
+        out["constraints"] = m.get("constraints", {})
         return out
 
     return _commit(path, build)

@@ -1427,6 +1427,87 @@ def test_maintain_aggregate_approx_distinct_paths(spark, tmp_path):
     assert view_rows() == {"a": (2, 1)}
 
 
+def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
+    """Delta delta.constraints parity: ADD CONSTRAINT validates existing
+    data; write/append/merge reject violating batches BEFORE landing any
+    data; NULL predicate results fail (CHECK semantics); tombstone payloads
+    are exempt; constraints survive unrelated commits and rollback restores
+    the old set; DROP lifts enforcement."""
+    import pytest as _pytest
+
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "cons")
+    S.snapshot_merge(
+        _snap_df(spark, [(1, 5, "a"), (2, 9, "b")]), path,
+        key_cols=["k"], seq_col="seq",
+    )
+
+    # adding a constraint existing data violates -> rejected, no commit
+    with _pytest.raises(S.ConstraintViolationError):
+        S.snapshot_add_constraint(spark, path, "seq_big", "seq > 100")
+    v_before = S.snapshot_versions(path)[-1]
+
+    S.snapshot_add_constraint(spark, path, "seq_pos", "seq > 0")
+    S.snapshot_add_constraint(spark, path, "payload_nn", "payload IS NOT NULL")
+    assert S.snapshot_versions(path)[-1] == v_before + 2
+
+    # append: violating batch rejected, file count unchanged
+    with _pytest.raises(S.ConstraintViolationError):
+        S.snapshot_append(_snap_df(spark, [(3, -1, "c")]), path)
+    # NULL predicate result counts as a violation (CHECK semantics)
+    with _pytest.raises(S.ConstraintViolationError):
+        S.snapshot_append(
+            spark.createDataFrame([(3, None, "c")], _snap_df(spark, [(3, 1, "c")]).schema),
+            path,
+        )
+    ok_v = S.snapshot_append(_snap_df(spark, [(3, 7, "c")]), path)
+
+    # merge: violating upsert rejected; tombstone payload exempt
+    with _pytest.raises(S.ConstraintViolationError):
+        S.snapshot_merge(
+            _snap_df(spark, [(1, -5, "a")]), path, key_cols=["k"], seq_col="seq"
+        )
+    S.snapshot_merge(
+        spark.createDataFrame(
+            [(2, 99, None, True)],
+            "k bigint, seq bigint, payload string, _d boolean",
+        ),
+        path, key_cols=["k"], seq_col="seq", delete_col="_d",
+    )
+    got = {r["k"] for r in S.snapshot_read(spark, path).collect()}
+    assert got == {1, 3}
+
+    # constraints survived the merge commit; schema changes on constrained
+    # columns are blocked until the constraint is dropped
+    with _pytest.raises(ValueError, match="seq_pos"):
+        S.snapshot_drop_columns(path, ["seq"])
+    with _pytest.raises(ValueError, match="payload_nn"):
+        S.snapshot_rename_columns(path, {"payload": "body"})
+
+    # rollback restores the PRE-constraint version's (empty) set
+    S.snapshot_rollback(path, v_before)
+    S.snapshot_append(
+        spark.createDataFrame(
+            [(9, -9, None)], "k bigint, seq bigint, payload string"
+        ),
+        path,
+    )  # now legal
+
+    # back on: re-add on the clean slice fails (a -9 row exists now)
+    with _pytest.raises(S.ConstraintViolationError):
+        S.snapshot_add_constraint(spark, path, "seq_pos", "seq > 0")
+
+    # drop lifts enforcement
+    S.snapshot_add_constraint(spark, path, "seq_sane", "seq > -100")
+    with _pytest.raises(S.ConstraintViolationError):
+        S.snapshot_append(_snap_df(spark, [(10, -500, "z")]), path)
+    S.snapshot_drop_constraint(path, "seq_sane")
+    S.snapshot_append(_snap_df(spark, [(10, -500, "z")]), path)
+    with _pytest.raises(KeyError):
+        S.snapshot_drop_constraint(path, "seq_sane")
+
+
 def test_snapshot_add_columns_schema_evolution(spark, tmp_path):
     """ADD COLUMNS parity: a metadata-only commit widens the schema; old
     rows read back NULL-filled, time travel shows the old schema, strict
