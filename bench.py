@@ -97,6 +97,29 @@ def main() -> None:
     cold = {name: r[0] for name, r in runs.items()}
     warm_min = {name: round(min(r[1:] or r), 3) for name, r in runs.items()}
 
+    # Extended (non-headline) section: the corpus-prep family added in
+    # round 5, timed best-of-2 at the same SF. Kept OUT of ``value`` /
+    # ``queries`` so the headline metric stays comparable across rounds.
+    ext_names = [
+        "q100_doc_chunking",
+        "q101_bigram_quality",
+        "q102_semantic_dedup",
+        "q103_chunk_dedup",
+    ]
+    queries_ext: dict[str, float] = {}
+    for name in ext_names:
+        if name not in reg:
+            continue
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            reg[name].build(spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        queries_ext[name] = round(best, 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -121,6 +144,7 @@ def main() -> None:
                     for pre, post in zip(calibration, calibration_post)
                 ],
                 "n_runs": N_RUNS,
+                "queries_ext": queries_ext,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

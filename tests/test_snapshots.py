@@ -627,6 +627,7 @@ _consumer_ops = st.lists(
             st.tuples(st.just("zorder"), st.none()),
             st.tuples(st.just("rollback"), st.integers(0, 5)),
             st.tuples(st.just("rename_roundtrip"), st.none()),
+            st.tuples(st.just("constraint_roundtrip"), st.none()),
             st.tuples(st.just("vacuum"), st.none()),
         ),
         st.booleans(),  # does the consumer run after this producer op?
@@ -692,6 +693,17 @@ def _consumer_op_dispatch(S, spark, path, state):
             if "payload" in names and "pl_tmp" not in names:
                 S.snapshot_rename_columns(path, {"payload": "pl_tmp"})
                 S.snapshot_rename_columns(path, {"pl_tmp": "payload"})
+        elif op == "constraint_roundtrip" and state["has_table"]:
+            # ADD + DROP CONSTRAINT are metadata-only (data_change=false)
+            # commits over the same files: the change feed and every
+            # consumer must see them as no-ops. Enforcement while armed is
+            # incidental here (the model's writes satisfy it trivially).
+            # Guard: rollback can restore a version whose constraint set
+            # still holds the name.
+            m = S._latest_manifest(path)
+            if "model_ck" not in (m.get("constraints") or {}):
+                S.snapshot_add_constraint(spark, path, "model_ck", "k IS NOT NULL")
+            S.snapshot_drop_constraint(path, "model_ck")
         elif op == "vacuum" and state["has_table"]:
             S.snapshot_vacuum(path, keep_last=2, orphan_min_age_sec=1e9)
 
