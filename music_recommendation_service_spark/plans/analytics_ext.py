@@ -355,3 +355,112 @@ def q88_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"max_by(event_type, {key})").alias("last_type"),
         F.round(F.expr(f"max_by(value, {key})"), 6).alias("last_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q104 — sequential funnel analysis (view -> click -> purchase): per user,
+# each stage must happen strictly AFTER the previous stage's first
+# occurrence — the product-analytics query every event warehouse runs.
+#
+# Scale shape: three stage-filtered min() hash aggregates keyed on user_id
+# (partial+final, map-side combinable), chained by equi-joins on user_id.
+# Spark plans ONE user_id exchange reused across the chain; nothing ever
+# shuffles raw events except the per-stage pre-aggregation, and the final
+# funnel report is a 1-row global aggregate. No window over the whole
+# event stream, no per-user state. At 100 TB the per-stage aggregates are
+# the only memory: O(users), not O(events).
+# ---------------------------------------------------------------------------
+def _q104_sql(duck: bool) -> str:
+    # epoch seconds with fractional part, identical in both engines
+    # (Spark reads the catalog's converted NTZ timestamps; an NTZ cannot
+    # cast straight to DOUBLE, but NTZ->TIMESTAMP is exact under the
+    # pinned UTC session timezone)
+    ep = (lambda t: f"epoch({t})") if duck else (
+        lambda t: f"cast(cast({t} AS TIMESTAMP) AS DOUBLE)"
+    )
+    return f"""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t0
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t1
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t0
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t1
+        GROUP BY e.user_id
+    ),
+    j AS (
+        SELECT v.user_id, v.t0, c.t1, p.t2
+        FROM v LEFT JOIN c ON v.user_id = c.user_id
+                LEFT JOIN p ON v.user_id = p.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT)  AS n_view,
+           CAST(count(t1) AS BIGINT) AS n_click,
+           CAST(count(t2) AS BIGINT) AS n_purchase,
+           {_RND6.format(x='count(t1) * 1.0 / count(*)')}  AS conv_view_click,
+           {_RND6.format(x='count(t2) * 1.0 / count(*)')}  AS conv_view_purchase,
+           {_RND2.format(x=f"avg({ep('t1')} - {ep('t0')})")} AS avg_s_view_click,
+           {_RND2.format(x=f"avg({ep('t2')} - {ep('t1')})")} AS avg_s_click_purchase
+    FROM j
+    """
+
+
+_RND6 = "round(({x}) + 1e-9, 6)"
+_RND2 = "round(({x}) + 1e-9, 2)"
+
+
+@register(
+    "q104_funnel",
+    oracle=_q104_sql(duck=True),
+    doc="Sequential view->click->purchase funnel: per-stage first-touch "
+    "chained by strictly-after joins; stage counts, conversion rates, and "
+    "mean stage-transition seconds in one row.",
+    tags=("events", "funnel", "analytics"),
+)
+def q104_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_q104_sql(duck=False))
+
+
+# ---------------------------------------------------------------------------
+# q105 — retention cohorts: users grouped by signup week, distinct active
+# users per (cohort_week, weeks_since_signup) — the second canonical
+# event-warehouse analytic (the funnel's companion). Two hash aggregates
+# keyed on user_id then on the (cohort, offset) pair; the cohort dimension
+# is derived from a broadcast-joined first-touch table, O(users).
+# ---------------------------------------------------------------------------
+def _q105_sql(duck: bool) -> str:
+    if duck:
+        dd = "date_diff('day', s.w0, date_trunc('week', e.ts))"
+    else:
+        dd = "datediff(date_trunc('week', e.ts), s.w0)"
+    return f"""
+    WITH s AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS w0
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT CAST(s.w0 AS DATE)                    AS cohort_week,
+           CAST(({dd}) / 7 AS INT)               AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e JOIN s ON e.user_id = s.user_id
+    WHERE e.ts >= s.w0
+    GROUP BY s.w0, 2
+    """
+
+
+@register(
+    "q105_retention_cohorts",
+    oracle=_q105_sql(duck=True),
+    doc="Weekly retention cohorts: signup-week first touch broadcast onto "
+    "the event stream; distinct active users per (cohort, week offset).",
+    tags=("events", "retention", "analytics"),
+)
+def q105_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_q105_sql(duck=False))

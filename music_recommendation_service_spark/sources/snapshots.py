@@ -697,6 +697,173 @@ def snapshot_merge(
     return _commit(path, build)
 
 
+def _stats_cols_in_use(cur: dict) -> list[str]:
+    """Union of per-file stats columns (PHYSICAL names) recorded in the
+    current manifest — predicate DML preserves whatever stats discipline
+    the table already has, so merge pruning keeps firing afterwards."""
+    cols: set[str] = set()
+    for e in cur.get("files") or []:
+        cols.update((e.get("stats") or {}).keys())
+    return sorted(cols)
+
+
+def _predicate_file_split(
+    spark: SparkSession, path: str, cur: dict, predicate: str
+) -> tuple[list[dict], list[dict]]:
+    """(touched, untouched) manifest file entries for a row predicate: ONE
+    scan projecting only the predicate's input columns + input_file_name.
+    Catalyst prunes the scan to the referenced columns, so at 100 TB the
+    discovery pass reads a couple of columns, never the table."""
+    files = _manifest_files(path, cur)
+    if not files:
+        return [], []
+    full = [os.path.join(path, e["path"]) for e in files]
+    hits = (
+        _read_declared(spark, cur, full)
+        .filter(F.expr(predicate))
+        .select(F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_f"))
+        .distinct()
+        .collect()
+    )
+    hit_names = {r["_f"] for r in hits}
+    touched_paths = {
+        e["path"] for e in files if e["path"].rsplit("/", 1)[-1] in hit_names
+    }
+    return (
+        [e for e in files if e["path"] in touched_paths],
+        [e for e in files if e["path"] not in touched_paths],
+    )
+
+
+def _rewrite_touched(
+    spark: SparkSession,
+    path: str,
+    cur: dict,
+    base_version: int,
+    touched: list[dict],
+    untouched: list[dict],
+    rewrite,
+    op: str,
+) -> int:
+    """Shared predicate-DML tail: rewrite ``touched`` files through
+    ``rewrite(df) -> df``, carry ``untouched`` by reference, commit with a
+    stale-state conflict check. Stats columns in use are recomputed for
+    the new files."""
+    mapping = _mapping(cur)
+    existing = _read_declared(
+        spark, cur, [os.path.join(path, e["path"]) for e in touched]
+    )
+    out_df = rewrite(existing)
+    rel, full_dir = _new_data_dir(path)
+    _to_physical_df(out_df, mapping).write.mode("error").parquet(full_dir)
+    new_files, n_new = _scan_file_entries(
+        spark, full_dir, rel, _stats_cols_in_use(cur)
+    )
+    if any(e["rows"] is None for e in untouched):
+        untouched_rows = (
+            _read_declared(
+                spark, cur, [os.path.join(path, e["path"]) for e in untouched]
+            ).count()
+            if untouched
+            else 0
+        )
+    else:
+        untouched_rows = sum(e["rows"] for e in untouched)
+    out_files = untouched + new_files
+
+    def build(latest: dict | None, version: int) -> dict:
+        if latest is None or latest["version"] != base_version:
+            raise ConcurrentSnapshotError(
+                f"{path}: version moved {base_version} -> "
+                f"{latest['version'] if latest else None} during {op}; "
+                "recompute against the new state"
+            )
+        out = {
+            "data_dirs": _dirs_of(out_files),
+            "files": out_files,
+            "n_rows": untouched_rows + n_new,
+            "schema": cur["schema"],
+        }
+        if mapping:
+            out["column_mapping"] = mapping
+        return out
+
+    return _commit(path, build)
+
+
+def snapshot_delete_where(
+    spark: SparkSession, path: str, predicate: str
+) -> int | None:
+    """Predicate DELETE, Delta ``DELETE FROM t WHERE ...`` parity — the
+    GDPR-shape DML that matters at 100 TB: only files that actually hold a
+    matching row are rewritten (one column-pruned discovery scan finds
+    them); everything else is carried by reference. Rows where the
+    predicate is NULL are kept (SQL three-valued semantics: DELETE removes
+    rows where the predicate is TRUE). Returns the new version, or None
+    when nothing matched (no-op, no commit — rerunnable). The change feed
+    sees the rewrite as a normal data commit, so keyed CDF emits exactly
+    the deleted rows."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    base_version = versions[-1]
+    cur = _read_manifest(path, base_version)
+    touched, untouched = _predicate_file_split(spark, path, cur, predicate)
+    if not touched:
+        return None
+    return _rewrite_touched(
+        spark, path, cur, base_version, touched, untouched,
+        lambda df: df.filter(~F.coalesce(F.expr(predicate), F.lit(False))),
+        "delete_where",
+    )
+
+
+def snapshot_update_where(
+    spark: SparkSession, path: str, predicate: str, assignments: dict
+) -> int | None:
+    """Predicate UPDATE, Delta ``UPDATE t SET ... WHERE ...`` parity:
+    rewrites only the files holding a matching row; each assignment is a
+    SQL expression over the row's columns, cast back to the column's
+    declared type so the schema is bit-stable. Updated rows are validated
+    against the table's CHECK constraints (an UPDATE cannot smuggle a
+    violation past write-path enforcement). Returns the new version or
+    None when nothing matched."""
+    from pyspark.sql.types import StructType
+
+    if not assignments:
+        raise ValueError("snapshot_update_where: no assignments given")
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    base_version = versions[-1]
+    cur = _read_manifest(path, base_version)
+    schema = StructType.fromJson(json.loads(cur["schema"]))
+    types = {f.name: f.dataType for f in schema.fields}
+    unknown = sorted(set(assignments) - set(types))
+    if unknown:
+        raise ValueError(f"snapshot_update_where: unknown column(s) {unknown}")
+    touched, untouched = _predicate_file_split(spark, path, cur, predicate)
+    if not touched:
+        return None
+    pred = F.coalesce(F.expr(predicate), F.lit(False))
+
+    def rewrite(df: DataFrame) -> DataFrame:
+        out = df
+        for col, expr in assignments.items():
+            out = out.withColumn(
+                col,
+                F.when(pred, F.expr(expr).cast(types[col])).otherwise(F.col(col)),
+            )
+        # only updated rows can newly violate a constraint
+        _enforce_constraints(out.filter(pred), path, "update_where")
+        return out.select(*schema.fieldNames())
+
+    return _rewrite_touched(
+        spark, path, cur, base_version, touched, untouched, rewrite,
+        "update_where",
+    )
+
+
 def _latest_per_key(
     df: DataFrame, key_cols: Sequence[str], seq_col: str
 ) -> DataFrame:

@@ -628,6 +628,8 @@ _consumer_ops = st.lists(
             st.tuples(st.just("rollback"), st.integers(0, 5)),
             st.tuples(st.just("rename_roundtrip"), st.none()),
             st.tuples(st.just("constraint_roundtrip"), st.none()),
+            st.tuples(st.just("delete_where"), st.sampled_from("abc")),
+            st.tuples(st.just("update_where"), st.sampled_from("abc")),
             st.tuples(st.just("vacuum"), st.none()),
         ),
         st.booleans(),  # does the consumer run after this producer op?
@@ -635,6 +637,16 @@ _consumer_ops = st.lists(
     min_size=2,
     max_size=7,
 )
+
+
+def _payload_col(S, path: str) -> str:
+    """The payload column's CURRENT logical name (rollback can briefly
+    strand the mid-roundtrip name)."""
+    import json as _json
+
+    m = S._latest_manifest(path)
+    names = [f["name"] for f in _json.loads(m["schema"])["fields"]]
+    return "pl_tmp" if "pl_tmp" in names else "payload"
 
 
 def _consumer_op_dispatch(S, spark, path, state):
@@ -693,6 +705,17 @@ def _consumer_op_dispatch(S, spark, path, state):
             if "payload" in names and "pl_tmp" not in names:
                 S.snapshot_rename_columns(path, {"payload": "pl_tmp"})
                 S.snapshot_rename_columns(path, {"pl_tmp": "payload"})
+        elif op == "delete_where" and state["has_table"]:
+            # predicate DML: surgical file rewrite through the feed. The
+            # column may be mid-rename (rollback can strand pl_tmp), so
+            # address it by its CURRENT logical name.
+            S.snapshot_delete_where(
+                spark, path, f"{_payload_col(S, path)} = '{arg}'"
+            )
+        elif op == "update_where" and state["has_table"]:
+            S.snapshot_update_where(
+                spark, path, f"{_payload_col(S, path)} = '{arg}'", {"seq": "seq + 7"}
+            )
         elif op == "constraint_roundtrip" and state["has_table"]:
             # ADD + DROP CONSTRAINT are metadata-only (data_change=false)
             # commits over the same files: the change feed and every
@@ -1518,6 +1541,97 @@ def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
     S.snapshot_append(_snap_df(spark, [(10, -500, "z")]), path)
     with _pytest.raises(KeyError):
         S.snapshot_drop_constraint(path, "seq_sane")
+
+
+def test_delete_where_and_update_where(spark, tmp_path):
+    """Predicate DML parity (DELETE FROM / UPDATE SET WHERE): only files
+    holding a matching row are rewritten (untouched files carried by
+    reference, byte-identical paths); NULL-predicate rows survive a
+    DELETE; no-match is a no-op returning None; keyed CDF emits exactly
+    the deleted/updated rows; UPDATE cannot violate a CHECK constraint;
+    both compose with RENAME COLUMNS (logical names over column
+    mapping)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "dml")
+    # two files: k 1-3 and k 10-12 (append creates a second data dir)
+    S.snapshot_write(_snap_df(spark, [(1, 5, "a"), (2, 6, "b"), (3, 7, "c")]), path,
+                     stats_cols=["k"])
+    S.snapshot_append(
+        spark.createDataFrame(
+            [(10, 8, "x"), (11, 9, None), (12, 9, "z")],
+            "k bigint, seq bigint, payload string",
+        ),
+        path, stats_cols=["k"],
+    )
+    files_before = {e["path"] for e in S._latest_manifest(path)["files"]}
+
+    # DELETE payload = 'b': only the first file holds a match
+    v = S.snapshot_delete_where(spark, path, "payload = 'b'")
+    assert v is not None
+    m = S._latest_manifest(path)
+    kept_files = {e["path"] for e in m["files"]}
+    # the k=10..12 file is carried by reference (path unchanged)
+    assert any(p in kept_files for p in files_before)
+    got = {r["k"]: r["payload"] for r in S.snapshot_read(spark, path).collect()}
+    # k=11 has NULL payload -> predicate NULL -> KEPT (three-valued logic)
+    assert got == {1: "a", 3: "c", 10: "x", 11: None, 12: "z"}
+    assert m["n_rows"] == 5
+    # stats discipline preserved on rewritten (non-empty) files
+    assert all(
+        "k" in (e.get("stats") or {}) for e in m["files"] if e.get("rows")
+    )
+
+    # no-op: nothing matches -> None, no new version
+    v_latest = S.snapshot_versions(path)[-1]
+    assert S.snapshot_delete_where(spark, path, "payload = 'nope'") is None
+    assert S.snapshot_versions(path)[-1] == v_latest
+
+    # keyed CDF across the delete emits exactly the removed row
+    ch = {
+        (r["k"], r["_change_type"])
+        for r in S.snapshot_changes(spark, path, v - 1, v, key_cols=["k"]).collect()
+    }
+    assert ch == {(2, "delete")}
+
+    # UPDATE with constraint enforcement
+    S.snapshot_add_constraint(spark, path, "seq_pos", "seq > 0")
+    with _pytest.raises(S.ConstraintViolationError):
+        S.snapshot_update_where(spark, path, "k = 1", {"seq": "-99"})
+    v2 = S.snapshot_update_where(spark, path, "k >= 10", {"seq": "seq + 100"})
+    assert v2 is not None
+    got = {r["k"]: r["seq"] for r in S.snapshot_read(spark, path).collect()}
+    assert got == {1: 5, 3: 7, 10: 108, 11: 109, 12: 109}
+    ch = {
+        (r["k"], r["_change_type"], r["seq"])
+        for r in S.snapshot_changes(spark, path, v2 - 1, v2, key_cols=["k"]).collect()
+    }
+    assert ch == {
+        (10, "update_preimage", 8), (10, "update_postimage", 108),
+        (11, "update_preimage", 9), (11, "update_postimage", 109),
+        (12, "update_preimage", 9), (12, "update_postimage", 109),
+    }
+    # unknown assignment column rejected
+    with _pytest.raises(ValueError, match="unknown column"):
+        S.snapshot_update_where(spark, path, "k = 1", {"ghost": "1"})
+
+    # predicate DML over a RENAMED column (logical name via mapping)
+    S.snapshot_drop_constraint(path, "seq_pos")
+    S.snapshot_rename_columns(path, {"payload": "body"})
+    v3 = S.snapshot_update_where(spark, path, "body = 'x'", {"body": "'X'"})
+    assert v3 is not None
+    got = {r["k"]: r["body"] for r in S.snapshot_read(spark, path).collect()}
+    assert got[10] == "X"
+    S.snapshot_delete_where(spark, path, "body = 'z'")
+    assert {r["k"] for r in S.snapshot_read(spark, path).collect()} == {1, 3, 10, 11}
+    # time travel: pre-DML version still shows the original rows
+    assert {
+        r["k"] for r in S.snapshot_read(spark, path, version=v - 1).collect()
+    } == {1, 2, 3, 10, 11, 12}
 
 
 def test_snapshot_add_columns_schema_evolution(spark, tmp_path):
