@@ -191,6 +191,31 @@ def test_stream_dedup(spark, event_batches, tmp_path):
     assert got.select("event_id").distinct().count() == total
 
 
+def test_stream_dedup_within_watermark(spark, event_batches, tmp_path):
+    """dropDuplicatesWithinWatermark: dedup whose state is EVICTABLE — it
+    only guarantees uniqueness among events within the watermark delay of
+    each other, which is exactly what unbounded streams need (plain
+    dropDuplicates keys state forever; with a watermark it also silently
+    drops late non-duplicates). Duplicate arrivals inside the window
+    collapse to one row here."""
+    in_dir, batches, total = event_batches
+    _land(*batches[0])
+    dup_path = batches[0][0].parent / "dupw0.json"
+    _land(dup_path, batches[0][1])  # same events again, same event times
+    _land(*batches[1])
+
+    out, cp = str(tmp_path / "wout"), str(tmp_path / "wcp")
+    stream = stream_from_directory(spark, str(in_dir), EVENT_SCHEMA)
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    write_stream_parquet(deduped, out, cp).awaitTermination(240)
+
+    got = spark.read.parquet(out)
+    assert got.count() == total
+    assert got.select("event_id").distinct().count() == total
+
+
 def test_stream_stream_join_matches_batch(spark, sf_dir, event_batches, tmp_path):
     """Stream-stream inner join (purchase ⋈ click by user within 10 min,
     watermarked both sides — Spark requires the event-time bound to expire
