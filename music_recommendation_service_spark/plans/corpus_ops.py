@@ -46,6 +46,11 @@ CHUNK_STRIDE = 30
 
 # SemDeDup cosine threshold (within-cluster near-duplicate).
 SEMDEDUP_TAU = 0.35
+# Hyperplane sign bits subdividing each IVF cell: cluster count x2^bits,
+# intra-cluster pair work /4^bits. Scale rule: bits ~ log2(N / target
+# cluster size) — 2 is right for the test corpus; a 100 TB corpus wants
+# 10-14 (i.e., thousands of cells per coarse centroid).
+SEMDEDUP_BITS = 2
 
 
 def _lslice(d: dict, l: str, start: str, n: int) -> str:
@@ -178,29 +183,49 @@ register_sql(
 # clusters. A vector is DROPPED when a same-cluster vector with a smaller
 # id is within cosine >= tau; the emitted row names its keeper (the
 # smallest such id) so the decision replays deterministically.
+#
+# Cluster-size control (THE SemDeDup scale knob): the coarse quantizer
+# alone gives |labels| clusters, a count that does NOT grow with the
+# corpus — at 10x data each cluster is 10x bigger and the intra-cluster
+# quadratic is 100x (measured: 3.6s -> 82s on the 10x smoke). So each
+# IVF cell is subdivided by SEMDEDUP_BITS deterministic hyperplane sign
+# bits (the same md5-derived planes as the LSH ANN): cluster count scales
+# 2^bits per cell, per-cluster size — and the quadratic — drops 2^bits /
+# 4^bits. At a real 100 TB deployment bits rises with log2(N /
+# target_cluster_size); near-identical vectors agree on sign bits with
+# probability (1 - theta/pi)^bits, the standard SemDeDup recall trade.
 # ---------------------------------------------------------------------------
 def _q102(d: dict) -> str:
+    from music_recommendation_service_spark.plans.similarity import _hyperplanes
+
     cos = f"({d['dot']('x.v', 'y.v')}) / (x.nrm * y.nrm)"
+    planes = _hyperplanes()[:SEMDEDUP_BITS]
+    bit_terms = " + ".join(
+        f"(CASE WHEN ({d['dot']('e.v', d['arrlit'](p))}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
     return f"""
     WITH {ivf_assign_cte(d)},
     members AS (
-        SELECT a.cid, a.vec_id, e.v, e.nrm
+        SELECT a.cid * {1 << SEMDEDUP_BITS} + ({bit_terms}) AS cell,
+               a.vec_id, e.v, e.nrm
         FROM assigned a JOIN en e ON a.vec_id = e.vec_id
     ),
     pairs AS (
-        SELECT x.vec_id AS dup_id, x.cid AS cid,
+        SELECT x.vec_id AS dup_id, x.cell AS cell,
                y.vec_id AS keep_cand, {cos} AS cos
         FROM members x JOIN members y
-          ON x.cid = y.cid AND x.vec_id > y.vec_id
+          ON x.cell = y.cell AND x.vec_id > y.vec_id
         WHERE {cos} >= {SEMDEDUP_TAU}
     )
     SELECT dup_id                        AS vec_id,
-           CAST(cid AS INT)              AS cluster_id,
+           CAST(cell AS INT)             AS cluster_id,
            min(keep_cand)                AS kept_id,
            CAST(count(*) AS BIGINT)      AS n_dups,
            {rnd_sql('max(cos)', 6)}      AS max_cosine
     FROM pairs
-    GROUP BY dup_id, cid
+    GROUP BY dup_id, cell
     """
 
 

@@ -194,11 +194,12 @@ def test_q102_semdedup_pairs_join_is_equi_on_cluster(spark, sf_dir):
     centroid-table assignment broadcast."""
     p = _plan(spark, sf_dir, "q102_semantic_dedup")
     assert "CartesianProduct" not in p
-    # the members x members pair join is an equi join keyed on cluster id:
-    # formatted explain shows "Left keys [1]: [cid#...]" for the SMJ/SHJ
+    # the members x members pair join is an equi join keyed on the
+    # subdivided cluster cell: formatted explain shows
+    # "Left keys [1]: [cell#...]" for the SMJ/SHJ
     import re
 
-    assert re.search(r"Left keys \[1\]: \[cid#", p), p
+    assert re.search(r"Left keys \[1\]: \[cell#", p), p
 
 
 def test_q89_salted_agg_two_phase(spark, sf_dir):
