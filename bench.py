@@ -105,6 +105,8 @@ def main() -> None:
         "q101_bigram_quality",
         "q102_semantic_dedup",
         "q103_chunk_dedup",
+        "q104_funnel",
+        "q105_retention_cohorts",
     ]
     queries_ext: dict[str, float] = {}
     for name in ext_names:

