@@ -1493,6 +1493,13 @@ def snapshot_maintain_aggregate(
         )
         delta = delta.join(recomputed, group_cols, "left")
 
+    # The folded delta is consumed by SEVERAL actions downstream (the
+    # emptiness probe, the merge's key-bounds collect, its key-membership
+    # scan, and the rewrite itself) — without persisting, each one would
+    # re-execute the whole CDF reconciliation + recompute join. The delta
+    # is O(touched groups): tiny relative to the work that produced it.
+    delta = delta.persist()
+
     # Per-group min/max: a recomputed value (groups that lost rows) wins;
     # otherwise fold the incoming inserts against the stored value.
     def minmax_out(mc: str, stored_min=None, stored_max=None) -> list:
@@ -1553,9 +1560,14 @@ def snapshot_maintain_aggregate(
             manifest_extra={"source_version": to_v},
         )
         commit()
+        delta.unpersist()
         return v
-    if len(changes.take(1)) == 0:
+    # emptiness probe on the PERSISTED delta (changes empty <=> delta
+    # empty: every change row lands in some group) — this is also the
+    # action that materializes the cache for the merge's reuse
+    if len(delta.take(1)) == 0:
         commit()
+        delta.unpersist()
         return None
 
     current = snapshot_read(spark, view_path).select(
@@ -1586,14 +1598,17 @@ def snapshot_maintain_aggregate(
         F.lit(to_v).cast("long").alias("_maint_v"),
         (new_n == 0).alias("_tomb"),
     )
-    v = snapshot_merge(
-        relax_hll_nullability(upsert),
-        view_path,
-        key_cols=group_cols,
-        seq_col="_maint_v",
-        delete_col="_tomb",
-        manifest_extra={"source_version": to_v},
-    )
+    try:
+        v = snapshot_merge(
+            relax_hll_nullability(upsert),
+            view_path,
+            key_cols=group_cols,
+            seq_col="_maint_v",
+            delete_col="_tomb",
+            manifest_extra={"source_version": to_v},
+        )
+    finally:
+        delta.unpersist()
     commit()
     return v
 
