@@ -1712,6 +1712,41 @@ def test_predicate_dml_matches_dataframe_model(tmp_path_factory, ops):
         assert got == model
 
 
+def test_predicate_dml_conflict_detection(spark, tmp_path, monkeypatch):
+    """A commit landing between predicate-DML's state read and its
+    manifest write makes the rewrite plan stale: the op must raise
+    ConcurrentSnapshotError (never blindly commit over the winner), and a
+    plain retry against the fresh state succeeds with BOTH effects."""
+    import pytest as _pytest
+
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "dmlrace")
+    S.snapshot_write(
+        _snap_df(spark, [(1, 5, "a"), (2, 6, "b"), (3, 7, "c")]), path,
+        stats_cols=["k"],
+    )
+
+    real_ndd = S._new_data_dir
+    fired = {"done": False}
+
+    def racing(p):
+        # first data-dir claim of the DML rewrite -> competing append
+        # lands AFTER the DML read its base manifest
+        if p == path and not fired["done"]:
+            fired["done"] = True
+            S.snapshot_append(_snap_df(spark, [(9, 1, "z")]), path, stats_cols=["k"])
+        return real_ndd(p)
+
+    monkeypatch.setattr(S, "_new_data_dir", racing)
+    with _pytest.raises(S.ConcurrentSnapshotError):
+        S.snapshot_delete_where(spark, path, "payload = 'b'")
+    # retry on the fresh state: both the racer's row and the delete land
+    S.snapshot_delete_where(spark, path, "payload = 'b'")
+    got = {r["k"] for r in S.snapshot_read(spark, path).collect()}
+    assert got == {1, 3, 9}
+
+
 def test_snapshot_add_columns_schema_evolution(spark, tmp_path):
     """ADD COLUMNS parity: a metadata-only commit widens the schema; old
     rows read back NULL-filled, time travel shows the old schema, strict
