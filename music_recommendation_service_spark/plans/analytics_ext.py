@@ -464,3 +464,91 @@ def _q105_sql(duck: bool) -> str:
 def q105_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_q105_sql(duck=False))
+
+
+# ---------------------------------------------------------------------------
+# q106 — per-series gap interpolation: densify each user's daily series to
+# its own [first, last] day range, then fill interior gaps by LINEAR
+# interpolation between the surrounding observations (the time-series
+# prep step before any trend/seasonality model).
+#
+# Scale shape: the anchors are four IGNORE-NULLS running window functions
+# over ONE per-user sort — no self-join to find "previous/next observed
+# row", which is the naive O(n^2)-ish formulation. Per-user spines bound
+# the densification to each series' own range, so the explode factor is
+# sum(user range days), not |users| x global range.
+# ---------------------------------------------------------------------------
+def _q106_sql(duck: bool) -> str:
+    if duck:
+        spine = """
+        SELECT user_id,
+               unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        FROM b
+        """
+        dd = lambda a, b: f"date_diff('day', {a}, {b})"
+    else:
+        spine = """
+        SELECT user_id, day
+        FROM b LATERAL VIEW explode(sequence(lo, hi, interval 1 day)) t AS day
+        """
+        dd = lambda a, b: f"datediff({b}, {a})"
+    prev_frame = (
+        "OVER (PARTITION BY user_id ORDER BY day "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    next_frame = (
+        "OVER (PARTITION BY user_id ORDER BY day "
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+    )
+
+    # IGNORE NULLS spelling differs: DuckDB puts it inside the call
+    # parens, Spark after them.
+    def anchor(fn: str, expr: str, frame: str) -> str:
+        if duck:
+            return f"{fn}({expr} IGNORE NULLS) {frame}"
+        return f"{fn}({expr}) IGNORE NULLS {frame}"
+    return f"""
+    WITH obs AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               round(avg(value) + 1e-9, 6) AS v
+        FROM events WHERE user_id % 25 = 0
+        GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    b AS (
+        SELECT user_id, min(day) AS lo, max(day) AS hi FROM obs GROUP BY user_id
+    ),
+    spine AS ({spine}),
+    j AS (
+        SELECT s.user_id, s.day, o.v
+        FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.day = o.day
+    ),
+    w AS (
+        SELECT user_id, day, v,
+               {anchor('last_value', 'v', prev_frame)} AS pv,
+               {anchor('last_value', 'CASE WHEN v IS NOT NULL THEN day END', prev_frame)} AS pd,
+               {anchor('first_value', 'v', next_frame)} AS nv,
+               {anchor('first_value', 'CASE WHEN v IS NOT NULL THEN day END', next_frame)} AS nd
+        FROM j
+    )
+    SELECT user_id, day,
+           (v IS NOT NULL) AS observed,
+           round(CASE
+               WHEN v IS NOT NULL THEN v
+               ELSE pv + (nv - pv) * ({dd('pd', 'day')} * 1.0)
+                                   / ({dd('pd', 'nd')})
+           END + 1e-9, 6) AS filled
+    FROM w
+    """
+
+
+@register(
+    "q106_series_interpolation",
+    oracle=_q106_sql(duck=True),
+    doc="Per-user daily densification + linear interpolation of interior "
+    "gaps via IGNORE-NULLS running anchors (one window pass, no "
+    "previous-observation self-join).",
+    tags=("timeseries", "interpolation", "window", "densify"),
+)
+def q106_series_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_q106_sql(duck=False))
