@@ -202,6 +202,15 @@ def test_q102_semdedup_pairs_join_is_equi_on_cluster(spark, sf_dir):
     assert re.search(r"Left keys \[1\]: \[cell#", p), p
 
 
+def test_q106_interpolation_single_window_pass(spark, sf_dir):
+    """All four IGNORE-NULLS anchors (prev/next value and day) must fold
+    into ONE Window node over one per-user sort — the whole point of the
+    running-anchor formulation vs a previous-observation self-join."""
+    p = _plan(spark, sf_dir, "q106_series_interpolation")
+    assert p.count("Window (") == 1, p
+    assert p.count("Sort (") == 1, p
+
+
 def test_q89_salted_agg_two_phase(spark, sf_dir):
     """The salted aggregate is exactly two keyed aggregations: partials on
     (key, salt), combine on key — and the combine's input is the partial
