@@ -526,3 +526,55 @@ register_sql(
     "-> deterministic 80/10/10 split -> per-(split, source) token report.",
     tags=("llm-pipeline", "composition", "dedup", "split"),
 )
+
+
+# ---------------------------------------------------------------------------
+# q107 — deterministic weighted sampling without replacement (Efraimidis-
+# Spirakis A-ES): each document draws a deterministic uniform u from a
+# multiplicative hash of its id and competes on the key -ln(u)/w (w =
+# n_chars); the k SMALLEST keys are the sample. Long documents win
+# proportionally more often — the importance-weighted corpus subsample
+# every mixture builder needs.
+#
+# Scale shape: the key is a stateless projection; selection is a global
+# top-k (TakeOrderedAndProject — no full sort). Determinism: u is exact
+# integer arithmetic in both engines, and -ln(u)/w applies the same IEEE
+# ops to the same doubles, so both engines order identically (doc_id
+# tiebreak makes it total).
+# ---------------------------------------------------------------------------
+_WS_K = 20
+
+
+def _q107_sql(duck: bool) -> str:
+    u = f"((doc_id * {_MULT}) % {_LCG_M} + 0.5) / {_LCG_M}.0"
+    key = f"(-ln({u}) / n_chars)"
+    # ORDER BY + LIMIT (not a global row_number window) so Spark plans
+    # TakeOrderedAndProject — per-partition heaps, never a one-partition
+    # sort of the corpus; the ranking window then runs over k rows only.
+    return f"""
+    WITH top AS (
+        SELECT doc_id, n_chars, {key} AS es_key
+        FROM documents
+        WHERE n_chars > 0
+        ORDER BY es_key, doc_id
+        LIMIT {_WS_K}
+    )
+    SELECT doc_id, n_chars,
+           round(es_key + 1e-12, 9) AS es_key,
+           CAST(row_number() OVER (ORDER BY es_key, doc_id) AS INT)
+               AS sample_rank
+    FROM top
+    """
+
+
+@register(
+    "q107_weighted_sample",
+    oracle=_q107_sql(duck=True),
+    doc=f"Efraimidis-Spirakis weighted sampling without replacement: "
+    f"top-{_WS_K} docs by -ln(hash-uniform)/n_chars (deterministic, "
+    "importance-weighted).",
+    tags=("pipeline", "sampling", "weighted", "deterministic"),
+)
+def q107_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_q107_sql(duck=False))

@@ -202,6 +202,15 @@ def test_q102_semdedup_pairs_join_is_equi_on_cluster(spark, sf_dir):
     assert re.search(r"Left keys \[1\]: \[cell#", p), p
 
 
+def test_q107_weighted_sample_is_takeordered(spark, sf_dir):
+    """A-ES weighted sampling must select its top-k via per-partition
+    heaps (TakeOrderedAndProject), never a one-partition global sort; the
+    ranking window then touches k rows only."""
+    p = _plan(spark, sf_dir, "q107_weighted_sample")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("Window (") == 1
+
+
 def test_q106_interpolation_single_window_pass(spark, sf_dir):
     """All four IGNORE-NULLS anchors (prev/next value and day) must fold
     into ONE Window node over one per-user sort — the whole point of the
