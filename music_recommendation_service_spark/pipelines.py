@@ -239,3 +239,75 @@ def incremental_file_ingest(
     # 4. ledger commit
     ledger_merge(listing)
     return listing
+
+
+def incremental_dedup_ingest(
+    batch: DataFrame,
+    store_path: str,
+    index_path: str,
+    cursor_path: str,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    fp_col: str = "fp",
+) -> int:
+    """Dedup-on-ingest against a CDF-maintained fingerprint index: land
+    only first-seen content, O(batch) per wave, never an O(corpus)
+    rescan — the ingest front door of a 100 TB training-data store.
+
+    Per wave:
+      1. fingerprint the batch (16-hex md5 of ``content_col``) and dedup
+         WITHIN it (smallest ``id_col`` per fingerprint wins);
+      2. anti-join the batch against the INDEX VIEW (an aggregate over
+         fingerprints — O(distinct corpus content), far smaller than the
+         store, and broadcast-friendly at micro-batch sizes);
+      3. keyed-merge survivors into the document snapshot at
+         ``store_path``;
+      4. fold the store's change feed into the index via
+         ``snapshot_maintain_aggregate`` (count + min id per
+         fingerprint), advancing ``cursor_path``.
+
+    Returns the number of rows actually landed. Crash-safe by
+    construction: every step is an idempotent snapshot-protocol commit
+    (replaying a wave re-lands nothing, and the maintainer's
+    view-recorded source_version makes the index fold exactly-once).
+    """
+    from pyspark.sql import Window
+
+    from music_recommendation_service_spark.sources.snapshots import (
+        snapshot_maintain_aggregate,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    spark = batch.sparkSession
+    keyed = batch.withColumn(fp_col, F.substring(F.md5(F.col(content_col)), 1, 16))
+    w = Window.partitionBy(fp_col)
+    keyed = (
+        keyed.withColumn("_keep", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("_keep")
+    )
+    if snapshot_versions(index_path):
+        index = snapshot_read(spark, index_path).select(fp_col)
+        # the equi-key floats to the front after the join; pin the stored
+        # column order so every wave presents the same schema to the store
+        keyed = keyed.join(index, fp_col, "anti")
+    landed = keyed.select(*batch.columns, fp_col).persist()
+    n = landed.count()
+    if n:
+        snapshot_merge(
+            landed, store_path, key_cols=[id_col], seq_col=id_col
+        )
+    if snapshot_versions(store_path):
+        snapshot_maintain_aggregate(
+            spark,
+            store_path,
+            index_path,
+            cursor_path,
+            group_cols=[fp_col],
+            key_cols=[id_col],
+            minmax_cols=[id_col],
+        )
+    landed.unpersist()
+    return n

@@ -25,13 +25,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
-def _wave(spark, rows):
-    df = spark.createDataFrame(rows, ["doc_id", "text"])
-    # fingerprint computed at ingest: content identity as a 16-hex key
-    return df.withColumn("fp", F.substring(F.md5("text"), 1, 16))
-
-
 def test_incremental_dedup_by_maintained_fingerprint_index(spark, tmp_path):
+    from music_recommendation_service_spark.pipelines import incremental_dedup_ingest
     from music_recommendation_service_spark.sources import snapshots as S
 
     store = str(tmp_path / "docs")
@@ -46,50 +41,15 @@ def test_incremental_dedup_by_maintained_fingerprint_index(spark, tmp_path):
         # wave 3: dup of wave-2 novel + internal dup + novel
         [(20, "delta"), (21, "epsilon"), (22, "epsilon"), (23, "zeta")],
     ]
+    expected_landed = [2, 1, 2]
 
     seen = []  # ground truth: every row ever offered
 
-    def maintain():
-        S.snapshot_maintain_aggregate(
-            spark,
-            store,
-            view,
-            cursor,
-            group_cols=["fp"],
-            key_cols=["doc_id"],
-            minmax_cols=["doc_id"],
-        )
-
-    for rows in waves:
-        batch = _wave(spark, rows)
+    for rows, want_n in zip(waves, expected_landed):
+        batch = spark.createDataFrame(rows, ["doc_id", "text"])
         seen.extend(rows)
-
-        # (1) within-batch dedup: keep the smallest doc_id per fingerprint
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("fp")
-        batch = (
-            batch.withColumn("_keep", F.min("doc_id").over(w))
-            .filter(F.col("doc_id") == F.col("_keep"))
-            .drop("_keep")
-        )
-
-        # (2) drop fingerprints the corpus already has — index lookup,
-        # not a corpus scan
-        if S.snapshot_versions(view):
-            index = S.snapshot_read(spark, view).select("fp")
-            batch = batch.join(index, "fp", "anti")
-
-        # (3) land survivors in the keyed store
-        if batch.take(1):
-            S.snapshot_merge(
-                batch.select("doc_id", "text", "fp"),
-                store,
-                key_cols=["doc_id"],
-                seq_col="doc_id",
-            )
-        # (4) fold the store's delta into the index view
-        maintain()
+        n = incremental_dedup_ingest(batch, store, view, cursor)
+        assert n == want_n
 
         # --- invariants -------------------------------------------------
         truth_df = spark.createDataFrame(seen, ["doc_id", "text"]).withColumn(
