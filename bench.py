@@ -107,6 +107,8 @@ def main() -> None:
         "q103_chunk_dedup",
         "q104_funnel",
         "q105_retention_cohorts",
+        "q106_series_interpolation",
+        "q107_weighted_sample",
     ]
     queries_ext: dict[str, float] = {}
     for name in ext_names:
