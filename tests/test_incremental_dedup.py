@@ -76,3 +76,87 @@ def test_incremental_dedup_by_maintained_fingerprint_index(spark, tmp_path):
 
     # the index never saw a duplicate insert, so every count is exactly 1
     assert all(n == 1 for _, n, _ in index_rows)
+
+
+def test_streaming_dedup_ingest_front_door(spark, tmp_path):
+    """The dedup front door as a STREAM: landing JSON waves ->
+    foreachBatch(incremental_dedup_ingest) -> deduped document snapshot +
+    maintained fingerprint index. Duplicate content across waves (and a
+    full replay of the same landing file under a new name) lands exactly
+    once; the store equals batch-global dedup ground truth."""
+    import json as _json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from music_recommendation_service_spark.pipelines import incremental_dedup_ingest
+    from music_recommendation_service_spark.sources import snapshots as S
+    from music_recommendation_service_spark.streaming.pipeline import (
+        stream_from_directory,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    store = str(tmp_path / "docs")
+    view = str(tmp_path / "fp_index")
+    cursor = str(tmp_path / "fp_cursor")
+    ckpt = str(tmp_path / "ckpt")
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+
+    def drop(name, rows):
+        with open(landing / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    def run_stream():
+        stream = stream_from_directory(spark, str(landing), schema)
+        q = (
+            stream.writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda batch, _id: incremental_dedup_ingest(
+                    batch, store, view, cursor
+                )
+                if batch.take(1)
+                else None
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    seen = []
+    w1 = [
+        {"doc_id": 1, "text": "alpha"},
+        {"doc_id": 2, "text": "beta"},
+        {"doc_id": 3, "text": "alpha"},
+    ]
+    drop("w1.json", w1)
+    seen += w1
+    run_stream()
+
+    w2 = [{"doc_id": 10, "text": "beta"}, {"doc_id": 11, "text": "gamma"}]
+    drop("w2.json", w2)
+    seen += w2
+    # full replay of wave 1 under a new landing name (at-least-once
+    # delivery upstream): content must not land twice
+    drop("w1_replay.json", w1)
+    seen += w1
+    run_stream()
+
+    truth_df = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in seen], ["doc_id", "text"]
+    ).withColumn("fp", F.substring(F.md5("text"), 1, 16))
+    truth = {
+        (r["fp"], r["keep"])
+        for r in truth_df.groupBy("fp").agg(F.min("doc_id").alias("keep")).collect()
+    }
+    stored = {
+        (r["fp"], r["doc_id"]) for r in S.snapshot_read(spark, store).collect()
+    }
+    assert stored == truth
+    index = {
+        (r["fp"], r["n"], r["min_doc_id"])
+        for r in S.snapshot_read(spark, view).collect()
+    }
+    assert index == {(fp, 1, keep) for fp, keep in truth}
