@@ -389,3 +389,74 @@ register_sql(
     "assignment, nprobe=2 probing, exact cosine re-rank in probed lists.",
     tags=("similarity", "ann", "ivf"),
 )
+
+
+# ---------------------------------------------------------------------------
+# q108 — one Lloyd's k-means refinement step over the embedding corpus:
+# start from the per-label mean centroids (the IVF coarse quantizer),
+# re-assign every vector to its nearest centroid by cosine, recompute
+# centroids as the assigned means, re-assign once more, and report the
+# refined clustering. The iterative-clustering shape (PageRank and
+# label-propagation are the graph twins): each iteration is ONE
+# posexplode + hash aggregate (O(k x DIM) state) and one broadcast
+# affinity join — at 100 TB the centroids stay tiny and only the
+# assignment map touches the corpus; more iterations chain the same two
+# steps (engine-side you'd localCheckpoint between them, as
+# operators/components.py does).
+# ---------------------------------------------------------------------------
+def _q108(d: dict) -> str:
+    from music_recommendation_service_spark.functions import rnd_sql
+
+    if d["name"] == "duck":
+        comp1 = (
+            "SELECT a.cid, generate_subscripts(e.v, 1) AS dim, unnest(e.v) AS val "
+            "FROM assigned a JOIN en e ON a.vec_id = e.vec_id"
+        )
+        rebuild = "list(avg_val ORDER BY dim)"
+    else:
+        comp1 = (
+            "SELECT a.cid, pos + 1 AS dim, val "
+            "FROM assigned a JOIN en e ON a.vec_id = e.vec_id "
+            "LATERAL VIEW posexplode(e.v) t AS pos, val"
+        )
+        rebuild = (
+            "transform(sort_array(collect_list(struct(dim, avg_val))),"
+            " s -> s.avg_val)"
+        )
+    cos1 = f"({d['dot']('a.v', 'c.c1')}) / (a.nrm * c.cnrm1)"
+    return f"""
+    WITH {ivf_assign_cte(d)},
+    comp1 AS ({comp1}),
+    cent1 AS (
+        SELECT cid, {rebuild} AS c1
+        FROM (SELECT cid, dim, avg(val) AS avg_val FROM comp1 GROUP BY cid, dim)
+        GROUP BY cid
+    ),
+    cent1_n AS (
+        SELECT cid, c1, sqrt({d['dot']('c1', 'c1')}) AS cnrm1 FROM cent1
+    ),
+    affinity1 AS (
+        SELECT a.vec_id, c.cid, {cos1} AS cos,
+               row_number() OVER (
+                   PARTITION BY a.vec_id ORDER BY {cos1} DESC, c.cid
+               ) AS rnk
+        FROM en a CROSS JOIN cent1_n c
+    )
+    SELECT cid                           AS cluster_id,
+           CAST(count(*) AS BIGINT)      AS n_vectors,
+           {rnd_sql('avg(cos)', 6)}      AS mean_cosine,
+           min(vec_id)                   AS exemplar_id
+    FROM affinity1
+    WHERE rnk = 1
+    GROUP BY cid
+    """
+
+
+register_sql(
+    "q108_kmeans_refine",
+    _q108,
+    ("embeddings",),
+    doc="One Lloyd's refinement of the IVF coarse quantizer: reassign -> "
+    "mean-recompute -> reassign; per-cluster size, mean cosine, exemplar.",
+    tags=("similarity", "kmeans", "iterative", "clustering"),
+)
