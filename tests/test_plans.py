@@ -144,6 +144,7 @@ _CROSS_OK = frozenset({
     "q81_daily_dense_counts",      # day-spine x event-type grid (tiny)
     "q101_bigram_quality",         # 1-row vocab-size broadcast
     "q102_semantic_dedup",         # centroid table x corpus (IVF assign)
+    "q108_kmeans_refine",          # centroid table x corpus (both passes)
 })
 
 
