@@ -320,10 +320,17 @@ def _commit(path: str, build: Callable[[dict | None, int], dict]) -> int:
             return version
 
 
+_DATA_DIR_SEQ = __import__("itertools").count()
+
+
 def _new_data_dir(path: str) -> tuple[str, str]:
     versions = snapshot_versions(path)
     hint = (versions[-1] if versions else 0) + 1
-    rel = f"v={hint}-{os.getpid()}-{int(time.time() * 1000)}"
+    # pid + ms alone COLLIDE for two threads of one process landing data
+    # in the same millisecond (observed in the thread-stress test as an
+    # AnalysisException from mode("error")); the process-wide counter
+    # makes the name unique per claim.
+    rel = f"v={hint}-{os.getpid()}-{int(time.time() * 1000)}-{next(_DATA_DIR_SEQ)}"
     return rel, os.path.join(path, rel)
 
 
