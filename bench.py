@@ -125,9 +125,8 @@ def main() -> None:
         queries_ext[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
+    payload = json.dumps(
+        {
                 "metric": "catalog_headline_queries_total",
                 "value": round(sum(warm_min.values()), 3),
                 "unit": "sec",
@@ -150,9 +149,20 @@ def main() -> None:
                 "n_runs": N_RUNS,
                 "queries_ext": queries_ext,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+        }
     )
+    print(payload)
+    # The driver captures only a stdout tail, which Spark progress noise
+    # can clip mid-JSON — also write the artifact to a committed file so
+    # the numbers are always diffable (judge round-5 order #6).
+    artifact = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), f"BENCH_LOCAL_sf{sf}.json"
+    )
+    try:
+        with open(artifact, "w") as f:
+            f.write(payload + "\n")
+    except OSError:
+        pass  # read-only checkout must not fail the bench
 
 
 if __name__ == "__main__":

@@ -137,6 +137,22 @@ def run_full_pipeline(
     return out
 
 
+def _ledger_done_df(
+    spark: SparkSession, ledger_path: str, names_df: DataFrame
+) -> DataFrame:
+    """Which of ``names_df.file_name`` are already in the ingest ledger?
+    A distributed semi-join that BROADCASTS the small landing listing and
+    scans the (unboundedly growing) ledger executor-side — the driver only
+    ever receives the intersection, never the full ledger."""
+    from music_recommendation_service_spark.sources.snapshots import snapshot_read
+
+    return (
+        snapshot_read(spark, ledger_path)
+        .select("file_name")
+        .join(F.broadcast(names_df), "file_name", "semi")
+    )
+
+
 def incremental_file_ingest(
     spark: SparkSession,
     landing_dir: str,
@@ -198,25 +214,25 @@ def incremental_file_ingest(
         pending = _latest_manifest(bronze_path).get("pending_files", [])
         ledger_merge(list(pending))
 
-    done: set[str] = set()
-    if snapshot_versions(ledger_path):
-        from music_recommendation_service_spark.sources.snapshots import (
-            snapshot_read,
+    # 2. the new files (names are the ledger key, as in the DAG). The
+    # ledger is never collect()ed — it grows O(every file ever ingested),
+    # a driver bottleneck at millions of landed files. Instead the landing
+    # listing (O(current dir)) probes the ledger via a distributed
+    # broadcast SEMI-join; only the already-done intersection (≤ the
+    # listing, never the ledger) comes back to the driver.
+    all_names = sorted(
+        f for f in _os.listdir(landing_dir) if f.endswith(suffix)
+    )
+    listing = all_names
+    if all_names and snapshot_versions(ledger_path):
+        names_df = spark.createDataFrame(
+            [(n,) for n in all_names], ["file_name"]
         )
-
         done = {
             r["file_name"]
-            for r in snapshot_read(spark, ledger_path)
-            .select("file_name")
-            .collect()
+            for r in _ledger_done_df(spark, ledger_path, names_df).collect()
         }
-
-    # 2. the new files (names are the ledger key, as in the DAG)
-    listing = sorted(
-        f
-        for f in _os.listdir(landing_dir)
-        if f.endswith(suffix) and f not in done
-    )
+        listing = [n for n in all_names if n not in done]
     if not listing:
         return []
 

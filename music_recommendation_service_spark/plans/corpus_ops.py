@@ -252,6 +252,13 @@ def _q103(d: dict) -> str:
         """
     start = f"ci * {CHUNK_STRIDE} + 1"
     chunk = _lslice(d, "tk", start, CHUNK_TOKENS)
+    # Keeper = lexicographic min over (doc_id, chunk_idx) as a STRUCT min
+    # (stays a partial-aggregatable hash agg) — integer packing would let
+    # a >=100k-chunk document bleed chunk_idx into doc_id at 100 TB scale.
+    if d["name"] == "duck":
+        keep_struct = "struct_pack(d := doc_id, c := chunk_idx)"
+    else:
+        keep_struct = "named_struct('d', doc_id, 'c', chunk_idx)"
     return f"""
     WITH toks AS (
         SELECT doc_id, {d['split']('text')} AS tk,
@@ -265,12 +272,12 @@ def _q103(d: dict) -> str:
         FROM expanded
     )
     SELECT fingerprint,
-           CAST(n_copies AS BIGINT)            AS n_copies,
-           {d['idiv']('keep_key', 100000)}     AS keep_doc_id,
-           CAST(keep_key % 100000 AS INT)      AS keep_chunk_idx
+           CAST(n_copies AS BIGINT)      AS n_copies,
+           keep.d                        AS keep_doc_id,
+           CAST(keep.c AS INT)           AS keep_chunk_idx
     FROM (
         SELECT fingerprint, count(*) AS n_copies,
-               min(doc_id * 100000 + chunk_idx) AS keep_key
+               min({keep_struct}) AS keep
         FROM chunks
         GROUP BY fingerprint
         HAVING count(*) > 1

@@ -438,12 +438,21 @@ def _stats_may_contain(stats: dict | None, col: str, lo, hi) -> bool:
 
 def _expr_references(expr: str, col: str) -> bool:
     """Conservative word-boundary test: does the constraint SQL mention the
-    column? (Over-matching — e.g. the name inside a string literal — errs
+    column? Backticks are stripped first so a quoted identifier
+    (``\\`seq\\` > 0``) matches its bare name — without this the rename/
+    drop guards would let a constrained column go and poison every later
+    write. (Over-matching — e.g. the name inside a string literal — errs
     on the safe side: it blocks the schema change until the constraint is
     dropped.)"""
     import re
 
-    return re.search(rf"(?<![A-Za-z0-9_`]){re.escape(col)}(?![A-Za-z0-9_`])", expr) is not None
+    return (
+        re.search(
+            rf"(?<![A-Za-z0-9_]){re.escape(col)}(?![A-Za-z0-9_])",
+            expr.replace("`", ""),
+        )
+        is not None
+    )
 
 
 def _enforce_constraints(df: DataFrame, path: str, op: str) -> None:
@@ -591,18 +600,21 @@ def snapshot_merge(
             f"merge schema mismatch at {path}: manifest={cur['schema']} "
             f"incoming={stored_schema}"
         )
-    # CHECK constraints apply to rows that will be STORED — tombstones
-    # never land, so their payloads are exempt (Delta parity: WHEN MATCHED
-    # DELETE carries no data).
+    incoming = _latest_per_key(df, key_cols, seq_col)
+    # CHECK constraints apply to rows that will be STORED — within-batch
+    # seq losers never land (so they are validated AFTER _latest_per_key,
+    # Delta parity: only rows actually written are checked), and
+    # tombstones carry no data (WHEN MATCHED DELETE payloads are exempt).
     if delete_col is not None:
         _enforce_constraints(
-            df.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col),
+            incoming.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
+                delete_col
+            ),
             path,
             "merge",
         )
     else:
-        _enforce_constraints(df, path, "merge")
-    incoming = _latest_per_key(df, key_cols, seq_col)
+        _enforce_constraints(incoming, path, "merge")
 
     files = _manifest_files(path, cur)
     # --- prune stage 1: manifest stats vs incoming key bounds ------------
@@ -855,15 +867,37 @@ def snapshot_update_where(
     pred = F.coalesce(F.expr(predicate), F.lit(False))
 
     def rewrite(df: DataFrame) -> DataFrame:
-        out = df
-        for col, expr in assignments.items():
-            out = out.withColumn(
-                col,
-                F.when(pred, F.expr(expr).cast(types[col])).otherwise(F.col(col)),
-            )
-        # only updated rows can newly violate a constraint
-        _enforce_constraints(out.filter(pred), path, "update_where")
-        return out.select(*schema.fieldNames())
+        # SQL/Delta UPDATE semantics: the predicate and EVERY assignment
+        # RHS evaluate against the PRE-update row. One select (not
+        # sequential withColumn) so no assignment can observe another's
+        # output or flip the predicate mid-row.
+        out = df.select(
+            *[
+                (
+                    F.when(pred, F.expr(assignments[c]).cast(types[c]))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in assignments
+                    else F.col(c)
+                )
+                for c in schema.fieldNames()
+            ]
+        )
+        # Constraints are checked on the rewritten image of the rows that
+        # matched on the ORIGINAL data — an assignment that falsifies its
+        # own predicate cannot hide the row from enforcement.
+        updated_image = df.filter(pred).select(
+            *[
+                (
+                    F.expr(assignments[c]).cast(types[c]).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                )
+                for c in schema.fieldNames()
+            ]
+        )
+        _enforce_constraints(updated_image, path, "update_where")
+        return out
 
     return _rewrite_touched(
         spark, path, cur, base_version, touched, untouched, rewrite,
@@ -1506,106 +1540,104 @@ def snapshot_maintain_aggregate(
     # re-execute the whole CDF reconciliation + recompute join. The delta
     # is O(touched groups): tiny relative to the work that produced it.
     delta = delta.persist()
-
-    # Per-group min/max: a recomputed value (groups that lost rows) wins;
-    # otherwise fold the incoming inserts against the stored value.
-    def minmax_out(mc: str, stored_min=None, stored_max=None) -> list:
-        rc_min, rc_max = F.col(f"_rc_min_{mc}"), F.col(f"_rc_max_{mc}")
-        ins_min, ins_max = F.col(f"_ins_min_{mc}"), F.col(f"_ins_max_{mc}")
-        if stored_min is None:
-            new_min, new_max = ins_min, ins_max
-        else:
-            new_min = F.least(stored_min, ins_min)
-            new_max = F.greatest(stored_max, ins_max)
-        return [
-            F.coalesce(rc_min, new_min).alias(f"min_{mc}"),
-            F.coalesce(rc_max, new_max).alias(f"max_{mc}"),
-        ]
-
-    # Per-group HLL: a recomputed sketch (groups that lost rows) wins;
-    # otherwise union the insert-side sketch into the stored one. Union is
-    # register-wise max, so fold order cannot drift the estimate.
-    def hll_out(hc: str, stored=None) -> F.Column:
-        rc = F.col(f"_rc_hll_{hc}")
-        ins = F.col(f"_ins_hll_{hc}")
-        if stored is None:
-            folded = ins
-        else:
-            folded = F.when(stored.isNull(), ins).otherwise(
-                F.hll_union(stored, ins)
-            )
-        return F.coalesce(rc, folded).alias(f"hll_{hc}")
-
-    def relax_hll_nullability(df: DataFrame) -> DataFrame:
-        # hll_sketch_agg infers NON-nullable while the update path's
-        # coalesce chain is nullable; the strict merge schema check
-        # compares nullability, so pin every sketch column nullable. A
-        # value-preserving runtime condition is the only reliable
-        # launderer: when(lit(True), x) and .to(schema) both keep the
-        # proven non-nullability.
-        out = df
-        for hc in approx_distinct_cols:
-            name = f"hll_{hc}"
-            out = out.withColumn(
-                name, F.when(F.octet_length(F.col(name)) >= 0, F.col(name))
-            )
-        return out
-
-    if not view_exists:
-        init = delta.filter(F.col("_d_n") > 0).select(
-            *group_cols,
-            F.col("_d_n").alias("n"),
-            *[F.col(f"_d_sum_{c}").alias(f"sum_{c}") for c in sum_cols],
-            *[c for mc in minmax_cols for c in minmax_out(mc)],
-            *[hll_out(hc) for hc in approx_distinct_cols],
-            F.lit(to_v).cast("long").alias("_maint_v"),
-        )
-        v = snapshot_write(
-            relax_hll_nullability(init),
-            view_path,
-            stats_cols=group_cols,
-            manifest_extra={"source_version": to_v},
-        )
-        commit()
-        delta.unpersist()
-        return v
-    # emptiness probe on the PERSISTED delta (changes empty <=> delta
-    # empty: every change row lands in some group) — this is also the
-    # action that materializes the cache for the merge's reuse
-    if len(delta.take(1)) == 0:
-        commit()
-        delta.unpersist()
-        return None
-
-    current = snapshot_read(spark, view_path).select(
-        *group_cols,
-        "n",
-        *[f"sum_{c}" for c in sum_cols],
-        *[c for mc in minmax_cols for c in (f"min_{mc}", f"max_{mc}")],
-        *[f"hll_{hc}" for hc in approx_distinct_cols],
-    )
-    joined = delta.join(current, group_cols, "left")
-    new_n = F.coalesce(F.col("n"), F.lit(0)) + F.col("_d_n")
-    upsert = joined.select(
-        *group_cols,
-        new_n.alias("n"),
-        *[
-            (
-                F.coalesce(F.col(f"sum_{c}"), F.lit(0))
-                + F.col(f"_d_sum_{c}")
-            ).alias(f"sum_{c}")
-            for c in sum_cols
-        ],
-        *[
-            c
-            for mc in minmax_cols
-            for c in minmax_out(mc, F.col(f"min_{mc}"), F.col(f"max_{mc}"))
-        ],
-        *[hll_out(hc, F.col(f"hll_{hc}")) for hc in approx_distinct_cols],
-        F.lit(to_v).cast("long").alias("_maint_v"),
-        (new_n == 0).alias("_tomb"),
-    )
     try:
+
+        # Per-group min/max: a recomputed value (groups that lost rows) wins;
+        # otherwise fold the incoming inserts against the stored value.
+        def minmax_out(mc: str, stored_min=None, stored_max=None) -> list:
+            rc_min, rc_max = F.col(f"_rc_min_{mc}"), F.col(f"_rc_max_{mc}")
+            ins_min, ins_max = F.col(f"_ins_min_{mc}"), F.col(f"_ins_max_{mc}")
+            if stored_min is None:
+                new_min, new_max = ins_min, ins_max
+            else:
+                new_min = F.least(stored_min, ins_min)
+                new_max = F.greatest(stored_max, ins_max)
+            return [
+                F.coalesce(rc_min, new_min).alias(f"min_{mc}"),
+                F.coalesce(rc_max, new_max).alias(f"max_{mc}"),
+            ]
+
+        # Per-group HLL: a recomputed sketch (groups that lost rows) wins;
+        # otherwise union the insert-side sketch into the stored one. Union is
+        # register-wise max, so fold order cannot drift the estimate.
+        def hll_out(hc: str, stored=None) -> F.Column:
+            rc = F.col(f"_rc_hll_{hc}")
+            ins = F.col(f"_ins_hll_{hc}")
+            if stored is None:
+                folded = ins
+            else:
+                folded = F.when(stored.isNull(), ins).otherwise(
+                    F.hll_union(stored, ins)
+                )
+            return F.coalesce(rc, folded).alias(f"hll_{hc}")
+
+        def relax_hll_nullability(df: DataFrame) -> DataFrame:
+            # hll_sketch_agg infers NON-nullable while the update path's
+            # coalesce chain is nullable; the strict merge schema check
+            # compares nullability, so pin every sketch column nullable. A
+            # value-preserving runtime condition is the only reliable
+            # launderer: when(lit(True), x) and .to(schema) both keep the
+            # proven non-nullability.
+            out = df
+            for hc in approx_distinct_cols:
+                name = f"hll_{hc}"
+                out = out.withColumn(
+                    name, F.when(F.octet_length(F.col(name)) >= 0, F.col(name))
+                )
+            return out
+
+        if not view_exists:
+            init = delta.filter(F.col("_d_n") > 0).select(
+                *group_cols,
+                F.col("_d_n").alias("n"),
+                *[F.col(f"_d_sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+                *[c for mc in minmax_cols for c in minmax_out(mc)],
+                *[hll_out(hc) for hc in approx_distinct_cols],
+                F.lit(to_v).cast("long").alias("_maint_v"),
+            )
+            v = snapshot_write(
+                relax_hll_nullability(init),
+                view_path,
+                stats_cols=group_cols,
+                manifest_extra={"source_version": to_v},
+            )
+            commit()
+            return v
+        # emptiness probe on the PERSISTED delta (changes empty <=> delta
+        # empty: every change row lands in some group) — this is also the
+        # action that materializes the cache for the merge's reuse
+        if len(delta.take(1)) == 0:
+            commit()
+            return None
+
+        current = snapshot_read(spark, view_path).select(
+            *group_cols,
+            "n",
+            *[f"sum_{c}" for c in sum_cols],
+            *[c for mc in minmax_cols for c in (f"min_{mc}", f"max_{mc}")],
+            *[f"hll_{hc}" for hc in approx_distinct_cols],
+        )
+        joined = delta.join(current, group_cols, "left")
+        new_n = F.coalesce(F.col("n"), F.lit(0)) + F.col("_d_n")
+        upsert = joined.select(
+            *group_cols,
+            new_n.alias("n"),
+            *[
+                (
+                    F.coalesce(F.col(f"sum_{c}"), F.lit(0))
+                    + F.col(f"_d_sum_{c}")
+                ).alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+            *[
+                c
+                for mc in minmax_cols
+                for c in minmax_out(mc, F.col(f"min_{mc}"), F.col(f"max_{mc}"))
+            ],
+            *[hll_out(hc, F.col(f"hll_{hc}")) for hc in approx_distinct_cols],
+            F.lit(to_v).cast("long").alias("_maint_v"),
+            (new_n == 0).alias("_tomb"),
+        )
         v = snapshot_merge(
             relax_hll_nullability(upsert),
             view_path,
@@ -1615,6 +1647,9 @@ def snapshot_maintain_aggregate(
             manifest_extra={"source_version": to_v},
         )
     finally:
+        # One finally covers EVERY exit — the bootstrap write, emptiness
+        # probe, recompute join and the merge can all raise; without it
+        # the cached delta leaks for the session's lifetime.
         delta.unpersist()
     commit()
     return v

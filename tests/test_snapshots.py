@@ -444,7 +444,7 @@ _ops_strategy = st.lists(
 
 @given(ops=_ops_strategy)
 @settings(
-    max_examples=8,
+    max_examples=25,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -831,7 +831,7 @@ def test_engine_snapshot_surface(spark, tmp_path):
     batches=st.lists(_rows_strategy, min_size=2, max_size=5),
 )
 @settings(
-    max_examples=6,
+    max_examples=25,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -1939,3 +1939,126 @@ def test_snapshot_rename_columns_column_mapping(spark, tmp_path):
     # compaction folds mixed physical files under the mapping
     if S.snapshot_compact(spark, path, small_file_max_rows=1000) is not None:
         assert S.snapshot_read(spark, path).count() == 101
+
+
+def test_update_where_pre_image_semantics(spark, tmp_path):
+    """SQL/Delta UPDATE semantics: the WHERE predicate and every
+    assignment RHS evaluate against the PRE-update row — an assignment
+    that rewrites a predicate column must not starve later assignments,
+    swapping two columns through each other works, and an assignment that
+    falsifies its own predicate cannot smuggle a CHECK violation past
+    enforcement (advisor round-5 high finding)."""
+    import pytest as _pytest
+
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "upd_pre")
+    S.snapshot_write(
+        spark.createDataFrame(
+            [(1, 5, "pending"), (2, 6, "done"), (3, 7, "pending")],
+            "k bigint, seq bigint, payload string",
+        ),
+        path, stats_cols=["k"],
+    )
+
+    # predicate on an ASSIGNED column + a second assignment that must
+    # still fire for the same rows
+    v = S.snapshot_update_where(
+        spark, path, "payload = 'pending'",
+        {"payload": "'done'", "seq": "seq + 100"},
+    )
+    assert v is not None
+    got = {r["k"]: (r["seq"], r["payload"])
+           for r in S.snapshot_read(spark, path).collect()}
+    assert got == {1: (105, "done"), 2: (6, "done"), 3: (107, "done")}
+
+    # column swap: both RHS see the pre-update row
+    path2 = str(tmp_path / "upd_swap")
+    S.snapshot_write(
+        spark.createDataFrame([(1, 10, 20)], "k bigint, a bigint, b bigint"),
+        path2, stats_cols=["k"],
+    )
+    S.snapshot_update_where(spark, path2, "k = 1", {"a": "b", "b": "a"})
+    r = S.snapshot_read(spark, path2).collect()[0]
+    assert (r["a"], r["b"]) == (20, 10)
+
+    # assignment falsifies the predicate AND violates a CHECK -> caught
+    path3 = str(tmp_path / "upd_ck")
+    S.snapshot_write(
+        spark.createDataFrame([(1, 5)], "k bigint, seq bigint"),
+        path3, stats_cols=["k"],
+    )
+    S.snapshot_add_constraint(spark, path3, "seq_pos", "seq > 0")
+    with _pytest.raises(S.ConstraintViolationError):
+        # post-update row has seq=-1 (violates), and the new seq also
+        # falsifies "seq = 5" — pre-fix this row escaped enforcement
+        S.snapshot_update_where(spark, path3, "seq = 5", {"seq": "-1"})
+    assert S.snapshot_read(spark, path3).collect()[0]["seq"] == 5
+
+
+def test_constraint_guard_matches_backticked_identifiers(spark, tmp_path):
+    """A CHECK expr that backtick-quotes its column (`seq` > 0) must still
+    block RENAME/DROP of that column (advisor round-5: the guard's
+    lookaround classes made quoted identifiers invisible)."""
+    import pytest as _pytest
+
+    from music_recommendation_service_spark.sources import snapshots as S
+    from music_recommendation_service_spark.sources.snapshots import _expr_references
+
+    assert _expr_references("`seq` > 0", "seq")
+    assert not _expr_references("`sequence` > 0", "seq")  # no substring FP
+    assert _expr_references("abs(`a b`) > 0", "a b")
+
+    path = str(tmp_path / "bt")
+    S.snapshot_write(_snap_df(spark, [(1, 5, "a")]), path, stats_cols=["k"])
+    S.snapshot_add_constraint(spark, path, "seq_pos_bt", "`seq` > 0")
+    with _pytest.raises(ValueError, match="seq_pos_bt"):
+        S.snapshot_drop_columns(path, ["seq"])
+    with _pytest.raises(ValueError, match="seq_pos_bt"):
+        S.snapshot_rename_columns(path, {"seq": "n"})
+    S.snapshot_drop_constraint(path, "seq_pos_bt")
+    S.snapshot_rename_columns(path, {"seq": "n"})  # now legal
+
+
+def test_merge_constraints_check_survivors_only(spark, tmp_path):
+    """CHECK constraints validate the rows a MERGE actually STORES: a
+    within-batch seq LOSER that violates a constraint must not reject the
+    batch when its winning row is clean (advisor round-5: pre-fix the
+    whole raw batch was validated, stricter than Delta)."""
+    import pytest as _pytest
+
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "mrg_surv")
+    S.snapshot_merge(_snap_df(spark, [(1, 5, "a")]), path,
+                     key_cols=["k"], seq_col="seq")
+    S.snapshot_add_constraint(spark, path, "seq_pos", "seq > 0")
+
+    # k=2 arrives twice in one batch: the seq=-3 loser violates, the
+    # seq=9 winner is clean -> batch must land with the winner
+    S.snapshot_merge(
+        _snap_df(spark, [(2, -3, "stale"), (2, 9, "fresh")]), path,
+        key_cols=["k"], seq_col="seq",
+    )
+    got = {r["k"]: (r["seq"], r["payload"])
+           for r in S.snapshot_read(spark, path).collect()}
+    assert got == {1: (5, "a"), 2: (9, "fresh")}
+
+    # a violating WINNER still rejects
+    with _pytest.raises(S.ConstraintViolationError):
+        S.snapshot_merge(
+            _snap_df(spark, [(3, -1, "bad")]), path,
+            key_cols=["k"], seq_col="seq",
+        )
+
+    # tombstone-with-violating-payload still exempt after the reorder
+    # (NULL payload would fail payload_nn, but DELETE carries no data)
+    S.snapshot_add_constraint(spark, path, "payload_nn", "payload IS NOT NULL")
+    S.snapshot_merge(
+        spark.createDataFrame(
+            [(1, 50, None, True)],
+            "k bigint, seq bigint, payload string, _d boolean",
+        ),
+        path, key_cols=["k"], seq_col="seq", delete_col="_d",
+    )
+    assert {r["k"] for r in S.snapshot_read(spark, path).collect()} == {2}
