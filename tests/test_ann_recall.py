@@ -31,9 +31,26 @@ def test_ann_recall_vs_exact(spark, sf_dir):
     r_lsh, r_ivf = recall(lsh), recall(ivf)
     # Embeddings are near-random (max cos ~0.5), the hardest ANN regime;
     # measured on this fixed data: multi-probe LSH (4x6 bands, 4 margin
-    # flips) ~0.70 at ~29% candidate share; IVF ~0.32.
+    # flips) ~0.70 at ~29% candidate share; IVF with the k-means-refined
+    # fine quantizer (K=32 md5 seeds, 2 Lloyd steps, nprobe=12) ~0.72 at
+    # ~38% share — up from 0.32 with the old k=10 label-cell nprobe=2.
     assert r_lsh >= 0.60, f"LSH recall@10 collapsed: {r_lsh}"
-    assert r_ivf > 0.15, f"IVF recall@10 collapsed: {r_ivf}"
+    assert r_ivf >= 0.60, f"IVF recall@10 collapsed: {r_ivf}"
+
+
+def test_ann_ivf_candidate_share_bounded(spark, sf_dir):
+    """The IVF recall floor must not come from degenerating into brute
+    force: the candidate set q44 re-ranks (its own CTE chain) stays a
+    bounded fraction of all query-corpus pairs."""
+    from music_recommendation_service_spark.plans.similarity import (
+        ivf_candidate_counts,
+    )
+
+    n_cand, n_q, corpus = ivf_candidate_counts(spark, sf_dir)
+    assert n_q > 0
+    share = n_cand / (n_q * (corpus - 1))
+    assert share <= 0.45, f"IVF candidate share blew up: {share:.3f}"
+    assert share >= 0.05, f"IVF candidate set suspiciously empty: {share:.3f}"
 
 
 def test_ann_lsh_candidate_share_bounded(spark, sf_dir):

@@ -134,7 +134,7 @@ _CROSS_OK = frozenset({
     "q31_knn_bruteforce",          # fixed query-vector slice x corpus
     "q30_embedding_neardup",       # brute-force O(n^2) baseline by design
     "q39_label_centroids",
-    "q44_ann_ivf",                 # centroid table x query slice
+    "q44_ann_ivf",                 # K=32 centroid table x corpus (Lloyd assigns + probes)
     "q53_dormant_customers",       # 1-row avg-balance broadcast
     "q60_important_parts",         # 1-row threshold broadcast
     "q62_top_supplier",            # 1-row max-revenue broadcast
