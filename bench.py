@@ -109,6 +109,8 @@ def main() -> None:
         "q105_retention_cohorts",
         "q106_series_interpolation",
         "q107_weighted_sample",
+        "q108_kmeans_refine",
+        "q109_kmeans_converged",
     ]
     queries_ext: dict[str, float] = {}
     for name in ext_names:

@@ -49,6 +49,7 @@ def registry() -> dict[str, QueryDef]:
     from music_recommendation_service_spark.plans import (  # noqa: F401
         analytics_ext,
         asof,
+        clustering,
         corpus_ops,
         dedup,
         graphops,
