@@ -229,7 +229,10 @@ def _scan_file_entries(
         rows = int(r["_rows"]) if r is not None else 0
         stats = None
         if r is not None and stats_cols:
-            stats = {c: [r[f"_min_{c}"], r[f"_max_{c}"]] for c in stats_cols}
+            stats = {
+                c: [_stats_repr(r[f"_min_{c}"]), _stats_repr(r[f"_max_{c}"])]
+                for c in stats_cols
+            }
         entries.append({"path": f"{rel_dir}/{name}", "rows": rows, "stats": stats})
         total += rows
     return entries, total
@@ -425,13 +428,35 @@ def snapshot_append(
     return _commit(path, build)
 
 
+def _stats_repr(v):
+    """JSON-safe, ORDER-PRESERVING representation of a min/max stat value.
+    datetime/date -> ISO-8601 strings (fixed-width date+time prefix, so
+    lexicographic order == chronological order); int/float/str/bool pass
+    through. Anything else (Decimal, bytes, ...) -> None, which
+    ``_stats_may_contain`` treats as "must assume the file matches" —
+    pruning stays conservative rather than risking a wrongly skipped
+    file."""
+    import datetime as _dt
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if v is None or isinstance(v, (int, float, str)):
+        return v
+    return None
+
+
 def _stats_may_contain(stats: dict | None, col: str, lo, hi) -> bool:
     """Can a file with these stats contain any key in [lo, hi]? Missing
-    stats => must assume yes (legacy manifests)."""
+    stats => must assume yes (legacy manifests). ``lo``/``hi`` come from a
+    live DataFrame (e.g. datetimes) and are canonicalized through
+    ``_stats_repr`` to match the manifest encoding."""
     if not stats or col not in stats:
         return True
     mn, mx = stats[col]
     if mn is None or mx is None:
+        return True
+    lo, hi = _stats_repr(lo), _stats_repr(hi)
+    if lo is None or hi is None:
         return True
     return not (mx < lo or mn > hi)
 

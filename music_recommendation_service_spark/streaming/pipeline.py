@@ -169,6 +169,63 @@ def session_stats(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[tuple[str, str]],
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "10 minutes",
+    left_watermark: str = "30 minutes",
+    right_watermark: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream watermarked interval join — the streaming twin of the
+    batch range join (q49): pair a left event with every right event whose
+    ``right_ts`` falls in ``[left_ts + lower, left_ts + upper]``, matched
+    on the ``on`` equality pairs ``[(left_col, right_col), ...]``.
+
+    Both sides are watermarked, which is what makes this runnable
+    unbounded: Spark derives the state-retention bound from the watermark
+    delays plus the interval width, so join state for a left row is
+    EVICTED once the right-side watermark passes ``left_ts + upper`` (and
+    vice versa) — without the time bound the state would grow forever and
+    Spark rejects the query. Late rows below the watermark are dropped,
+    never joined; ``how='leftOuter'`` additionally null-pads a left row
+    when its state expires unmatched.
+
+    Column names must be disjoint across the two sides (rename upstream,
+    as with any self-join) so the joined schema is unambiguous.
+
+    Reference tie: the reference's streaming job is single-stream
+    (``pyspark_jobs/process_recommendation_events.py:57-84``); SURVEY
+    §2.9 names stream-stream joins as the generalization a Spark-first
+    engine should add.
+    """
+    import functools
+
+    if not on:
+        raise ValueError("interval_join: need at least one equality pair")
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"interval_join: ambiguous column(s) {sorted(overlap)} — "
+            "rename one side upstream"
+        )
+    l = left.withWatermark(left_ts, left_watermark)
+    r = right.withWatermark(right_ts, right_watermark)
+    cond = functools.reduce(
+        lambda a, b: a & b, [l[lc] == r[rc] for lc, rc in on]
+    )
+    cond = (
+        cond
+        & (r[right_ts] >= l[left_ts] + F.expr(f"INTERVAL {lower}"))
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, how)
+
+
 def write_stream_console(
     df: DataFrame, truncate: bool = False, num_rows: int = 20
 ) -> StreamingQuery:
@@ -369,6 +426,7 @@ def foreach_batch_merge(
     seq_col: str,
     available_now: bool = True,
     max_merge_retries: int = 5,
+    output_mode: str = "append",
 ) -> StreamingQuery:
     """Keyed stream materialization through the snapshot protocol's MERGE —
     the scale path of :func:`foreach_batch_upsert`. Each micro-batch becomes
@@ -403,8 +461,10 @@ def foreach_batch_merge(
                 if attempt == max_merge_retries - 1:
                     raise
 
-    writer = df.writeStream.foreachBatch(merge).option(
-        "checkpointLocation", checkpoint
+    writer = (
+        df.writeStream.outputMode(output_mode)
+        .foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
