@@ -304,3 +304,66 @@ register_sql(
     f"(tau={SEMDEDUP_TAU}); each dropped vector names its keeper.",
     tags=("corpus", "dedup", "semantic", "ivf"),
 )
+
+
+# ---------------------------------------------------------------------------
+# q110 — corpus drift monitor: Jensen-Shannon divergence between the token
+# distributions of two corpus waves (deterministic even/odd doc_id split
+# stands in for version N vs N+1 of a continuously-ingested corpus). The
+# pipeline-ops use: detect when a new crawl/ingest wave shifts the corpus
+# distribution before it poisons a training mix — the per-token JSD
+# contributions name the drivers.
+#
+# Scale design: each side collapses to an O(vocab) count table via
+# partial+final hash agg (the q25 shape); the FULL OUTER join is
+# vocab x vocab-sized, never corpus-sized; the two totals are 1-row
+# broadcasts (declared cross-ok). JSD terms are pure codegen arithmetic.
+# ---------------------------------------------------------------------------
+def _q110(d: dict) -> str:
+    jsd = (
+        "0.5 * (CASE WHEN p_old > 0 "
+        "THEN p_old * ln(2 * p_old / (p_old + p_new)) ELSE 0.0 END) + "
+        "0.5 * (CASE WHEN p_new > 0 "
+        "THEN p_new * ln(2 * p_new / (p_old + p_new)) ELSE 0.0 END)"
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {d['explode'](d['split']('text'), 'tok')} FROM documents
+    ),
+    old_c AS (
+        SELECT tok, count(*) AS n FROM toks WHERE doc_id % 2 = 0 GROUP BY tok
+    ),
+    new_c AS (
+        SELECT tok, count(*) AS n FROM toks WHERE doc_id % 2 = 1 GROUP BY tok
+    ),
+    tot AS (
+        SELECT CAST((SELECT sum(n) FROM old_c) AS DOUBLE) AS t_old,
+               CAST((SELECT sum(n) FROM new_c) AS DOUBLE) AS t_new
+    ),
+    dist AS (
+        SELECT coalesce(o.tok, nw.tok)         AS token,
+               coalesce(o.n, 0) / t.t_old      AS p_old,
+               coalesce(nw.n, 0) / t.t_new     AS p_new
+        FROM old_c o
+        FULL OUTER JOIN new_c nw ON o.tok = nw.tok
+        CROSS JOIN tot t
+    )
+    SELECT token,
+           {rnd_sql('p_old', 6)}      AS p_old,
+           {rnd_sql('p_new', 6)}      AS p_new,
+           {rnd_sql(jsd, 6)}          AS jsd_part
+    FROM dist
+    ORDER BY {jsd} DESC, token
+    LIMIT 25
+    """
+
+
+register_sql(
+    "q110_corpus_drift",
+    _q110,
+    ("documents",),
+    doc="Corpus drift: per-token Jensen-Shannon divergence contributions "
+    "between two ingest waves (even/odd doc_id); top drivers of the "
+    "distribution shift. O(vocab) state, 1-row total broadcasts.",
+    tags=("corpus", "drift", "monitoring", "llm-pipeline"),
+)

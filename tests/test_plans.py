@@ -145,6 +145,7 @@ _CROSS_OK = frozenset({
     "q101_bigram_quality",         # 1-row vocab-size broadcast
     "q102_semantic_dedup",         # centroid table x corpus (IVF assign)
     "q108_kmeans_refine",          # centroid table x corpus (both passes)
+    "q110_corpus_drift",           # 1-row token-total broadcast
 })
 
 
