@@ -111,6 +111,7 @@ def main() -> None:
         "q107_weighted_sample",
         "q108_kmeans_refine",
         "q109_kmeans_converged",
+        "q110_corpus_drift",
     ]
     queries_ext: dict[str, float] = {}
     for name in ext_names:
