@@ -347,13 +347,16 @@ def _q110(d: dict) -> str:
         FROM old_c o
         FULL OUTER JOIN new_c nw ON o.tok = nw.tok
         CROSS JOIN tot t
+    ),
+    scored AS (
+        SELECT token, p_old, p_new, {jsd} AS j FROM dist
     )
     SELECT token,
            {rnd_sql('p_old', 6)}      AS p_old,
            {rnd_sql('p_new', 6)}      AS p_new,
-           {rnd_sql(jsd, 6)}          AS jsd_part
-    FROM dist
-    ORDER BY {jsd} DESC, token
+           {rnd_sql('j', 6)}          AS jsd_part
+    FROM scored
+    ORDER BY j DESC, token
     LIMIT 25
     """
 
