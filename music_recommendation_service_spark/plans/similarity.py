@@ -389,34 +389,45 @@ _IVF_STEPS = 2
 
 
 def _ivf_refined_ctes(d: dict) -> str:
-    """CTE chain after ``WITH ``: ``e``/``en`` over embeddings, md5-seeded
-    ``cent0_n``, then _IVF_STEPS Lloyd iterations (assign -> per-dim mean
-    -> renorm; empty cells drop out), ending in ``affinity`` (every
-    vector's cosine + rank against the FINAL centroids) and ``assigned``
-    (rnk = 1)."""
+    """CTE chain after ``WITH ``: ``e``/``en`` (raw + UNIT vectors) over
+    embeddings, md5-seeded ``cent0``, then _IVF_STEPS Lloyd iterations,
+    ending in ``affinity`` (every vector's rank against the FINAL
+    centroids) and ``assigned`` (rnk = 1).
+
+    The arithmetic is EXACTLY ``operators.kmeans.kmeans_fit``'s (seeds =
+    unit vectors in md5 order, centroid = mean of assigned UNIT vectors,
+    cos = dot(u, unit(c)), empty cells keep the previous centroid) so the
+    catalog query and the reusable index-build operator
+    (``operators.ann_index.build_ivf_index``) produce bit-identical
+    quantizers — pinned by ``tests/test_ann_index.py``."""
     str_t = "VARCHAR" if d["name"] == "duck" else "STRING"
+
+    def unit(c: str) -> str:
+        return f"{d['lt']}({c}, x -> x / sqrt({d['dot'](c, c)}))"
+
+    cos = f"{d['dot']('a.u', unit('c.c'))}"
     parts = [
         f"""e AS (
         SELECT vec_id, {d['dblarr']('embedding')} AS v FROM embeddings
     ),
     en AS (
-        SELECT vec_id, v, sqrt({d['dot']('v', 'v')}) AS nrm FROM e
+        SELECT vec_id, v, sqrt({d['dot']('v', 'v')}) AS nrm, {unit('v')} AS u
+        FROM e
     ),
-    cent0_n AS (
-        SELECT vec_id AS cid, v AS c, sqrt({d['dot']('v', 'v')}) AS cnrm
+    cent0 AS (
+        SELECT vec_id AS cid, u AS c
         FROM (
-            SELECT vec_id, v FROM e
+            SELECT vec_id, u FROM en
             ORDER BY md5(CAST(vec_id AS {str_t})), vec_id
             LIMIT {_IVF_K}
         )
     )"""
     ]
     for i in range(_IVF_STEPS):
-        cos_i = f"({d['dot']('a.v', 'c.c')}) / (a.nrm * c.cnrm)"
         if d["name"] == "duck":
             comp = (
-                f"SELECT g.cid, generate_subscripts(e.v, 1) AS dim, "
-                f"unnest(e.v) AS val "
+                f"SELECT g.cid, generate_subscripts(e.u, 1) AS dim, "
+                f"unnest(e.u) AS val "
                 f"FROM assign{i} g JOIN en e ON g.vec_id = e.vec_id"
             )
             rebuild = "list(avg_val ORDER BY dim)"
@@ -424,7 +435,7 @@ def _ivf_refined_ctes(d: dict) -> str:
             comp = (
                 f"SELECT g.cid, pos + 1 AS dim, val "
                 f"FROM assign{i} g JOIN en e ON g.vec_id = e.vec_id "
-                f"LATERAL VIEW posexplode(e.v) t AS pos, val"
+                f"LATERAL VIEW posexplode(e.u) t AS pos, val"
             )
             rebuild = (
                 "transform(sort_array(collect_list(struct(dim, avg_val))),"
@@ -434,30 +445,30 @@ def _ivf_refined_ctes(d: dict) -> str:
         SELECT vec_id, cid FROM (
             SELECT a.vec_id, c.cid,
                    row_number() OVER (
-                       PARTITION BY a.vec_id ORDER BY {cos_i} DESC, c.cid
+                       PARTITION BY a.vec_id ORDER BY {cos} DESC, c.cid
                    ) AS rnk
-            FROM en a CROSS JOIN cent{i}_n c
+            FROM en a CROSS JOIN cent{i} c
         ) WHERE rnk = 1
     ),
     comp{i} AS ({comp}),
-    cent{i + 1}_n AS (
-        SELECT cid, c, sqrt({d['dot']('c', 'c')}) AS cnrm
+    means{i} AS (
+        SELECT cid, {rebuild} AS c
         FROM (
-            SELECT cid, {rebuild} AS c
-            FROM (
-                SELECT cid, dim, avg(val) AS avg_val
-                FROM comp{i} GROUP BY cid, dim
-            )
-            GROUP BY cid
+            SELECT cid, dim, avg(val) AS avg_val
+            FROM comp{i} GROUP BY cid, dim
         )
+        GROUP BY cid
+    ),
+    cent{i + 1} AS (
+        SELECT p.cid, coalesce(m.c, p.c) AS c
+        FROM cent{i} p LEFT JOIN means{i} m ON p.cid = m.cid
     )""")
-    cos_f = f"({d['dot']('a.v', 'c.c')}) / (a.nrm * c.cnrm)"
     parts.append(f"""affinity AS (
         SELECT a.vec_id, c.cid,
                row_number() OVER (
-                   PARTITION BY a.vec_id ORDER BY {cos_f} DESC, c.cid
+                   PARTITION BY a.vec_id ORDER BY {cos} DESC, c.cid
                ) AS rnk
-        FROM en a CROSS JOIN cent{_IVF_STEPS}_n c
+        FROM en a CROSS JOIN cent{_IVF_STEPS} c
     ),
     assigned AS (
         SELECT vec_id, cid FROM affinity WHERE rnk = 1

@@ -1,0 +1,55 @@
+"""Build-once / probe-many ANN (operators/ann_index.py): the operator
+path must reproduce the q44 catalog query bit-for-bit with the same
+configuration — one quantizer implementation (kmeans_fit) serving both
+the oracle-checked SQL snapshot and the production index path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from music_recommendation_service_spark.operators.ann_index import (
+    ann_query,
+    build_ivf_index,
+)
+from music_recommendation_service_spark.plans import registry
+from music_recommendation_service_spark.sources.catalog import load_table
+
+
+def test_ann_index_reproduces_q44(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = build_ivf_index(emb, k=32, lloyd_steps=2)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    got = {
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 6), r["rank"])
+        for r in ann_query(emb, index, queries, nprobe=12, topk=10).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in registry()["q44_ann_ivf"].build(spark, sf_dir).collect()
+    }
+    assert len(want) > 0
+    assert got == want
+
+
+def test_ann_index_probe_plan_shape(spark, sf_dir):
+    """The probe path must broadcast the centroid table and equi-join the
+    assignment map — never an unbounded cartesian against the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = build_ivf_index(emb, k=8, lloyd_steps=1)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    out = ann_query(emb, index, queries, nprobe=3, topk=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only non-equi join is query-slice x k-row BROADCAST centroid
+    # table; an unplanned CartesianProduct means the corpus got crossed
+    assert "CartesianProduct" not in plan, plan
+    # candidate fetch + scoring are hash equi-joins
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    rows = out.collect()
+    assert len(rows) > 0
+    # every query returns at most topk, ranks contiguous from 1
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
