@@ -53,3 +53,36 @@ def test_ann_index_probe_plan_shape(spark, sf_dir):
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 5
+
+
+def test_ann_index_persists_through_snapshot_tables(spark, sf_dir, tmp_path):
+    """Build-once really means once: centroids + assignment map round-trip
+    through the snapshot protocol (array<double> columns included) and
+    ann_query serves identical results from the RELOADED index."""
+    from music_recommendation_service_spark.operators.ann_index import IVFIndex
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = build_ivf_index(emb, k=8, lloyd_steps=1)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    want = {
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9), r["rank"])
+        for r in ann_query(emb, index, queries, nprobe=3, topk=5).collect()
+    }
+
+    cent_path = str(tmp_path / "ivf_centroids")
+    assign_path = str(tmp_path / "ivf_assign")
+    S.snapshot_write(index.centroids, cent_path)
+    S.snapshot_write(index.assignments, assign_path, stats_cols=["cluster_id"])
+
+    reloaded = IVFIndex(
+        S.snapshot_read(spark, cent_path),
+        S.snapshot_read(spark, assign_path),
+        "vec_id",
+        "embedding",
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9), r["rank"])
+        for r in ann_query(emb, reloaded, queries, nprobe=3, topk=5).collect()
+    }
+    assert got == want and len(want) > 0
