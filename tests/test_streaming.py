@@ -1053,3 +1053,45 @@ def test_watermarked_windows_to_snapshot_sink_e2e(spark, tmp_path):
     before = snap()
     run_once()
     assert snap() == before
+
+
+def test_interval_join_batch_twin_matches_range_join(spark, sf_dir):
+    """interval_join is the streaming twin of the batch range join: on
+    STATIC DataFrames (withWatermark is a no-op there) it must equal the
+    hand-written interval predicate — one operator, both execution
+    modes."""
+    from music_recommendation_service_spark.streaming.pipeline import (
+        interval_join,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+
+    def shaped(etype, prefix):
+        return e.filter(F.col("event_type") == etype).select(
+            F.col("event_id").alias(f"{prefix}_id"),
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("ts").cast("timestamp").alias(f"{prefix}_ts"),
+        )
+
+    got = {
+        (r["p_id"], r["c_id"])
+        for r in interval_join(
+            shaped("purchase", "p"), shaped("click", "c"),
+            on=[("p_user", "c_user")], left_ts="p_ts", right_ts="c_ts",
+            lower="0 seconds", upper="10 minutes",
+        ).collect()
+    }
+    want = {
+        (r["p_id"], r["c_id"])
+        for r in shaped("purchase", "p")
+        .join(
+            shaped("click", "c"),
+            F.expr(
+                "p_user = c_user AND c_ts >= p_ts "
+                "AND c_ts <= p_ts + INTERVAL 10 MINUTES"
+            ),
+        )
+        .collect()
+    }
+    assert len(want) > 0
+    assert got == want
