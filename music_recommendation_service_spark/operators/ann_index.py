@@ -78,17 +78,22 @@ def ann_query(
     query never matches itself."""
     idc, vecc = index.id_col, index.vec_col
 
-    def shaped(df: DataFrame, prefix: str) -> DataFrame:
+    def shaped(df: DataFrame, prefix: str, with_unit: bool) -> DataFrame:
+        # The unit vector is only needed on the QUERY side (cell
+        # probing); carrying it for the corpus would double the vector
+        # payload through the candidate equi-join — the widest join here.
         v = F.col(vecc).cast("array<double>")
         nrm = F.sqrt(_dot(v, v))
-        return df.select(
+        cols = [
             F.col(idc).alias(f"{prefix}_id"),
             v.alias(f"{prefix}_v"),
             nrm.alias(f"{prefix}_nrm"),
-            F.transform(v, lambda x: x / nrm).alias(f"{prefix}_u"),
-        )
+        ]
+        if with_unit:
+            cols.append(F.transform(v, lambda x: x / nrm).alias(f"{prefix}_u"))
+        return df.select(*cols)
 
-    qn = shaped(queries, "q")
+    qn = shaped(queries, "q", with_unit=True)
     cn = index.centroids.select(
         F.col("cluster_id").alias("_cid"),
         F.transform(
@@ -122,7 +127,7 @@ def ann_query(
         .select("q_id", "n_id")
     )
 
-    xn = shaped(vectors, "x")
+    xn = shaped(vectors, "x", with_unit=False)
     scored = (
         cand.join(qn, "q_id")
         .join(xn, cand.n_id == xn.x_id)

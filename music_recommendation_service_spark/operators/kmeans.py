@@ -99,18 +99,28 @@ def kmeans_fit(
         return F.transform(c, lambda x: x / n)
 
     def assign(cent_df: DataFrame) -> DataFrame:
+        # Argmax as a map-side-combinable min(struct(-cos, cid, cos)):
+        # highest cosine wins, exact ties break to the SMALLEST cid for
+        # any orderable id type (negating the id would NULL out / throw
+        # on string ids). The third field never influences ordering —
+        # cids are unique within the centroid table — it just carries the
+        # winning cosine out without a re-negation.
         cn = cent_df.select("_cid", _unit(F.col("_c")).alias("_cn"))
         scored = un.crossJoin(F.broadcast(cn)).select(
             "_id", "_cid", _dot(F.col("_u"), F.col("_cn")).alias("_cos")
         )
         best = scored.groupBy("_id").agg(
-            F.max(F.struct(F.col("_cos"), (-F.col("_cid")).alias("_ncid"))).alias(
-                "_b"
-            )
+            F.min(
+                F.struct(
+                    (-F.col("_cos")).alias("_neg"),
+                    F.col("_cid"),
+                    F.col("_cos"),
+                )
+            ).alias("_b")
         )
         return best.select(
             "_id",
-            (-F.col("_b._ncid")).alias("_cid"),
+            F.col("_b._cid").alias("_cid"),
             F.col("_b._cos").alias("_cos"),
         )
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from music_recommendation_service_spark.functions import rnd_sql
+from music_recommendation_service_spark.functions import rnd, rnd_sql
 
 _K = 8
 _ROUNDS = 3
@@ -40,7 +40,7 @@ def _q109_build(spark, sf_dir: str):
         res.assignments.groupBy("cluster_id")
         .agg(
             F.count("*").cast("long").alias("n_vectors"),
-            F.round(F.avg("cos"), 6).alias("mean_cosine"),
+            rnd(F.avg("cos"), 6).alias("mean_cosine"),
             F.min("vec_id").alias("exemplar_id"),
         )
         .select("cluster_id", "n_vectors", "mean_cosine", "exemplar_id")
@@ -48,74 +48,25 @@ def _q109_build(spark, sf_dir: str):
 
 
 def _q109_oracle() -> str:
-    """DuckDB twin: the _ROUNDS Lloyd iterations unrolled. Engine parity
-    requires identical arithmetic ORDER: unit-normalize, dot against the
+    """DuckDB twin: the _ROUNDS Lloyd iterations unrolled by the ONE
+    canonical quantizer renderer (``similarity._ivf_refined_ctes``) — the
+    same text generator q44 and its candidate-share probe use, so the
+    parity-critical arithmetic (unit-normalize, dot against the
     unit-normalized centroid, per-(cid, dim) avg of unit components,
-    empty cells keep the previous centroid (left join + coalesce)."""
-    unit = "list_transform({c}, x -> x / sqrt(list_dot_product({c}, {c})))"
-    cos = (
-        "list_dot_product(a.u, "
-        + unit.format(c="c.c")
-        + ")"
+    empty cells keep the previous centroid) lives in exactly one place."""
+    from music_recommendation_service_spark.functions.dialect import DUCK
+    from music_recommendation_service_spark.plans.similarity import (
+        _ivf_refined_ctes,
     )
-    parts = [
-        f"""e AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ),
-    un AS (
-        SELECT vec_id, {unit.format(c='v')} AS u FROM e
-    ),
-    cent0 AS (
-        SELECT vec_id AS cid, u AS c FROM (
-            SELECT vec_id, u FROM un
-            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-            LIMIT {_K}
-        )
-    )"""
-    ]
-    for i in range(_ROUNDS):
-        parts.append(f"""assign{i} AS (
-        SELECT vec_id, cid FROM (
-            SELECT a.vec_id, c.cid,
-                   row_number() OVER (
-                       PARTITION BY a.vec_id ORDER BY {cos} DESC, c.cid
-                   ) AS rnk
-            FROM un a CROSS JOIN cent{i} c
-        ) WHERE rnk = 1
-    ),
-    means{i} AS (
-        SELECT cid, list(avg_val ORDER BY dim) AS c
-        FROM (
-            SELECT cid, dim, avg(val) AS avg_val
-            FROM (
-                SELECT g.cid, generate_subscripts(e.u, 1) AS dim,
-                       unnest(e.u) AS val
-                FROM assign{i} g JOIN un e ON g.vec_id = e.vec_id
-            )
-            GROUP BY cid, dim
-        )
-        GROUP BY cid
-    ),
-    cent{i + 1} AS (
-        SELECT p.cid, coalesce(m.c, p.c) AS c
-        FROM cent{i} p LEFT JOIN means{i} m ON p.cid = m.cid
-    )""")
+
     return f"""
-    WITH {','.join(parts)},
-    final AS (
-        SELECT vec_id, cid, cos FROM (
-            SELECT a.vec_id, c.cid, {cos} AS cos,
-                   row_number() OVER (
-                       PARTITION BY a.vec_id ORDER BY {cos} DESC, c.cid
-                   ) AS rnk
-            FROM un a CROSS JOIN cent{_ROUNDS} c
-        ) WHERE rnk = 1
-    )
+    WITH {_ivf_refined_ctes(DUCK, k=_K, steps=_ROUNDS)}
     SELECT cid                              AS cluster_id,
            CAST(count(*) AS BIGINT)         AS n_vectors,
            {rnd_sql('avg(cos)', 6)}         AS mean_cosine,
            min(vec_id)                      AS exemplar_id
-    FROM final
+    FROM affinity
+    WHERE rnk = 1
     GROUP BY cid
     """
 

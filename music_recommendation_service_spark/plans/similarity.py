@@ -242,16 +242,7 @@ def ivf_candidate_counts(spark, sf_dir: str) -> tuple[int, int, int]:
     emb = load_table(spark, sf_dir, "embeddings")
     emb.createOrReplaceTempView("embeddings")
     row = spark.sql(
-        f"""WITH {_ivf_refined_ctes(SPARK)},
-        probes AS (
-            SELECT vec_id AS query_id, cid FROM affinity
-            WHERE rnk <= {_IVF_NPROBE} AND vec_id % 100 = 0
-        ),
-        cand AS (
-            SELECT p.query_id, a.vec_id AS neighbor_id
-            FROM probes p JOIN assigned a ON p.cid = a.cid
-            WHERE p.query_id <> a.vec_id
-        )
+        f"""WITH {_q44_cand_ctes(SPARK)}
         SELECT CAST(count(*) AS BIGINT) AS n_cand,
                CAST(count(DISTINCT query_id) AS BIGINT) AS n_q
         FROM cand"""
@@ -388,11 +379,14 @@ _IVF_NPROBE = 12
 _IVF_STEPS = 2
 
 
-def _ivf_refined_ctes(d: dict) -> str:
+def _ivf_refined_ctes(d: dict, k: int = _IVF_K, steps: int = _IVF_STEPS) -> str:
     """CTE chain after ``WITH ``: ``e``/``en`` (raw + UNIT vectors) over
-    embeddings, md5-seeded ``cent0``, then _IVF_STEPS Lloyd iterations,
-    ending in ``affinity`` (every vector's rank against the FINAL
-    centroids) and ``assigned`` (rnk = 1).
+    embeddings, ``k`` md5-seeded ``cent0`` rows, then ``steps`` Lloyd
+    iterations, ending in ``affinity`` (every vector's cosine + rank
+    against the FINAL centroids) and ``assigned`` (rnk = 1). The ONE
+    canonical SQL rendering of the quantizer — q44, its candidate-share
+    probe, and q109's oracle all call it, so the parity-critical
+    arithmetic cannot silently fork.
 
     The arithmetic is EXACTLY ``operators.kmeans.kmeans_fit``'s (seeds =
     unit vectors in md5 order, centroid = mean of assigned UNIT vectors,
@@ -419,11 +413,11 @@ def _ivf_refined_ctes(d: dict) -> str:
         FROM (
             SELECT vec_id, u FROM en
             ORDER BY md5(CAST(vec_id AS {str_t})), vec_id
-            LIMIT {_IVF_K}
+            LIMIT {k}
         )
     )"""
     ]
-    for i in range(_IVF_STEPS):
+    for i in range(steps):
         if d["name"] == "duck":
             comp = (
                 f"SELECT g.cid, generate_subscripts(e.u, 1) AS dim, "
@@ -464,11 +458,11 @@ def _ivf_refined_ctes(d: dict) -> str:
         FROM cent{i} p LEFT JOIN means{i} m ON p.cid = m.cid
     )""")
     parts.append(f"""affinity AS (
-        SELECT a.vec_id, c.cid,
+        SELECT a.vec_id, c.cid, {cos} AS cos,
                row_number() OVER (
                    PARTITION BY a.vec_id ORDER BY {cos} DESC, c.cid
                ) AS rnk
-        FROM en a CROSS JOIN cent{_IVF_STEPS} c
+        FROM en a CROSS JOIN cent{steps} c
     ),
     assigned AS (
         SELECT vec_id, cid FROM affinity WHERE rnk = 1
@@ -476,12 +470,11 @@ def _ivf_refined_ctes(d: dict) -> str:
     return ",\n    ".join(parts)
 
 
-def _q44(d: dict) -> str:
-    from music_recommendation_service_spark.functions import rnd_sql
-
-    cos_qc = f"({d['dot']('q.v', 'x.v')}) / (q.nrm * x.nrm)"
-    return f"""
-    WITH {_ivf_refined_ctes(d)},
+def _q44_cand_ctes(d: dict) -> str:
+    """q44's probe + candidate CTEs on top of the refined quantizer —
+    shared by the catalog query and ``ivf_candidate_counts`` so the
+    recall test's share guard measures EXACTLY the set q44 re-ranks."""
+    return f"""{_ivf_refined_ctes(d)},
     probes AS (
         SELECT vec_id AS query_id, cid FROM affinity
         WHERE rnk <= {_IVF_NPROBE} AND vec_id % 100 = 0
@@ -490,7 +483,15 @@ def _q44(d: dict) -> str:
         SELECT p.query_id, a.vec_id AS neighbor_id
         FROM probes p JOIN assigned a ON p.cid = a.cid
         WHERE p.query_id <> a.vec_id
-    ),
+    )"""
+
+
+def _q44(d: dict) -> str:
+    from music_recommendation_service_spark.functions import rnd_sql
+
+    cos_qc = f"({d['dot']('q.v', 'x.v')}) / (q.nrm * x.nrm)"
+    return f"""
+    WITH {_q44_cand_ctes(d)},
     scored AS (
         SELECT cd.query_id, cd.neighbor_id, {cos_qc} AS cos
         FROM cand cd

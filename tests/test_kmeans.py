@@ -76,3 +76,29 @@ def test_kmeans_rejects_bad_k(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     with pytest.raises(ValueError, match="k must be"):
         kmeans_fit(emb, k=0)
+
+
+def test_kmeans_string_ids_and_tie_break(spark):
+    """Non-numeric id columns must work (cluster ids are seed ids, so the
+    argmax tie-break cannot negate them), and exact cosine ties must
+    deterministically break to the SMALLEST cluster id — duplicate
+    embeddings are the norm in dedup corpora."""
+    rows = (
+        [(f"doc{i:02d}", [1.0, 0.0]) for i in range(4)]
+        + [(f"doc{i:02d}", [0.0, 1.0]) for i in range(4, 8)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "embedding"])
+    res = kmeans_fit(
+        df, k=4, id_col="doc_id", vec_col="embedding",
+        max_iterations=3, tol=0.0,
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in res.assignments.collect()}
+    assert set(got) == {f"doc{i:02d}" for i in range(8)}
+    # duplicate vectors tie on cosine against every centroid of their
+    # direction: all of them must land on the SAME, smallest, cluster id
+    by_dir = [
+        {got[f"doc{i:02d}"] for i in range(4)},
+        {got[f"doc{i:02d}"] for i in range(4, 8)},
+    ]
+    assert all(len(s) == 1 for s in by_dir), by_dir
+    assert res.history  # loop ran
