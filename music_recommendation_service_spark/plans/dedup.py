@@ -409,3 +409,118 @@ register_sql(
     "(fingerprint-grouped windows; top repeated passages).",
     tags=("dedup", "substring", "llm-pipeline"),
 )
+
+
+# ---------------------------------------------------------------------------
+# q111 — CONTAINMENT near-dup detection (asymmetric): C(A in B) =
+# |shingles(A) /\ shingles(B)| / |shingles(A)|. Jaccard (q27) misses the
+# small-document-quoted-inside-big-document case (the intersection is tiny
+# relative to the union); containment is the standard complement used by
+# RefinedWeb/Gopher-style pipelines to catch quotes, boilerplate inclusion
+# and prefix/suffix republication. The corpus injects known containment
+# structure at every SF: for doc_id % 7 == 0 the first-12-token prefix is
+# re-ingested as its own short document (doc_id + 2000000), so prefix->parent
+# pairs with containment 1.0 exist by construction.
+#
+# Semantics note: both the shared count and the denominator |A| range over
+# INFORMATIVE shingles only (document frequency <= 100) — the same skew
+# guard as q27, applied consistently to numerator and denominator so the
+# ratio stays exact over the indexed shingle space (a stop-shingle can
+# neither create a quadratic hot key nor dilute the score).
+#
+# Scale design: candidate generation is the inverted shingle index self-join
+# (equi-join on shingle, never a cross join); the undirected pair relation
+# is computed ONCE (d1 < d2) and both directed containments derive from it
+# by a UNION ALL of two projections — halving the heavy join relative to a
+# directed formulation. Spark's side scratch-materializes the index (three
+# consumers); the oracle keeps the inline CTE, pinning identical semantics.
+# ---------------------------------------------------------------------------
+_CONTAIN_TAU = 0.8
+_PREFIX_TOKENS = 12
+
+
+def _q111_prefix(d: dict) -> str:
+    toks = d["split"]("text")
+    sliced = (
+        f"list_slice({toks}, 1, {_PREFIX_TOKENS})"
+        if d["name"] == "duck"
+        else f"slice({toks}, 1, {_PREFIX_TOKENS})"
+    )
+    joiner = "array_to_string" if d["name"] == "duck" else "array_join"
+    return f"{joiner}({sliced}, ' ')"
+
+
+def _q111_ish(d: dict) -> str:
+    """The DF-capped (informative) inverted shingle index over the corpus."""
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, {_q111_prefix(d)} AS text
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    sh AS (
+        SELECT doc_id, {d['explode'](_shingles(d), 's')} FROM corpus
+    ),
+    informative AS (
+        SELECT s FROM sh GROUP BY s HAVING count(*) <= 100
+    )
+    SELECT sh.doc_id, sh.s FROM sh JOIN informative i ON sh.s = i.s
+    """
+
+
+def _q111(d: dict, ish_src: str | None = None) -> str:
+    if ish_src is None:
+        inner = "\n".join(
+            "        " + ln.strip()
+            for ln in _q111_ish(d).strip().splitlines()
+        )
+        ish_cte = f"ish AS (\n{inner}\n    ),\n    "
+        ish = "ish"
+    else:
+        ish_cte = ""
+        ish = ish_src
+    return f"""
+    WITH {ish_cte}sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM {ish} GROUP BY doc_id
+    ),
+    pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS shared
+        FROM {ish} a
+        JOIN {ish} b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    scored AS (
+        SELECT d1, d2, shared, s1.n AS n1, s2.n AS n2
+        FROM pairs
+        JOIN sizes s1 ON d1 = s1.doc_id
+        JOIN sizes s2 ON d2 = s2.doc_id
+    )
+    SELECT d1 AS src_doc, d2 AS dst_doc, shared, n1 AS n_src,
+           {rnd_sql("shared * 1.0 / n1", 6)} AS containment
+    FROM scored WHERE shared * 1.0 / n1 >= {_CONTAIN_TAU}
+    UNION ALL
+    SELECT d2 AS src_doc, d1 AS dst_doc, shared, n2 AS n_src,
+           {rnd_sql("shared * 1.0 / n2", 6)} AS containment
+    FROM scored WHERE shared * 1.0 / n2 >= {_CONTAIN_TAU}
+    """
+
+
+def _q111_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from music_recommendation_service_spark.sources.catalog import load_table
+    from music_recommendation_service_spark.sources.writers import scratch_materialize
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    ish = scratch_materialize(spark.sql(_q111_ish(SPARK)), "q111_ish")
+    ish.createOrReplaceTempView("q111_ish_mat")
+    return spark.sql(_q111(SPARK, ish_src="q111_ish_mat"))
+
+
+register(
+    "q111_containment_dupes",
+    oracle=_q111(DUCK),
+    doc=f"Asymmetric containment near-dup pairs (C(A in B) >= {_CONTAIN_TAU} "
+    "over DF-capped 3-gram shingles): catches small-doc-quoted-in-big-doc "
+    "shapes Jaccard misses; prefix re-ingestion provides known positives.",
+    tags=("dedup", "containment", "llm-pipeline"),
+)(_q111_build)

@@ -286,3 +286,58 @@ def _register_q38():
 
 
 _register_q38()
+
+
+# ---------------------------------------------------------------------------
+# q112 — pattern-scrub normalization: replace digit runs with a <NUM>
+# placeholder and measure the scrub per event_type. The standard
+# pre-training normalization/PII-scrub pass (numbers, ids, timestamps
+# collapse to placeholders so near-identical log/template strings dedup
+# and the model never memorizes literal identifiers); here it runs over
+# the events.props JSON payloads, whose numeric values are exactly the
+# volatile part. n_templates counts DISTINCT post-scrub strings — the
+# template-cardinality collapse a scrub is for (raw props are ~all
+# distinct; scrubbed ones collapse to a handful of shapes).
+#
+# Scale design: pure whole-stage-codegen regexp expressions (no UDF, no
+# explode); one hash aggregate keyed by event_type; count(DISTINCT x)
+# rewrites to the standard two-level expand+agg. The regex is anchored to
+# digit runs only — linear scans, no backtracking blowup.
+# ---------------------------------------------------------------------------
+def _q112(d: dict) -> str:
+    if d["name"] == "duck":
+        scrub = "regexp_replace(props, '[0-9]+', '<NUM>', 'g')"
+    else:
+        scrub = "regexp_replace(props, '[0-9]+', '<NUM>')"
+    # Spark's regexp_extract_all defaults to capture-group 1; group 0 (the
+    # whole match) is what a groupless scrub pattern needs. DuckDB's default
+    # is already 0.
+    grp = ", 0" if d["name"] == "spark" else ""
+    n_runs = f"{d['len']}(regexp_extract_all(props, '[0-9]+'{grp}))"
+    return f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)                 AS n_events,
+           CAST(sum({n_runs}) AS BIGINT)            AS n_digit_runs,
+           {rnd_sql(f"avg({n_runs})", 6)}           AS avg_digit_runs,
+           CAST(count(DISTINCT {scrub}) AS BIGINT)  AS n_templates,
+           CAST(count(DISTINCT props) AS BIGINT)    AS n_raw
+    FROM events
+    GROUP BY event_type
+    """
+
+
+def _register_q112():
+    from music_recommendation_service_spark.functions.dialect import register_sql
+
+    register_sql(
+        "q112_pattern_scrub",
+        _q112,
+        ("events",),
+        doc="Digit-run <NUM> scrub over events.props: per-event-type scrub "
+        "volume and template-cardinality collapse (distinct raw vs distinct "
+        "scrubbed strings).",
+        tags=("text", "normalization", "scrub", "llm-pipeline"),
+    )
+
+
+_register_q112()

@@ -1424,6 +1424,7 @@ def snapshot_maintain_aggregate(
     key_cols: Sequence[str] = (),
     minmax_cols: Sequence[str] = (),
     approx_distinct_cols: Sequence[str] = (),
+    histogram_cols: Sequence[tuple] = (),
 ) -> int | None:
     """Incrementally maintain a grouped COUNT/SUM materialized view of a
     snapshot table from its change feed — the engine-level API for the

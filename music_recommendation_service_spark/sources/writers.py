@@ -99,6 +99,27 @@ def scratch_materialize(
         return df
 
 
+def _normalize_cte_ids(canon: str) -> str:
+    """Replace global CTERelationDef/Ref ids with order-of-appearance ids.
+
+    Canonicalization normalizes expression IDs but NOT CTE relation ids —
+    they come from a process-global counter, so two constructions of the
+    same ``WITH ... SELECT`` query stringify differently (and their
+    ``semanticHash`` differs too). Without this, every CTE-bearing plan
+    misses the scratch cache and re-materializes per run."""
+    import re
+
+    mapping: dict = {}
+
+    def sub(m):
+        key = m.group(2)
+        if key not in mapping:
+            mapping[key] = str(len(mapping))
+        return f"{m.group(1)} {mapping[key]}"
+
+    return re.sub(r"(CTERelationDef|CTERelationRef) (\d+)", sub, canon)
+
+
 def _scratch_key(df: DataFrame, name: str) -> tuple[str, str, str]:
     """(digest, schema_json, path) for the plan-fingerprint scratch cache."""
     import hashlib
@@ -107,13 +128,15 @@ def _scratch_key(df: DataFrame, name: str) -> tuple[str, str, str]:
 
     root = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
     analyzed = df._jdf.queryExecution().analyzed()
-    canon = analyzed.canonicalized().toString()
+    canon = _normalize_cte_ids(analyzed.canonicalized().toString())
     # canonicalized().toString() normalizes expression IDs (so two
     # constructions of one query agree) but ELIDES data-source file
     # paths — two scans of different directories can stringify
     # identically. semanticHash + the leaf input files pin the
-    # actual data identity.
-    sem = analyzed.semanticHash()
+    # actual data identity. For CTE-bearing plans the semanticHash is
+    # construction-dependent (global CTE ids, see _normalize_cte_ids), so
+    # identity rests on the 256-bit normalized-canon digest alone there.
+    sem = 0 if "CTERelationDef" in canon else analyzed.semanticHash()
     files = "\n".join(sorted(df.inputFiles()))
     schema_json = df.schema.json()
     digest = hashlib.sha256(

@@ -259,3 +259,37 @@ def test_scratch_lookup_and_async_materialize(spark, sf_dir):
     # blocking materialize of the same plan must reuse the async copy
     again = scratch_materialize(base, "async_probe")
     assert sorted(again.inputFiles()) == sorted(got.inputFiles())
+
+
+def test_scratch_key_stable_for_cte_plans(spark, sf_dir):
+    """Two constructions of the same WITH...SELECT query share one scratch
+    digest. CTERelationDef/Ref ids come from a process-global counter that
+    canonicalization does NOT normalize (and semanticHash inherits them), so
+    without id normalization every CTE-bearing plan missed the cache and
+    re-materialized per run — q111's index paid ~8s per call at sf0.1."""
+    from music_recommendation_service_spark.sources.catalog import load_table
+    from music_recommendation_service_spark.sources.writers import (
+        _scratch_key,
+        scratch_materialize,
+    )
+
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_cte_t")
+    q = """
+    WITH big AS (SELECT n_nationkey, n_name FROM nation_cte_t
+                 WHERE n_nationkey > 2),
+    twice AS (SELECT a.n_nationkey FROM big a JOIN big b
+              ON a.n_nationkey = b.n_nationkey)
+    SELECT * FROM twice
+    """
+    k1 = _scratch_key(spark.sql(q), "cte_probe")
+    k2 = _scratch_key(spark.sql(q), "cte_probe")
+    assert k1 == k2
+
+    # a DIFFERENT CTE query must not collide
+    k3 = _scratch_key(spark.sql(q.replace("> 2", "> 3")), "cte_probe")
+    assert k3[0] != k1[0]
+
+    # end-to-end: second materialization serves the first copy
+    a = scratch_materialize(spark.sql(q), "cte_probe")
+    b = scratch_materialize(spark.sql(q), "cte_probe")
+    assert sorted(a.inputFiles()) == sorted(b.inputFiles())
