@@ -112,6 +112,9 @@ def main() -> None:
         "q108_kmeans_refine",
         "q109_kmeans_converged",
         "q110_corpus_drift",
+        "q111_containment_dupes",
+        "q112_pattern_scrub",
+        "q113_histogram_quantiles",
     ]
     queries_ext: dict[str, float] = {}
     for name in ext_names:

@@ -552,3 +552,81 @@ def _q106_sql(duck: bool) -> str:
 def q106_series_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_q106_sql(duck=False))
+
+
+# ---------------------------------------------------------------------------
+# q113 — fixed-bin histogram + midpoint-quantile estimates per group: the
+# BATCH twin of the engine's maintainable percentile view
+# (sources/snapshots.py histogram_quantile over hist_<c> columns kept
+# current by snapshot_maintain_aggregate). The estimator here is the SAME
+# rule — ceil(q*total)-th value's bin, reported as the bin midpoint with
+# lo/hi clamps for the flow bins — so the DuckDB oracle pins the semantics
+# the incremental path serves (tests/test_snapshots.py proves the batch and
+# maintained answers coincide on shared data).
+#
+# Scale design: one partial+final hash agg to O(groups x nbins) bin counts,
+# one tiny window over that to pick quantile bins — the value stream is
+# never sorted (q43's exact percentile_cont must shuffle values per group;
+# this is the sketch that replaces it at 100 TB for a half-bin-width error).
+# ---------------------------------------------------------------------------
+_H_LO, _H_HI, _H_NB = 0.0, 110000.0, 22
+
+
+def _q113(d: dict) -> str:
+    w = (_H_HI - _H_LO) / _H_NB
+    x = "l_extendedprice"
+    bin_expr = (
+        f"CASE WHEN {x} < {_H_LO} THEN 0 "
+        f"WHEN {x} >= {_H_HI} THEN {_H_NB + 1} "
+        f"ELSE least({_H_NB}, greatest(1, "
+        f"CAST(floor(({x} - {_H_LO}) / {w}) AS INT) + 1)) END"
+    )
+    mid = (
+        f"CASE WHEN qbin = 0 THEN {_H_LO} "
+        f"WHEN qbin = {_H_NB + 1} THEN {_H_HI} "
+        f"ELSE {_H_LO} + (qbin - 0.5) * {w} END"
+    )
+    return f"""
+    WITH binned AS (
+        SELECT l_returnflag AS flag, {bin_expr} AS bin FROM lineitem
+    ),
+    counts AS (
+        SELECT flag, bin, CAST(count(*) AS BIGINT) AS c
+        FROM binned GROUP BY flag, bin
+    ),
+    cum AS (
+        SELECT flag, bin, c,
+               sum(c) OVER (PARTITION BY flag ORDER BY bin) AS cum_c,
+               sum(c) OVER (PARTITION BY flag)              AS total
+        FROM counts
+    ),
+    quantiles AS (
+        SELECT flag, q, min(bin) AS qbin
+        FROM cum
+        CROSS JOIN (SELECT 0.5 AS q UNION ALL SELECT 0.9 UNION ALL SELECT 0.99) qs
+        WHERE cum_c >= ceil(q * total)
+        GROUP BY flag, q
+    )
+    SELECT flag, {rnd_sql("q", 2)} AS q, {rnd_sql(mid, 6)} AS estimate,
+           (SELECT CAST(max(total) AS BIGINT) FROM cum c2
+            WHERE c2.flag = quantiles.flag) AS n_values
+    FROM quantiles
+    """
+
+
+def _register_q113():
+    from music_recommendation_service_spark.functions.dialect import register_sql
+
+    register_sql(
+        "q113_histogram_quantiles",
+        _q113,
+        ("lineitem",),
+        doc="Fixed-bin histogram p50/p90/p99 midpoint estimates per return "
+        "flag — the batch twin of the maintainable percentile view "
+        "(histogram_quantile over snapshot_maintain_aggregate hist state); "
+        "O(groups x bins) agg, no per-group value sort.",
+        tags=("analytics", "histogram", "quantile", "sketch"),
+    )
+
+
+_register_q113()

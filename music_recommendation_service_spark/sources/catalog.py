@@ -105,6 +105,19 @@ class Catalog:
         ``process_historical_data.py:66``)."""
         return self.spark.read.csv(path, header=True, schema=schema)
 
+    def json(self, path: str, schema: StructType) -> DataFrame:
+        """Landing-zone JSON-lines scan with declared schema — the batch
+        twin of the streaming front door's directory source. Same contract
+        as ``csv``: schema is DECLARED, never inferred (inference is a full
+        extra scan at 100 TB, and silently widens types on dirty data)."""
+        return self.spark.read.schema(schema).json(path)
+
+    def orc(self, path: str) -> DataFrame:
+        """ORC columnar scan — schema from file metadata like parquet;
+        predicate pushdown + column pruning apply identically (ORC is the
+        other first-class columnar format in Spark's DSv1 path)."""
+        return self.spark.read.orc(path)
+
     def register_views(self, names: tuple[str, ...] = TABLES) -> None:
         """Expose catalog tables as temp views for the spark.sql surface."""
         for name in names:

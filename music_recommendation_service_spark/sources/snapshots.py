@@ -203,12 +203,162 @@ def _manifest_files(path: str, m: dict) -> list[dict]:
     return out
 
 
+# Per-file Bloom filters for point-lookup file skipping. Positions are
+# computed mod _BLOOM_M_MAX (a power of two) by the JVM on BOTH the write
+# and lookup paths (xxhash64 over the STRING form of the value, seeded per
+# hash function), then each file's filter is sized adaptively: the smallest
+# power of two >= _BLOOM_BITS_PER_VALUE * n_distinct, clamped to
+# [_BLOOM_M_MIN, _BLOOM_M_MAX]. Power-of-two sizing makes downsizing a pure
+# mask (x mod 2^j == (x mod 2^17) & (2^j - 1)), so ONE set of collected
+# positions serves every filter size, and a lookup literal hashes once.
+# Filters live in a per-data-dir SIDECAR (_bloom.json), carried in the
+# manifest by reference — manifests stay O(files), not O(files x filter),
+# across versions, and vacuuming a data dir removes its sidecar with it.
+# A file whose distinct count would saturate the largest filter gets NONE
+# (always scanned) — degradation is always toward extra IO, never toward a
+# wrong skip. (At larger-than-local scale the positions collect can move
+# JVM-side via bitmap_construct_agg; the sidecar format is unchanged.)
+_BLOOM_M_MAX = 1 << 17     # 16 KiB packed
+_BLOOM_M_MIN = 1 << 13
+_BLOOM_BITS_PER_VALUE = 16  # ~0.5% FPR at k=3
+_BLOOM_K = 3
+_BLOOM_SIDECAR = "_bloom.json"
+_BLOOM_CACHE: dict = {}
+
+
+def _bloom_pos_expr(col: str, i: int):
+    """Max-modulus bit position of hash function ``i`` for column ``col``
+    (null-safe: nulls map to null and never set a bit; null lookups skip
+    the bloom)."""
+    c = F.col(col)
+    return F.when(
+        c.isNotNull(),
+        F.pmod(F.xxhash64(F.lit(i), c.cast("string")), F.lit(_BLOOM_M_MAX)),
+    )
+
+
+def _bloom_build(position_sets: list) -> dict | None:
+    """Adaptively-sized packed filter from the k max-modulus position sets
+    of one file+column, or None when even the largest size would saturate."""
+    import base64
+
+    positions = {int(p) for s in position_sets for p in (s or [])}
+    if not positions:
+        return {"m": _BLOOM_M_MIN, "k": _BLOOM_K, "b64": ""}
+    n = max(1, len(positions) // _BLOOM_K)  # ~distinct values
+    if n * _BLOOM_BITS_PER_VALUE > _BLOOM_M_MAX * 2:
+        return None  # would saturate: FPR too high to pay 16 KiB for
+    m = _BLOOM_M_MIN
+    while m < n * _BLOOM_BITS_PER_VALUE and m < _BLOOM_M_MAX:
+        m <<= 1
+    mask = m - 1
+    bits = bytearray(m // 8)
+    for p in positions:
+        p &= mask
+        bits[p >> 3] |= 1 << (p & 7)
+    return {
+        "m": m,
+        "k": _BLOOM_K,
+        "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+    }
+
+
+def _bloom_may_contain(bloom: dict | None, positions: list[int]) -> bool:
+    """Can a file with this bloom contain a value whose MAX-modulus
+    positions are ``positions``? Missing/foreign/corrupt filters => must
+    assume yes (conservative, the same contract as missing min/max
+    stats)."""
+    import base64
+
+    if not bloom or bloom.get("k") != _BLOOM_K:
+        return True
+    m = bloom.get("m")
+    if not isinstance(m, int) or m <= 0 or m & (m - 1) or m > _BLOOM_M_MAX:
+        return True
+    if bloom.get("b64") == "":
+        return False  # all-null file: holds no lookup value
+    try:
+        bits = base64.b64decode(bloom["b64"])
+    except Exception:
+        return True
+    if len(bits) != m // 8:
+        return True
+    mask = m - 1
+    return all(
+        bits[(p & mask) >> 3] & (1 << ((p & mask) & 7)) for p in positions
+    )
+
+
+def _bloom_literal_positions(spark: SparkSession, value) -> list[int] | None:
+    """The k MAX-modulus positions of a lookup literal, computed by the
+    SAME JVM expressions that built the file blooms (one 1-row local job —
+    a metadata-scale cost, and the only way hash parity cannot drift
+    between a Python reimplementation and Spark's xxhash64)."""
+    if value is None:
+        return None
+    row = (
+        spark.range(1)
+        .select(F.lit(value).alias("_v"))
+        .select(*[_bloom_pos_expr("_v", i).alias(f"_p{i}") for i in range(_BLOOM_K)])
+        .first()
+    )
+    return [int(row[f"_p{i}"]) for i in range(_BLOOM_K)]
+
+
+def _bloom_cols_in_use(path: str, cur: dict) -> list[str]:
+    """Union of bloom-indexed columns (PHYSICAL names) across the current
+    manifest's sidecars — rewrite paths preserve the table's bloom
+    discipline the same way they preserve min/max stats."""
+    cols: set = set()
+    for e in cur.get("files") or []:
+        ref = e.get("bloom_ref")
+        if ref:
+            side = _bloom_sidecar(os.path.join(path, ref))
+            fname = e["path"].rsplit("/", 1)[-1]
+            cols.update((side.get(fname) or {}).keys())
+    return sorted(cols)
+
+
+def _bloom_sidecar(abs_ref: str) -> dict:
+    """Load (and cache) a data dir's bloom sidecar. Data dirs are immutable
+    — a new write always lands a new dir — so cache entries never go
+    stale; the cache is cleared wholesale when it grows past 256 dirs."""
+    if abs_ref in _BLOOM_CACHE:
+        return _BLOOM_CACHE[abs_ref]
+    try:
+        side = json.loads(_fs().read_text(abs_ref))
+    except Exception:
+        side = {}
+    if len(_BLOOM_CACHE) > 256:
+        _BLOOM_CACHE.clear()
+    _BLOOM_CACHE[abs_ref] = side
+    return side
+
+
+def _entry_bloom(table_path: str, entry: dict, phys_col: str) -> dict | None:
+    """The bloom for one file entry + physical column, or None."""
+    ref = entry.get("bloom_ref")
+    if not ref:
+        return None
+    side = _bloom_sidecar(os.path.join(table_path, ref))
+    fname = entry["path"].rsplit("/", 1)[-1]
+    return (side.get(fname) or {}).get(phys_col)
+
+
 def _scan_file_entries(
-    spark: SparkSession, full_dir: str, rel_dir: str, stats_cols: Sequence[str]
+    spark: SparkSession,
+    full_dir: str,
+    rel_dir: str,
+    stats_cols: Sequence[str],
+    bloom_cols: Sequence[str] = (),
 ) -> tuple[list[dict], int]:
     """List the parquet files of a freshly-written data dir and (in ONE
-    column-pruned scan) compute per-file row counts and min/max stats for
-    ``stats_cols`` — the metadata ``snapshot_merge`` prunes by."""
+    column-pruned scan) compute per-file row counts, min/max stats for
+    ``stats_cols``, and Bloom bitsets for ``bloom_cols`` — the metadata
+    ``snapshot_merge`` / ``snapshot_scan`` prune by. Min/max skips range
+    predicates on clustered columns; the bloom skips POINT lookups on
+    high-cardinality unsorted columns, where every file's [min, max]
+    brackets everything and range stats are useless."""
     names = sorted(f for f in _fs().list_dir(full_dir) if f.endswith(".parquet"))
     if not names:
         return [], 0
@@ -216,6 +366,11 @@ def _scan_file_entries(
     for c in stats_cols:
         aggs.append(F.min(c).alias(f"_min_{c}"))
         aggs.append(F.max(c).alias(f"_max_{c}"))
+    for c in bloom_cols:
+        for i in range(_BLOOM_K):
+            aggs.append(
+                F.collect_set(_bloom_pos_expr(c, i)).alias(f"_bl{i}_{c}")
+            )
     per_file = (
         spark.read.parquet(full_dir)
         .groupBy(F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_f"))
@@ -223,7 +378,7 @@ def _scan_file_entries(
         .collect()
     )
     by_name = {r["_f"]: r for r in per_file}
-    entries, total = [], 0
+    entries, total, sidecar = [], 0, {}
     for name in names:
         r = by_name.get(name)
         rows = int(r["_rows"]) if r is not None else 0
@@ -233,8 +388,22 @@ def _scan_file_entries(
                 c: [_stats_repr(r[f"_min_{c}"]), _stats_repr(r[f"_max_{c}"])]
                 for c in stats_cols
             }
-        entries.append({"path": f"{rel_dir}/{name}", "rows": rows, "stats": stats})
+        entry = {"path": f"{rel_dir}/{name}", "rows": rows, "stats": stats}
+        if r is not None and bloom_cols:
+            built = {
+                c: _bloom_build([r[f"_bl{i}_{c}"] for i in range(_BLOOM_K)])
+                for c in bloom_cols
+            }
+            built = {c: b for c, b in built.items() if b is not None}
+            if built:
+                sidecar[name] = built
+                entry["bloom_ref"] = f"{rel_dir}/{_BLOOM_SIDECAR}"
+        entries.append(entry)
         total += rows
+    if sidecar:
+        _fs().write_atomic(
+            os.path.join(full_dir, _BLOOM_SIDECAR), json.dumps(sidecar)
+        )
     return entries, total
 
 
@@ -342,17 +511,20 @@ def snapshot_write(
     path: str,
     stats_cols: Sequence[str] = (),
     manifest_extra: dict | None = None,
+    bloom_cols: Sequence[str] = (),
 ) -> int:
     """Overwrite: land a new immutable data dir, then commit. Returns the
     new version. Readers of older versions are unaffected (their files are
     never touched). ``stats_cols`` adds per-file min/max stats to the
     manifest so later ``snapshot_merge`` calls can prune files;
+    ``bloom_cols`` adds per-file Bloom bitsets so ``snapshot_scan`` can
+    skip files on point lookups over unsorted high-cardinality columns;
     ``manifest_extra`` merges caller metadata into the manifest."""
     _enforce_constraints(df, path, "overwrite")
     rel, full = _new_data_dir(path)
     df.write.mode("error").parquet(full)
     spark = df.sparkSession
-    files, n = _scan_file_entries(spark, full, rel, stats_cols)
+    files, n = _scan_file_entries(spark, full, rel, stats_cols, bloom_cols)
     schema_json = df.schema.json()
 
     def build(latest: dict | None, version: int) -> dict:
@@ -373,6 +545,7 @@ def snapshot_append(
     path: str,
     stats_cols: Sequence[str] = (),
     manifest_extra: dict | None = None,
+    bloom_cols: Sequence[str] = (),
 ) -> int:
     """Append as a NEW version: new data dir + manifest carrying the current
     version's files by reference — metadata-only append, no data rewrite.
@@ -382,14 +555,19 @@ def snapshot_append(
     caller metadata into the committed manifest (used by the ingest ledger
     to record its pending-file batch atomically with the data)."""
     if not snapshot_versions(path):
-        return snapshot_write(df, path, stats_cols, manifest_extra=manifest_extra)
+        return snapshot_write(
+            df, path, stats_cols, manifest_extra=manifest_extra,
+            bloom_cols=bloom_cols,
+        )
     _enforce_constraints(df, path, "append")
     mapping = _mapping(_latest_manifest(path) or {})
     rel, full = _new_data_dir(path)
     _to_physical_df(df, mapping).write.mode("error").parquet(full)
     spark = df.sparkSession
     new_files, n = _scan_file_entries(
-        spark, full, rel, [_phys(mapping, c) for c in stats_cols]
+        spark, full, rel,
+        [_phys(mapping, c) for c in stats_cols],
+        [_phys(mapping, c) for c in bloom_cols],
     )
     schema_json = df.schema.json()
 
@@ -705,7 +883,9 @@ def snapshot_merge(
     rel, full = _new_data_dir(path)
     _to_physical_df(merged, mapping).write.mode("error").parquet(full)
     new_files, n_new = _scan_file_entries(
-        spark, full, rel, [_phys(mapping, c) for c in key_cols]
+        spark, full, rel,
+        [_phys(mapping, c) for c in key_cols],
+        _bloom_cols_in_use(path, cur),
     )
 
     if any(e["rows"] is None for e in untouched):
@@ -801,7 +981,7 @@ def _rewrite_touched(
     rel, full_dir = _new_data_dir(path)
     _to_physical_df(out_df, mapping).write.mode("error").parquet(full_dir)
     new_files, n_new = _scan_file_entries(
-        spark, full_dir, rel, _stats_cols_in_use(cur)
+        spark, full_dir, rel, _stats_cols_in_use(cur), _bloom_cols_in_use(path, cur)
     )
     if any(e["rows"] is None for e in untouched):
         untouched_rows = (
@@ -1020,7 +1200,9 @@ def snapshot_compact(
     ).coalesce(n_out)
     rel, full = _new_data_dir(path)
     _to_physical_df(folded, mapping).write.mode("error").parquet(full)
-    new_files, n_new = _scan_file_entries(spark, full, rel, stats_cols)
+    new_files, n_new = _scan_file_entries(
+        spark, full, rel, stats_cols, _bloom_cols_in_use(path, cur)
+    )
     if n_new != small_rows:
         # Not an assert: integrity checks must survive ``python -O``.
         raise RuntimeError(
@@ -1136,7 +1318,9 @@ def snapshot_zorder(
     rel, full = _new_data_dir(path)
     _to_physical_df(clustered, mapping).write.mode("error").parquet(full)
     new_files, n_new = _scan_file_entries(
-        spark, full, rel, sorted(_phys(mapping, c) for c in cols)
+        spark, full, rel,
+        sorted(_phys(mapping, c) for c in cols),
+        _bloom_cols_in_use(path, cur),
     )
     if n_new != n_rows:
         raise RuntimeError(
@@ -1177,6 +1361,13 @@ def snapshot_scan(
     ``filter`` — the manifest stats only decide which files are OPENED
     (file skipping on plain parquet, the same contract as Delta data
     skipping). Files without stats for a column are always read.
+
+    POINT predicates (``lo == hi``) additionally consult per-file Bloom
+    bitsets when the table was written with ``bloom_cols`` — the skipping
+    that works where min/max cannot: a needle lookup on an unsorted
+    high-cardinality column (every file's range brackets every key, but
+    ~all blooms reject it). A bloom hit is only "maybe" — the exact
+    re-filter below keeps semantics identical either way.
     """
     versions = snapshot_versions(path)
     if not versions:
@@ -1186,11 +1377,23 @@ def snapshot_scan(
     files = _manifest_files(path, m)
     predicates = predicates or {}
     mapping = _mapping(m)
+    bloom_pos: dict[str, list[int] | None] = {}
+    if any(e.get("bloom_ref") for e in files):
+        for c, (lo, hi) in predicates.items():
+            if lo == hi:
+                bloom_pos[c] = _bloom_literal_positions(spark, lo)
     kept = [
         e
         for e in files
         if all(
             _stats_may_contain(e.get("stats"), _phys(mapping, c), lo, hi)
+            and (
+                c not in bloom_pos
+                or bloom_pos[c] is None
+                or _bloom_may_contain(
+                    _entry_bloom(path, e, _phys(mapping, c)), bloom_pos[c]
+                )
+            )
             for c, (lo, hi) in predicates.items()
         )
     ]
@@ -1203,6 +1406,77 @@ def snapshot_scan(
     for c, (lo, hi) in predicates.items():
         base = base.filter((F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi)))
     return base
+
+
+def snapshot_scan_in(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values: Sequence,
+    version: int | None = None,
+) -> DataFrame:
+    """IN-list point lookup: open only the files that may hold ANY of
+    ``values`` (per-value min/max stats + Bloom membership), then re-apply
+    ``col IN (values)`` exactly. The N-key fetch a serving layer issues
+    against a 100 TB table: file-set union is computed from manifest
+    metadata, all N literals hash in ONE 1-row JVM job (not N), and the
+    data read is bounded by files actually holding requested keys plus the
+    bloom's false positives."""
+    vals = [v for v in values if v is not None]
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    v = versions[-1] if version is None else version
+    m = _read_manifest(path, v)
+    files = _manifest_files(path, m)
+    phys = _phys(_mapping(m), col)
+    has_bloom = any(e.get("bloom_ref") for e in files)
+    pos_by_val: dict = {}
+    if has_bloom and vals:
+        row = (
+            spark.range(1)
+            .select(
+                F.array(
+                    *[
+                        F.struct(
+                            *[
+                                _bloom_pos_expr_lit(val, i).alias(f"_p{i}")
+                                for i in range(_BLOOM_K)
+                            ]
+                        )
+                        for val in vals
+                    ]
+                ).alias("_a")
+            )
+            .first()["_a"]
+        )
+        pos_by_val = {
+            val: [int(s[f"_p{i}"]) for i in range(_BLOOM_K)]
+            for val, s in zip(vals, row)
+        }
+
+    def may_hold(e: dict, val) -> bool:
+        if not _stats_may_contain(e.get("stats"), phys, val, val):
+            return False
+        if val in pos_by_val:
+            return _bloom_may_contain(
+                _entry_bloom(path, e, phys), pos_by_val[val]
+            )
+        return True
+
+    kept = [e for e in files if any(may_hold(e, val) for val in vals)]
+    if not vals or not kept:
+        return snapshot_read(spark, path, v).limit(0)
+    base = _read_declared(spark, m, [os.path.join(path, e["path"]) for e in kept])
+    return base.filter(F.col(col).isin(list(vals)))
+
+
+def _bloom_pos_expr_lit(value, i: int):
+    """Bit positions of a literal — the literal twin of _bloom_pos_expr,
+    same seeding and string canonicalization."""
+    return F.pmod(
+        F.xxhash64(F.lit(i), F.lit(value).cast("string")), F.lit(_BLOOM_M_MAX)
+    )
 
 
 def snapshot_changes(
@@ -1414,6 +1688,60 @@ def snapshot_consume_changes(
     return changes, latest, commit
 
 
+def _hist_bin(col: str, lo: float, hi: float, nbins: int):
+    """Bin index for a fixed-width histogram over [lo, hi): 0 = underflow,
+    1..nbins = interior, nbins+1 = overflow, null -> null (binned nowhere).
+    The clamp guards the floating-point edge where (x - lo) / w rounds a
+    just-below-hi value up to nbins + 1."""
+    x = F.col(col).cast("double")
+    w = (float(hi) - float(lo)) / int(nbins)
+    raw = (F.floor((x - F.lit(float(lo))) / F.lit(w)) + F.lit(1)).cast("int")
+    return (
+        F.when(x < F.lit(float(lo)), F.lit(0))
+        .when(x >= F.lit(float(hi)), F.lit(nbins + 1))
+        .otherwise(F.least(F.lit(nbins), F.greatest(F.lit(1), raw)))
+    )
+
+
+def histogram_quantile(hist, q: float, lo: float, hi: float, nbins: int):
+    """Approximate quantile Column from a maintained ``hist_<c>`` array
+    (layout per ``_hist_bin``): the midpoint of the first bin whose
+    cumulative count reaches ceil(q * total), clamped to [lo, hi] for the
+    under/overflow bins; null when the group's histogram is empty. Error is
+    bounded by half a bin width for in-range data — the fixed price that
+    buys O(nbins) maintained state per group instead of a value log, which
+    is what makes a percentile view maintainable at 100 TB (the histogram
+    is exact under insert AND delete, so the estimate never drifts from a
+    full recompute's). Pure array-fold expressions — no UDF, no shuffle."""
+    h = hist if not isinstance(hist, str) else F.col(hist)
+    zero = F.lit(0).cast("long")
+    total = F.aggregate(h, zero, lambda a, x: a + x)
+    target = F.ceil(total.cast("double") * F.lit(float(q))).cast("long")
+    found = F.aggregate(
+        h,
+        F.struct(
+            zero.alias("c"), F.lit(-1).alias("i"), F.lit(0).alias("p")
+        ),
+        lambda acc, x: F.struct(
+            (acc["c"] + x).alias("c"),
+            F.when(
+                (acc["i"] == -1) & ((acc["c"] + x) >= target), acc["p"]
+            )
+            .otherwise(acc["i"])
+            .alias("i"),
+            (acc["p"] + 1).alias("p"),
+        ),
+        lambda acc: acc["i"],
+    )
+    w = (float(hi) - float(lo)) / int(nbins)
+    return (
+        F.when((total <= 0) | (found < 0), F.lit(None).cast("double"))
+        .when(found == 0, F.lit(float(lo)))
+        .when(found == nbins + 1, F.lit(float(hi)))
+        .otherwise(F.lit(float(lo)) + (found.cast("double") - 0.5) * F.lit(w))
+    )
+
+
 def snapshot_maintain_aggregate(
     spark: SparkSession,
     source_path: str,
@@ -1460,6 +1788,14 @@ def snapshot_maintain_aggregate(
        the merge state is one fixed-size sketch per group instead of a
        per-group distinct set, and the micro-batch cost is O(changed
        rows), not O(distinct values).
+       ``histogram_cols`` — each entry ``(col, lo, hi, nbins)`` — maintain
+       a fixed-width bin-count array ``hist_<c>`` (underflow + nbins
+       interior + overflow). Histograms are an abelian group under
+       elementwise addition, so signed deltas fold EXACTLY for deletes too:
+       no recompute branch, O(nbins) state per group, and
+       ``histogram_quantile`` derives approximate percentiles from the
+       maintained array — the incremental percentile view that a naive
+       approach would recompute from all values.
     4. MERGEs only the touched groups into the view, tombstoning groups
        whose count reaches zero (``delete_col``),
     5. advances the cursor.
@@ -1481,6 +1817,7 @@ def snapshot_maintain_aggregate(
     sum_cols = list(sum_cols)
     minmax_cols = list(minmax_cols)
     approx_distinct_cols = list(approx_distinct_cols)
+    histogram_cols = [tuple(h) for h in histogram_cols]
     needs_recompute = bool(minmax_cols or approx_distinct_cols)
     changes, to_v, commit = snapshot_consume_changes(
         spark, source_path, cursor_path, key_cols
@@ -1527,6 +1864,21 @@ def snapshot_maintain_aggregate(
         # EMPTY sketch (estimate 0), so the fold below is total.
         aggs.append(
             F.hll_sketch_agg(F.when(is_add, F.col(c))).alias(f"_ins_hll_{c}")
+        )
+    for hc, lo, hi, nb in histogram_cols:
+        # Per-bin SIGNED counts: histograms are an abelian group under
+        # elementwise addition, so — unlike min/max/HLL — deletes subtract
+        # exactly and the maintained array NEVER needs a recompute. Null
+        # values bin to null and contribute to no bucket (count/sum parity).
+        b = _hist_bin(hc, lo, hi, nb)
+        aggs.append(
+            F.array(
+                *[
+                    F.sum(F.when(b == i, sign).otherwise(F.lit(0)))
+                    .cast("long")
+                    for i in range(nb + 2)
+                ]
+            ).alias(f"_d_hist_{hc}")
         )
     if needs_recompute:
         aggs.append(
@@ -1597,6 +1949,18 @@ def snapshot_maintain_aggregate(
                 )
             return F.coalesce(rc, folded).alias(f"hll_{hc}")
 
+        # Per-group histogram: stored + signed delta, elementwise. Exact
+        # under any insert/delete/update mix — no recompute branch exists.
+        def hist_out(hc: str, stored=None) -> F.Column:
+            d = F.col(f"_d_hist_{hc}")
+            if stored is None:
+                folded = d
+            else:
+                folded = F.when(stored.isNull(), d).otherwise(
+                    F.zip_with(stored, d, lambda x, y: x + y)
+                )
+            return folded.alias(f"hist_{hc}")
+
         def relax_hll_nullability(df: DataFrame) -> DataFrame:
             # hll_sketch_agg infers NON-nullable while the update path's
             # coalesce chain is nullable; the strict merge schema check
@@ -1610,6 +1974,11 @@ def snapshot_maintain_aggregate(
                 out = out.withColumn(
                     name, F.when(F.octet_length(F.col(name)) >= 0, F.col(name))
                 )
+            for hc, *_ in histogram_cols:
+                name = f"hist_{hc}"
+                out = out.withColumn(
+                    name, F.when(F.size(F.col(name)) >= 0, F.col(name))
+                )
             return out
 
         if not view_exists:
@@ -1619,6 +1988,7 @@ def snapshot_maintain_aggregate(
                 *[F.col(f"_d_sum_{c}").alias(f"sum_{c}") for c in sum_cols],
                 *[c for mc in minmax_cols for c in minmax_out(mc)],
                 *[hll_out(hc) for hc in approx_distinct_cols],
+                *[hist_out(hc) for hc, *_ in histogram_cols],
                 F.lit(to_v).cast("long").alias("_maint_v"),
             )
             v = snapshot_write(
@@ -1642,6 +2012,7 @@ def snapshot_maintain_aggregate(
             *[f"sum_{c}" for c in sum_cols],
             *[c for mc in minmax_cols for c in (f"min_{mc}", f"max_{mc}")],
             *[f"hll_{hc}" for hc in approx_distinct_cols],
+            *[f"hist_{hc}" for hc, *_ in histogram_cols],
         )
         joined = delta.join(current, group_cols, "left")
         new_n = F.coalesce(F.col("n"), F.lit(0)) + F.col("_d_n")
@@ -1661,6 +2032,7 @@ def snapshot_maintain_aggregate(
                 for c in minmax_out(mc, F.col(f"min_{mc}"), F.col(f"max_{mc}"))
             ],
             *[hll_out(hc, F.col(f"hll_{hc}")) for hc in approx_distinct_cols],
+            *[hist_out(hc, F.col(f"hist_{hc}")) for hc, *_ in histogram_cols],
             F.lit(to_v).cast("long").alias("_maint_v"),
             (new_n == 0).alias("_tomb"),
         )

@@ -374,3 +374,42 @@ def zorder_write(
         .drop("__z", "__amin", "__amax", "__bmin", "__bmax")
     )
     clustered.write.mode("overwrite").parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    bucket_cols: tuple[str, ...],
+    sort_cols: tuple[str, ...] = (),
+    path: str | None = None,
+) -> DataFrame:
+    """Hash-bucketed (optionally sorted) table write — the co-location
+    primitive for repeated big-to-big joins.
+
+    A shuffle-on-join moves BOTH fact tables across the cluster every time
+    they meet; bucketing pays that shuffle ONCE at write time: each side is
+    hash-partitioned into ``buckets`` files per partition-dir on
+    ``bucket_cols``, and every later equi-join or groupBy on those columns
+    reads co-located buckets with ZERO Exchange (with ``sort_cols`` matching
+    the join key, the sort inside SortMergeJoin is free too when each bucket
+    is a single file). At 100 TB this turns the nightly fact-to-fact join
+    from the dominant shuffle into a local merge. The layout rides Spark's
+    table catalog (``saveAsTable`` — bucket metadata cannot attach to a bare
+    parquet path); ``path`` makes it an external table at that location.
+
+    Mirrors the write-side strategy the reference leaves implicit in its
+    single-node joins (``RecommendationService.cs:225-236`` re-reads and
+    re-pairs whole tables per request); bucketing is Spark's native answer.
+    """
+    w = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+    return df.sparkSession.table(table)

@@ -127,6 +127,42 @@ def main() -> None:
         key_cols=["o_orderkey"], approx_distinct_cols=["o_custkey"],
     ))
 
+    # 7. bloom point lookup: needle fetch on an unsorted high-cardinality
+    # column — min/max stats cannot prune it (every file brackets every
+    # key); the per-file bloom skips ~all files
+    bpath = os.path.join(base, "orders_bloom")
+    blo = orders.withColumn("uid", F.md5(F.col("o_orderkey").cast("string")))
+    t("write_bloom_indexed", lambda: S.snapshot_write(
+        blo, bpath, bloom_cols=["uid"]
+    ))
+    needle = blo.select("uid").first()[0]
+    got = t("bloom_point_lookup", lambda: S.snapshot_scan(
+        spark, bpath, {"uid": (needle, needle)}
+    ))
+    extra["bloom_files_opened"] = len(got.inputFiles())
+    extra["bloom_files_total"] = len(S._latest_manifest(bpath)["files"])
+    t("full_filter_lookup", lambda: S.snapshot_read(spark, bpath).filter(
+        F.col("uid") == needle
+    ).count())
+
+    # 8. maintained histogram (retractable percentile view): delta fold
+    # cost after a merge — O(changed rows), nbins sums per group
+    hview = os.path.join(base, "hist_view")
+    hcursor = os.path.join(base, "hist_cursor")
+    hkw = dict(
+        group_cols=["o_orderpriority"], key_cols=["o_orderkey"],
+        histogram_cols=[("o_totalprice", 0.0, 600000.0, 24)],
+    )
+    t("maintain_hist_bootstrap", lambda: S.snapshot_maintain_aggregate(
+        spark, path, hview, hcursor, **hkw
+    ))
+    S.snapshot_merge(
+        batch.limit(500), path, key_cols=["o_orderkey"], seq_col="o_orderkey"
+    )
+    t("maintain_hist_fold", lambda: S.snapshot_maintain_aggregate(
+        spark, path, hview, hcursor, **hkw
+    ))
+
     m = S._latest_manifest(path)
     print(json.dumps({
         "metric": "snapshot_protocol_ops",

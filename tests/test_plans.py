@@ -146,6 +146,7 @@ _CROSS_OK = frozenset({
     "q102_semantic_dedup",         # centroid table x corpus (IVF assign)
     "q108_kmeans_refine",          # centroid table x corpus (both passes)
     "q110_corpus_drift",           # 1-row token-total broadcast
+    "q113_histogram_quantiles",    # 3-row quantile spec x O(groups*bins) counts
 })
 
 

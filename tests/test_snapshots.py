@@ -607,8 +607,8 @@ def test_compaction_row_drift_raises(spark, tmp_path, monkeypatch):
     )
     real = S._scan_file_entries
 
-    def lying(spark_, full, rel, cols):
-        entries, total = real(spark_, full, rel, cols)
+    def lying(spark_, full, rel, cols, bloom_cols=()):
+        entries, total = real(spark_, full, rel, cols, bloom_cols)
         return entries, total - 1
 
     monkeypatch.setattr(S, "_scan_file_entries", lying)
@@ -1065,6 +1065,7 @@ def test_maintain_aggregate_matches_recompute(tmp_path_factory, ops):
         kw = dict(
             group_cols=["payload"], sum_cols=["seq"], key_cols=["k"],
             minmax_cols=["seq"], approx_distinct_cols=["k"],
+            histogram_cols=[("seq", 0.0, 8.0, 4)],
         )
         try:
             S.snapshot_maintain_aggregate(spark, path, view, cursor, **kw)
@@ -1078,10 +1079,17 @@ def test_maintain_aggregate_matches_recompute(tmp_path_factory, ops):
 
     def check():
         # HLL union is register-wise max, so the incrementally-maintained
-        # sketch's estimate must EQUAL the full-recompute sketch's.
+        # sketch's estimate must EQUAL the full-recompute sketch's; the
+        # histogram is an abelian group under signed folds, so its array
+        # must match a recompute EXACTLY (same _hist_bin expression).
+        hb = S._hist_bin("seq", 0.0, 8.0, 4)
         want = {
-            (r["payload"], r["n"], r["sum_seq"], r["min_seq"], r["max_seq"], r["d_k"])
+            (
+                r["payload"], r["n"], r["sum_seq"], r["min_seq"],
+                r["max_seq"], r["d_k"], tuple(r["h_seq"]),
+            )
             for r in S.snapshot_read(spark, path)
+            .withColumn("_hb", hb)
             .groupBy("payload")
             .agg(
                 F.count(F.lit(1)).alias("n"),
@@ -1089,15 +1097,26 @@ def test_maintain_aggregate_matches_recompute(tmp_path_factory, ops):
                 F.min("seq").alias("min_seq"),
                 F.max("seq").alias("max_seq"),
                 F.hll_sketch_estimate(F.hll_sketch_agg("k")).alias("d_k"),
+                F.array(
+                    *[
+                        F.sum(
+                            F.when(F.col("_hb") == i, 1).otherwise(0)
+                        ).cast("long")
+                        for i in range(6)
+                    ]
+                ).alias("h_seq"),
             )
             .collect()
         }
         got = {
-            (r["payload"], r["n"], r["sum_seq"], r["min_seq"], r["max_seq"], r["d_k"])
+            (
+                r["payload"], r["n"], r["sum_seq"], r["min_seq"],
+                r["max_seq"], r["d_k"], tuple(r["hist_seq"]),
+            )
             for r in S.snapshot_read(spark, view)
             .select(
                 "payload", "n", "sum_seq", "min_seq", "max_seq",
-                F.hll_sketch_estimate("hll_k").alias("d_k"),
+                F.hll_sketch_estimate("hll_k").alias("d_k"), "hist_seq",
             )
             .collect()
         }
@@ -2184,3 +2203,302 @@ def test_objectstore_conditional_put_race_injected(spark, tmp_path):
     finally:
         S.set_snapshot_fs(prev2)
     assert rows == {0: "base", 99: "racer", 1: "loser-then-rebase"}
+
+
+def test_maintain_histogram_exact_and_quantile(spark, tmp_path):
+    """Maintained fixed-bin histograms stay EXACTLY equal to a full
+    recompute across delete and update (signed folds subtract — unlike
+    min/max/HLL there is no recompute branch to hide behind), and
+    histogram_quantile reads calibrated percentiles off the maintained
+    array: midpoint of the target bin, lo/hi clamps for the flow bins,
+    null for an empty histogram."""
+    from pyspark.sql import functions as F
+
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    base = str(tmp_path)
+    path, view, cursor = f"{base}/t", f"{base}/v", f"{base}/c"
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i % 10)) for i in range(100)], ["k", "g", "x"]
+    )
+    S.snapshot_write(df, path)
+    kw = dict(
+        group_cols=["g"], key_cols=["k"],
+        histogram_cols=[("x", 0.0, 8.0, 4)],
+    )
+
+    def maintained():
+        return {
+            r["g"]: tuple(r["hist_x"])
+            for r in S.snapshot_read(spark, view).collect()
+        }
+
+    def recomputed():
+        hb = S._hist_bin("x", 0.0, 8.0, 4)
+        return {
+            r["g"]: tuple(r["h"])
+            for r in S.snapshot_read(spark, path)
+            .withColumn("_hb", hb)
+            .groupBy("g")
+            .agg(
+                F.array(
+                    *[
+                        F.sum(F.when(F.col("_hb") == i, 1).otherwise(0))
+                        .cast("long")
+                        for i in range(6)
+                    ]
+                ).alias("h")
+            )
+            .collect()
+        }
+
+    S.snapshot_maintain_aggregate(spark, path, view, cursor, **kw)
+    assert maintained() == recomputed()
+    # x in [0,10): values 8,9 overflow; nothing underflows
+    assert all(h[0] == 0 and h[5] > 0 for h in maintained().values())
+
+    S.snapshot_delete_where(spark, path, "x >= 6.0")
+    S.snapshot_maintain_aggregate(spark, path, view, cursor, **kw)
+    got = maintained()
+    assert got == recomputed()
+    assert all(h[4] == 0 and h[5] == 0 for h in got.values())
+
+    S.snapshot_update_where(spark, path, "x = 2.0", {"x": "x + 7.5"})
+    S.snapshot_maintain_aggregate(spark, path, view, cursor, **kw)
+    assert maintained() == recomputed()
+
+    # quantile reader semantics on literal arrays: [u, b1..b4, o] over
+    # [0, 8), bin width 2 -> midpoints 1, 3, 5, 7
+    probe = spark.range(1).select(
+        F.expr("array(0L, 4L, 0L, 0L, 4L, 0L)").alias("h"),
+        F.expr("array(3L, 0L, 0L, 0L, 0L, 2L)").alias("flows"),
+        F.expr("array(0L, 0L, 0L, 0L, 0L, 0L)").alias("empty"),
+    )
+    row = probe.select(
+        S.histogram_quantile("h", 0.5, 0.0, 8.0, 4).alias("p50"),
+        S.histogram_quantile("h", 0.9, 0.0, 8.0, 4).alias("p90"),
+        S.histogram_quantile("flows", 0.1, 0.0, 8.0, 4).alias("lo_clamp"),
+        S.histogram_quantile("flows", 1.0, 0.0, 8.0, 4).alias("hi_clamp"),
+        S.histogram_quantile("empty", 0.5, 0.0, 8.0, 4).alias("nul"),
+    ).first()
+    assert row["p50"] == 1.0   # 4th of 8 values sits in bin 1 (midpoint 1)
+    assert row["p90"] == 7.0   # 8th value sits in bin 4 (midpoint 7)
+    assert row["lo_clamp"] == 0.0 and row["hi_clamp"] == 8.0
+    assert row["nul"] is None
+
+
+def test_histogram_quantile_matches_batch_twin(spark, sf_dir, tmp_path):
+    """The MAINTAINED percentile path (snapshot_maintain_aggregate histogram
+    state + histogram_quantile) and the batch catalog query q113 implement
+    one estimator: on the same lineitem data their p50/p90/p99 per return
+    flag must coincide exactly. This pins the engine helper to the
+    DuckDB-oracle-checked semantics."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from music_recommendation_service_spark.sources import snapshots as S
+    from music_recommendation_service_spark.sources.catalog import load_table
+
+    lo, hi, nb = 0.0, 110000.0, 22
+    base = str(tmp_path)
+    path, view, cursor = f"{base}/t", f"{base}/v", f"{base}/c"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("k"),
+        "l_returnflag",
+        "l_extendedprice",
+    )
+    S.snapshot_write(li, path)
+    S.snapshot_maintain_aggregate(
+        spark, path, view, cursor,
+        group_cols=["l_returnflag"], key_cols=["k"],
+        histogram_cols=[("l_extendedprice", lo, hi, nb)],
+    )
+    maintained = {
+        (r["l_returnflag"], q): r[f"p{int(q * 100)}"]
+        for r in S.snapshot_read(spark, view)
+        .select(
+            "l_returnflag",
+            *[
+                S.histogram_quantile(
+                    "hist_l_extendedprice", q, lo, hi, nb
+                ).alias(f"p{int(q * 100)}")
+                for q in (0.5, 0.9, 0.99)
+            ],
+        )
+        .collect()
+        for q in (0.5, 0.9, 0.99)
+    }
+    batch = {
+        (r["flag"], float(r["q"])): r["estimate"]
+        for r in entrymod.queries()["q113_histogram_quantiles"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert maintained.keys() == batch.keys()
+    for key, est in batch.items():
+        assert abs(maintained[key] - est) < 1e-6, (key, maintained[key], est)
+
+
+def test_bloom_point_lookup_file_skipping(spark, tmp_path):
+    """Bloom-pruned point lookups: where every file's [min,max] brackets
+    every key (unsorted high-cardinality column), the per-file bloom still
+    skips ~all files on a needle lookup; results stay EXACTLY equal to
+    read+filter (a bloom hit is only 'maybe'); rewrite paths (predicate
+    DML, merge, compact) preserve the table's bloom discipline so skipping
+    keeps firing after maintenance."""
+    from pyspark.sql import functions as F
+
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(8000)
+        .select(
+            F.md5(F.col("id").cast("string")).alias("uid"),
+            F.col("id").alias("val"),
+            (F.col("id") % 3).alias("g"),
+        )
+        .repartition(8)
+    )
+    S.snapshot_write(df, path, bloom_cols=["uid"])
+
+    needles = [r["uid"] for r in df.orderBy("val").limit(5).collect()]
+    for needle in needles:
+        got = S.snapshot_scan(spark, path, {"uid": (needle, needle)})
+        assert len(got.inputFiles()) < 8  # skipped most files
+        want = (
+            S.snapshot_read(spark, path).filter(F.col("uid") == needle).count()
+        )
+        assert got.count() == want == 1
+
+    # absent key: opens at most the FP files, returns nothing
+    got = S.snapshot_scan(spark, path, {"uid": ("no-such-key", "no-such-key")})
+    assert len(got.inputFiles()) < 8 and got.count() == 0
+
+    # a RANGE predicate on the bloom column must not consult the bloom
+    # (blooms only answer equality); full result parity
+    lo, hi = sorted(needles)[0], sorted(needles)[-1]
+    want = (
+        S.snapshot_read(spark, path)
+        .filter(F.col("uid").between(lo, hi))
+        .count()
+    )
+    assert S.snapshot_scan(spark, path, {"uid": (lo, hi)}).count() == want
+
+    # predicate DML rewrites files WITH fresh blooms (discipline preserved)
+    S.snapshot_delete_where(spark, path, "val % 7 = 0")
+    assert S._bloom_cols_in_use(path, S._latest_manifest(path)) == ["uid"]
+    needle = needles[1]
+    got = S.snapshot_scan(spark, path, {"uid": (needle, needle)})
+    assert len(got.inputFiles()) < 8
+    assert got.count() == (
+        S.snapshot_read(spark, path).filter(F.col("uid") == needle).count()
+    )
+
+    # compaction folds everything into one file and recomputes its bloom
+    S.snapshot_compact(spark, path, small_file_max_rows=10**9, target_files=1)
+    m = S._latest_manifest(path)
+    assert S._bloom_cols_in_use(path, m) == ["uid"]
+    got = S.snapshot_scan(spark, path, {"uid": ("no-such-key", "no-such-key")})
+    assert got.count() == 0
+
+
+def test_bloom_conservative_on_foreign_or_corrupt_metadata():
+    """Unknown parameters or undecodable bitsets must degrade to
+    'assume the file matches' — a wrong skip is a wrong ANSWER, a wasted
+    open is just IO. Adaptive sizing folds max-modulus positions down by
+    masking, so a membership probe built at any power-of-two size answers
+    the same positions."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    pos = [1, 2, 3]
+    assert S._bloom_may_contain(None, pos)
+    assert S._bloom_may_contain({}, pos)
+    # non-power-of-two / oversized m, wrong k, corrupt payload, wrong length
+    assert S._bloom_may_contain({"m": 42, "k": S._BLOOM_K, "b64": "AAAA"}, pos)
+    assert S._bloom_may_contain(
+        {"m": S._BLOOM_M_MAX * 2, "k": S._BLOOM_K, "b64": "AAAA"}, pos
+    )
+    assert S._bloom_may_contain({"m": S._BLOOM_M_MIN, "k": 99, "b64": ""}, pos)
+    assert S._bloom_may_contain(
+        {"m": S._BLOOM_M_MIN, "k": S._BLOOM_K, "b64": "!!not-base64!!"}, pos
+    )
+    assert S._bloom_may_contain(
+        {"m": S._BLOOM_M_MIN, "k": S._BLOOM_K, "b64": "AAAA"}, pos
+    )
+    # an all-null file's sentinel filter rejects every lookup
+    empty = S._bloom_build([[], [], []])
+    assert not S._bloom_may_contain(empty, pos)
+    # a filter holding exactly these positions accepts them and (with
+    # 16 bits/value) rejects others
+    built = S._bloom_build([[1], [2], [3]])
+    assert S._bloom_may_contain(built, pos)
+    assert built["m"] == S._BLOOM_M_MIN
+    # saturation guard: too many distinct positions -> no filter at all
+    huge = [list(range(S._BLOOM_M_MAX))] * 3
+    assert S._bloom_build(huge) is None
+
+
+def test_bloom_merge_preserves_discipline(spark, tmp_path):
+    """snapshot_merge rewrites touched files with fresh blooms; point
+    lookups on BOTH old and newly-merged keys stay exact and pruned."""
+    from pyspark.sql import functions as F
+
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    import hashlib
+
+    path = str(tmp_path / "t")
+    rows = [
+        (hashlib.md5(str(i).encode()).hexdigest(), i, i) for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, ["uid", "seq", "val"]).repartition(4)
+    S.snapshot_write(df, path, bloom_cols=["uid"])
+    batch = spark.createDataFrame(
+        [("brand-new-key", 10**9, -1)], ["uid", "seq", "val"]
+    )
+    S.snapshot_merge(batch, path, key_cols=["uid"], seq_col="seq")
+    assert S._bloom_cols_in_use(path, S._latest_manifest(path)) == ["uid"]
+    got = S.snapshot_scan(spark, path, {"uid": ("brand-new-key", "brand-new-key")})
+    assert got.count() == 1
+    old = df.select("uid").first()[0]
+    got_old = S.snapshot_scan(spark, path, {"uid": (old, old)})
+    assert got_old.count() == 1
+    total_files = len(S._manifest_files(path, S._latest_manifest(path)))
+    assert len(got_old.inputFiles()) < total_files
+
+
+def test_snapshot_scan_in_bloom_union(spark, tmp_path):
+    """N-key IN-list fetch: the opened file set is the UNION of per-key
+    bloom/stats survivors (one JVM hash job for all literals), results
+    exactly equal read + isin, and an all-absent list answers from
+    manifest metadata alone — zero files opened."""
+    from pyspark.sql import functions as F
+
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(10000)
+        .select(
+            F.md5(F.col("id").cast("string")).alias("uid"),
+            F.col("id").alias("val"),
+        )
+        .repartition(10)
+    )
+    S.snapshot_write(df, path, bloom_cols=["uid"])
+    present = [r["uid"] for r in df.limit(4).collect()]
+    keys = present + ["absent-a", "absent-b", None]
+    got = S.snapshot_scan_in(spark, path, "uid", keys)
+    assert len(got.inputFiles()) < 10
+    want = (
+        S.snapshot_read(spark, path)
+        .filter(F.col("uid").isin([k for k in keys if k is not None]))
+        .count()
+    )
+    assert got.count() == want == 4
+
+    miss = S.snapshot_scan_in(spark, path, "uid", ["absent-only"])
+    assert miss.inputFiles() == [] and miss.count() == 0
+    # schema preserved on the empty answer
+    assert miss.columns == S.snapshot_read(spark, path).columns

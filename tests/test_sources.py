@@ -293,3 +293,39 @@ def test_scratch_key_stable_for_cte_plans(spark, sf_dir):
     a = scratch_materialize(spark.sql(q), "cte_probe")
     b = scratch_materialize(spark.sql(q), "cte_probe")
     assert sorted(a.inputFiles()) == sorted(b.inputFiles())
+
+
+def test_json_and_orc_round_trip(spark, sf_dir, tmp_path):
+    """JSON landing-zone scan (declared schema, no inference) and ORC
+    read/write round-trip with pushdown intact: content equality with the
+    parquet original, and the ORC scan's plan shows the filter pushed to
+    the scan."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    cat = Catalog(spark, sf_dir)
+
+    # JSON: declared schema, extra unknown fields ignored, missing -> null
+    jdir = tmp_path / "landing_json"
+    jdir.mkdir()
+    with open(jdir / "a.json", "w") as f:
+        f.write(_json.dumps({"k": 1, "name": "x", "junk": True}) + "\n")
+        f.write(_json.dumps({"k": 2}) + "\n")
+    schema = StructType(
+        [StructField("k", LongType()), StructField("name", StringType())]
+    )
+    got = {tuple(r) for r in cat.json(str(jdir), schema).collect()}
+    assert got == {(1, "x"), (2, None)}
+
+    # ORC: write the nation table, read back, content-equal, filter pushed
+    nation = cat.table("nation")
+    opath = str(tmp_path / "nation_orc")
+    nation.write.orc(opath)
+    back = cat.orc(opath)
+    assert {tuple(r) for r in back.collect()} == {
+        tuple(r) for r in nation.collect()
+    }
+    plan = back.filter(F.col("n_nationkey") == 3)._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan and "n_nationkey" in plan.split("PushedFilters")[1][:200]
