@@ -64,5 +64,8 @@ def registry() -> dict[str, QueryDef]:
         skewops,
         windows,
     )
+    # Imported LAST: q115's oracle composes q05/q02 oracle texts out of the
+    # registry at registration time, so reference_parity must already be in.
+    from music_recommendation_service_spark.plans import music_domain  # noqa: F401
 
     return dict(_REGISTRY)

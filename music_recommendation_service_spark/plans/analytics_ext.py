@@ -630,3 +630,160 @@ def _register_q113():
 
 
 _register_q113()
+
+
+# ---------------------------------------------------------------------------
+# q114 — Pareto frontier (skyline): orders not dominated on
+# (o_totalprice, o_orderdate) — no other order has both a >= price and a
+# >= date with at least one strict (exact (price, date) ties keep the min
+# orderkey). The multi-objective shortlist query ("latest AND largest")
+# that a naive formulation writes as an O(n^2) NOT EXISTS self-join.
+#
+# Single-pass identity: sorted by (price DESC, date DESC, key), a row is
+# on the frontier iff its date strictly exceeds the running max date of
+# all PRECEDING rows — every preceding row has higher price (or equal
+# price with later/equal date), so "some preceding date >= mine" is
+# exactly "I am dominated".
+#
+# Scale design: the oracle keeps the one-window form; Spark's side
+# exploits skyline decomposability — skyline(S) = skyline(U_b skyline(S_b))
+# — with price-band partitions: the heavy window runs PARTITIONED (parallel,
+# shuffle on band), and only the tiny per-band frontiers (≈log-sized for
+# non-adversarial data) meet the final single-partition window. Identical
+# output by construction (band-local dominance is a subset of global
+# dominance; cross-band survivors are re-tested globally).
+# ---------------------------------------------------------------------------
+_Q114_FRAME = (
+    "ORDER BY o_totalprice DESC, d DESC, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+)
+
+
+def _q114_oracle() -> str:
+    return f"""
+    WITH pts AS (
+        SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS d
+        FROM orders
+    ),
+    w AS (
+        SELECT o_orderkey, o_totalprice, d,
+               max(d) OVER ({_Q114_FRAME}) AS best_d
+        FROM pts
+    )
+    SELECT o_orderkey,
+           {rnd_sql("o_totalprice", 2)} AS price,
+           d                            AS order_date
+    FROM w WHERE best_d IS NULL OR d > best_d
+    """
+
+
+def _q114_spark() -> str:
+    return f"""
+    WITH pts AS (
+        SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS d,
+               CAST(floor(o_totalprice / 20000.0) AS INT) AS band
+        FROM orders
+    ),
+    loc AS (
+        SELECT o_orderkey, o_totalprice, d,
+               max(d) OVER (PARTITION BY band {_Q114_FRAME}) AS band_best
+        FROM pts
+    ),
+    cand AS (
+        SELECT o_orderkey, o_totalprice, d FROM loc
+        WHERE band_best IS NULL OR d > band_best
+    ),
+    fin AS (
+        SELECT o_orderkey, o_totalprice, d,
+               max(d) OVER ({_Q114_FRAME}) AS best_d
+        FROM cand
+    )
+    SELECT o_orderkey,
+           {rnd_sql("o_totalprice", 2)} AS price,
+           d                            AS order_date
+    FROM fin WHERE best_d IS NULL OR d > best_d
+    """
+
+
+@register(
+    "q114_pareto_frontier",
+    oracle=_q114_oracle(),
+    doc="Pareto frontier (skyline) of orders on (totalprice, orderdate): "
+    "banded parallel windows + frontier-of-frontiers, vs the naive O(n^2) "
+    "dominance self-join.",
+    tags=("analytics", "skyline", "pareto"),
+)
+def q114_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_q114_spark())
+
+
+# ---------------------------------------------------------------------------
+# q116 — CUSUM change-point detection over the daily event series: the
+# monitoring twin of q110 (drift) and q76 (outliers). Each day's count is
+# standardized against the EXPANDING history of prior days (z = 0 until 7
+# days of history), then the one-sided CUSUM S_t = max(0, S_{t-1} + z_t - k)
+# accumulates sustained upward drift that single-day outlier rules miss.
+#
+# The max(0, ...) recursion is not a window aggregate — but it has the
+# closed form S_t = R_t - min(0, min_{j<=t} R_j) with R the plain running
+# sum of (z - k), so the whole detector stays in TWO ordinary window
+# passes over O(types x days) rows: no recursion, no UDF, no driver loop.
+# Scale: the series table is an O(groups x days) aggregate of the raw
+# events (partial+final hash agg); every window partitions by event_type.
+# ---------------------------------------------------------------------------
+_CUSUM_K = 0.5
+_CUSUM_H = 4.0
+
+
+def _q116(d: dict) -> str:
+    return f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    hist AS (
+        SELECT event_type, day, n,
+               avg(CAST(n AS DOUBLE))         OVER w AS mu,
+               stddev_samp(CAST(n AS DOUBLE)) OVER w AS sd,
+               count(*)                       OVER w AS n_prior
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+        SELECT event_type, day, n,
+               CASE WHEN n_prior >= 7 AND sd > 0
+                    THEN (CAST(n AS DOUBLE) - mu) / sd ELSE 0.0 END AS z
+        FROM hist
+    ),
+    r AS (
+        SELECT event_type, day, n, z,
+               sum(z - {_CUSUM_K}) OVER (
+                   PARTITION BY event_type ORDER BY day) AS rsum
+        FROM z
+    )
+    SELECT event_type, day, n,
+           {rnd_sql("z", 6)} AS z,
+           {rnd_sql(f"rsum - least(min(rsum) OVER (PARTITION BY event_type ORDER BY day), 0.0)", 6)} AS cusum,
+           (rsum - least(min(rsum) OVER (PARTITION BY event_type ORDER BY day), 0.0)) >= {_CUSUM_H} AS flagged
+    FROM r
+    """
+
+
+def _register_q116():
+    from music_recommendation_service_spark.functions.dialect import register_sql
+
+    register_sql(
+        "q116_cusum_changepoint",
+        _q116,
+        ("events",),
+        doc="One-sided CUSUM change-point detector over daily event counts "
+        "(expanding-history z-scores; max(0,.) recursion via the running-"
+        "sum-minus-running-min identity — two window passes, no recursion).",
+        tags=("analytics", "monitoring", "changepoint", "cusum"),
+    )
+
+
+_register_q116()

@@ -14,9 +14,10 @@ union (sum associativity), anti-join exclusion last.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from music_recommendation_service_spark.functions import rnd_sql
 from music_recommendation_service_spark.operators.pairs import (
     cooccurrence_pairs,
     symmetrize_pairs,
@@ -185,3 +186,98 @@ def hybrid_recommendations(
         .filter(F.col("rank") <= k)
         .select("user_id", F.col("cand_track").alias("track_id"), "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q115 — recommendation-list quality metrics: the evaluation pass a
+# recommender (the reference's whole product — RecommendationService.cs)
+# ships next to its serving path. Per rank and overall for q05's top-5
+# lists: volume, catalog coverage (distinct items recommended), average
+# item popularity (plays per recommended item — popularity-bias signal),
+# and overall intra-list similarity (avg q02 co-occurrence score over the
+# C(5,2) unordered pairs of each user's list; higher = less diverse).
+#
+# Scale design: composes two already-verified relations (q05 recs, q02
+# co-occurrence) — Spark's side reuses their ENGINE builders (broadcast/
+# scratch optimizations included) as temp views, the oracle nests their
+# verified SQL texts as CTEs; the pair join is per-user (5 rows a side),
+# the popularity join is broadcast-sized (items), everything aggregates
+# to O(ranks) rows.
+# ---------------------------------------------------------------------------
+def _q115_metrics(recs: str, sims: str) -> str:
+    return f"""
+    plays AS (
+        SELECT l_partkey AS item_id, CAST(count(*) AS BIGINT) AS n_plays
+        FROM lineitem GROUP BY l_partkey
+    ),
+    rec_pop AS (
+        SELECT r.rank, r.user_id, r.item_id, coalesce(p.n_plays, 0) AS n_plays
+        FROM {recs} r LEFT JOIN plays p ON r.item_id = p.item_id
+    ),
+    pairs AS (
+        SELECT a.user_id, a.item_id AS i1, b.item_id AS i2
+        FROM {recs} a JOIN {recs} b
+          ON a.user_id = b.user_id AND a.item_id < b.item_id
+    ),
+    ils AS (
+        -- CAST, not "* 1.0": a decimal literal makes Spark's avg() a
+        -- scale-5 DECIMAL (truncating) while DuckDB's stays DOUBLE.
+        SELECT avg(CAST(coalesce(s.score, 0) AS DOUBLE)) AS avg_ils
+        FROM pairs p LEFT JOIN {sims} s
+          ON p.i1 = s.l_partkey_1 AND p.i2 = s.l_partkey_2
+    )
+    SELECT CAST(rank AS BIGINT)              AS rank,
+           CAST(count(*) AS BIGINT)          AS n_recs,
+           CAST(count(DISTINCT item_id) AS BIGINT) AS n_items,
+           {rnd_sql("avg(n_plays)", 6)}      AS avg_item_plays,
+           CAST(NULL AS DOUBLE)              AS avg_ils
+    FROM rec_pop GROUP BY rank
+    UNION ALL
+    SELECT CAST(0 AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT item_id) AS BIGINT),
+           {rnd_sql("avg(n_plays)", 6)},
+           {rnd_sql("(SELECT avg_ils FROM ils)", 6)}
+    FROM rec_pop
+    """
+
+
+def _q115_oracle() -> str:
+    from music_recommendation_service_spark.plans import registry
+
+    q05 = registry()["q05_hybrid_recommendations"].oracle
+    q02 = registry()["q02_song_similarity"].oracle
+    return (
+        f"WITH recs AS ({q05}),\n    sims AS ({q02}),\n    "
+        + _q115_metrics("recs", "sims")
+    )
+
+
+def _q115_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from music_recommendation_service_spark.plans import registry
+    from music_recommendation_service_spark.sources.catalog import load_table
+
+    reg = registry()
+    reg["q05_hybrid_recommendations"].build(spark, sf_dir).createOrReplaceTempView(
+        "q115_recs"
+    )
+    reg["q02_song_similarity"].build(spark, sf_dir).createOrReplaceTempView(
+        "q115_sims"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("WITH " + _q115_metrics("q115_recs", "q115_sims"))
+
+
+def _register_q115():
+    from music_recommendation_service_spark.plans import register
+
+    register(
+        "q115_rec_quality_metrics",
+        oracle=_q115_oracle(),
+        doc="Recommender evaluation: per-rank volume/coverage/popularity "
+        "bias + overall intra-list similarity for q05's top-5 lists "
+        "(composes the verified q05 and q02 relations).",
+        tags=("music", "recommendation", "evaluation"),
+    )(_q115_build)
+
+
+_register_q115()

@@ -465,11 +465,15 @@ def _dirs_of(files: list[dict]) -> list[str]:
     return sorted({e["path"].rsplit("/", 1)[0] for e in files})
 
 
-def _commit(path: str, build: Callable[[dict | None, int], dict]) -> int:
+def _commit(
+    path: str, build: Callable[[dict | None, int], dict], op: str | None = None
+) -> int:
     """Atomically claim the next version. ``build(latest_manifest, version)``
     is re-invoked against the FRESH latest manifest on every attempt, so a
     loser of a commit race rebases on (or rejects, by raising) the state the
-    winner left — never blindly re-commits a stale view (lost update)."""
+    winner left — never blindly re-commits a stale view (lost update).
+    ``op`` stamps the committing operation into the manifest for
+    ``snapshot_history`` (DESCRIBE HISTORY parity)."""
     _fs().mkdirs(_manifest_dir(path))
     while True:
         versions = snapshot_versions(path)
@@ -478,6 +482,11 @@ def _commit(path: str, build: Callable[[dict | None, int], dict]) -> int:
         manifest = build(latest, version)
         manifest["version"] = version
         manifest["committed_at"] = time.time()
+        if op is not None:
+            # Assignment, not setdefault: builders that start from a copy of
+            # the previous manifest (constraints, schema evolution, rollback)
+            # would otherwise inherit the PREVIOUS commit's op.
+            manifest["op"] = op
         # Sticky table metadata: CHECK constraints survive every commit
         # type (overwrite, append, merge, compact, zorder, schema
         # evolution) unless the build explicitly sets the key (add/drop
@@ -537,7 +546,7 @@ def snapshot_write(
             **(manifest_extra or {}),
         }
 
-    return _commit(path, build)
+    return _commit(path, build, op="write")
 
 
 def snapshot_append(
@@ -603,7 +612,7 @@ def snapshot_append(
             out["column_mapping"] = mapping
         return out
 
-    return _commit(path, build)
+    return _commit(path, build, op="append")
 
 
 def _stats_repr(v):
@@ -721,7 +730,7 @@ def snapshot_add_constraint(
         out["data_change"] = False
         return out
 
-    return _commit(path, build)
+    return _commit(path, build, op="add_constraint")
 
 
 def snapshot_drop_constraint(path: str, name: str) -> int:
@@ -740,7 +749,7 @@ def snapshot_drop_constraint(path: str, name: str) -> int:
         out["data_change"] = False
         return out
 
-    return _commit(path, build)
+    return _commit(path, build, op="drop_constraint")
 
 
 def snapshot_merge(
@@ -918,7 +927,7 @@ def snapshot_merge(
             out["column_mapping"] = mapping
         return out
 
-    return _commit(path, build)
+    return _commit(path, build, op="merge")
 
 
 def _stats_cols_in_use(cur: dict) -> list[str]:
@@ -1012,7 +1021,7 @@ def _rewrite_touched(
             out["column_mapping"] = mapping
         return out
 
-    return _commit(path, build)
+    return _commit(path, build, op=op)
 
 
 def snapshot_delete_where(
@@ -1231,7 +1240,7 @@ def snapshot_compact(
             out["column_mapping"] = mapping
         return out
 
-    return _commit(path, build)
+    return _commit(path, build, op="compact")
 
 
 def _zvalue(df: DataFrame, cols: Sequence[str], bits: int = 8):
@@ -1346,7 +1355,7 @@ def snapshot_zorder(
             out["column_mapping"] = mapping
         return out
 
-    return _commit(path, build)
+    return _commit(path, build, op="zorder")
 
 
 def snapshot_scan(
@@ -2105,7 +2114,7 @@ def snapshot_add_columns(path: str, new_fields) -> int:
             out["column_mapping"] = mapping
         return out
 
-    return _commit(path, build)
+    return _commit(path, build, op="add_columns")
 
 
 def snapshot_rename_columns(path: str, renames: dict) -> int:
@@ -2174,7 +2183,7 @@ def snapshot_rename_columns(path: str, renames: dict) -> int:
             out["column_mapping"] = mapping
         return out
 
-    return _commit(path, build)
+    return _commit(path, build, op="rename_columns")
 
 
 def snapshot_drop_columns(path: str, names: Sequence[str]) -> int:
@@ -2228,7 +2237,32 @@ def snapshot_drop_columns(path: str, names: Sequence[str]) -> int:
             out["column_mapping"] = mapping
         return out
 
-    return _commit(path, build)
+    return _commit(path, build, op="drop_columns")
+
+
+def snapshot_history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY parity: one record per surviving version, newest
+    first — the audit view of the commit log (version, operation, commit
+    time, row/file counts, and whether the commit changed data or was
+    metadata-only). Reads manifests only; O(versions), never touches data.
+    Versions older than the vacuum horizon are gone by design — history is
+    as long as retention, exactly like Delta's."""
+    out = []
+    for v in reversed(snapshot_versions(path)):
+        m = _read_manifest(path, v)
+        files = m.get("files")
+        out.append(
+            {
+                "version": v,
+                "op": m.get("op"),
+                "committed_at": m.get("committed_at"),
+                "n_rows": m.get("n_rows"),
+                "n_files": len(files) if files is not None else None,
+                "data_change": m.get("data_change", True),
+                "constraints": sorted(m.get("constraints") or {}),
+            }
+        )
+    return out
 
 
 def snapshot_rollback(path: str, version: int) -> int:
@@ -2251,7 +2285,7 @@ def snapshot_rollback(path: str, version: int) -> int:
         out["constraints"] = m.get("constraints", {})
         return out
 
-    return _commit(path, build)
+    return _commit(path, build, op="rollback")
 
 
 def snapshot_vacuum(

@@ -147,6 +147,7 @@ _CROSS_OK = frozenset({
     "q108_kmeans_refine",          # centroid table x corpus (both passes)
     "q110_corpus_drift",           # 1-row token-total broadcast
     "q113_histogram_quantiles",    # 3-row quantile spec x O(groups*bins) counts
+    "q115_rec_quality_metrics",    # embeds q05's declared pattern + 1-row ILS broadcast
 })
 
 
@@ -282,3 +283,13 @@ def test_plan_audit_counts_and_smells(spark, sf_dir):
         a_bad["joins"]["cartesian"] + a_bad["joins"]["broadcast_nested_loop"]
         >= 1
     )
+
+
+def test_q114_skyline_heavy_window_is_partitioned(spark, sf_dir):
+    """The full-table window must run PARTITIONED (hashpartitioning on the
+    price band); only the frontier-of-frontiers pass — input ≈ per-band
+    skylines — may be a single-partition window."""
+    p = _plan(spark, sf_dir, "q114_pareto_frontier")
+    assert "hashpartitioning(band" in p, p
+    # exactly one SinglePartition exchange: the final tiny pass
+    assert p.count("SinglePartition") == 1, p

@@ -2502,3 +2502,38 @@ def test_snapshot_scan_in_bloom_union(spark, tmp_path):
     assert miss.inputFiles() == [] and miss.count() == 0
     # schema preserved on the empty answer
     assert miss.columns == S.snapshot_read(spark, path).columns
+
+
+def test_snapshot_history_describes_commits(spark, tmp_path):
+    """DESCRIBE HISTORY parity: every commit type stamps its operation;
+    history reads manifests only, newest first; metadata-only commits
+    (schema evolution) show data_change=False; rollback appears as its
+    own audited operation."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "t")
+    S.snapshot_write(_snap_df(spark, [(1, 1, "a"), (2, 1, "b")]), path)
+    S.snapshot_append(_snap_df(spark, [(3, 1, "c")]), path)
+    S.snapshot_merge(
+        _snap_df(spark, [(2, 5, "b2")]), path, key_cols=["k"], seq_col="seq"
+    )
+    S.snapshot_delete_where(spark, path, "k = 1")
+    S.snapshot_add_constraint(spark, path, "pos_seq", "seq > 0")
+    from pyspark.sql.types import LongType, StructField
+
+    S.snapshot_add_columns(path, [StructField("extra", LongType())])
+    S.snapshot_rollback(path, 3)
+
+    hist = S.snapshot_history(path)
+    assert [h["version"] for h in hist] == [7, 6, 5, 4, 3, 2, 1]
+    ops = {h["version"]: h["op"] for h in hist}
+    assert ops[1] == "write" and ops[2] == "append" and ops[3] == "merge"
+    assert ops[4] == "delete_where"
+    assert ops[5] == "add_constraint"
+    assert ops[6] == "add_columns"
+    assert ops[7] == "rollback"
+    by_v = {h["version"]: h for h in hist}
+    assert by_v[6]["data_change"] is False  # schema evo: metadata-only
+    assert by_v[5]["constraints"] == ["pos_seq"]
+    assert by_v[3]["n_rows"] == 3
+    assert all(h["committed_at"] is not None for h in hist)
