@@ -54,6 +54,7 @@ def registry() -> dict[str, QueryDef]:
         dedup,
         graphops,
         multimodal,
+        olap_ext,
         rangequery,
         pipeline_ops,
         reference_parity,

@@ -787,3 +787,136 @@ def _register_q116():
 
 
 _register_q116()
+
+
+# ---------------------------------------------------------------------------
+# q120 — first-order Markov transition model over per-user event sequences:
+# P(next_type | prev_type) estimated from consecutive event pairs. The
+# sequence model a session-analysis / next-event-prediction layer fits over
+# the reference's event stream.
+#
+# Scale (100 TB): ONE user_id shuffle for the lag window (sequences are
+# per-user, so consecutive pairs never cross partitions), then the pair
+# aggregate is over a |types|^2-sized key space — the partial aggregate
+# collapses each partition to <= 25 rows before the second (trivial)
+# exchange. The row-probability normalizer is a window over the 25-row
+# aggregate, not the fact.
+# ---------------------------------------------------------------------------
+@register(
+    "q120_markov_transitions",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_type AS prev_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    counts AS (
+        SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n,
+           {rnd_sql('n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE)', 5)}
+               AS prob
+    FROM counts
+    """,
+    doc="First-order Markov transition matrix (counts + row-normalized "
+    "probabilities) over per-user consecutive event pairs.",
+    tags=("analytics", "sequence", "markov", "window"),
+)
+def q120_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wrow = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        rnd(F.col("n") / F.sum("n").over(wrow).cast("double"), 5).alias("prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q121 — per-user EWMA smoothing (adjusted weights, alpha=0.3) of the event
+# value series, reporting the final smoothed level per user. The recursive
+# EWMA s_t = a*x_t + (1-a)*s_{t-1} is re-expressed as a RATIO OF TWO
+# CUMULATIVE SUMS: with r = 1-a and rn the 1-based row number,
+#     s_t = sum_j x_j * r^(-j) / sum_j r^(-j)        (j <= t)
+# (both sides of the textbook weight r^(t-j) divided by r^t) — so the
+# whole computation is ONE ordered window pass per user, no recursion, no
+# UDF, identical arithmetic in the DuckDB twin.
+#
+# Scale (100 TB): valid while per-key series are bounded (r^(-rn) overflows
+# double near rn ~ 2000 for r=0.7); for unbounded/global series the engine
+# path is operators/scan.py::linear_scan, the segmented affine prefix scan
+# whose per-chunk state composition is exact at any length. Test-SF series
+# max out at 99 rows/user, 15 orders of magnitude inside the safe range.
+# ---------------------------------------------------------------------------
+_EWMA_ALPHA = 0.3
+
+
+@register(
+    "q121_ewma_last",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, value,
+               row_number() OVER w AS rn,
+               count(*)  OVER (PARTITION BY user_id) AS n_events
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sums AS (
+        SELECT user_id, rn, n_events,
+               sum(value * power({1.0 - _EWMA_ALPHA}, -rn)) OVER w2 AS num,
+               sum(power({1.0 - _EWMA_ALPHA}, -rn))         OVER w2 AS den
+        FROM ordered
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY rn
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           CAST(n_events AS BIGINT)      AS n_events,
+           {rnd_sql('num / den', 4)}     AS ewma
+    FROM sums
+    WHERE rn = n_events
+    """,
+    doc="Per-user adjusted EWMA (alpha=0.3) of event values via the "
+    "two-cumulative-sums identity — one window pass, no recursion.",
+    tags=("analytics", "timeseries", "ewma", "window"),
+)
+def q121_ewma_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    r = 1.0 - _EWMA_ALPHA
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_events"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wgt = F.pow(F.lit(r), -F.col("rn"))
+    sums = ordered.select(
+        "user_id",
+        "rn",
+        "n_events",
+        F.sum(F.col("value") * wgt).over(w2).alias("num"),
+        F.sum(wgt).over(w2).alias("den"),
+    )
+    return sums.filter(F.col("rn") == F.col("n_events")).select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        rnd(F.col("num") / F.col("den"), 4).alias("ewma"),
+    )

@@ -356,3 +356,108 @@ def q97_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pagerank"), F.asc("item_id"))
         .limit(_PR_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q122 — BFS hop distances from a seed set over the co-purchase graph
+# (basket pairs co-bought in >= 2 orders — denser than the co-return graph,
+# so multi-hop structure exists at every SF). "How far is every item from
+# the promoted set" is the graph-proximity feature a recommender layers on
+# top of the reference's similarity pairs.
+#
+# Engine: frontier-free min-distance relaxation — labels start at 0 for
+# seeds, each round takes min(neighbor+1) via ONE join + ONE aggregate on
+# the (small) materialized edge table, localCheckpoint bounds plan growth.
+# Exactly _BFS_MAX rounds, matching the oracle's recursion bound, so both
+# sides compute min(dist) over paths of length <= _BFS_MAX.
+#
+# Scale (100 TB): per-round cost is one shuffle of the edge relation keyed
+# by vertex — the textbook Pregel/BSP schedule. The edge table is built
+# once via the shared pair engine and scratch-materialized; label state is
+# O(V). The recursion bound is the standard guard that also caps cost on
+# adversarial diameters.
+# ---------------------------------------------------------------------------
+_BFS_MAX = 7  # relaxation rounds; oracle explores paths with dist <= this
+_BFS_SEED_MOD = 100  # seeds: graph vertices with item_id % mod == 0
+
+_BFS_EDGES_SQL = """
+    baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    bedges AS (
+        SELECT a.l_partkey AS a, b.l_partkey AS b
+        FROM baskets a
+        JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                      AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ),
+    verts AS (
+        SELECT a AS v FROM bedges UNION SELECT b AS v FROM bedges
+    )
+"""
+
+
+@register(
+    "q122_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE {_BFS_EDGES_SQL},
+    sym AS (
+        SELECT a AS src, b AS dst FROM bedges
+        UNION ALL
+        SELECT b AS src, a AS dst FROM bedges
+    ),
+    walk(v, dist) AS (
+        SELECT v, 0 FROM verts WHERE v % {_BFS_SEED_MOD} = 0
+        UNION
+        SELECT s.dst, w.dist + 1
+        FROM walk w JOIN sym s ON s.src = w.v
+        WHERE w.dist + 1 <= {_BFS_MAX}
+    )
+    SELECT CAST(v AS BIGINT) AS item_id,
+           CAST(min(dist) AS INT) AS dist
+    FROM walk
+    GROUP BY v
+    """,
+    doc="BFS shortest hop distance from seed items over the co-purchase "
+    "graph; iterative min-relaxation engine vs recursive-CTE oracle.",
+    tags=("graph", "bfs", "iterative"),
+)
+def q122_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from music_recommendation_service_spark.operators.pairs import cooccurrence_pairs
+    from music_recommendation_service_spark.sources.writers import scratch_materialize
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = scratch_materialize(
+        cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        .filter(F.col("score") >= 2)
+        .select(F.col("l_partkey_1").alias("a"), F.col("l_partkey_2").alias("b")),
+        "q122_bedges",
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    verts = sym.select(F.col("a").alias("v")).distinct()
+    labels = verts.select(
+        "v",
+        F.when(F.col("v") % _BFS_SEED_MOD == 0, F.lit(0))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("dist"),
+    ).localCheckpoint()
+    for _ in range(_BFS_MAX):
+        reach = (
+            sym.join(labels.filter(F.col("dist").isNotNull()), sym.a == labels.v)
+            .groupBy(F.col("b").alias("v2"))
+            .agg((F.min("dist") + F.lit(1)).alias("nd"))
+        )
+        labels = (
+            labels.join(reach, labels.v == reach.v2, "left")
+            .select("v", F.least(F.col("dist"), F.col("nd")).alias("_m"),
+                    F.coalesce(F.col("dist"), F.col("nd")).alias("_c"))
+            .select("v", F.coalesce(F.col("_m"), F.col("_c")).alias("dist"))
+            .localCheckpoint()
+        )
+    return labels.filter(F.col("dist").isNotNull()).select(
+        F.col("v").cast("long").alias("item_id"),
+        F.col("dist").cast("int").alias("dist"),
+    )

@@ -1,0 +1,270 @@
+"""OLAP shaping operators (q117-q119) and association rules (q123):
+pivot, unpivot/melt, ROLLUP with grouping_id, and basket rule mining.
+
+The reference's analytics surface stops at flat GROUP BY aggregates
+(e.g. ``process_trending_songs.py``'s weekly counts); every BI tool a
+user would point at those outputs immediately asks for the wide/long
+reshapes and subtotal lattices below, and its CF pipeline
+(``process_song_similarity.py``) stops at raw co-occurrence counts
+where a rule miner would emit support/confidence/lift.
+
+Scale notes (100 TB):
+- q117 pivot declares its value list explicitly, so Spark compiles the
+  pivot into ONE two-phase hash aggregate (`PivotFirst`) — no extra
+  distinct-values job, no second shuffle. A pivot with an inferred value
+  list costs an extra full scan + driver collect; never do that at scale.
+- q118 unpivot is a generator expression over an already-tiny aggregate
+  (|nations| rows) — the expensive part (the customer scan + agg) happens
+  once, long form is a zero-shuffle expand of the wide result.
+- q119 ROLLUP is a single Expand + one aggregate exchange: Spark
+  replicates each input row once per grouping set inside the map stage
+  and partial-aggregates before the shuffle, so the subtotal lattice
+  costs ~|sets|x map work but only ONE shuffle of partially-folded
+  groups. Computing the three levels as separate GROUP BYs would scan
+  the fact three times.
+- q123 reuses the canonical pair engine (operators/pairs.py: distinct ->
+  canonical a<b self-join with hot-key policy); the item-frequency dim it
+  joins back is |items|-sized and broadcast. Rule metrics are pure
+  projections over the pair table — no additional shuffle beyond the
+  pair build itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from music_recommendation_service_spark.functions import rnd, rnd_sql
+from music_recommendation_service_spark.operators.pairs import cooccurrence_pairs
+from music_recommendation_service_spark.plans import register
+from music_recommendation_service_spark.sources.catalog import load_table as _t
+
+# Declared pivot domain: the event-type vocabulary is a catalog fact, not
+# something to re-discover per query (an inferred pivot adds a full scan).
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+# ---------------------------------------------------------------------------
+# q117 — daily activity pivot: one row per day, one BIGINT column per event
+# type (zero-filled), plus the row total. The long->wide reshape every
+# activity dashboard runs over the reference's event stream.
+# ---------------------------------------------------------------------------
+def _pivot_cell_sql(t: str) -> str:
+    return f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}"
+
+
+@register(
+    "q117_daily_type_pivot",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS day,
+           {', '.join(_pivot_cell_sql(t) for t in _EVENT_TYPES)},
+           CAST(count(*) AS BIGINT) AS total
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+    doc="Daily counts pivoted wide by event type (explicit value list -> "
+    "single two-phase aggregate), zero-filled, with row totals.",
+    tags=("pivot", "reshape", "A1"),
+)
+def q117_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    wide = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    cells = [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in _EVENT_TYPES
+    ]
+    total = sum((F.coalesce(F.col(t), F.lit(0)) for t in _EVENT_TYPES), F.lit(0))
+    return wide.select(F.col("day"), *cells, total.cast("long").alias("total"))
+
+
+# ---------------------------------------------------------------------------
+# q118 — wide->long melt: per-nation customer metrics computed once as a
+# wide aggregate, then unpivoted to (nation, metric, value) — the tidy/long
+# form feature stores and plotting layers consume.
+# ---------------------------------------------------------------------------
+_MELT_METRICS = ("n_customers", "total_acctbal", "avg_acctbal")
+
+
+@register(
+    "q118_nation_metric_melt",
+    oracle=f"""
+    WITH wide AS (
+        SELECT n.n_name,
+               CAST(count(*) AS DOUBLE)                      AS n_customers,
+               {rnd_sql('sum(c.c_acctbal)')}                 AS total_acctbal,
+               {rnd_sql('avg(c.c_acctbal)')}                 AS avg_acctbal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT n_name, 'n_customers'   AS metric, n_customers   AS value FROM wide
+    UNION ALL
+    SELECT n_name, 'total_acctbal' AS metric, total_acctbal AS value FROM wide
+    UNION ALL
+    SELECT n_name, 'avg_acctbal'   AS metric, avg_acctbal   AS value FROM wide
+    """,
+    doc="Per-nation wide metrics melted to long (nation, metric, value) via "
+    "DataFrame.unpivot — reshape happens after aggregation, on |nations| rows.",
+    tags=("unpivot", "melt", "reshape"),
+)
+def q118_nation_metric_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    wide = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_customers"),
+            rnd(F.sum("c_acctbal")).alias("total_acctbal"),
+            rnd(F.avg("c_acctbal")).alias("avg_acctbal"),
+        )
+    )
+    return wide.unpivot(
+        ids=["n_name"],
+        values=list(_MELT_METRICS),
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q119 — subtotal lattice: revenue by (year, priority) with ROLLUP —
+# detail rows, per-year subtotals, and the grand total in one pass,
+# disambiguated by grouping_id (Spark bit order: first rollup column is
+# the high bit; the DuckDB twin reconstructs the same id from GROUPING()).
+# NULL group cells are rendered (-1 / 'ALL') so the result is join-safe.
+# ---------------------------------------------------------------------------
+@register(
+    "q119_priority_rollup",
+    oracle=f"""
+    SELECT COALESCE(CAST(year(o_orderdate) AS INT), -1)       AS o_year,
+           COALESCE(o_orderpriority, 'ALL')                   AS priority,
+           CAST(GROUPING(year(o_orderdate)) * 2
+                + GROUPING(o_orderpriority) AS INT)           AS gid,
+           CAST(count(*) AS BIGINT)                           AS n_orders,
+           {rnd_sql('sum(o_totalprice)')}                     AS revenue
+    FROM orders
+    GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
+    """,
+    doc="ROLLUP(year, priority) revenue lattice with grouping_id — one "
+    "Expand + one shuffle for detail+subtotal+grand-total.",
+    tags=("rollup", "grouping-sets", "A-family"),
+)
+def q119_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    agg = (
+        o.rollup(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            rnd(F.sum("o_totalprice")).alias("revenue"),
+        )
+    )
+    return agg.select(
+        F.coalesce(F.col("o_year"), F.lit(-1)).alias("o_year"),
+        F.coalesce(F.col("priority"), F.lit("ALL")).alias("priority"),
+        "gid",
+        "n_orders",
+        "revenue",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q123 — association rules over order baskets: directed rules a->b for
+# canonical pairs co-bought in >= 2 baskets, with support / confidence /
+# lift. Upgrades the reference's raw co-occurrence output
+# (process_song_similarity.py:33-36) to the ranked rule form a
+# recommender actually consumes. Undirected pair counts are computed ONCE
+# (canonical a<b self-join via the shared pair engine); both rule
+# directions are projections of that single pair table; lift needs no
+# per-row division by changing shape: lift = co * n / (cnt_a * cnt_b) is
+# exact integer arithmetic in doubles (< 2^53), rounded only at the edge.
+# ---------------------------------------------------------------------------
+_MIN_CO = 2
+
+
+@register(
+    "q123_basket_rules",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_baskets
+          FROM baskets),
+    freq AS (
+        SELECT l_partkey AS item, CAST(count(*) AS DOUBLE) AS cnt
+        FROM baskets GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+               CAST(count(*) AS DOUBLE) AS co
+        FROM baskets a
+        JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                      AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {_MIN_CO}
+    ),
+    directed AS (
+        SELECT p1 AS antecedent, p2 AS consequent, co FROM pairs
+        UNION ALL
+        SELECT p2 AS antecedent, p1 AS consequent, co FROM pairs
+    )
+    SELECT d.antecedent, d.consequent,
+           CAST(d.co AS BIGINT)                                  AS co_count,
+           {rnd_sql('d.co / n.n_baskets', 6)}                    AS support,
+           {rnd_sql('d.co / fa.cnt', 5)}                         AS confidence,
+           {rnd_sql('d.co * n.n_baskets / (fa.cnt * fb.cnt)', 4)} AS lift
+    FROM directed d
+    JOIN freq fa ON fa.item = d.antecedent
+    JOIN freq fb ON fb.item = d.consequent
+    CROSS JOIN n
+    """,
+    doc="Basket association rules (support/confidence/lift) from ONE "
+    "canonical pair build; item-frequency dim broadcast back.",
+    tags=("assoc-rules", "pairs", "J2"),
+)
+def q123_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n = baskets.select(
+        F.countDistinct("l_orderkey").cast("double").alias("n_baskets")
+    )
+    freq = baskets.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    pairs = cooccurrence_pairs(
+        li, group_col="l_orderkey", item_col="l_partkey", score_col="co"
+    ).filter(F.col("co") >= _MIN_CO)
+    directed = pairs.select(
+        F.col("l_partkey_1").alias("antecedent"),
+        F.col("l_partkey_2").alias("consequent"),
+        F.col("co").cast("double").alias("co"),
+    ).unionByName(
+        pairs.select(
+            F.col("l_partkey_2").alias("antecedent"),
+            F.col("l_partkey_1").alias("consequent"),
+            F.col("co").cast("double").alias("co"),
+        )
+    )
+    fa = F.broadcast(freq).alias("fa")
+    fb = F.broadcast(freq.withColumnRenamed("cnt", "cnt_b")).alias("fb")
+    return (
+        directed.join(fa, F.col("antecedent") == F.col("fa.item"))
+        .join(fb, F.col("consequent") == F.col("fb.item"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("co").cast("long").alias("co_count"),
+            rnd(F.col("co") / F.col("n_baskets"), 6).alias("support"),
+            rnd(F.col("co") / F.col("cnt"), 5).alias("confidence"),
+            rnd(
+                F.col("co") * F.col("n_baskets") / (F.col("cnt") * F.col("cnt_b")), 4
+            ).alias("lift"),
+        )
+    )
