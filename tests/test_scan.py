@@ -1,0 +1,118 @@
+"""linear_scan / ewma_recursive: the distributed affine prefix scan.
+
+Ground truth is the literal sequential recurrence (and pandas ewm for the
+EWMA wrapper). The load-bearing claims: exactness vs the loop, partition-
+count invariance, robustness where the windowed pow-weight identity
+(q121's in-SQL formulation) would overflow, and the vectorized block
+fold agreeing with the sequential fallback around zeros/extreme damping.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from music_recommendation_service_spark.operators.scan import (
+    _fold_arrays,
+    ewma_recursive,
+    linear_scan,
+)
+
+
+def _loop(m, b, s0):
+    out = np.empty_like(b)
+    acc = s0
+    for i in range(len(b)):
+        acc = m[i] * acc + b[i]
+        out[i] = acc
+    return out
+
+
+def test_fold_arrays_matches_loop_random():
+    rng = np.random.default_rng(7)
+    m = rng.uniform(0.2, 1.8, size=5000)
+    b = rng.normal(size=5000)
+    got, tail = _fold_arrays(m, b, 0.5)
+    want = _loop(m, b, 0.5)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+    assert tail == got[-1]
+
+
+def test_fold_arrays_zero_and_extreme_m_fall_back_exactly():
+    rng = np.random.default_rng(8)
+    m = rng.uniform(0.5, 1.5, size=1000)
+    m[100] = 0.0          # hard reset inside a block
+    m[400:600] = 1e-3     # strong damping: cumprod underflows the identity
+    b = rng.normal(size=1000)
+    got, _ = _fold_arrays(m, b, 2.0)
+    want = _loop(m, b, 2.0)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_linear_scan_matches_loop(spark):
+    rng = np.random.default_rng(11)
+    n = 20000
+    m = rng.uniform(0.3, 1.6, size=n)
+    b = rng.normal(size=n)
+    pdf = pd.DataFrame({"seq": np.arange(n), "m": m, "b": b})
+    df = spark.createDataFrame(pdf)
+    out = (
+        linear_scan(df, "seq", "m", "b", init=1.0, num_partitions=8)
+        .orderBy("seq")
+        .select("state")
+        .toPandas()["state"]
+        .to_numpy()
+    )
+    np.testing.assert_allclose(out, _loop(m, b, 1.0), rtol=1e-8, atol=1e-8)
+
+
+def test_linear_scan_partition_count_invariant(spark):
+    rng = np.random.default_rng(13)
+    n = 5000
+    pdf = pd.DataFrame(
+        {"seq": np.arange(n),
+         "m": rng.uniform(0.5, 1.4, size=n),
+         "b": rng.normal(size=n)}
+    )
+    df = spark.createDataFrame(pdf)
+    one = (
+        linear_scan(df, "seq", "m", "b", num_partitions=1)
+        .orderBy("seq").toPandas()["state"].to_numpy()
+    )
+    many = (
+        linear_scan(df, "seq", "m", "b", num_partitions=16)
+        .orderBy("seq").toPandas()["state"].to_numpy()
+    )
+    np.testing.assert_allclose(one, many, rtol=1e-10, atol=1e-10)
+
+
+def test_ewma_matches_pandas_and_survives_long_series(spark):
+    """300k rows at alpha=0.3: r^-rn in the windowed identity would hit
+    0.7**-300000 ~ inf; the affine scan stays exact end to end."""
+    rng = np.random.default_rng(17)
+    n = 300_000
+    x = rng.normal(loc=100.0, scale=20.0, size=n)
+    pdf = pd.DataFrame({"seq": np.arange(n), "x": x})
+    df = spark.createDataFrame(pdf)
+    got = (
+        ewma_recursive(df, "seq", "x", alpha=0.3, num_partitions=12)
+        .orderBy("seq").toPandas()["ewma"].to_numpy()
+    )
+    want = pd.Series(x).ewm(alpha=0.3, adjust=False).mean().to_numpy()
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_ewma_empty_input(spark):
+    df = spark.createDataFrame([], "seq long, x double")
+    out = ewma_recursive(df, "seq", "x", alpha=0.5)
+    assert out.count() == 0
+    assert "ewma" in out.columns
+
+
+def test_linear_scan_divergence_raises(spark):
+    n = 4000
+    pdf = pd.DataFrame({"seq": np.arange(n), "m": np.full(n, 2.0),
+                        "b": np.full(n, 1.0)})
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ArithmeticError):
+        linear_scan(df, "seq", "m", "b", init=1.0, num_partitions=4).count()
