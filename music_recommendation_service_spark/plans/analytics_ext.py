@@ -920,3 +920,153 @@ def q121_ewma_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         rnd(F.col("num") / F.col("den"), 4).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q125 — rolling 7-day distinct users per day (exact). Sliding-window
+# COUNT(DISTINCT) cannot ride a window frame (distinct doesn't decompose),
+# so the scalable exact form is the CONTRIBUTION EXPAND: reduce the fact
+# to distinct (day, user) first — the only pass over the full data — then
+# fan each row out to the <= 7 target days it contributes to and count
+# distinct per target. The x7 amplification applies to the REDUCED
+# |days x users| relation, not the event stream; the approximate
+# alternative at extreme scale is a per-day HLL sketch union over the
+# window (the snapshot layer's maintained HLL is exactly that primitive).
+# A semi-join against the observed-day spine trims targets past the data's
+# edge, keeping the output aligned with the calendar the data actually
+# covers.
+# ---------------------------------------------------------------------------
+_ROLL_DAYS = 7
+
+
+@register(
+    "q125_rolling_distinct_users",
+    oracle=f"""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    expanded AS (
+        SELECT day + CAST(i AS INTEGER) AS target, user_id
+        FROM du, (SELECT unnest(generate_series(0, {_ROLL_DAYS - 1})) AS i)
+    )
+    SELECT e.target                              AS day,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users_7d
+    FROM expanded e
+    WHERE e.target IN (SELECT day FROM du)
+    GROUP BY e.target
+    """,
+    doc="Exact rolling 7-day distinct users via contribution expand over "
+    "the reduced (day,user) relation; HLL-union is the sketch alternative.",
+    tags=("analytics", "rolling-distinct", "window", "expand"),
+)
+def q125_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    spine = du.select("day").distinct()
+    expanded = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), _ROLL_DAYS - 1))
+        ).alias("target"),
+        "user_id",
+    )
+    return (
+        expanded.join(
+            F.broadcast(spine), expanded.target == spine.day, "left_semi"
+        )
+        .groupBy(F.col("target").alias("day"))
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q126 — decile profile: NTILE(10) over customers by account balance, then
+# per-decile stats. The equal-height bucketing a risk/LTV report runs; ties
+# and remainder rows follow the SQL-standard NTILE algorithm (identical in
+# both engines), made deterministic by the custkey tiebreak.
+#
+# Scale design: a literal F.ntile over Window.orderBy is a SINGLE-PARTITION
+# sort — the classic global-rank scale trap. This build computes the same
+# result with the banded global-rank decomposition (q114's pattern):
+#   1. band rows by a monotone function of the leading sort key
+#      (floor(acctbal / 1000) — bands respect the global order);
+#   2. local row_number within each band (the heavy window runs
+#      PARTITIONED by band);
+#   3. cumulative band offsets + the total row count come off the
+#      |bands|-row count table (the only SinglePartition pass, tiny) and
+#      broadcast back: global_rn = band_offset + local_rn;
+#   4. the decile is pure arithmetic on (global_rn, n) replicating the SQL
+#      NTILE remainder rule — first (n mod 10) buckets get ceil(n/10) rows.
+# The oracle runs the literal NTILE window, pinning that the decomposition
+# IS ntile, not an approximation. The approximate path at extreme scale is
+# the maintained histogram (q113).
+# ---------------------------------------------------------------------------
+@register(
+    "q126_balance_deciles",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT c_custkey, c_acctbal,
+               ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+        FROM customer
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT)        AS n_customers,
+           {rnd_sql('min(c_acctbal)')}     AS min_bal,
+           {rnd_sql('max(c_acctbal)')}     AS max_bal,
+           {rnd_sql('avg(c_acctbal)')}     AS avg_bal
+    FROM ranked
+    GROUP BY decile
+    """,
+    doc="NTILE(10) equal-height deciles of customer balance with "
+    "per-decile stats; exact twin of the histogram-quantile path (q113).",
+    tags=("analytics", "ntile", "window", "report"),
+)
+def q126_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    banded = c.select(
+        "c_acctbal",
+        "c_custkey",
+        F.floor(F.col("c_acctbal") / 1000).alias("band"),
+    )
+    local_rn = F.row_number().over(
+        Window.partitionBy("band").orderBy("c_acctbal", "c_custkey")
+    )
+    ranked_local = banded.withColumn("local_rn", local_rn)
+    # |bands|-row side table: exclusive cumulative offset + grand total.
+    band_counts = banded.groupBy("band").agg(F.count(F.lit(1)).alias("bn"))
+    w_tiny = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = band_counts.select(
+        "band",
+        (F.sum("bn").over(w_tiny) - F.col("bn")).alias("band_offset"),
+        F.sum("bn").over(
+            Window.orderBy("band").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    rn = F.col("band_offset") + F.col("local_rn")
+    n = F.col("n")
+    k = F.lit(10)
+    r = n % k                      # buckets that get one extra row
+    size_small = F.floor(n / k)
+    size_big = size_small + 1
+    cutoff = r * size_big          # rows covered by the big buckets
+    # greatest(.,1) guards the n<k edge (size_small=0): that branch is never
+    # SELECTED then, but ANSI mode evaluates both and would raise on /0.
+    decile = (
+        F.when(rn <= cutoff, F.ceil(rn / size_big))
+        .otherwise(r + F.ceil((rn - cutoff) / F.greatest(size_small, F.lit(1))))
+        .cast("int")
+    )
+    return (
+        ranked_local.join(F.broadcast(offsets), "band")
+        .select("c_acctbal", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            rnd(F.min("c_acctbal")).alias("min_bal"),
+            rnd(F.max("c_acctbal")).alias("max_bal"),
+            rnd(F.avg("c_acctbal")).alias("avg_bal"),
+        )
+    )

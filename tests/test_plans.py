@@ -148,6 +148,7 @@ _CROSS_OK = frozenset({
     "q110_corpus_drift",           # 1-row token-total broadcast
     "q113_histogram_quantiles",    # 3-row quantile spec x O(groups*bins) counts
     "q115_rec_quality_metrics",    # embeds q05's declared pattern + 1-row ILS broadcast
+    "q123_basket_rules",           # 1-row basket-count broadcast
 })
 
 
@@ -293,3 +294,80 @@ def test_q114_skyline_heavy_window_is_partitioned(spark, sf_dir):
     assert "hashpartitioning(band" in p, p
     # exactly one SinglePartition exchange: the final tiny pass
     assert p.count("SinglePartition") == 1, p
+
+
+def test_q117_pivot_compiles_to_two_phase_aggregate(spark, sf_dir):
+    """Explicit pivot values -> PivotFirst aggregate: exactly the two
+    exchanges of a (day,type)->day two-phase aggregate, no value-inference
+    job, no join."""
+    p = _plan(spark, sf_dir, "q117_daily_type_pivot")
+    assert "pivotfirst" in p.lower()
+    n_exchange = sum(
+        1 for l in p.splitlines()
+        if l.strip().startswith("(") and l.strip().endswith(" Exchange")
+    )
+    assert n_exchange == 2, p
+    assert "Join" not in p
+
+
+def test_q119_rollup_is_expand_plus_one_exchange(spark, sf_dir):
+    """ROLLUP = map-side Expand (one replica per grouping set) + ONE
+    shuffle of partially-aggregated groups — not three separate scans."""
+    p = _plan(spark, sf_dir, "q119_priority_rollup")
+    assert "Expand" in p
+    n_exchange = sum(
+        1 for l in p.splitlines()
+        if l.strip().startswith("(") and l.strip().endswith(" Exchange")
+    )
+    assert n_exchange == 1, p
+
+
+def test_q120_markov_three_shuffles(spark, sf_dir):
+    """Sequence window (user_id), pair aggregate (25-key space), row
+    normalizer window over the tiny aggregate — and nothing else."""
+    p = _plan(spark, sf_dir, "q120_markov_transitions")
+    n_exchange = sum(
+        1 for l in p.splitlines()
+        if l.strip().startswith("(") and l.strip().endswith(" Exchange")
+    )
+    assert n_exchange == 3, p
+
+
+def test_q123_rule_dims_broadcast(spark, sf_dir):
+    """Item-frequency dims join back via BroadcastHashJoin; the only
+    nested-loop is the declared 1-row basket-count broadcast."""
+    p = _plan(spark, sf_dir, "q123_basket_rules")
+    assert "BroadcastHashJoin" in p
+    n_bnlj = sum(
+        1 for l in p.splitlines()
+        if l.strip().startswith("(") and l.strip().endswith(" BroadcastNestedLoopJoin")
+    )
+    assert n_bnlj <= 1, p
+    assert "CartesianProduct" not in p
+
+
+def test_q126_rank_window_is_banded(spark, sf_dir):
+    """The row-level row_number window must run PARTITIONED by band
+    (banded global-rank decomposition) — the only SinglePartition window
+    passes are over the |bands|-row offsets table."""
+    import re
+
+    p = _plan(spark, sf_dir, "q126_balance_deciles")
+    assert len(re.findall(r"hashpartitioning\(band", p)) >= 1, p
+
+
+def test_q125_expand_rides_reduced_relation(spark, sf_dir):
+    """The x7 contribution explode must sit ABOVE the (day,user) distinct
+    aggregate, not on the raw event scan: the plan's Generate node reads
+    from an aggregate, and the spine join is broadcast."""
+    p = _plan(spark, sf_dir, "q125_rolling_distinct_users")
+    tree = p.split("\n\n")[0]
+    lines = tree.splitlines()
+    gen_i = next(i for i, l in enumerate(lines) if "Generate" in l)
+    # below the Generate (its input subtree) there must be a HashAggregate
+    # (the distinct) before any parquet Scan line.
+    below = lines[gen_i:]
+    agg_j = next(i for i, l in enumerate(below) if "HashAggregate" in l)
+    scan_j = next(i for i, l in enumerate(below) if "Scan parquet" in l)
+    assert agg_j < scan_j, tree
+    assert "BroadcastHashJoin" in p
