@@ -115,6 +115,15 @@ def main() -> None:
         "q111_containment_dupes",
         "q112_pattern_scrub",
         "q113_histogram_quantiles",
+        "q114_pareto_frontier",
+        "q117_daily_type_pivot",
+        "q119_priority_rollup",
+        "q120_markov_transitions",
+        "q121_ewma_last",
+        "q122_bfs_hops",
+        "q123_basket_rules",
+        "q125_rolling_distinct_users",
+        "q126_balance_deciles",
     ]
     queries_ext: dict[str, float] = {}
     for name in ext_names:

@@ -424,15 +424,10 @@ _BFS_EDGES_SQL = """
     tags=("graph", "bfs", "iterative"),
 )
 def q122_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from music_recommendation_service_spark.operators.pairs import cooccurrence_pairs
-    from music_recommendation_service_spark.sources.writers import scratch_materialize
+    from music_recommendation_service_spark.plans.olap_ext import basket_pairs_co2
 
-    li = _t(spark, sf_dir, "lineitem")
-    edges = scratch_materialize(
-        cooccurrence_pairs(li, "l_orderkey", "l_partkey")
-        .filter(F.col("score") >= 2)
-        .select(F.col("l_partkey_1").alias("a"), F.col("l_partkey_2").alias("b")),
-        "q122_bedges",
+    edges = basket_pairs_co2(spark, sf_dir).select(
+        F.col("l_partkey_1").alias("a"), F.col("l_partkey_2").alias("b")
     )
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))

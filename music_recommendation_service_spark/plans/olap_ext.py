@@ -188,6 +188,22 @@ def q119_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIN_CO = 2
 
 
+def basket_pairs_co2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared silver relation: canonical basket item pairs with co-count
+    >= 2 — consumed by q123 (rule metrics) and q122 (as the co-purchase
+    edge set). Scratch-materialized once per session under a shared key,
+    the same discipline as the q73/q96 co-return edge table."""
+    from music_recommendation_service_spark.sources.writers import scratch_materialize
+
+    li = _t(spark, sf_dir, "lineitem")
+    return scratch_materialize(
+        cooccurrence_pairs(
+            li, group_col="l_orderkey", item_col="l_partkey", score_col="co"
+        ).filter(F.col("co") >= _MIN_CO),
+        "basket_pairs_co2",
+    )
+
+
 @register(
     "q123_basket_rules",
     oracle=f"""
@@ -237,9 +253,7 @@ def q123_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = baskets.groupBy(F.col("l_partkey").alias("item")).agg(
         F.count(F.lit(1)).cast("double").alias("cnt")
     )
-    pairs = cooccurrence_pairs(
-        li, group_col="l_orderkey", item_col="l_partkey", score_col="co"
-    ).filter(F.col("co") >= _MIN_CO)
+    pairs = basket_pairs_co2(spark, sf_dir)
     directed = pairs.select(
         F.col("l_partkey_1").alias("antecedent"),
         F.col("l_partkey_2").alias("consequent"),

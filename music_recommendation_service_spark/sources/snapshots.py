@@ -1133,12 +1133,31 @@ def _latest_per_key(
 
 
 def snapshot_read(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession, path: str, version: int | None = None,
+    as_of: float | None = None,
 ) -> DataFrame:
-    """Read the latest (or a specific historical) version — time travel."""
+    """Read the latest (or a specific historical) version — time travel.
+
+    ``version`` is ``VERSION AS OF``; ``as_of`` (a unix timestamp) is
+    ``TIMESTAMP AS OF``: the newest version committed at or before that
+    instant (Delta resolves the same way from commit timestamps). Passing
+    both is an error; a timestamp older than retention (or before the
+    first commit) raises like Delta's out-of-range time travel."""
     versions = snapshot_versions(path)
     if not versions:
         raise FileNotFoundError(f"no snapshots at {path}")
+    if version is not None and as_of is not None:
+        raise ValueError("pass either version or as_of, not both")
+    if as_of is not None:
+        eligible = [
+            v for v in versions
+            if (_read_manifest(path, v).get("committed_at") or 0) <= as_of
+        ]
+        if not eligible:
+            raise ValueError(
+                f"no version at {path} committed at or before {as_of}"
+            )
+        version = eligible[-1]
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
@@ -2288,6 +2307,51 @@ def snapshot_rollback(path: str, version: int) -> int:
     return _commit(path, build, op="rollback")
 
 
+def snapshot_clone(src: str, dst: str, version: int | None = None) -> int:
+    """SHALLOW CLONE parity: commit a version at ``dst`` whose manifest
+    references ``src``'s data files by ABSOLUTE path — zero data copied,
+    O(metadata) cost at any table size. The clone is immediately writable:
+    later commits at ``dst`` land their own local data dirs; compaction /
+    DML at ``dst`` simply stop referencing the external files. ``dst``'s
+    vacuum never deletes external (absolute) refs, so the source is safe
+    from the clone's retention — deleting source data out from under a
+    shallow clone is the one hazard Delta documents for this op, guarded
+    here structurally. Cloning onto an existing table replaces its state
+    (CREATE OR REPLACE semantics) as a new commit; ``version`` clones a
+    historical source version (time-travel clone)."""
+    src_abs = os.path.abspath(src)
+    versions = snapshot_versions(src)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {src}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    m = _read_manifest(src, v)
+    files = []
+    for e in _manifest_files(src, m):
+        e2 = dict(e)
+        if not os.path.isabs(e2["path"]):
+            e2["path"] = os.path.join(src_abs, e2["path"])
+        if e2.get("bloom_ref") and not os.path.isabs(e2["bloom_ref"]):
+            e2["bloom_ref"] = os.path.join(src_abs, e2["bloom_ref"])
+        files.append(e2)
+
+    def build(latest: dict | None, _version: int) -> dict:
+        out = {
+            "data_dirs": _dirs_of(files),
+            "files": files,
+            "n_rows": m["n_rows"],
+            "schema": m["schema"],
+            "constraints": m.get("constraints", {}),
+            "cloned_from": {"path": src_abs, "version": v},
+        }
+        if _mapping(m):
+            out["column_mapping"] = _mapping(m)
+        return out
+
+    return _commit(dst, build, op="clone")
+
+
 def snapshot_vacuum(
     path: str, keep_last: int = 2, orphan_min_age_sec: float = 600.0
 ) -> list[str]:
@@ -2312,6 +2376,10 @@ def snapshot_vacuum(
     removed = []
     for v in drop:
         for e in _manifest_files(path, _read_manifest(path, v)):
+            if os.path.isabs(e["path"]):
+                # External ref (shallow clone): the data belongs to the
+                # source table; this table's retention must never touch it.
+                continue
             d = e["path"].rsplit("/", 1)[0]
             if d not in live_dirs and fs.is_dir(os.path.join(path, d)):
                 fs.delete_tree(os.path.join(path, d))

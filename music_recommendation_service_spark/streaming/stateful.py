@@ -135,3 +135,73 @@ def user_stats_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA: the per-key recursive smoother s = (1-a)*s + a*x as a
+# stateful streaming operator — the streaming twin of the batch paths
+# (plans/analytics_ext.py q121 windowed identity; operators/scan.py
+# linear_scan for unbounded batch series). State per key is O(1): the
+# current level and the count. Rows are folded in EVENT-TIME order within
+# each micro-batch (sorted on (ts, event_id)); across batches the fold is
+# arrival-order — in-order sources (file ledgers, partitioned Kafka with
+# per-key ordering) therefore get exact event-order semantics, and a
+# straggler that arrives after its successors folds late (documented
+# processing-order recursion; strict event-time late handling would buffer
+# behind a watermark like interval_join, trading latency for order).
+# ---------------------------------------------------------------------------
+EWMA_STATE_SCHEMA = "s DOUBLE, n LONG"
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+
+def streaming_ewma(
+    events: DataFrame,
+    alpha: float = 0.3,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user recursive EWMA over a stream, emitted on every update."""
+    from music_recommendation_service_spark.operators.scan import _fold_arrays
+
+    import numpy as np
+
+    def update(key, batches: Iterator[pd.DataFrame], state: GroupState):
+        import pandas as _pd
+
+        rows = [p for p in batches if len(p)]
+        if not rows:
+            if state.exists:
+                s, n = state.get
+                yield _pd.DataFrame(
+                    {"user_id": [key[0]], "n_events": [n], "ewma": [s]}
+                )
+            return
+        pdf = _pd.concat(rows).sort_values([ts_col, id_col])
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        if state.exists:
+            s, n = state.get
+        else:
+            s, n = float(x[0]), 0  # seed: s_1 = x_1 (adjust=False parity)
+        m = np.full(len(x), 1.0 - alpha)
+        b = alpha * x
+        _, s = _fold_arrays(m, b, float(s))
+        n += len(x)
+        state.update((float(s), int(n)))
+        yield _pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma": [float(s)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

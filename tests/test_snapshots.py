@@ -990,14 +990,14 @@ def test_snapshot_zorder_concurrent_commit_aborts(spark, tmp_path):
 
     real_commit = S._commit
 
-    def racing_commit(p, build):
+    def racing_commit(p, build, **kwargs):
         # another writer lands a version right before ours
         if getattr(racing_commit, "armed", True):
             racing_commit.armed = False
             S.snapshot_append(
                 df.limit(1), p, stats_cols=["x"]
             )
-        return real_commit(p, build)
+        return real_commit(p, build, **kwargs)
 
     import pytest as _pytest
 

@@ -1095,3 +1095,59 @@ def test_interval_join_batch_twin_matches_range_join(spark, sf_dir):
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_streaming_ewma_matches_batch(spark, sf_dir, tmp_path):
+    """Per-user streaming EWMA across TWO availableNow runs (state restored
+    from checkpoint) equals pandas ewm(adjust=False) over the event-time-
+    ordered series — batches are split in ts order so arrival order IS
+    event order and the recursion is exact end-to-end."""
+    import pandas as pd
+
+    from music_recommendation_service_spark.streaming.stateful import (
+        streaming_ewma,
+    )
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.date_format(F.col("ts").cast("timestamp"), JSON_TS_FORMAT)
+    )
+    rows = [r.asDict() for r in e.collect()]
+    rows.sort(key=lambda r: (r["ts"], r["event_id"]))  # split on EVENT time
+    mid = len(rows) // 2
+    in_dir = tmp_path / "ein"
+    in_dir.mkdir()
+    cp = str(tmp_path / "ecp")
+    out = str(tmp_path / "eout")
+
+    def run_once():
+        stream = stream_from_directory(spark, str(in_dir), EVENT_SCHEMA)
+        q = (
+            streaming_ewma(stream, alpha=0.3)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    _land(in_dir / "b0.json", rows[:mid])
+    run_once()
+    _land(in_dir / "b1.json", rows[mid:])
+    run_once()
+
+    got = {}
+    for r in spark.read.parquet(out).collect():
+        prev = got.get(r["user_id"])
+        if prev is None or r["n_events"] > prev[0]:
+            got[r["user_id"]] = (r["n_events"], round(r["ewma"], 9))
+
+    pdf = pd.DataFrame(rows)
+    want = {}
+    for uid, g in pdf.groupby("user_id"):
+        series = g.sort_values(["ts", "event_id"])["value"]
+        want[uid] = (
+            len(series),
+            round(series.ewm(alpha=0.3, adjust=False).mean().iloc[-1], 9),
+        )
+    assert got == want
