@@ -1070,3 +1070,127 @@ def q126_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.avg("c_acctbal")).alias("avg_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q127 / q128 — the two A/B-testing primitives an experimentation layer
+# runs over the event stream: chi-square independence (categorical outcome
+# vs cohort) and Welch's t-test (continuous outcome vs cohort). Cohorts are
+# the deterministic user_id parity split (the q68 family's hash-split in
+# miniature). Everything is two-level aggregation: O(types x cohorts) /
+# O(cohorts) state, map-side combinable, one shuffle — the fact stream is
+# never sorted or windowed. At 100 TB these are exactly the shapes that
+# stay cheap: tiny key spaces, pure arithmetic on the aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q127_chi_square_independence",
+    oracle=f"""
+    WITH obs AS (
+        SELECT event_type, user_id % 2 AS cohort,
+               CAST(count(*) AS DOUBLE) AS o
+        FROM events GROUP BY event_type, user_id % 2
+    ),
+    tot AS (
+        SELECT o.*,
+               sum(o) OVER (PARTITION BY event_type) AS row_tot,
+               sum(o) OVER (PARTITION BY cohort)     AS col_tot,
+               sum(o) OVER ()                        AS n
+        FROM obs o
+    )
+    SELECT CAST(count(*) AS BIGINT)                       AS n_cells,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT cohort) - 1) AS BIGINT) AS dof,
+           CAST(max(n) AS BIGINT)                          AS n_events,
+           {rnd_sql('sum(pow(o - row_tot * col_tot / n, 2) / (row_tot * col_tot / n))', 4)}
+               AS chi2
+    FROM tot
+    """,
+    doc="Chi-square independence of event_type vs user-parity cohort: "
+    "contingency counts + expected-frequency arithmetic, one shuffle.",
+    tags=("analytics", "stats", "ab-test", "chi-square"),
+)
+def q127_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("cohort")
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    tot = obs.select(
+        "event_type",
+        "cohort",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("cohort")).alias("col_tot"),
+        F.sum("o").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    expected = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return tot.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("cohort") - 1)
+        ).alias("dof"),
+        F.max("n").cast("long").alias("n_events"),
+        rnd(F.sum(F.pow(F.col("o") - expected, 2) / expected), 4).alias("chi2"),
+    )
+
+
+@register(
+    "q128_welch_ttest",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id % 2 AS cohort,
+               CAST(count(*) AS DOUBLE) AS n,
+               avg(value)               AS m,
+               var_samp(value)          AS v
+        FROM events GROUP BY user_id % 2
+    ),
+    w AS (
+        SELECT max(CASE WHEN cohort = 0 THEN n END) AS n0,
+               max(CASE WHEN cohort = 0 THEN m END) AS m0,
+               max(CASE WHEN cohort = 0 THEN v END) AS v0,
+               max(CASE WHEN cohort = 1 THEN n END) AS n1,
+               max(CASE WHEN cohort = 1 THEN m END) AS m1,
+               max(CASE WHEN cohort = 1 THEN v END) AS v1
+        FROM g
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control,
+           CAST(n1 AS BIGINT) AS n_treatment,
+           {rnd_sql('m0 - m1', 6)} AS mean_diff,
+           {rnd_sql('(m0 - m1) / sqrt(v0 / n0 + v1 / n1)', 4)} AS t_stat,
+           {rnd_sql('''pow(v0 / n0 + v1 / n1, 2)
+               / (pow(v0 / n0, 2) / (n0 - 1) + pow(v1 / n1, 2) / (n1 - 1))''', 2)}
+               AS welch_dof
+    FROM w
+    """,
+    doc="Welch's unequal-variance t-test between user-parity cohorts: "
+    "per-cohort (n, mean, var) then closed-form t and Satterthwaite dof.",
+    tags=("analytics", "stats", "ab-test", "ttest"),
+)
+def q128_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    g = e.groupBy((F.col("user_id") % 2).alias("cohort")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    pick = lambda c, col: F.max(F.when(F.col("cohort") == c, F.col(col)))
+    w = g.agg(
+        pick(0, "n").alias("n0"), pick(0, "m").alias("m0"), pick(0, "v").alias("v0"),
+        pick(1, "n").alias("n1"), pick(1, "m").alias("m1"), pick(1, "v").alias("v1"),
+    )
+    se2 = F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")
+    dof = F.pow(se2, 2) / (
+        F.pow(F.col("v0") / F.col("n0"), 2) / (F.col("n0") - 1)
+        + F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+    )
+    return w.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("n1").cast("long").alias("n_treatment"),
+        rnd(F.col("m0") - F.col("m1"), 6).alias("mean_diff"),
+        rnd((F.col("m0") - F.col("m1")) / F.sqrt(se2), 4).alias("t_stat"),
+        rnd(dof, 2).alias("welch_dof"),
+    )
