@@ -2404,3 +2404,175 @@ def snapshot_vacuum(
                 fs.delete_tree(full)
                 removed.append(entry)
     return removed
+
+
+def snapshot_maintain_join(
+    spark: SparkSession,
+    fact_path: str,
+    dim_path: str,
+    view_path: str,
+    fact_key_cols: Sequence[str],
+    fact_join_col: str,
+    dim_join_col: str,
+    dim_payload_cols: Sequence[str],
+    how: str = "inner",
+) -> int | None:
+    """Incrementally maintain an enriched JOIN view ``fact ⋈ dim`` from the
+    two tables' change feeds — view maintenance beyond aggregates (the
+    delta-join rule ΔV = ΔF ⋈ D  ∪  F ⋈ ΔD, specialized to the fact→dim
+    equi-join every serving layer materializes).
+
+    Contract: ``fact`` is keyed by ``fact_key_cols`` (merge-maintained,
+    unique per version); ``dim`` is keyed by ``dim_join_col`` (unique —
+    the N:1 enrichment shape); ``dim_payload_cols`` must not collide with
+    fact column names. ``how`` is ``inner`` or ``left``.
+
+    Per call, cost is O(changed rows), never O(view):
+      1. fact delta (keyed CDF since the view's recorded fact version):
+         changed fact keys re-derive by joining the PINNED current dim;
+         deleted fact keys tombstone.
+      2. dim delta: the changed dim keys (O(changed), broadcast) select
+         exactly the fact rows that join to them (one semi-join, file-
+         pruned by manifest stats when the fact carries them); those rows
+         re-derive against the new dim state. A dim delete removes its
+         fact rows from an inner view and NULLs their payload in a left
+         view — both fall out of re-deriving through the current dim.
+      3. one ``snapshot_merge`` upserts touched keys / tombstones dropped
+         ones; untouched view files are carried by reference.
+
+    Exactly-once WITHOUT a cursor file: the applied source versions
+    (``maint_fact_version`` / ``maint_dim_version``) ride in the view's
+    own manifest, committed atomically WITH the data they describe — there
+    is no window where state and cursor disagree, the property the
+    aggregate maintainer has to defend with its authoritative-version
+    rule. Replay after a crashed merge re-derives the same rows with the
+    same ``_maint_v`` seq; seq ties resolve to the incoming row, so the
+    content is idempotent. Both deltas read PINNED versions (the latest at
+    entry), so concurrent source commits during the call cannot tear the
+    view; a concurrent view commit raises ``ConcurrentSnapshotError`` as
+    everywhere else.
+
+    Returns the new view version, or None when already caught up.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    fact_key_cols = list(fact_key_cols)
+    dim_payload_cols = list(dim_payload_cols)
+    fv_to = snapshot_versions(fact_path)[-1]
+    dv_to = snapshot_versions(dim_path)[-1]
+    fact_now = snapshot_read(spark, fact_path, version=fv_to)
+    collide = set(dim_payload_cols) & set(fact_now.columns)
+    if collide:
+        raise ValueError(f"dim payload collides with fact columns: {collide}")
+    dim_now = snapshot_read(spark, dim_path, version=dv_to).select(
+        dim_join_col, *dim_payload_cols
+    )
+
+    seq = fv_to + dv_to  # strictly grows whenever either source advances
+
+    def derive(fact_rows: DataFrame) -> DataFrame:
+        """(Re-)derive view rows for a slice of the fact."""
+        j = fact_rows.join(
+            dim_now, fact_rows[fact_join_col] == dim_now[dim_join_col], how
+        ).drop(dim_join_col)
+        return j.withColumn("_maint_v", F.lit(seq).cast("long"))
+
+    versions = snapshot_versions(view_path)
+    if not versions:
+        bootstrap = derive(fact_now)
+        return snapshot_merge(
+            bootstrap.withColumn("_del", F.lit(False)),
+            view_path,
+            key_cols=fact_key_cols,
+            seq_col="_maint_v",
+            delete_col="_del",
+            manifest_extra={
+                "maint_fact_version": fv_to,
+                "maint_dim_version": dv_to,
+            },
+        )
+
+    m = _latest_manifest(view_path)
+    fva = m.get("maint_fact_version", -1)
+    dva = m.get("maint_dim_version", -1)
+    if fva >= fv_to and dva >= dv_to:
+        return None
+    for applied, src in ((fva, fact_path), (dva, dim_path)):
+        if applied not in snapshot_versions(src):
+            raise StaleCursorError(
+                f"{src}: applied version {applied} no longer survives "
+                "vacuum — re-bootstrap the join view"
+            )
+
+    # --- fact delta: changed keys + deleted keys -------------------------
+    if fva < fv_to:
+        fd = snapshot_changes(spark, fact_path, fva, fv_to, fact_key_cols)
+        fact_changed_keys = fd.select(*fact_key_cols).distinct()
+        dead = fd.groupBy(*fact_key_cols).agg(
+            F.max(
+                F.when(
+                    F.col("_change_type").isin("insert", "update_postimage"), 1
+                ).otherwise(0)
+            ).alias("_alive")
+        )
+        fact_deleted_keys = dead.filter(F.col("_alive") == 0).drop("_alive")
+    else:
+        empty = fact_now.select(*fact_key_cols).limit(0)
+        fact_changed_keys, fact_deleted_keys = empty, empty
+
+    # --- dim delta: changed join keys ------------------------------------
+    if dva < dv_to:
+        dim_changed_keys = (
+            snapshot_changes(spark, dim_path, dva, dv_to, [dim_join_col])
+            .select(dim_join_col)
+            .distinct()
+        )
+    else:
+        dim_changed_keys = dim_now.select(dim_join_col).limit(0)
+
+    # --- refresh slice: fact rows needing re-derivation ------------------
+    by_fact = fact_now.join(
+        F.broadcast(fact_changed_keys), fact_key_cols, "left_semi"
+    )
+    by_dim = fact_now.join(
+        F.broadcast(dim_changed_keys),
+        fact_now[fact_join_col] == dim_changed_keys[dim_join_col],
+        "left_semi",
+    )
+    refresh = by_fact.unionByName(by_dim).dropDuplicates(fact_key_cols)
+    upserts = derive(refresh).withColumn("_del", F.lit(False))
+
+    # Inner view: refreshed fact rows that no longer match any dim row must
+    # LEAVE the view (their old enrichment may be stored) — tombstone the
+    # refresh slice's unmatched keys. Left view keeps them (null payload).
+    tomb_keys = fact_deleted_keys
+    if how == "inner":
+        unmatched = refresh.join(
+            upserts.select(*fact_key_cols), fact_key_cols, "left_anti"
+        ).select(*fact_key_cols)
+        tomb_keys = tomb_keys.unionByName(unmatched).distinct()
+
+    null_cols = [
+        F.lit(None).cast(f.dataType).alias(f.name)
+        for f in upserts.schema.fields
+        if f.name not in fact_key_cols + ["_maint_v", "_del"]
+    ]
+    tombstones = tomb_keys.select(
+        *fact_key_cols,
+        *null_cols,
+        F.lit(seq).cast("long").alias("_maint_v"),
+        F.lit(True).alias("_del"),
+    ).select(*upserts.columns)
+
+    batch = upserts.unionByName(tombstones)
+    return snapshot_merge(
+        batch,
+        view_path,
+        key_cols=fact_key_cols,
+        seq_col="_maint_v",
+        delete_col="_del",
+        manifest_extra={
+            "maint_fact_version": fv_to,
+            "maint_dim_version": dv_to,
+        },
+    )

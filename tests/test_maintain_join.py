@@ -1,0 +1,190 @@
+"""Incremental JOIN view maintenance (snapshot_maintain_join): the view
+must equal a full recompute of fact ⋈ dim after every maintenance call,
+under fact churn, dim churn, join-key moves, deletes, and replay — for
+both inner and left shapes. Ground truth is always the freshly recomputed
+join at the current source versions.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from music_recommendation_service_spark.sources import snapshots as S
+
+
+def _fact_df(spark, rows):
+    # rows: (fk, jk, qty)
+    return spark.createDataFrame(rows, "fk long, jk long, qty long")
+
+
+def _dim_df(spark, rows):
+    # rows: (dk, label)
+    return spark.createDataFrame(rows, "dk long, label string")
+
+
+def _expected(spark, fact_path, dim_path, how):
+    f = S.snapshot_read(spark, fact_path)
+    d = S.snapshot_read(spark, dim_path)
+    j = f.join(d, f.jk == d.dk, how).drop("dk")
+    return {
+        (r.fk, r.jk, r.qty, r.label) for r in j.collect()
+    }
+
+
+def _view_rows(spark, view_path):
+    v = S.snapshot_read(spark, view_path)
+    return {(r.fk, r.jk, r.qty, r.label) for r in v.drop("_maint_v").collect()}
+
+
+def _maintain(spark, tmp, how):
+    return S.snapshot_maintain_join(
+        spark,
+        str(tmp / "fact"),
+        str(tmp / "dim"),
+        str(tmp / f"view_{how}"),
+        fact_key_cols=["fk"],
+        fact_join_col="jk",
+        dim_join_col="dk",
+        dim_payload_cols=["label"],
+        how=how,
+    )
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_join_view_lifecycle(spark, tmp_path, how):
+    fact, dim = str(tmp_path / "fact"), str(tmp_path / "dim")
+    view = str(tmp_path / f"view_{how}")
+
+    S.snapshot_merge(
+        _fact_df(spark, [(1, 10, 5), (2, 10, 7), (3, 20, 1), (4, 99, 2)])
+        .withColumn("_seq", F.lit(1)),
+        fact, ["fk"], "_seq",
+    )
+    S.snapshot_merge(
+        _dim_df(spark, [(10, "ten"), (20, "twenty"), (30, "thirty")])
+        .withColumn("_seq", F.lit(1)),
+        dim, ["dk"], "_seq",
+    )
+
+    # bootstrap
+    assert _maintain(spark, tmp_path, how) is not None
+    assert _view_rows(spark, view) == _expected(spark, fact, dim, how)
+    # caught up -> no-op
+    assert _maintain(spark, tmp_path, how) is None
+
+    # fact churn: insert, update (incl. a join-key MOVE 10->20), delete
+    S.snapshot_merge(
+        _fact_df(spark, [(5, 30, 9), (2, 20, 8), (3, 20, 99)])
+        .withColumn("_seq", F.lit(2)),
+        fact, ["fk"], "_seq",
+    )
+    S.snapshot_delete_where(spark, fact, "fk = 4")
+    assert _maintain(spark, tmp_path, how) is not None
+    assert _view_rows(spark, view) == _expected(spark, fact, dim, how)
+
+    # dim churn: payload update + delete of a referenced key
+    S.snapshot_merge(
+        _dim_df(spark, [(20, "TWENTY!")]).withColumn("_seq", F.lit(2)),
+        dim, ["dk"], "_seq",
+    )
+    S.snapshot_delete_where(spark, dim, "dk = 30")
+    assert _maintain(spark, tmp_path, how) is not None
+    assert _view_rows(spark, view) == _expected(spark, fact, dim, how)
+
+    # simultaneous fact + dim churn before one maintenance call
+    S.snapshot_merge(
+        _fact_df(spark, [(6, 10, 3), (1, 30, 5)]).withColumn("_seq", F.lit(3)),
+        fact, ["fk"], "_seq",
+    )
+    S.snapshot_merge(
+        _dim_df(spark, [(30, "back"), (10, "TEN v2")])
+        .withColumn("_seq", F.lit(3)),
+        dim, ["dk"], "_seq",
+    )
+    assert _maintain(spark, tmp_path, how) is not None
+    assert _view_rows(spark, view) == _expected(spark, fact, dim, how)
+
+
+def test_join_view_randomized_model(spark, tmp_path):
+    """Seeded random interleaving of fact/dim upserts+deletes with
+    maintenance after each wave; the inner view must equal the recomputed
+    join every time (the aggregate maintainer's model-test discipline)."""
+    rng = random.Random(42)
+    fact, dim = str(tmp_path / "fact"), str(tmp_path / "dim")
+    view = str(tmp_path / "view_inner")
+
+    S.snapshot_merge(
+        _fact_df(spark, [(i, rng.choice([10, 20, 30]), i) for i in range(8)])
+        .withColumn("_seq", F.lit(0)),
+        fact, ["fk"], "_seq",
+    )
+    S.snapshot_merge(
+        _dim_df(spark, [(k, f"L{k}") for k in (10, 20, 30)])
+        .withColumn("_seq", F.lit(0)),
+        dim, ["dk"], "_seq",
+    )
+    _maintain(spark, tmp_path, "inner")
+
+    for wave in range(1, 6):
+        # fact wave: a couple of upserts (some key moves) + maybe a delete
+        ups = [
+            (rng.randrange(10), rng.choice([10, 20, 30, 40]), wave * 100 + i)
+            for i in range(rng.randrange(1, 4))
+        ]
+        S.snapshot_merge(
+            _fact_df(spark, ups).withColumn("_seq", F.lit(wave)),
+            fact, ["fk"], "_seq",
+        )
+        if rng.random() < 0.5:
+            S.snapshot_delete_where(spark, fact, f"fk = {rng.randrange(10)}")
+        # dim wave: payload churn; occasionally drop/revive a key
+        if rng.random() < 0.7:
+            k = rng.choice([10, 20, 30, 40])
+            S.snapshot_merge(
+                _dim_df(spark, [(k, f"L{k}w{wave}")]).withColumn(
+                    "_seq", F.lit(wave)
+                ),
+                dim, ["dk"], "_seq",
+            )
+        if rng.random() < 0.3:
+            S.snapshot_delete_where(spark, dim, f"dk = {rng.choice([10, 20])}")
+
+        _maintain(spark, tmp_path, "inner")
+        assert _view_rows(spark, view) == _expected(
+            spark, fact, dim, "inner"
+        ), f"divergence at wave {wave}"
+
+    # the maintained result survives compaction + continues correctly
+    S.snapshot_compact(spark, view)
+    assert _view_rows(spark, view) == _expected(spark, fact, dim, "inner")
+
+
+def test_join_view_rejects_collision_and_bad_how(spark, tmp_path):
+    fact, dim = str(tmp_path / "fact"), str(tmp_path / "dim")
+    S.snapshot_merge(
+        _fact_df(spark, [(1, 10, 5)]).withColumn("_seq", F.lit(1)),
+        fact, ["fk"], "_seq",
+    )
+    S.snapshot_merge(
+        _dim_df(spark, [(10, "x")]).withColumn("_seq", F.lit(1)),
+        dim, ["dk"], "_seq",
+    )
+    with pytest.raises(ValueError, match="how"):
+        S.snapshot_maintain_join(
+            spark, fact, dim, str(tmp_path / "v1"),
+            ["fk"], "jk", "dk", ["label"], how="full",
+        )
+    dim2 = str(tmp_path / "dim2")
+    S.snapshot_merge(
+        spark.createDataFrame([(10, 3)], "dk long, qty long")
+        .withColumn("_seq", F.lit(1)),
+        dim2, ["dk"], "_seq",
+    )
+    with pytest.raises(ValueError, match="collides"):
+        S.snapshot_maintain_join(
+            spark, fact, dim2, str(tmp_path / "v2"),
+            ["fk"], "jk", "dk", ["qty"],
+        )
