@@ -1151,3 +1151,102 @@ def test_streaming_ewma_matches_batch(spark, sf_dir, tmp_path):
             round(series.ewm(alpha=0.3, adjust=False).mean().iloc[-1], 9),
         )
     assert got == want
+
+
+def test_stream_to_maintained_join_view_e2e(spark, tmp_path):
+    """Streaming front door for the JOIN maintainer: landing files ->
+    foreach_batch_merge into a keyed FACT snapshot -> snapshot_maintain_join
+    enriches against a (batch-churned) DIM table. After every wave the view
+    equals a recomputed inner join — including a wave that moves a fact row
+    to another dim key and one where the dim side churns between waves."""
+    import json as _json
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from music_recommendation_service_spark.sources import snapshots as S
+    from music_recommendation_service_spark.streaming.pipeline import (
+        foreach_batch_merge,
+        stream_from_directory,
+    )
+
+    landing = tmp_path / "jlanding"
+    landing.mkdir()
+    fact = str(tmp_path / "jfact")
+    dim = str(tmp_path / "jdim")
+    view = str(tmp_path / "jview")
+    ckpt = str(tmp_path / "jckpt")
+    schema = StructType(
+        [
+            StructField("fk", LongType()),
+            StructField("seq", LongType()),
+            StructField("jk", LongType()),
+        ]
+    )
+
+    S.snapshot_merge(
+        spark.createDataFrame(
+            [(10, 1, "ten"), (20, 1, "twenty")], "dk long, _seq long, label string"
+        ),
+        dim, ["dk"], "_seq",
+    )
+
+    def drop_wave(name, rows):
+        with open(landing / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    def run_wave():
+        q = foreach_batch_merge(
+            stream_from_directory(spark, str(landing), schema),
+            fact,
+            ckpt,
+            key_cols=("fk",),
+            seq_col="seq",
+        )
+        q.awaitTermination(120)
+        S.snapshot_maintain_join(
+            spark, fact, dim, view,
+            fact_key_cols=["fk"], fact_join_col="jk",
+            dim_join_col="dk", dim_payload_cols=["label"], how="inner",
+        )
+
+    def check():
+        f = S.snapshot_read(spark, fact)
+        d = S.snapshot_read(spark, dim)
+        want = {
+            tuple(r)
+            for r in f.join(d, f.jk == d.dk).select("fk", "jk", "label").collect()
+        }
+        got = {
+            tuple(r)
+            for r in S.snapshot_read(spark, view)
+            .select("fk", "jk", "label")
+            .collect()
+        }
+        assert got == want
+
+    drop_wave("w1.json", [{"fk": 1, "seq": 1, "jk": 10},
+                          {"fk": 2, "seq": 1, "jk": 20},
+                          {"fk": 3, "seq": 1, "jk": 77}])  # 77: no dim match
+    run_wave()
+    check()
+
+    # dim churn between waves + a fact key MOVE (1: 10 -> 20)
+    S.snapshot_merge(
+        spark.createDataFrame([(10, 2, "TEN v2")], "dk long, _seq long, label string"),
+        dim, ["dk"], "_seq",
+    )
+    drop_wave("w2.json", [{"fk": 1, "seq": 2, "jk": 20},
+                          {"fk": 4, "seq": 2, "jk": 10}])
+    run_wave()
+    check()
+
+    # dim delete drops its fact rows from the inner view
+    S.snapshot_delete_where(spark, dim, "dk = 20")
+    S.snapshot_maintain_join(
+        spark, fact, dim, view,
+        fact_key_cols=["fk"], fact_join_col="jk",
+        dim_join_col="dk", dim_payload_cols=["label"], how="inner",
+    )
+    check()
+    assert {r["fk"] for r in S.snapshot_read(spark, view).collect()} == {4}
