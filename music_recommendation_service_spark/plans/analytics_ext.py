@@ -1194,3 +1194,143 @@ def q128_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd((F.col("m0") - F.col("m1")) / F.sqrt(se2), 4).alias("t_stat"),
         rnd(dof, 2).alias("welch_dof"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q129 — session path mining: the first three event types of every session
+# (q75's gap rule), counted by path string. The "how do sessions start"
+# analysis a product team runs weekly; path assembly is pure array algebra
+# (collect → sort by step → transform → concat), no UDF.
+#
+# Scale: the session window is q75's single user_id shuffle; the path
+# aggregate's key space is <= |types|^3 and map-side combines. The
+# collect_list is bounded at 3 elements per group by the rn<=3 filter
+# BEFORE aggregation — never an unbounded per-session buffer.
+# ---------------------------------------------------------------------------
+@register(
+    "q129_session_paths",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_S}
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WHERE user_id % 50 = 0
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_type, ts, event_id,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS session_id
+        FROM ordered
+    ),
+    steps AS (
+        SELECT user_id, session_id, event_type,
+               row_number() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM sessions
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM steps WHERE rn <= 3
+        GROUP BY user_id, session_id
+    )
+    GROUP BY path
+    """,
+    doc="Top session-opening paths: first 3 event types per gap-session, "
+    "counted by path string — array algebra, no UDF.",
+    tags=("analytics", "sessionization", "path", "sequence"),
+)
+def q129_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    sessions = e.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "session_id"
+        ),
+    )
+    steps = sessions.select(
+        "user_id", "session_id", "event_type",
+        F.row_number().over(
+            Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+        ).alias("rn"),
+    ).filter(F.col("rn") <= 3)
+    paths = (
+        steps.groupBy("user_id", "session_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rn", "event_type"))
+            ).alias("steps")
+        )
+        .select(
+            F.concat_ws(
+                ">", F.expr("transform(steps, s -> s.event_type)")
+            ).alias("path")
+        )
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+# ---------------------------------------------------------------------------
+# q130 — Gini concentration of demand across items: how unequal are order
+# counts over parts — the popularity-bias / catalog-concentration number a
+# recommender team tracks next to q115's coverage metrics.
+#   G = 2*Σ(i*x_i) / (N*Σx) - (N+1)/N     (x ascending, i = 1..N rank)
+# The heavy work is ONE map-side-combinable count aggregate (fact -> one
+# row per item); the rank window runs over that |items|-row aggregate.
+# At extreme item cardinality the rank decomposes exactly like q126's
+# banded global row_number (band on the count value); here |items| is
+# thousands of rows — aggregate-scale, not fact-scale.
+# ---------------------------------------------------------------------------
+@register(
+    "q130_demand_gini",
+    oracle=f"""
+    WITH counts AS (
+        SELECT l_partkey AS item, CAST(count(*) AS DOUBLE) AS x
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT x, row_number() OVER (ORDER BY x, item) AS i,
+               count(*) OVER ()  AS nn,
+               sum(x)  OVER ()   AS s
+        FROM counts
+    )
+    SELECT CAST(max(nn) AS BIGINT)                  AS n_items,
+           CAST(max(s) AS BIGINT)                   AS n_lineitems,
+           {rnd_sql('2.0 * sum(i * x) / (max(nn) * max(s)) - (max(nn) + 1.0) / max(nn)', 6)}
+               AS gini
+    FROM ranked
+    """,
+    doc="Gini coefficient of per-part order-line counts: one fact "
+    "aggregate + a rank window over the |items|-row result.",
+    tags=("analytics", "gini", "concentration", "window"),
+)
+def q130_demand_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    full = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = counts.select(
+        "x",
+        F.row_number().over(Window.orderBy("x", "item")).alias("i"),
+        F.count(F.lit(1)).over(full).alias("nn"),
+        F.sum("x").over(full).alias("s"),
+    )
+    return ranked.agg(
+        F.max("nn").cast("long").alias("n_items"),
+        F.max("s").cast("long").alias("n_lineitems"),
+        rnd(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.max("nn") * F.max("s"))
+            - (F.max("nn") + 1.0) / F.max("nn"),
+            6,
+        ).alias("gini"),
+    )
