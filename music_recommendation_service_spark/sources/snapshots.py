@@ -2464,8 +2464,18 @@ def snapshot_maintain_join(
     collide = set(dim_payload_cols) & set(fact_now.columns)
     if collide:
         raise ValueError(f"dim payload collides with fact columns: {collide}")
-    dim_now = snapshot_read(spark, dim_path, version=dv_to).select(
-        dim_join_col, *dim_payload_cols
+    # The dim key joins under a RESERVED name: dropping it afterward by
+    # string is then unambiguous even when fact and dim name the join
+    # column identically (a column-reference drop is fragile here — plan
+    # re-aliasing across the delta paths can detach the reference and turn
+    # the drop into a silent no-op, observed in the incremental path).
+    _dim_k = "_maint_dim_key"
+    if _dim_k in dim_payload_cols or _dim_k == fact_join_col:
+        raise ValueError(f"{_dim_k} is reserved by snapshot_maintain_join")
+    dim_now = (
+        snapshot_read(spark, dim_path, version=dv_to)
+        .select(dim_join_col, *dim_payload_cols)
+        .withColumnRenamed(dim_join_col, _dim_k)
     )
 
     seq = fv_to + dv_to  # strictly grows whenever either source advances
@@ -2473,8 +2483,8 @@ def snapshot_maintain_join(
     def derive(fact_rows: DataFrame) -> DataFrame:
         """(Re-)derive view rows for a slice of the fact."""
         j = fact_rows.join(
-            dim_now, fact_rows[fact_join_col] == dim_now[dim_join_col], how
-        ).drop(dim_join_col)
+            dim_now, fact_rows[fact_join_col] == dim_now[_dim_k], how
+        ).drop(_dim_k)
         return j.withColumn("_maint_v", F.lit(seq).cast("long"))
 
     versions = snapshot_versions(view_path)
@@ -2528,7 +2538,9 @@ def snapshot_maintain_join(
             .distinct()
         )
     else:
-        dim_changed_keys = dim_now.select(dim_join_col).limit(0)
+        dim_changed_keys = dim_now.select(
+            F.col(_dim_k).alias(dim_join_col)
+        ).limit(0)
 
     # --- refresh slice: fact rows needing re-derivation ------------------
     by_fact = fact_now.join(

@@ -188,3 +188,48 @@ def test_join_view_rejects_collision_and_bad_how(spark, tmp_path):
             spark, fact, dim2, str(tmp_path / "v2"),
             ["fk"], "jk", "dk", ["qty"],
         )
+
+
+def test_join_view_same_join_column_name(spark, tmp_path):
+    """Fact and dim naming the join column IDENTICALLY must keep the
+    fact's copy in the view (a string drop would remove both)."""
+    fact, dim = str(tmp_path / "factk"), str(tmp_path / "dimk")
+    view = str(tmp_path / "viewk")
+    S.snapshot_merge(
+        spark.createDataFrame(
+            [(1, 10, 5), (2, 20, 7)], "fk long, k long, qty long"
+        ).withColumn("_seq", F.lit(1)),
+        fact, ["fk"], "_seq",
+    )
+    S.snapshot_merge(
+        spark.createDataFrame(
+            [(10, "ten"), (20, "twenty")], "k long, label string"
+        ).withColumn("_seq", F.lit(1)),
+        dim, ["k"], "_seq",
+    )
+    S.snapshot_maintain_join(
+        spark, fact, dim, view,
+        fact_key_cols=["fk"], fact_join_col="k",
+        dim_join_col="k", dim_payload_cols=["label"], how="inner",
+    )
+    got = {
+        (r.fk, r.k, r.qty, r.label)
+        for r in S.snapshot_read(spark, view).drop("_maint_v").collect()
+    }
+    assert got == {(1, 10, 5, "ten"), (2, 20, 7, "twenty")}
+    # incremental wave through the same-name path
+    S.snapshot_merge(
+        spark.createDataFrame([(20, "T2")], "k long, label string")
+        .withColumn("_seq", F.lit(2)),
+        dim, ["k"], "_seq",
+    )
+    S.snapshot_maintain_join(
+        spark, fact, dim, view,
+        fact_key_cols=["fk"], fact_join_col="k",
+        dim_join_col="k", dim_payload_cols=["label"], how="inner",
+    )
+    got = {
+        (r.fk, r.k, r.qty, r.label)
+        for r in S.snapshot_read(spark, view).drop("_maint_v").collect()
+    }
+    assert got == {(1, 10, 5, "ten"), (2, 20, 7, "T2")}
