@@ -36,17 +36,23 @@ class Engine:
         return TABLES
 
     def snapshot(
-        self, path: str, version: int | None = None, view: str | None = None
+        self,
+        path: str,
+        version: int | None = None,
+        as_of: float | None = None,
+        view: str | None = None,
     ) -> DataFrame:
         """A versioned snapshot table (sources/snapshots.py protocol) as a
-        DataFrame — latest or time-traveled; optionally registered as a
-        temp view so ``eng.sql`` can join it against catalog tables (the
-        serving path of SURVEY §3.3 over engine-managed tables)."""
+        DataFrame — latest, ``VERSION AS OF`` (``version``), or
+        ``TIMESTAMP AS OF`` (``as_of``, unix seconds); optionally
+        registered as a temp view so ``eng.sql`` can join it against
+        catalog tables (the serving path of SURVEY §3.3 over
+        engine-managed tables)."""
         from music_recommendation_service_spark.sources.snapshots import (
             snapshot_read,
         )
 
-        df = snapshot_read(self.spark, path, version)
+        df = snapshot_read(self.spark, path, version, as_of=as_of)
         if view is not None:
             df.createOrReplaceTempView(view)
         return df

@@ -70,3 +70,23 @@ def test_cli_list_and_query(tmp_path):
         f"SELECT count(*) FROM read_parquet('{out}/*.parquet')"
     ).fetchone()[0]
     assert n == 10
+
+
+def test_engine_snapshot_as_of(spark, sf_dir, tmp_path):
+    import time as _time
+
+    from music_recommendation_service_spark.engine import Engine
+    from music_recommendation_service_spark.sources.snapshots import (
+        snapshot_write,
+    )
+
+    eng = Engine(sf_dir, spark)
+    path = str(tmp_path / "snapt")
+    snapshot_write(eng.table("orders").limit(3), path)
+    t = _time.time()
+    _time.sleep(0.05)
+    snapshot_write(eng.table("orders").limit(8), path)
+    assert eng.snapshot(path).count() == 8
+    assert eng.snapshot(path, as_of=t).count() == 3
+    assert eng.snapshot(path, version=1, view="snap_v1").count() == 3
+    assert eng.sql("SELECT count(*) AS n FROM snap_v1").collect()[0].n == 3
