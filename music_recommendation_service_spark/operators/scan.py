@@ -25,8 +25,11 @@ So the classic two-pass segmented scan applies, Spark-shaped:
      its incoming state, emitting the exact per-row states.
 
 Total: one range shuffle + two linear passes, any series length, any
-partition count — the result is bit-for-bit independent of partitioning
-(pinned by test) because every partition folds the same row sequence.
+partition count. The result is MATHEMATICALLY independent of partitioning
+(every partition folds the same row sequence); numerically it agrees
+across partition counts to float tolerance (pinned at rtol 1e-10) — not
+bit-for-bit, because block boundaries of the vectorized fold restart per
+partition and shift rounding at the last-ulp level.
 
 Numerics: within a partition the fold is vectorized in blocks via the
 cumprod/cumsum identity s = P*(s0 + cumsum(b/P)); a block whose running

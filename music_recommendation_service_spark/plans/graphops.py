@@ -447,9 +447,9 @@ def q122_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = (
             labels.join(reach, labels.v == reach.v2, "left")
-            .select("v", F.least(F.col("dist"), F.col("nd")).alias("_m"),
-                    F.coalesce(F.col("dist"), F.col("nd")).alias("_c"))
-            .select("v", F.coalesce(F.col("_m"), F.col("_c")).alias("dist"))
+            # least() skips nulls (null only when BOTH are null) — exactly
+            # the relaxation semantics.
+            .select("v", F.least(F.col("dist"), F.col("nd")).alias("dist"))
             .localCheckpoint()
         )
     return labels.filter(F.col("dist").isNotNull()).select(

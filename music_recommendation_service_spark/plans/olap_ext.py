@@ -37,11 +37,14 @@ from pyspark.sql import functions as F
 from music_recommendation_service_spark.functions import rnd, rnd_sql
 from music_recommendation_service_spark.operators.pairs import cooccurrence_pairs
 from music_recommendation_service_spark.plans import register
-from music_recommendation_service_spark.sources.catalog import load_table as _t
+from music_recommendation_service_spark.sources.catalog import (
+    EVENT_TYPES as _EVENT_TYPES,
+    load_table as _t,
+)
 
-# Declared pivot domain: the event-type vocabulary is a catalog fact, not
-# something to re-discover per query (an inferred pivot adds a full scan).
-_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+# Declared pivot domain: the event-type vocabulary is a catalog fact
+# (sources/catalog.py EVENT_TYPES, shared with q42), not something to
+# re-discover per query (an inferred pivot adds a full scan).
 
 
 # ---------------------------------------------------------------------------
@@ -55,10 +58,16 @@ def _pivot_cell_sql(t: str) -> str:
 
 @register(
     "q117_daily_type_pivot",
+    # ``total`` sums the DECLARED vocabulary cells in BOTH engines (not a
+    # raw count(*)): a value outside EVENT_TYPES is excluded from every
+    # column by the declared-domain pivot, and the total must describe the
+    # columns next to it, not silently disagree with their sum.
     oracle=f"""
     SELECT CAST(ts AS DATE) AS day,
            {', '.join(_pivot_cell_sql(t) for t in _EVENT_TYPES)},
-           CAST(count(*) AS BIGINT) AS total
+           CAST(count(*) FILTER (
+               WHERE event_type IN ({', '.join(repr(t) for t in _EVENT_TYPES)})
+           ) AS BIGINT) AS total
     FROM events
     GROUP BY CAST(ts AS DATE)
     """,

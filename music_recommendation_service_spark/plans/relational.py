@@ -18,7 +18,10 @@ from pyspark.sql import functions as F
 from music_recommendation_service_spark.functions import rnd, rnd_sql
 from music_recommendation_service_spark.operators.topk import topk, topk_per_key
 from music_recommendation_service_spark.plans import register
-from music_recommendation_service_spark.sources.catalog import load_table as _t
+from music_recommendation_service_spark.sources.catalog import (
+    EVENT_TYPES as _EVENT_TYPES,
+    load_table as _t,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -511,7 +514,6 @@ def q41_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # columns per day. One scan, one group-by shuffle — the scalable pivot form
 # (Spark's pivot() needs a distinct-values pass or an explicit list anyway).
 # ---------------------------------------------------------------------------
-_EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
 
 
 @register(

@@ -37,6 +37,11 @@ TABLES = (
     "embeddings",
 )
 
+# The events table's event-type vocabulary — a catalog fact shared by every
+# pivot/classifier query (q42, q117) so the declared value lists can never
+# diverge between them.
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
 
 # Columns stored as TIMESTAMP(NANOS) in the driver parquet; with
 # spark.sql.legacy.parquet.nanosAsLong they surface as LongType nanos and are

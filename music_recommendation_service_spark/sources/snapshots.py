@@ -487,13 +487,21 @@ def _commit(
             # the previous manifest (constraints, schema evolution, rollback)
             # would otherwise inherit the PREVIOUS commit's op.
             manifest["op"] = op
-        # Sticky table metadata: CHECK constraints survive every commit
-        # type (overwrite, append, merge, compact, zorder, schema
-        # evolution) unless the build explicitly sets the key (add/drop
-        # constraint — and rollback, which restores the old manifest
-        # wholesale, old constraint set included).
-        if "constraints" not in manifest and latest and latest.get("constraints"):
-            manifest["constraints"] = latest["constraints"]
+        # Sticky table metadata: CHECK constraints and maintenance
+        # bookkeeping (the applied-source-version keys incremental view
+        # maintenance records) survive every commit type (overwrite,
+        # append, merge, compact, zorder, schema evolution) unless the
+        # build explicitly sets the key. Without the carry, compacting a
+        # maintained view would drop its applied-version keys and wedge
+        # the maintainer (rollback restores the TARGET's keys explicitly).
+        for sticky in (
+            "constraints",
+            "source_version",
+            "maint_fact_version",
+            "maint_dim_version",
+        ):
+            if sticky not in manifest and latest and latest.get(sticky) is not None:
+                manifest[sticky] = latest[sticky]
         target = os.path.join(_manifest_dir(path), f"{version}.json")
         # claim-once commit: O_EXCL locally, conditional PUT on an object
         # store (see SnapshotFS) — the loser of a race rebuilds and retries
@@ -1853,7 +1861,8 @@ def snapshot_maintain_aggregate(
 
     view_exists = bool(snapshot_versions(view_path))
     if view_exists:
-        applied = _latest_manifest(view_path).get("source_version", -1)
+        applied = _latest_manifest(view_path).get("source_version")
+        applied = -1 if applied is None else applied  # None: pre-maintenance rollback
         if applied >= to_v:
             commit()  # crash-recovery fast-forward: view already has this
             return None
@@ -2302,6 +2311,13 @@ def snapshot_rollback(path: str, version: int) -> int:
         # restore the target version's constraint set (possibly empty) —
         # explicit so _commit's sticky carry can't resurrect a newer set
         out["constraints"] = m.get("constraints", {})
+        # same for maintenance bookkeeping: a rolled-back maintained view
+        # resumes from the TARGET's applied source versions (the merge
+        # replay of the suffix is idempotent), not the newest manifest's.
+        # Always assigned — an explicit None (target predates maintenance)
+        # blocks the sticky carry of a newer manifest's keys.
+        for k in ("source_version", "maint_fact_version", "maint_dim_version"):
+            out[k] = m.get(k)
         return out
 
     return _commit(path, build, op="rollback")
@@ -2470,8 +2486,13 @@ def snapshot_maintain_join(
     # re-aliasing across the delta paths can detach the reference and turn
     # the drop into a silent no-op, observed in the incremental path).
     _dim_k = "_maint_dim_key"
-    if _dim_k in dim_payload_cols or _dim_k == fact_join_col:
-        raise ValueError(f"{_dim_k} is reserved by snapshot_maintain_join")
+    reserved = {_dim_k, "_maint_v", "_del"}
+    taken = reserved & (set(fact_now.columns) | set(dim_payload_cols))
+    if taken:
+        raise ValueError(
+            f"column names {sorted(taken)} are reserved by "
+            "snapshot_maintain_join (internal key/seq/tombstone columns)"
+        )
     dim_now = (
         snapshot_read(spark, dim_path, version=dv_to)
         .select(dim_join_col, *dim_payload_cols)
@@ -2503,8 +2524,10 @@ def snapshot_maintain_join(
         )
 
     m = _latest_manifest(view_path)
-    fva = m.get("maint_fact_version", -1)
-    dva = m.get("maint_dim_version", -1)
+    fva = m.get("maint_fact_version")
+    dva = m.get("maint_dim_version")
+    fva = -1 if fva is None else fva  # None: view predates maintenance
+    dva = -1 if dva is None else dva
     if fva >= fv_to and dva >= dv_to:
         return None
     for applied, src in ((fva, fact_path), (dva, dim_path)):

@@ -233,3 +233,60 @@ def test_join_view_same_join_column_name(spark, tmp_path):
         for r in S.snapshot_read(spark, view).drop("_maint_v").collect()
     }
     assert got == {(1, 10, 5, "ten"), (2, 20, 7, "T2")}
+
+
+def test_join_view_survives_compaction_then_maintains(spark, tmp_path):
+    """A non-maintenance commit on the view (compact — the companion op
+    for per-batch MERGE tables) must NOT drop the applied-version
+    bookkeeping: maintenance after a compaction continues incrementally
+    instead of raising StaleCursorError (sticky manifest keys)."""
+    fact, dim = str(tmp_path / "fact"), str(tmp_path / "dim")
+    view = str(tmp_path / "view_inner")
+    S.snapshot_merge(
+        _fact_df(spark, [(1, 10, 5), (2, 20, 7)]).withColumn("_seq", F.lit(1)),
+        fact, ["fk"], "_seq",
+    )
+    S.snapshot_merge(
+        _dim_df(spark, [(10, "ten"), (20, "twenty")]).withColumn("_seq", F.lit(1)),
+        dim, ["dk"], "_seq",
+    )
+    _maintain(spark, tmp_path, "inner")
+    S.snapshot_compact(spark, view)
+
+    S.snapshot_merge(
+        _fact_df(spark, [(3, 10, 9)]).withColumn("_seq", F.lit(2)),
+        fact, ["fk"], "_seq",
+    )
+    assert _maintain(spark, tmp_path, "inner") is not None  # no StaleCursorError
+    assert _view_rows(spark, view) == _expected(spark, fact, dim, "inner")
+
+    # aggregate maintainer: same sticky-key guarantee for source_version
+    agg_view = str(tmp_path / "aggview")
+    cursor = str(tmp_path / "cur")
+    S.snapshot_maintain_aggregate(
+        spark, fact, agg_view, cursor, group_cols=["jk"],
+        sum_cols=["qty"], key_cols=["fk"],
+    )
+    S.snapshot_compact(spark, agg_view)
+    S.snapshot_merge(
+        _fact_df(spark, [(4, 20, 11)]).withColumn("_seq", F.lit(3)),
+        fact, ["fk"], "_seq",
+    )
+    S.snapshot_maintain_aggregate(
+        spark, fact, agg_view, cursor, group_cols=["jk"],
+        sum_cols=["qty"], key_cols=["fk"],
+    )
+    want = {
+        (r.jk, r.n, r.sum_qty)
+        for r in S.snapshot_read(spark, fact)
+        .groupBy("jk")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("qty").alias("sum_qty"))
+        .collect()
+    }
+    got = {
+        (r.jk, r.n, r.sum_qty)
+        for r in S.snapshot_read(spark, agg_view)
+        .select("jk", "n", "sum_qty")
+        .collect()
+    }
+    assert got == want
