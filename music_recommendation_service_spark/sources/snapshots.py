@@ -428,7 +428,7 @@ def _to_physical_df(df: DataFrame, mapping: dict) -> DataFrame:
 
 
 def _read_declared(
-    spark: SparkSession, m: dict, paths: list[str]
+    spark: SparkSession, m: dict, paths: list[str], lineage: bool = False
 ) -> DataFrame:
     """Read data files under the MANIFEST's declared schema, not the file
     footers' — after ``snapshot_add_columns`` a version legitimately mixes
@@ -437,32 +437,129 @@ def _read_declared(
     With a ``column_mapping`` (after ``snapshot_rename_columns``) files
     store PHYSICAL names: read the physical schema, then alias back to the
     logical names. Falls back to footer inference for legacy manifests
-    without a schema."""
+    without a schema.
+
+    ``lineage=True`` appends two physical-position columns the deletion-
+    vector machinery keys on: ``_sn_file`` (the file's manifest-relative
+    ``dir/name`` path, from ``_metadata.file_path``) and ``_sn_pos`` (the
+    row's position within its file, ``_metadata.row_index`` — stable for
+    immutable parquet regardless of split planning)."""
     from pyspark.sql.types import StructField, StructType
 
+    def lin(df: DataFrame) -> DataFrame:
+        if not lineage:
+            return df
+        parts = F.split(F.col("_metadata.file_path"), "/")
+        return df.withColumn(
+            _SN_FILE,
+            F.concat_ws("/", F.element_at(parts, -2), F.element_at(parts, -1)),
+        ).withColumn(_SN_POS, F.col("_metadata.row_index"))
+
     if "schema" not in m:
-        return spark.read.parquet(*paths)
+        return lin(spark.read.parquet(*paths))
     schema = StructType.fromJson(json.loads(m["schema"]))
     mapping = _mapping(m)
     if not mapping:
-        return spark.read.schema(schema).parquet(*paths)
+        return lin(spark.read.schema(schema).parquet(*paths))
     physical = StructType(
         [
             StructField(_phys(mapping, f.name), f.dataType, f.nullable, f.metadata)
             for f in schema.fields
         ]
     )
-    df = spark.read.schema(physical).parquet(*paths)
+    df = lin(spark.read.schema(physical).parquet(*paths))
     return df.select(
         *[
             F.col(_phys(mapping, f.name)).alias(f.name)
             for f in schema.fields
-        ]
+        ],
+        *([_SN_FILE, _SN_POS] if lineage else []),
     )
 
 
 def _dirs_of(files: list[dict]) -> list[str]:
     return sorted({e["path"].rsplit("/", 1)[0] for e in files})
+
+
+# --- deletion vectors ------------------------------------------------------
+# A DV-mode DELETE writes NO data files: the matched rows' physical
+# positions (file, row_index) land in a positions parquet, and each touched
+# manifest entry points at it via ``"dv": {"ref": <rel dir>, "n": <dead>}``.
+# Refs are CUMULATIVE PER FILE (a new DV commit unions the file's prior dead
+# positions into the new ref), so every file references exactly one ref and
+# the read path applies one anti-join. At 100 TB this is the difference
+# between rewriting a 1 GB file to delete three rows and writing a 100-byte
+# position list — Delta's deletion-vector table feature re-realized on the
+# snapshot protocol.
+_SN_FILE = "_sn_file"   # lineage column: manifest-relative dir/name
+_SN_POS = "_sn_pos"     # lineage column: row position within its file
+_DV_FILE = "_dv_file"   # positions-parquet column: target file rel path
+_DV_POS = "_dv_pos"     # positions-parquet column: dead row position
+# Positions up to this total are broadcast into the anti-join (a dead-set
+# far smaller than the table is the normal case); beyond it the anti-join
+# shuffles, which is still O(dead + table-being-read), never O(table^2).
+_DV_BROADCAST_MAX = 4_000_000
+
+
+def _live_rows(e: dict) -> int | None:
+    """Live (physical minus DV-dead) row count of a manifest file entry."""
+    if e.get("rows") is None:
+        return None
+    return e["rows"] - (e.get("dv") or {}).get("n", 0)
+
+
+def _dv_ref_path(table_path: str, ref: str) -> str:
+    return ref if os.path.isabs(ref) else os.path.join(table_path, ref)
+
+
+def _rel2(p: str) -> str:
+    """Last two path segments (``dir/name``) — the identity the lineage
+    column ``_sn_file`` carries. Equals the manifest-relative path for
+    local entries and the SOURCE-relative path for shallow-clone external
+    refs (whose DV position files also store source-relative paths)."""
+    return "/".join(p.split("/")[-2:])
+
+
+def _read_entries(
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    entries: list[dict],
+    lineage: bool = False,
+) -> DataFrame:
+    """DV-aware entry read: the LIVE rows of ``entries`` under ``m``'s
+    declared schema — dead positions recorded in the entries' deletion
+    vectors are anti-joined out on (file, row position). The single choke
+    point every protocol reader (read / scan / merge / DML / CDF / compact)
+    goes through, so no path can resurrect a deleted row."""
+    full = [
+        e["path"] if os.path.isabs(e["path"]) else os.path.join(path, e["path"])
+        for e in entries
+    ]
+    dvd = [e for e in entries if e.get("dv")]
+    if (lineage or dvd) and "schema" in m:
+        declared = {f["name"] for f in json.loads(m["schema"]).get("fields", [])}
+        taken = declared & {_SN_FILE, _SN_POS}
+        if taken:
+            raise ValueError(
+                f"column names {sorted(taken)} are reserved by the snapshot "
+                "protocol's deletion-vector/lineage machinery"
+            )
+    base = _read_declared(spark, m, full, lineage=lineage or bool(dvd))
+    if dvd:
+        refs = sorted({e["dv"]["ref"] for e in dvd})
+        dead = spark.read.parquet(
+            *[_dv_ref_path(path, r) for r in refs]
+        ).select(
+            F.col(_DV_FILE).alias(_SN_FILE), F.col(_DV_POS).alias(_SN_POS)
+        )
+        n_dead = sum(e["dv"].get("n", 0) for e in dvd)
+        if n_dead <= _DV_BROADCAST_MAX:
+            dead = F.broadcast(dead)
+        base = base.join(dead, [_SN_FILE, _SN_POS], "left_anti")
+    if not lineage and dvd:
+        base = base.drop(_SN_FILE, _SN_POS)
+    return base
 
 
 def _commit(
@@ -853,29 +950,30 @@ def snapshot_merge(
         )
     ]
     # --- prune stage 2: exact key membership over candidates only --------
+    # DV-aware: a key living only in a file's DEAD positions must not drag
+    # the file into the rewrite set (or worse, resurrect on read).
     touched_paths: set[str] = set()
     if candidates:
-        cand_full = [os.path.join(path, e["path"]) for e in candidates]
         hits = (
-            _read_declared(spark, cur, cand_full)
-            .select(*key_cols, F.input_file_name().alias("_file"))
+            _read_entries(spark, path, cur, candidates, lineage=True)
+            .select(*key_cols, _SN_FILE)
             .join(F.broadcast(incoming.select(*key_cols).distinct()), key_cols)
-            .select(F.element_at(F.split("_file", "/"), -1).alias("_f"))
+            .select(_SN_FILE)
             .distinct()
             .collect()
         )
-        hit_names = {r["_f"] for r in hits}
+        hit_rels = {r[_SN_FILE] for r in hits}
         touched_paths = {
-            e["path"] for e in candidates if e["path"].rsplit("/", 1)[-1] in hit_names
+            e["path"] for e in candidates if _rel2(e["path"]) in hit_rels
         }
     touched = [e for e in files if e["path"] in touched_paths]
     untouched = [e for e in files if e["path"] not in touched_paths]
 
     # --- rewrite: touched rows ⊎ incoming, keep highest seq per key ------
     if touched:
-        existing = _read_declared(
-            spark, cur, [os.path.join(path, e["path"]) for e in touched]
-        ).withColumn("_src", F.lit(0))
+        existing = _read_entries(spark, path, cur, touched).withColumn(
+            "_src", F.lit(0)
+        )
         if delete_col is not None:
             existing = existing.withColumn(delete_col, F.lit(False))
     else:
@@ -907,14 +1005,14 @@ def snapshot_merge(
 
     if any(e["rows"] is None for e in untouched):
         untouched_rows = (
-            _read_declared(
-                spark, cur, [os.path.join(path, e["path"]) for e in untouched]
-            ).count()
+            _read_entries(spark, path, cur, untouched).count()
             if untouched
             else 0
         )
     else:
-        untouched_rows = sum(e["rows"] for e in untouched)
+        # n_rows counts LIVE rows: entries carrying a deletion vector
+        # contribute physical minus dead.
+        untouched_rows = sum(_live_rows(e) for e in untouched)
     out_files = untouched + new_files
 
     def build(latest: dict | None, version: int) -> dict:
@@ -958,18 +1056,15 @@ def _predicate_file_split(
     files = _manifest_files(path, cur)
     if not files:
         return [], []
-    full = [os.path.join(path, e["path"]) for e in files]
     hits = (
-        _read_declared(spark, cur, full)
+        _read_entries(spark, path, cur, files, lineage=True)
         .filter(F.expr(predicate))
-        .select(F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_f"))
+        .select(_SN_FILE)
         .distinct()
         .collect()
     )
-    hit_names = {r["_f"] for r in hits}
-    touched_paths = {
-        e["path"] for e in files if e["path"].rsplit("/", 1)[-1] in hit_names
-    }
+    hit_rels = {r[_SN_FILE] for r in hits}
+    touched_paths = {e["path"] for e in files if _rel2(e["path"]) in hit_rels}
     return (
         [e for e in files if e["path"] in touched_paths],
         [e for e in files if e["path"] not in touched_paths],
@@ -991,9 +1086,7 @@ def _rewrite_touched(
     stale-state conflict check. Stats columns in use are recomputed for
     the new files."""
     mapping = _mapping(cur)
-    existing = _read_declared(
-        spark, cur, [os.path.join(path, e["path"]) for e in touched]
-    )
+    existing = _read_entries(spark, path, cur, touched)
     out_df = rewrite(existing)
     rel, full_dir = _new_data_dir(path)
     _to_physical_df(out_df, mapping).write.mode("error").parquet(full_dir)
@@ -1002,14 +1095,14 @@ def _rewrite_touched(
     )
     if any(e["rows"] is None for e in untouched):
         untouched_rows = (
-            _read_declared(
-                spark, cur, [os.path.join(path, e["path"]) for e in untouched]
-            ).count()
+            _read_entries(spark, path, cur, untouched).count()
             if untouched
             else 0
         )
     else:
-        untouched_rows = sum(e["rows"] for e in untouched)
+        # n_rows counts LIVE rows: entries carrying a deletion vector
+        # contribute physical minus dead.
+        untouched_rows = sum(_live_rows(e) for e in untouched)
     out_files = untouched + new_files
 
     def build(latest: dict | None, version: int) -> dict:
@@ -1033,22 +1126,39 @@ def _rewrite_touched(
 
 
 def snapshot_delete_where(
-    spark: SparkSession, path: str, predicate: str
+    spark: SparkSession, path: str, predicate: str, mode: str = "rewrite"
 ) -> int | None:
     """Predicate DELETE, Delta ``DELETE FROM t WHERE ...`` parity — the
-    GDPR-shape DML that matters at 100 TB: only files that actually hold a
+    GDPR-shape DML that matters at 100 TB. Rows where the predicate is
+    NULL are kept (SQL three-valued semantics: DELETE removes rows where
+    the predicate is TRUE). Returns the new version, or None when nothing
+    matched (no-op, no commit — rerunnable).
+
+    ``mode="rewrite"`` (copy-on-write): only files that actually hold a
     matching row are rewritten (one column-pruned discovery scan finds
-    them); everything else is carried by reference. Rows where the
-    predicate is NULL are kept (SQL three-valued semantics: DELETE removes
-    rows where the predicate is TRUE). Returns the new version, or None
-    when nothing matched (no-op, no commit — rerunnable). The change feed
-    sees the rewrite as a normal data commit, so keyed CDF emits exactly
-    the deleted rows."""
+    them); everything else is carried by reference. The change feed sees
+    the rewrite as a normal data commit, so keyed CDF emits exactly the
+    deleted rows.
+
+    ``mode="dv"`` (deletion vectors): NO data files are written at all —
+    the matched rows' physical positions land in a positions parquet and
+    each touched manifest entry points at it. Deleting three rows from a
+    1 GB file costs a position list, not a gigabyte rewrite; at 100 TB
+    this is the only delete shape that stays O(matched rows). Every
+    protocol reader applies the vectors (``_read_entries``), the change
+    feed diffs them into exact row-level deletes (keyed AND keyless), and
+    ``snapshot_compact(purge_dvs=True)`` folds them away. Min/max/bloom
+    file stats keep describing the PHYSICAL file — a superset, so pruning
+    stays conservative-correct."""
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"snapshot_delete_where: unknown mode {mode!r}")
     versions = snapshot_versions(path)
     if not versions:
         raise FileNotFoundError(f"no snapshots at {path}")
     base_version = versions[-1]
     cur = _read_manifest(path, base_version)
+    if mode == "dv":
+        return _delete_where_dv(spark, path, cur, base_version, predicate)
     touched, untouched = _predicate_file_split(spark, path, cur, predicate)
     if not touched:
         return None
@@ -1057,6 +1167,84 @@ def snapshot_delete_where(
         lambda df: df.filter(~F.coalesce(F.expr(predicate), F.lit(False))),
         "delete_where",
     )
+
+
+def _delete_where_dv(
+    spark: SparkSession, path: str, cur: dict, base_version: int, predicate: str
+) -> int | None:
+    """DV-mode DELETE tail: record matched LIVE rows' (file, position)
+    pairs in a new cumulative positions parquet and re-point the touched
+    entries at it. Refs are cumulative per file — the new ref unions each
+    touched file's prior dead positions, so a file always carries exactly
+    one ref and readers apply one anti-join. Prior refs stay on disk for
+    time travel (vacuum reclaims them with their manifests)."""
+    files = _manifest_files(path, cur)
+    if not files:
+        return None
+    live = _read_entries(spark, path, cur, files, lineage=True)
+    hits = live.filter(F.expr(predicate)).select(
+        F.col(_SN_FILE).alias(_DV_FILE), F.col(_SN_POS).alias(_DV_POS)
+    )
+    # ONE table scan: land the new positions first, then read the (tiny)
+    # result back for per-file counts and the cumulative carry.
+    rel, full_dir = _new_data_dir(path)
+    hits.write.mode("error").parquet(full_dir)
+    new_dead = {
+        r[_DV_FILE]: r["_n"]
+        for r in spark.read.parquet(full_dir)
+        .groupBy(_DV_FILE)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    }
+    if not new_dead:
+        _fs().delete_tree(full_dir)  # no-op delete leaves no orphan dir
+        return None
+    touched = [e for e in files if _rel2(e["path"]) in new_dead]
+    prior_refs = sorted({e["dv"]["ref"] for e in touched if e.get("dv")})
+    if prior_refs:
+        # Cumulative refs: append each touched file's prior dead set, so
+        # the new ref alone describes the file (one anti-join on read).
+        (
+            spark.read.parquet(*[_dv_ref_path(path, r) for r in prior_refs])
+            .filter(F.col(_DV_FILE).isin(sorted(new_dead)))
+            .write.mode("append")
+            .parquet(full_dir)
+        )
+    n_deleted = sum(new_dead.values())
+
+    out_files = []
+    for e in files:
+        rid = _rel2(e["path"])
+        if rid not in new_dead:
+            out_files.append(e)
+            continue
+        e2 = dict(e)
+        e2["dv"] = {
+            "ref": rel,
+            # new hits were LIVE rows (the discovery read is DV-aware), so
+            # they are disjoint from the prior dead set: counts add.
+            "n": (e.get("dv") or {}).get("n", 0) + new_dead[rid],
+        }
+        out_files.append(e2)
+
+    def build(latest: dict | None, version: int) -> dict:
+        if latest is None or latest["version"] != base_version:
+            raise ConcurrentSnapshotError(
+                f"{path}: version moved {base_version} -> "
+                f"{latest['version'] if latest else None} during delete_dv; "
+                "recompute against the new state"
+            )
+        out = {
+            "data_dirs": _dirs_of(out_files),
+            "files": out_files,
+            "n_rows": cur["n_rows"] - n_deleted,
+            "schema": cur["schema"],
+        }
+        if _mapping(cur):
+            out["column_mapping"] = _mapping(cur)
+        return out
+
+    return _commit(path, build, op="delete_dv")
 
 
 def snapshot_update_where(
@@ -1177,9 +1365,7 @@ def snapshot_read(
             return spark.createDataFrame(
                 [], schema=StructType.fromJson(json.loads(m["schema"]))
             )
-        return _read_declared(
-            spark, m, [os.path.join(path, e["path"]) for e in m["files"]]
-        )
+        return _read_entries(spark, path, m, m["files"])
     return _read_declared(
         spark, m, [os.path.join(path, d) for d in m["data_dirs"]]
     )
@@ -1190,6 +1376,7 @@ def snapshot_compact(
     path: str,
     small_file_max_rows: int = 1_000_000,
     target_files: int | None = None,
+    purge_dvs: bool = False,
 ) -> int | None:
     """OPTIMIZE: fold the latest version's small files into fewer, larger
     ones and commit the result as a NEW version — content-identical, fewer
@@ -1220,20 +1407,28 @@ def snapshot_compact(
     small = [
         e for e in files if e["rows"] is not None and e["rows"] <= small_file_max_rows
     ]
+    if purge_dvs:
+        # REORG PURGE parity: files carrying a deletion vector join the
+        # rewrite set regardless of size, materializing their deletes into
+        # clean files (the new entries carry no dv).
+        seen = {e["path"] for e in small}
+        small += [
+            e
+            for e in files
+            if e.get("dv") and e["rows"] is not None and e["path"] not in seen
+        ]
     small_paths = {e["path"] for e in small}
     big = [e for e in files if e["path"] not in small_paths]
-    if len(small) < 2:
+    if len(small) < 2 and not (purge_dvs and any(e.get("dv") for e in small)):
         return None
-    small_rows = sum(e["rows"] for e in small)
+    small_rows = sum(_live_rows(e) for e in small)
     n_out = target_files or max(1, small_rows // max(small_file_max_rows, 1))
     # Stats columns carried by the manifest are preserved on the rewrite.
     stats_cols = sorted(
         {c for e in small if e.get("stats") for c in e["stats"]}
     )
     mapping = _mapping(cur)
-    folded = _read_declared(
-        spark, cur, [os.path.join(path, e["path"]) for e in small]
-    ).coalesce(n_out)
+    folded = _read_entries(spark, path, cur, small).coalesce(n_out)
     rel, full = _new_data_dir(path)
     _to_physical_df(folded, mapping).write.mode("error").parquet(full)
     new_files, n_new = _scan_file_entries(
@@ -1436,9 +1631,7 @@ def snapshot_scan(
     if not files or not kept:
         base = snapshot_read(spark, path, v).limit(0)
     else:
-        base = _read_declared(
-            spark, m, [os.path.join(path, e["path"]) for e in kept]
-        )
+        base = _read_entries(spark, path, m, kept)
     for c, (lo, hi) in predicates.items():
         base = base.filter((F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi)))
     return base
@@ -1503,7 +1696,7 @@ def snapshot_scan_in(
     kept = [e for e in files if any(may_hold(e, val) for val in vals)]
     if not vals or not kept:
         return snapshot_read(spark, path, v).limit(0)
-    base = _read_declared(spark, m, [os.path.join(path, e["path"]) for e in kept])
+    base = _read_entries(spark, path, m, kept)
     return base.filter(F.col(col).isin(list(vals)))
 
 
@@ -1513,6 +1706,96 @@ def _bloom_pos_expr_lit(value, i: int):
     return F.pmod(
         F.xxhash64(F.lit(i), F.lit(value).cast("string")), F.lit(_BLOOM_M_MAX)
     )
+
+
+def _dv_swap_changes(
+    spark: SparkSession,
+    path: str,
+    m_to: dict,
+    swaps: list[tuple],
+    added_ref_by_path: dict,
+    ent_by_id: dict,
+) -> DataFrame:
+    """Exact row-level changes for DV SWAPS — window endpoints where a file
+    kept its path but its deletion vector ref moved. Deletes are the
+    positions dead at the new ref but not the old; inserts (rollback
+    un-deletes) the reverse. Cost is O(position-list sizes + matched rows),
+    never O(files) — the cheap CDF deletion vectors exist to enable."""
+    def ref_positions(r: str | None, paths: list[str]) -> DataFrame | None:
+        if r is None:
+            return None
+        pdf = spark.createDataFrame([(x,) for x in paths], [_DV_FILE])
+        return (
+            spark.read.parquet(_dv_ref_path(path, r))
+            .join(F.broadcast(pdf), [_DV_FILE])
+        )
+
+    # Group by the (old ref, new ref) pair: one position diff per pair
+    # covers every file that moved between those refs.
+    groups: dict[tuple, list[str]] = {}
+    for p, r_old, r_new in swaps:
+        groups.setdefault((r_old, r_new), []).append(_rel2(p))
+    del_parts: list[DataFrame] = []
+    ins_parts: list[DataFrame] = []
+    for (r_old, r_new), rels in sorted(
+        groups.items(), key=lambda kv: (kv[0][0] or "", kv[0][1] or "")
+    ):
+        dn = ref_positions(r_new, rels)
+        do = ref_positions(r_old, rels)
+        if dn is not None:
+            del_parts.append(
+                dn if do is None else dn.join(do, [_DV_FILE, _DV_POS], "left_anti")
+            )
+        if do is not None:
+            ins_parts.append(
+                do if dn is None else do.join(dn, [_DV_FILE, _DV_POS], "left_anti")
+            )
+
+    def union_all(parts: list[DataFrame]) -> DataFrame | None:
+        out = None
+        for p in parts:
+            out = p if out is None else out.unionByName(p)
+        return out
+
+    # Raw physical read of the swapped files (dv stripped: position joins
+    # select the rows, not the anti-join) under m_to's declared schema.
+    raw_entries = []
+    for p, _, _ in swaps:
+        e = dict(ent_by_id[(p, added_ref_by_path[p])])
+        e.pop("dv", None)
+        raw_entries.append(e)
+    raw = _read_entries(spark, path, m_to, raw_entries, lineage=True)
+    data_cols = [c for c in raw.columns if c not in (_SN_FILE, _SN_POS)]
+
+    def rows_at(pos: DataFrame | None, change: str) -> DataFrame | None:
+        if pos is None:
+            return None
+        keyed = pos.select(
+            F.col(_DV_FILE).alias(_SN_FILE), F.col(_DV_POS).alias(_SN_POS)
+        )
+        return (
+            raw.join(keyed, [_SN_FILE, _SN_POS])
+            .select(*data_cols)
+            .withColumn("_change_type", F.lit(change))
+        )
+
+    parts = [
+        x
+        for x in (
+            rows_at(union_all(del_parts), "delete"),
+            rows_at(union_all(ins_parts), "insert"),
+        )
+        if x is not None
+    ]
+    out = union_all(parts)
+    if out is None:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(m_to["schema"]))
+        out = spark.createDataFrame([], schema=schema).withColumn(
+            "_change_type", F.lit("")
+        )
+    return out
 
 
 def snapshot_changes(
@@ -1581,18 +1864,33 @@ def snapshot_changes(
     chain = [v for v in versions if from_version <= v <= v_to]
     chain_manifests = [_read_manifest(path, v) for v in chain]
 
-    def walk(skip_rewrites: bool) -> tuple[set[str], set[str]] | None:
-        added_set: set[str] = set()
-        removed_set: set[str] = set()
+    # File IDENTITY is (path, dv ref): a DV-delete commit keeps the path
+    # but re-points its deletion vector, and the feed must see that as
+    # remove(old identity) + add(new identity) — keyed mode then emits the
+    # dead keys as deletes via the per-key reconciliation, and keyless
+    # mode diffs the two position sets into exact row-level changes.
+    ent_by_id: dict[tuple, dict] = {}
+
+    def files_of(m: dict) -> set[tuple]:
+        out = set()
+        for e in _manifest_files(path, m):
+            i = (e["path"], (e.get("dv") or {}).get("ref"))
+            out.add(i)
+            ent_by_id[i] = e
+        return out
+
+    def walk(skip_rewrites: bool) -> tuple[set[tuple], set[tuple]] | None:
+        added_set: set[tuple] = set()
+        removed_set: set[tuple] = set()
         # Files introduced by a skipped rewrite commit carry content that
         # may duplicate files still sitting in added_set; if a later
         # data-change commit removes one, pure file algebra double-counts
         # (the round-4 keyed CDF bug) — signal the caller to re-walk
         # without skipping, where cancellation is exact.
-        skip_outputs: set[str] = set()
-        prev_files = {e["path"] for e in _manifest_files(path, chain_manifests[0])}
+        skip_outputs: set[tuple] = set()
+        prev_files = files_of(chain_manifests[0])
         for m in chain_manifests[1:]:
-            cur_files = {e["path"] for e in _manifest_files(path, m)}
+            cur_files = files_of(m)
             if skip_rewrites and not m.get("data_change", True):
                 skip_outputs |= cur_files - prev_files
                 prev_files = cur_files
@@ -1618,26 +1916,45 @@ def snapshot_changes(
     sets = walk(skip_rewrites=not key_cols)
     if sets is None:
         sets = walk(skip_rewrites=False)
-    added = sorted(sets[0])
-    removed = sorted(sets[1])
+    id_key = lambda i: (i[0], i[1] or "")  # noqa: E731 — None-safe sort
+    added = sorted(sets[0], key=id_key)
+    removed = sorted(sets[1], key=id_key)
 
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(m_to["schema"]))
 
-    def read_files(rel_paths: list[str]) -> DataFrame:
-        if not rel_paths:
+    def read_ids(ids: list[tuple]) -> DataFrame:
+        if not ids:
             return spark.createDataFrame([], schema=schema)
-        return _read_declared(
-            spark, m_to, [os.path.join(path, p) for p in rel_paths]
-        )
+        return _read_entries(spark, path, m_to, [ent_by_id[i] for i in ids])
 
-    new_rows = read_files(added)
-    old_rows = read_files(removed)
     if not key_cols:
-        return new_rows.withColumn(
-            "_change_type", F.lit("insert")
-        ).unionByName(old_rows.withColumn("_change_type", F.lit("delete")))
+        # A DV swap (same path, different ref on the two sides) is diffed
+        # POSITION-WISE into exact row-level changes: positions dead in the
+        # new ref but not the old are deletes; positions undeleted by a
+        # rollback are inserts. Carried live rows emit nothing — exactly
+        # Delta CDF's behavior for DV commits, with no key columns needed.
+        added_ref_by_path = {p: r for (p, r) in added}
+        swaps = [
+            (p, r_old, added_ref_by_path[p])
+            for (p, r_old) in removed
+            if p in added_ref_by_path
+        ]
+        swap_paths = {p for (p, _, _) in swaps}
+        ins = read_ids([i for i in added if i[0] not in swap_paths])
+        dels = read_ids([i for i in removed if i[0] not in swap_paths])
+        out = ins.withColumn("_change_type", F.lit("insert")).unionByName(
+            dels.withColumn("_change_type", F.lit("delete"))
+        )
+        if swaps:
+            out = out.unionByName(
+                _dv_swap_changes(spark, path, m_to, swaps, added_ref_by_path, ent_by_id)
+            )
+        return out
+
+    new_rows = read_ids(added)
+    old_rows = read_ids(removed)
 
     key_cols = list(key_cols)
     payload = [c for c in schema.fieldNames() if c not in key_cols]
@@ -2350,6 +2667,11 @@ def snapshot_clone(src: str, dst: str, version: int | None = None) -> int:
             e2["path"] = os.path.join(src_abs, e2["path"])
         if e2.get("bloom_ref") and not os.path.isabs(e2["bloom_ref"]):
             e2["bloom_ref"] = os.path.join(src_abs, e2["bloom_ref"])
+        if e2.get("dv") and not os.path.isabs(e2["dv"]["ref"]):
+            # Position files stay source-relative INSIDE the parquet
+            # (_dv_file matches the lineage _sn_file either way); only the
+            # ref pointer needs absolutizing.
+            e2["dv"] = dict(e2["dv"], ref=os.path.join(src_abs, e2["dv"]["ref"]))
         files.append(e2)
 
     def build(latest: dict | None, _version: int) -> dict:
@@ -2389,9 +2711,19 @@ def snapshot_vacuum(
         e["path"] for m in keep_manifests for e in _manifest_files(path, m)
     }
     live_dirs = {p.rsplit("/", 1)[0] for p in live_files}
+    # Deletion-vector position dirs referenced by retained manifests are
+    # live data — without this a vacuum (or the orphan sweep) would delete
+    # the dead-row bookkeeping out from under live files.
+    live_dirs |= {
+        e["dv"]["ref"]
+        for m in keep_manifests
+        for e in _manifest_files(path, m)
+        if e.get("dv") and not os.path.isabs(e["dv"]["ref"])
+    }
     removed = []
     for v in drop:
-        for e in _manifest_files(path, _read_manifest(path, v)):
+        dropped = _manifest_files(path, _read_manifest(path, v))
+        for e in dropped:
             if os.path.isabs(e["path"]):
                 # External ref (shallow clone): the data belongs to the
                 # source table; this table's retention must never touch it.
@@ -2408,6 +2740,16 @@ def snapshot_vacuum(
                 # merge rewrote this file but siblings in its dir are live
                 fs.delete_file(os.path.join(path, e["path"]))
                 removed.append(e["path"])
+        for e in dropped:
+            ref = (e.get("dv") or {}).get("ref")
+            if (
+                ref
+                and not os.path.isabs(ref)
+                and ref not in live_dirs
+                and fs.is_dir(os.path.join(path, ref))
+            ):
+                fs.delete_tree(os.path.join(path, ref))
+                removed.append(ref)
         fs.delete_file(os.path.join(_manifest_dir(path), f"{v}.json"))
     # Orphans from crashed writes (data dir, no surviving manifest): honor
     # the retention window — a too-eager sweep would delete a concurrent

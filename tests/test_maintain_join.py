@@ -290,3 +290,34 @@ def test_join_view_survives_compaction_then_maintains(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_join_view_tracks_dv_deletes_on_both_sources(spark, tmp_path):
+    """Deletion-vector DML on fact or dim flows through the keyed change
+    feed into the maintained join exactly like a rewrite delete: fact DV
+    deletes drop their view rows, dim DV deletes drop (inner) every fact
+    row joined to the dead key."""
+    fact, dim = str(tmp_path / "fact"), str(tmp_path / "dim")
+    S.snapshot_merge(
+        _fact_df(spark, [(1, 10, 5), (2, 20, 7), (3, 10, 9)]).withColumn(
+            "_seq", F.lit(1)
+        ),
+        fact, ["fk"], "_seq",
+    )
+    S.snapshot_merge(
+        _dim_df(spark, [(10, "ten"), (20, "twenty")]).withColumn("_seq", F.lit(1)),
+        dim, ["dk"], "_seq",
+    )
+    _maintain(spark, tmp_path, "inner")
+
+    S.snapshot_delete_where(spark, fact, "fk = 2", mode="dv")
+    _maintain(spark, tmp_path, "inner")
+    assert _view_rows(spark, str(tmp_path / "view_inner")) == _expected(
+        spark, fact, dim, "inner"
+    )
+
+    S.snapshot_delete_where(spark, dim, "dk = 10", mode="dv")
+    _maintain(spark, tmp_path, "inner")
+    got = _view_rows(spark, str(tmp_path / "view_inner"))
+    assert got == _expected(spark, fact, dim, "inner")
+    assert got == set()  # fk=2 dv-dead, and dk=10 took fk=1/fk=3 with it

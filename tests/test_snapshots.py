@@ -460,6 +460,8 @@ _ops_strategy = st.lists(
         st.tuples(st.just("rollback"), st.integers(0, 5)),
         st.tuples(st.just("compact"), st.none()),
         st.tuples(st.just("vacuum"), st.none()),
+        st.tuples(st.just("delete_dv"), st.integers(0, 6)),
+        st.tuples(st.just("purge"), st.none()),
     ),
     min_size=1,
     max_size=6,
@@ -521,6 +523,21 @@ def test_snapshot_protocol_matches_model(tmp_path_factory, ops):
             if not has_table:
                 continue
             v = S.snapshot_compact(spark, path, small_file_max_rows=1000)
+            if v is not None:
+                model_versions[v] = dict(latest)
+        elif op == "delete_dv":
+            if not has_table:
+                continue
+            v = S.snapshot_delete_where(spark, path, f"k = {arg}", mode="dv")
+            if v is not None:
+                latest = {k: sp for k, sp in latest.items() if k != arg}
+                model_versions[v] = dict(latest)
+        elif op == "purge":
+            if not has_table:
+                continue
+            v = S.snapshot_compact(
+                spark, path, small_file_max_rows=1000, purge_dvs=True
+            )
             if v is not None:
                 model_versions[v] = dict(latest)
         elif op == "vacuum":
@@ -653,6 +670,8 @@ _consumer_ops = st.lists(
             st.tuples(st.just("rename_roundtrip"), st.none()),
             st.tuples(st.just("constraint_roundtrip"), st.none()),
             st.tuples(st.just("delete_where"), st.sampled_from("abc")),
+            st.tuples(st.just("delete_dv"), st.sampled_from("abc")),
+            st.tuples(st.just("purge_dvs"), st.none()),
             st.tuples(st.just("update_where"), st.sampled_from("abc")),
             st.tuples(st.just("vacuum"), st.none()),
         ),
@@ -735,6 +754,16 @@ def _consumer_op_dispatch(S, spark, path, state):
             # address it by its CURRENT logical name.
             S.snapshot_delete_where(
                 spark, path, f"{_payload_col(S, path)} = '{arg}'"
+            )
+        elif op == "delete_dv" and state["has_table"]:
+            # deletion-vector DML: same predicate semantics, zero data
+            # files written — the feed must emit identical deletes.
+            S.snapshot_delete_where(
+                spark, path, f"{_payload_col(S, path)} = '{arg}'", mode="dv"
+            )
+        elif op == "purge_dvs" and state["has_table"]:
+            S.snapshot_compact(
+                spark, path, small_file_max_rows=1000, purge_dvs=True
             )
         elif op == "update_where" and state["has_table"]:
             S.snapshot_update_where(
