@@ -857,6 +857,89 @@ def snapshot_drop_constraint(path: str, name: str) -> int:
     return _commit(path, build, op="drop_constraint")
 
 
+def _merge_dv(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    cur: dict,
+    base_version: int,
+    key_cols: list,
+    seq_col: str,
+    delete_col: str | None,
+    manifest_extra: dict | None,
+    incoming: DataFrame,
+    candidates: list[dict],
+) -> int:
+    """DV-mode MERGE tail: existing rows beaten by their key's incoming seq
+    are marked dead by position; the batch's surviving rows land in ONE
+    fresh file. Nothing else is read back or rewritten, so the commit's
+    write volume is O(batch) regardless of how many (or how large) files
+    the matched keys live in."""
+    from pyspark.sql import Window
+
+    mapping = _mapping(cur)
+    files = _manifest_files(path, cur)
+    in_keys = incoming.select(*key_cols, F.col(seq_col).alias("_in_seq"))
+    ref, new_dead, out_files = None, {}, files
+    mx_per_key = None
+    if candidates:
+        matched = (
+            _read_entries(spark, path, cur, candidates, lineage=True)
+            .join(F.broadcast(in_keys), key_cols)
+        )
+        # Kill a key's existing rows only when the incoming row beats the
+        # key's HIGHEST stored seq (>= : incoming wins ties, so replaying
+        # an applied batch swaps identical content — a content no-op).
+        w = Window.partitionBy(*key_cols)
+        hits = (
+            matched.withColumn("_mx", F.max(seq_col).over(w))
+            .filter(F.col("_in_seq") >= F.col("_mx"))
+            .select(F.col(_SN_FILE).alias(_DV_FILE), F.col(_SN_POS).alias(_DV_POS))
+        )
+        ref, new_dead, out_files = _dv_land_positions(spark, path, cur, hits)
+        mx_per_key = matched.groupBy(*key_cols).agg(F.max(seq_col).alias("_mx"))
+    winners = incoming
+    if mx_per_key is not None:
+        winners = (
+            incoming.join(mx_per_key, key_cols, "left")
+            .filter(F.col("_mx").isNull() | (F.col(seq_col) >= F.col("_mx")))
+            .drop("_mx")
+        )
+    if delete_col is not None:
+        winners = winners.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    rel, full_dir = _new_data_dir(path)
+    _to_physical_df(winners, mapping).write.mode("error").parquet(full_dir)
+    new_files, n_new = _scan_file_entries(
+        spark, full_dir, rel,
+        [_phys(mapping, c) for c in key_cols],
+        _bloom_cols_in_use(path, cur),
+    )
+    out_files = out_files + new_files
+    n_killed = sum(new_dead.values())
+
+    def build(latest: dict | None, version: int) -> dict:
+        if latest is None or latest["version"] != base_version:
+            raise ConcurrentSnapshotError(
+                f"{path}: version moved {base_version} -> "
+                f"{latest['version'] if latest else None} during merge_dv; "
+                "recompute the merge against the new state"
+            )
+        out = {
+            "data_dirs": _dirs_of(out_files),
+            "files": out_files,
+            "n_rows": cur["n_rows"] - n_killed + n_new,
+            "schema": cur["schema"],
+            **(manifest_extra or {}),
+        }
+        if mapping:
+            out["column_mapping"] = mapping
+        return out
+
+    return _commit(path, build, op="merge_dv")
+
+
 def snapshot_merge(
     df: DataFrame,
     path: str,
@@ -864,12 +947,25 @@ def snapshot_merge(
     seq_col: str,
     delete_col: str | None = None,
     manifest_extra: dict | None = None,
+    mode: str = "rewrite",
 ) -> int:
     """Keyed MERGE (upsert) as a new snapshot version, rewriting ONLY the
     files that contain a matched key — Delta-MERGE semantics on the plain-
     parquet protocol, and the scale-safe replacement for whole-table
     copy-on-write (reference parity: the stream-materialized keyed table the
     append-only S7 sink cannot express).
+
+    ``mode="dv"`` goes one step further: matched-and-beaten existing rows
+    are marked dead by position (deletion vector) and ONLY the batch's
+    surviving rows land in a fresh file — write cost O(batch), not
+    O(touched files). A 1000-row micro-batch against a table of 1 GB files
+    writes one small file plus a position list, which is what makes
+    per-micro-batch MERGE commits sustainable at 100 TB (compaction with
+    ``purge_dvs=True`` is the companion op). Same winner rule; one
+    documented divergence: when the incoming row LOSES its seq race, dv
+    mode leaves pre-existing duplicate keys uncollapsed (on merge-
+    maintained tables keys are unique per version, so semantics are
+    identical).
 
     Per key, the surviving row is the one with the highest ``seq_col``;
     on a seq tie the INCOMING row wins, which makes replaying an
@@ -894,6 +990,8 @@ def snapshot_merge(
     ``ConcurrentSnapshotError`` (the rewrite plan would be stale).
     """
     key_cols = list(key_cols)
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"snapshot_merge: unknown mode {mode!r}")
     spark = df.sparkSession
     if not snapshot_versions(path):
         # First version: dedup the batch per key, drop tombstones, write.
@@ -949,6 +1047,11 @@ def snapshot_merge(
             for c in key_cols
         )
     ]
+    if mode == "dv":
+        return _merge_dv(
+            spark, df, path, cur, base_version, key_cols, seq_col,
+            delete_col, manifest_extra, incoming, candidates,
+        )
     # --- prune stage 2: exact key membership over candidates only --------
     # DV-aware: a key living only in a file's DEAD positions must not drag
     # the file into the rewrite set (or worse, resurrect on read).
@@ -1169,22 +1272,18 @@ def snapshot_delete_where(
     )
 
 
-def _delete_where_dv(
-    spark: SparkSession, path: str, cur: dict, base_version: int, predicate: str
-) -> int | None:
-    """DV-mode DELETE tail: record matched LIVE rows' (file, position)
-    pairs in a new cumulative positions parquet and re-point the touched
-    entries at it. Refs are cumulative per file — the new ref unions each
-    touched file's prior dead positions, so a file always carries exactly
-    one ref and readers apply one anti-join. Prior refs stay on disk for
-    time travel (vacuum reclaims them with their manifests)."""
+def _dv_land_positions(
+    spark: SparkSession, path: str, cur: dict, hits: DataFrame
+) -> tuple[str | None, dict, list[dict]]:
+    """Shared DV-DML tail: land ``hits`` — (_dv_file, _dv_pos) of LIVE rows
+    being killed — in a new cumulative positions parquet and re-point the
+    touched entries at it. Refs are cumulative per file (the new ref
+    unions each touched file's prior dead positions), so a file always
+    carries exactly one ref and readers apply one anti-join. Prior refs
+    stay on disk for time travel (vacuum reclaims them with their
+    manifests). Returns ``(ref_rel, per_file_new_dead, out_files)``;
+    ``ref_rel`` is None when nothing matched (no orphan dir left)."""
     files = _manifest_files(path, cur)
-    if not files:
-        return None
-    live = _read_entries(spark, path, cur, files, lineage=True)
-    hits = live.filter(F.expr(predicate)).select(
-        F.col(_SN_FILE).alias(_DV_FILE), F.col(_SN_POS).alias(_DV_POS)
-    )
     # ONE table scan: land the new positions first, then read the (tiny)
     # result back for per-file counts and the cumulative carry.
     rel, full_dir = _new_data_dir(path)
@@ -1197,8 +1296,8 @@ def _delete_where_dv(
         .collect()
     }
     if not new_dead:
-        _fs().delete_tree(full_dir)  # no-op delete leaves no orphan dir
-        return None
+        _fs().delete_tree(full_dir)  # no-op DML leaves no orphan dir
+        return None, {}, files
     touched = [e for e in files if _rel2(e["path"]) in new_dead]
     prior_refs = sorted({e["dv"]["ref"] for e in touched if e.get("dv")})
     if prior_refs:
@@ -1210,8 +1309,6 @@ def _delete_where_dv(
             .write.mode("append")
             .parquet(full_dir)
         )
-    n_deleted = sum(new_dead.values())
-
     out_files = []
     for e in files:
         rid = _rel2(e["path"])
@@ -1226,6 +1323,24 @@ def _delete_where_dv(
             "n": (e.get("dv") or {}).get("n", 0) + new_dead[rid],
         }
         out_files.append(e2)
+    return rel, new_dead, out_files
+
+
+def _delete_where_dv(
+    spark: SparkSession, path: str, cur: dict, base_version: int, predicate: str
+) -> int | None:
+    """DV-mode DELETE tail: mark matched live rows dead; write no data."""
+    files = _manifest_files(path, cur)
+    if not files:
+        return None
+    live = _read_entries(spark, path, cur, files, lineage=True)
+    hits = live.filter(F.expr(predicate)).select(
+        F.col(_SN_FILE).alias(_DV_FILE), F.col(_SN_POS).alias(_DV_POS)
+    )
+    ref, new_dead, out_files = _dv_land_positions(spark, path, cur, hits)
+    if ref is None:
+        return None
+    n_deleted = sum(new_dead.values())
 
     def build(latest: dict | None, version: int) -> dict:
         if latest is None or latest["version"] != base_version:
@@ -1247,18 +1362,102 @@ def _delete_where_dv(
     return _commit(path, build, op="delete_dv")
 
 
+def _update_where_dv(
+    spark: SparkSession,
+    path: str,
+    cur: dict,
+    base_version: int,
+    predicate: str,
+    assignments: dict,
+    types: dict,
+    field_names: list[str],
+) -> int | None:
+    """DV-mode UPDATE tail (Delta DV-update parity): the matched rows'
+    OLD images are marked dead by position and their UPDATED images land
+    in a fresh data file — untouched rows in touched files are never
+    rewritten, so the write cost is O(matched rows), not O(touched
+    files). The keyed change feed sees exactly update_preimage/postimage
+    (dead positions on the old side, the new file on the new side);
+    keyless sees delete(old image) + insert(new image) with no carried
+    noise — tighter than the rewrite path's whole-file swap."""
+    files = _manifest_files(path, cur)
+    if not files:
+        return None
+    mapping = _mapping(cur)
+    live = _read_entries(spark, path, cur, files, lineage=True)
+    matched = live.filter(F.coalesce(F.expr(predicate), F.lit(False)))
+    hits = matched.select(
+        F.col(_SN_FILE).alias(_DV_FILE), F.col(_SN_POS).alias(_DV_POS)
+    )
+    ref, new_dead, out_files = _dv_land_positions(spark, path, cur, hits)
+    if ref is None:
+        return None
+    # Updated images: every assignment RHS evaluates against the
+    # PRE-update row (the matched live image), cast back to the declared
+    # type; constraints validate what will actually be stored.
+    image = matched.select(
+        *[
+            (
+                F.expr(assignments[c]).cast(types[c]).alias(c)
+                if c in assignments
+                else F.col(c)
+            )
+            for c in field_names
+        ]
+    )
+    _enforce_constraints(image, path, "update_dv")
+    img_rel, img_dir = _new_data_dir(path)
+    _to_physical_df(image, mapping).write.mode("error").parquet(img_dir)
+    new_files, n_new = _scan_file_entries(
+        spark, img_dir, img_rel, _stats_cols_in_use(cur), _bloom_cols_in_use(path, cur)
+    )
+    if n_new != sum(new_dead.values()):
+        raise RuntimeError(
+            f"dv-update image drift at {path}: marked {sum(new_dead.values())} "
+            f"dead but wrote {n_new} updated rows"
+        )
+    out_files = out_files + new_files
+
+    def build(latest: dict | None, version: int) -> dict:
+        if latest is None or latest["version"] != base_version:
+            raise ConcurrentSnapshotError(
+                f"{path}: version moved {base_version} -> "
+                f"{latest['version'] if latest else None} during update_dv; "
+                "recompute against the new state"
+            )
+        out = {
+            "data_dirs": _dirs_of(out_files),
+            "files": out_files,
+            "n_rows": cur["n_rows"],  # dead added == images added
+            "schema": cur["schema"],
+        }
+        if mapping:
+            out["column_mapping"] = mapping
+        return out
+
+    return _commit(path, build, op="update_dv")
+
+
 def snapshot_update_where(
-    spark: SparkSession, path: str, predicate: str, assignments: dict
+    spark: SparkSession, path: str, predicate: str, assignments: dict,
+    mode: str = "rewrite",
 ) -> int | None:
     """Predicate UPDATE, Delta ``UPDATE t SET ... WHERE ...`` parity:
-    rewrites only the files holding a matching row; each assignment is a
-    SQL expression over the row's columns, cast back to the column's
-    declared type so the schema is bit-stable. Updated rows are validated
-    against the table's CHECK constraints (an UPDATE cannot smuggle a
-    violation past write-path enforcement). Returns the new version or
-    None when nothing matched."""
+    each assignment is a SQL expression over the PRE-update row's columns,
+    cast back to the column's declared type so the schema is bit-stable.
+    Updated rows are validated against the table's CHECK constraints (an
+    UPDATE cannot smuggle a violation past write-path enforcement).
+    Returns the new version or None when nothing matched.
+
+    ``mode="rewrite"`` rewrites only the files holding a matching row.
+    ``mode="dv"`` marks the matched rows' old images dead by position and
+    writes ONLY the updated images to a fresh file — write cost O(matched
+    rows) instead of O(touched files); updating 100 rows spread across a
+    hundred 1 GB files writes one tiny file plus a position list."""
     from pyspark.sql.types import StructType
 
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"snapshot_update_where: unknown mode {mode!r}")
     if not assignments:
         raise ValueError("snapshot_update_where: no assignments given")
     versions = snapshot_versions(path)
@@ -1271,6 +1470,11 @@ def snapshot_update_where(
     unknown = sorted(set(assignments) - set(types))
     if unknown:
         raise ValueError(f"snapshot_update_where: unknown column(s) {unknown}")
+    if mode == "dv":
+        return _update_where_dv(
+            spark, path, cur, base_version, predicate, assignments, types,
+            schema.fieldNames(),
+        )
     touched, untouched = _predicate_file_split(spark, path, cur, predicate)
     if not touched:
         return None

@@ -303,3 +303,140 @@ def test_dv_unknown_mode_raises(spark, tmp_path):
     S.snapshot_write(_base(spark), t)
     with pytest.raises(ValueError, match="unknown mode"):
         S.snapshot_delete_where(spark, t, "grp = 1", mode="bitmap")
+
+
+def test_dv_update_writes_only_images(spark, tmp_path):
+    t = _t(tmp_path)
+    S.snapshot_write(_base(spark), t, stats_cols=["id"])
+    before_paths = {e["path"] for e in S._latest_manifest(t)["files"]}
+    v2 = S.snapshot_update_where(
+        spark, t, "grp = 3", {"val": "val + 1000000"}, mode="dv"
+    )
+    m = S._latest_manifest(t)
+    # old entries all carried; exactly the image file(s) added
+    assert before_paths <= {e["path"] for e in m["files"]}
+    assert m["n_rows"] == 100
+    got = S.snapshot_read(spark, t)
+    assert got.count() == 100
+    assert got.filter("grp = 3 AND val < 1000000").count() == 0
+    assert got.filter("grp = 3").count() == 10
+    assert v2 == 2
+
+
+def test_dv_update_preimage_semantics_and_constraints(spark, tmp_path):
+    t = _t(tmp_path)
+    df = spark.createDataFrame(
+        [(1, 10, 20), (2, 30, 40)], "id long, a long, b long"
+    )
+    S.snapshot_write(df, t)
+    # column swap: both RHS evaluate on the pre-update row
+    S.snapshot_update_where(spark, t, "id = 1", {"a": "b", "b": "a"}, mode="dv")
+    r = S.snapshot_read(spark, t).filter("id = 1").first()
+    assert (r.a, r.b) == (20, 10)
+    # an assignment that falsifies its own predicate still can't smuggle a
+    # CHECK violation past enforcement
+    S.snapshot_add_constraint(spark, t, "a_pos", "a >= 0")
+    with pytest.raises(S.ConstraintViolationError):
+        S.snapshot_update_where(spark, t, "a = 20", {"a": "-5"}, mode="dv")
+    assert S.snapshot_read(spark, t).filter("a = -5").count() == 0
+
+
+def test_dv_update_cdf_keyed_and_keyless(spark, tmp_path):
+    t = _t(tmp_path)
+    df = spark.createDataFrame(
+        [(i, i % 10, i * 2, 1) for i in range(100)],
+        "id long, grp long, val long, _seq long",
+    ).repartition(4)
+    S.snapshot_merge(df, t, ["id"], "_seq")
+    v1 = S.snapshot_versions(t)[-1]
+    v2 = S.snapshot_update_where(spark, t, "grp = 3", {"val": "val + 1"}, mode="dv")
+    keyed = S.snapshot_changes(spark, t, v1, v2, key_cols=["id"])
+    by = {r["_change_type"]: r["count"] for r in keyed.groupBy("_change_type").count().collect()}
+    assert by == {"update_preimage": 10, "update_postimage": 10}
+    keyless = S.snapshot_changes(spark, t, v1, v2)
+    by2 = {r["_change_type"]: r["count"] for r in keyless.groupBy("_change_type").count().collect()}
+    assert by2 == {"delete": 10, "insert": 10}
+    # the keyless delete side carries the OLD images, insert side the NEW
+    dels = {r.val for r in keyless.filter("_change_type = 'delete'").collect()}
+    ins = {r.val for r in keyless.filter("_change_type = 'insert'").collect()}
+    assert ins == {v + 1 for v in dels}
+
+
+def test_dv_update_then_delete_then_purge(spark, tmp_path):
+    t = _t(tmp_path)
+    S.snapshot_write(_base(spark), t)
+    S.snapshot_update_where(spark, t, "grp = 3", {"val": "-1"}, mode="dv")
+    S.snapshot_delete_where(spark, t, "grp = 5", mode="dv")
+    want = _rows(spark, t)
+    assert len(want) == 90 and sum(1 for _, g, v in want if g == 3 and v == -1) == 10
+    S.snapshot_compact(spark, t, purge_dvs=True)
+    assert _rows(spark, t) == want
+    assert not any(e.get("dv") for e in S._latest_manifest(t)["files"])
+
+
+def test_dv_merge_upsert_tombstone_and_replay(spark, tmp_path):
+    t = _t(tmp_path)
+    df = spark.createDataFrame(
+        [(i, i % 10, i * 2, 1) for i in range(100)],
+        "id long, grp long, val long, _seq long",
+    ).repartition(4)
+    S.snapshot_merge(df, t, ["id"], "_seq")
+    v1 = S.snapshot_versions(t)[-1]
+    files1 = {e["path"] for e in S._latest_manifest(t)["files"]}
+    batch = spark.createDataFrame(
+        [(4, 4, 999, 2, False), (13, 3, 888, 2, False), (200, 0, 1, 2, False),
+         (7, 7, 0, 2, True)],
+        "id long, grp long, val long, _seq long, _del boolean",
+    )
+    v2 = S.snapshot_merge(batch, t, ["id"], "_seq", delete_col="_del", mode="dv")
+    m = S._latest_manifest(t)
+    # O(batch) write: every pre-existing file carried by path
+    assert files1 <= {e["path"] for e in m["files"]}
+    got = S.snapshot_read(spark, t)
+    assert got.count() == 100  # +1 insert, -1 tombstone
+    assert m["n_rows"] == 100
+    assert {r.val for r in got.filter("id in (4, 13)").collect()} == {999, 888}
+    assert got.filter("id = 7").count() == 0
+    assert got.filter("id = 200").count() == 1
+    # losing batch: content unchanged
+    S.snapshot_merge(
+        spark.createDataFrame(
+            [(4, 4, -1, 1, False)],
+            "id long, grp long, val long, _seq long, _del boolean",
+        ),
+        t, ["id"], "_seq", delete_col="_del", mode="dv",
+    )
+    assert S.snapshot_read(spark, t).filter("id = 4").first().val == 999
+    # replay: content no-op, keyed feed empty across the replay commit
+    v3 = S.snapshot_versions(t)[-1]
+    v4 = S.snapshot_merge(batch, t, ["id"], "_seq", delete_col="_del", mode="dv")
+    assert S.snapshot_read(spark, t).count() == 100
+    assert S.snapshot_changes(spark, t, v3, v4, key_cols=["id"]).count() == 0
+    # keyed CDF over the original dv merge
+    ch = S.snapshot_changes(spark, t, v1, v2, key_cols=["id"])
+    by = {
+        r["_change_type"]: r["count"]
+        for r in ch.groupBy("_change_type").count().collect()
+    }
+    assert by == {
+        "insert": 1, "delete": 1, "update_preimage": 2, "update_postimage": 2
+    }
+
+
+def test_dv_merge_equals_rewrite_merge_content(spark, tmp_path):
+    """Same batches through mode=dv and mode=rewrite produce identical
+    table content at every step (unique-key tables)."""
+    a, b = _t(tmp_path, "a"), _t(tmp_path, "b")
+    batches = [
+        [(i, i % 5, i, 1) for i in range(40)],
+        [(3, 3, 100, 2), (41, 1, 41, 2)],
+        [(3, 3, 50, 1), (7, 2, 700, 3)],   # losing + winning mix
+        [(41, 1, -41, 2)],                  # tie: incoming wins
+    ]
+    for rows in batches:
+        df = spark.createDataFrame(rows, "id long, grp long, val long, _seq long")
+        S.snapshot_merge(df, a, ["id"], "_seq", mode="dv")
+        S.snapshot_merge(df, b, ["id"], "_seq")
+        ga = {(r.id, r.grp, r.val, r._seq) for r in S.snapshot_read(spark, a).collect()}
+        gb = {(r.id, r.grp, r.val, r._seq) for r in S.snapshot_read(spark, b).collect()}
+        assert ga == gb

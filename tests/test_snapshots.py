@@ -457,6 +457,7 @@ _ops_strategy = st.lists(
     st.one_of(
         st.tuples(st.just("write"), _rows_strategy),
         st.tuples(st.just("merge"), _rows_strategy),
+        st.tuples(st.just("merge_dv"), _rows_strategy),
         st.tuples(st.just("rollback"), st.integers(0, 5)),
         st.tuples(st.just("compact"), st.none()),
         st.tuples(st.just("vacuum"), st.none()),
@@ -500,8 +501,11 @@ def test_snapshot_protocol_matches_model(tmp_path_factory, ops):
             latest = dict(arg)
             model_versions[v] = dict(arg)
             has_table = True
-        elif op == "merge":
-            v = S.snapshot_merge(df_of(arg), path, key_cols=["k"], seq_col="seq")
+        elif op in ("merge", "merge_dv"):
+            v = S.snapshot_merge(
+                df_of(arg), path, key_cols=["k"], seq_col="seq",
+                mode="dv" if op == "merge_dv" else "rewrite",
+            )
             new = dict(latest)
             for k, (s, p) in arg.items():
                 if k not in new or s >= new[k][0]:
@@ -663,6 +667,7 @@ _consumer_ops = st.lists(
         st.one_of(
             st.tuples(st.just("write"), _rows_strategy),
             st.tuples(st.just("merge"), _rows_strategy),
+            st.tuples(st.just("merge_dv"), _rows_strategy),
             st.tuples(st.just("append"), _rows_strategy),
             st.tuples(st.just("compact"), st.none()),
             st.tuples(st.just("zorder"), st.none()),
@@ -673,6 +678,7 @@ _consumer_ops = st.lists(
             st.tuples(st.just("delete_dv"), st.sampled_from("abc")),
             st.tuples(st.just("purge_dvs"), st.none()),
             st.tuples(st.just("update_where"), st.sampled_from("abc")),
+            st.tuples(st.just("update_dv"), st.sampled_from("abc")),
             st.tuples(st.just("vacuum"), st.none()),
         ),
         st.booleans(),  # does the consumer run after this producer op?
@@ -710,6 +716,11 @@ def _consumer_op_dispatch(S, spark, path, state):
             state["has_table"] = True
         elif op == "merge":
             S.snapshot_merge(df_of(arg), path, key_cols=["k"], seq_col="seq")
+            state["has_table"] = True
+        elif op == "merge_dv":
+            S.snapshot_merge(
+                df_of(arg), path, key_cols=["k"], seq_col="seq", mode="dv"
+            )
             state["has_table"] = True
         elif op == "append":
             if not state["has_table"]:
@@ -768,6 +779,14 @@ def _consumer_op_dispatch(S, spark, path, state):
         elif op == "update_where" and state["has_table"]:
             S.snapshot_update_where(
                 spark, path, f"{_payload_col(S, path)} = '{arg}'", {"seq": "seq + 7"}
+            )
+        elif op == "update_dv" and state["has_table"]:
+            # DV UPDATE: old images marked dead, new images in a fresh
+            # file — the feed must emit the same pre/post pairs as the
+            # rewrite path.
+            S.snapshot_update_where(
+                spark, path, f"{_payload_col(S, path)} = '{arg}'",
+                {"seq": "seq + 7"}, mode="dv",
             )
         elif op == "constraint_roundtrip" and state["has_table"]:
             # ADD + DROP CONSTRAINT are metadata-only (data_change=false)
