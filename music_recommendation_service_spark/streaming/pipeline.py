@@ -427,6 +427,7 @@ def foreach_batch_merge(
     available_now: bool = True,
     max_merge_retries: int = 5,
     output_mode: str = "append",
+    merge_mode: str = "rewrite",
 ) -> StreamingQuery:
     """Keyed stream materialization through the snapshot protocol's MERGE —
     the scale path of :func:`foreach_batch_upsert`. Each micro-batch becomes
@@ -447,6 +448,13 @@ def foreach_batch_merge(
     ``max_merge_retries`` stale attempts the batch fails — by then the table
     is under sustained multi-writer contention and crash-looping the stream
     is better signal than spinning.
+
+    ``merge_mode="dv"`` lands each micro-batch with deletion-vector MERGE
+    (beaten rows die by position, only the batch's survivors hit disk):
+    per-batch write cost becomes O(batch) at ANY table file size — the
+    sustainable shape for high-frequency streaming upserts against a
+    100 TB silver table, with ``snapshot_compact(purge_dvs=True)`` as the
+    scheduled companion.
     """
     from music_recommendation_service_spark.sources import snapshots
 
@@ -454,7 +462,8 @@ def foreach_batch_merge(
         for attempt in range(max_merge_retries):
             try:
                 snapshots.snapshot_merge(
-                    batch, path, key_cols=key_cols, seq_col=seq_col
+                    batch, path, key_cols=key_cols, seq_col=seq_col,
+                    mode=merge_mode,
                 )
                 return
             except snapshots.ConcurrentSnapshotError:

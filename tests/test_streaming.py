@@ -607,10 +607,14 @@ def test_foreach_batch_upsert_out_of_order_seq(spark, tmp_path):
     assert got == {1: 100, 2: 60}
 
 
-def test_foreach_batch_merge_snapshot_sink(spark, event_batches, tmp_path):
+@pytest.mark.parametrize("merge_mode", ["rewrite", "dv"])
+def test_foreach_batch_merge_snapshot_sink(
+    spark, event_batches, tmp_path, merge_mode
+):
     """The scale-path keyed sink: each micro-batch becomes one snapshot-MERGE
     version; the final table matches the batch highest-seq-per-key oracle and
-    an incremental second run only merges the new arrivals."""
+    an incremental second run only merges the new arrivals. Runs in both
+    merge modes — deletion-vector landing must produce the identical table."""
     from music_recommendation_service_spark.sources.snapshots import (
         snapshot_read,
         snapshot_versions,
@@ -625,14 +629,16 @@ def test_foreach_batch_merge_snapshot_sink(spark, event_batches, tmp_path):
     _land(*batches[0])
     stream = stream_from_directory(spark, str(in_dir), EVENT_SCHEMA)
     foreach_batch_merge(
-        stream, out, cp, key_cols=("user_id",), seq_col="event_id"
+        stream, out, cp, key_cols=("user_id",), seq_col="event_id",
+        merge_mode=merge_mode,
     ).awaitTermination(120)
     v_after_first = snapshot_versions(out)[-1]
 
     _land(*batches[1])
     stream = stream_from_directory(spark, str(in_dir), EVENT_SCHEMA)
     foreach_batch_merge(
-        stream, out, cp, key_cols=("user_id",), seq_col="event_id"
+        stream, out, cp, key_cols=("user_id",), seq_col="event_id",
+        merge_mode=merge_mode,
     ).awaitTermination(120)
     assert snapshot_versions(out)[-1] > v_after_first
 
