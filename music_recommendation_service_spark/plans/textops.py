@@ -341,3 +341,47 @@ def _register_q112():
 
 
 _register_q112()
+
+
+# ---------------------------------------------------------------------------
+# q132 — EXACT token heavy hitters with sketch-bounded state (freq > n/k,
+# k=50): pass 1 folds each partition through a k-counter Misra-Gries
+# summary (union of survivors is a guaranteed SUPERSET of the true heavy
+# hitters — pigeonhole over partitions), pass 2 exact-counts the candidates
+# only behind a broadcast semi-join. Shuffle volume O(partitions x k)
+# instead of O(vocab); output exact, so the plain-SQL oracle pins it
+# value-for-value. See operators/heavyhitters.py for the guarantee.
+# ---------------------------------------------------------------------------
+_HH_K = 50
+
+
+def _q132_build(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from music_recommendation_service_spark.operators.heavyhitters import (
+        heavy_hitters,
+    )
+    from music_recommendation_service_spark.sources.catalog import load_table
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("item"))
+    )
+    return heavy_hitters(toks, "item", _HH_K).orderBy("item")
+
+
+register(
+    "q132_token_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+    SELECT item, CAST(count(*) AS BIGINT) AS freq
+    FROM tok, tot
+    GROUP BY item, n
+    HAVING count(*) * {_HH_K} > n
+    ORDER BY item
+    """,
+    doc=f"Exact 1/{_HH_K} token heavy hitters via per-partition Misra-Gries "
+    "candidates + broadcast exact verification (O(parts*k) shuffle).",
+    tags=("text", "sketch", "heavy-hitters", "llm-pipeline"),
+)(_q132_build)

@@ -170,6 +170,11 @@ _PYTHON_OK = frozenset({
     "q35_media_features",
     "q36_frame_sample",
     "q86_image_resize",
+    # Misra-Gries candidate pass: a bounded-state sketch is inherently
+    # imperative; it runs as ONE Arrow-batched mapInPandas whose output is
+    # <= k+1 rows per partition, and the exact verification pass is pure
+    # JVM (broadcast semi-join + hash agg).
+    "q132_token_heavy_hitters",
 })
 
 
