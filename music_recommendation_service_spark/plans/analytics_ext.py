@@ -1334,3 +1334,66 @@ def q130_demand_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q133 — classical seasonal decomposition of the daily event series:
+# trend = centered 7-day moving average (full windows only — edge days get
+# NULL, the standard convention), seasonal = day-of-week mean of the
+# detrended series, residual = observed - trend - seasonal. The moving-
+# average decomposition is the additive core of STL without the loess
+# robustness loop — exactly SQL-expressible, so the oracle pins it.
+#
+# Scale design: ONE shuffle to O(days) daily counts; the 7-row window and
+# the O(7)-row seasonal table are metadata-sized from there (the window
+# over the daily relation is a single global sort of |days| rows — at ten
+# years of data that is 3,653 rows, not a scale term). Day-of-week is
+# computed as days-since-epoch-Monday mod 7: identical integer arithmetic
+# in both engines (Spark dayofweek() and DuckDB dayofweek() disagree on
+# numbering, so neither is used).
+# ---------------------------------------------------------------------------
+def _q133_sql(duck: bool) -> str:
+    dow = (
+        "(day - DATE '1970-01-05') % 7"
+        if duck
+        else "datediff(day, DATE '1970-01-05') % 7"
+    )
+    return f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    trended AS (
+        -- CAST, not n * 1.0: Spark parses the literal as DECIMAL and
+        -- avg(DECIMAL) keeps decimal arithmetic (scale+4 truncation);
+        -- avg(DOUBLE) is IEEE in both engines.
+        SELECT day, n,
+               CASE WHEN count(*) OVER w = 7
+                    THEN avg(CAST(n AS DOUBLE)) OVER w END AS trend
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    seasonal AS (
+        SELECT {dow} AS dow, avg(n - trend) AS s
+        FROM trended WHERE trend IS NOT NULL GROUP BY 1
+    )
+    SELECT t.day, t.n,
+           {rnd_sql("t.trend", 6)} AS trend,
+           {rnd_sql("s.s", 6)} AS seasonal,
+           {rnd_sql("t.n - t.trend - s.s", 6)} AS resid
+    FROM trended t
+    JOIN seasonal s ON {dow.replace("day", "t.day")} = s.dow
+    """
+
+
+@register(
+    "q133_seasonal_decompose",
+    oracle=_q133_sql(duck=True),
+    doc="Additive seasonal decomposition of daily event volume: centered "
+    "7-day moving-average trend (full windows only), day-of-week seasonal "
+    "means of the detrended series, residuals.",
+    tags=("timeseries", "decomposition", "analytics"),
+)
+def q133_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_q133_sql(duck=False))
