@@ -66,3 +66,53 @@ def test_ann_lsh_candidate_share_bounded(spark, sf_dir):
     share = n_cand / (n_q * (corpus - 1))
     assert share <= 0.35, f"LSH candidate share blew up: {share:.3f}"
     assert share >= 0.01, f"LSH candidate set suspiciously empty: {share:.3f}"
+
+
+def test_ann_pq_recall_and_share(spark):
+    """q134 (product quantization): ADC top-candidates + exact re-rank must
+    retrieve real L2 neighbors. Measured on the fixed sf0.01 corpus:
+    recall@10 = 0.44 at a 10% exact-read share — PQ trades recall for the
+    smallest exact-read share of the three ANN legs plus a 64x-compressed
+    ADC scan (codes, not embeddings). Pinned at sf0.01 because at sf0.001
+    the candidate budget covers the whole corpus and recall is trivially
+    1.0. The baseline is exact L2 (PQ approximates L2, not cosine — q31's
+    cosine top-k is a different relation on unnormalized vectors)."""
+    import duckdb
+
+    from music_recommendation_service_spark.plans import registry
+    from music_recommendation_service_spark.plans.similarity import (
+        _PQ_CAND,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {}
+    for r in registry()["q134_ann_pq"].build(spark, sf_dir).collect():
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    exact = con.sql("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT q.vec_id AS qid, x.vec_id AS vid
+        FROM e q JOIN e x ON q.vec_id % 100 = 0 AND x.vec_id <> q.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_dot_product(q.v, q.v) - 2 * list_dot_product(q.v, x.v)
+                     + list_dot_product(x.v, x.v), x.vec_id
+        ) <= 10
+    """).fetchall()
+    want = {}
+    for qid, vid in exact:
+        want.setdefault(qid, set()).add(vid)
+
+    hits = total = 0
+    for q, w in want.items():
+        hits += len(got.get(q, set()) & w)
+        total += len(w)
+    recall = hits / total
+    assert recall >= 0.35, f"PQ recall@10 collapsed: {recall}"
+    # the exact-read share is the candidate budget, by construction
+    corpus = con.sql("SELECT count(*) FROM embeddings").fetchone()[0]
+    assert _PQ_CAND / (corpus - 1) <= 0.15

@@ -146,6 +146,7 @@ _CROSS_OK = frozenset({
     "q102_semantic_dedup",         # centroid table x corpus (IVF assign)
     "q108_kmeans_refine",          # centroid table x corpus (both passes)
     "q110_corpus_drift",           # 1-row token-total broadcast
+    "q134_ann_pq",                 # K=8 codebooks + query slice broadcasts (ADC)
     "q113_histogram_quantiles",    # 3-row quantile spec x O(groups*bins) counts
     "q115_rec_quality_metrics",    # embeds q05's declared pattern + 1-row ILS broadcast
     "q123_basket_rules",           # 1-row basket-count broadcast
