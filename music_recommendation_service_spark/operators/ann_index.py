@@ -151,3 +151,193 @@ def ann_query(
             F.col("_rnk").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization as build / encode / query operators — the engine
+# path of the q134 catalog query (plans/similarity.py), same arithmetic,
+# pinned bit-for-bit by tests/test_ann_index.py. See q134's header for the
+# scale rationale (ADC reads M code ids per vector — a 64x scan-size
+# compression here — and raw embeddings only for the re-rank candidates).
+# ---------------------------------------------------------------------------
+@dataclass
+class PQIndex:
+    codebooks: DataFrame  # (sub, cid, c: array<double>) — per-subspace
+    codes: DataFrame      # (id, code_0..code_{m-1})
+    m: int
+    sub_dim: int
+    id_col: str
+    vec_col: str
+
+
+def _sql2(a, b):
+    """Squared L2 via three dots — the q134 oracle's exact formulation,
+    kept identical so float rounding can't fork the tie-breaks."""
+    return _dot(a, a) - F.lit(2.0) * _dot(a, b) + _dot(b, b)
+
+
+def _pq_subspaces(df: DataFrame, id_col: str, vec_col: str, m: int, sub: int):
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col).alias("_id"),
+        *[F.slice(v, s * sub + 1, sub).alias(f"_sv{s}") for s in range(m)],
+    )
+
+
+def build_pq_index(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> PQIndex:
+    """Fit per-subspace codebooks (md5-ordered seed subvectors + ONE Lloyd
+    step on squared L2, empty cells keep their seed) and encode the corpus
+    to ``m`` code ids per vector."""
+    from pyspark.sql import Window
+
+    spark = vectors.sparkSession
+    dim = len(vectors.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    sv = _pq_subspaces(vectors, id_col, vec_col, m, sub)
+    seed_w = Window.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+    seeds = (
+        sv.withColumn("_srn", F.row_number().over(seed_w))
+        .filter(F.col("_srn") <= k)
+    )
+
+    def argmin(points: DataFrame, cents: DataFrame, s: int) -> DataFrame:
+        w = Window.partitionBy("_id").orderBy(
+            _sql2(F.col(f"_sv{s}"), F.col("_c")).asc(), F.col("_cid").asc()
+        )
+        return (
+            points.select("_id", f"_sv{s}")
+            .crossJoin(F.broadcast(cents.select("_cid", "_c")))
+            .withColumn("_rnk", F.row_number().over(w))
+            .filter(F.col("_rnk") == 1)
+            .select("_id", "_cid", f"_sv{s}")
+        )
+
+    books = []
+    code_maps = []
+    for s in range(m):
+        cent0 = seeds.select(
+            F.col("_srn").alias("_cid"), F.col(f"_sv{s}").alias("_c")
+        )
+        asg = argmin(sv, cent0, s)
+        means = (
+            asg.select("_cid", F.posexplode(f"_sv{s}").alias("_dim", "_val"))
+            .groupBy("_cid", "_dim")
+            .agg(F.avg("_val").alias("_avg"))
+            .groupBy("_cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_dim", "_avg"))),
+                    lambda st: st["_avg"],
+                ).alias("_mc")
+            )
+        )
+        cent = (
+            cent0.join(means, "_cid", "left")
+            .select("_cid", F.coalesce("_mc", "_c").alias("_c"))
+        )
+        books.append(
+            cent.select(F.lit(s).alias("sub"), F.col("_cid").alias("cid"),
+                        F.col("_c").alias("c"))
+        )
+        code_maps.append(
+            argmin(sv, cent, s).select(
+                "_id", F.col("_cid").alias(f"code_{s}")
+            )
+        )
+    codes = code_maps[0]
+    for s in range(1, m):
+        codes = codes.join(code_maps[s], "_id")
+    codebooks = books[0]
+    for b in books[1:]:
+        codebooks = codebooks.unionByName(b)
+    return PQIndex(
+        codebooks,
+        codes.withColumnRenamed("_id", "id"),
+        m, sub, id_col, vec_col,
+    )
+
+
+def pq_query(
+    vectors: DataFrame,
+    index: PQIndex,
+    queries: DataFrame,
+    cand: int = 50,
+    topk: int = 10,
+) -> DataFrame:
+    """ADC scan + exact re-rank: per query, M broadcast distance-table
+    lookups rank the full corpus by approximate squared L2; the top
+    ``cand`` get exact distances from the raw vectors; top ``topk`` out.
+    Returns (qid, vec_id, rank, adc_dist, exact_dist) — q134's shape."""
+    from pyspark.sql import Window
+
+    m, sub = index.m, index.sub_dim
+    qsv = _pq_subspaces(queries, index.id_col, index.vec_col, m, sub)
+    adc = index.codes.select(F.col("id").alias("vec_id"),
+                             *[f"code_{s}" for s in range(m)])
+    dd_total = None
+    for s in range(m):
+        dtab = (
+            qsv.select(F.col("_id").alias("qid"), f"_sv{s}")
+            .crossJoin(
+                F.broadcast(
+                    index.codebooks.filter(F.col("sub") == s).select(
+                        F.col("cid").alias(f"code_{s}"), F.col("c").alias("_c")
+                    )
+                )
+            )
+            .select(
+                "qid", f"code_{s}",
+                _sql2(F.col(f"_sv{s}"), F.col("_c")).alias(f"_dd{s}"),
+            )
+        )
+        # s = 0 joins on the code alone, fanning each corpus row out to
+        # every query (the ADC scan); later subspaces join on (qid, code).
+        adc = adc.join(
+            F.broadcast(dtab),
+            [f"code_{s}"] if s == 0 else ["qid", f"code_{s}"],
+        )
+        dd_total = F.col(f"_dd{s}") if dd_total is None else dd_total + F.col(f"_dd{s}")
+    cand_w = Window.partitionBy("qid").orderBy(
+        F.col("_adc").asc(), F.col("vec_id").asc()
+    )
+    cands = (
+        adc.select("qid", "vec_id", dd_total.alias("_adc"))
+        .filter(F.col("qid") != F.col("vec_id"))
+        .withColumn("_rnk", F.row_number().over(cand_w))
+        .filter(F.col("_rnk") <= cand)
+        .select("qid", "vec_id", "_adc")
+    )
+    vq = queries.select(
+        F.col(index.id_col).alias("qid"),
+        F.col(index.vec_col).cast("array<double>").alias("_qv"),
+    )
+    vx = vectors.select(
+        F.col(index.id_col).alias("vec_id"),
+        F.col(index.vec_col).cast("array<double>").alias("_xv"),
+    )
+    final_w = Window.partitionBy("qid").orderBy(
+        F.col("_exact").asc(), F.col("vec_id").asc()
+    )
+    return (
+        cands.join(vq, "qid")
+        .join(vx, "vec_id")
+        .select(
+            "qid", "vec_id", "_adc",
+            _sql2(F.col("_qv"), F.col("_xv")).alias("_exact"),
+        )
+        .withColumn("rank", F.row_number().over(final_w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "qid", "vec_id", F.col("rank").cast("int").alias("rank"),
+            F.round(F.col("_adc") + F.lit(1e-9), 6).alias("adc_dist"),
+            F.round(F.col("_exact") + F.lit(1e-9), 6).alias("exact_dist"),
+        )
+    )

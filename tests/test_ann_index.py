@@ -86,3 +86,57 @@ def test_ann_index_persists_through_snapshot_tables(spark, sf_dir, tmp_path):
         for r in ann_query(emb, reloaded, queries, nprobe=3, topk=5).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_pq_index_reproduces_q134(spark):
+    """The PQ operator path (build_pq_index + pq_query) must reproduce the
+    q134 catalog output value-for-value at sf0.01 — one quantizer/ADC
+    arithmetic, not two. sf0.01 is used because at sf0.001 the candidate
+    budget covers the corpus and the ADC ordering goes unexercised."""
+    from music_recommendation_service_spark.operators.ann_index import (
+        build_pq_index,
+        pq_query,
+    )
+    from music_recommendation_service_spark.plans import registry
+
+    sf_dir = "/root/testdata/sf0.01"
+    want = {
+        (r["qid"], r["vec_id"], r["rank"], r["adc_dist"], r["exact_dist"])
+        for r in registry()["q134_ann_pq"].build(spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = build_pq_index(emb, m=4, k=8)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    got = {
+        (r["qid"], r["vec_id"], r["rank"], r["adc_dist"], r["exact_dist"])
+        for r in pq_query(emb, index, queries, cand=50, topk=10).collect()
+    }
+    assert got == want and len(want) == 50
+
+
+def test_pq_index_persists_through_snapshot_tables(spark, tmp_path):
+    """Codebooks + codes round-trip through snapshot tables and serve the
+    same answers — the build-once/probe-many deployment shape."""
+    from music_recommendation_service_spark.operators.ann_index import (
+        PQIndex,
+        build_pq_index,
+        pq_query,
+    )
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    sf_dir = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = build_pq_index(emb, m=4, k=8)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    key = lambda r: (r["qid"], r["vec_id"], r["rank"], r["adc_dist"])
+    want = {key(r) for r in pq_query(emb, index, queries).collect()}
+
+    books, codes = str(tmp_path / "books"), str(tmp_path / "codes")
+    S.snapshot_write(index.codebooks, books)
+    S.snapshot_write(index.codes, codes, stats_cols=["id"])
+    reloaded = PQIndex(
+        S.snapshot_read(spark, books), S.snapshot_read(spark, codes),
+        index.m, index.sub_dim, "vec_id", "embedding",
+    )
+    got = {key(r) for r in pq_query(emb, reloaded, queries).collect()}
+    assert got == want and len(want) == 50
