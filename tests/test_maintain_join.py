@@ -137,9 +137,13 @@ def test_join_view_randomized_model(spark, tmp_path):
         S.snapshot_merge(
             _fact_df(spark, ups).withColumn("_seq", F.lit(wave)),
             fact, ["fk"], "_seq",
+            mode=rng.choice(["rewrite", "dv"]),
         )
         if rng.random() < 0.5:
-            S.snapshot_delete_where(spark, fact, f"fk = {rng.randrange(10)}")
+            S.snapshot_delete_where(
+                spark, fact, f"fk = {rng.randrange(10)}",
+                mode=rng.choice(["rewrite", "dv"]),
+            )
         # dim wave: payload churn; occasionally drop/revive a key
         if rng.random() < 0.7:
             k = rng.choice([10, 20, 30, 40])
@@ -148,9 +152,13 @@ def test_join_view_randomized_model(spark, tmp_path):
                     "_seq", F.lit(wave)
                 ),
                 dim, ["dk"], "_seq",
+                mode=rng.choice(["rewrite", "dv"]),
             )
         if rng.random() < 0.3:
-            S.snapshot_delete_where(spark, dim, f"dk = {rng.choice([10, 20])}")
+            S.snapshot_delete_where(
+                spark, dim, f"dk = {rng.choice([10, 20])}",
+                mode=rng.choice(["rewrite", "dv"]),
+            )
 
         _maintain(spark, tmp_path, "inner")
         assert _view_rows(spark, view) == _expected(
