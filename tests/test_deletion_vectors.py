@@ -440,3 +440,39 @@ def test_dv_merge_equals_rewrite_merge_content(spark, tmp_path):
         ga = {(r.id, r.grp, r.val, r._seq) for r in S.snapshot_read(spark, a).collect()}
         gb = {(r.id, r.grp, r.val, r._seq) for r in S.snapshot_read(spark, b).collect()}
         assert ga == gb
+
+
+def test_dv_dml_concurrent_commit_aborts(spark, tmp_path, monkeypatch):
+    """A commit landing between a DV DML's state read and its manifest
+    write must abort it (the position sets were computed against a stale
+    file list), never clobber the concurrent writer — same optimistic-
+    concurrency rule as merge/compact."""
+    t = _t(tmp_path)
+    S.snapshot_write(_base(spark), t, stats_cols=["id"])
+
+    real = S._new_data_dir
+    fired = {"done": False}
+
+    def racing(p):
+        if p == t and not fired["done"]:
+            fired["done"] = True
+            S.snapshot_append(
+                spark.range(9999, 10000)
+                .withColumn("grp", F.col("id") % 10)
+                .withColumn("val", F.col("id") * 2),
+                t,
+            )
+        return real(p)
+
+    monkeypatch.setattr(S, "_new_data_dir", racing)
+    with pytest.raises(S.ConcurrentSnapshotError):
+        S.snapshot_delete_where(spark, t, "grp = 3", mode="dv")
+    assert S.snapshot_read(spark, t).filter("id = 9999").count() == 1
+    # and the table never lost the grp=3 rows (the delete aborted whole)
+    assert S.snapshot_read(spark, t).count() == 101
+
+    fired["done"] = False
+    with pytest.raises(S.ConcurrentSnapshotError):
+        S.snapshot_update_where(spark, t, "grp = 3", {"val": "0"}, mode="dv")
+    # the aborted update applied nothing
+    assert S.snapshot_read(spark, t).filter("grp = 3 AND val = 0").count() == 0
