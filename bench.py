@@ -124,6 +124,14 @@ def main() -> None:
         "q123_basket_rules",
         "q125_rolling_distinct_users",
         "q126_balance_deciles",
+        "q127_chi_square_independence",
+        "q128_welch_ttest",
+        "q129_session_paths",
+        "q130_demand_gini",
+        "q131_prefix_filter_simjoin",
+        "q132_token_heavy_hitters",
+        "q133_seasonal_decompose",
+        "q134_ann_pq",
     ]
     queries_ext: dict[str, float] = {}
     for name in ext_names:

@@ -2789,6 +2789,65 @@ def snapshot_drop_columns(path: str, names: Sequence[str]) -> int:
     return _commit(path, build, op="drop_columns")
 
 
+def snapshot_table_stats(path: str) -> dict:
+    """O(manifest) health snapshot of a table — the numbers a maintenance
+    scheduler decides on without touching data: file counts/sizes-in-rows,
+    deletion-vector dead weight, version count."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    m = _read_manifest(path, versions[-1])
+    files = _manifest_files(path, m)
+    dead = sum((e.get("dv") or {}).get("n", 0) for e in files)
+    physical = sum(e["rows"] for e in files if e["rows"] is not None)
+    return {
+        "version": versions[-1],
+        "n_versions": len(versions),
+        "n_files": len(files),
+        "n_rows": m.get("n_rows"),
+        "physical_rows": physical,
+        "dead_rows": dead,
+        "dead_ratio": (dead / physical) if physical else 0.0,
+        "files_with_dv": sum(1 for e in files if e.get("dv")),
+    }
+
+
+def snapshot_auto_optimize(
+    spark: SparkSession,
+    path: str,
+    small_file_max_rows: int = 1_000_000,
+    max_small_files: int = 8,
+    max_dead_ratio: float = 0.2,
+) -> int | None:
+    """Policy-driven OPTIMIZE: compact (purging deletion vectors) only when
+    the manifest says the table needs it — more than ``max_small_files``
+    small files (per-micro-batch MERGE commits accumulate them) or more
+    than ``max_dead_ratio`` of physical rows dead under DVs (DV DML
+    accumulates those; past the threshold the read-path anti-join tax
+    outweighs the write savings). The DECISION is O(manifest) — a no-op
+    call on a healthy 100 TB table reads zero data, which is what makes
+    running this after every ingest wave sustainable. Returns the new
+    version or None (healthy)."""
+    versions = snapshot_versions(path)
+    if not versions:
+        return None
+    m = _read_manifest(path, versions[-1])
+    files = _manifest_files(path, m)
+    small = sum(
+        1
+        for e in files
+        if e["rows"] is not None and e["rows"] <= small_file_max_rows
+    )
+    dead = sum((e.get("dv") or {}).get("n", 0) for e in files)
+    physical = sum(e["rows"] for e in files if e["rows"] is not None)
+    dead_ratio = (dead / physical) if physical else 0.0
+    if small <= max_small_files and dead_ratio <= max_dead_ratio:
+        return None
+    return snapshot_compact(
+        spark, path, small_file_max_rows=small_file_max_rows, purge_dvs=dead > 0
+    )
+
+
 def snapshot_history(path: str) -> list[dict]:
     """DESCRIBE HISTORY parity: one record per surviving version, newest
     first — the audit view of the commit log (version, operation, commit

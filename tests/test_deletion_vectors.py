@@ -476,3 +476,41 @@ def test_dv_dml_concurrent_commit_aborts(spark, tmp_path, monkeypatch):
         S.snapshot_update_where(spark, t, "grp = 3", {"val": "0"}, mode="dv")
     # the aborted update applied nothing
     assert S.snapshot_read(spark, t).filter("grp = 3 AND val = 0").count() == 0
+
+
+def test_auto_optimize_policy(spark, tmp_path):
+    """snapshot_auto_optimize: O(manifest) decision — no commit on a
+    healthy table; compacts + purges once small files or dv dead weight
+    cross the thresholds; health numbers come from snapshot_table_stats."""
+    t = _t(tmp_path)
+    S.snapshot_write(_base(spark, parts=2), t)
+    # healthy: 2 files, no dvs
+    assert (
+        S.snapshot_auto_optimize(spark, t, max_small_files=8, max_dead_ratio=0.2)
+        is None
+    )
+    assert len(S.snapshot_versions(t)) == 1
+
+    # dv weight past the ratio: 30% dead
+    S.snapshot_delete_where(spark, t, "grp IN (1, 2, 3)", mode="dv")
+    st = S.snapshot_table_stats(t)
+    assert st["dead_rows"] == 30 and abs(st["dead_ratio"] - 0.3) < 1e-9
+    v = S.snapshot_auto_optimize(spark, t, max_small_files=8, max_dead_ratio=0.2)
+    assert v is not None
+    st2 = S.snapshot_table_stats(t)
+    assert st2["dead_rows"] == 0 and st2["files_with_dv"] == 0
+    assert S.snapshot_read(spark, t).count() == 70
+
+    # small-file accumulation: appends past the count threshold
+    for i in range(4):
+        S.snapshot_append(
+            spark.range(1000 + i, 1001 + i)
+            .withColumn("grp", F.col("id") % 10)
+            .withColumn("val", F.col("id") * 2),
+            t,
+        )
+    assert S.snapshot_table_stats(t)["n_files"] > 4
+    v2 = S.snapshot_auto_optimize(spark, t, max_small_files=4)
+    assert v2 is not None
+    assert S.snapshot_table_stats(t)["n_files"] <= 4
+    assert S.snapshot_read(spark, t).count() == 74
