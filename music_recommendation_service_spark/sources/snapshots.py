@@ -1139,6 +1139,338 @@ def snapshot_merge(
     return _commit(path, build, op="merge")
 
 
+def _mw_first_clause_idx(clauses, guard):
+    """Column: 0-based index of the FIRST clause whose condition holds for
+    the row (conditions default TRUE; NULL counts as not-satisfied, SQL
+    three-valued semantics), or -1 — evaluated only where ``guard``."""
+    expr = F.lit(-1)
+    for i in reversed(range(len(clauses))):
+        cnd = clauses[i].get("condition")
+        c = F.expr(cnd) if cnd is not None else F.lit(True)
+        expr = F.when(guard & F.coalesce(c, F.lit(False)), F.lit(i)).otherwise(
+            expr
+        )
+    return expr
+
+
+def _mw_validate(when_matched, when_not_matched, when_not_matched_by_source,
+                 tcols, src_cols):
+    """Clause-shape validation for snapshot_merge_when (fail fast, before
+    any Spark job runs)."""
+    tset = set(tcols)
+    for name, clauses, actions in (
+        ("when_matched", when_matched, {"update", "delete"}),
+        ("when_not_matched", when_not_matched, {"insert"}),
+        ("when_not_matched_by_source", when_not_matched_by_source,
+         {"update", "delete"}),
+    ):
+        for i, cl in enumerate(clauses):
+            act = cl.get("action", "insert" if name == "when_not_matched"
+                         else "update")
+            if act not in actions:
+                raise ValueError(
+                    f"snapshot_merge_when: {name}[{i}] action {act!r} not in "
+                    f"{sorted(actions)}"
+                )
+            if act == "delete" and cl.get("set"):
+                raise ValueError(
+                    f"snapshot_merge_when: {name}[{i}] is a DELETE clause "
+                    "but carries a 'set'"
+                )
+            if act == "update":
+                sset = cl.get("set") or {}
+                if not sset:
+                    raise ValueError(
+                        f"snapshot_merge_when: {name}[{i}] UPDATE needs a "
+                        "non-empty 'set'"
+                    )
+                bad = sorted(set(sset) - tset)
+                if bad:
+                    raise ValueError(
+                        f"snapshot_merge_when: {name}[{i}] assigns unknown "
+                        f"column(s) {bad}"
+                    )
+            if act == "insert":
+                vals = cl.get("values")
+                if vals is None:
+                    missing = sorted(tset - set(src_cols))
+                    if missing:
+                        raise ValueError(
+                            f"snapshot_merge_when: {name}[{i}] INSERT * "
+                            f"needs source column(s) {missing}"
+                        )
+                else:
+                    bad = sorted(set(vals) - tset)
+                    if bad:
+                        raise ValueError(
+                            f"snapshot_merge_when: {name}[{i}] inserts into "
+                            f"unknown column(s) {bad}"
+                        )
+
+
+def snapshot_merge_when(
+    source: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    when_matched: Sequence[dict] = (),
+    when_not_matched: Sequence[dict] = (),
+    when_not_matched_by_source: Sequence[dict] = (),
+    manifest_extra: dict | None = None,
+) -> int | None:
+    """General multi-clause MERGE — Delta's full ``MERGE INTO t USING s ON
+    t.k = s.k WHEN ...`` surface on the snapshot protocol (reference
+    parity: the conditional upsert/sync shapes `spark_utils.py`'s Delta
+    writes imply but ``snapshot_merge``'s latest-per-key rule cannot
+    express). Clauses are dicts evaluated IN ORDER, first satisfied
+    condition wins per row (Delta semantics):
+
+      when_matched:  {"condition": sql|None, "action": "update"|"delete",
+                      "set": {col: sql_expr}}   # exprs may use t.* / s.*
+      when_not_matched: {"condition": sql|None, "action": "insert",
+                      "values": {col: sql_expr} | None}   # None = INSERT *
+                      # unlisted target columns land NULL (Delta parity)
+      when_not_matched_by_source: same shape as when_matched, but the row
+                      has NO source image — expressions should reference
+                      t.* only (s.* columns are NULL there).
+
+    The ON condition is equality on ``key_cols`` (the protocol's keyed
+    discipline). A target row matched by MULTIPLE source rows raises
+    (Delta's multiple-source-rows error); duplicate source keys that match
+    nothing insert normally. Condition/assignment expressions evaluate
+    against the PRE-merge row images, and CHECK constraints validate every
+    row the merge stores (updated images + inserts) — carried rows were
+    validated at their own write.
+
+    Scale shape: files to rewrite are discovered with the same two-stage
+    metadata prune as ``snapshot_merge`` (manifest min/max vs source key
+    bounds, then ONE column-pruned key-membership scan); untouched files
+    carry by reference. An insert-only merge (no matched / by-source
+    clauses) rewrites NOTHING — matched keys are excluded via one
+    broadcast anti-join and only the insert rows land in a new file.
+    ``when_not_matched_by_source`` must examine every target row, so it
+    touches all files (the same full-table cost Delta documents for that
+    clause). Returns the new version, or None for a provable no-op."""
+    import functools
+    from pyspark.sql.types import StructType
+
+    key_cols = list(key_cols)
+    when_matched = [dict(c) for c in when_matched]
+    when_not_matched = [dict(c) for c in when_not_matched]
+    when_not_matched_by_source = [dict(c) for c in when_not_matched_by_source]
+    if not (when_matched or when_not_matched or when_not_matched_by_source):
+        raise ValueError("snapshot_merge_when: no clauses given")
+    spark = source.sparkSession
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(
+            f"no snapshots at {path} — MERGE needs an existing target "
+            "(snapshot_write first)"
+        )
+    base_version = versions[-1]
+    cur = _read_manifest(path, base_version)
+    schema = StructType.fromJson(json.loads(cur["schema"]))
+    types = {f.name: f.dataType for f in schema.fields}
+    tcols = schema.fieldNames()
+    missing_keys = sorted(set(key_cols) - set(tcols))
+    if missing_keys:
+        raise ValueError(
+            f"snapshot_merge_when: key column(s) {missing_keys} not in table"
+        )
+    _mw_validate(when_matched, when_not_matched, when_not_matched_by_source,
+                 tcols, source.columns)
+    reserved = {"_t_present", "_s_present", "_mw_changed"} & (
+        set(source.columns) | set(tcols)
+    )
+    if reserved:
+        raise ValueError(
+            f"snapshot_merge_when: column name(s) {sorted(reserved)} are "
+            "reserved by the merge machinery"
+        )
+    mapping = _mapping(cur)
+    files = _manifest_files(path, cur)
+
+    # --- stage 1: manifest min/max vs the source's key bounds ------------
+    bounds = source.agg(
+        *[F.min(c).alias(f"_lo_{c}") for c in key_cols],
+        *[F.max(c).alias(f"_hi_{c}") for c in key_cols],
+    ).collect()[0]
+    candidates = [
+        e
+        for e in files
+        if all(
+            _stats_may_contain(
+                e.get("stats"), _phys(mapping, c),
+                bounds[f"_lo_{c}"], bounds[f"_hi_{c}"],
+            )
+            for c in key_cols
+        )
+    ]
+
+    # Delta guard: a target row matched by >1 source row is an error.
+    dup_keys = (
+        source.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .drop("_c")
+    )
+    if candidates and dup_keys.limit(1).count() > 0:
+        n_bad = (
+            _read_entries(spark, path, cur, candidates)
+            .select(*key_cols)
+            .join(F.broadcast(dup_keys), key_cols)
+            .limit(1)
+            .count()
+        )
+        if n_bad:
+            raise ValueError(
+                "snapshot_merge_when: multiple source rows match the same "
+                "target row — deduplicate the source on the merge keys"
+            )
+
+    rewrite_matched = bool(when_matched) or bool(when_not_matched_by_source)
+    src_eff = source
+    if when_not_matched_by_source:
+        # Every target row must be classified — all live files are touched.
+        touched, untouched = list(files), []
+    elif rewrite_matched:
+        # --- stage 2: exact key membership over candidates only ----------
+        touched_paths: set[str] = set()
+        if candidates:
+            hits = (
+                _read_entries(spark, path, cur, candidates, lineage=True)
+                .select(*key_cols, _SN_FILE)
+                .join(
+                    F.broadcast(source.select(*key_cols).distinct()), key_cols
+                )
+                .select(_SN_FILE)
+                .distinct()
+                .collect()
+            )
+            hit_rels = {r[_SN_FILE] for r in hits}
+            touched_paths = {
+                e["path"] for e in candidates if _rel2(e["path"]) in hit_rels
+            }
+        touched = [e for e in files if e["path"] in touched_paths]
+        untouched = [e for e in files if e["path"] not in touched_paths]
+    else:
+        # Insert-only merge: rewrite nothing; drop source rows whose key
+        # already exists (one broadcast anti-join against candidate keys).
+        touched, untouched = [], list(files)
+        if candidates:
+            existing_keys = (
+                _read_entries(spark, path, cur, candidates)
+                .select(*key_cols)
+                .distinct()
+            )
+            src_eff = source.join(existing_keys, key_cols, "left_anti")
+    if not touched and not when_not_matched:
+        return None  # no matched files, nothing to insert: provable no-op
+
+    # --- full-outer join of touched target rows vs (effective) source ----
+    if touched:
+        tgt = _read_entries(spark, path, cur, touched)
+    else:
+        tgt = spark.createDataFrame([], schema)
+    t = tgt.withColumn("_t_present", F.lit(True)).alias("t")
+    s = src_eff.withColumn("_s_present", F.lit(True)).alias("s")
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [F.col(f"t.{k}") == F.col(f"s.{k}") for k in key_cols],
+    )
+    joined = t.join(s, cond, "full_outer")
+    t_p = F.coalesce(F.col("t._t_present"), F.lit(False))
+    s_p = F.coalesce(F.col("s._s_present"), F.lit(False))
+    matched, s_only, t_only = t_p & s_p, s_p & ~t_p, t_p & ~s_p
+    m_idx = _mw_first_clause_idx(when_matched, matched)
+    i_idx = _mw_first_clause_idx(when_not_matched, s_only)
+    n_idx = _mw_first_clause_idx(when_not_matched_by_source, t_only)
+    m_act = [c.get("action", "update") for c in when_matched]
+    n_act = [c.get("action", "update") for c in when_not_matched_by_source]
+
+    drop = s_only & (i_idx == -1)
+    changed = s_only & (i_idx != -1)
+    for i, a in enumerate(m_act):
+        if a == "delete":
+            drop = drop | (matched & (m_idx == i))
+        else:
+            changed = changed | (matched & (m_idx == i))
+    for i, a in enumerate(n_act):
+        if a == "delete":
+            drop = drop | (t_only & (n_idx == i))
+        else:
+            changed = changed | (t_only & (n_idx == i))
+
+    out_cols = []
+    for c in tcols:
+        cases = []
+        for i, cl in enumerate(when_matched):
+            if m_act[i] == "update" and c in cl["set"]:
+                cases.append((matched & (m_idx == i), F.expr(cl["set"][c])))
+        for i, cl in enumerate(when_not_matched):
+            vals = cl.get("values")
+            if vals is None:
+                e = F.expr(f"s.{c}")
+            elif c in vals:
+                e = F.expr(vals[c])
+            else:
+                e = F.lit(None)
+            cases.append((s_only & (i_idx == i), e))
+        for i, cl in enumerate(when_not_matched_by_source):
+            if n_act[i] == "update" and c in cl["set"]:
+                cases.append((t_only & (n_idx == i), F.expr(cl["set"][c])))
+        expr = None
+        for cnd, e in cases:
+            expr = F.when(cnd, e) if expr is None else expr.when(cnd, e)
+        col = expr.otherwise(F.col(f"t.{c}")) if expr is not None else F.col(
+            f"t.{c}"
+        )
+        out_cols.append(col.cast(types[c]).alias(c))
+
+    out = joined.filter(~drop).select(*out_cols, changed.alias("_mw_changed"))
+    _enforce_constraints(
+        out.filter(F.col("_mw_changed")).drop("_mw_changed"), path, "merge"
+    )
+    out = out.drop("_mw_changed")
+    if not touched and out.isEmpty():
+        return None  # insert clauses matched no rows: no-op
+
+    rel, full_dir = _new_data_dir(path)
+    _to_physical_df(out, mapping).write.mode("error").parquet(full_dir)
+    new_files, n_new = _scan_file_entries(
+        spark, full_dir, rel, _stats_cols_in_use(cur),
+        _bloom_cols_in_use(path, cur),
+    )
+    if any(e["rows"] is None for e in untouched):
+        untouched_rows = (
+            _read_entries(spark, path, cur, untouched).count()
+            if untouched
+            else 0
+        )
+    else:
+        untouched_rows = sum(_live_rows(e) for e in untouched)
+    out_files = untouched + new_files
+
+    def build(latest: dict | None, version: int) -> dict:
+        if latest is None or latest["version"] != base_version:
+            raise ConcurrentSnapshotError(
+                f"{path}: version moved {base_version} -> "
+                f"{latest['version'] if latest else None} during merge; "
+                "recompute the merge against the new state"
+            )
+        mf = {
+            "data_dirs": _dirs_of(out_files),
+            "files": out_files,
+            "n_rows": untouched_rows + n_new,
+            "schema": cur["schema"],
+            **(manifest_extra or {}),
+        }
+        if mapping:
+            mf["column_mapping"] = mapping
+        return mf
+
+    return _commit(path, build, op="merge")
+
+
 def _stats_cols_in_use(cur: dict) -> list[str]:
     """Union of per-file stats columns (PHYSICAL names) recorded in the
     current manifest — predicate DML preserves whatever stats discipline
