@@ -65,6 +65,31 @@ def build_ivf_index(
     )
 
 
+def _probe_cells(centroids: DataFrame, qn: DataFrame, nprobe: int) -> DataFrame:
+    """(q_id, _cid) of each query's ``nprobe`` highest-cosine cells —
+    ``qn`` carries (q_id, q_u: unit query vector); the centroid table is
+    O(k x DIM) and broadcast (the one declared tiny-side cross join)."""
+    from pyspark.sql import Window
+
+    cn = centroids.select(
+        F.col("cluster_id").alias("_cid"),
+        F.transform(
+            "centroid",
+            lambda x: x
+            / F.sqrt(_dot(F.col("centroid"), F.col("centroid"))),
+        ).alias("_cn"),
+    )
+    probe_w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("_cid"))
+    return (
+        qn.select("q_id", "q_u")
+        .crossJoin(F.broadcast(cn))
+        .select("q_id", "_cid", _dot(F.col("q_u"), F.col("_cn")).alias("_cos"))
+        .withColumn("_rnk", F.row_number().over(probe_w))
+        .filter(F.col("_rnk") <= nprobe)
+        .select("q_id", "_cid")
+    )
+
+
 def ann_query(
     vectors: DataFrame,
     index: IVFIndex,
@@ -94,27 +119,9 @@ def ann_query(
         return df.select(*cols)
 
     qn = shaped(queries, "q", with_unit=True)
-    cn = index.centroids.select(
-        F.col("cluster_id").alias("_cid"),
-        F.transform(
-            "centroid",
-            lambda x: x
-            / F.sqrt(_dot(F.col("centroid"), F.col("centroid"))),
-        ).alias("_cn"),
-    )
+    probes = _probe_cells(index.centroids, qn, nprobe)
 
     from pyspark.sql import Window
-
-    probe_w = Window.partitionBy("q_id").orderBy(
-        F.desc("_cos"), F.asc("_cid")
-    )
-    probes = (
-        qn.crossJoin(F.broadcast(cn))
-        .select("q_id", "_cid", _dot(F.col("q_u"), F.col("_cn")).alias("_cos"))
-        .withColumn("_rnk", F.row_number().over(probe_w))
-        .filter(F.col("_rnk") <= nprobe)
-        .select("q_id", "_cid")
-    )
 
     cand = (
         probes.join(
@@ -322,6 +329,142 @@ def pq_query(
     vx = vectors.select(
         F.col(index.id_col).alias("vec_id"),
         F.col(index.vec_col).cast("array<double>").alias("_xv"),
+    )
+    final_w = Window.partitionBy("qid").orderBy(
+        F.col("_exact").asc(), F.col("vec_id").asc()
+    )
+    return (
+        cands.join(vq, "qid")
+        .join(vx, "vec_id")
+        .select(
+            "qid", "vec_id", "_adc",
+            _sql2(F.col("_qv"), F.col("_xv")).alias("_exact"),
+        )
+        .withColumn("rank", F.row_number().over(final_w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "qid", "vec_id", F.col("rank").cast("int").alias("rank"),
+            F.round(F.col("_adc") + F.lit(1e-9), 6).alias("adc_dist"),
+            F.round(F.col("_exact") + F.lit(1e-9), 6).alias("exact_dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF x PQ — the production composition both single-leg headers point at:
+# IVF bounds how many vectors a query TOUCHES (probe nprobe cells), PQ
+# bounds how many BYTES each touched vector costs (ADC over code ids).
+# The ADC distance tables are per-query O(M x K)-row broadcasts, the
+# candidate pool is a cell equi-join (never a corpus fan-out, unlike
+# pq_query's s=0 full scan), and raw embeddings are read ONLY for the
+# exact re-rank of the top `cand`. At 100 TB this is the serving shape:
+# cells partition the corpus, codes are the scan payload (64x smaller
+# here), exact reads are a per-query constant.
+# ---------------------------------------------------------------------------
+@dataclass
+class IVFPQIndex:
+    ivf: IVFIndex
+    pq: PQIndex
+
+
+def build_ivfpq_index(
+    vectors: DataFrame,
+    k: int = 32,
+    lloyd_steps: int = 2,
+    m: int = 4,
+    pq_k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IVFPQIndex:
+    """Two corpus passes: the IVF coarse quantizer (k-means cells + the
+    inverted assignment map) and the PQ codebooks/codes. Codes quantize
+    the RAW vectors (not cell residuals) so the single-leg arithmetic —
+    each pinned bit-for-bit against its catalog oracle — is reused
+    unchanged; residual encoding is the documented refinement."""
+    return IVFPQIndex(
+        build_ivf_index(vectors, k=k, lloyd_steps=lloyd_steps,
+                        id_col=id_col, vec_col=vec_col),
+        build_pq_index(vectors, m=m, k=pq_k, id_col=id_col, vec_col=vec_col),
+    )
+
+
+def ivfpq_query(
+    vectors: DataFrame,
+    index: IVFPQIndex,
+    queries: DataFrame,
+    nprobe: int = 8,
+    cand: int = 50,
+    topk: int = 10,
+) -> DataFrame:
+    """Probe ``nprobe`` cells per query, ADC-rank ONLY the pooled cell
+    members from code joins, exact-L2 re-rank the top ``cand``. Returns
+    (qid, vec_id, rank, adc_dist, exact_dist) — ``pq_query``'s shape, so
+    the two ADC paths are directly comparable."""
+    from pyspark.sql import Window
+
+    idc, vecc = index.ivf.id_col, index.ivf.vec_col
+    m = index.pq.m
+
+    v = F.col(vecc).cast("array<double>")
+    qn = queries.select(
+        F.col(idc).alias("q_id"),
+        F.transform(v, lambda x: x / F.sqrt(_dot(v, v))).alias("q_u"),
+    )
+    pool = (
+        _probe_cells(index.ivf.centroids, qn, nprobe)
+        .join(
+            index.ivf.assignments.select(
+                F.col(idc).alias("vec_id"), F.col("cluster_id").alias("_cid")
+            ),
+            "_cid",
+        )
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(F.col("q_id").alias("qid"), "vec_id")
+    )
+
+    qsv = _pq_subspaces(queries, idc, vecc, m, index.pq.sub_dim)
+    adc = pool.join(
+        index.pq.codes.select(F.col("id").alias("vec_id"),
+                              *[f"code_{s}" for s in range(m)]),
+        "vec_id",
+    )
+    dd_total = None
+    for s in range(m):
+        dtab = (
+            qsv.select(F.col("_id").alias("qid"), f"_sv{s}")
+            .crossJoin(
+                F.broadcast(
+                    index.pq.codebooks.filter(F.col("sub") == s).select(
+                        F.col("cid").alias(f"code_{s}"), F.col("c").alias("_c")
+                    )
+                )
+            )
+            .select(
+                "qid", f"code_{s}",
+                _sql2(F.col(f"_sv{s}"), F.col("_c")).alias(f"_dd{s}"),
+            )
+        )
+        # every join is on (qid, code_s): the pool already pins the qid,
+        # so no subspace ever fans the corpus out (pq_query's s=0 scan)
+        adc = adc.join(F.broadcast(dtab), ["qid", f"code_{s}"])
+        dd_total = (
+            F.col(f"_dd{s}") if dd_total is None else dd_total + F.col(f"_dd{s}")
+        )
+
+    cand_w = Window.partitionBy("qid").orderBy(
+        F.col("_adc").asc(), F.col("vec_id").asc()
+    )
+    cands = (
+        adc.select("qid", "vec_id", dd_total.alias("_adc"))
+        .withColumn("_rnk", F.row_number().over(cand_w))
+        .filter(F.col("_rnk") <= cand)
+        .select("qid", "vec_id", "_adc")
+    )
+    vq = queries.select(
+        F.col(idc).alias("qid"), v.alias("_qv")
+    )
+    vx = vectors.select(
+        F.col(idc).alias("vec_id"), v.alias("_xv")
     )
     final_w = Window.partitionBy("qid").orderBy(
         F.col("_exact").asc(), F.col("vec_id").asc()
