@@ -132,6 +132,7 @@ def main() -> None:
         "q132_token_heavy_hitters",
         "q133_seasonal_decompose",
         "q134_ann_pq",
+        "q135_edit_distance_join",
     ]
     queries_ext: dict[str, float] = {}
     for name in ext_names:

@@ -652,3 +652,149 @@ register(
     "bounded by true similarity structure.",
     tags=("dedup", "jaccard", "prefix-filter", "llm-pipeline"),
 )(_q131_build)
+
+
+# ---------------------------------------------------------------------------
+# q135 — EXACT bounded edit-distance self-join via Ed-Join prefix filtering
+# (Xiao/Wang/Lin, "Ed-Join: an efficient algorithm for similarity joins
+# with edit distance constraints", VLDB'08). The fuzzy-match / record-
+# linkage primitive the Jaccard family (q27/q111/q131) cannot express:
+# token shingles are blind to WITHIN-token typos, which is precisely what
+# edit distance <= D catches.
+#
+# Filter algebra (lossless): one edit destroys at most Q character q-grams
+# (the windows overlapping the edited position), so ed(a,b) <= D implies
+# b misses at most Q*D distinct gram CONTENTS of a — order contents by
+# (global frequency, content) and each string's Q*D + 1 RAREST contents
+# form a prefix such that any qualifying pair shares a prefix content
+# (disjoint prefixes force two contradictory rank inequalities, the
+# Chaudhuri prefix argument). On top of content sharing, the POSITIONAL
+# filter: a surviving occurrence shifts by at most D (only indels shift
+# text, and there are <= D of them), so the shared content's occurrence-
+# position intervals must come within D: a.lo <= b.hi + D AND
+# b.lo <= a.hi + D. Both filters together stay lossless: the survivor
+# g* found by the count argument passes the interval test by
+# construction, and the rank contradiction only needs content-level
+# order. Candidates then pass |len(a) - len(b)| <= D and exact
+# levenshtein() (built-in on BOTH engines; integer, no rounding hazard).
+# Losslessness needs every string to carry >= Q*D + 1 gram contents,
+# i.e. length >= Q*(D+1) — asserted in the corpus definition.
+#
+# The comparison key is the document TITLE (first 40 chars of text): real
+# combinatorial entropy, unlike the part-name domain (7-12 chars from a
+# ~20-word vocabulary, where most strings are exact duplicates and gram
+# filtering is structurally useless — measured 1.03x reduction before
+# this domain switch). Known positives at every SF: doc_id % 5 == 0
+# re-ingests the title with ONE character dropped at position
+# (doc_id % length) + 1 — a deterministic ed=1 typo twin both engines
+# derive identically.
+#
+# Scale design: the df relation is O(distinct grams); the prefix join
+# runs over 9 grams per string, never the full gram sets; rarest-first
+# ordering keeps hot grams out of most prefixes and the interval filter
+# kills same-content-far-position collisions (the failure mode of low-
+# entropy text). Measured at sf0.1 (6,000 strings / 18M pairs): 204,289
+# candidates — 6.7x under the content-only prefix join (1.37M) and 88x
+# under all-pairs; exact levenshtein runs ONCE per survivor (computed in
+# a subquery, filtered on the alias).
+# ---------------------------------------------------------------------------
+_ED_Q = 4     # gram width
+_ED_D = 2     # edit-distance threshold
+_ED_PXL = _ED_Q * _ED_D + 1   # lossless prefix length
+_ED_TLEN = 40  # title = first _ED_TLEN chars of the document text
+
+
+def _q135_corpus(d: dict) -> str:
+    t = f"substr(text, 1, {_ED_TLEN})"
+    k = f"(doc_id % length({t}))"
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS id, {t} AS name
+    FROM documents WHERE length(text) >= {_ED_Q * (_ED_D + 1)}
+    UNION ALL
+    SELECT CAST(doc_id + 3000000 AS BIGINT) AS id,
+           concat(substr({t}, 1, {k}), substr({t}, {k} + 2)) AS name
+    FROM documents
+    WHERE doc_id % 5 = 0 AND length(text) >= {_ED_Q * (_ED_D + 1) + 1}
+    """
+
+
+def _q135_g(d: dict) -> str:
+    """Positional gram index (id, len, s, lo, hi): per string and gram
+    CONTENT, the min/max 1-based window positions."""
+    seq = d["seq"]("1", f"greatest(length(name) - {_ED_Q - 1}, 0)")
+    return f"""
+    WITH corpus AS ({_q135_corpus(d)}),
+    g0 AS (
+        SELECT id, length(name) AS len, name, {d['explode'](seq, 'i')}
+        FROM corpus
+    )
+    SELECT id, len, substr(name, i, {_ED_Q}) AS s,
+           min(i) AS lo, max(i) AS hi
+    FROM g0
+    GROUP BY id, len, substr(name, i, {_ED_Q})
+    """
+
+
+def _q135(d: dict, g_src: str | None = None) -> str:
+    g_cte = (
+        "g AS (\n        " + _q135_g(d).strip() + "\n    ),\n    "
+        if g_src is None
+        else ""
+    )
+    g = "g" if g_src is None else g_src
+    return f"""
+    WITH {g_cte}corpus AS ({_q135_corpus(d)}),
+    df AS (
+        SELECT s, count(*) AS dfreq FROM {g} GROUP BY s
+    ),
+    ranked AS (
+        SELECT x.id, x.len, x.s, x.lo, x.hi,
+               row_number() OVER (
+                   PARTITION BY x.id ORDER BY d.dfreq, x.s
+               ) AS rk
+        FROM {g} x
+        JOIN df d ON x.s = d.s
+    ),
+    prefix AS (
+        SELECT id, len, s, lo, hi FROM ranked WHERE rk <= {_ED_PXL}
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id1, b.id AS id2
+        FROM prefix a
+        JOIN prefix b ON a.s = b.s AND a.id < b.id
+                     AND abs(a.len - b.len) <= {_ED_D}
+                     AND a.lo <= b.hi + {_ED_D} AND b.lo <= a.hi + {_ED_D}
+    )
+    SELECT id1, id2, dist FROM (
+        SELECT c.id1, c.id2,
+               CAST(levenshtein(x.name, y.name) AS INT) AS dist
+        FROM cand c
+        JOIN corpus x ON x.id = c.id1
+        JOIN corpus y ON y.id = c.id2
+    ) v WHERE dist <= {_ED_D}
+    """
+
+
+# The gram index feeds the df aggregate AND the ranked join — Spark's side
+# materializes it once (the q27/q131 scratch discipline).
+def _q135_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from music_recommendation_service_spark.sources.catalog import load_table
+    from music_recommendation_service_spark.sources.writers import scratch_materialize
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    g = scratch_materialize(spark.sql(_q135_g(SPARK)), "q135_grams")
+    g.createOrReplaceTempView("q135_g_mat")
+    return spark.sql(_q135(SPARK, g_src="q135_g_mat"))
+
+
+register(
+    "q135_edit_distance_join",
+    oracle=_q135(DUCK),
+    doc=f"Exact edit-distance <= {_ED_D} self-join over document titles "
+    "via Ed-Join prefix filtering: rarest-first character-gram prefixes "
+    f"(length {_ED_PXL}), positional interval filter, length filter, "
+    "exact levenshtein verification — the record-linkage / typo-twin "
+    "primitive token-shingle Jaccard misses (88x under all-pairs at "
+    "sf0.1).",
+    tags=("dedup", "edit-distance", "prefix-filter", "llm-pipeline"),
+)(_q135_build)

@@ -108,3 +108,88 @@ def test_spark_build_matches_oracle(spark):
         (d1, d2, sh, float(j)) for d1, d2, sh, j in con.sql(_q131(DUCK)).fetchall()
     )
     assert got == want
+
+
+# --- q135: Ed-Join bounded edit-distance self-join -------------------------
+
+
+def _ed_brute_sql() -> str:
+    """Same corpus and threshold, NO gram filtering: every id-ordered pair
+    passes the length filter straight into exact levenshtein."""
+    from music_recommendation_service_spark.plans.dedup import (
+        _ED_D,
+        _q135_corpus,
+    )
+
+    return f"""
+    WITH corpus AS ({_q135_corpus(DUCK)})
+    SELECT a.id AS id1, b.id AS id2,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist
+    FROM corpus a JOIN corpus b ON a.id < b.id
+    WHERE abs(length(a.name) - length(b.name)) <= {_ED_D}
+      AND levenshtein(a.name, b.name) <= {_ED_D}
+    """
+
+
+def test_ed_join_prefix_filter_is_lossless(duck):
+    from music_recommendation_service_spark.plans.dedup import _q135
+
+    got = sorted(map(tuple, duck.sql(_q135(DUCK)).fetchall()))
+    want = sorted(map(tuple, duck.sql(_ed_brute_sql()).fetchall()))
+    assert len(want) > 100  # real positives at stake
+    assert got == want
+    # the injected typo twins are all retrieved at dist <= 1
+    twins = [r for r in want if r[1] == r[0] + 3000000]
+    assert len(twins) >= 90 and all(r[2] <= 1 for r in twins)
+
+
+def test_ed_join_candidate_reduction(duck):
+    """The prefix join must cut candidates hard vs the full gram inverted
+    index — otherwise the filter buys nothing at scale (measured 11.5x
+    on this corpus; floored at 5x)."""
+    from music_recommendation_service_spark.plans.dedup import (
+        _ED_D,
+        _ED_PXL,
+        _q135_g,
+    )
+
+    base = f"WITH g AS (\n{_q135_g(DUCK)}\n), " + f"""
+    df AS (SELECT s, count(*) AS dfreq FROM g GROUP BY s),
+    ranked AS (
+        SELECT x.id, x.len, x.s, x.lo, x.hi,
+               row_number() OVER (PARTITION BY x.id ORDER BY d.dfreq, x.s) AS rk
+        FROM g x JOIN df d ON x.s = d.s
+    ),
+    prefix AS (SELECT id, len, s, lo, hi FROM ranked WHERE rk <= {_ED_PXL})
+    """
+    n_prefix = duck.sql(
+        base
+        + f"""SELECT count(*) FROM (
+            SELECT DISTINCT a.id, b.id FROM prefix a
+            JOIN prefix b ON a.s = b.s AND a.id < b.id
+             AND abs(a.len - b.len) <= {_ED_D}
+             AND a.lo <= b.hi + {_ED_D} AND b.lo <= a.hi + {_ED_D})"""
+    ).fetchone()[0]
+    n_full = duck.sql(
+        base
+        + """SELECT count(*) FROM (
+            SELECT DISTINCT a.id, b.id
+            FROM g a JOIN g b ON a.s = b.s AND a.id < b.id)"""
+    ).fetchone()[0]
+    assert n_full >= 5 * n_prefix, (n_prefix, n_full)
+
+
+def test_ed_join_spark_matches_oracle(spark):
+    from music_recommendation_service_spark.plans import registry
+    from music_recommendation_service_spark.plans.dedup import _q135
+
+    got = sorted(
+        (r.id1, r.id2, r.dist)
+        for r in registry()["q135_edit_distance_join"].build(spark, SF_DIR).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = sorted(map(tuple, con.sql(_q135(DUCK)).fetchall()))
+    assert got == want and len(want) > 100
