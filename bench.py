@@ -133,6 +133,7 @@ def main() -> None:
         "q133_seasonal_decompose",
         "q134_ann_pq",
         "q135_edit_distance_join",
+        "q136_table_profile",
     ]
     queries_ext: dict[str, float] = {}
     for name in ext_names:

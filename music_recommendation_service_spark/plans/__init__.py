@@ -55,6 +55,7 @@ def registry() -> dict[str, QueryDef]:
         graphops,
         multimodal,
         olap_ext,
+        profiling,
         rangequery,
         pipeline_ops,
         reference_parity,

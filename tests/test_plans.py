@@ -377,3 +377,38 @@ def test_q125_expand_rides_reduced_relation(spark, sf_dir):
     scan_j = next(i for i, l in enumerate(below) if "Scan parquet" in l)
     assert agg_j < scan_j, tree
     assert "BroadcastHashJoin" in p
+
+
+def test_q136_profile_single_scan_expand(spark, sf_dir):
+    """The table profile reads the events table ONCE: the wide aggregate
+    (all per-column stats in one SELECT) plans the multi-distinct via ONE
+    Expand over ONE scan; the reshape union reads only the materialized
+    1-row aggregate — no join, no events re-scan."""
+    import contextlib
+    import io
+
+    from music_recommendation_service_spark.plans.profiling import (
+        _EVENTS_COLS,
+        profile_agg_sql,
+    )
+    from music_recommendation_service_spark.functions.dialect import SPARK
+    from music_recommendation_service_spark.sources.catalog import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    agg = spark.sql(profile_agg_sql(SPARK, "events", _EVENTS_COLS))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        agg.explain("formatted")
+    ap = buf.getvalue()
+    # formatted explain prints each scan once in the tree and once in the
+    # node details — count Location lines (one per physical scan)
+    locs = [l for l in ap.splitlines() if "Location" in l]
+    assert len(locs) == 1 and "events" in locs[0], ap
+    assert "Expand" in ap
+
+    p = _plan(spark, sf_dir, "q136_table_profile")
+    assert "Join" not in p and "CartesianProduct" not in p
+    # every scan in the reshape reads the materialized scratch aggregate
+    for line in p.splitlines():
+        if "Location" in line:
+            assert "events" not in line, line
