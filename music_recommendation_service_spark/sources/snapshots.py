@@ -2943,6 +2943,242 @@ def snapshot_maintain_aggregate(
     return v
 
 
+def topk_view_read(
+    spark: SparkSession, view_path: str, k: int | None = None
+) -> DataFrame:
+    """Serve a ``snapshot_maintain_topk`` view as ranked rows: one row per
+    (group, rank) with the order value and the source key struct ``ky`` —
+    a metadata-cheap explode of the per-group buffer, never a source read."""
+    view = snapshot_read(spark, view_path)
+    buf = F.col("buf") if k is None else F.slice("buf", 1, k)
+    group_cols = [c for c in view.columns if c not in ("n", "buf", "_maint_v")]
+    return view.select(
+        *group_cols,
+        F.posexplode(buf).alias("_pos", "_e"),
+    ).select(
+        *group_cols,
+        (F.col("_pos") + 1).cast("int").alias("rank"),
+        F.col("_e.o").alias("o"),
+        F.col("_e.ky").alias("ky"),
+    )
+
+
+def snapshot_maintain_topk(
+    spark: SparkSession,
+    source_path: str,
+    view_path: str,
+    cursor_path: str,
+    group_cols: Sequence[str],
+    order_col: str,
+    key_cols: Sequence[str],
+    k: int,
+    buffer: int | None = None,
+) -> int | None:
+    """Incrementally maintain a per-group TOP-K view (the k highest
+    ``order_col`` rows per group) of a keyed snapshot table from its change
+    feed — the serving-layer leaderboard/ranking shape the reference
+    recomputes per request (``RecommendationService.cs`` top-N scoring)
+    kept current for O(changed rows) per micro-batch.
+
+    State: ONE row per group — exact live row count ``n`` (rows with a
+    non-null order value; signed fold, self-decrementable) and ``buf``, the
+    group's top ``buffer`` (default ``max(2k, k+8)``) elements as a sorted
+    array of ``struct(o, ky)`` (order value, source-key struct), descending
+    lexicographic. The extra ``buffer - k`` slack absorbs deletions of
+    ranked rows without touching the source.
+
+    Per delta, per touched group:
+    - inserts/postimages fold in: buffer := top-``buffer`` of
+      (stored minus deleted-keys) union incoming — array algebra, exact,
+      because a full buffer's cutoff can only RISE under inserts;
+    - deletes/preimages remove their key from the buffer; the result is
+      exact unless the buffer is left INCOMPLETE — fewer than
+      ``min(buffer, n)`` elements means rows below the old cutoff now
+      belong in it, and only the source knows them. Exactly those groups
+      get a targeted recompute (semi-join on the group keys, one pruned
+      source pass), the same discipline as min/max/HLL maintenance.
+    - groups whose ``n`` reaches 0 are tombstoned out of the view.
+
+    Exactly-once: the view manifest's ``source_version`` is authoritative
+    (crash between view commit and cursor commit never double-folds) —
+    identical contract to ``snapshot_maintain_aggregate``. Read the view
+    with :func:`topk_view_read`.
+
+    Null order values are excluded from both ``n`` and the buffer (SQL
+    top-k semantics: NULLS don't rank); key uniqueness per version is the
+    keyed-feed invariant every merge-maintained source holds.
+    """
+    group_cols = list(group_cols)
+    key_cols = list(key_cols)
+    if k <= 0:
+        raise ValueError("snapshot_maintain_topk: k must be positive")
+    kp = buffer if buffer is not None else max(2 * k, k + 8)
+    if kp < k:
+        raise ValueError(f"snapshot_maintain_topk: buffer {kp} < k {k}")
+    changes, to_v, commit = snapshot_consume_changes(
+        spark, source_path, cursor_path, key_cols
+    )
+
+    view_exists = bool(snapshot_versions(view_path))
+    if view_exists:
+        applied = _latest_manifest(view_path).get("source_version")
+        applied = -1 if applied is None else applied
+        if applied >= to_v:
+            commit()
+            return None
+        if applied >= 0:
+            if applied not in snapshot_versions(source_path):
+                raise StaleCursorError(
+                    f"{source_path}: view applied version {applied} no "
+                    "longer survives vacuum — re-bootstrap"
+                )
+            changes = snapshot_changes(
+                spark, source_path, applied, to_v, key_cols
+            )
+
+    has_ord = F.col(order_col).isNotNull()
+    is_add = F.col("_change_type").isin("insert", "update_postimage") & has_ord
+    is_del = F.col("_change_type").isin("delete", "update_preimage") & has_ord
+    elem = F.struct(
+        F.col(order_col).alias("o"),
+        F.struct(*[F.col(c) for c in key_cols]).alias("ky"),
+    )
+    ky = F.struct(*[F.col(c) for c in key_cols])
+
+    def topb(arr):
+        # descending lexicographic (o, ky), truncated to the buffer size —
+        # the ONE ordering every path (fold, recompute, bootstrap) uses
+        return F.slice(F.reverse(F.array_sort(arr)), 1, kp)
+
+    # One canonical buffer type (everything nullable): collect_list proves
+    # non-nullability per path, and bootstrap/merge/recompute each prove
+    # DIFFERENT flags — the strict merge schema check would reject the
+    # drift, so every path casts to this.
+    from pyspark.sql.types import ArrayType, StructField, StructType
+
+    ch_types = {f.name: f.dataType for f in changes.schema.fields}
+    buf_t = ArrayType(
+        StructType(
+            [
+                StructField("o", ch_types[order_col], True),
+                StructField(
+                    "ky",
+                    StructType(
+                        [StructField(c, ch_types[c], True) for c in key_cols]
+                    ),
+                    True,
+                ),
+            ]
+        ),
+        True,
+    )
+
+    delta = changes.groupBy(*group_cols).agg(
+        F.sum(
+            F.when(is_add, F.lit(1)).when(is_del, F.lit(-1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("_d_n"),
+        F.collect_list(F.when(is_add, elem)).alias("_ins"),
+        F.collect_list(F.when(is_del, ky)).alias("_dels"),
+    )
+    delta = delta.persist()
+    try:
+        if not view_exists:
+            init = delta.filter(F.col("_d_n") > 0).select(
+                *group_cols,
+                F.col("_d_n").alias("n"),
+                topb(F.col("_ins")).cast(buf_t).alias("buf"),
+                F.lit(to_v).cast("long").alias("_maint_v"),
+            )
+            v = snapshot_write(
+                init,
+                view_path,
+                stats_cols=group_cols,
+                manifest_extra={"source_version": to_v},
+            )
+            commit()
+            return v
+        if len(delta.take(1)) == 0:
+            commit()
+            return None
+
+        current = snapshot_read(spark, view_path).select(*group_cols, "n", "buf")
+        joined = delta.join(current, group_cols, "left")
+        # a brand-new group has NULL buf; slice(_ins, 1, 0) is an empty
+        # array of exactly the element type, so coalesce stays well-typed
+        stored = F.coalesce(F.col("buf"), F.slice(F.col("_ins"), 1, 0))
+        # fold: (stored \ deleted keys) ∪ inserts, re-ranked, truncated
+        folded = topb(
+            F.concat(
+                F.filter(
+                    stored,
+                    lambda e: ~F.array_contains(F.col("_dels"), e["ky"]),
+                ),
+                F.col("_ins"),
+            )
+        )
+        new_n = F.coalesce(F.col("n"), F.lit(0)) + F.col("_d_n")
+        n_old = F.coalesce(F.col("n"), F.lit(0))
+        # Recompute iff a delete removed a STORED element while live rows
+        # existed below the buffer's cutoff (n_old > stored size): those
+        # invisible rows may now rank, and no amount of insert refill can
+        # prove they don't — a size test alone misses the case where
+        # incoming inserts refill the buffer ABOVE a below-cutoff
+        # contender. Deletes below the cutoff, or on a buffer that holds
+        # the whole group, fold exactly.
+        hit_del = F.exists(
+            stored, lambda e: F.array_contains(F.col("_dels"), e["ky"])
+        )
+        needs_rc = hit_del & (n_old > F.size(stored))
+        staged = joined.select(
+            *group_cols,
+            new_n.alias("n"),
+            folded.alias("buf"),
+            needs_rc.alias("_rc"),
+        ).persist()
+        try:
+            rc_groups = staged.filter(F.col("_rc")).select(*group_cols)
+            src_elem = F.struct(
+                F.col(order_col).alias("o"),
+                F.struct(*[F.col(c) for c in key_cols]).alias("ky"),
+            )
+            recomputed = (
+                snapshot_read(spark, source_path)
+                .filter(F.col(order_col).isNotNull())
+                .join(rc_groups, group_cols, "semi")
+                .groupBy(*group_cols)
+                .agg(topb(F.collect_list(src_elem)).alias("_rc_buf"))
+            )
+            upsert = (
+                staged.join(recomputed, group_cols, "left")
+                .select(
+                    *group_cols,
+                    F.col("n"),
+                    F.when(F.col("_rc"), F.coalesce(F.col("_rc_buf"), F.col("buf")))
+                    .otherwise(F.col("buf"))
+                    .cast(buf_t)
+                    .alias("buf"),
+                    F.lit(to_v).cast("long").alias("_maint_v"),
+                    (F.col("n") <= 0).alias("_tomb"),
+                )
+            )
+            v = snapshot_merge(
+                upsert,
+                view_path,
+                key_cols=group_cols,
+                seq_col="_maint_v",
+                delete_col="_tomb",
+                manifest_extra={"source_version": to_v},
+            )
+        finally:
+            staged.unpersist()
+    finally:
+        delta.unpersist()
+    commit()
+    return v
+
+
 def snapshot_add_columns(path: str, new_fields) -> int:
     """Schema evolution, Delta ``ADD COLUMNS`` parity: commit a NEW version
     whose manifest carries the WIDENED schema over the SAME files — a pure
