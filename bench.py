@@ -134,6 +134,7 @@ def main() -> None:
         "q134_ann_pq",
         "q135_edit_distance_join",
         "q136_table_profile",
+        "q137_holt_smoothing",
     ]
     queries_ext: dict[str, float] = {}
     for name in ext_names:

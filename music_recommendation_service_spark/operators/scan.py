@@ -188,3 +188,193 @@ def ewma_recursive(
         init=init, out_col=out_col, num_partitions=num_partitions,
     )
     return out.drop("__m", "__b")
+
+
+# ---------------------------------------------------------------------------
+# Matrix affine scan: the d-dimensional lift of linear_scan. State vectors
+# s_i = A_i s_{i-1} + c_i cover what the scalar recurrence cannot: Holt's
+# linear-trend smoothing (d=2: level+trend), damped-trend variants,
+# second-order IIR filters, any constant-coefficient linear recurrence of
+# order d rewritten in companion form. Affine maps over R^d compose
+# associatively — (A2,c2)∘(A1,c1) = (A2@A1, A2@c1 + c2) — so the same
+# two-pass segmented structure applies; within a partition the per-row
+# prefix compositions run as a VECTORIZED Hillis-Steele scan (log2(n)
+# einsum passes over (n,d,d) stacks) instead of a Python row loop.
+# ---------------------------------------------------------------------------
+def _mat_prefix(A: np.ndarray, c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inclusive prefix compositions P_i = f_i ∘ ... ∘ f_1 of the affine
+    maps (A, c): returns (P, Q) with s_i = P_i @ s0 + Q_i. Hillis-Steele:
+    log2(n) vectorized passes, no Python row loop."""
+    P = A.copy()
+    Q = c.copy()
+    n = len(A)
+    offset = 1
+    while offset < n:
+        # current map (suffix f_i..f_{i-offset+1}) composes AFTER the
+        # earlier prefix ending at i-offset
+        P_new = np.einsum("nij,njk->nik", P[offset:], P[:-offset])
+        Q_new = (
+            np.einsum("nij,nj->ni", P[offset:], Q[:-offset]) + Q[offset:]
+        )
+        P[offset:] = P_new
+        Q[offset:] = Q_new
+        offset *= 2
+    return P, Q
+
+
+def matrix_scan(
+    df: DataFrame,
+    order_col: str,
+    a_cols: list,
+    c_cols: list,
+    init: list,
+    out_cols: list,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact s_i = A_i @ s_{i-1} + c_i over ``df`` ordered by ``order_col``
+    (globally unique). ``a_cols`` is the row-major d*d list of matrix
+    entry columns, ``c_cols`` the d offset columns, ``init`` the length-d
+    seed, ``out_cols`` the d output state column names (double).
+
+    Cost: one range shuffle + two narrow passes (partition totals, then
+    seeded per-row prefixes); the driver composes O(partitions) d x d
+    maps. Partition-count independent by construction, same as
+    :func:`linear_scan`."""
+    d = len(c_cols)
+    if len(a_cols) != d * d or len(init) != d or len(out_cols) != d:
+        raise ValueError(
+            f"matrix_scan: need d*d a_cols, d c_cols/init/out_cols (d={d})"
+        )
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    sdf = (
+        df.repartitionByRange(parts, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .localCheckpoint()
+    )
+
+    def arrays(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        n = len(pdf)
+        A = np.empty((n, d, d), dtype=np.float64)
+        for i in range(d):
+            for j in range(d):
+                A[:, i, j] = pdf[a_cols[i * d + j]].to_numpy(dtype=np.float64)
+        c = np.empty((n, d), dtype=np.float64)
+        for i in range(d):
+            c[:, i] = pdf[c_cols[i]].to_numpy(dtype=np.float64)
+        return A, c
+
+    def pass_a(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        M = np.eye(d)
+        B = np.zeros(d)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A, c = arrays(pdf)
+            P, Q = _mat_prefix(A, c)
+            # chunk total composes AFTER the accumulated total
+            B = P[-1] @ B + Q[-1]
+            M = P[-1] @ M
+        yield pd.DataFrame(
+            {"pid": [pid], "m": [M.ravel().tolist()], "b": [B.tolist()]}
+        )
+
+    affines = sdf.select(*a_cols, *c_cols).mapInPandas(
+        pass_a, "pid int, m array<double>, b array<double>"
+    ).collect()
+    by_pid = {
+        r["pid"]: (np.array(r["m"]).reshape(d, d), np.array(r["b"]))
+        for r in affines
+    }
+    incoming: dict[int, list] = {}
+    state = np.array(init, dtype=np.float64)
+    for pid in range(parts):
+        incoming[pid] = state.tolist()
+        M, B = by_pid.get(pid, (np.eye(d), np.zeros(d)))
+        state = M @ state + B
+        if not np.all(np.isfinite(state)):
+            raise ArithmeticError(
+                f"matrix_scan diverged at partition {pid}: state={state}"
+            )
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_fields = sdf.schema.fieldNames() + list(out_cols)
+    out_schema = StructType(
+        list(sdf.schema.fields)
+        + [StructField(o, DoubleType()) for o in out_cols]
+    )
+
+    def pass_b(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        acc = np.array(incoming.get(pid, init), dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A, c = arrays(pdf)
+            P, Q = _mat_prefix(A, c)
+            states = np.einsum("nij,j->ni", P, acc) + Q
+            acc = states[-1]
+            out = pdf.copy()
+            for i, o in enumerate(out_cols):
+                out[o] = states[:, i]
+            yield out[out_fields]
+
+    return sdf.mapInPandas(pass_b, out_schema)
+
+
+def holt_linear(
+    df: DataFrame,
+    order_col: str,
+    y_col: str,
+    alpha: float,
+    beta: float,
+    level_col: str = "level",
+    trend_col: str = "trend",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over the global order —
+    the d=2 matrix recurrence the scalar EWMA cannot express:
+
+        l_t = a*y_t + (1-a)*(l_{t-1} + b_{t-1})
+        b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}
+
+    In companion form s=(l,b): A = [[1-a, 1-a], [-a*B, 1-a*B]],
+    c_t = (a*y_t, a*B*y_t). Initialization l_1 = y_1, b_1 = 0 is encoded
+    ROW-WISE (the first row's map is A=0, c=(y_1, 0)) so no special-cased
+    head pass exists — the scan stays one shuffle + two passes."""
+    first = df.select(F.min(order_col).alias("o")).collect()
+    if not first or first[0]["o"] is None:
+        return df.withColumn(level_col, F.lit(None).cast("double")).withColumn(
+            trend_col, F.lit(None).cast("double")
+        )
+    first_o = first[0]["o"]
+    is_first = F.col(order_col) == F.lit(first_o)
+    y = F.col(y_col).cast("double")
+    a, b = float(alpha), float(beta)
+
+    def sel(f, rest):
+        return F.when(is_first, F.lit(f)).otherwise(F.lit(rest))
+
+    prepared = (
+        df.withColumn("__a00", sel(0.0, 1.0 - a))
+        .withColumn("__a01", sel(0.0, 1.0 - a))
+        .withColumn("__a10", sel(0.0, -a * b))
+        .withColumn("__a11", sel(0.0, 1.0 - a * b))
+        .withColumn("__c0", F.when(is_first, y).otherwise(F.lit(a) * y))
+        .withColumn("__c1", F.when(is_first, F.lit(0.0)).otherwise(F.lit(a * b) * y))
+    )
+    out = matrix_scan(
+        prepared,
+        order_col,
+        ["__a00", "__a01", "__a10", "__a11"],
+        ["__c0", "__c1"],
+        [0.0, 0.0],
+        [level_col, trend_col],
+        num_partitions=num_partitions,
+    )
+    return out.drop("__a00", "__a01", "__a10", "__a11", "__c0", "__c1")

@@ -1397,3 +1397,67 @@ def _q133_sql(duck: bool) -> str:
 def q133_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_q133_sql(duck=False))
+
+
+# ---------------------------------------------------------------------------
+# q137 — Holt linear-trend exponential smoothing of daily event volume: the
+# RECURSIVE time-series smoother (level + trend state) the windowed
+# identities (q121 EWMA, q133 moving averages) cannot express — each day's
+# state depends on the previous day's OUTPUT, not a fixed window of inputs.
+# Spark side: operators/scan.py matrix_scan (the d=2 affine lift of the
+# distributed linear-recurrence scan — one range shuffle + two narrow
+# passes, partition-count independent). Oracle: the literal recurrence as
+# a DuckDB RECURSIVE CTE, one row per day. l_1 = y_1, b_1 = 0;
+# alpha = 0.5, beta = 0.3. At 100 TB the daily series is O(days) rows —
+# the scan exists for the general case (per-key or high-frequency series
+# where the driver must never hold the sequence).
+# ---------------------------------------------------------------------------
+_HOLT_A, _HOLT_B = 0.5, 0.3
+
+
+def _q137_oracle() -> str:
+    a, b = _HOLT_A, _HOLT_B
+    return f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    seq AS (
+        SELECT d, y, row_number() OVER (ORDER BY d) AS t FROM daily
+    ),
+    holt AS (
+        SELECT t, d, y, CAST(y AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+        FROM seq WHERE t = 1
+        UNION ALL
+        SELECT s.t, s.d, s.y,
+               {a}*s.y + {1 - a}*(h.l + h.b),
+               {b}*(({a}*s.y + {1 - a}*(h.l + h.b)) - h.l) + {1 - b}*h.b
+        FROM seq s JOIN holt h ON s.t = h.t + 1
+    )
+    SELECT d, y, {rnd_sql("l", 6)} AS level, {rnd_sql("b", 6)} AS trend
+    FROM holt
+    """
+
+
+@register(
+    "q137_holt_smoothing",
+    oracle=_q137_oracle(),
+    doc="Holt linear-trend smoothing (alpha=0.5, beta=0.3) of daily event "
+    "counts via the distributed 2x2 matrix affine scan; oracle is the "
+    "literal recurrence as a recursive CTE.",
+    tags=("timeseries", "smoothing", "scan", "analytics"),
+)
+def q137_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from music_recommendation_service_spark.operators.scan import holt_linear
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    out = holt_linear(daily, "d", "y", _HOLT_A, _HOLT_B)
+    return out.select(
+        "d", "y",
+        rnd("level", 6).alias("level"),
+        rnd("trend", 6).alias("trend"),
+    )

@@ -116,3 +116,76 @@ def test_linear_scan_divergence_raises(spark):
     df = spark.createDataFrame(pdf)
     with pytest.raises(ArithmeticError):
         linear_scan(df, "seq", "m", "b", init=1.0, num_partitions=4).count()
+
+
+# --- matrix affine scan (d=2) ----------------------------------------------
+
+
+def test_matrix_scan_matches_python_across_partitions(spark):
+    """Random per-row 2x2 affine maps: the distributed scan equals the
+    sequential recursion at every row, identically across 1/3/8
+    partitions (the segmented structure is partition-independent)."""
+    import numpy as np
+
+    from music_recommendation_service_spark.operators.scan import matrix_scan
+
+    rng = np.random.default_rng(7)
+    n, d = 137, 2
+    A = rng.uniform(-0.9, 0.9, (n, d, d))
+    c = rng.uniform(-1, 1, (n, d))
+    s = np.zeros(d)
+    seq = []
+    for i in range(n):
+        s = A[i] @ s + c[i]
+        seq.append(s.copy())
+    seq = np.array(seq)
+    df = spark.createDataFrame(
+        [(i, *A[i].ravel().tolist(), *c[i].tolist()) for i in range(n)],
+        ["t", "a00", "a01", "a10", "a11", "c0", "c1"],
+    )
+    for parts in (1, 3, 8):
+        out = matrix_scan(
+            df, "t", ["a00", "a01", "a10", "a11"], ["c0", "c1"],
+            [0.0, 0.0], ["s0", "s1"], num_partitions=parts,
+        )
+        got = np.array(
+            [(r["s0"], r["s1"]) for r in out.orderBy("t").collect()]
+        )
+        assert np.abs(got - seq).max() < 1e-9, f"parts={parts}"
+
+
+def test_holt_linear_matches_recursion(spark):
+    """Holt level+trend over a 300-row series equals the literal recurrence
+    (l_1=y_1, b_1=0) — the shape the windowed EWMA identity cannot
+    express because each state feeds the next."""
+    import numpy as np
+
+    from music_recommendation_service_spark.operators.scan import holt_linear
+
+    rng = np.random.default_rng(11)
+    y = rng.uniform(0, 100, 300)
+    a, b = 0.4, 0.2
+    l, tr = y[0], 0.0
+    exp = [(l, tr)]
+    for t in range(1, len(y)):
+        l_new = a * y[t] + (1 - a) * (l + tr)
+        tr = b * (l_new - l) + (1 - b) * tr
+        l = l_new
+        exp.append((l, tr))
+    exp = np.array(exp)
+    df = spark.createDataFrame(
+        [(i, float(y[i])) for i in range(len(y))], ["t", "y"]
+    )
+    out = holt_linear(df, "t", "y", a, b, num_partitions=5)
+    got = np.array(
+        [(r["level"], r["trend"]) for r in out.orderBy("t").collect()]
+    )
+    assert np.abs(got - exp).max() < 1e-9
+
+
+def test_holt_linear_empty_series(spark):
+    from music_recommendation_service_spark.operators.scan import holt_linear
+
+    df = spark.createDataFrame([], "t long, y double")
+    out = holt_linear(df, "t", "y", 0.5, 0.3)
+    assert out.count() == 0 and "level" in out.columns
