@@ -135,6 +135,7 @@ def main() -> None:
         "q135_edit_distance_join",
         "q136_table_profile",
         "q137_holt_smoothing",
+        "q138_window_zoo",
     ]
     queries_ext: dict[str, float] = {}
     for name in ext_names:

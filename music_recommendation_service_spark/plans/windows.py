@@ -153,3 +153,48 @@ def q45_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q138 — the window-function zoo: every SQL window primitive the catalog's
+# task-specific queries did not yet pin individually (lag/lead with
+# defaults, dense_rank, percent_rank, cume_dist, first/last/nth_value over
+# an explicit frame), one statement, identical SQL on both engines. The
+# ordering key (o_orderdate, o_orderkey) is unique, so every function is
+# deterministic and RANGE/ROWS framing coincide. One hash-partitioned
+# window pass (partitioned by customer — no SinglePartition stage).
+# ---------------------------------------------------------------------------
+def _q138_sql() -> str:
+    return f"""
+    SELECT o_custkey, o_orderkey,
+           {rnd_sql("o_totalprice", 2)} AS price,
+           {rnd_sql("lag(o_totalprice, 1, 0.0) OVER w", 2)} AS prev_price,
+           {rnd_sql("lead(o_totalprice, 1, -1.0) OVER w", 2)} AS next_price,
+           CAST(dense_rank() OVER w AS BIGINT) AS drank,
+           {rnd_sql("percent_rank() OVER w", 6)} AS prank,
+           {rnd_sql("cume_dist() OVER w", 6)} AS cdist,
+           {rnd_sql("first_value(o_totalprice) OVER w", 2)} AS first_price,
+           {rnd_sql(
+               "last_value(o_totalprice) OVER "
+               "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+               "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)", 2
+           )} AS last_price,
+           {rnd_sql("coalesce(nth_value(o_totalprice, 2) OVER w, -1.0)", 2)} AS second_price
+    FROM orders
+    WHERE o_custkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """
+
+
+@register(
+    "q138_window_zoo",
+    oracle=_q138_sql(),
+    doc="Window-function coverage in one statement: lag/lead with "
+    "defaults, dense_rank, percent_rank, cume_dist, first/last/nth_value "
+    "with explicit framing — unique ordering key, one partitioned window "
+    "pass.",
+    tags=("windows", "sql-coverage"),
+)
+def q138_window_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_q138_sql())

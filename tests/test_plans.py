@@ -176,6 +176,11 @@ _PYTHON_OK = frozenset({
     # <= k+1 rows per partition, and the exact verification pass is pure
     # JVM (broadcast semi-join + hash agg).
     "q132_token_heavy_hitters",
+    # Matrix affine scan (operators/scan.py): the recurrence is inherently
+    # sequential in its DATA dependence; the two segmented passes run as
+    # Arrow-batched mapInPandas with vectorized Hillis-Steele folds — the
+    # declared exception class, same as the scalar scan it lifts.
+    "q137_holt_smoothing",
 })
 
 
@@ -412,3 +417,12 @@ def test_q136_profile_single_scan_expand(spark, sf_dir):
     for line in p.splitlines():
         if "Location" in line:
             assert "events" not in line, line
+
+
+def test_q138_window_zoo_single_partitioned_pass(spark, sf_dir):
+    """All ten window functions share one (o_custkey)-partitioned window
+    spec — the plan must hash-partition by customer, never collapse to a
+    SinglePartition global sort."""
+    p = _plan(spark, sf_dir, "q138_window_zoo")
+    assert "SinglePartition" not in p, p
+    assert "hashpartitioning(o_custkey" in p
