@@ -203,3 +203,90 @@ def test_topk_randomized_model_vs_recompute(spark, tmp_path):
             got = _got_topk(spark, p["view"], width)
             want = _expected_topk(spark, p["src"], width)
             assert got == want, f"wave {wave} width {width}: {got} != {want}"
+
+
+def test_topk_streaming_leaderboard_e2e(spark, tmp_path):
+    """Streaming leaderboard: landing JSON score events -> keyed stream
+    MERGE into the snapshot source -> snapshot_maintain_topk -> served
+    ranks equal a full recompute after every wave. Score DOWNGRADES of
+    ranked rows exercise the eviction/recompute path through the real
+    update pre/post feed; replaying a landing file is a content no-op
+    end-to-end (stream exactly-once + maintainer exactly-once)."""
+    import json as _json
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from music_recommendation_service_spark.streaming.pipeline import (
+        foreach_batch_merge,
+        stream_from_directory,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    p = {
+        "src": str(tmp_path / "lb_src"),
+        "view": str(tmp_path / "lb_view"),
+        "cur": str(tmp_path / "lb_cur"),
+    }
+    ckpt = str(tmp_path / "lb_ckpt")
+    schema = StructType(
+        [
+            StructField("grp", LongType()),
+            StructField("item", LongType()),
+            StructField("score", DoubleType()),
+            StructField("seq", LongType()),
+        ]
+    )
+
+    def drop(name, rows):
+        with open(landing / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    def run_wave():
+        stream = stream_from_directory(spark, str(landing), schema)
+        q = foreach_batch_merge(
+            stream, p["src"], ckpt, key_cols=("item",), seq_col="seq"
+        )
+        q.awaitTermination(120)
+        snapshot_maintain_topk(
+            spark, p["src"], p["view"], p["cur"],
+            group_cols=["grp"], order_col="score", key_cols=["item"], k=2,
+            buffer=3,
+        )
+
+    def check():
+        got = _got_topk(spark, p["view"], 2)
+        want = _expected_topk(spark, p["src"], 2)
+        assert got == want, (got, want)
+
+    w1 = [
+        {"grp": 1, "item": i, "score": float(10 - i), "seq": 1}
+        for i in range(6)
+    ] + [{"grp": 2, "item": 100, "score": 5.0, "seq": 1}]
+    drop("w1.json", w1)
+    run_wave()
+    check()
+
+    # wave 2: downgrade group 1's leader below everyone (buffered update
+    # preimage -> eviction -> recompute must surface item 3), plus a new
+    # group-2 leader
+    w2 = [
+        {"grp": 1, "item": 0, "score": 0.5, "seq": 2},
+        {"grp": 2, "item": 101, "score": 9.0, "seq": 2},
+    ]
+    drop("w2.json", w2)
+    run_wave()
+    check()
+
+    # wave 3: replay wave 2 under a new landing name — at-least-once
+    # upstream delivery; merge seq-tie rule + maintainer exactly-once make
+    # it a content no-op
+    drop("w2_replay.json", w2)
+    run_wave()
+    check()
