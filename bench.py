@@ -136,6 +136,7 @@ def main() -> None:
         "q136_table_profile",
         "q137_holt_smoothing",
         "q138_window_zoo",
+        "q139_survival_curve",
     ]
     queries_ext: dict[str, float] = {}
     for name in ext_names:

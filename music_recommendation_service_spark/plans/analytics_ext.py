@@ -1461,3 +1461,87 @@ def q137_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd("level", 6).alias("level"),
         rnd("trend", 6).alias("trend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q139 — Kaplan-Meier survival for time-to-first-purchase with RIGHT
+# CENSORING: the estimator product analytics ships next to retention
+# (q105 counts fixed cohort offsets; KM handles subjects still
+# event-free at the observation cutoff without biasing the curve).
+# Subject = user; clock starts at the user's first event; the event is
+# the first 'purchase'; observation ends 96 hours after entry — users
+# whose first purchase lands later (or never) are censored at 96h, which
+# on this corpus censors a real fraction (mean purchase gap ~2.3 days).
+# Durations are integer HOURS (floor of the epoch difference — identical
+# arithmetic both engines).
+#
+#   S(t) = prod_{t_i <= t} (1 - d_i / n_i)
+#
+# n_i (at risk) is a DESCENDING cumulative sum over the O(distinct
+# durations) relation; the product is exp(sum(ln(factor))) with an
+# explicit zero flag (ln(0) diverges between engines: NULL on Spark,
+# -inf on DuckDB — the CASE keeps both out). Scale: one user_id
+# aggregate over the fact table; everything after is O(<=97) rows, so
+# the global windows run on a tiny relation — the q133 discipline.
+# ---------------------------------------------------------------------------
+_KM_CUT_H = 96
+
+
+def _q139_sql(duck: bool) -> str:
+    # epoch seconds, identical in both engines (q104's discipline)
+    ep = (lambda t: f"epoch({t})") if duck else (
+        lambda t: f"cast(cast({t} AS TIMESTAMP) AS DOUBLE)"
+    )
+    dur_h = (
+        f"CAST(floor(({ep('u.fp')} - {ep('u.entry')}) / 3600.0) AS BIGINT)"
+    )
+    r = "(1.0 - d * 1.0 / n)"
+    return f"""
+    WITH per_user AS (
+        SELECT user_id, min(ts) AS entry,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+        FROM events GROUP BY user_id
+    ),
+    obs AS (
+        SELECT u.user_id,
+               CASE WHEN u.fp IS NOT NULL AND {dur_h} <= {_KM_CUT_H}
+                    THEN {dur_h} ELSE {_KM_CUT_H} END AS dur,
+               CASE WHEN u.fp IS NOT NULL AND {dur_h} <= {_KM_CUT_H}
+                    THEN 1 ELSE 0 END AS purchased
+        FROM per_user u
+    ),
+    risk AS (
+        SELECT dur AS t, CAST(sum(purchased) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS here
+        FROM obs GROUP BY dur
+    ),
+    km AS (
+        SELECT t, d,
+               CAST(sum(here) OVER (
+                   ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n
+        FROM risk
+    )
+    SELECT CAST(t AS BIGINT) AS t_hours, n AS n_at_risk, d AS events,
+           {rnd_sql(
+               "CASE WHEN min(" + r + ") OVER cum <= 0 THEN 0.0 "
+               "ELSE exp(sum(CASE WHEN " + r + " > 0 THEN ln(" + r + ") END) "
+               "OVER cum) END", 6
+           )} AS survival
+    FROM km
+    WINDOW cum AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+
+@register(
+    "q139_survival_curve",
+    oracle=_q139_sql(duck=True),
+    doc="Kaplan-Meier time-to-first-purchase with right censoring at 96 "
+    "hours: at-risk via a descending cumulative sum, the product via "
+    "exp-sum-ln with an engine-portable zero guard.",
+    tags=("timeseries", "survival", "analytics"),
+)
+def q139_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_q139_sql(duck=False))

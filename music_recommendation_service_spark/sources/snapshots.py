@@ -593,6 +593,7 @@ def _commit(
         # the maintainer (rollback restores the TARGET's keys explicitly).
         for sticky in (
             "constraints",
+            "generated",
             "source_version",
             "maint_fact_version",
             "maint_dim_version",
@@ -634,6 +635,7 @@ def snapshot_write(
     ``bloom_cols`` adds per-file Bloom bitsets so ``snapshot_scan`` can
     skip files on point lookups over unsorted high-cardinality columns;
     ``manifest_extra`` merges caller metadata into the manifest."""
+    df = _apply_generated(df, path, "overwrite")
     _enforce_constraints(df, path, "overwrite")
     rel, full = _new_data_dir(path)
     df.write.mode("error").parquet(full)
@@ -673,6 +675,7 @@ def snapshot_append(
             df, path, stats_cols, manifest_extra=manifest_extra,
             bloom_cols=bloom_cols,
         )
+    df = _apply_generated(df, path, "append")
     _enforce_constraints(df, path, "append")
     mapping = _mapping(_latest_manifest(path) or {})
     rel, full = _new_data_dir(path)
@@ -857,6 +860,138 @@ def snapshot_drop_constraint(path: str, name: str) -> int:
     return _commit(path, build, op="drop_constraint")
 
 
+def _generated(m: dict | None) -> dict:
+    """The table's generated-column rules {col: sql_expr} (Delta
+    ``GENERATED ALWAYS AS`` parity) from a manifest."""
+    return (m or {}).get("generated") or {}
+
+
+def _validate_generated(df: DataFrame, rules: dict, path: str, op: str) -> None:
+    """Reject rows whose generated column does not equal its expression
+    (null-safe, after casting the expression to the column's type so both
+    sides compare in the declared type). One ``take`` over the incoming
+    rows only — O(batch)."""
+    if not rules:
+        return
+    conds = [
+        F.col(c).eqNullSafe(F.expr(e).cast(df.schema[c].dataType))
+        for c, e in rules.items()
+        if c in df.columns
+    ]
+    if not conds:
+        return
+    bad = df.filter(~functools.reduce(lambda a, b: a & b, conds)).take(1)
+    if bad:
+        raise ConstraintViolationError(
+            f"{op} at {path} violates GENERATED ALWAYS AS rule(s) "
+            f"{sorted(rules)}: example row {bad[0].asDict()}"
+        )
+
+
+def _apply_generated(df: DataFrame, path: str, op: str, exempt=None) -> DataFrame:
+    """Write-path half of generated columns: AUTO-FILL rules whose column
+    is absent from the incoming frame (computed from the batch's base
+    columns, cast to the declared type, reordered to the stored schema),
+    and VALIDATE rules whose column the writer provided — a write cannot
+    smuggle a value that disagrees with the expression. ``exempt`` marks
+    rows excluded from validation (MERGE tombstone payloads, which never
+    land)."""
+    from pyspark.sql.types import StructType
+
+    latest = _latest_manifest(path)
+    rules = _generated(latest)
+    if not rules:
+        return df
+    sch = StructType.fromJson(json.loads(latest["schema"]))
+    types = {f.name: f.dataType for f in sch.fields}
+    missing = [c for c in rules if c not in df.columns]
+    for c in missing:
+        df = df.withColumn(c, F.expr(rules[c]).cast(types.get(c)))
+    if missing:
+        # put auto-filled columns in stored-schema position so the strict
+        # append/merge schema check sees the declared order
+        stored_order = [c for c in sch.fieldNames() if c in df.columns]
+        extra = [c for c in df.columns if c not in stored_order]
+        df = df.select(*stored_order, *extra)
+    present = {c: e for c, e in rules.items() if c not in missing}
+    check_df = df.filter(~exempt) if exempt is not None else df
+    _validate_generated(check_df, present, path, op)
+    return df
+
+
+def snapshot_set_generated(
+    spark: SparkSession, path: str, col: str, expr: str
+) -> int:
+    """ALTER TABLE ... GENERATED ALWAYS AS parity: declare ``col`` to be
+    defined by ``expr`` over the row's other columns. Validates the
+    CURRENT data satisfies the rule (one filtered scan), then commits it
+    as metadata (data_change=false, zero bytes rewritten). From then on
+    every write path auto-fills the column when absent and validates it
+    when provided; predicate UPDATEs recompute it from the post-update
+    base values and reject direct assignment; rename/drop of the column
+    or any column its expression references is blocked until the rule is
+    dropped."""
+    from pyspark.sql.types import StructType
+
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    validated_v = versions[-1]
+    cur = _read_manifest(path, validated_v)
+    sch = StructType.fromJson(json.loads(cur["schema"]))
+    if col not in sch.fieldNames():
+        raise ValueError(f"snapshot_set_generated: {col!r} not in schema")
+    if col in _generated(cur):
+        raise ValueError(f"generated rule for {col!r} already exists at {path}")
+    if _expr_references(expr, col):
+        raise ValueError(
+            f"snapshot_set_generated: {col!r} expression references itself"
+        )
+    ctype = {f.name: f.dataType for f in sch.fields}[col]
+    bad = (
+        snapshot_read(spark, path, validated_v)
+        .filter(~F.col(col).eqNullSafe(F.expr(expr).cast(ctype)))
+        .take(1)
+    )
+    if bad:
+        raise ConstraintViolationError(
+            f"cannot set GENERATED ALWAYS AS on {col!r} ({expr}) at {path}: "
+            f"existing row disagrees: {bad[0].asDict()}"
+        )
+
+    def build(latest: dict | None, _version: int) -> dict:
+        if latest is None or latest["version"] != validated_v:
+            raise ConcurrentSnapshotError(
+                f"{path}: table advanced past validated version "
+                f"{validated_v} while setting generated rule on {col!r}; retry"
+            )
+        out = {k: v for k, v in latest.items() if k not in ("version", "committed_at")}
+        out["generated"] = {**_generated(latest), col: expr}
+        out["data_change"] = False
+        return out
+
+    return _commit(path, build, op="set_generated")
+
+
+def snapshot_drop_generated(path: str, col: str) -> int:
+    """Remove a generated-column rule (metadata-only commit); the column
+    itself stays, as ordinary data."""
+
+    def build(latest: dict | None, _version: int) -> dict:
+        if latest is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        rules = dict(_generated(latest))
+        if col not in rules:
+            raise KeyError(f"no generated rule for {col!r} at {path}")
+        del rules[col]
+        out = {k: v for k, v in latest.items() if k not in ("version", "committed_at")}
+        out["generated"] = rules
+        out["data_change"] = False
+        return out
+
+    return _commit(path, build, op="drop_generated")
+
+
 def _merge_dv(
     spark: SparkSession,
     df: DataFrame,
@@ -1007,6 +1142,16 @@ def snapshot_merge(
     base_version = snapshot_versions(path)[-1]
     cur = _read_manifest(path, base_version)
     mapping = _mapping(cur)
+    # generated columns: auto-fill absent, validate provided (tombstone
+    # payloads exempt — they never land)
+    df = _apply_generated(
+        df, path, "merge",
+        exempt=(
+            F.coalesce(F.col(delete_col), F.lit(False))
+            if delete_col is not None
+            else None
+        ),
+    )
     stored_schema = (
         df.drop(delete_col).schema.json() if delete_col is not None else df.schema.json()
     )
@@ -1427,9 +1572,12 @@ def snapshot_merge_when(
         out_cols.append(col.cast(types[c]).alias(c))
 
     out = joined.filter(~drop).select(*out_cols, changed.alias("_mw_changed"))
-    _enforce_constraints(
-        out.filter(F.col("_mw_changed")).drop("_mw_changed"), path, "merge"
-    )
+    changed_rows = out.filter(F.col("_mw_changed")).drop("_mw_changed")
+    _enforce_constraints(changed_rows, path, "merge")
+    # generated columns: every clause-produced row must agree with the
+    # table's GENERATED ALWAYS AS rules (explicit clauses provide values,
+    # so this is validation, not auto-fill)
+    _validate_generated(changed_rows, _generated(cur), path, "merge")
     out = out.drop("_mw_changed")
     if not touched and out.isEmpty():
         return None  # insert clauses matched no rows: no-op
@@ -1737,6 +1885,9 @@ def _update_where_dv(
             for c in field_names
         ]
     )
+    # generated columns recompute from the post-update base values
+    for gc, ge in _generated(cur).items():
+        image = image.withColumn(gc, F.expr(ge).cast(types[gc]))
     _enforce_constraints(image, path, "update_dv")
     img_rel, img_dir = _new_data_dir(path)
     _to_physical_df(image, mapping).write.mode("error").parquet(img_dir)
@@ -1802,6 +1953,14 @@ def snapshot_update_where(
     unknown = sorted(set(assignments) - set(types))
     if unknown:
         raise ValueError(f"snapshot_update_where: unknown column(s) {unknown}")
+    gen_rules = _generated(cur)
+    gen_hit = sorted(set(assignments) & set(gen_rules))
+    if gen_hit:
+        raise ValueError(
+            f"snapshot_update_where: column(s) {gen_hit} are GENERATED "
+            "ALWAYS AS — they recompute from the updated row; assign the "
+            "base columns instead"
+        )
     if mode == "dv":
         return _update_where_dv(
             spark, path, cur, base_version, predicate, assignments, types,
@@ -1829,6 +1988,12 @@ def snapshot_update_where(
                 for c in schema.fieldNames()
             ]
         )
+        # Generated columns recompute from the POST-update base values
+        # (Delta parity). Applying to every row is a no-op for unmatched
+        # rows — their bases are unchanged and the stored value already
+        # equals the expression (the table invariant).
+        for gc, ge in gen_rules.items():
+            out = out.withColumn(gc, F.expr(ge).cast(types[gc]))
         # Constraints are checked on the rewritten image of the rows that
         # matched on the ORIGINAL data — an assignment that falsifies its
         # own predicate cannot hide the row from enforcement.
@@ -1842,6 +2007,10 @@ def snapshot_update_where(
                 for c in schema.fieldNames()
             ]
         )
+        for gc, ge in gen_rules.items():
+            updated_image = updated_image.withColumn(
+                gc, F.expr(ge).cast(types[gc])
+            )
         _enforce_constraints(updated_image, path, "update_where")
         return out
 
@@ -3266,6 +3435,13 @@ def snapshot_rename_columns(path: str, renames: dict) -> int:
                         f"by CHECK constraint {cname!r} ({cexpr}); drop the "
                         "constraint first (constraints bind LOGICAL names)"
                     )
+            for gcol, gexpr in _generated(latest).items():
+                if gcol == old_name or _expr_references(gexpr, old_name):
+                    raise ValueError(
+                        f"snapshot_rename_columns: {old_name!r} is (or is "
+                        f"referenced by) generated column {gcol!r} "
+                        f"({gexpr}); drop the rule first"
+                    )
             if new_name in names and new_name != old_name:
                 raise ValueError(
                     f"snapshot_rename_columns: {new_name!r} already exists"
@@ -3338,6 +3514,16 @@ def snapshot_drop_columns(path: str, names: Sequence[str]) -> int:
                     f"snapshot_drop_columns: {hit} referenced by CHECK "
                     f"constraint {cname!r} ({cexpr}); drop the constraint "
                     "first (Delta parity)"
+                )
+        for gcol, gexpr in _generated(latest).items():
+            hit = sorted(
+                c for c in drop if c == gcol or _expr_references(gexpr, c)
+            )
+            if hit:
+                raise ValueError(
+                    f"snapshot_drop_columns: {hit} is (or is referenced by) "
+                    f"generated column {gcol!r} ({gexpr}); drop the rule "
+                    "first"
                 )
         out = {
             "data_dirs": latest["data_dirs"],

@@ -450,3 +450,22 @@ def test_salted_join_rejects_outer_shapes():
         salted_join(df, df, ["k"], how="full")
     with _pytest.raises(ValueError, match="non-algebraic"):
         salted_aggregate(df, ["k"], [("m", "v", "median")])
+
+
+def test_q139_km_invariants(spark, sf_dir):
+    """Kaplan-Meier: survival starts <= 1, is non-increasing in t, at-risk
+    counts are non-increasing, and the censored tail is non-empty (the
+    estimator is only interesting under real censoring)."""
+    from music_recommendation_service_spark.plans import registry
+
+    rows = sorted(
+        (r["t_hours"], r["n_at_risk"], r["events"], r["survival"])
+        for r in registry()["q139_survival_curve"].build(spark, sf_dir).collect()
+    )
+    assert rows, "empty curve"
+    assert all(0.0 <= s <= 1.0 for *_x, s in rows)
+    assert all(rows[i][3] >= rows[i + 1][3] for i in range(len(rows) - 1))
+    assert all(rows[i][1] >= rows[i + 1][1] for i in range(len(rows) - 1))
+    # the cutoff bucket exists and carries censored (event-free) subjects
+    t_max = rows[-1]
+    assert t_max[0] == 96 and t_max[1] > t_max[2]
