@@ -137,6 +137,7 @@ def main() -> None:
         "q137_holt_smoothing",
         "q138_window_zoo",
         "q139_survival_curve",
+        "q140_decayed_demand",
     ]
     queries_ext: dict[str, float] = {}
     for name in ext_names:

@@ -793,3 +793,55 @@ def q95_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(rnd(F.lit(100.0) * F.sum(promo) / F.sum(vol), 6).alias("promo_revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q140 — exponentially-decayed part demand: the recency-weighted popularity
+# every serving/training-reweighting layer keeps next to raw counts (q130's
+# Gini measures concentration; this measures WHAT is hot NOW). Each
+# lineitem contributes qty * 0.5^(age_days / half_life) anchored at the
+# CURRENT max orderdate (data-derived via a scalar subquery — no wall
+# clock, so the result is deterministic at every SF). One fact join +
+# one part-key aggregate + TakeOrderedAndProject top-20; the decay is
+# pure codegen power() arithmetic — at 100 TB nothing here is new shuffle
+# shape, it is q130's aggregate with a different measure.
+# ---------------------------------------------------------------------------
+_DECAY_HALF_LIFE_D = 30.0
+
+
+def _q140_sql(duck: bool) -> str:
+    ep = (lambda t: f"epoch({t})") if duck else (
+        lambda t: f"cast(cast({t} AS TIMESTAMP) AS DOUBLE)"
+    )
+    age_d = (
+        f"(({ep('(SELECT max(o_orderdate) FROM orders)')}) - "
+        f"{ep('o.o_orderdate')}) / 86400.0"
+    )
+    return f"""
+    SELECT l.l_partkey AS partkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           {rnd_sql("sum(l.l_quantity)", 2)} AS raw_qty,
+           {rnd_sql(
+               f"sum(l.l_quantity * power(0.5, ({age_d}) / {_DECAY_HALF_LIFE_D}))",
+               6,
+           )} AS decayed_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_partkey
+    ORDER BY decayed_qty DESC, partkey
+    LIMIT 20
+    """
+
+
+@register(
+    "q140_decayed_demand",
+    oracle=_q140_sql(duck=True),
+    doc="Top-20 parts by exponentially time-decayed demand (half-life 30 "
+    "days, anchored at the data's max orderdate via a scalar subquery) — "
+    "recency-weighted popularity next to q130's raw concentration.",
+    tags=("tpch", "timeseries", "decay", "analytics"),
+)
+def q140_decayed_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_q140_sql(duck=False))
