@@ -246,3 +246,54 @@ def test_ivfpq_plan_never_fans_corpus(spark, sf_dir):
         for r in rows
     }
     assert first == again
+
+
+def test_ivfpq_index_persists_through_snapshot_tables(spark, tmp_path):
+    """The composite index round-trips through snapshot tables like the
+    two single legs: centroids + assignments + codebooks + codes persist,
+    and ivfpq_query serves identical results from the RELOADED index —
+    build-once/probe-many across sessions."""
+    from music_recommendation_service_spark.operators.ann_index import (
+        IVFIndex,
+        IVFPQIndex,
+        PQIndex,
+        build_ivfpq_index,
+        ivfpq_query,
+    )
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    sf_dir = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = build_ivfpq_index(emb, k=8, lloyd_steps=1, m=4, pq_k=4)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    key = lambda r: (r["qid"], r["vec_id"], r["rank"], r["adc_dist"])
+    want = {
+        key(r)
+        for r in ivfpq_query(emb, index, queries, nprobe=3, cand=20,
+                             topk=5).collect()
+    }
+
+    paths = {n: str(tmp_path / n) for n in ("cent", "asg", "books", "codes")}
+    S.snapshot_write(index.ivf.centroids, paths["cent"])
+    S.snapshot_write(index.ivf.assignments, paths["asg"],
+                     stats_cols=["cluster_id"])
+    S.snapshot_write(index.pq.codebooks, paths["books"])
+    S.snapshot_write(index.pq.codes, paths["codes"], stats_cols=["id"])
+    reloaded = IVFPQIndex(
+        IVFIndex(
+            S.snapshot_read(spark, paths["cent"]),
+            S.snapshot_read(spark, paths["asg"]),
+            "vec_id", "embedding",
+        ),
+        PQIndex(
+            S.snapshot_read(spark, paths["books"]),
+            S.snapshot_read(spark, paths["codes"]),
+            index.pq.m, index.pq.sub_dim, "vec_id", "embedding",
+        ),
+    )
+    got = {
+        key(r)
+        for r in ivfpq_query(emb, reloaded, queries, nprobe=3, cand=20,
+                             topk=5).collect()
+    }
+    assert got == want and len(want) > 0
