@@ -138,6 +138,7 @@ def main() -> None:
         "q138_window_zoo",
         "q139_survival_curve",
         "q140_decayed_demand",
+        "q141_order_gaps",
     ]
     queries_ext: dict[str, float] = {}
     for name in ext_names:

@@ -845,3 +845,55 @@ def q140_decayed_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_q140_sql(duck=False))
+
+
+# ---------------------------------------------------------------------------
+# q141 — inter-order gap analysis: per-customer purchase cadence (the
+# re-order-interval signal demand forecasting and churn models consume).
+# lag() over (custkey, orderdate, orderkey) gives consecutive-order gaps;
+# one aggregate folds them to per-customer cadence stats; top-20 slowest
+# repeat customers with >= 4 orders, deterministically tie-broken. One
+# custkey-partitioned window + one aggregate — no self-join (the naive
+# formulation pairs orders O(n^2) per customer).
+# ---------------------------------------------------------------------------
+def _q141_sql(duck: bool) -> str:
+    dd = (
+        (lambda a, b: f"date_diff('day', {a}, {b})")
+        if duck
+        else (lambda a, b: f"datediff({b}, {a})")
+    )
+    prev = "lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+    return f"""
+    WITH gaps AS (
+        SELECT o_custkey,
+               CAST({dd(f'({prev})', 'o_orderdate')} AS BIGINT) AS gap_d
+        FROM orders
+    ),
+    cadence AS (
+        SELECT o_custkey AS custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(gap_d) AS BIGINT) AS n_gaps,
+               {rnd_sql("avg(gap_d)", 6)} AS avg_gap_d,
+               CAST(max(gap_d) AS BIGINT) AS max_gap_d,
+               CAST(min(gap_d) AS BIGINT) AS min_gap_d
+        FROM gaps GROUP BY o_custkey
+    )
+    SELECT custkey, n_orders, n_gaps, avg_gap_d, max_gap_d, min_gap_d
+    FROM cadence
+    WHERE n_orders >= 4
+    ORDER BY avg_gap_d DESC, custkey
+    LIMIT 20
+    """
+
+
+@register(
+    "q141_order_gaps",
+    oracle=_q141_sql(duck=True),
+    doc="Per-customer inter-order cadence via one lag window + one "
+    "aggregate (no O(n^2) self-pairing): top-20 slowest repeat customers "
+    "with >= 4 orders, deterministic tie-break.",
+    tags=("tpch", "windows", "cadence", "analytics"),
+)
+def q141_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_q141_sql(duck=False))
