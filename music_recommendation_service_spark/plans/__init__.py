@@ -67,7 +67,11 @@ def registry() -> dict[str, QueryDef]:
         windows,
     )
     # Imported LAST: q115's oracle composes q05/q02 oracle texts out of the
-    # registry at registration time, so reference_parity must already be in.
-    from music_recommendation_service_spark.plans import music_domain  # noqa: F401
+    # registry at registration time, so reference_parity must already be in;
+    # q142 (incremental_reco) composes q05's oracle the same way.
+    from music_recommendation_service_spark.plans import (  # noqa: F401
+        incremental_reco,
+        music_domain,
+    )
 
     return dict(_REGISTRY)

@@ -1299,10 +1299,12 @@ def _mw_first_clause_idx(clauses, guard):
 
 
 def _mw_validate(when_matched, when_not_matched, when_not_matched_by_source,
-                 tcols, src_cols):
+                 tcols, src_cols, gen_cols=()):
     """Clause-shape validation for snapshot_merge_when (fail fast, before
-    any Spark job runs)."""
+    any Spark job runs). ``gen_cols`` are GENERATED ALWAYS AS columns: an
+    INSERT * clause may omit them from the source (they auto-compute)."""
     tset = set(tcols)
+    gset = set(gen_cols)
     for name, clauses, actions in (
         ("when_matched", when_matched, {"update", "delete"}),
         ("when_not_matched", when_not_matched, {"insert"}),
@@ -1338,7 +1340,7 @@ def _mw_validate(when_matched, when_not_matched, when_not_matched_by_source,
             if act == "insert":
                 vals = cl.get("values")
                 if vals is None:
-                    missing = sorted(tset - set(src_cols))
+                    missing = sorted(tset - set(src_cols) - gset)
                     if missing:
                         raise ValueError(
                             f"snapshot_merge_when: {name}[{i}] INSERT * "
@@ -1384,7 +1386,12 @@ def snapshot_merge_when(
     nothing insert normally. Condition/assignment expressions evaluate
     against the PRE-merge row images, and CHECK constraints validate every
     row the merge stores (updated images + inserts) — carried rows were
-    validated at their own write.
+    validated at their own write. GENERATED ALWAYS AS columns follow
+    Delta's MERGE semantics: a clause that explicitly assigns the column
+    has its value VALIDATED against the rule; any other clause-produced
+    row (insert omitting it, update touching a base column) gets the rule
+    RECOMPUTED from the post-merge base values; carried rows keep their
+    stored value.
 
     Scale shape: files to rewrite are discovered with the same two-stage
     metadata prune as ``snapshot_merge`` (manifest min/max vs source key
@@ -1421,11 +1428,13 @@ def snapshot_merge_when(
         raise ValueError(
             f"snapshot_merge_when: key column(s) {missing_keys} not in table"
         )
+    gen_rules = _generated(cur)
     _mw_validate(when_matched, when_not_matched, when_not_matched_by_source,
-                 tcols, source.columns)
-    reserved = {"_t_present", "_s_present", "_mw_changed"} & (
-        set(source.columns) | set(tcols)
-    )
+                 tcols, source.columns, gen_cols=gen_rules)
+    reserved = (
+        {"_t_present", "_s_present", "_mw_changed"}
+        | {f"_mw_gen_{gc}" for gc in gen_rules}
+    ) & (set(source.columns) | set(tcols))
     if reserved:
         raise ValueError(
             f"snapshot_merge_when: column name(s) {sorted(reserved)} are "
@@ -1554,7 +1563,14 @@ def snapshot_merge_when(
         for i, cl in enumerate(when_not_matched):
             vals = cl.get("values")
             if vals is None:
-                e = F.expr(f"s.{c}")
+                # INSERT * with a generated column absent from the source:
+                # placeholder NULL here, recomputed from the landed base
+                # values below (Delta parity)
+                e = (
+                    F.lit(None)
+                    if c in gen_rules and c not in source.columns
+                    else F.expr(f"s.{c}")
+                )
             elif c in vals:
                 e = F.expr(vals[c])
             else:
@@ -1571,14 +1587,48 @@ def snapshot_merge_when(
         )
         out_cols.append(col.cast(types[c]).alias(c))
 
-    out = joined.filter(~drop).select(*out_cols, changed.alias("_mw_changed"))
-    changed_rows = out.filter(F.col("_mw_changed")).drop("_mw_changed")
+    # Which firing clause EXPLICITLY assigned each generated column: those
+    # rows keep the clause's value (validated below); every other
+    # clause-produced row gets the rule RECOMPUTED from its post-merge base
+    # values — Delta's MERGE semantics for GENERATED ALWAYS AS (an insert
+    # omitting the column computes it; an update touching a base column
+    # refreshes it). Carried/unchanged rows keep their stored value.
+    gen_flag_cols = []
+    for gc in gen_rules:
+        expl = F.lit(False)
+        for i, cl in enumerate(when_matched):
+            if m_act[i] == "update" and gc in cl["set"]:
+                expl = expl | (matched & (m_idx == i))
+        for i, cl in enumerate(when_not_matched):
+            vals = cl.get("values")
+            provided = (
+                gc in source.columns if vals is None else gc in vals
+            )
+            if provided:
+                expl = expl | (s_only & (i_idx == i))
+        for i, cl in enumerate(when_not_matched_by_source):
+            if n_act[i] == "update" and gc in cl["set"]:
+                expl = expl | (t_only & (n_idx == i))
+        gen_flag_cols.append(expl.alias(f"_mw_gen_{gc}"))
+
+    out = joined.filter(~drop).select(
+        *out_cols, changed.alias("_mw_changed"), *gen_flag_cols
+    )
+    for gc, ge in gen_rules.items():
+        out = out.withColumn(
+            gc,
+            F.when(
+                F.col("_mw_changed") & ~F.col(f"_mw_gen_{gc}"),
+                F.expr(ge).cast(types[gc]),
+            ).otherwise(F.col(gc)),
+        )
+    helper = ["_mw_changed", *[f"_mw_gen_{gc}" for gc in gen_rules]]
+    changed_rows = out.filter(F.col("_mw_changed")).drop(*helper)
     _enforce_constraints(changed_rows, path, "merge")
-    # generated columns: every clause-produced row must agree with the
-    # table's GENERATED ALWAYS AS rules (explicit clauses provide values,
-    # so this is validation, not auto-fill)
-    _validate_generated(changed_rows, _generated(cur), path, "merge")
-    out = out.drop("_mw_changed")
+    # explicitly-assigned generated values must agree with the rule
+    # (recomputed rows satisfy it by construction)
+    _validate_generated(changed_rows, gen_rules, path, "merge")
+    out = out.drop(*helper)
     if not touched and out.isEmpty():
         return None  # insert clauses matched no rows: no-op
 
@@ -2956,8 +3006,16 @@ def snapshot_maintain_aggregate(
         # forced broadcast hint would OOM the driver exactly then. AQE
         # picks broadcast when they really are small.
         del_groups = delta.filter(F.col("_has_del")).select(*group_cols)
+        # Pin the recompute to the version being applied (to_v), not the
+        # latest: a concurrent write landing between change consumption and
+        # this read would otherwise leak not-yet-applied rows into the
+        # rebuilt state. The min/max/HLL folds are idempotent (least/
+        # greatest/union), so latest-read was correct-but-wasteful here —
+        # the pin keeps every maintenance wave a pure function of
+        # (applied, to_v]. to_v survives vacuum by the applied-version
+        # checks above (StaleCursorError otherwise).
         recomputed = (
-            snapshot_read(spark, source_path)
+            snapshot_read(spark, source_path, to_v)
             .join(del_groups, group_cols, "semi")
             .groupBy(*group_cols)
             .agg(
@@ -3312,8 +3370,14 @@ def snapshot_maintain_topk(
                 F.col(order_col).alias("o"),
                 F.struct(*[F.col(c) for c in key_cols]).alias("ky"),
             )
+            # Pin to to_v: unlike the min/max/HLL folds (idempotent), the
+            # buffer fold CONCATs inserts — a recompute that read LATEST
+            # would bake in rows from versions beyond to_v, and the next
+            # wave's re-fold of those same inserts would duplicate (o, ky)
+            # leaderboard entries until eviction. to_v survives vacuum by
+            # the applied-version checks above (StaleCursorError otherwise).
             recomputed = (
-                snapshot_read(spark, source_path)
+                snapshot_read(spark, source_path, to_v)
                 .filter(F.col(order_col).isNotNull())
                 .join(rc_groups, group_cols, "semi")
                 .groupBy(*group_cols)

@@ -115,25 +115,54 @@ def test_update_where_recomputes_and_rejects_direct_assignment(spark, tmp_path):
         assert _state(spark, path) == {1: (12.0, 24.0), 2: (3.0, 6.0)}, mode
 
 
-def test_merge_when_validates_generated(spark, tmp_path):
+def test_merge_when_recomputes_and_validates_generated(spark, tmp_path):
+    """Delta MERGE parity: an update clause touching a base column without
+    assigning the generated column RECOMPUTES it; an insert clause omitting
+    it COMPUTES it; an explicit assignment that disagrees raises."""
     path = str(tmp_path / "gc_mw")
     snapshot_write(_df(spark, [(1, 2.0, 4.0)]), path)
     snapshot_set_generated(spark, path, "doubled", "amount * 2")
+    # update not assigning the generated column -> recomputed, not rejected
+    snapshot_merge_when(
+        spark.createDataFrame([(1, 9.0)], "k long, amount double"),
+        path, key_cols=["k"],
+        when_matched=[{"action": "update", "set": {"amount": "s.amount"}}],
+    )
+    assert _state(spark, path) == {1: (9.0, 18.0)}
+    # insert clause omitting the generated column -> auto-computed;
+    # INSERT * may omit it from the source entirely
+    snapshot_merge_when(
+        spark.createDataFrame([(2, 5.0)], "k long, amount double"),
+        path, key_cols=["k"],
+        when_not_matched=[{"action": "insert"}],
+    )
+    assert _state(spark, path) == {1: (9.0, 18.0), 2: (5.0, 10.0)}
+    snapshot_merge_when(
+        spark.createDataFrame([(3, 7.0)], "k long, amount double"),
+        path, key_cols=["k"],
+        when_not_matched=[
+            {"action": "insert", "values": {"k": "s.k", "amount": "s.amount"}}
+        ],
+    )
+    assert _state(spark, path)[3] == (7.0, 14.0)
+    # an EXPLICIT assignment that disagrees with the rule still raises
     with pytest.raises(ConstraintViolationError, match="GENERATED"):
         snapshot_merge_when(
             spark.createDataFrame([(1, 9.0)], "k long, amount double"),
             path, key_cols=["k"],
-            when_matched=[{"action": "update", "set": {"amount": "s.amount"}}],
+            when_matched=[{"action": "update",
+                           "set": {"amount": "s.amount",
+                                   "doubled": "s.amount * 3"}}],
         )
-    # a clause that keeps the rule consistent lands
+    # an explicit assignment that agrees lands (validation, not recompute)
     snapshot_merge_when(
-        spark.createDataFrame([(1, 9.0)], "k long, amount double"),
+        spark.createDataFrame([(1, 11.0)], "k long, amount double"),
         path, key_cols=["k"],
         when_matched=[{"action": "update",
                        "set": {"amount": "s.amount",
                                "doubled": "s.amount * 2"}}],
     )
-    assert _state(spark, path) == {1: (9.0, 18.0)}
+    assert _state(spark, path)[1] == (11.0, 22.0)
 
 
 def test_evolution_guards_and_drop_rule(spark, tmp_path):

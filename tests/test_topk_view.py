@@ -117,6 +117,60 @@ def test_topk_eviction_recompute_below_cutoff_contender(spark, tmp_path):
     assert got == _expected_topk(spark, p["src"], 4), got
 
 
+def test_topk_recompute_pinned_to_applied_version(spark, tmp_path, monkeypatch):
+    """Regression (round-7 advisor): the targeted recompute must read the
+    source AT the applied version (to_v), not LATEST — a concurrent write
+    landing between change consumption and the recompute would otherwise
+    bake not-yet-applied rows into the buffer, and the next wave's re-fold
+    of those same inserts would duplicate (o, ky) leaderboard entries."""
+    import music_recommendation_service_spark.sources.snapshots as sn
+
+    p = _paths(tmp_path, "tkpin")
+    rows = [(1, i, float(i), 1) for i in range(1, 11)]
+    snapshot_write(_src_df(spark, rows), p["src"], stats_cols=["item"])
+    _maintain(spark, p, k=2, buffer=4)
+
+    # wave 2: delete a buffered row while below-cutoff rows exist ->
+    # forces the targeted recompute path
+    snapshot_merge(
+        spark.createDataFrame(
+            [(1, 9, None, 2, True)],
+            "grp long, item long, score double, seq long, _del boolean",
+        ),
+        p["src"], key_cols=["item"], seq_col="seq", delete_col="_del",
+    )
+
+    real_consume = sn.snapshot_consume_changes
+    fired = {}
+
+    def racy_consume(spark_, source_path, cursor_path, key_cols):
+        out = real_consume(spark_, source_path, cursor_path, key_cols)
+        if not fired:
+            fired["hit"] = True
+            # a concurrent writer lands a NEW top row after consumption but
+            # before the recompute executes
+            snapshot_merge(
+                spark.createDataFrame(
+                    [(1, 99, 50.0, 3, False)],
+                    "grp long, item long, score double, seq long, "
+                    "_del boolean",
+                ),
+                p["src"], key_cols=["item"], seq_col="seq",
+                delete_col="_del",
+            )
+        return out
+
+    monkeypatch.setattr(sn, "snapshot_consume_changes", racy_consume)
+    _maintain(spark, p, k=2, buffer=4)  # applies wave 2 only
+    monkeypatch.setattr(sn, "snapshot_consume_changes", real_consume)
+    _maintain(spark, p, k=2, buffer=4)  # wave 3 folds item 99 exactly once
+
+    full = topk_view_read(spark, p["view"], 4).collect()
+    items = [r["ky"]["item"] for r in full]
+    assert len(items) == len(set(items)), f"duplicate leaderboard rows: {items}"
+    assert _got_topk(spark, p["view"], 4) == _expected_topk(spark, p["src"], 4)
+
+
 def test_topk_tombstones_empty_group(spark, tmp_path):
     p = _paths(tmp_path, "tk3")
     rows = [(1, 1, 5.0, 1), (1, 2, 4.0, 1), (2, 3, 1.0, 1)]
