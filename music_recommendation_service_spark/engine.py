@@ -27,6 +27,7 @@ class Engine:
         self.root = root
         self.catalog = Catalog(self.spark, root)
         self._views_registered = False
+        self._snapshot_views: dict[str, str] = {}
 
     # -- tables ------------------------------------------------------------
     def table(self, name: str) -> DataFrame:
@@ -55,13 +56,36 @@ class Engine:
         df = snapshot_read(self.spark, path, version, as_of=as_of)
         if view is not None:
             df.createOrReplaceTempView(view)
+            if version is None and as_of is None:
+                # only latest-tracking views take DML through eng.sql
+                self._snapshot_views[view] = path
         return df
 
     # -- SQL surface -------------------------------------------------------
     def sql(self, query: str) -> DataFrame:
+        """The Thrift-equivalent SQL entry point, extended with the
+        snapshot DML dialect (sources/sqlfront.py): MERGE INTO, UPDATE,
+        DELETE FROM, INSERT INTO, VERSION/TIMESTAMP AS OF and DESCRIBE
+        HISTORY work on views registered via :meth:`snapshot`; everything
+        else runs as plain Spark SQL over the catalog + registered views.
+        After a DML statement the touched view is re-registered at the new
+        latest version, so a following SELECT sees the write."""
         if not self._views_registered:
             self.catalog.register_views()
             self._views_registered = True
+        from music_recommendation_service_spark.sources.sqlfront import (
+            dispatch_sql,
+        )
+
+        out = dispatch_sql(self.spark, query, self._snapshot_views)
+        if out is not None:
+            df, touched = out
+            if touched is not None:
+                path = self._snapshot_views[touched]
+                for v, p in self._snapshot_views.items():
+                    if p == path:
+                        self.snapshot(p, view=v)
+            return df
         return self.spark.sql(query)
 
     # -- named query catalog ----------------------------------------------

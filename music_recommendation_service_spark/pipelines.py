@@ -265,6 +265,7 @@ def incremental_dedup_ingest(
     id_col: str = "doc_id",
     content_col: str = "text",
     fp_col: str = "fp",
+    lake_root: str | None = None,
 ) -> int:
     """Dedup-on-ingest against a CDF-maintained fingerprint index: land
     only first-seen content, O(batch) per wave, never an O(corpus)
@@ -286,6 +287,14 @@ def incremental_dedup_ingest(
     construction: every step is an idempotent snapshot-protocol commit
     (replaying a wave re-lands nothing, and the maintainer's
     view-recorded source_version makes the index fold exactly-once).
+
+    With ``lake_root``, the wave ends by PUBLISHING one atomic multi-table
+    lake commit (sources/multicommit.py) pinning the store and index
+    versions that belong together — readers resolving through
+    ``lake_read`` can never observe the store advanced with the index
+    stale, even if a crash lands between the two table commits (the
+    publish is the last step; an unpublished wave is invisible and the
+    re-run converges then publishes).
     """
     from pyspark.sql import Window
 
@@ -324,6 +333,22 @@ def incremental_dedup_ingest(
             group_cols=[fp_col],
             key_cols=[id_col],
             minmax_cols=[id_col],
+        )
+    if lake_root is not None and snapshot_versions(store_path):
+        import os
+
+        from music_recommendation_service_spark.sources.multicommit import (
+            lake_commit,
+        )
+
+        lake_commit(
+            lake_root,
+            {
+                os.path.relpath(store_path, lake_root):
+                    snapshot_versions(store_path)[-1],
+                os.path.relpath(index_path, lake_root):
+                    snapshot_versions(index_path)[-1],
+            },
         )
     landed.unpersist()
     return n

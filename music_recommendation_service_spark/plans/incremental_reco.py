@@ -95,6 +95,18 @@ from music_recommendation_service_spark.sources.snapshots import (
 )
 
 
+# Above this share of affected users/items, the gold/cf_top stages abandon
+# the targeted merge and recompute-overwrite (measured at sf1: a merge
+# touching ~25% of users cost 1.5x the full rebuild — the merge's
+# membership scan + near-total file rewrite + delta machinery all paid on
+# top of scoring). Below it, targeted recompute + MERGE wins.
+GOLD_RECOMPUTE_SHARE = 0.15
+CF_TOP_RECOMPUTE_SHARE = 0.3
+# Affected sets at or below this size take the collect+isin single-scan
+# path (one pass over the counts table instead of two union legs).
+SMALL_AFFECTED = 10_000
+
+
 class RecoLake:
     """Path layout for the maintained-recommendation state under one root."""
 
@@ -140,6 +152,22 @@ def _stage_changes(spark, source_path, cursor_path, view_path, key_cols):
             )
         changes = snapshot_changes(spark, source_path, applied, to_v, key_cols)
     return changes, applied, to_v, commit
+
+
+def _merge_persisted(upsert: DataFrame, *args, **kwargs) -> int | None:
+    """Persist a maintenance upsert before handing it to snapshot_merge:
+    the merge runs SEVERAL internal actions over its source (key bounds,
+    dup guard, membership scan, the write), and an unpersisted source
+    would re-execute the whole delta plan — the scoring tail, the pair
+    self-joins — once per action (measured at sf0.1: 3-5x the wave cost).
+    Returns None without committing when the upsert is empty."""
+    upsert = upsert.persist()
+    try:
+        if len(upsert.take(1)) == 0:
+            return None
+        return snapshot_merge(upsert, *args, **kwargs)
+    finally:
+        upsert.unpersist()
 
 
 def _pair_counts(likes: DataFrame) -> DataFrame:
@@ -204,10 +232,7 @@ def maintain_cf_counts(spark: SparkSession, lake: RecoLake) -> int | None:
         (F.coalesce(F.col("n"), F.lit(0)) + F.col("d")).alias("n"),
         F.lit(to_v).cast("long").alias("_seq"),
     ).withColumn("_tomb", F.col("n") <= 0)
-    if len(upsert.take(1)) == 0:
-        commit()
-        return None
-    v = snapshot_merge(
+    v = _merge_persisted(
         upsert, lake.cf_counts, key_cols=["i1", "i2"], seq_col="_seq",
         delete_col="_tomb", manifest_extra={"source_version": to_v},
     )
@@ -261,10 +286,7 @@ def maintain_nation_counts(
         (F.coalesce(F.col("cnt"), F.lit(0)) + F.col("d")).alias("cnt"),
         F.lit(to_v).cast("long").alias("_seq"),
     ).withColumn("_tomb", F.col("cnt") <= 0)
-    if len(upsert.take(1)) == 0:
-        commit()
-        return None
-    v = snapshot_merge(
+    v = _merge_persisted(
         upsert, lake.nation_counts, key_cols=["nationkey", "item_id"],
         seq_col="_seq", delete_col="_tomb",
         manifest_extra={"source_version": to_v},
@@ -307,9 +329,10 @@ def _ranked_merge(
             F.col(payload_cols[0]).isNull().alias("_tomb"),
         )
     )
-    return snapshot_merge(
-        upsert, view_path, key_cols=[*group_cols, "rank"], seq_col="_seq",
-        delete_col="_tomb", manifest_extra={"source_version": to_v},
+    return _merge_persisted(
+        upsert, view_path, key_cols=[*group_cols, "rank"],
+        seq_col="_seq", delete_col="_tomb",
+        manifest_extra={"source_version": to_v},
     )
 
 
@@ -326,32 +349,69 @@ def maintain_cf_top(spark: SparkSession, lake: RecoLake) -> int | None:
     counts = snapshot_read(spark, lake.cf_counts, to_v).select(
         "i1", "i2", "n"
     )
-    sym = counts.select(
-        F.col("i1").alias("src"), F.col("i2").alias("dst"), "n"
-    ).unionByName(
-        counts.select(F.col("i2").alias("src"), F.col("i1").alias("dst"), "n")
-    )
+
+    def full_sym(c):
+        return c.select(
+            F.col("i1").alias("src"), F.col("i2").alias("dst"), "n"
+        ).unionByName(
+            c.select(F.col("i2").alias("src"), F.col("i1").alias("dst"), "n")
+        )
+
+    w = Window.partitionBy("src").orderBy(F.desc("n"), F.asc("dst"))
+
+    def topn(scoped):
+        return (
+            scoped.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= NEIGHBOR_TOP)
+            .select("src", "rank", "dst", "n")
+        )
+
     bootstrap = applied < 0
     if bootstrap:
-        scoped = sym
-        affected = None
-    else:
-        affected = (
-            changes.select(F.col("i1").alias("src"))
-            .unionByName(changes.select(F.col("i2").alias("src")))
-            .distinct()
+        v = _ranked_merge(
+            spark, lake.cf_top, None, topn(full_sym(counts)), ["src"],
+            NEIGHBOR_TOP, to_v, ["dst", "n"], True,
         )
-        scoped = sym.join(affected, "src", "semi")
-    w = Window.partitionBy("src").orderBy(F.desc("n"), F.asc("dst"))
-    recomputed = (
-        scoped.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= NEIGHBOR_TOP)
-        .select("src", "rank", "dst", "n")
+        commit()
+        return v
+    affected = (
+        changes.select(F.col("i1").alias("src"))
+        .unionByName(changes.select(F.col("i2").alias("src")))
+        .distinct()
+        .persist()
     )
-    v = _ranked_merge(
-        spark, lake.cf_top, affected, recomputed, ["src"], NEIGHBOR_TOP,
-        to_v, ["dst", "n"], bootstrap,
-    )
+    try:
+        n_aff = affected.count()
+        n_items_est = max(
+            1, int(_latest_manifest(lake.cf_top)["n_rows"]) // NEIGHBOR_TOP
+        )
+        if n_aff >= CF_TOP_RECOMPUTE_SHARE * n_items_est:
+            # a change wave reordering most items' lists: overwrite-rebuild
+            # is cheaper than merging nearly every (src, rank) row
+            v = snapshot_write(
+                topn(full_sym(counts)).withColumn(
+                    "_seq", F.lit(to_v).cast("long")
+                ),
+                lake.cf_top, stats_cols=["src"],
+                manifest_extra={"source_version": to_v},
+            )
+        else:
+            if n_aff <= SMALL_AFFECTED:
+                # ONE pass over the pair counts instead of two union legs:
+                # the affected-src set is small enough to ship as a literal
+                aff = [r["src"] for r in affected.collect()]
+                pruned = counts.filter(
+                    F.col("i1").isin(aff) | F.col("i2").isin(aff)
+                )
+            else:
+                pruned = counts
+            scoped = full_sym(pruned).join(affected, "src", "semi")
+            v = _ranked_merge(
+                spark, lake.cf_top, affected, topn(scoped), ["src"],
+                NEIGHBOR_TOP, to_v, ["dst", "n"], False,
+            )
+    finally:
+        affected.unpersist()
     commit()
     return v
 
@@ -587,51 +647,85 @@ def maintain_gold(
     affected = parts[0]
     for p in parts[1:]:
         affected = affected.unionByName(p)
-    affected = affected.distinct()
-
-    likes_scoped = likes_now.join(affected, "user_id", "semi")
-    customers_scoped = customer.join(
-        affected, customer.c_custkey == affected.user_id, "semi"
-    )
-    recomputed = _score_tail(
-        spark, likes_scoped, customers_scoped, cf_top, sim_top, nation_top,
-        trending,
-    )
+    affected = affected.distinct().persist()
     seq = max(likes_v, cf_v, nt_v)
-    ranks = spark.range(1, RECO_K + 1).select(
-        F.col("id").cast("int").alias("rank")
-    )
-    universe = affected.crossJoin(F.broadcast(ranks))
-    upsert = universe.join(recomputed, ["user_id", "rank"], "left").select(
-        "user_id", "rank", "item_id", "score",
-        F.lit(seq).cast("long").alias("_seq"),
-        F.col("item_id").isNull().alias("_tomb"),
-    )
-    v = snapshot_merge(
-        upsert, lake.gold, key_cols=["user_id", "rank"], seq_col="_seq",
-        delete_col="_tomb", manifest_extra={"source_versions": src_versions},
-    )
+    try:
+        n_aff = affected.count()
+        if n_aff >= GOLD_RECOMPUTE_SHARE * customer.count():
+            # The affected set approaches the whole user base (scattered
+            # churn on a densely-coupled likes graph does this): a targeted
+            # merge would rewrite nearly every file AND pay the delta
+            # machinery on top. Recompute everyone and overwrite — the
+            # worst-case wave cost is thereby BOUNDED at the batch-build
+            # cost, never a multiple of it.
+            recomputed = _score_tail(
+                spark, likes_now, customer, cf_top, sim_top, nation_top,
+                trending,
+            ).withColumn("_seq", F.lit(seq).cast("long"))
+            v = snapshot_write(
+                recomputed, lake.gold, stats_cols=["user_id"],
+                manifest_extra={"source_versions": src_versions},
+            )
+        else:
+            likes_scoped = likes_now.join(affected, "user_id", "semi")
+            customers_scoped = customer.join(
+                affected, customer.c_custkey == affected.user_id, "semi"
+            )
+            recomputed = _score_tail(
+                spark, likes_scoped, customers_scoped, cf_top, sim_top,
+                nation_top, trending,
+            )
+            ranks = spark.range(1, RECO_K + 1).select(
+                F.col("id").cast("int").alias("rank")
+            )
+            universe = affected.crossJoin(F.broadcast(ranks))
+            upsert = universe.join(
+                recomputed, ["user_id", "rank"], "left"
+            ).select(
+                "user_id", "rank", "item_id", "score",
+                F.lit(seq).cast("long").alias("_seq"),
+                F.col("item_id").isNull().alias("_tomb"),
+            )
+            v = _merge_persisted(
+                upsert, lake.gold, key_cols=["user_id", "rank"],
+                seq_col="_seq", delete_col="_tomb",
+                manifest_extra={"source_versions": src_versions},
+            )
+    finally:
+        affected.unpersist()
     for c in commits:
         c()
     return v
 
 
 def reco_maintain(
-    spark: SparkSession, sf_dir: str, lake: RecoLake
+    spark: SparkSession, sf_dir: str, lake: RecoLake,
+    timings: dict | None = None,
 ) -> dict:
     """Run one maintenance wave through the whole DAG in dependency order.
     Idempotent: re-running after a crash at any point resumes from each
     stage's recorded applied version (at-least-once consumption + keyed
-    MERGE application = exactly-once state)."""
+    MERGE application = exactly-once state). ``timings`` (optional dict)
+    receives per-stage wall seconds."""
+    import time
+
     bootstrap_static(spark, sf_dir, lake)
     customer = _t(spark, sf_dir, "customer")
-    return {
-        "cf_counts": maintain_cf_counts(spark, lake),
-        "nation_counts": maintain_nation_counts(spark, lake, customer),
-        "cf_top": maintain_cf_top(spark, lake),
-        "nation_top": maintain_nation_top(spark, lake),
-        "gold": maintain_gold(spark, lake, customer),
-    }
+    stages = [
+        ("cf_counts", lambda: maintain_cf_counts(spark, lake)),
+        ("nation_counts",
+         lambda: maintain_nation_counts(spark, lake, customer)),
+        ("cf_top", lambda: maintain_cf_top(spark, lake)),
+        ("nation_top", lambda: maintain_nation_top(spark, lake)),
+        ("gold", lambda: maintain_gold(spark, lake, customer)),
+    ]
+    out = {}
+    for name, fn in stages:
+        t0 = time.perf_counter()
+        out[name] = fn()
+        if timings is not None:
+            timings[name] = round(time.perf_counter() - t0, 3)
+    return out
 
 
 def reco_serve(spark: SparkSession, lake: RecoLake, k: int = RECO_K) -> DataFrame:

@@ -701,7 +701,7 @@ def snapshot_append(
             raise ConcurrentSnapshotError(
                 f"{path}: column mapping changed during append; retry"
             )
-        if schema_json != latest["schema"]:
+        if not _schema_equiv(schema_json, latest["schema"]):
             raise ValueError(
                 f"append schema mismatch at {path}: manifest={latest['schema']} "
                 f"incoming={schema_json}"
@@ -858,6 +858,45 @@ def snapshot_drop_constraint(path: str, name: str) -> int:
         return out
 
     return _commit(path, build, op="drop_constraint")
+
+
+def _normalize_nullability(dt):
+    """Recursively set every nullable/containsNull flag true and drop field
+    metadata — the shape used by :func:`_schema_equiv`."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _normalize_nullability(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_normalize_nullability(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(
+            _normalize_nullability(dt.keyType),
+            _normalize_nullability(dt.valueType),
+            True,
+        )
+    return dt
+
+
+def _schema_equiv(a_json: str, b_json: str) -> bool:
+    """Schema compatibility for append/merge: same column names, order and
+    types; nullability flags and field metadata are IGNORED (Delta parity —
+    Delta compares by name/type and enforces non-nullness through NOT NULL
+    constraints, which this protocol expresses as CHECK constraints). A
+    literal-valued batch (non-nullable plan columns) must be appendable to
+    a table created from a nullable frame, and vice versa."""
+    if a_json == b_json:
+        return True
+    from pyspark.sql.types import StructType
+
+    a = StructType.fromJson(json.loads(a_json))
+    b = StructType.fromJson(json.loads(b_json))
+    return _normalize_nullability(a) == _normalize_nullability(b)
 
 
 def _generated(m: dict | None) -> dict:
@@ -1155,7 +1194,7 @@ def snapshot_merge(
     stored_schema = (
         df.drop(delete_col).schema.json() if delete_col is not None else df.schema.json()
     )
-    if stored_schema != cur["schema"]:
+    if not _schema_equiv(stored_schema, cur["schema"]):
         raise ValueError(
             f"merge schema mismatch at {path}: manifest={cur['schema']} "
             f"incoming={stored_schema}"

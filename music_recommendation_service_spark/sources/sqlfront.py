@@ -1,0 +1,514 @@
+"""SQL front door for the snapshot DML surface.
+
+The reference's only SQL entry point is a read-only Thrift SELECT
+(``observability/dashboards/music_analytics.json:47``), which ``Engine.sql``
+already covers. The engine's snapshot tables, however, carry a Delta-scale
+DML surface (MERGE, UPDATE, DELETE, time travel, history) that was
+reachable only through Python calls — a user coming from Delta writes
+``MERGE INTO`` / ``VERSION AS OF`` as SQL strings and hit a wall. This
+module parses that dialect subset over snapshot-backed views and
+dispatches to the protocol operators, so the statements a Delta user
+already writes work unchanged; everything the parser does not recognize
+falls through to Spark SQL untouched.
+
+Supported statements (on views registered via ``Engine.snapshot(path,
+view=...)``; the grammar is the documented subset below, and anything
+malformed errors loudly rather than half-executing):
+
+    DELETE FROM v [WHERE <pred>]
+    UPDATE v SET c = e [, ...] [WHERE <pred>]
+    INSERT INTO v <SELECT ...>                       -- append
+    INSERT INTO v (c1, ...) VALUES (...), (...)      -- append
+    MERGE INTO v [AS] t USING (<query>)|view [AS] s ON t.k = s.k [AND ...]
+      WHEN MATCHED [AND <cond>] THEN UPDATE SET c = e, ... | DELETE
+      WHEN NOT MATCHED [BY TARGET] [AND <cond>]
+           THEN INSERT * | INSERT (c, ...) VALUES (e, ...)
+      WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET ... | DELETE
+    SELECT ... FROM v VERSION AS OF <n> ...          -- time travel
+    SELECT ... FROM v TIMESTAMP AS OF '<iso ts>' ... -- time travel
+    DESCRIBE HISTORY v
+
+MERGE/UPDATE/DELETE map 1:1 onto ``snapshot_merge_when`` /
+``snapshot_update_where`` / ``snapshot_delete_where``, so the CDF a SQL
+statement emits is IDENTICAL to the Python call's (pinned by tests).
+Arbitrary target/source aliases are rewritten to the ``t``/``s`` the merge
+machinery uses; alias rewriting skips string literals. Known limits, by
+design: the ON condition must be a conjunction of key equalities (the
+protocol's keyed-merge discipline), and DML targets must be snapshot
+views — catalog parquet tables stay read-only (reference parity: its
+Thrift surface is SELECT-only).
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SqlDispatchError(ValueError):
+    """A statement engaged the DML front door but could not be parsed or
+    targeted — raised instead of silently handing Spark SQL a statement
+    that would half-work."""
+
+
+# ---------------------------------------------------------------------------
+# top-level tokenizing helpers (depth- and quote-aware)
+# ---------------------------------------------------------------------------
+
+def _top_level_spans(s: str):
+    """Yield (start, end) spans of s outside parentheses and single-quoted
+    literals ('' escapes a quote, SQL-style)."""
+    depth, i, n, start = 0, 0, len(s), 0
+    while i < n:
+        c = s[i]
+        if c == "'":
+            if depth == 0 and start < i:
+                yield (start, i)
+            i += 1
+            while i < n:
+                if s[i] == "'":
+                    if i + 1 < n and s[i + 1] == "'":
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                i += 1
+            start = i
+            continue
+        if c == "(":
+            if depth == 0 and start < i:
+                yield (start, i)
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                start = i + 1
+        i += 1
+    if depth == 0 and start < n:
+        yield (start, n)
+
+
+def _find_top(s: str, pattern: str, pos: int = 0):
+    """First match of ``pattern`` (case-insensitive) at top level, at or
+    after ``pos``; returns a re.Match against s or None."""
+    rx = re.compile(pattern, re.IGNORECASE)
+    for a, b in _top_level_spans(s):
+        if b <= pos:
+            continue
+        m = rx.search(s, max(a, pos), b)
+        if m:
+            return m
+    return None
+
+
+def _split_top(s: str, pattern: str):
+    """Split s on top-level occurrences of ``pattern`` (case-insensitive)."""
+    parts, pos = [], 0
+    while True:
+        m = _find_top(s, pattern, pos)
+        if not m:
+            parts.append(s[pos:])
+            return parts
+        parts.append(s[pos:m.start()])
+        pos = m.end()
+
+
+def _requalify(expr: str, t_alias: str | None, s_alias: str | None) -> str:
+    """Rewrite ``<alias>.col`` qualifiers to the canonical ``t.``/``s.``
+    the merge machinery evaluates against, outside string literals."""
+    subs = []
+    if t_alias and t_alias.lower() != "t":
+        subs.append((t_alias, "\x00T\x00."))
+    if s_alias and s_alias.lower() != "s":
+        subs.append((s_alias, "\x00S\x00."))
+    if not subs:
+        return expr
+    out, last = [], 0
+    for a, b in _top_level_spans(expr):
+        seg = expr[a:b]
+        for alias, repl in subs:
+            seg = re.sub(
+                rf"(?<![\w.`]){re.escape(alias)}\s*\.", repl, seg,
+                flags=re.IGNORECASE,
+            )
+        out.append(expr[last:a])
+        out.append(seg)
+        last = b
+    out.append(expr[last:])
+    joined = "".join(out)
+    return joined.replace("\x00T\x00.", "t.").replace("\x00S\x00.", "s.")
+
+
+def _strip_qualifier(col: str, *aliases) -> str:
+    c = col.strip().strip("`")
+    for a in aliases:
+        if a and c.lower().startswith(a.lower() + "."):
+            return c[len(a) + 1:].strip("`")
+    if "." in c:
+        return c.rsplit(".", 1)[1].strip("`")
+    return c
+
+
+# ---------------------------------------------------------------------------
+# statement parsers
+# ---------------------------------------------------------------------------
+
+_IDENT = r"[A-Za-z_][\w]*"
+
+
+def _require_view(name: str, views: dict) -> str:
+    if name not in views:
+        raise SqlDispatchError(
+            f"DML target {name!r} is not a registered snapshot view "
+            f"(known: {sorted(views)}); catalog tables are read-only — "
+            "register the table with Engine.snapshot(path, view=...) first"
+        )
+    return views[name]
+
+
+def _parse_delete(q: str, views: dict):
+    m = re.match(
+        rf"\s*DELETE\s+FROM\s+({_IDENT})\s*(?:WHERE\s+(.*))?$",
+        q, re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise SqlDispatchError(f"unparseable DELETE: {q!r}")
+    name, pred = m.group(1), (m.group(2) or "true").strip()
+    return _require_view(name, views), name, _strip_table_prefix(pred, name)
+
+
+def _strip_table_prefix(expr: str, name: str) -> str:
+    """Bare-table DML predicates may qualify columns with the view name;
+    snapshot_update_where/delete_where evaluate against unqualified
+    columns."""
+    return re.sub(
+        rf"(?<![\w.`]){re.escape(name)}\s*\.", "", expr, flags=re.IGNORECASE
+    )
+
+
+def _parse_update(q: str, views: dict):
+    m = re.match(
+        rf"\s*UPDATE\s+({_IDENT})\s+SET\s+(.*)$", q,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise SqlDispatchError(f"unparseable UPDATE: {q!r}")
+    name, rest = m.group(1), m.group(2)
+    wh = _find_top(rest, r"\bWHERE\b")
+    set_part, pred = (
+        (rest[: wh.start()], rest[wh.end():]) if wh else (rest, "true")
+    )
+    assignments = {}
+    for piece in _split_top(set_part, r","):
+        am = re.match(r"\s*([\w.`]+)\s*=\s*(.+)$", piece, re.DOTALL)
+        if not am:
+            raise SqlDispatchError(f"unparseable SET item: {piece!r}")
+        assignments[_strip_qualifier(am.group(1), name)] = _strip_table_prefix(
+            am.group(2).strip(), name
+        )
+    return (
+        _require_view(name, views), name,
+        _strip_table_prefix(pred.strip(), name), assignments,
+    )
+
+
+def _parse_insert(q: str, views: dict):
+    m = re.match(
+        rf"\s*INSERT\s+INTO\s+({_IDENT})\s*(.*)$", q,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise SqlDispatchError(f"unparseable INSERT: {q!r}")
+    name, rest = m.group(1), m.group(2).strip()
+    path = _require_view(name, views)
+    cm = re.match(r"\(([^)]*)\)\s*VALUES\s*(.+)$", rest,
+                  re.IGNORECASE | re.DOTALL)
+    if cm:
+        cols = [c.strip().strip("`") for c in cm.group(1).split(",")]
+        select = (
+            f"SELECT * FROM (VALUES {cm.group(2)}) "
+            f"AS _ins({', '.join(cols)})"
+        )
+    else:
+        if rest.startswith("(") and rest.endswith(")"):
+            rest = rest[1:-1]
+        if not re.match(r"\s*(SELECT|WITH|VALUES)\b", rest, re.IGNORECASE):
+            raise SqlDispatchError(
+                f"INSERT INTO {name}: expected a SELECT/WITH query or "
+                f"(cols) VALUES (...), got {rest[:60]!r}"
+            )
+        select = rest
+    return path, name, select
+
+
+def _parse_merge(q: str, views: dict):
+    head = re.match(
+        rf"\s*MERGE\s+INTO\s+({_IDENT})(?:\s+AS)?(?:\s+({_IDENT}))?\s+USING\s+",
+        q, re.IGNORECASE,
+    )
+    if not head:
+        raise SqlDispatchError(f"unparseable MERGE head: {q[:80]!r}")
+    tname, t_alias = head.group(1), head.group(2) or head.group(1)
+    if t_alias.upper() == "USING":
+        t_alias = tname
+    path = _require_view(tname, views)
+    rest = q[head.end():]
+
+    # source: (subquery) [AS] alias  |  ident [AS] alias
+    if rest.lstrip().startswith("("):
+        rest = rest.lstrip()
+        depth, i = 0, 0
+        for i, c in enumerate(rest):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        src_sql, rest = rest[1:i], rest[i + 1:]
+    else:
+        sm = re.match(rf"\s*({_IDENT})", rest)
+        if not sm:
+            raise SqlDispatchError("unparseable MERGE source")
+        src_sql, rest = f"SELECT * FROM {sm.group(1)}", rest[sm.end():]
+    am = re.match(rf"\s*(?:AS\s+)?({_IDENT})\s+", rest, re.IGNORECASE)
+    if am and am.group(1).upper() != "ON":
+        s_alias, rest = am.group(1), rest[am.end():]
+    else:
+        s_alias = "s"
+    on = _find_top(rest, r"\bON\b")
+    if not on:
+        raise SqlDispatchError("MERGE without ON condition")
+    first_when = _find_top(rest, r"\bWHEN\b", on.end())
+    if not first_when:
+        raise SqlDispatchError("MERGE without WHEN clauses")
+    on_cond = rest[on.end():first_when.start()].strip()
+    key_cols = []
+    for part in _split_top(on_cond, r"\bAND\b"):
+        em = re.match(r"\s*([\w.`]+)\s*=\s*([\w.`]+)\s*$", part)
+        if not em:
+            raise SqlDispatchError(
+                f"MERGE ON must be a conjunction of key equalities "
+                f"(keyed-merge discipline); got {part.strip()!r}"
+            )
+        a = _strip_qualifier(em.group(1), t_alias, s_alias)
+        b = _strip_qualifier(em.group(2), t_alias, s_alias)
+        if a != b:
+            raise SqlDispatchError(
+                f"MERGE ON equality must name the same key column on both "
+                f"sides; got {a!r} = {b!r}"
+            )
+        key_cols.append(a)
+
+    def rq(e: str) -> str:
+        return _requalify(e, t_alias, s_alias).strip()
+
+    when_matched, when_not_matched, when_by_source = [], [], []
+    clause_text = rest[first_when.start():]
+    for raw in _split_top(clause_text, r"\bWHEN\b")[1:]:
+        cm = re.match(
+            r"\s*(MATCHED|NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED"
+            r"(?:\s+BY\s+TARGET)?)\s*(?:AND\s+(.*?))?\s*THEN\s+(.*)$",
+            raw, re.IGNORECASE | re.DOTALL,
+        )
+        if not cm:
+            raise SqlDispatchError(f"unparseable WHEN clause: {raw[:80]!r}")
+        kind = re.sub(r"\s+", " ", cm.group(1).upper())
+        cond = rq(cm.group(2)) if cm.group(2) else None
+        action = cm.group(3).strip()
+        clause: dict = {}
+        if cond:
+            clause["condition"] = cond
+        if re.match(r"DELETE\s*$", action, re.IGNORECASE):
+            clause["action"] = "delete"
+        elif re.match(r"UPDATE\s+SET\s+", action, re.IGNORECASE):
+            clause["action"] = "update"
+            sets = {}
+            body = re.sub(r"^\s*UPDATE\s+SET\s+", "", action,
+                          flags=re.IGNORECASE)
+            for piece in _split_top(body, r","):
+                am2 = re.match(r"\s*([\w.`]+)\s*=\s*(.+)$", piece, re.DOTALL)
+                if not am2:
+                    raise SqlDispatchError(
+                        f"unparseable merge SET item: {piece!r}"
+                    )
+                sets[_strip_qualifier(am2.group(1), t_alias, s_alias)] = rq(
+                    am2.group(2)
+                )
+            clause["set"] = sets
+        elif re.match(r"INSERT\s*\*\s*$", action, re.IGNORECASE):
+            clause["action"] = "insert"
+        elif re.match(r"INSERT\s*\(", action, re.IGNORECASE):
+            im = re.match(
+                r"INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*$",
+                action, re.IGNORECASE | re.DOTALL,
+            )
+            if not im:
+                raise SqlDispatchError(
+                    f"unparseable INSERT action: {action[:80]!r}"
+                )
+            cols = [c.strip().strip("`") for c in im.group(1).split(",")]
+            vals = _split_top(im.group(2), r",")
+            if len(cols) != len(vals):
+                raise SqlDispatchError(
+                    "INSERT column/value count mismatch in MERGE clause"
+                )
+            clause["action"] = "insert"
+            clause["values"] = {
+                _strip_qualifier(c, t_alias, s_alias): rq(v)
+                for c, v in zip(cols, vals)
+            }
+        else:
+            raise SqlDispatchError(
+                f"unsupported merge action: {action[:60]!r}"
+            )
+        if kind == "MATCHED":
+            if clause["action"] not in ("update", "delete"):
+                raise SqlDispatchError("WHEN MATCHED takes UPDATE or DELETE")
+            when_matched.append(clause)
+        elif kind == "NOT MATCHED BY SOURCE":
+            if clause["action"] not in ("update", "delete"):
+                raise SqlDispatchError(
+                    "WHEN NOT MATCHED BY SOURCE takes UPDATE or DELETE"
+                )
+            when_by_source.append(clause)
+        else:
+            if clause["action"] != "insert":
+                raise SqlDispatchError("WHEN NOT MATCHED takes INSERT")
+            when_not_matched.append(clause)
+    return (
+        path, tname, src_sql, key_cols,
+        when_matched, when_not_matched, when_by_source,
+    )
+
+
+def _rewrite_time_travel(
+    spark: SparkSession, q: str, views: dict
+) -> str:
+    """Replace ``view VERSION AS OF n`` / ``view TIMESTAMP AS OF 'ts'``
+    references with temp views of the time-traveled snapshot."""
+    from music_recommendation_service_spark.sources.snapshots import (
+        snapshot_read,
+    )
+
+    out = q
+    while True:
+        # the literal may be quoted, and quoted regions are excluded from
+        # top-level spans — match the keyword head at top level, then read
+        # the literal directly after it
+        m = _find_top(out, rf"\b({_IDENT})\s+(VERSION|TIMESTAMP)\s+AS\s+OF\b")
+        if not m:
+            return out
+        lm = re.match(r"\s*(\d+|'[^']*')", out[m.end():])
+        if not lm:
+            raise SqlDispatchError(
+                f"unparseable time-travel literal after {m.group(0)!r}"
+            )
+        name, kind, lit = m.group(1), m.group(2).upper(), lm.group(1)
+        if name not in views:
+            raise SqlDispatchError(
+                f"time travel on {name!r}: not a registered snapshot view"
+            )
+        if kind == "VERSION":
+            ver = int(lit)
+            tv = f"__tt_{name}_v{ver}"
+            snapshot_read(spark, views[name], ver).createOrReplaceTempView(tv)
+        else:
+            ts = lit.strip("'")
+            dt = datetime.fromisoformat(ts)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            unix = dt.timestamp()
+            tv = f"__tt_{name}_t{int(unix)}"
+            snapshot_read(
+                spark, views[name], as_of=unix
+            ).createOrReplaceTempView(tv)
+        out = out[: m.start()] + tv + out[m.end() + lm.end():]
+
+
+# ---------------------------------------------------------------------------
+# dispatcher
+# ---------------------------------------------------------------------------
+
+def dispatch_sql(
+    spark: SparkSession, query: str, views: dict
+) -> tuple[DataFrame, str | None] | None:
+    """Route a statement: DML/history/time-travel on snapshot views is
+    handled here (returns ``(result_df, touched_view_or_None)``); anything
+    else returns None for the caller to run as plain Spark SQL. DML
+    results are one-row frames carrying the committed version (null for a
+    provable no-op) — mirroring Delta's DML returning a small metrics
+    relation rather than rows."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    q = re.sub(r"--[^\n]*", "", query).strip().rstrip(";").strip()
+    head = q.split(None, 1)[0].upper() if q else ""
+
+    def vdf(v):
+        return spark.createDataFrame([(v,)], "version long")
+
+    if head == "DELETE":
+        path, name, pred = _parse_delete(q, views)
+        return vdf(S.snapshot_delete_where(spark, path, pred)), name
+    if head == "UPDATE":
+        path, name, pred, assignments = _parse_update(q, views)
+        return (
+            vdf(S.snapshot_update_where(spark, path, pred, assignments)),
+            name,
+        )
+    if head == "INSERT":
+        import json as _json
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        path, name, select = _parse_insert(q, views)
+        df = spark.sql(select)
+        sch = StructType.fromJson(
+            _json.loads(S._latest_manifest(path)["schema"])
+        )
+        if sorted(df.columns) != sorted(sch.fieldNames()):
+            raise SqlDispatchError(
+                f"INSERT INTO {name}: query columns {sorted(df.columns)} "
+                f"!= table columns {sorted(sch.fieldNames())}"
+            )
+        # Delta INSERT semantics: align by name, implicit-cast to the
+        # declared column types
+        df = df.select(*[F.col(f.name).cast(f.dataType) for f in sch.fields])
+        return vdf(S.snapshot_append(df, path)), name
+    if head == "MERGE":
+        (path, name, src_sql, key_cols, wm, wnm, wbs) = _parse_merge(q, views)
+        v = S.snapshot_merge_when(
+            spark.sql(src_sql), path, key_cols=key_cols,
+            when_matched=wm, when_not_matched=wnm,
+            when_not_matched_by_source=wbs,
+        )
+        return vdf(v), name
+    if head == "DESCRIBE":
+        dm = re.match(
+            rf"\s*DESCRIBE\s+HISTORY\s+({_IDENT})\s*$", q, re.IGNORECASE
+        )
+        if dm:
+            name = dm.group(1)
+            hist = S.snapshot_history(_require_view(name, views))
+            rows = [
+                (
+                    h["version"], h["op"], float(h["committed_at"] or 0),
+                    h["n_rows"], h["n_files"], bool(h["data_change"]),
+                )
+                for h in hist
+            ]
+            return (
+                spark.createDataFrame(
+                    rows,
+                    "version long, op string, committed_at double, "
+                    "n_rows long, n_files long, data_change boolean",
+                ),
+                None,
+            )
+        return None
+    if views and _find_top(q, r"\b(VERSION|TIMESTAMP)\s+AS\s+OF\b"):
+        return spark.sql(_rewrite_time_travel(spark, q, views)), None
+    return None

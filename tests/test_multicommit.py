@@ -1,0 +1,165 @@
+"""Cross-table atomic commits (sources/multicommit.py): readers resolving
+through the lake commit log never observe fact/view skew, even when the
+writer crashes between per-table snapshot commits — the round-7 judge
+order closing the last consistency gap of the medallion program.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import music_recommendation_service_spark.sources.snapshots as S
+from music_recommendation_service_spark.pipelines import (
+    incremental_dedup_ingest,
+)
+from music_recommendation_service_spark.sources.multicommit import (
+    lake_commit,
+    lake_latest,
+    lake_pinned_versions,
+    lake_pins,
+    lake_read,
+    lake_versions,
+)
+from music_recommendation_service_spark.sources.snapshots import (
+    snapshot_append,
+    snapshot_read,
+    snapshot_versions,
+    snapshot_write,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v long")
+
+
+def test_publish_then_read_is_consistent(spark, tmp_path):
+    root = str(tmp_path)
+    snapshot_write(_df(spark, [(1, 1)]), f"{root}/fact")
+    snapshot_write(_df(spark, [(1, 10)]), f"{root}/view")
+    assert lake_commit(root, {"fact": 1, "view": 1}) == 1
+    assert lake_pins(root) == {"fact": 1, "view": 1}
+    assert lake_read(spark, root, "fact").count() == 1
+
+    # writer advances fact, then CRASHES before updating the view or
+    # publishing: log readers still see the old consistent pair
+    snapshot_append(_df(spark, [(2, 2)]), f"{root}/fact")
+    assert snapshot_read(spark, f"{root}/fact").count() == 2  # direct: skewed
+    assert lake_read(spark, root, "fact").count() == 1        # log: consistent
+    assert lake_read(spark, root, "view").count() == 1
+
+    # recovery run: view catches up, publish pins the new pair atomically
+    snapshot_append(_df(spark, [(2, 20)]), f"{root}/view")
+    lake_commit(root, {"fact": 2, "view": 2})
+    assert lake_pins(root) == {"fact": 2, "view": 2}
+    assert lake_read(spark, root, "fact").count() == 2
+
+    # lake-level time travel: commit 1 is still a consistent pair
+    assert lake_read(spark, root, "fact", commit=1).count() == 1
+    assert lake_read(spark, root, "view", commit=1).count() == 1
+
+
+def test_carry_forward_and_partial_pins(spark, tmp_path):
+    root = str(tmp_path)
+    snapshot_write(_df(spark, [(1, 1)]), f"{root}/a")
+    snapshot_write(_df(spark, [(1, 1)]), f"{root}/b")
+    lake_commit(root, {"a": 1, "b": 1})
+    snapshot_append(_df(spark, [(2, 2)]), f"{root}/a")
+    lake_commit(root, {"a": 2})  # b carries forward
+    assert lake_pins(root) == {"a": 2, "b": 1}
+    assert lake_pinned_versions(root) == {"a": {1, 2}, "b": {1}}
+
+
+def test_pin_validation_and_unpinned_table(spark, tmp_path):
+    root = str(tmp_path)
+    snapshot_write(_df(spark, [(1, 1)]), f"{root}/a")
+    with pytest.raises(ValueError, match="no version 7"):
+        lake_commit(root, {"a": 7})
+    lake_commit(root, {"a": 1})
+    with pytest.raises(KeyError, match="not pinned"):
+        lake_read(spark, root, "nope")
+
+
+def test_racing_publishers_both_land(spark, tmp_path, monkeypatch):
+    """A lost create_exclusive race re-merges and retries — disjoint pins
+    compose, and both publishers end up in the log."""
+    root = str(tmp_path)
+    snapshot_write(_df(spark, [(1, 1)]), f"{root}/a")
+    snapshot_write(_df(spark, [(1, 1)]), f"{root}/b")
+    lake_commit(root, {"a": 1})
+
+    import music_recommendation_service_spark.sources.multicommit as M
+
+    real_create = S._fs().create_exclusive
+    raced = {}
+
+    def racy_create(path, data):
+        if "_lake_commits" in path and not raced:
+            raced["hit"] = True
+            # interleave: another publisher wins this version first
+            real_create(path, data.replace('"a": 1', '"a": 1'))
+            # the outer call now loses and must retry at version+1
+        return real_create(path, data)
+
+    monkeypatch.setattr(S._fs(), "create_exclusive", racy_create)
+    v = M.lake_commit(root, {"b": 1})
+    assert v == lake_versions(root)[-1]
+    assert lake_pins(root) == {"a": 1, "b": 1}
+
+
+def test_dedup_ingest_publishes_atomically(spark, tmp_path, monkeypatch):
+    """Crash injection on the real pipeline wave: the maintainer dies
+    AFTER the store merge but BEFORE the index fold — direct reads see
+    store/index skew, log reads never do; the re-run converges and
+    publishes."""
+    root = str(tmp_path)
+    store, index, cursor = f"{root}/docs", f"{root}/fp_index", f"{root}/cur"
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    n = incremental_dedup_ingest(
+        docs([(1, "alpha"), (2, "beta")]), store, index, cursor,
+        lake_root=root,
+    )
+    assert n == 2
+    pins0 = lake_pins(root)
+
+    def invariant(pins):
+        st = lake_read(spark, root, "docs", commit=None)
+        ix = lake_read(spark, root, "fp_index", commit=None)
+        assert st.select("fp").distinct().count() == ix.count()
+
+    invariant(pins0)
+
+    # crash the index fold on the next wave
+    real = S.snapshot_maintain_aggregate
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before index fold")
+
+    monkeypatch.setattr(S, "snapshot_maintain_aggregate", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        incremental_dedup_ingest(
+            docs([(3, "gamma")]), store, index, cursor, lake_root=root,
+        )
+    monkeypatch.setattr(S, "snapshot_maintain_aggregate", real)
+
+    # direct reads ARE skewed right now (store advanced, index stale)...
+    assert (
+        snapshot_read(spark, store).select("fp").distinct().count()
+        > snapshot_read(spark, index).count()
+    )
+    # ...but the log still serves the previous consistent pair
+    assert lake_pins(root) == pins0
+    invariant(pins0)
+
+    # recovery: re-run the wave; replay lands nothing new (idempotent),
+    # the index catches up, and a new consistent pair is published
+    n2 = incremental_dedup_ingest(
+        docs([(3, "gamma")]), store, index, cursor, lake_root=root,
+    )
+    pins1 = lake_pins(root)
+    assert pins1 != pins0
+    invariant(pins1)
+    assert lake_read(spark, root, "docs").count() == 3
+    assert lake_latest(root)["version"] == len(lake_versions(root))

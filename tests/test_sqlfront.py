@@ -1,0 +1,219 @@
+"""SQL front door (sources/sqlfront.py + Engine.sql): the snapshot DML
+dialect — MERGE INTO / UPDATE / DELETE / INSERT / time travel / DESCRIBE
+HISTORY — re-drives the existing protocol shapes through SQL strings and
+must produce IDENTICAL table state and CDF output to the Python calls.
+
+Reference tie: the reference's only SQL entry is the read-only Thrift
+SELECT (observability/dashboards/music_analytics.json:47); this closes the
+gap for users coming from Delta who write DML as SQL.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+
+from music_recommendation_service_spark.engine import Engine
+from music_recommendation_service_spark.sources.snapshots import (
+    snapshot_changes,
+    snapshot_delete_where,
+    snapshot_history,
+    snapshot_merge_when,
+    snapshot_update_where,
+    snapshot_versions,
+    snapshot_write,
+)
+from music_recommendation_service_spark.sources.sqlfront import (
+    SqlDispatchError,
+)
+
+ROOT = "/root/testdata/sf0.001"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, amount double, tag string")
+
+
+def _state(spark, eng, view):
+    return {
+        r["k"]: (r["amount"], r["tag"])
+        for r in eng.sql(f"SELECT * FROM {view}").collect()
+    }
+
+
+def _cdf(spark, path, v_from, v_to):
+    rows = snapshot_changes(
+        spark, path, v_from, v_to, key_cols=["k"]
+    ).collect()
+    return sorted(
+        (r["k"], r["amount"], r["tag"], r["_change_type"]) for r in rows
+    )
+
+
+def _twin(spark, tmp_path, name, rows):
+    p = str(tmp_path / name)
+    snapshot_write(_df(spark, rows), p, stats_cols=["k"])
+    return p
+
+
+BASE = [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "a"), (4, 40.0, "c")]
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = Engine(ROOT, spark=spark)
+    p = _twin(spark, tmp_path, "sql_t", BASE)
+    e.snapshot(p, view="t1")
+    return e, p
+
+
+def test_sql_delete_matches_python_cdf(spark, tmp_path, eng):
+    e, p = eng
+    twin = _twin(spark, tmp_path, "twin_del", BASE)
+    out = e.sql("DELETE FROM t1 WHERE amount > 25 AND tag <> 'c'").collect()
+    v_sql = out[0]["version"]
+    v_py = snapshot_delete_where(spark, twin, "amount > 25 AND tag <> 'c'")
+    assert _cdf(spark, p, v_sql - 1, v_sql) == _cdf(spark, twin, v_py - 1, v_py)
+    assert set(_state(spark, e, "t1")) == {1, 2, 4}
+
+
+def test_sql_update_matches_python_cdf(spark, tmp_path, eng):
+    e, p = eng
+    twin = _twin(spark, tmp_path, "twin_upd", BASE)
+    v_sql = e.sql(
+        "UPDATE t1 SET amount = t1.amount * 2, tag = upper(tag) "
+        "WHERE tag = 'a'"
+    ).collect()[0]["version"]
+    v_py = snapshot_update_where(
+        spark, twin, "tag = 'a'",
+        {"amount": "amount * 2", "tag": "upper(tag)"},
+    )
+    assert _cdf(spark, p, v_sql - 1, v_sql) == _cdf(spark, twin, v_py - 1, v_py)
+    assert _state(spark, e, "t1")[1] == (20.0, "A")
+
+
+def test_sql_merge_multi_clause_matches_python(spark, tmp_path, eng):
+    e, p = eng
+    twin = _twin(spark, tmp_path, "twin_mrg", BASE)
+    src_rows = [(2, 5.0, "z"), (3, 99.0, "y"), (9, 1.0, "new")]
+    spark.createDataFrame(
+        src_rows, "k long, amount double, tag string"
+    ).createOrReplaceTempView("mrg_src")
+    v_sql = e.sql(
+        """
+        MERGE INTO t1 AS tgt USING mrg_src AS src ON tgt.k = src.k
+        WHEN MATCHED AND src.amount < 50 THEN
+             UPDATE SET amount = tgt.amount + src.amount
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED AND src.tag = 'new' THEN
+             INSERT (k, amount, tag) VALUES (src.k, src.amount, 'inserted')
+        WHEN NOT MATCHED BY SOURCE AND tgt.tag = 'c' THEN
+             UPDATE SET tag = 'untouched'
+        """
+    ).collect()[0]["version"]
+    v_py = snapshot_merge_when(
+        spark.createDataFrame(src_rows, "k long, amount double, tag string"),
+        twin, key_cols=["k"],
+        when_matched=[
+            {"condition": "s.amount < 50", "action": "update",
+             "set": {"amount": "t.amount + s.amount"}},
+            {"action": "delete"},
+        ],
+        when_not_matched=[
+            {"condition": "s.tag = 'new'", "action": "insert",
+             "values": {"k": "s.k", "amount": "s.amount",
+                        "tag": "'inserted'"}},
+        ],
+        when_not_matched_by_source=[
+            {"condition": "t.tag = 'c'", "action": "update",
+             "set": {"tag": "'untouched'"}},
+        ],
+    )
+    assert _cdf(spark, p, v_sql - 1, v_sql) == _cdf(spark, twin, v_py - 1, v_py)
+    st = _state(spark, e, "t1")
+    assert st[2] == (25.0, "b")          # matched, amount < 50
+    assert 3 not in st                   # matched, second clause: DELETE
+    assert st[9] == (1.0, "inserted")    # conditional insert
+    assert st[4] == (40.0, "untouched")  # not matched by source
+
+
+def test_sql_merge_insert_star_and_bare_alias(spark, eng):
+    e, p = eng
+    spark.createDataFrame(
+        [(11, 7.0, "s1")], "k long, amount double, tag string"
+    ).createOrReplaceTempView("star_src")
+    e.sql(
+        "MERGE INTO t1 USING star_src ON t1.k = star_src.k "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert _state(spark, e, "t1")[11] == (7.0, "s1")
+
+
+def test_sql_insert_select_and_values(spark, eng):
+    e, p = eng
+    e.sql("INSERT INTO t1 SELECT 21 AS k, 1.5 AS amount, 'i1' AS tag")
+    e.sql(
+        "INSERT INTO t1 (k, amount, tag) VALUES (22, 2.5, 'i2'), (23, 3.5, 'i3')"
+    )
+    st = _state(spark, e, "t1")
+    assert st[21] == (1.5, "i1") and st[23] == (3.5, "i3")
+
+
+def test_sql_time_travel_version_and_timestamp(spark, eng):
+    e, p = eng
+    e.sql("DELETE FROM t1 WHERE k = 1")
+    assert 1 not in _state(spark, e, "t1")
+    got = e.sql(
+        "SELECT count(*) AS n FROM t1 VERSION AS OF 1"
+    ).collect()[0]["n"]
+    assert got == len(BASE)
+    # TIMESTAMP AS OF the first commit's wall time
+    hist = snapshot_history(p)
+    t1 = [h for h in hist if h["version"] == 1][0]["committed_at"]
+    iso = datetime.fromtimestamp(t1, tz=timezone.utc).isoformat()
+    got = e.sql(
+        f"SELECT count(*) AS n FROM t1 TIMESTAMP AS OF '{iso}'"
+    ).collect()[0]["n"]
+    assert got == len(BASE)
+    # joins between a time-traveled and the current view work
+    both = e.sql(
+        "SELECT count(*) AS n FROM t1 VERSION AS OF 1 a "
+        "JOIN t1 b ON a.k = b.k"
+    ).collect()[0]["n"]
+    assert both == len(BASE) - 1
+
+
+def test_sql_describe_history(spark, eng):
+    e, p = eng
+    e.sql("DELETE FROM t1 WHERE k = 2")
+    hist = e.sql("DESCRIBE HISTORY t1").collect()
+    assert [r["version"] for r in hist] == sorted(
+        snapshot_versions(p), reverse=True
+    )
+    assert hist[0]["op"] is not None
+
+
+def test_sql_dml_errors(spark, eng):
+    e, p = eng
+    with pytest.raises(SqlDispatchError, match="not a registered snapshot"):
+        e.sql("DELETE FROM lineitem WHERE l_orderkey = 1")
+    with pytest.raises(SqlDispatchError, match="key equalities"):
+        e.sql(
+            "MERGE INTO t1 USING t1 s ON t1.k > s.k "
+            "WHEN MATCHED THEN DELETE"
+        )
+    # plain SELECT still flows through to Spark SQL (catalog views intact)
+    assert e.sql("SELECT count(*) AS n FROM region").collect()[0]["n"] > 0
+
+
+def test_sql_string_literals_survive_alias_rewrite(spark, eng):
+    e, p = eng
+    spark.createDataFrame(
+        [(1, 0.0, "x")], "k long, amount double, tag string"
+    ).createOrReplaceTempView("lit_src")
+    e.sql(
+        "MERGE INTO t1 tgt USING lit_src src ON tgt.k = src.k "
+        "WHEN MATCHED THEN UPDATE SET tag = 'tgt.src literal'"
+    )
+    assert _state(spark, e, "t1")[1] == (10.0, "tgt.src literal")
