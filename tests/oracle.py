@@ -16,12 +16,19 @@ TABLES = (
 
 
 def duck_run(sf_dir: str, sql: str):
+    import os
+
     con = duckdb.connect()
     try:
         con.execute("SET TimeZone='UTC'")
         for t in TABLES:
+            # driver testdata is one file per table; Spark-written twins
+            # (scripts/make_sf1.py) are DIRECTORIES of part files
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(p):
+                p = f"{p}/*.parquet"
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
             )
         cur = con.execute(sql)
         cols = [d[0] for d in cur.description]
