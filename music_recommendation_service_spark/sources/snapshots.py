@@ -2959,6 +2959,17 @@ def snapshot_maintain_aggregate(
     touched groups (stats-pruned), and the view never sees the full source.
 
     Returns the new view version, or None when already caught up.
+
+    ``rebuild_share``: when the refresh slice reaches this share of the
+    view's rows, the maintainer abandons the targeted MERGE and rebuilds
+    the whole view as one overwrite — measured (scripts/
+    bench_maintenance.py, 100M-row fact): a 10% dim churn whose fact keys
+    are scattered across every file makes the merge rewrite ~the whole
+    table PLUS the delta machinery (79s) while the from-scratch rebuild
+    costs 40s, so past the threshold merging only adds overhead. The
+    right value depends on key clustering (z-ordered fact keys keep
+    merges file-local and could run higher); ``None`` disables the
+    fast path.
     """
     group_cols = list(group_cols)
     sum_cols = list(sum_cols)
@@ -3894,6 +3905,7 @@ def snapshot_maintain_join(
     dim_join_col: str,
     dim_payload_cols: Sequence[str],
     how: str = "inner",
+    rebuild_share: float | None = 0.2,
 ) -> int | None:
     """Incrementally maintain an enriched JOIN view ``fact ⋈ dim`` from the
     two tables' change feeds — view maintenance beyond aggregates (the
@@ -3931,6 +3943,17 @@ def snapshot_maintain_join(
     everywhere else.
 
     Returns the new view version, or None when already caught up.
+
+    ``rebuild_share``: when the refresh slice reaches this share of the
+    view's rows, the maintainer abandons the targeted MERGE and rebuilds
+    the whole view as one overwrite — measured (scripts/
+    bench_maintenance.py, 100M-row fact): a 10% dim churn whose fact keys
+    are scattered across every file makes the merge rewrite ~the whole
+    table PLUS the delta machinery (79s) while the from-scratch rebuild
+    costs 40s, so past the threshold merging only adds overhead. The
+    right value depends on key clustering (z-ordered fact keys keep
+    merges file-local and could run higher); ``None`` disables the
+    fast path.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
@@ -4037,6 +4060,20 @@ def snapshot_maintain_join(
         "left_semi",
     )
     refresh = by_fact.unionByName(by_dim).dropDuplicates(fact_key_cols)
+    if rebuild_share is not None:
+        refresh = refresh.persist()
+        n_view = m.get("n_rows") or 0
+        if refresh.count() >= rebuild_share * max(1, n_view):
+            try:
+                return snapshot_write(
+                    derive(fact_now), view_path, stats_cols=fact_key_cols,
+                    manifest_extra={
+                        "maint_fact_version": fv_to,
+                        "maint_dim_version": dv_to,
+                    },
+                )
+            finally:
+                refresh.unpersist()
     upserts = derive(refresh).withColumn("_del", F.lit(False))
 
     # Inner view: refreshed fact rows that no longer match any dim row must
@@ -4061,15 +4098,22 @@ def snapshot_maintain_join(
         F.lit(True).alias("_del"),
     ).select(*upserts.columns)
 
-    batch = upserts.unionByName(tombstones)
-    return snapshot_merge(
-        batch,
-        view_path,
-        key_cols=fact_key_cols,
-        seq_col="_maint_v",
-        delete_col="_del",
-        manifest_extra={
-            "maint_fact_version": fv_to,
-            "maint_dim_version": dv_to,
-        },
-    )
+    # persist: snapshot_merge takes several internal actions over its
+    # source; unpersisted, each would re-run the semi-joins + derivation
+    batch = upserts.unionByName(tombstones).persist()
+    try:
+        return snapshot_merge(
+            batch,
+            view_path,
+            key_cols=fact_key_cols,
+            seq_col="_maint_v",
+            delete_col="_del",
+            manifest_extra={
+                "maint_fact_version": fv_to,
+                "maint_dim_version": dv_to,
+            },
+        )
+    finally:
+        batch.unpersist()
+        if rebuild_share is not None:
+            refresh.unpersist()

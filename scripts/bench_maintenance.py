@@ -108,11 +108,16 @@ def main() -> None:
                    delete_col="_del")
     timed("agg_delete_storm_sec", maintain_agg)
 
+    # the fair baseline: what a recompute STRATEGY pays per refresh —
+    # the aggregation AND the overwrite commit of the serving view
     def agg_recompute():
-        snapshot_read(spark, src).groupBy("g").agg(
-            F.count("*").alias("n"), F.sum("v").alias("sum_v"),
-            F.min("v").alias("min_v"), F.max("v").alias("max_v"),
-        ).write.format("noop").mode("overwrite").save()
+        snapshot_write(
+            snapshot_read(spark, src).groupBy("g").agg(
+                F.count("*").alias("n"), F.sum("v").alias("sum_v"),
+                F.min("v").alias("min_v"), F.max("v").alias("max_v"),
+            ),
+            f"{root}/agg_rc",
+        )
 
     timed("agg_full_recompute_sec", agg_recompute)
 
@@ -143,10 +148,10 @@ def main() -> None:
 
     def tk_recompute():
         w = Window.partitionBy("g").orderBy(F.desc("v"), F.desc("k"))
-        (
+        snapshot_write(
             snapshot_read(spark, src).filter(F.col("v").isNotNull())
-            .withColumn("r", F.row_number().over(w)).filter("r <= 10")
-            .write.format("noop").mode("overwrite").save()
+            .withColumn("r", F.row_number().over(w)).filter("r <= 10"),
+            f"{root}/tk_rc",
         )
 
     timed("topk_full_recompute_sec", tk_recompute)
@@ -183,8 +188,8 @@ def main() -> None:
 
     def join_recompute():
         f = snapshot_read(spark, src)
-        d = snapshot_read(spark, dim)
-        f.join(d, f.g == d.dk).write.format("noop").mode("overwrite").save()
+        d = snapshot_read(spark, dim).select("dk", "label")
+        snapshot_write(f.join(d, f.g == d.dk), f"{root}/jn_rc")
 
     timed("join_full_recompute_sec", join_recompute)
 
