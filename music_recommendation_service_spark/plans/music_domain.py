@@ -281,3 +281,100 @@ def _register_q115():
 
 
 _register_q115()
+
+
+# ---------------------------------------------------------------------------
+# q143 — held-out ranking metrics: the OTHER half of recommender
+# evaluation q115 doesn't cover. q05 trains on returnflag='R' likes; the
+# disjoint returnflag='A' slice acts as held-out future relevance, and the
+# metrics are the standard offline IR set over each user's top-5 list:
+# precision@5, recall@5, MRR (1/rank of the first hit, 0 when none) and
+# nDCG@5 (log2 discount, ideal DCG from min(5, |relevant|) via a 5-row
+# spine self-join — portable to both engines without generate_series).
+#
+# Scale design: recs are O(users x 5); the relevance join is an equi-join
+# on (user, item); everything after is one per-user aggregate + a 5-row
+# broadcast IDCG lookup. Composes the VERIFIED q05 relation exactly like
+# q115 (engine builder as temp view; oracle nests q05's SQL text).
+# ---------------------------------------------------------------------------
+_Q143_REL_SQL = """
+    rel AS (
+        SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item_id
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_returnflag = 'A'
+    )"""
+
+
+def _q143_metrics(recs: str) -> str:
+    return f"""{_Q143_REL_SQL},
+    users AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_rel
+        FROM rel GROUP BY user_id
+    ),
+    hits AS (
+        SELECT r.user_id, r.rank
+        FROM {recs} r
+        JOIN rel ON r.user_id = rel.user_id AND r.item_id = rel.item_id
+    ),
+    spine AS (
+        SELECT 1 AS k UNION ALL SELECT 2 UNION ALL SELECT 3
+        UNION ALL SELECT 4 UNION ALL SELECT 5
+    ),
+    idcg AS (
+        SELECT a.k AS n_capped,
+               sum(1.0 / log2(CAST(b.k AS DOUBLE) + 1.0)) AS v
+        FROM spine a JOIN spine b ON b.k <= a.k GROUP BY a.k
+    ),
+    per_user AS (
+        SELECT u.user_id, u.n_rel,
+               CAST(count(h.rank) AS BIGINT) AS n_hits,
+               min(h.rank) AS first_rank,
+               coalesce(
+                   sum(1.0 / log2(CAST(h.rank AS DOUBLE) + 1.0)), 0.0
+               ) AS dcg
+        FROM users u LEFT JOIN hits h ON u.user_id = h.user_id
+        GROUP BY u.user_id, u.n_rel
+    )
+    SELECT CAST(count(*) AS BIGINT)                            AS n_users,
+           {rnd_sql("avg(CAST(n_hits AS DOUBLE) / 5.0)", 6)}   AS precision_at_5,
+           {rnd_sql("avg(CAST(n_hits AS DOUBLE) / CAST(n_rel AS DOUBLE))", 6)} AS recall_at_5,
+           {rnd_sql("avg(coalesce(1.0 / CAST(first_rank AS DOUBLE), 0.0))", 6)} AS mrr_at_5,
+           {rnd_sql("avg(dcg / i.v)", 6)}                      AS ndcg_at_5
+    FROM per_user p JOIN idcg i ON i.n_capped = least(p.n_rel, 5)
+    """
+
+
+def _q143_oracle() -> str:
+    from music_recommendation_service_spark.plans import registry
+
+    q05 = registry()["q05_hybrid_recommendations"].oracle
+    return f"WITH recs AS ({q05}),\n    " + _q143_metrics("recs")
+
+
+def _q143_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from music_recommendation_service_spark.plans import registry
+    from music_recommendation_service_spark.sources.catalog import load_table
+
+    registry()["q05_hybrid_recommendations"].build(
+        spark, sf_dir
+    ).createOrReplaceTempView("q143_recs")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("WITH " + _q143_metrics("q143_recs"))
+
+
+def _register_q143():
+    from music_recommendation_service_spark.plans import register
+
+    register(
+        "q143_ranking_metrics",
+        oracle=_q143_oracle(),
+        doc="Held-out ranking metrics for q05's top-5 lists: precision@5 / "
+        "recall@5 / MRR / nDCG@5 against the disjoint returnflag='A' "
+        "relevance slice (offline IR evaluation).",
+        tags=("music", "recommendation", "evaluation"),
+    )(_q143_build)
+
+
+_register_q143()
