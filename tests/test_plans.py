@@ -149,6 +149,7 @@ _CROSS_OK = frozenset({
     "q134_ann_pq",                 # K=8 codebooks + query slice broadcasts (ADC)
     "q113_histogram_quantiles",    # 3-row quantile spec x O(groups*bins) counts
     "q115_rec_quality_metrics",    # embeds q05's declared pattern + 1-row ILS broadcast
+    "q143_ranking_metrics",        # embeds q05's declared pattern + 5-row IDCG spine
     "q123_basket_rules",           # 1-row basket-count broadcast
 })
 
