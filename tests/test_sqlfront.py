@@ -168,10 +168,15 @@ def test_sql_time_travel_version_and_timestamp(spark, eng):
         "SELECT count(*) AS n FROM t1 VERSION AS OF 1"
     ).collect()[0]["n"]
     assert got == len(BASE)
-    # TIMESTAMP AS OF the first commit's wall time
+    # TIMESTAMP AS OF between the two commits' wall times (isoformat
+    # truncates to microseconds, so aiming exactly AT v1's timestamp can
+    # round just below it)
     hist = snapshot_history(p)
     t1 = [h for h in hist if h["version"] == 1][0]["committed_at"]
-    iso = datetime.fromtimestamp(t1, tz=timezone.utc).isoformat()
+    t2 = [h for h in hist if h["version"] == 2][0]["committed_at"]
+    iso = datetime.fromtimestamp(
+        (t1 + t2) / 2, tz=timezone.utc
+    ).isoformat()
     got = e.sql(
         f"SELECT count(*) AS n FROM t1 TIMESTAMP AS OF '{iso}'"
     ).collect()[0]["n"]
