@@ -204,6 +204,7 @@ def maintain_cf_counts(spark: SparkSession, lake: RecoLake) -> int | None:
         )
         v = snapshot_write(
             init, lake.cf_counts, stats_cols=["i1", "i2"],
+            bloom_cols=["i1", "i2"],
             manifest_extra={"source_version": to_v},
         )
         commit()
@@ -316,7 +317,7 @@ def _ranked_merge(
                 *group_cols, "rank", *payload_cols,
                 F.lit(to_v).cast("long").alias("_seq"),
             ),
-            view_path, stats_cols=group_cols,
+            view_path, stats_cols=group_cols, bloom_cols=group_cols,
             manifest_extra={"source_version": to_v},
         )
     ranks = spark.range(1, n + 1).select(F.col("id").cast("int").alias("rank"))
@@ -392,7 +393,7 @@ def maintain_cf_top(spark: SparkSession, lake: RecoLake) -> int | None:
                 topn(full_sym(counts)).withColumn(
                     "_seq", F.lit(to_v).cast("long")
                 ),
-                lake.cf_top, stats_cols=["src"],
+                lake.cf_top, stats_cols=["src"], bloom_cols=["src"],
                 manifest_extra={"source_version": to_v},
             )
         else:
@@ -618,6 +619,7 @@ def maintain_gold(
         ).withColumn("_seq", F.lit(likes_v).cast("long"))
         v = snapshot_write(
             recomputed, lake.gold, stats_cols=["user_id"],
+            bloom_cols=["user_id"],
             manifest_extra={"source_versions": src_versions},
         )
         for c in commits:
@@ -664,6 +666,7 @@ def maintain_gold(
             ).withColumn("_seq", F.lit(seq).cast("long"))
             v = snapshot_write(
                 recomputed, lake.gold, stats_cols=["user_id"],
+                bloom_cols=["user_id"],
                 manifest_extra={"source_versions": src_versions},
             )
         else:
@@ -774,6 +777,7 @@ def churn_waves(spark: SparkSession, sf_dir: str, lake: RecoLake):
     snapshot_write(
         base.withColumn("_seq", F.lit(1).cast("long")),
         lake.likes, stats_cols=["user_id", "item_id"],
+        bloom_cols=["user_id", "item_id"],
     )
     yield "bootstrap"
     wave1 = base.filter(

@@ -345,6 +345,81 @@ def _entry_bloom(table_path: str, entry: dict, phys_col: str) -> dict | None:
     return (side.get(fname) or {}).get(phys_col)
 
 
+# Merge batches with at most this many DISTINCT keys get per-key candidate
+# refinement (stats point-tests + blooms) instead of relying on batch-wide
+# bounds alone; the refinement is driver-side python over files x keys, so
+# it must stay collect-bounded.
+_MERGE_KEY_PRUNE_MAX = 200
+
+
+def _prune_candidates_by_keys(
+    spark: SparkSession,
+    path: str,
+    candidates: list,
+    key_cols: list,
+    key_rows: list,
+    mapping: dict | None,
+) -> list:
+    """Keep only candidate files that MAY hold at least one incoming key
+    tuple, testing each (file, key) pair against per-file min/max stats
+    AND (where the table was written with ``bloom_cols``) per-file Bloom
+    bitsets. Batch-wide bounds cannot prune a scattered micro-batch — a
+    handful of keys spanning the key range brackets every file — but
+    point tests can: that is what makes a small keyed MERGE against a big
+    clustered or bloom-indexed table touch O(keys) files, not O(table).
+    Sound over-approximation: a kept file may still hold no key (stage 2
+    settles it); a dropped file provably holds none. Null key components
+    skip their column's test (stats/bloom say nothing about nulls)."""
+    phys = {c: _phys(mapping or {}, c) for c in key_cols}
+    pos_by_val: dict = {}
+    if any(e.get("bloom_ref") for e in candidates):
+        vals = sorted(
+            {r[c] for c in key_cols for r in key_rows if r[c] is not None}
+        )
+        if vals:
+            row = (
+                spark.range(1)
+                .select(
+                    F.array(
+                        *[
+                            F.struct(
+                                *[
+                                    _bloom_pos_expr_lit(v, i).alias(f"_p{i}")
+                                    for i in range(_BLOOM_K)
+                                ]
+                            )
+                            for v in vals
+                        ]
+                    ).alias("_a")
+                )
+                .first()["_a"]
+            )
+            pos_by_val = {
+                v: [int(s[f"_p{i}"]) for i in range(_BLOOM_K)]
+                for v, s in zip(vals, row)
+            }
+
+    def col_may_hold(e: dict, c: str, v) -> bool:
+        if v is None:
+            return True
+        if not _stats_may_contain(e.get("stats"), phys[c], v, v):
+            return False
+        if v in pos_by_val:
+            return _bloom_may_contain(
+                _entry_bloom(path, e, phys[c]), pos_by_val[v]
+            )
+        return True
+
+    return [
+        e
+        for e in candidates
+        if any(
+            all(col_may_hold(e, c, r[c]) for c in key_cols)
+            for r in key_rows
+        )
+    ]
+
+
 def _scan_file_entries(
     spark: SparkSession,
     full_dir: str,
@@ -1231,6 +1306,20 @@ def snapshot_merge(
             for c in key_cols
         )
     ]
+    # --- prune stage 1.5: per-key refinement for SMALL batches -----------
+    # Batch-wide bounds cannot prune a scattered micro-batch; point tests
+    # per incoming key (stats + blooms) can — the maintenance-wave shape.
+    if len(candidates) > 1:
+        key_rows = (
+            incoming.select(*key_cols)
+            .distinct()
+            .limit(_MERGE_KEY_PRUNE_MAX + 1)
+            .collect()
+        )
+        if len(key_rows) <= _MERGE_KEY_PRUNE_MAX:
+            candidates = _prune_candidates_by_keys(
+                spark, path, candidates, key_cols, key_rows, mapping
+            )
     if mode == "dv":
         return _merge_dv(
             spark, df, path, cur, base_version, key_cols, seq_col,

@@ -70,6 +70,7 @@ def main() -> None:
     snapshot_write(
         base.withColumn("_seq", F.lit(1).cast("long")),
         lake.likes, stats_cols=["user_id", "item_id"],
+        bloom_cols=["user_id", "item_id"],
     )
     out["likes_rows"] = snapshot_read(spark, lake.likes).count()
     timed("bootstrap_sec", lambda: reco_maintain(spark, SF_DIR, lake))

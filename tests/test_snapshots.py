@@ -2585,3 +2585,82 @@ def test_snapshot_history_describes_commits(spark, tmp_path):
     assert by_v[5]["constraints"] == ["pos_seq"]
     assert by_v[3]["n_rows"] == 3
     assert all(h["committed_at"] is not None for h in hist)
+
+
+def test_merge_per_key_candidate_pruning(spark, tmp_path):
+    """Round-7: small keyed merges refine candidates PER KEY (stats point
+    tests + blooms) instead of batch-wide bounds — a scattered micro-batch
+    whose keys bracket the whole range must not drag every file into the
+    membership scan. Pinned at the pruning function level (stage 2 hides
+    the effect behind identical results)."""
+    import pyspark.sql.functions as F
+
+    from music_recommendation_service_spark.sources import snapshots as S
+    from music_recommendation_service_spark.sources.snapshots import (
+        _manifest_files,
+        _prune_candidates_by_keys,
+        _read_manifest,
+        snapshot_versions,
+    )
+
+    # range-clustered on k: 4 files with disjoint [0,999][1000,1999]... ranges
+    path = str(tmp_path / "prune_rc")
+    df = (
+        spark.range(4000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("v"),
+            F.lit(1).cast("long").alias("_seq"),
+        )
+        .repartitionByRange(4, "k")
+    )
+    S.snapshot_write(df, path, stats_cols=["k"], bloom_cols=["k"])
+    m = _read_manifest(path, snapshot_versions(path)[-1])
+    files = _manifest_files(path, m)
+    assert len(files) == 4
+
+    class R(dict):
+        def __getitem__(self, c):
+            return dict.__getitem__(self, c)
+
+    # two scattered keys: batch bounds [5, 3777] bracket ALL files, but the
+    # point tests keep exactly the two files that hold them
+    kept = _prune_candidates_by_keys(
+        spark, path, files, ["k"], [R(k=5), R(k=3777)], None
+    )
+    assert len(kept) == 2, [e["stats"] for e in kept]
+
+    # bloom kills an in-range ABSENT key on an unclustered table (every
+    # file's min/max brackets it; ~all blooms reject it)
+    path2 = str(tmp_path / "prune_bloom")
+    df2 = (
+        spark.range(4000)
+        .select(
+            (F.col("id") * 2).alias("k"),  # evens only
+            F.lit(0).alias("v"),
+            F.lit(1).cast("long").alias("_seq"),
+        )
+        .repartition(4)  # hash layout: every file spans the full range
+    )
+    S.snapshot_write(df2, path2, stats_cols=["k"], bloom_cols=["k"])
+    m2 = _read_manifest(path2, snapshot_versions(path2)[-1])
+    files2 = _manifest_files(path2, m2)
+    present = _prune_candidates_by_keys(
+        spark, path2, files2, ["k"], [R(k=1000)], None
+    )
+    assert len(present) >= 1  # the true holder always survives
+    absent = _prune_candidates_by_keys(
+        spark, path2, files2, ["k"], [R(k=1001)], None  # odd: in-range, absent
+    )
+    assert len(absent) < len(files2), "bloom pruned nothing"
+
+    # a merge against the clustered table still lands the right content
+    S.snapshot_merge(
+        spark.createDataFrame([(5, 99, 2)], "k long, v long, _seq long"),
+        path, key_cols=["k"], seq_col="_seq",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in S.snapshot_read(spark, path).filter("k in (5, 3777)").collect()
+    }
+    assert got == {5: 99, 3777: 3777 % 7}
