@@ -113,4 +113,15 @@ def get_spark(app_name: str = "music_recommendation_service_spark") -> SparkSess
         )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try:
+        # format("snapshot") everywhere the engine session reaches
+        # (sources/datasource.py). Guarded: the Python DataSource API
+        # needs PySpark >= 4.
+        from music_recommendation_service_spark.sources.datasource import (
+            register_snapshot_datasource,
+        )
+
+        register_snapshot_datasource(spark)
+    except Exception:
+        pass
     return spark

@@ -1,0 +1,832 @@
+"""The snapshot protocol as a first-class Spark data source.
+
+``spark.read.format("snapshot")`` / ``readStream.format("snapshot")`` /
+``df.write.format("snapshot")`` over the versioned snapshot tables of
+``sources/snapshots.py`` — the integration surface the reference reaches
+with ``format("delta")`` (``pyspark_jobs/spark_utils.py:58``,
+``process_recommendation_events.py:78-82``), re-realized on the PySpark 4
+Python DataSource API so it works with no JVM extension on the classpath.
+
+    from music_recommendation_service_spark.sources.datasource import (
+        register_snapshot_datasource)
+    register_snapshot_datasource(spark)
+
+    spark.read.format("snapshot").option("version", 3).load(path)
+    spark.readStream.format("snapshot").option("readChangeFeed", "true").load(path)
+    df.write.format("snapshot").mode("append").save(path)
+
+Design notes (and the 100 TB story):
+
+- **Planning is manifest-only.** ``partitions()`` reads the version's
+  manifest (O(files) JSON) and prunes with the SAME per-file min/max stats
+  and Bloom sidecars the native ``snapshot_scan`` path uses. Pushed filters
+  (``pushFilters``) drive the skipping but are ALL returned to Spark as
+  unsupported, so Spark re-applies them exactly — file skipping here is an
+  I/O optimization, never a correctness dependency. Bloom lookups hash with
+  the pure-Python XXH64 twin (``sources/xxhash64.py``, bit-parity pinned in
+  tests) because the planner runs in a Python worker with no SparkSession.
+- **One input partition per live file** — scan parallelism is file count,
+  the same unit Delta/parquet scans use. Each task reads ONLY its file
+  (pyarrow), applies its deletion vector as a positional mask, null-fills
+  columns added after the file was written, renames physical->logical
+  column-mapping names, and yields Arrow record batches (zero row-at-a-time
+  Python).
+- **The streaming source replays the commit chain**: offsets are manifest
+  versions, so exactly-once replay falls out of Spark's checkpointed offset
+  log plus manifest immutability. Delta streaming-source semantics:
+  an un-pinned start does an initial snapshot of the current version then
+  goes incremental; ``data_change=false`` commits (OPTIMIZE/ZORDER/
+  metadata) are skipped; a commit that removes or rewrites rows fails an
+  append-mode stream unless ``skipChangeCommits`` is set; with
+  ``readChangeFeed`` the same chain is emitted as row-level
+  ``_change_type`` / ``_commit_version`` changes (keyless CDF — positional
+  diffs of deletion vectors, file adds as inserts, file removes as
+  deletes) that match ``snapshot_changes``' keyless mode.
+- **The batch writer is a real two-phase distributed commit**: executors
+  write parquet files AND compute their per-file min/max stats + Bloom
+  bitsets in-task (single pass over data they already hold — the native
+  path needs a second Spark aggregate for this), send them as commit
+  messages, and the driver assembles the manifest and lands it through the
+  claim-once ``_commit`` primitive with the same rebase-or-abort
+  concurrency rule as ``snapshot_append``. A crash before the manifest
+  leaves only an invisible orphan dir (vacuumable), never a torn table.
+  Tables with CHECK constraints or generated columns reject DataSource
+  writes (those need driver-side Spark expressions) and point the caller
+  at ``snapshot_append``.
+
+Reference parity: S2/S4/S6/S7 (`SURVEY.md §2.1`) at the ``format(...)``
+call-site level; the stream source is the engine-side twin of the
+reference's Delta streaming sink/source pair
+(``process_recommendation_events.py:57-84``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualNullSafe,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from music_recommendation_service_spark.sources import snapshots as sn
+from music_recommendation_service_spark.sources.xxhash64 import bloom_positions
+
+CDF_TYPE_COL = "_change_type"
+CDF_VERSION_COL = "_commit_version"
+
+_FORMAT_NAME = "snapshot"
+
+
+def register_snapshot_datasource(spark) -> None:
+    """Register ``format("snapshot")`` on a session (idempotent). Also
+    enables Python-datasource filter pushdown — without it Spark refuses a
+    reader that implements ``pushFilters`` (the file-skipping hook)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SnapshotDataSource)
+
+
+# --------------------------------------------------------------------------
+# shared planning helpers (run in the planner's Python worker: local-FS
+# manifest reads + pure-Python hashing only, no SparkSession)
+# --------------------------------------------------------------------------
+
+
+def _required_path(options) -> str:
+    path = options.get("path")
+    if not path:
+        raise ValueError("format('snapshot') requires a path: .load(<table path>)")
+    return path
+
+
+def _resolve_version(path: str, options) -> int:
+    versions = sn.snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot table at {path}")
+    v_opt = options.get("version") or options.get("versionasof")
+    ts_opt = options.get("timestampasof")
+    if v_opt is not None and ts_opt is not None:
+        raise ValueError("pass either version or timestampAsOf, not both")
+    if v_opt is not None:
+        v = int(v_opt)
+        if v not in versions:
+            raise ValueError(f"version {v} not in {versions} at {path}")
+        return v
+    if ts_opt is not None:
+        ts = float(ts_opt)
+        eligible = [
+            v for v in versions
+            if (sn._read_manifest(path, v).get("committed_at") or 0) <= ts
+        ]
+        if not eligible:
+            raise ValueError(f"no version at {path} committed at or before {ts}")
+        return eligible[-1]
+    return versions[-1]
+
+
+def _truthy(options, key: str) -> bool:
+    return str(options.get(key) or "").strip().lower() in ("true", "1", "yes")
+
+
+def _schema_fields_sig(schema_json: str) -> list[tuple[str, str]]:
+    """(name, type) signature for mid-stream schema-change detection —
+    nullability and metadata are ignored, same laxity as the append path."""
+
+    def sig(fields):
+        return [(f["name"], json.dumps(f["type"], sort_keys=True)) for f in fields]
+
+    return sig(json.loads(schema_json).get("fields", []))
+
+
+def _normalized_struct(schema_json: str) -> StructType:
+    """Manifest schema as the ALL-NULLABLE StructType a file read yields —
+    Spark file scans force nullable=True, and the DataSource surface must
+    type-match ``snapshot_read`` exactly."""
+    st = StructType.fromJson(json.loads(schema_json))
+    return sn._normalize_nullability(st)
+
+
+def _filter_col(f: Filter) -> str | None:
+    """Top-level column name of a pushed filter, or None for nested paths
+    (which we don't prune on)."""
+    attr = getattr(f, "attribute", None)
+    if attr is None or len(attr) != 1:
+        return None
+    return attr[0]
+
+
+def _cmp_stats(bound, value) -> int | None:
+    """Compare a manifest stat bound with a canonicalized literal; None when
+    the pair is not comparably typed (mixed str/number) — conservative."""
+    value = sn._stats_repr(value)
+    if bound is None or value is None:
+        return None
+    num = (int, float)
+    if isinstance(bound, str) != isinstance(value, str):
+        return None
+    if isinstance(bound, bool) or isinstance(value, bool):
+        return None
+    if not isinstance(bound, (str, *num)) or not isinstance(value, (str, *num)):
+        return None
+    return -1 if bound < value else (1 if bound > value else 0)
+
+
+def _entry_may_satisfy(table_path: str, entry: dict, phys: str, f: Filter) -> bool:
+    """Can this file possibly hold a row satisfying the filter? min/max
+    stats answer range predicates; Bloom sidecars answer point lookups.
+    Anything unknowable returns True (scan it)."""
+    stats = (entry.get("stats") or {}).get(phys)
+    mn, mx = (stats if stats else (None, None))
+
+    def bloom_hit(value) -> bool:
+        pos = bloom_positions(value, sn._BLOOM_M_MAX, sn._BLOOM_K)
+        if pos is None:
+            return True
+        return sn._bloom_may_contain(sn._entry_bloom(table_path, entry, phys), pos)
+
+    if isinstance(f, (EqualTo, EqualNullSafe)):
+        lo = _cmp_stats(mn, f.value)
+        hi = _cmp_stats(mx, f.value)
+        if (lo is not None and lo > 0) or (hi is not None and hi < 0):
+            return False
+        return bloom_hit(f.value)
+    if isinstance(f, In):
+        return any(
+            not ((_cmp_stats(mn, v) or 0) > 0 or (_cmp_stats(mx, v) or 0) < 0)
+            and bloom_hit(v)
+            for v in f.value
+        )
+    if isinstance(f, GreaterThan):
+        c = _cmp_stats(mx, f.value)
+        return c is None or c > 0
+    if isinstance(f, GreaterThanOrEqual):
+        c = _cmp_stats(mx, f.value)
+        return c is None or c >= 0
+    if isinstance(f, LessThan):
+        c = _cmp_stats(mn, f.value)
+        return c is None or c < 0
+    if isinstance(f, LessThanOrEqual):
+        c = _cmp_stats(mn, f.value)
+        return c is None or c <= 0
+    if isinstance(f, IsNotNull):
+        # A bloom built over an all-null file stores the empty bitset; that
+        # is the one case where "no non-null value exists" is provable.
+        b = sn._entry_bloom(table_path, entry, phys)
+        return not (b and b.get("b64") == "" and b.get("k") == sn._BLOOM_K)
+    return True
+
+
+def prune_entries(
+    table_path: str, manifest: dict, filters: Sequence[Filter]
+) -> list[dict]:
+    """File-skipping over a manifest's live entries: a file survives only
+    if every pushed conjunct is possibly satisfiable in it."""
+    mapping = sn._mapping(manifest)
+    entries = sn._manifest_files(table_path, manifest)
+    out = []
+    for e in entries:
+        keep = True
+        for f in filters:
+            col = _filter_col(f)
+            if col is None:
+                continue
+            if not _entry_may_satisfy(table_path, e, sn._phys(mapping, col), f):
+                keep = False
+                break
+        if keep:
+            out.append(e)
+    return out
+
+
+# --------------------------------------------------------------------------
+# executor-side file read (pyarrow only)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class SnapshotFilePartition(InputPartition):
+    abs_path: str
+    rel2: str                      # dir/name identity the DV positions key on
+    dv_ref: str | None             # absolute positions-parquet dir, or None
+    change_type: str | None = None  # CDF: insert|delete; None = plain read
+    commit_version: int | None = None
+    # CDF dv-repoint deletes: emit ONLY positions dead under dv_ref but
+    # live under prev_dv_ref.
+    prev_dv_ref: str | None = None
+    delete_only_new_dead: bool = False
+
+
+def _dead_positions(dv_ref: str | None, rel2: str):
+    """Set of dead row positions this DV records for one file."""
+    if not dv_ref:
+        return set()
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        dv_ref, filters=[(sn._DV_FILE, "==", rel2)], columns=[sn._DV_POS]
+    )
+    return set(t[sn._DV_POS].to_pylist())
+
+
+def _read_partition_arrow(
+    part: SnapshotFilePartition,
+    schema_json: str,
+    mapping: dict,
+    cdf: bool,
+) -> Iterator:
+    """Read one file into Arrow batches under the table's DECLARED schema:
+    missing physical columns null-fill (schema evolution), physical names
+    alias back to logical (column mapping), DV positions mask out, and for
+    CDF partitions the change-metadata columns append. Matches
+    ``snapshots._read_entries`` row-for-row — pinned by parity tests."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    declared = _normalized_struct(schema_json)
+    target = to_arrow_schema(declared)
+    tbl = pq.read_table(part.abs_path)
+    n = tbl.num_rows
+
+    if part.delete_only_new_dead:
+        new_dead = _dead_positions(part.dv_ref, part.rel2)
+        old_dead = _dead_positions(part.prev_dv_ref, part.rel2)
+        keep = sorted(new_dead - old_dead)
+        tbl = tbl.take(pa.array(keep, type=pa.int64())) if keep else tbl.slice(0, 0)
+    else:
+        dead = _dead_positions(part.dv_ref, part.rel2)
+        if dead:
+            import numpy as np
+
+            mask = np.ones(n, dtype=bool)
+            mask[np.fromiter(dead, dtype=np.int64)] = False
+            tbl = tbl.filter(pa.array(mask))
+
+    cols = []
+    for f in declared.fields:
+        phys = sn._phys(mapping, f.name)
+        at = target.field(f.name).type
+        if phys in tbl.column_names:
+            col = tbl[phys]
+            if col.type != at:
+                col = pc.cast(col, at)
+        else:
+            col = pa.nulls(tbl.num_rows, type=at)
+        cols.append(col)
+    names = [f.name for f in declared.fields]
+    if cdf:
+        names += [CDF_TYPE_COL, CDF_VERSION_COL]
+        cols.append(pa.chunked_array([[part.change_type] * tbl.num_rows], type=pa.string()) if tbl.num_rows else pa.nulls(0, pa.string()))
+        cols.append(pa.chunked_array([[part.commit_version] * tbl.num_rows], type=pa.int64()) if tbl.num_rows else pa.nulls(0, pa.int64()))
+    out = pa.table(dict(zip(names, cols)))
+    if out.num_rows:
+        yield from out.to_batches(max_chunksize=1 << 16)
+
+
+# --------------------------------------------------------------------------
+# batch reader
+# --------------------------------------------------------------------------
+
+
+class SnapshotBatchReader(DataSourceReader):
+    def __init__(self, options, schema: StructType):
+        if _truthy(options, "readchangefeed"):
+            raise ValueError(
+                "readChangeFeed is a STREAM read option here; for batch "
+                "change feeds use snapshot_changes(spark, path, from, to)"
+            )
+        self._path = _required_path(options)
+        self._version = _resolve_version(self._path, options)
+        self._manifest = sn._read_manifest(self._path, self._version)
+        self._mapping = sn._mapping(self._manifest)
+        self._schema_json = self._manifest.get("schema") or (
+            schema.json() if schema is not None else None
+        )
+        if self._schema_json is None:
+            raise ValueError(
+                f"{self._path}: legacy manifest without a schema needs an "
+                "explicit .schema(...) on the read"
+            )
+        self._filters: list[Filter] = []
+
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        """Record every pushed filter for FILE skipping, then hand them all
+        back: Spark re-applies them row-exactly, so a too-coarse (or
+        stats-less) skip can only cost I/O, never correctness."""
+        self._filters = list(filters)
+        return filters
+
+    def partitions(self):
+        entries = prune_entries(self._path, self._manifest, self._filters)
+        return [
+            SnapshotFilePartition(
+                abs_path=(
+                    e["path"]
+                    if os.path.isabs(e["path"])
+                    else os.path.join(self._path, e["path"])
+                ),
+                rel2=sn._rel2(e["path"]),
+                dv_ref=(
+                    sn._dv_ref_path(self._path, e["dv"]["ref"])
+                    if e.get("dv")
+                    else None
+                ),
+            )
+            for e in entries
+        ]
+
+    def read(self, partition: SnapshotFilePartition):
+        yield from _read_partition_arrow(
+            partition, self._schema_json, self._mapping, cdf=False
+        )
+
+
+# --------------------------------------------------------------------------
+# streaming reader
+# --------------------------------------------------------------------------
+
+
+class SnapshotStreamReader(DataSourceStreamReader):
+    def __init__(self, options, schema: StructType):
+        self._path = _required_path(options)
+        self._cdf = _truthy(options, "readchangefeed")
+        self._skip_change = _truthy(options, "skipchangecommits")
+        self._starting = options.get("startingversion")
+        mv = options.get("maxversionspertrigger")
+        self._max_versions = int(mv) if mv else None
+        self._last_end: int | None = None  # last PLANNED end, for rate limiting
+        if not sn.snapshot_versions(self._path):
+            raise FileNotFoundError(f"no snapshot table at {self._path}")
+        # Pin the schema SPARK hands us (the query's analyzed schema): the
+        # reader object is re-instantiated per micro-batch, and re-reading
+        # the latest manifest here would silently adopt a mid-stream schema
+        # change instead of failing the planner check below.
+        data_fields = [
+            f for f in schema.fields
+            if f.name not in (CDF_TYPE_COL, CDF_VERSION_COL)
+        ]
+        self._schema_json = StructType(data_fields).json()
+        self._sig = _schema_fields_sig(self._schema_json)
+
+    # -- offsets ------------------------------------------------------------
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        if self._starting is None:
+            # Delta default: initial snapshot of the CURRENT version, then
+            # incremental. The snapshot target rides in the offset so a
+            # checkpoint replay reproduces the identical first batch.
+            snap = sn.snapshot_versions(self._path)[-1]
+            self._last_end = 0
+            return {"v": 0, "snap": snap}
+        if str(self._starting).strip().lower() == "earliest":
+            self._last_end = 0
+            return {"v": 0}
+        self._last_end = int(self._starting) - 1
+        return {"v": self._last_end}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        latest = sn.snapshot_versions(self._path)[-1]
+        if self._max_versions is not None and self._last_end is not None:
+            # Rate limit by CAPPING the acknowledged offset — never by
+            # truncating partitions under a full acknowledgment, which
+            # would silently drop the truncated commits.
+            return {"v": min(latest, self._last_end + self._max_versions)}
+        return {"v": latest}
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    def stop(self) -> None:
+        pass
+
+    # -- planning -----------------------------------------------------------
+
+    def _check_schema(self, m: dict, v: int) -> None:
+        """A commit is readable iff its fields are a SUBSET of the stream's
+        declared fields (name+type): commits older than a later column-add
+        null-fill the missing column, but a commit carrying a column the
+        running stream doesn't know (add/rename/retype after query start)
+        would silently drop data — fail the stream instead, Delta-style;
+        a restart picks the new schema up."""
+        sj = m.get("schema")
+        if not sj:
+            return
+        have = set(self._sig)
+        missing = [n for n, ty in _schema_fields_sig(sj) if (n, ty) not in have]
+        if missing:
+            raise RuntimeError(
+                f"snapshot stream source: schema of {self._path} changed at "
+                f"version {v} (new/retyped columns {missing}); restart the "
+                "stream to pick up the new schema"
+            )
+
+    def _snapshot_partitions(self, v: int) -> list[SnapshotFilePartition]:
+        m = sn._read_manifest(self._path, v)
+        self._check_schema(m, v)
+        return [
+            self._part(e, change="insert", commit_v=v)
+            for e in sn._manifest_files(self._path, m)
+        ]
+
+    def _part(
+        self,
+        e: dict,
+        change: str,
+        commit_v: int,
+        prev_dv: str | None = None,
+        only_new_dead: bool = False,
+    ) -> SnapshotFilePartition:
+        return SnapshotFilePartition(
+            abs_path=(
+                e["path"]
+                if os.path.isabs(e["path"])
+                else os.path.join(self._path, e["path"])
+            ),
+            rel2=sn._rel2(e["path"]),
+            dv_ref=(
+                sn._dv_ref_path(self._path, e["dv"]["ref"]) if e.get("dv") else None
+            ),
+            change_type=change if self._cdf else None,
+            commit_version=commit_v if self._cdf else None,
+            prev_dv_ref=prev_dv,
+            delete_only_new_dead=only_new_dead,
+        )
+
+    def _commit_partitions(self, v: int) -> list[SnapshotFilePartition]:
+        """Partitions for ONE commit: added files as inserts; in CDF mode
+        removed files as deletes and DV re-points as newly-dead-position
+        deletes; data_change=false commits contribute nothing."""
+        m_prev = sn._read_manifest(self._path, v - 1) if v > 1 else {"files": []}
+        m_cur = sn._read_manifest(self._path, v)
+        self._check_schema(m_cur, v)
+        if m_cur.get("data_change") is False:
+            return []
+        prev = {e["path"]: e for e in sn._manifest_files(self._path, m_prev)} if v > 1 else {}
+        cur = {e["path"]: e for e in sn._manifest_files(self._path, m_cur)}
+        added = [e for p, e in cur.items() if p not in prev]
+        removed = [e for p, e in prev.items() if p not in cur]
+        repointed = [
+            (prev[p], cur[p])
+            for p in cur.keys() & prev.keys()
+            if (cur[p].get("dv") or {}).get("ref") != (prev[p].get("dv") or {}).get("ref")
+        ]
+        if (removed or repointed) and not self._cdf:
+            if self._skip_change:
+                return []
+            raise RuntimeError(
+                f"snapshot stream source: version {v} of {self._path} "
+                f"removed or rewrote rows (op={m_cur.get('op')}); an "
+                "append-only stream cannot represent it. Set "
+                "option('skipChangeCommits','true') to ignore such commits "
+                "or option('readChangeFeed','true') to consume row-level "
+                "changes."
+            )
+        parts = [self._part(e, change="insert", commit_v=v) for e in added]
+        if self._cdf:
+            parts += [self._part(e, change="delete", commit_v=v) for e in removed]
+            for p_old, p_new in repointed:
+                parts.append(
+                    SnapshotFilePartition(
+                        abs_path=(
+                            p_new["path"]
+                            if os.path.isabs(p_new["path"])
+                            else os.path.join(self._path, p_new["path"])
+                        ),
+                        rel2=sn._rel2(p_new["path"]),
+                        dv_ref=(
+                            sn._dv_ref_path(self._path, p_new["dv"]["ref"])
+                            if p_new.get("dv")
+                            else None
+                        ),
+                        change_type="delete",
+                        commit_version=v,
+                        prev_dv_ref=(
+                            sn._dv_ref_path(self._path, p_old["dv"]["ref"])
+                            if p_old.get("dv")
+                            else None
+                        ),
+                        delete_only_new_dead=True,
+                    )
+                )
+        return parts
+
+    def partitions(self, start: dict, end: dict):  # noqa: D102
+        parts: list[SnapshotFilePartition] = []
+        sv = start["v"]
+        if start.get("snap"):
+            parts += self._snapshot_partitions(start["snap"])
+            sv = start["snap"]
+        versions = sn.snapshot_versions(self._path)
+        for v in [x for x in versions if sv < x <= end["v"]]:
+            parts += self._commit_partitions(v)
+        self._last_end = end["v"]
+        return parts
+
+    def read(self, partition: SnapshotFilePartition):
+        # Re-read the mapping lazily: renames fail the schema check above,
+        # so the mapping in force when the stream started is still valid.
+        yield from _read_partition_arrow(
+            partition,
+            self._schema_json,
+            sn._mapping(sn._latest_manifest(self._path) or {}),
+            cdf=self._cdf,
+        )
+
+
+# --------------------------------------------------------------------------
+# batch writer (two-phase distributed commit)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class SnapshotFileCommit(WriterCommitMessage):
+    name: str
+    rows: int
+    stats: dict | None
+    blooms: dict = field(default_factory=dict)
+
+
+class SnapshotBatchWriter(DataSourceArrowWriter):
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        self._path = _required_path(options)
+        self._overwrite = overwrite
+        self._schema_json = schema.json()
+        latest = sn._latest_manifest(self._path)
+        if latest is not None:
+            if latest.get("constraints") or latest.get("generated"):
+                raise ValueError(
+                    f"{self._path} declares CHECK constraints or generated "
+                    "columns, which need driver-side Spark expressions; "
+                    "write through snapshot_append/snapshot_write instead "
+                    "of the DataSource writer"
+                )
+            self._mapping = sn._mapping(latest)
+            if not overwrite and not sn._schema_equiv(
+                self._schema_json, latest["schema"]
+            ):
+                raise ValueError(
+                    f"append schema mismatch at {self._path}: "
+                    f"manifest={latest['schema']} incoming={self._schema_json}"
+                )
+        else:
+            self._mapping = {}
+        # Preserve the table's stats/bloom discipline (physical names), or
+        # adopt the caller's (logical names) for fresh tables.
+        if options.get("statscols"):
+            self._stats_cols = [
+                sn._phys(self._mapping, c.strip())
+                for c in options.get("statscols").split(",") if c.strip()
+            ]
+        else:
+            seen: set = set()
+            for e in (sn._manifest_files(self._path, latest) if latest else []):
+                seen.update((e.get("stats") or {}).keys())
+            self._stats_cols = sorted(seen)
+        if options.get("bloomcols"):
+            self._bloom_cols = [
+                sn._phys(self._mapping, c.strip())
+                for c in options.get("bloomcols").split(",") if c.strip()
+            ]
+        else:
+            self._bloom_cols = (
+                sn._bloom_cols_in_use(self._path, latest) if latest else []
+            )
+        self._rel_dir, self._abs_dir = sn._new_data_dir(self._path)
+        os.makedirs(self._abs_dir, exist_ok=True)
+
+    # -- executor side -------------------------------------------------------
+
+    def write(self, iterator) -> SnapshotFileCommit:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        batches = list(iterator)
+        declared = StructType.fromJson(json.loads(self._schema_json))
+        logical = [f.name for f in declared.fields]
+        if batches:
+            tbl = pa.Table.from_batches(batches)
+        else:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            tbl = pa.table(
+                {n: pa.nulls(0, to_arrow_schema(declared).field(n).type) for n in logical}
+            )
+        tbl = tbl.rename_columns([sn._phys(self._mapping, n) for n in logical])
+        if tbl.num_rows == 0:
+            # Don't land empty files for empty partitions — the manifest
+            # would carry them forever.
+            return SnapshotFileCommit(name="", rows=0, stats=None)
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        pq.write_table(tbl, os.path.join(self._abs_dir, name))
+
+        stats = None
+        if self._stats_cols:
+            stats = {}
+            for c in self._stats_cols:
+                if c in tbl.column_names and tbl.num_rows:
+                    mm = pc.min_max(tbl[c])
+                    stats[c] = [
+                        sn._stats_repr(mm["min"].as_py()),
+                        sn._stats_repr(mm["max"].as_py()),
+                    ]
+                else:
+                    stats[c] = [None, None]
+        blooms = {}
+        for c in self._bloom_cols:
+            b = self._build_bloom(tbl, c)
+            if b is not None:
+                blooms[c] = b
+        return SnapshotFileCommit(name=name, rows=tbl.num_rows, stats=stats, blooms=blooms)
+
+    def _build_bloom(self, tbl, col: str) -> dict | None:
+        """Per-file Bloom bitset built with the native XXH64 twin — same
+        sizing/position algebra as ``snapshots._bloom_build``. Types whose
+        Spark ``cast("string")`` form is not reproducible natively yield
+        None (file never skipped on this column)."""
+        import pyarrow.compute as pc
+
+        from music_recommendation_service_spark.sources.xxhash64 import (
+            spark_string_form,
+        )
+
+        if col not in tbl.column_names:
+            return None
+        vals = pc.unique(pc.drop_null(tbl[col])).to_pylist()
+        position_sets = [[] for _ in range(sn._BLOOM_K)]
+        for v in vals:
+            if spark_string_form(v) is None:
+                return None
+            pos = bloom_positions(v, sn._BLOOM_M_MAX, sn._BLOOM_K)
+            for i, p in enumerate(pos):
+                position_sets[i].append(p)
+        return sn._bloom_build(position_sets)
+
+    # -- driver side -----------------------------------------------------------
+
+    def commit(self, messages) -> None:
+        msgs = [m for m in messages if m is not None and m.name]
+        sidecar = {m.name: m.blooms for m in msgs if m.blooms}
+        entries = []
+        for m in msgs:
+            e = {"path": f"{self._rel_dir}/{m.name}", "rows": m.rows, "stats": m.stats}
+            if m.name in sidecar:
+                e["bloom_ref"] = f"{self._rel_dir}/{sn._BLOOM_SIDECAR}"
+            entries.append(e)
+        if sidecar:
+            sn._fs().write_atomic(
+                os.path.join(self._abs_dir, sn._BLOOM_SIDECAR), json.dumps(sidecar)
+            )
+        n = sum(m.rows for m in msgs)
+        schema_json = self._schema_json
+        mapping = self._mapping
+        path = self._path
+        overwrite = self._overwrite
+
+        def build(latest: dict | None, version: int) -> dict:
+            if overwrite or latest is None:
+                out = {
+                    "data_dirs": sn._dirs_of(entries) if entries else [],
+                    "files": entries,
+                    "n_rows": n,
+                    "schema": schema_json,
+                }
+                if overwrite and latest is not None:
+                    # Overwrite replaces data, not table features — but the
+                    # writer refused constrained tables up front, so only
+                    # the mapping can be present, and an overwrite resets it
+                    # (files are written under logical names again).
+                    pass
+                return out
+            if sn._mapping(latest) != mapping:
+                raise sn.ConcurrentSnapshotError(
+                    f"{path}: column mapping changed during append; retry"
+                )
+            if not sn._schema_equiv(schema_json, latest["schema"]):
+                raise ValueError(
+                    f"append schema mismatch at {path}: "
+                    f"manifest={latest['schema']} incoming={schema_json}"
+                )
+            if latest.get("constraints") or latest.get("generated"):
+                raise sn.ConcurrentSnapshotError(
+                    f"{path}: constraints/generated columns added during "
+                    "DataSource append; retry through snapshot_append"
+                )
+            base = sn._manifest_files(path, latest)
+            files = base + entries
+            out = {
+                "data_dirs": sn._dirs_of(files),
+                "files": files,
+                "n_rows": latest["n_rows"] + n,
+                "schema": schema_json,
+            }
+            if mapping:
+                out["column_mapping"] = mapping
+            return out
+
+        sn._commit(
+            path,
+            build,
+            op="datasource_overwrite" if overwrite else "datasource_append",
+        )
+
+    def abort(self, messages) -> None:
+        try:
+            sn._fs().delete_tree(self._abs_dir)
+        except Exception:
+            pass  # orphan dir stays invisible; vacuum reclaims it
+
+
+# --------------------------------------------------------------------------
+# the DataSource
+# --------------------------------------------------------------------------
+
+
+class SnapshotDataSource(DataSource):
+    """``format("snapshot")`` — batch read (time travel + file skipping),
+    streaming read (commit replay / CDF), and distributed two-phase batch
+    write over snapshot tables."""
+
+    @classmethod
+    def name(cls) -> str:
+        return _FORMAT_NAME
+
+    def schema(self):
+        path = _required_path(self.options)
+        v = _resolve_version(path, self.options)
+        m = sn._read_manifest(path, v)
+        schema = _normalized_struct(m["schema"])
+        if _truthy(self.options, "readchangefeed"):
+            schema = StructType(schema.fields).add(CDF_TYPE_COL, "string").add(
+                CDF_VERSION_COL, "long"
+            )
+        return schema
+
+    def reader(self, schema: StructType) -> SnapshotBatchReader:
+        return SnapshotBatchReader(self.options, schema)
+
+    def streamReader(self, schema: StructType) -> SnapshotStreamReader:  # noqa: N802
+        return SnapshotStreamReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> SnapshotBatchWriter:
+        return SnapshotBatchWriter(self.options, schema, overwrite)

@@ -512,3 +512,74 @@ def write_stream_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def snapshot_table_stream(
+    spark: SparkSession,
+    table_path: str,
+    cdf: bool = False,
+    starting_version: int | str | None = None,
+    skip_change_commits: bool = False,
+) -> DataFrame:
+    """A snapshot table AS a streaming source — ``readStream.format(
+    "snapshot")`` (sources/datasource.py) with the engine's option
+    spelling. Default semantics are Delta's: initial snapshot of the
+    current version, then one micro-batch slice per commit, exactly-once
+    through the checkpointed offset log. ``cdf=True`` emits row-level
+    ``_change_type``/``_commit_version`` changes instead of append-only
+    rows (and accepts delete/rewrite commits an append stream must
+    reject)."""
+    from music_recommendation_service_spark.sources.datasource import (
+        register_snapshot_datasource,
+    )
+
+    register_snapshot_datasource(spark)
+    reader = spark.readStream.format("snapshot")
+    if cdf:
+        reader = reader.option("readChangeFeed", "true")
+    if starting_version is not None:
+        reader = reader.option("startingVersion", str(starting_version))
+    if skip_change_commits:
+        reader = reader.option("skipChangeCommits", "true")
+    return reader.load(table_path)
+
+
+def maintain_on_commit(
+    spark: SparkSession,
+    source_path: str,
+    maintain,
+    checkpoint: str,
+    available_now: bool = True,
+    processing_time: str = "1 second",
+) -> StreamingQuery:
+    """Continuous view maintenance: watch ``source_path`` through the
+    snapshot stream source and invoke ``maintain()`` (a closure over
+    snapshot_maintain_aggregate / _join / _topk / the incremental-reco DAG)
+    whenever new commits land — the PUSH composition of the round-7
+    maintenance family, replacing cron-style polling.
+
+    Layered exactly-once, by construction rather than coordination: the
+    stream's checkpoint dedups commit NOTIFICATIONS, while the maintenance
+    ops themselves consume the source's change feed through their own
+    applied-version cursors — so a replayed or spurious trigger (including
+    the initial-snapshot batch) is a no-op, and a trigger that observes N
+    commits applies exactly those commits' changes. The micro-batch
+    content is only a wake-up signal; nothing reads it.
+
+    CDF mode with ``skipChangeCommits`` unset means delete/rewrite commits
+    also wake the maintainer — necessary for views with delete folds."""
+    stream = snapshot_table_stream(spark, source_path, cdf=True)
+
+    def fire(batch: DataFrame, _batch_id: int) -> None:
+        if not batch.isEmpty():
+            maintain()
+
+    writer = (
+        stream.writeStream.foreachBatch(fire)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

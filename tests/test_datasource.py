@@ -1,0 +1,499 @@
+"""format("snapshot") — the snapshot protocol as a Spark Python data source.
+
+Contract under test (sources/datasource.py):
+- batch reads are row-identical to ``snapshot_read`` across the protocol's
+  whole op alphabet (append / merge / DV delete+update / schema evolution /
+  column mapping / compact / zorder / time travel);
+- pushed filters drive manifest stats + Bloom FILE skipping (pruning is
+  observable on the reader object) while Spark re-applies them row-exactly;
+- the streaming source replays the commit chain exactly-once through a
+  checkpoint, does Delta-style initial snapshots, skips data_change=false
+  commits, fails append-mode on rewrites unless skipChangeCommits, and in
+  readChangeFeed mode emits the keyless CDF that ``snapshot_changes``
+  defines;
+- the batch writer is a two-phase distributed commit whose manifests carry
+  the same per-file stats/Bloom discipline as the native write path, with
+  append-race rebase and invisible-orphan crash semantics.
+"""
+
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThan, In, IsNotNull
+
+from music_recommendation_service_spark.sources import snapshots as sn
+from music_recommendation_service_spark.sources.datasource import (
+    SnapshotBatchReader,
+    register_snapshot_datasource,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_snapshot_datasource(spark)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _assert_parity(spark, path, version=None):
+    opts = {} if version is None else {"version": str(version)}
+    got = spark.read.format("snapshot").options(**opts).load(path)
+    want = sn.snapshot_read(spark, path, version=version)
+    assert got.schema == want.schema
+    assert _rows(got) == _rows(want)
+
+
+# --------------------------------------------------------------------------
+# batch read parity across the op alphabet
+# --------------------------------------------------------------------------
+
+
+def test_batch_parity_across_op_alphabet(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    base = spark.range(60).selectExpr(
+        "id", "id % 5 as k", "cast(id as string) as s", "cast(id * 1.5 as double) as x"
+    )
+    sn.snapshot_write(base, t, stats_cols=["id"], bloom_cols=["s"])
+    _assert_parity(spark, t)
+
+    sn.snapshot_append(
+        spark.range(60, 90).selectExpr(
+            "id", "id % 5 as k", "cast(id as string) as s", "cast(id * 1.5 as double) as x"
+        ),
+        t, stats_cols=["id"], bloom_cols=["s"],
+    )
+    _assert_parity(spark, t)
+
+    sn.snapshot_merge(
+        spark.range(85, 100).selectExpr(
+            "id", "id % 5 as k", "concat('m', id) as s", "cast(1e6 as double) as x"
+        ),
+        t, key_cols=["id"], seq_col="x",
+    )
+    _assert_parity(spark, t)
+
+    sn.snapshot_delete_where(spark, t, "k = 2", mode="dv")
+    _assert_parity(spark, t)
+
+    sn.snapshot_update_where(spark, t, "k = 3", {"x": "x + 100"}, mode="dv")
+    _assert_parity(spark, t)
+
+    from pyspark.sql.types import IntegerType, StructField
+
+    sn.snapshot_add_columns(t, [StructField("extra", IntegerType())])
+    _assert_parity(spark, t)  # old files null-fill the new column
+
+    sn.snapshot_rename_columns(t, {"s": "name"})
+    _assert_parity(spark, t)  # physical names alias back to logical
+
+    sn.snapshot_compact(spark, t, small_file_max_rows=10_000)
+    _assert_parity(spark, t)
+
+    sn.snapshot_zorder(spark, t, ["k", "id"])
+    _assert_parity(spark, t)
+
+    sn.snapshot_drop_columns(t, ["extra"])
+    _assert_parity(spark, t)
+
+    # time travel: every surviving version reads identically through both
+    for v in sn.snapshot_versions(t)[::3]:
+        _assert_parity(spark, t, version=v)
+
+
+def test_timestamp_as_of(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    sn.snapshot_write(spark.range(3).selectExpr("id"), t)
+    m1 = sn._read_manifest(t, 1)
+    sn.snapshot_append(spark.range(3, 6).selectExpr("id"), t)
+    m2 = sn._read_manifest(t, 2)
+    mid = (m1["committed_at"] + m2["committed_at"]) / 2  # aim BETWEEN commits
+    got = (
+        spark.read.format("snapshot").option("timestampAsOf", str(mid)).load(t)
+    )
+    assert got.count() == 3
+
+
+def test_batch_cdf_option_rejected(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    sn.snapshot_write(spark.range(3).selectExpr("id"), t)
+    with pytest.raises(Exception, match="snapshot_changes"):
+        spark.read.format("snapshot").option("readChangeFeed", "true").load(t).collect()
+
+
+# --------------------------------------------------------------------------
+# filter pushdown -> file skipping
+# --------------------------------------------------------------------------
+
+
+def _chunked_table(spark, t, n_chunks=6, rows=50):
+    """n_chunks appends with DISJOINT id ranges and distinct string keys —
+    min/max stats separate them on id; blooms separate them on s."""
+    for c in range(n_chunks):
+        df = spark.range(c * rows, (c + 1) * rows).selectExpr(
+            "id", "concat('x', id) as s"
+        )
+        if c == 0:
+            sn.snapshot_write(df, t, stats_cols=["id"], bloom_cols=["s"])
+        else:
+            sn.snapshot_append(df, t, stats_cols=["id"], bloom_cols=["s"])
+    return sn._latest_manifest(t)
+
+
+def test_pushdown_prunes_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    m = _chunked_table(spark, t)
+    total = len(m["files"])
+    assert total >= 6
+
+    r = SnapshotBatchReader({"path": t}, schema=None)
+    returned = r.pushFilters([EqualTo(("s",), "x123")])
+    assert list(returned) == [EqualTo(("s",), "x123")]  # Spark re-applies all
+    pruned = r.partitions()
+    assert 0 < len(pruned) < total  # bloom point skip
+
+    r2 = SnapshotBatchReader({"path": t}, schema=None)
+    r2.pushFilters([GreaterThan(("id",), 249)])
+    assert 0 < len(r2.partitions()) < total  # min/max range skip
+
+    r3 = SnapshotBatchReader({"path": t}, schema=None)
+    r3.pushFilters([In(("s",), ("x3", "x260"))])
+    assert 0 < len(r3.partitions()) < total
+
+    # and the E2E answers stay exact
+    got = spark.read.format("snapshot").load(t).filter("s = 'x123'").collect()
+    assert [r_["id"] for r_ in got] == [123]
+    assert spark.read.format("snapshot").load(t).filter("id > 249").count() == 50
+
+
+def test_pushdown_never_loses_rows_on_statless_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    sn.snapshot_write(spark.range(10).selectExpr("id"), t)  # no stats at all
+    r = SnapshotBatchReader({"path": t}, schema=None)
+    r.pushFilters([EqualTo(("id",), 3), GreaterThan(("id",), 100)])
+    assert len(r.partitions()) == len(sn._latest_manifest(t)["files"])
+
+
+def test_isnotnull_skips_all_null_bloom_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    sn.snapshot_write(
+        spark.range(5).selectExpr("id", "cast(null as string) as s"),
+        t, bloom_cols=["s"],
+    )
+    sn.snapshot_append(
+        spark.range(5, 10).selectExpr("id", "concat('v', id) as s"),
+        t, bloom_cols=["s"],
+    )
+    r = SnapshotBatchReader({"path": t}, schema=None)
+    r.pushFilters([IsNotNull(("s",))])
+    kept = r.partitions()
+    assert len(kept) < len(sn._latest_manifest(t)["files"])
+    got = spark.read.format("snapshot").load(t).filter("s is not null")
+    assert got.count() == 5
+
+
+# --------------------------------------------------------------------------
+# distributed two-phase writer
+# --------------------------------------------------------------------------
+
+
+def test_writer_creates_and_appends_with_native_discipline(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df = spark.range(100).selectExpr("id", "concat('k', id) as s")
+    df.write.format("snapshot").mode("overwrite") \
+        .option("statsCols", "id").option("bloomCols", "s").save(t)
+    m = sn._latest_manifest(t)
+    assert m["op"] == "datasource_overwrite"
+    assert m["n_rows"] == 100
+    for e in m["files"]:
+        assert e["stats"] and "id" in e["stats"]
+        assert e.get("bloom_ref")
+    # native readers consume DS-written tables unchanged, stats and all
+    assert sn.snapshot_read(spark, t).count() == 100
+    assert _rows(sn.snapshot_scan(spark, t, {"id": (7, 7)})) == [(7, "k7")]
+
+    # appends inherit the table's stats/bloom discipline without options
+    spark.range(100, 130).selectExpr("id", "concat('k', id) as s") \
+        .write.format("snapshot").mode("append").save(t)
+    m2 = sn._latest_manifest(t)
+    assert m2["op"] == "datasource_append" and m2["n_rows"] == 130
+    new_files = [e for e in m2["files"] if e not in m["files"]]
+    assert new_files and all(e["stats"] and e.get("bloom_ref") for e in new_files)
+    # ...and the DS-written blooms actually skip on the DS READ path
+    r = SnapshotBatchReader({"path": t}, schema=None)
+    r.pushFilters([EqualTo(("s",), "k115")])
+    assert len(r.partitions()) < len(m2["files"])
+
+
+def test_writer_bloom_bitsets_match_native_write_path(spark, tmp_path):
+    """Same data written by snapshot_write (JVM xxhash64 positions) and by
+    the DataSource writer (pure-Python XXH64) must produce byte-identical
+    bloom bitsets — the strongest form of the hash-parity claim."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    df = spark.range(500).selectExpr("id", "concat('v', id) as s").coalesce(1)
+    sn.snapshot_write(df, a, bloom_cols=["s"])
+    df.write.format("snapshot").mode("overwrite").option("bloomCols", "s").save(b)
+
+    def side(t):
+        m = sn._latest_manifest(t)
+        [e] = m["files"]
+        ref = sn._dv_ref_path(t, e["bloom_ref"])
+        return list(json.loads(sn._fs().read_text(ref)).values())
+
+    [ba], [bb] = side(a), side(b)
+    assert ba == bb
+
+
+def test_writer_append_schema_mismatch(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    spark.range(5).selectExpr("id").write.format("snapshot").mode("overwrite").save(t)
+    with pytest.raises(Exception, match="schema mismatch"):
+        spark.range(5).selectExpr("id", "id as extra") \
+            .write.format("snapshot").mode("append").save(t)
+
+
+def test_writer_rejects_constrained_tables(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    sn.snapshot_write(spark.range(5).selectExpr("id"), t)
+    sn.snapshot_add_constraint(spark, t, "pos", "id >= 0")
+    with pytest.raises(Exception, match="snapshot_append"):
+        spark.range(5).selectExpr("id").write.format("snapshot").mode("append").save(t)
+
+
+def test_writer_concurrent_appends_both_land(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    spark.range(10).selectExpr("id").write.format("snapshot").mode("overwrite").save(t)
+    errs = []
+
+    def go(lo):
+        try:
+            # Python data sources resolve through the JVM's active-session
+            # thread-local, which a fresh py4j thread lacks — generic Spark
+            # behavior for ANY Python DS, not a snapshot-protocol issue.
+            spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+                spark._jsparkSession
+            )
+            spark.range(lo, lo + 10).selectExpr("id") \
+                .write.format("snapshot").mode("append").save(t)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    th = [threading.Thread(target=go, args=(lo,)) for lo in (100, 200)]
+    [x.start() for x in th]
+    [x.join() for x in th]
+    assert not errs
+    assert sn.snapshot_read(spark, t).count() == 30
+    assert sn.snapshot_versions(t) == [1, 2, 3]  # loser rebased, not lost
+
+
+def test_writer_commit_race_rebase_deterministic(spark, tmp_path):
+    """The two-phase commit race, interleaved DETERMINISTICALLY: two writer
+    objects land their data dirs, then commit in sequence — the second
+    build() sees the first's manifest as `latest` and stacks on it, the
+    exact rebase rule snapshot_append uses."""
+    import pyarrow as pa
+
+    from music_recommendation_service_spark.sources.datasource import (
+        SnapshotBatchWriter,
+    )
+
+    t = str(tmp_path / "tbl")
+    spark.range(10).selectExpr("id").write.format("snapshot").mode("overwrite").save(t)
+    schema = sn.snapshot_read(spark, t).schema
+    w1 = SnapshotBatchWriter({"path": t}, schema, overwrite=False)
+    w2 = SnapshotBatchWriter({"path": t}, schema, overwrite=False)
+    b1 = pa.RecordBatch.from_pydict({"id": pa.array([100, 101], pa.int64())})
+    b2 = pa.RecordBatch.from_pydict({"id": pa.array([200], pa.int64())})
+    m1 = w1.write(iter([b1]))
+    m2 = w2.write(iter([b2]))
+    w1.commit([m1])
+    w2.commit([m2])  # rebases on w1's commit
+    assert sn.snapshot_read(spark, t).count() == 13
+    assert sn._latest_manifest(t)["n_rows"] == 13
+
+
+def test_orphan_data_dir_is_invisible(spark, tmp_path):
+    """Crash between data land and manifest commit: readers never see the
+    orphan (both native and DataSource paths trust only manifests)."""
+    t = str(tmp_path / "tbl")
+    sn.snapshot_write(spark.range(10).selectExpr("id"), t)
+    rel, full = sn._new_data_dir(t)
+    spark.range(1000, 1010).selectExpr("id").coalesce(1).write.parquet(full)
+    assert spark.read.format("snapshot").load(t).count() == 10
+    assert sn.snapshot_read(spark, t).count() == 10
+
+
+def test_writer_to_renamed_table_uses_physical_names(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    sn.snapshot_write(spark.range(5).selectExpr("id", "concat('a', id) as s"), t)
+    sn.snapshot_rename_columns(t, {"s": "name"})
+    spark.range(5, 8).selectExpr("id", "concat('a', id) as name") \
+        .write.format("snapshot").mode("append").save(t)
+    _assert_parity(spark, t)
+    assert sn.snapshot_read(spark, t).columns == ["id", "name"]
+
+
+# --------------------------------------------------------------------------
+# streaming source
+# --------------------------------------------------------------------------
+
+
+def _run_to_parquet(spark, t, out, cp, **opts):
+    q = (
+        spark.readStream.format("snapshot").options(**opts).load(t)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", cp).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
+def test_stream_initial_snapshot_then_incremental_exactly_once(spark, tmp_path):
+    t, out, cp = (str(tmp_path / p) for p in ("tbl", "out", "cp"))
+    sn.snapshot_write(spark.range(10).selectExpr("id"), t)
+    sn.snapshot_append(spark.range(10, 20).selectExpr("id"), t)
+    assert _run_to_parquet(spark, t, out, cp).count() == 20  # snapshot of v2
+    sn.snapshot_append(spark.range(20, 25).selectExpr("id"), t)
+    got = _run_to_parquet(spark, t, out, cp)
+    assert got.count() == 25  # only the delta landed
+    # replay with the same checkpoint is a no-op (exactly-once)
+    assert _run_to_parquet(spark, t, out, cp).count() == 25
+    assert _rows(got) == _rows(sn.snapshot_read(spark, t))
+
+
+def test_stream_skips_data_change_false_commits(spark, tmp_path):
+    t, out, cp = (str(tmp_path / p) for p in ("tbl", "out", "cp"))
+    sn.snapshot_write(spark.range(20).selectExpr("id", "id % 3 as k"), t)
+    assert _run_to_parquet(spark, t, out, cp).count() == 20
+    sn.snapshot_zorder(spark, t, ["k"])  # rewrite, data_change=false
+    sn.snapshot_append(spark.range(20, 22).selectExpr("id", "id % 3 as k"), t)
+    assert _run_to_parquet(spark, t, out, cp).count() == 22
+
+
+def test_stream_append_mode_fails_on_rewrite_unless_skipped(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    sn.snapshot_write(spark.range(10).selectExpr("id"), t)
+    sn.snapshot_delete_where(spark, t, "id < 3", mode="dv")
+    sn.snapshot_append(spark.range(10, 15).selectExpr("id"), t)
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        _run_to_parquet(
+            spark, t, str(tmp_path / "o1"), str(tmp_path / "c1"),
+            startingVersion="earliest",
+        )
+    got = _run_to_parquet(
+        spark, t, str(tmp_path / "o2"), str(tmp_path / "c2"),
+        startingVersion="earliest", skipChangeCommits="true",
+    )
+    # v1 inserts + v3 inserts; the DV rewrite commit is skipped wholesale
+    assert got.count() == 15
+
+
+def test_stream_cdf_matches_native_keyless_feed(spark, tmp_path):
+    t, out, cp = (str(tmp_path / p) for p in ("tbl", "out", "cp"))
+    sn.snapshot_write(spark.range(10).selectExpr("id", "id % 3 as k"), t)
+    sn.snapshot_append(spark.range(10, 16).selectExpr("id", "id % 3 as k"), t)
+    sn.snapshot_delete_where(spark, t, "id in (1, 12)", mode="dv")
+    sn.snapshot_merge(
+        spark.range(14, 18).selectExpr("id", "cast(9 as bigint) as k"),
+        t, key_cols=["id"], seq_col="k",
+    )
+    got = _run_to_parquet(
+        spark, t, out, cp, startingVersion="2", readChangeFeed="true"
+    )
+    # The stream emits PER-COMMIT changes (Delta CDF streaming semantics);
+    # the native batch walk additionally cancels a file added then removed
+    # INSIDE the window. Both must NET to the same state transition:
+    # state(v1) + Σchanges == state(latest).
+    net = (
+        got.groupBy("id", "k")
+        .agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("n")
+        )
+        .filter("n != 0")
+    )
+    start = {tuple(r): 1 for r in sn.snapshot_read(spark, t, version=1).collect()}
+    for r in net.collect():
+        start[(r["id"], r["k"])] = start.get((r["id"], r["k"]), 0) + r["n"]
+    reconstructed = sorted(k for k, v in start.items() if v == 1)
+    assert not [k for k, v in start.items() if v not in (0, 1)]
+    assert reconstructed == _rows(sn.snapshot_read(spark, t))
+    # commit versions are stamped and monotone within the window
+    vs = [r["_commit_version"] for r in got.select("_commit_version").collect()]
+    assert set(vs) <= set(sn.snapshot_versions(t)[1:])
+    # and a window holding a SINGLE change commit matches the native feed
+    # row-for-row (no cross-commit cancellation in play)
+    got3 = _run_to_parquet(
+        spark, t, str(tmp_path / "o3"), str(tmp_path / "c3"),
+        startingVersion="3", maxVersionsPerTrigger="1", readChangeFeed="true",
+    )
+    want3 = sn.snapshot_changes(spark, t, from_version=2, to_version=3)
+    g3 = sorted(tuple(r) for r in got3.filter("_commit_version = 3")
+                .select("id", "k", "_change_type").collect())
+    w3 = sorted(tuple(r) for r in want3.select("id", "k", "_change_type").collect())
+    assert g3 == w3
+
+
+def test_stream_cdf_initial_snapshot(spark, tmp_path):
+    t, out, cp = (str(tmp_path / p) for p in ("tbl", "out", "cp"))
+    sn.snapshot_write(spark.range(7).selectExpr("id"), t)
+    got = _run_to_parquet(spark, t, out, cp, readChangeFeed="true")
+    assert got.count() == 7
+    assert {r["_change_type"] for r in got.collect()} == {"insert"}
+
+
+def test_stream_max_versions_per_trigger(spark, tmp_path):
+    t, out, cp = (str(tmp_path / p) for p in ("tbl", "out", "cp"))
+    sn.snapshot_write(spark.range(5).selectExpr("id"), t)
+    for lo in (5, 10, 15):
+        sn.snapshot_append(spark.range(lo, lo + 5).selectExpr("id"), t)
+    q = (
+        spark.readStream.format("snapshot")
+        .option("startingVersion", "earliest")
+        .option("maxVersionsPerTrigger", "1").load(t)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", cp).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # one version per micro-batch; availableNow drains all of them
+    assert spark.read.parquet(out).count() == 20
+
+
+def test_stream_schema_change_mid_stream_fails_then_restart_widens(spark, tmp_path):
+    import time
+
+    from pyspark.sql.types import IntegerType, StructField
+
+    t, out, cp = (str(tmp_path / p) for p in ("tbl", "out", "cp"))
+    sn.snapshot_write(spark.range(5).selectExpr("id"), t)
+    q = (
+        spark.readStream.format("snapshot").load(t)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(processingTime="500 milliseconds").start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not os.path.exists(out):
+            time.sleep(0.2)
+        sn.snapshot_add_columns(t, [StructField("extra", IntegerType())])
+        sn.snapshot_append(
+            spark.range(5, 8).selectExpr("id", "cast(1 as int) as extra"), t
+        )
+        # the live query must FAIL on the widened commit, not drop `extra`
+        while time.time() < deadline and q.isActive:
+            time.sleep(0.3)
+        assert not q.isActive
+        assert "changed" in str(q.exception())
+    finally:
+        if q.isActive:
+            q.stop()
+    # restart reads EVERYTHING under the widened schema: old rows null-fill
+    got = _run_to_parquet(spark, t, str(tmp_path / "o2"), str(tmp_path / "c2"))
+    assert got.count() == 8
+    assert got.filter("extra is null").count() == 5
