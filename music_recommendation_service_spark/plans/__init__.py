@@ -60,6 +60,7 @@ def registry() -> dict[str, QueryDef]:
         pipeline_ops,
         reference_parity,
         relational,
+        segmentation,
         textops,
         tpch_more,
         similarity,

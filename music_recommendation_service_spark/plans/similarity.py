@@ -771,3 +771,59 @@ register_sql(
     "share; 64x scan compression).",
     tags=("similarity", "ann", "pq", "kmeans"),
 )
+
+
+# ---------------------------------------------------------------------------
+# q146 — hard-negative mining: for each query vector (q31's fixed slice),
+# the top-5 most-similar vectors with a DIFFERENT label — the contrastive
+# training-data op (nearest wrong-class examples are the negatives that
+# teach a ranker the decision boundary; random negatives are too easy).
+# Same broadcast-queries x one-corpus-pass shape as q31: the label filter
+# rides IN the join condition, so no post-hoc filtering of a larger top-k
+# (which could under-fill). At 100 TB the corpus pass composes with the
+# IVF/PQ candidate generators (operators/ann_index.py) the same way q31's
+# exact scan does — this query pins the exact semantics.
+# ---------------------------------------------------------------------------
+def _q146(d: dict) -> str:
+    dot_qc = d["dot"]("q.v", "c.v")
+    return f"""
+    WITH e AS (
+        SELECT vec_id, label, {d['dblarr']('embedding')} AS v FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, v, sqrt({d['dot']('v', 'v')}) AS nrm FROM e
+    ),
+    q AS (
+        SELECT vec_id, label, v, nrm FROM n WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+        SELECT q.vec_id  AS query_id,
+               q.label   AS query_label,
+               c.vec_id  AS negative_id,
+               c.label   AS negative_label,
+               ({dot_qc}) / (q.nrm * c.nrm) AS cos
+        FROM q JOIN n c
+          ON q.label <> c.label
+    )
+    SELECT query_id, query_label, negative_id, negative_label,
+           {rnd_sql('cos', 6)} AS cosine,
+           CAST(rnk AS INT)    AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, negative_id
+        ) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 5
+    """
+
+
+register_sql(
+    "q146_hard_negatives",
+    _q146,
+    ("embeddings",),
+    doc="Hard-negative mining for contrastive training: per query vector, "
+    "the top-5 nearest neighbors with a DIFFERENT label (exact cosine, "
+    "label filter in the join).",
+    tags=("similarity", "training-data", "negatives"),
+)

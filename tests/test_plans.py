@@ -151,6 +151,8 @@ _CROSS_OK = frozenset({
     "q115_rec_quality_metrics",    # embeds q05's declared pattern + 1-row ILS broadcast
     "q143_ranking_metrics",        # embeds q05's declared pattern + 5-row IDCG spine
     "q123_basket_rules",           # 1-row basket-count broadcast
+    "q144_rfm_segmentation",       # 1-row anchor-date broadcast
+    "q146_hard_negatives",         # fixed query-vector slice x corpus (q31's shape)
 })
 
 
