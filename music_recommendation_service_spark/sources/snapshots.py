@@ -2348,15 +2348,36 @@ def snapshot_compact(
     return _commit(path, build, op="compact")
 
 
+def _z_numeric(df: DataFrame, c: str):
+    """Order-comparable DOUBLE proxy for a z-order column. Numerics and
+    date/timestamps cast directly. Strings pack their first 7 bytes
+    big-endian (codepoints clamped to 255): order-preserving for ASCII
+    prefixes, approximate beyond — which only costs clustering QUALITY
+    (equal-depth bucketing absorbs the distortion); correctness never
+    depends on the curve."""
+    dt = dict(df.dtypes).get(c)
+    if dt == "string":
+        e = F.lit(0).cast("double")
+        for i in range(1, 8):
+            ch = F.least(
+                F.coalesce(F.ascii(F.substring(F.col(c), i, 1)), F.lit(0)),
+                F.lit(255),
+            )
+            e = e * 256.0 + ch.cast("double")
+        return F.when(F.col(c).isNull(), F.lit(None).cast("double")).otherwise(e)
+    return F.col(c).cast("double")
+
+
 def _zvalue(df: DataFrame, cols: Sequence[str], bits: int = 8):
-    """Morton (Z-order) key over numeric ``cols`` as ONE JVM-side column.
+    """Morton (Z-order) key over ``cols`` as ONE JVM-side column.
 
     Each column is rank-normalized to a ``bits``-wide bucket id via its
     empirical CDF — split points from ``approxQuantile`` (one
     Greenwald-Khanna pass, driver receives 2^bits-1 doubles: metadata
     scale), assignment via an array fold over the broadcast split literals.
     Equal-depth (not equal-width) buckets make the curve robust to
-    outliers and skewed distributions. No global sort, no window, no
+    outliers and skewed distributions. Strings ride an order-preserving
+    byte-prefix proxy (``_z_numeric``). No global sort, no window, no
     per-row Python: the fold is codegen'd shiftleft/or arithmetic.
     """
     nb = (1 << bits) - 1
@@ -2366,18 +2387,19 @@ def _zvalue(df: DataFrame, cols: Sequence[str], bits: int = 8):
     # ONE Greenwald-Khanna pass for every clustered column (the
     # multi-column approxQuantile form) — a per-column loop would scan the
     # table len(cols) times before the rewrite scan even starts.
-    casted = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    casted = df.select(*[_z_numeric(df, c).alias(c) for c in cols])
     all_splits = casted.approxQuantile(list(cols), probs, 0.001)
     for c, splits in zip(cols, all_splits):
         arr = F.array(*[F.lit(float(s)) for s in splits])
         rc = f"_zr_{c}"
+        proxy = _z_numeric(df, c)
         ranked = ranked.withColumn(
             rc,
             F.aggregate(
                 arr,
                 F.lit(0).cast("long"),
                 lambda acc, s: acc
-                + F.when(F.col(c).cast("double") >= s, F.lit(1))
+                + F.when(proxy >= s, F.lit(1))
                 .otherwise(F.lit(0))
                 .cast("long"),
             ),

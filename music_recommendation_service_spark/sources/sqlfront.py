@@ -27,6 +27,10 @@ malformed errors loudly rather than half-executing):
     SELECT ... FROM v VERSION AS OF <n> ...          -- time travel
     SELECT ... FROM v TIMESTAMP AS OF '<iso ts>' ... -- time travel
     DESCRIBE HISTORY v
+    OPTIMIZE v [ZORDER BY (c1, c2, ...)]             -- compact / cluster
+    VACUUM v [RETAIN <n> VERSIONS]                   -- version-based retention
+    RESTORE [TABLE] v TO VERSION AS OF <n>
+    RESTORE [TABLE] v TO TIMESTAMP AS OF '<iso ts>'
 
 MERGE/UPDATE/DELETE map 1:1 onto ``snapshot_merge_when`` /
 ``snapshot_update_where`` / ``snapshot_delete_where``, so the CDF a SQL
@@ -486,6 +490,83 @@ def dispatch_sql(
             when_not_matched_by_source=wbs,
         )
         return vdf(v), name
+    if head == "OPTIMIZE":
+        om = re.match(
+            rf"\s*OPTIMIZE\s+({_IDENT})"
+            rf"(?:\s+ZORDER\s+BY\s*\(?\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)?)?\s*$",
+            q, re.IGNORECASE,
+        )
+        if not om:
+            raise SqlDispatchError(
+                "OPTIMIZE grammar: OPTIMIZE <view> [ZORDER BY (c1, c2, ...)]"
+            )
+        name, zcols = om.group(1), om.group(2)
+        path = _require_view(name, views)
+        if zcols:
+            v = S.snapshot_zorder(
+                spark, path, [c.strip() for c in zcols.split(",")]
+            )
+        else:
+            v = S.snapshot_compact(spark, path)
+        return vdf(v), name
+    if head == "VACUUM":
+        vm = re.match(
+            rf"\s*VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$",
+            q, re.IGNORECASE,
+        )
+        if not vm:
+            raise SqlDispatchError(
+                "VACUUM grammar: VACUUM <view> [RETAIN <n> VERSIONS] — the "
+                "snapshot protocol's retention unit is manifest versions, "
+                "not hours"
+            )
+        name, keep = vm.group(1), vm.group(2)
+        removed = S.snapshot_vacuum(
+            _require_view(name, views),
+            keep_last=int(keep) if keep else 2,
+        )
+        return (
+            spark.createDataFrame(
+                [(len(removed),)], "paths_removed long"
+            ),
+            name,
+        )
+    if head == "RESTORE":
+        rm = re.match(
+            rf"\s*RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+TO\s+"
+            rf"(VERSION|TIMESTAMP)\s+AS\s+OF\s+(?:(\d+)|'([^']+)')\s*$",
+            q, re.IGNORECASE,
+        )
+        if not rm:
+            raise SqlDispatchError(
+                "RESTORE grammar: RESTORE [TABLE] <view> TO "
+                "VERSION AS OF <n> | TIMESTAMP AS OF '<iso ts>'"
+            )
+        name, kind = rm.group(1), rm.group(2).upper()
+        path = _require_view(name, views)
+        if kind == "VERSION":
+            if rm.group(3) is None:
+                raise SqlDispatchError("VERSION AS OF takes an integer")
+            target = int(rm.group(3))
+        else:
+            if rm.group(4) is None:
+                raise SqlDispatchError("TIMESTAMP AS OF takes a quoted timestamp")
+            import datetime as _dt
+
+            ts = _dt.datetime.fromisoformat(rm.group(4))
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            epoch = ts.timestamp()
+            eligible = [
+                vv for vv in S.snapshot_versions(path)
+                if (S._read_manifest(path, vv).get("committed_at") or 0) <= epoch
+            ]
+            if not eligible:
+                raise SqlDispatchError(
+                    f"RESTORE {name}: no version at or before {rm.group(4)}"
+                )
+            target = eligible[-1]
+        return vdf(S.snapshot_rollback(path, target)), name
     if head == "DESCRIBE":
         dm = re.match(
             rf"\s*DESCRIBE\s+HISTORY\s+({_IDENT})\s*$", q, re.IGNORECASE

