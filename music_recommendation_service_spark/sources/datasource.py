@@ -72,6 +72,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualNullSafe,
     EqualTo,
@@ -604,6 +605,12 @@ class SnapshotFileCommit(WriterCommitMessage):
     rows: int
     stats: dict | None
     blooms: dict = field(default_factory=dict)
+    # The data dir the TASK wrote into. Spark may deserialize distinct
+    # writer instances for tasks vs the driver-side commit (observed on the
+    # streaming path), and each instance generates its own dir name — so
+    # the dir must travel in the message, never be read off commit()'s
+    # instance state.
+    rel_dir: str = ""
 
 
 class SnapshotBatchWriter(DataSourceArrowWriter):
@@ -613,12 +620,16 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
         self._schema_json = schema.json()
         latest = sn._latest_manifest(self._path)
         if latest is not None:
-            if latest.get("constraints") or latest.get("generated"):
+            if (
+                latest.get("constraints")
+                or latest.get("generated")
+                or latest.get("identity")
+            ):
                 raise ValueError(
-                    f"{self._path} declares CHECK constraints or generated "
-                    "columns, which need driver-side Spark expressions; "
-                    "write through snapshot_append/snapshot_write instead "
-                    "of the DataSource writer"
+                    f"{self._path} declares CHECK constraints, generated "
+                    "columns, or an identity column, which need driver-side "
+                    "Spark coordination; write through snapshot_append/"
+                    "snapshot_write instead of the DataSource writer"
                 )
             self._mapping = sn._mapping(latest)
             if not overwrite and not sn._schema_equiv(
@@ -677,6 +688,7 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
             # Don't land empty files for empty partitions — the manifest
             # would carry them forever.
             return SnapshotFileCommit(name="", rows=0, stats=None)
+        os.makedirs(self._abs_dir, exist_ok=True)
         name = f"part-{uuid.uuid4().hex}.parquet"
         pq.write_table(tbl, os.path.join(self._abs_dir, name))
 
@@ -697,7 +709,10 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
             b = self._build_bloom(tbl, c)
             if b is not None:
                 blooms[c] = b
-        return SnapshotFileCommit(name=name, rows=tbl.num_rows, stats=stats, blooms=blooms)
+        return SnapshotFileCommit(
+            name=name, rows=tbl.num_rows, stats=stats, blooms=blooms,
+            rel_dir=self._rel_dir,
+        )
 
     def _build_bloom(self, tbl, col: str) -> dict | None:
         """Per-file Bloom bitset built with the native XXH64 twin — same
@@ -726,18 +741,7 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
 
     def commit(self, messages) -> None:
         msgs = [m for m in messages if m is not None and m.name]
-        sidecar = {m.name: m.blooms for m in msgs if m.blooms}
-        entries = []
-        for m in msgs:
-            e = {"path": f"{self._rel_dir}/{m.name}", "rows": m.rows, "stats": m.stats}
-            if m.name in sidecar:
-                e["bloom_ref"] = f"{self._rel_dir}/{sn._BLOOM_SIDECAR}"
-            entries.append(e)
-        if sidecar:
-            sn._fs().write_atomic(
-                os.path.join(self._abs_dir, sn._BLOOM_SIDECAR), json.dumps(sidecar)
-            )
-        n = sum(m.rows for m in msgs)
+        entries, n = _land_entries(self._path, msgs)
         schema_json = self._schema_json
         mapping = self._mapping
         path = self._path
@@ -767,10 +771,14 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                     f"append schema mismatch at {path}: "
                     f"manifest={latest['schema']} incoming={schema_json}"
                 )
-            if latest.get("constraints") or latest.get("generated"):
+            if (
+                latest.get("constraints")
+                or latest.get("generated")
+                or latest.get("identity")
+            ):
                 raise sn.ConcurrentSnapshotError(
-                    f"{path}: constraints/generated columns added during "
-                    "DataSource append; retry through snapshot_append"
+                    f"{path}: constraints/generated/identity columns added "
+                    "during DataSource append; retry through snapshot_append"
                 )
             base = sn._manifest_files(path, latest)
             files = base + entries
@@ -791,10 +799,133 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
         )
 
     def abort(self, messages) -> None:
+        for d in {self._abs_dir} | {
+            os.path.join(self._path, m.rel_dir)
+            for m in messages or []
+            if m is not None and getattr(m, "rel_dir", "")
+        }:
+            try:
+                sn._fs().delete_tree(d)
+            except Exception:
+                pass  # orphan dirs stay invisible; vacuum reclaims them
+
+
+def _land_entries(table_path: str, msgs) -> tuple[list[dict], int]:
+    """Manifest entries (+ bloom sidecars, grouped per data dir) for
+    task-written files — paths come from the MESSAGES the tasks sent, not
+    from writer-instance state (see SnapshotFileCommit.rel_dir)."""
+    by_dir: dict[str, dict] = {}
+    entries: list[dict] = []
+    for m in msgs:
+        e = {"path": f"{m.rel_dir}/{m.name}", "rows": m.rows, "stats": m.stats}
+        if m.blooms:
+            e["bloom_ref"] = f"{m.rel_dir}/{sn._BLOOM_SIDECAR}"
+            by_dir.setdefault(m.rel_dir, {})[m.name] = m.blooms
+        entries.append(e)
+    for d, side in by_dir.items():
+        p = os.path.join(table_path, d, sn._BLOOM_SIDECAR)
         try:
-            sn._fs().delete_tree(self._abs_dir)
+            prev = json.loads(sn._fs().read_text(p))
         except Exception:
-            pass  # orphan dir stays invisible; vacuum reclaims it
+            prev = {}
+        prev.update(side)
+        sn._fs().write_atomic(p, json.dumps(prev))
+    return entries, sum(m.rows for m in msgs)
+
+
+# --------------------------------------------------------------------------
+# streaming sink (exactly-once via per-query txn batch tracking)
+# --------------------------------------------------------------------------
+
+
+class _ReplaySkip(Exception):
+    """Internal: this batchId already committed for this txn app."""
+
+
+class SnapshotStreamWriter(SnapshotBatchWriter, DataSourceStreamArrowWriter):
+    """``writeStream.format("snapshot")`` — checkpointed streaming APPEND
+    into a snapshot table, exactly-once end to end: Spark's offset log
+    dedups the SOURCE side, and the manifest records the last committed
+    ``batchId`` per ``txnAppId`` so a replayed micro-batch commit is a
+    provable no-op (Delta's ``txnAppId``/``txnVersion`` idempotent-write
+    protocol on the snapshot protocol). A replay's already-written data
+    files stay orphaned in the query's data dir — invisible to readers,
+    reclaimed by vacuum. Executors reuse the batch writer's one-pass
+    stats/Bloom collection; the same table discipline lands either way."""
+
+    def __init__(self, options, schema: StructType):
+        super().__init__(options, schema, overwrite=False)
+        self._txn_app = (options.get("txnappid") or "stream").strip() or "stream"
+
+    # write() inherited: one parquet file + stats/blooms per task
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        msgs = [m for m in messages if m is not None and m.name]
+        if not msgs:
+            return  # empty batch: nothing to make idempotent
+        entries, n = _land_entries(self._path, msgs)
+        schema_json, mapping = self._schema_json, self._mapping
+        path, app = self._path, self._txn_app
+
+        def build(latest: dict | None, version: int) -> dict:
+            if latest is None:
+                out = {
+                    "data_dirs": sn._dirs_of(entries),
+                    "files": entries,
+                    "n_rows": n,
+                    "schema": schema_json,
+                    "stream_txn": {app: batchId},
+                }
+                return out
+            txn = latest.get("stream_txn") or {}
+            if txn.get(app, -1) >= batchId:
+                raise _ReplaySkip()
+            if (
+                latest.get("constraints")
+                or latest.get("generated")
+                or latest.get("identity")
+            ):
+                raise sn.ConcurrentSnapshotError(
+                    f"{path}: constraints/generated/identity added during "
+                    "stream write; route the stream through foreach_batch_"
+                    "merge/snapshot_append instead"
+                )
+            if sn._mapping(latest) != mapping:
+                raise sn.ConcurrentSnapshotError(
+                    f"{path}: column mapping changed during stream write"
+                )
+            if not sn._schema_equiv(schema_json, latest["schema"]):
+                raise ValueError(
+                    f"stream append schema mismatch at {path}: "
+                    f"manifest={latest['schema']} incoming={schema_json}"
+                )
+            files = sn._manifest_files(path, latest) + entries
+            out = {
+                "data_dirs": sn._dirs_of(files),
+                "files": files,
+                "n_rows": latest["n_rows"] + n,
+                "schema": schema_json,
+                "stream_txn": {**txn, app: batchId},
+            }
+            if mapping:
+                out["column_mapping"] = mapping
+            return out
+
+        try:
+            sn._commit(path, build, op="stream_append")
+        except _ReplaySkip:
+            pass  # replayed batch: the first commit already holds its rows
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        # files only, never dirs: the query-run dirs host other batches
+        for m in messages or []:
+            if m is not None and getattr(m, "name", "") and m.rel_dir:
+                try:
+                    sn._fs().delete_file(
+                        os.path.join(self._path, m.rel_dir, m.name)
+                    )
+                except Exception:
+                    pass
 
 
 # --------------------------------------------------------------------------
@@ -830,3 +961,6 @@ class SnapshotDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> SnapshotBatchWriter:
         return SnapshotBatchWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):  # noqa: N802
+        return SnapshotStreamWriter(self.options, schema)

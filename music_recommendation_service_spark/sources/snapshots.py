@@ -669,6 +669,8 @@ def _commit(
         for sticky in (
             "constraints",
             "generated",
+            "identity",
+            "stream_txn",
             "source_version",
             "maint_fact_version",
             "maint_dim_version",
@@ -712,8 +714,11 @@ def snapshot_write(
     ``manifest_extra`` merges caller metadata into the manifest."""
     df = _apply_generated(df, path, "overwrite")
     _enforce_constraints(df, path, "overwrite")
+    df, _ident_unpin = _assign_identity(df, path, "overwrite")
     rel, full = _new_data_dir(path)
     df.write.mode("error").parquet(full)
+    if _ident_unpin:
+        _ident_unpin()
     spark = df.sparkSession
     files, n = _scan_file_entries(spark, full, rel, stats_cols, bloom_cols)
     schema_json = df.schema.json()
@@ -752,9 +757,12 @@ def snapshot_append(
         )
     df = _apply_generated(df, path, "append")
     _enforce_constraints(df, path, "append")
+    df, _ident_unpin = _assign_identity(df, path, "append")
     mapping = _mapping(_latest_manifest(path) or {})
     rel, full = _new_data_dir(path)
     _to_physical_df(df, mapping).write.mode("error").parquet(full)
+    if _ident_unpin:
+        _ident_unpin()
     spark = df.sparkSession
     new_files, n = _scan_file_entries(
         spark, full, rel,
@@ -1000,6 +1008,170 @@ def _validate_generated(df: DataFrame, rules: dict, path: str, op: str) -> None:
             f"{op} at {path} violates GENERATED ALWAYS AS rule(s) "
             f"{sorted(rules)}: example row {bad[0].asDict()}"
         )
+
+
+def snapshot_set_identity(
+    spark: SparkSession, path: str, col: str, start: int = 1, step: int = 1
+) -> int:
+    """GENERATED ALWAYS AS IDENTITY parity: declare ``col`` (an existing
+    BIGINT column) as the table's identity column. From then on
+    ``snapshot_write``/``snapshot_append`` REJECT batches that supply the
+    column and auto-assign monotonically advancing values instead —
+    unique across concurrent writers, assigned distributed (per-partition
+    offset blocks, no shuffle, no global sort), with Delta's gap
+    semantics: a writer reserves its id range in a metadata commit BEFORE
+    landing data, so a crashed or aborted write burns its range rather
+    than ever reusing ids. The watermark (``next``) never moves backward —
+    RESTORE keeps the newest watermark, exactly like Delta RESTORE.
+
+    Scope (documented divergence): auto-assignment covers write/append
+    (including the streaming ``foreach_batch`` append path); MERGE insert
+    clauses do not auto-assign — a merge into an identity table manages
+    the column explicitly (typically it IS the merge key).
+    """
+    if step == 0:
+        raise ValueError("identity step must be nonzero")
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    validated_v = versions[-1]
+    cur = _read_manifest(path, validated_v)
+    if cur.get("identity"):
+        raise ValueError(
+            f"{path} already has identity column "
+            f"{cur['identity']['col']!r}; drop it first"
+        )
+    fields = {
+        f["name"]: f["type"] for f in json.loads(cur["schema"]).get("fields", [])
+    }
+    if col not in fields:
+        raise ValueError(f"no column {col!r} at {path}")
+    if fields[col] != "long":
+        raise ValueError(
+            f"identity column {col!r} must be BIGINT, is {fields[col]}"
+        )
+    nxt = start
+    if cur.get("n_rows"):
+        agg = F.max(col) if step > 0 else F.min(col)
+        got = snapshot_read(spark, path, validated_v).agg(
+            agg.alias("_b"), F.count(col).alias("_n"), F.count(F.lit(1)).alias("_r")
+        ).first()
+        if got["_n"] != got["_r"]:
+            raise ValueError(
+                f"identity column {col!r} has nulls; backfill before declaring"
+            )
+        bound = got["_b"]
+        if bound is not None:
+            cand = bound + step
+            nxt = cand if (cand - start) * step >= 0 else start
+
+    def build(latest: dict | None, _version: int) -> dict:
+        if latest is None or latest["version"] != validated_v:
+            raise ConcurrentSnapshotError(
+                f"{path}: table advanced past validated version "
+                f"{validated_v} while declaring identity on {col!r}; retry"
+            )
+        out = {k: v for k, v in latest.items() if k not in ("version", "committed_at")}
+        out["identity"] = {"col": col, "next": nxt, "step": step}
+        out["data_change"] = False
+        return out
+
+    return _commit(path, build, op="set_identity")
+
+
+def snapshot_drop_identity(path: str) -> int:
+    """Remove the identity declaration (metadata-only; values stay)."""
+
+    def build(latest: dict | None, _version: int) -> dict:
+        if latest is None:
+            raise FileNotFoundError(f"no snapshots at {path}")
+        if not latest.get("identity"):
+            raise KeyError(f"no identity column at {path}")
+        out = {k: v for k, v in latest.items() if k not in ("version", "committed_at")}
+        out["identity"] = None
+        out["data_change"] = False
+        return out
+
+    return _commit(path, build, op="drop_identity")
+
+
+def _assign_identity(df: DataFrame, path: str, op: str):
+    """Write-path half of identity columns. Returns ``(df, cleanup)``:
+    when the table declares an identity column, the incoming frame must
+    NOT carry it (GENERATED ALWAYS); this reserves ``step * count`` ids in
+    a claim-once metadata commit, then assigns them with one
+    ``mapInPandas`` over the PERSISTED input — per-partition offset blocks
+    (O(partitions) driver metadata), contiguous within the batch, no
+    shuffle. ``cleanup`` unpersists the pin and must run after the
+    downstream parquet write consumed the frame."""
+    latest = _latest_manifest(path)
+    ident = (latest or {}).get("identity")
+    if not ident:
+        return df, None
+    col, step = ident["col"], ident["step"]
+    if col in df.columns:
+        raise ValueError(
+            f"{col!r} is GENERATED ALWAYS AS IDENTITY at {path}; writers "
+            f"cannot supply it (op={op}) — drop the column from the batch"
+        )
+    from pyspark.sql.types import StructField, StructType
+
+    df = df.persist()
+    counts = {
+        r["_pid"]: r["_n"]
+        for r in df.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    base_holder: dict = {}
+
+    def build(latest_m: dict | None, _version: int) -> dict:
+        cur = (latest_m or {}).get("identity")
+        if not cur or cur["col"] != col:
+            raise ConcurrentSnapshotError(
+                f"{path}: identity column dropped/changed during {op}; retry"
+            )
+        base_holder["base"] = cur["next"]
+        out = {
+            k: v for k, v in latest_m.items() if k not in ("version", "committed_at")
+        }
+        out["identity"] = {**cur, "next": cur["next"] + cur["step"] * total}
+        out["data_change"] = False
+        return out
+
+    _commit(path, build, op="identity_reserve")
+    base = base_holder["base"]
+
+    stored = StructType.fromJson(json.loads(latest["schema"]))
+    if sorted(df.columns) == sorted(n for n in stored.fieldNames() if n != col):
+        out_schema = StructType(
+            [f for f in stored.fields if f.name in set(df.columns) | {col}]
+        )
+    else:  # overwrite with a fresh shape: identity lands last
+        out_schema = StructType(
+            list(df.schema.fields) + [StructField(col, stored[col].dataType, False)]
+        )
+    names = out_schema.fieldNames()
+
+    def gen(batches):
+        import numpy as np
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        used = base + step * offsets.get(pid, 0)
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[col] = np.arange(len(pdf), dtype="int64") * step + used
+            used += step * len(pdf)
+            yield pdf[names]
+
+    return df.mapInPandas(gen, schema=out_schema), (lambda: df.unpersist())
 
 
 def _apply_generated(df: DataFrame, path: str, op: str, exempt=None) -> DataFrame:

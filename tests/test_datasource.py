@@ -497,3 +497,85 @@ def test_stream_schema_change_mid_stream_fails_then_restart_widens(spark, tmp_pa
     got = _run_to_parquet(spark, t, str(tmp_path / "o2"), str(tmp_path / "c2"))
     assert got.count() == 8
     assert got.filter("extra is null").count() == 5
+
+
+# --------------------------------------------------------------------------
+# streaming sink
+# --------------------------------------------------------------------------
+
+
+def test_stream_sink_lake_to_lake_exactly_once(spark, tmp_path):
+    """snapshot SOURCE -> transformation -> snapshot SINK: the full
+    lake-to-lake streaming pipeline through format("snapshot") on both
+    ends, exactly-once across restarts."""
+    src, dst, cp = (str(tmp_path / p) for p in ("src", "dst", "cp"))
+    sn.snapshot_write(spark.range(10).selectExpr("id", "id % 3 as k"), src)
+
+    def run():
+        q = (
+            spark.readStream.format("snapshot").load(src)
+            .selectExpr("id", "k", "id * 2 as doubled")
+            .writeStream.format("snapshot")
+            .option("txnAppId", "laketolake")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True).start(dst)
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert sn.snapshot_read(spark, dst).count() == 10
+    sn.snapshot_append(spark.range(10, 15).selectExpr("id", "id % 3 as k"), src)
+    run()
+    got = sn.snapshot_read(spark, dst)
+    assert got.count() == 15
+    run()  # no new source commits: content no-op
+    assert sn.snapshot_read(spark, dst).count() == 15
+    assert {r["doubled"] for r in got.collect()} == {2 * i for i in range(15)}
+    # sink manifests carry the txn watermark and per-file stats discipline
+    m = sn._latest_manifest(dst)
+    assert m["stream_txn"]["laketolake"] >= 1
+    assert m["op"] == "stream_append"
+
+
+def test_stream_sink_replayed_batch_is_noop(spark, tmp_path):
+    """Deterministic replay: committing the SAME batchId twice lands the
+    rows once (Delta txnAppId idempotence)."""
+    import pyarrow as pa
+
+    from music_recommendation_service_spark.sources.datasource import (
+        SnapshotStreamWriter,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    t = str(tmp_path / "t")
+    schema = StructType([StructField("id", LongType())])
+    w = SnapshotStreamWriter({"path": t, "txnappid": "app1"}, schema)
+    b = lambda vals: pa.RecordBatch.from_pydict({"id": pa.array(vals, pa.int64())})
+    m0 = w.write(iter([b([1, 2, 3])]))
+    w.commit([m0], 0)
+    assert sn.snapshot_read(spark, t).count() == 3
+    m0b = w.write(iter([b([1, 2, 3])]))  # crash-replay writes fresh files...
+    w.commit([m0b], 0)                   # ...but the commit is a no-op
+    assert sn.snapshot_read(spark, t).count() == 3
+    m1 = w.write(iter([b([4])]))
+    w.commit([m1], 1)
+    assert sorted(r["id"] for r in sn.snapshot_read(spark, t).collect()) == [1, 2, 3, 4]
+    # a DIFFERENT app's batch 0 still lands (per-app watermarks)
+    w2 = SnapshotStreamWriter({"path": t, "txnappid": "app2"}, schema)
+    m2 = w2.write(iter([b([99])]))
+    w2.commit([m2], 0)
+    assert sn.snapshot_read(spark, t).count() == 5
+    txn = sn._latest_manifest(t)["stream_txn"]
+    assert txn == {"app1": 1, "app2": 0}
+
+
+def test_stream_sink_rejects_constrained_tables(spark, tmp_path):
+    t = str(tmp_path / "t")
+    sn.snapshot_write(spark.range(3).selectExpr("id"), t)
+    sn.snapshot_add_constraint(spark, t, "pos", "id >= 0")
+    with pytest.raises(Exception, match="snapshot_append"):
+        from music_recommendation_service_spark.sources.datasource import (
+            SnapshotStreamWriter,
+        )
+
+        SnapshotStreamWriter({"path": t}, sn.snapshot_read(spark, t).schema)
