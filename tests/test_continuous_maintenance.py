@@ -126,3 +126,42 @@ def test_snapshot_table_stream_append_mode(spark, paths, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == 100
+
+
+def test_incremental_reco_daemon_matches_batch_dag(spark, tmp_path, sf_dir):
+    """The flagship composition: likes-table commits PUSH the whole
+    incremental-recommendation DAG (q142's five maintained stages) through
+    maintain_on_commit, and the daemon-maintained gold table equals the
+    step-by-step batch-maintained one (which itself hash-matches the
+    from-scratch q05 recompute in the oracle gate)."""
+    from music_recommendation_service_spark.plans import registry
+    from music_recommendation_service_spark.plans.incremental_reco import (
+        RecoLake,
+        churn_waves,
+        reco_maintain,
+        reco_serve,
+    )
+
+    lake = RecoLake(str(tmp_path / "lake"))
+    cp = str(tmp_path / "cp")
+    waves = churn_waves(spark, sf_dir, lake)
+
+    def drain():
+        q = maintain_on_commit(
+            spark, lake.likes, lambda: reco_maintain(spark, sf_dir, lake), cp
+        )
+        q.awaitTermination(240)
+
+    next(waves)   # bootstrap likes
+    drain()       # daemon bootstraps the DAG
+    next(waves)   # delete churn wave
+    next(waves)   # insert churn wave
+    drain()       # ONE drain applies both pending commits
+
+    got = sorted(tuple(r) for r in reco_serve(spark, lake).collect())
+    want = sorted(
+        tuple(r)
+        for r in registry()["q142_incremental_hybrid_recommendations"]
+        .build(spark, sf_dir).collect()
+    )
+    assert got == want
