@@ -31,6 +31,11 @@ malformed errors loudly rather than half-executing):
     VACUUM v [RETAIN <n> VERSIONS]                   -- version-based retention
     RESTORE [TABLE] v TO VERSION AS OF <n>
     RESTORE [TABLE] v TO TIMESTAMP AS OF '<iso ts>'
+    ALTER TABLE v ADD COLUMNS (c TYPE, ...)          -- schema evolution
+    ALTER TABLE v RENAME COLUMN a TO b               -- column mapping
+    ALTER TABLE v DROP COLUMN(S) a[, b]
+    ALTER TABLE v ADD CONSTRAINT n CHECK (expr)
+    ALTER TABLE v DROP CONSTRAINT n
 
 MERGE/UPDATE/DELETE map 1:1 onto ``snapshot_merge_when`` /
 ``snapshot_update_where`` / ``snapshot_delete_where``, so the CDF a SQL
@@ -490,6 +495,60 @@ def dispatch_sql(
             when_not_matched_by_source=wbs,
         )
         return vdf(v), name
+    if head == "ALTER":
+        am = re.match(rf"\s*ALTER\s+TABLE\s+({_IDENT})\s+(.*)$", q,
+                      re.IGNORECASE | re.DOTALL)
+        if not am:
+            raise SqlDispatchError("ALTER grammar: ALTER TABLE <view> <action>")
+        name, action = am.group(1), am.group(2).strip()
+        path = _require_view(name, views)
+        mm = re.match(r"ADD\s+COLUMNS?\s*\((.*)\)\s*$", action,
+                      re.IGNORECASE | re.DOTALL)
+        if mm:
+            from pyspark.sql.types import StructType
+
+            try:
+                fields = StructType.fromDDL(mm.group(1)).fields
+            except Exception as e:
+                raise SqlDispatchError(
+                    f"ALTER TABLE {name} ADD COLUMNS: cannot parse column "
+                    f"list {mm.group(1)!r}: {e}"
+                ) from e
+            return vdf(S.snapshot_add_columns(path, fields)), name
+        mm = re.match(
+            rf"RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})\s*$",
+            action, re.IGNORECASE,
+        )
+        if mm:
+            return (
+                vdf(S.snapshot_rename_columns(path, {mm.group(1): mm.group(2)})),
+                name,
+            )
+        mm = re.match(
+            rf"DROP\s+COLUMNS?\s*\(?\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)?\s*$",
+            action, re.IGNORECASE,
+        )
+        if mm:
+            cols = [c.strip() for c in mm.group(1).split(",")]
+            return vdf(S.snapshot_drop_columns(path, cols)), name
+        mm = re.match(
+            rf"ADD\s+CONSTRAINT\s+({_IDENT})\s+CHECK\s*\((.*)\)\s*$",
+            action, re.IGNORECASE | re.DOTALL,
+        )
+        if mm:
+            return (
+                vdf(S.snapshot_add_constraint(spark, path, mm.group(1), mm.group(2))),
+                name,
+            )
+        mm = re.match(rf"DROP\s+CONSTRAINT\s+({_IDENT})\s*$", action, re.IGNORECASE)
+        if mm:
+            return vdf(S.snapshot_drop_constraint(path, mm.group(1))), name
+        raise SqlDispatchError(
+            f"ALTER TABLE {name}: unsupported action {action!r} — supported: "
+            "ADD COLUMNS (c TYPE, ...), RENAME COLUMN a TO b, "
+            "DROP COLUMN(S) a[, b], ADD CONSTRAINT n CHECK (expr), "
+            "DROP CONSTRAINT n"
+        )
     if head == "OPTIMIZE":
         om = re.match(
             rf"\s*OPTIMIZE\s+({_IDENT})"

@@ -284,3 +284,35 @@ def test_sql_maintenance_errors(spark, eng):
         e.sql("RESTORE t1 VERSION AS OF 1")
     with pytest.raises(SqlDispatchError, match="not a registered snapshot"):
         e.sql("OPTIMIZE nosuchview")
+
+
+def test_sql_alter_table_lifecycle(spark, tmp_path, eng):
+    e, p = eng
+    # ADD COLUMNS: old rows null-fill, typed appends land
+    e.sql("ALTER TABLE t1 ADD COLUMNS (score BIGINT, note STRING)")
+    got = e.sql("SELECT * FROM t1").columns
+    assert got == ["k", "amount", "tag", "score", "note"]
+    assert e.sql("SELECT count(*) c FROM t1 WHERE score IS NULL").first()["c"] == 4
+
+    # RENAME COLUMN rides the column mapping (no rewrite), reads alias back
+    e.sql("ALTER TABLE t1 RENAME COLUMN note TO comment")
+    assert "comment" in e.sql("SELECT * FROM t1").columns
+
+    # ADD CONSTRAINT validates existing data; violating DML then rejects
+    e.sql("ALTER TABLE t1 ADD CONSTRAINT amt_pos CHECK (amount > 0)")
+    from music_recommendation_service_spark.sources.snapshots import (
+        ConstraintViolationError,
+    )
+    with pytest.raises(ConstraintViolationError):
+        e.sql("UPDATE t1 SET amount = -1 WHERE k = 1")
+    e.sql("ALTER TABLE t1 DROP CONSTRAINT amt_pos")
+    e.sql("UPDATE t1 SET amount = -1 WHERE k = 1")  # now lands
+
+    # DROP COLUMNS
+    e.sql("ALTER TABLE t1 DROP COLUMNS (score, comment)")
+    assert e.sql("SELECT * FROM t1").columns == ["k", "amount", "tag"]
+
+    with pytest.raises(SqlDispatchError, match="unsupported action"):
+        e.sql("ALTER TABLE t1 SET TBLPROPERTIES ('a'='b')")
+    with pytest.raises(SqlDispatchError, match="cannot parse"):
+        e.sql("ALTER TABLE t1 ADD COLUMNS (bad NOTATYPE)")
