@@ -397,6 +397,10 @@ class SnapshotBatchReader(DataSourceReader):
         ]
 
     def read(self, partition: SnapshotFilePartition):
+        if partition is None:
+            # every file pruned: Spark still schedules one task with a
+            # None partition when partitions() returned []
+            return
         yield from _read_partition_arrow(
             partition, self._schema_json, self._mapping, cdf=False
         )
@@ -584,6 +588,8 @@ class SnapshotStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition: SnapshotFilePartition):
+        if partition is None:
+            return  # empty micro-batch window
         # Re-read the mapping lazily: renames fail the schema check above,
         # so the mapping in force when the stream started is still valid.
         yield from _read_partition_arrow(

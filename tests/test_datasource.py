@@ -579,3 +579,19 @@ def test_stream_sink_rejects_constrained_tables(spark, tmp_path):
         )
 
         SnapshotStreamWriter({"path": t}, sn.snapshot_read(spark, t).schema)
+
+
+def test_fully_pruned_scan_returns_empty(spark, tmp_path):
+    """A filter that skips EVERY file must yield an empty result, not a
+    crash — Spark schedules one task with a None partition when
+    partitions() returns []."""
+    t = str(tmp_path / "t")
+    sn.snapshot_write(
+        spark.range(100).selectExpr("id", "concat('k', id) as s"),
+        t, stats_cols=["id"], bloom_cols=["s"],
+    )
+    assert spark.read.format("snapshot").load(t).filter("s = 'nope'").count() == 0
+    assert spark.read.format("snapshot").load(t).filter("id > 10000").count() == 0
+    r = SnapshotBatchReader({"path": t}, schema=None)
+    r.pushFilters([GreaterThan(("id",), 10_000)])
+    assert r.partitions() == []
