@@ -31,6 +31,8 @@ malformed errors loudly rather than half-executing):
     VACUUM v [RETAIN <n> VERSIONS]                   -- version-based retention
     RESTORE [TABLE] v TO VERSION AS OF <n>
     RESTORE [TABLE] v TO TIMESTAMP AS OF '<iso ts>'
+    CREATE [OR REPLACE] TABLE v LOCATION '<path>' AS <select>   -- CTAS
+    CREATE TABLE v LOCATION '<path>' SHALLOW CLONE w [VERSION AS OF n]
     ALTER TABLE v ADD COLUMNS (c TYPE, ...)          -- schema evolution
     ALTER TABLE v RENAME COLUMN a TO b               -- column mapping
     ALTER TABLE v DROP COLUMN(S) a[, b]
@@ -494,6 +496,42 @@ def dispatch_sql(
             when_matched=wm, when_not_matched=wnm,
             when_not_matched_by_source=wbs,
         )
+        return vdf(v), name
+    if head == "CREATE":
+        cm = re.match(
+            rf"\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})\s+"
+            rf"LOCATION\s+'([^']+)'\s+(AS\s+.*|SHALLOW\s+CLONE\s+.*)$",
+            q, re.IGNORECASE | re.DOTALL,
+        )
+        if not cm:
+            raise SqlDispatchError(
+                "CREATE grammar: CREATE [OR REPLACE] TABLE <view> LOCATION "
+                "'<path>' AS <select> | SHALLOW CLONE <view> [VERSION AS OF n]"
+            )
+        replace, name, path, tail = (
+            bool(cm.group(1)), cm.group(2), cm.group(3), cm.group(4).strip()
+        )
+        if name in views and views[name] != path:
+            raise SqlDispatchError(
+                f"view {name!r} already registered at {views[name]}"
+            )
+        if S.snapshot_versions(path) and not replace:
+            raise SqlDispatchError(
+                f"table already exists at {path}; use CREATE OR REPLACE"
+            )
+        clone = re.match(
+            rf"SHALLOW\s+CLONE\s+({_IDENT})"
+            rf"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*$",
+            tail, re.IGNORECASE,
+        )
+        if clone:
+            src = _require_view(clone.group(1), views)
+            ver = int(clone.group(2)) if clone.group(2) else None
+            v = S.snapshot_clone(src, path, version=ver)
+        else:
+            select = re.sub(r"^AS\s+", "", tail, flags=re.IGNORECASE)
+            v = S.snapshot_write(spark.sql(select), path)
+        views[name] = path  # Engine.sql re-registers it as a temp view
         return vdf(v), name
     if head == "ALTER":
         am = re.match(rf"\s*ALTER\s+TABLE\s+({_IDENT})\s+(.*)$", q,

@@ -316,3 +316,31 @@ def test_sql_alter_table_lifecycle(spark, tmp_path, eng):
         e.sql("ALTER TABLE t1 SET TBLPROPERTIES ('a'='b')")
     with pytest.raises(SqlDispatchError, match="cannot parse"):
         e.sql("ALTER TABLE t1 ADD COLUMNS (bad NOTATYPE)")
+
+
+def test_sql_create_table_as_select_and_clone(spark, tmp_path, eng):
+    e, p = eng
+    loc = str(tmp_path / "ctas")
+    # CTAS from catalog tables; the new view is immediately SQL-addressable
+    e.sql(
+        f"CREATE TABLE big_r LOCATION '{loc}' AS "
+        "SELECT r_regionkey AS k, r_name AS tag, 1.0 AS amount FROM region"
+    )
+    assert e.sql("SELECT count(*) AS n FROM big_r").first()["n"] == 5
+    # ...and takes the full DML dialect
+    e.sql("DELETE FROM big_r WHERE k = 0")
+    assert e.sql("SELECT count(*) AS n FROM big_r").first()["n"] == 4
+    with pytest.raises(SqlDispatchError, match="already exists"):
+        e.sql(f"CREATE TABLE big_r2 LOCATION '{loc}' AS SELECT 1 AS x")
+    e.sql(
+        f"CREATE OR REPLACE TABLE big_r LOCATION '{loc}' AS "
+        "SELECT r_regionkey AS k FROM region WHERE r_regionkey < 2"
+    )
+    assert e.sql("SELECT count(*) AS n FROM big_r").first()["n"] == 2
+
+    # SHALLOW CLONE: zero data copied, time-travels to the source version
+    loc2 = str(tmp_path / "clone")
+    e.sql(f"CREATE TABLE t1_snap LOCATION '{loc2}' SHALLOW CLONE t1 VERSION AS OF 1")
+    assert e.sql("SELECT count(*) AS n FROM t1_snap").first()["n"] == len(BASE)
+    e.sql("DELETE FROM t1 WHERE k = 4")
+    assert e.sql("SELECT count(*) AS n FROM t1_snap").first()["n"] == len(BASE)
