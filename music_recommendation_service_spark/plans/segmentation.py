@@ -44,18 +44,23 @@ def _q144(d: dict) -> str:
         SELECT o_custkey AS custkey,
                max(o_orderdate) AS last_order,
                CAST(count(*) AS BIGINT) AS n_orders,
-               sum(o_totalprice) AS monetary
+               -- integer cents PER ROW before any sum: float-sum fold
+               -- order differs between engines (boundary customers would
+               -- flip NTILE quartiles and segment averages at sf1);
+               -- integer sums stay exact (< 2^53) in both, so ranking and
+               -- averages are bit-identical
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_c
         FROM orders GROUP BY o_custkey
     ),
     anchor AS (SELECT max(last_order) AS now_d FROM base),
     scored AS (
         SELECT custkey,
                CAST({dd('b.last_order', 'a.now_d')} AS BIGINT) AS recency_d,
-               n_orders, monetary,
+               n_orders, monetary_c,
                ntile(4) OVER (ORDER BY {dd('b.last_order', 'a.now_d')} ASC,
                               custkey) AS r,
                ntile(4) OVER (ORDER BY n_orders DESC, custkey) AS f,
-               ntile(4) OVER (ORDER BY monetary DESC, custkey) AS m
+               ntile(4) OVER (ORDER BY monetary_c DESC, custkey) AS m
         FROM base b CROSS JOIN anchor a
     )
     SELECT concat(CAST(r AS STRING), '-', CAST(f AS STRING), '-',
@@ -63,7 +68,7 @@ def _q144(d: dict) -> str:
            CAST(count(*) AS BIGINT)  AS n_customers,
            {rnd_sql('avg(recency_d)', 6)} AS avg_recency_d,
            {rnd_sql('avg(n_orders)', 6)}  AS avg_orders,
-           {rnd_sql('avg(monetary)', 6)}  AS avg_monetary
+           {rnd_sql('avg(monetary_c) / 100.0', 4)} AS avg_monetary
     FROM scored
     GROUP BY r, f, m
     ORDER BY n_customers DESC, segment
