@@ -38,6 +38,8 @@ malformed errors loudly rather than half-executing):
     ALTER TABLE v DROP COLUMN(S) a[, b]
     ALTER TABLE v ADD CONSTRAINT n CHECK (expr)
     ALTER TABLE v DROP CONSTRAINT n
+    ALTER TABLE v SET IDENTITY c [START n] [STEP n]  -- GENERATED ALWAYS
+    ALTER TABLE v DROP IDENTITY
 
 MERGE/UPDATE/DELETE map 1:1 onto ``snapshot_merge_when`` /
 ``snapshot_update_where`` / ``snapshot_delete_where``, so the CDF a SQL
@@ -477,17 +479,30 @@ def dispatch_sql(
 
         path, name, select = _parse_insert(q, views)
         df = spark.sql(select)
-        sch = StructType.fromJson(
-            _json.loads(S._latest_manifest(path)["schema"])
+        latest = S._latest_manifest(path)
+        sch = StructType.fromJson(_json.loads(latest["schema"]))
+        ident_col = (latest.get("identity") or {}).get("col")
+        required = sorted(sch.fieldNames())
+        # an identity column is GENERATED ALWAYS: the INSERT may (must)
+        # omit it — snapshot_append assigns; supplying it falls through to
+        # the append's own clear rejection
+        ok = sorted(df.columns) == required or (
+            ident_col is not None
+            and sorted(df.columns) == sorted(set(required) - {ident_col})
         )
-        if sorted(df.columns) != sorted(sch.fieldNames()):
+        if not ok:
             raise SqlDispatchError(
                 f"INSERT INTO {name}: query columns {sorted(df.columns)} "
-                f"!= table columns {sorted(sch.fieldNames())}"
+                f"!= table columns {required}"
+                + (f" (identity column {ident_col!r} may be omitted)"
+                   if ident_col else "")
             )
         # Delta INSERT semantics: align by name, implicit-cast to the
         # declared column types
-        df = df.select(*[F.col(f.name).cast(f.dataType) for f in sch.fields])
+        df = df.select(*[
+            F.col(f.name).cast(f.dataType)
+            for f in sch.fields if f.name in df.columns
+        ])
         return vdf(S.snapshot_append(df, path)), name
     if head == "MERGE":
         (path, name, src_sql, key_cols, wm, wnm, wbs) = _parse_merge(q, views)
@@ -581,6 +596,22 @@ def dispatch_sql(
         mm = re.match(rf"DROP\s+CONSTRAINT\s+({_IDENT})\s*$", action, re.IGNORECASE)
         if mm:
             return vdf(S.snapshot_drop_constraint(path, mm.group(1))), name
+        mm = re.match(
+            rf"SET\s+IDENTITY\s+({_IDENT})"
+            rf"(?:\s+START\s+(-?\d+))?(?:\s+STEP\s+(-?\d+))?\s*$",
+            action, re.IGNORECASE,
+        )
+        if mm:
+            return (
+                vdf(S.snapshot_set_identity(
+                    spark, path, mm.group(1),
+                    start=int(mm.group(2)) if mm.group(2) else 1,
+                    step=int(mm.group(3)) if mm.group(3) else 1,
+                )),
+                name,
+            )
+        if re.match(r"DROP\s+IDENTITY\s*$", action, re.IGNORECASE):
+            return vdf(S.snapshot_drop_identity(path)), name
         raise SqlDispatchError(
             f"ALTER TABLE {name}: unsupported action {action!r} — supported: "
             "ADD COLUMNS (c TYPE, ...), RENAME COLUMN a TO b, "

@@ -344,3 +344,19 @@ def test_sql_create_table_as_select_and_clone(spark, tmp_path, eng):
     assert e.sql("SELECT count(*) AS n FROM t1_snap").first()["n"] == len(BASE)
     e.sql("DELETE FROM t1 WHERE k = 4")
     assert e.sql("SELECT count(*) AS n FROM t1_snap").first()["n"] == len(BASE)
+
+
+def test_sql_set_identity(spark, eng):
+    e, p = eng
+    e.sql("ALTER TABLE t1 SET IDENTITY k START 100 STEP 2")
+    # identity is GENERATED ALWAYS: INSERT must omit the column...
+    with pytest.raises(Exception, match="GENERATED ALWAYS AS IDENTITY"):
+        e.sql("INSERT INTO t1 (k, amount, tag) VALUES (999, 1.0, 'x')")
+    # ...and the engine assigns from the watermark (max existing is 4, so
+    # seeding starts at the requested 100)
+    e.sql("INSERT INTO t1 (amount, tag) VALUES (1.0, 'x'), (2.0, 'y')")
+    ks = {r["k"] for r in e.sql("SELECT k FROM t1").collect()}
+    assert {100, 102} <= ks
+    e.sql("ALTER TABLE t1 DROP IDENTITY")
+    e.sql("INSERT INTO t1 (k, amount, tag) VALUES (999, 1.0, 'x')")
+    assert 999 in {r["k"] for r in e.sql("SELECT k FROM t1").collect()}
