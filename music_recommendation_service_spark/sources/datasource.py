@@ -132,7 +132,18 @@ def _resolve_version(path: str, options) -> int:
             raise ValueError(f"version {v} not in {versions} at {path}")
         return v
     if ts_opt is not None:
-        ts = float(ts_opt)
+        try:
+            ts = float(ts_opt)
+        except (TypeError, ValueError):
+            # Delta-style ISO-8601 timestamp string ('2024-01-01 00:00:00'),
+            # naive defaults to UTC — same parse RESTORE ... TIMESTAMP AS OF
+            # uses in the SQL front.
+            import datetime as _dt
+
+            dt = _dt.datetime.fromisoformat(str(ts_opt).strip())
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=_dt.timezone.utc)
+            ts = dt.timestamp()
         eligible = [
             v for v in versions
             if (sn._read_manifest(path, v).get("committed_at") or 0) <= ts
@@ -439,10 +450,13 @@ class SnapshotStreamReader(DataSourceStreamReader):
         if self._starting is None:
             # Delta default: initial snapshot of the CURRENT version, then
             # incremental. The snapshot target rides in the offset so a
-            # checkpoint replay reproduces the identical first batch.
+            # checkpoint replay reproduces the identical first batch. The
+            # offset's v is the SNAPSHOT version (not 0): commits 1..snap
+            # are already inside the snapshot, so a rate-limited end must
+            # never fall below snap or they would replay as duplicates.
             snap = sn.snapshot_versions(self._path)[-1]
-            self._last_end = 0
-            return {"v": 0, "snap": snap}
+            self._last_end = snap
+            return {"v": snap, "snap": snap}
         if str(self._starting).strip().lower() == "earliest":
             self._last_end = 0
             return {"v": 0}
@@ -755,18 +769,27 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
 
         def build(latest: dict | None, version: int) -> dict:
             if overwrite or latest is None:
+                if latest is not None and (
+                    latest.get("constraints")
+                    or latest.get("generated")
+                    or latest.get("identity")
+                ):
+                    # __init__ checked too, but a constraint/identity added
+                    # BETWEEN writer construction and commit must still
+                    # refuse: the overwriting data was never validated.
+                    raise sn.ConcurrentSnapshotError(
+                        f"{path}: constraints/generated/identity columns "
+                        "added during DataSource overwrite; retry through "
+                        "snapshot_write"
+                    )
                 out = {
                     "data_dirs": sn._dirs_of(entries) if entries else [],
                     "files": entries,
                     "n_rows": n,
                     "schema": schema_json,
                 }
-                if overwrite and latest is not None:
-                    # Overwrite replaces data, not table features — but the
-                    # writer refused constrained tables up front, so only
-                    # the mapping can be present, and an overwrite resets it
-                    # (files are written under logical names again).
-                    pass
+                # Overwrite replaces data AND resets the column mapping
+                # (files are written under logical names again).
                 return out
             if sn._mapping(latest) != mapping:
                 raise sn.ConcurrentSnapshotError(
@@ -861,7 +884,11 @@ class SnapshotStreamWriter(SnapshotBatchWriter, DataSourceStreamArrowWriter):
 
     def __init__(self, options, schema: StructType):
         super().__init__(options, schema, overwrite=False)
-        self._txn_app = (options.get("txnappid") or "stream").strip() or "stream"
+        # Delta semantics: txn dedup ONLY when the caller names an app id.
+        # A shared default would make a second stream into the same table
+        # (or a restart with a fresh checkpoint, whose batchIds reset to 0)
+        # silently drop its micro-batches as "replays".
+        self._txn_app = (options.get("txnappid") or "").strip() or None
 
     # write() inherited: one parquet file + stats/blooms per task
 
@@ -880,11 +907,12 @@ class SnapshotStreamWriter(SnapshotBatchWriter, DataSourceStreamArrowWriter):
                     "files": entries,
                     "n_rows": n,
                     "schema": schema_json,
-                    "stream_txn": {app: batchId},
                 }
+                if app is not None:
+                    out["stream_txn"] = {app: batchId}
                 return out
             txn = latest.get("stream_txn") or {}
-            if txn.get(app, -1) >= batchId:
+            if app is not None and txn.get(app, -1) >= batchId:
                 raise _ReplaySkip()
             if (
                 latest.get("constraints")
@@ -911,8 +939,11 @@ class SnapshotStreamWriter(SnapshotBatchWriter, DataSourceStreamArrowWriter):
                 "files": files,
                 "n_rows": latest["n_rows"] + n,
                 "schema": schema_json,
-                "stream_txn": {**txn, app: batchId},
             }
+            if app is not None:
+                out["stream_txn"] = {**txn, app: batchId}
+            elif txn:
+                out["stream_txn"] = txn
             if mapping:
                 out["column_mapping"] = mapping
             return out

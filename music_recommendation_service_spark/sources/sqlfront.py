@@ -616,7 +616,8 @@ def dispatch_sql(
             f"ALTER TABLE {name}: unsupported action {action!r} — supported: "
             "ADD COLUMNS (c TYPE, ...), RENAME COLUMN a TO b, "
             "DROP COLUMN(S) a[, b], ADD CONSTRAINT n CHECK (expr), "
-            "DROP CONSTRAINT n"
+            "DROP CONSTRAINT n, SET IDENTITY c [START n] [STEP n], "
+            "DROP IDENTITY"
         )
     if head == "OPTIMIZE":
         om = re.match(

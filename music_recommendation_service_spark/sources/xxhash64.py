@@ -164,6 +164,12 @@ def spark_string_form(value) -> str | None:
         if value.tzinfo is not None:
             return None
         s = value.isoformat(sep=" ")
+        # Spark's CAST(ts AS STRING) trims trailing fractional zeros
+        # ('00:00:00.500000' -> '00:00:00.5', '.000000' drops entirely);
+        # isoformat keeps them. Hash the SAME string or a bloom built on
+        # the JVM path probed here returns a false "definitely absent".
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
         return s
     if isinstance(value, _dt.date):
         return value.isoformat()

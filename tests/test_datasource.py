@@ -118,6 +118,28 @@ def test_timestamp_as_of(spark, tmp_path):
     assert got.count() == 3
 
 
+def test_timestamp_as_of_iso_string(spark, tmp_path):
+    """Delta-style ISO timestamp strings parse too (naive = UTC), matching
+    the SQL front's RESTORE ... TIMESTAMP AS OF."""
+    import datetime as dt
+
+    t = str(tmp_path / "tbl")
+    sn.snapshot_write(spark.range(3).selectExpr("id"), t)
+    m1 = sn._read_manifest(t, 1)
+    sn.snapshot_append(spark.range(3, 6).selectExpr("id"), t)
+    m2 = sn._read_manifest(t, 2)
+    mid = (m1["committed_at"] + m2["committed_at"]) / 2
+    iso = dt.datetime.fromtimestamp(mid, tz=dt.timezone.utc).replace(
+        tzinfo=None
+    ).isoformat(sep=" ")
+    got = spark.read.format("snapshot").option("timestampAsOf", iso).load(t)
+    assert got.count() == 3
+    with pytest.raises(Exception, match="committed at or before"):
+        spark.read.format("snapshot").option(
+            "timestampAsOf", "1999-01-01 00:00:00"
+        ).load(t).collect()
+
+
 def test_batch_cdf_option_rejected(spark, tmp_path):
     t = str(tmp_path / "tbl")
     sn.snapshot_write(spark.range(3).selectExpr("id"), t)
@@ -567,6 +589,93 @@ def test_stream_sink_replayed_batch_is_noop(spark, tmp_path):
     assert sn.snapshot_read(spark, t).count() == 5
     txn = sn._latest_manifest(t)["stream_txn"]
     assert txn == {"app1": 1, "app2": 0}
+
+
+def test_stream_sink_no_txnappid_never_dedups(spark, tmp_path):
+    """Without an explicit txnAppId there is NO txn dedup (Delta
+    semantics): a second stream into the same table, or a restart with a
+    fresh checkpoint whose batchIds reset to 0, must still land its
+    batches instead of silently dropping them as replays."""
+    import pyarrow as pa
+
+    from music_recommendation_service_spark.sources.datasource import (
+        SnapshotStreamWriter,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    t = str(tmp_path / "t")
+    schema = StructType([StructField("id", LongType())])
+    b = lambda vals: pa.RecordBatch.from_pydict({"id": pa.array(vals, pa.int64())})
+    w = SnapshotStreamWriter({"path": t}, schema)
+    w.commit([w.write(iter([b([1, 2, 3])]))], 0)
+    w.commit([w.write(iter([b([4, 5])]))], 1)
+    assert sn.snapshot_read(spark, t).count() == 5
+    # fresh checkpoint: a NEW writer instance starts over at batchId 0
+    w2 = SnapshotStreamWriter({"path": t}, schema)
+    w2.commit([w2.write(iter([b([6])]))], 0)
+    assert sn.snapshot_read(spark, t).count() == 6
+    assert "stream_txn" not in (sn._latest_manifest(t) or {})
+    # ...and an explicit app id layered on top still dedups for ITSELF
+    w3 = SnapshotStreamWriter({"path": t, "txnappid": "app"}, schema)
+    w3.commit([w3.write(iter([b([7])]))], 0)
+    w3.commit([w3.write(iter([b([7])]))], 0)  # replay: no-op
+    assert sn.snapshot_read(spark, t).count() == 7
+    assert sn._latest_manifest(t)["stream_txn"] == {"app": 0}
+
+
+def test_stream_unpinned_start_rate_limited_no_duplicates(spark, tmp_path):
+    """Un-pinned start + maxVersionsPerTrigger: the initial offset pins to
+    the snapshotted version, so rate-limited later batches must NOT replay
+    commits 1..S already contained in the initial snapshot."""
+    t, out, cp = (str(tmp_path / p) for p in ("tbl", "out", "cp"))
+    sn.snapshot_write(spark.range(5).selectExpr("id"), t)
+    for lo in (5, 10, 15):
+        sn.snapshot_append(spark.range(lo, lo + 5).selectExpr("id"), t)
+    # table is at version 4 holding ids 0..19
+    q = (
+        spark.readStream.format("snapshot")
+        .option("maxVersionsPerTrigger", "1").load(t)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", cp).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(20))  # exactly once, no 1..S replays
+    # appends AFTER the initial snapshot flow incrementally, still deduped
+    sn.snapshot_append(spark.range(20, 25).selectExpr("id"), t)
+    q2 = (
+        spark.readStream.format("snapshot")
+        .option("maxVersionsPerTrigger", "1").load(t)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", cp).trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(25))
+
+
+def test_writer_overwrite_rechecks_constraints_at_commit(spark, tmp_path):
+    """A CHECK constraint added BETWEEN writer construction and commit must
+    fail the overwrite — the overwriting data was never validated."""
+    import pyarrow as pa
+
+    from music_recommendation_service_spark.sources.datasource import (
+        SnapshotBatchWriter,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    t = str(tmp_path / "t")
+    sn.snapshot_write(spark.range(3).selectExpr("id"), t)
+    schema = StructType([StructField("id", LongType())])
+    w = SnapshotBatchWriter({"path": t}, schema, overwrite=True)
+    msg = w.write(iter([
+        pa.RecordBatch.from_pydict({"id": pa.array([-1], pa.int64())})
+    ]))
+    sn.snapshot_add_constraint(spark, t, "pos", "id >= 0")
+    with pytest.raises(sn.ConcurrentSnapshotError, match="overwrite"):
+        w.commit([msg])
+    # table untouched: still the original 3 rows, constraint intact
+    assert sn.snapshot_read(spark, t).count() == 3
 
 
 def test_stream_sink_rejects_constrained_tables(spark, tmp_path):

@@ -65,7 +65,20 @@ def test_bloom_positions_match_jvm_path(spark):
         _bloom_literal_positions,
     )
 
-    for v in [7, -7, 0, 123456789012345, "alpha", "", "日本語", "O"]:
+    import datetime as dt
+
+    vals = [
+        7, -7, 0, 123456789012345, "alpha", "", "日本語", "O",
+        # timestamps: Spark's CAST(ts AS STRING) trims trailing fractional
+        # zeros ('.500000' -> '.5'); the native form must match or a
+        # JVM-built bloom probed natively reports a false "absent"
+        dt.datetime(2024, 1, 1, 0, 0, 0),
+        dt.datetime(2024, 1, 1, 0, 0, 0, 500000),
+        dt.datetime(2024, 1, 1, 12, 34, 56, 123000),
+        dt.datetime(2023, 6, 30, 23, 59, 59, 999999),
+        dt.date(2024, 3, 5),
+    ]
+    for v in vals:
         jvm = _bloom_literal_positions(spark, v)
         nat = bloom_positions(v, _BLOOM_M_MAX, _BLOOM_K)
         assert nat == jvm, v
