@@ -20,14 +20,48 @@ from music_recommendation_service_spark.sources.catalog import TABLES, Catalog
 
 
 class Engine:
-    def __init__(self, root: str, spark: SparkSession | None = None):
+    def __init__(
+        self,
+        root: str,
+        spark: SparkSession | None = None,
+        catalog_path: str | None = None,
+    ):
+        import os
+
         from music_recommendation_service_spark.session import get_spark
+        from music_recommendation_service_spark.sources.lakecatalog import (
+            LakeCatalog,
+        )
 
         self.spark = spark or get_spark()
         self.root = root
         self.catalog = Catalog(self.spark, root)
         self._views_registered = False
         self._snapshot_views: dict[str, str] = {}
+        # Durable name->path catalog (sources/lakecatalog.py): a NEW session
+        # resolves every registered table with zero re-registration — the
+        # engine-side twin of the reference's long-lived DeltaCatalog
+        # serving (docker-compose.yml:372-418, spark_utils.py:35-39).
+        # Boot-load is one JSON read; registering the temp views is
+        # manifest-only DataFrame construction, no Spark job.
+        #
+        # Write-through activates when a catalog_path is passed explicitly
+        # OR a catalog already exists under the root — an Engine over a
+        # read-only data root (the driver's testdata) must never try to
+        # create one there, so registrations stay session-only until the
+        # lake opts in (checked lazily: another process creating the
+        # catalog enables this session's write-through too).
+        self._catalog_explicit = catalog_path is not None
+        self.lake_catalog = LakeCatalog(
+            catalog_path or os.path.join(root.rstrip("/"), "_lake_catalog")
+        )
+        for name, ent in sorted(self.lake_catalog.tables().items()):
+            try:
+                self.snapshot(ent["path"], view=name, persist=False)
+            except FileNotFoundError:
+                # a registered table whose data dir is gone must not brick
+                # Engine boot; the name stays visible in the durable map
+                continue
 
     # -- tables ------------------------------------------------------------
     def table(self, name: str) -> DataFrame:
@@ -42,13 +76,16 @@ class Engine:
         version: int | None = None,
         as_of: float | None = None,
         view: str | None = None,
+        persist: bool = True,
     ) -> DataFrame:
         """A versioned snapshot table (sources/snapshots.py protocol) as a
         DataFrame — latest, ``VERSION AS OF`` (``version``), or
         ``TIMESTAMP AS OF`` (``as_of``, unix seconds); optionally
         registered as a temp view so ``eng.sql`` can join it against
         catalog tables (the serving path of SURVEY §3.3 over
-        engine-managed tables)."""
+        engine-managed tables). Latest-tracking views also write through
+        the durable lake catalog (unless ``persist=False``), so a FRESH
+        Engine/session resolves the name with no re-registration."""
         from music_recommendation_service_spark.sources.snapshots import (
             snapshot_read,
         )
@@ -59,7 +96,21 @@ class Engine:
             if version is None and as_of is None:
                 # only latest-tracking views take DML through eng.sql
                 self._snapshot_views[view] = path
+                if persist:
+                    self._persist(view, path)
         return df
+
+    # -- durable catalog write-through --------------------------------------
+    def _catalog_enabled(self) -> bool:
+        return self._catalog_explicit or self.lake_catalog.exists()
+
+    def _persist(self, name: str, path: str) -> None:
+        if self._catalog_enabled():
+            self.lake_catalog.register(name, path, replace=True)
+
+    def _unpersist(self, name: str) -> None:
+        if self._catalog_enabled():
+            self.lake_catalog.unregister(name, if_exists=True)
 
     # -- SQL surface -------------------------------------------------------
     def sql(self, query: str) -> DataFrame:
@@ -77,14 +128,23 @@ class Engine:
             dispatch_sql,
         )
 
+        before = dict(self._snapshot_views)
         out = dispatch_sql(self.spark, query, self._snapshot_views)
         if out is not None:
             df, touched = out
-            if touched is not None:
+            # sync the durable catalog with dispatch-side registration
+            # changes (CREATE TABLE adds, DROP TABLE removes)
+            for name, p in self._snapshot_views.items():
+                if before.get(name) != p:
+                    self._persist(name, p)
+            for name in before:
+                if name not in self._snapshot_views:
+                    self._unpersist(name)
+            if touched is not None and touched in self._snapshot_views:
                 path = self._snapshot_views[touched]
                 for v, p in self._snapshot_views.items():
                     if p == path:
-                        self.snapshot(p, view=v)
+                        self.snapshot(p, view=v, persist=False)
             return df
         return self.spark.sql(query)
 

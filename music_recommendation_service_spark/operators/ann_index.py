@@ -422,39 +422,20 @@ def build_ivfpq_index(
     )
 
 
-def ivfpq_query(
-    vectors: DataFrame,
+def _ivfpq_adc(
     index: IVFPQIndex,
     queries: DataFrame,
-    nprobe: int = 8,
-    cand: int = 50,
-    topk: int = 10,
+    probes: DataFrame,
+    pool: DataFrame,
 ) -> DataFrame:
-    """Probe ``nprobe`` cells per query, ADC-rank ONLY the pooled cell
-    members from code joins, exact-L2 re-rank the top ``cand``. Returns
-    (qid, vec_id, rank, adc_dist, exact_dist) — ``pq_query``'s shape, so
-    the two ADC paths are directly comparable."""
-    from pyspark.sql import Window
-
+    """ADC-score a candidate pool. ``pool`` is (qid, _cid, vec_id) —
+    whatever candidate fetch produced it (plain cell membership, or cell
+    membership with a label/predicate filter riding IN the fetch);
+    returns (qid, vec_id, _adc). Shared by :func:`ivfpq_query` and
+    :func:`hard_negatives` so there is ONE ADC arithmetic."""
     idc, vecc = index.ivf.id_col, index.ivf.vec_col
     m = index.pq.m
-
     v = F.col(vecc).cast("array<double>")
-    qn = queries.select(
-        F.col(idc).alias("q_id"),
-        F.transform(v, lambda x: x / F.sqrt(_dot(v, v))).alias("q_u"),
-    )
-    probes = _probe_cells(index.ivf.centroids, qn, nprobe)
-    pool = (
-        probes.join(
-            index.ivf.assignments.select(
-                F.col(idc).alias("vec_id"), F.col("cluster_id").alias("_cid")
-            ),
-            "_cid",
-        )
-        .filter(F.col("q_id") != F.col("vec_id"))
-        .select(F.col("q_id").alias("qid"), "_cid", "vec_id")
-    )
 
     sub = index.pq.sub_dim
     adc = pool.join(
@@ -518,12 +499,46 @@ def ivfpq_query(
         dd_total = (
             F.col(f"_dd{s}") if dd_total is None else dd_total + F.col(f"_dd{s}")
         )
+    return adc.select("qid", "vec_id", dd_total.alias("_adc"))
+
+
+def ivfpq_query(
+    vectors: DataFrame,
+    index: IVFPQIndex,
+    queries: DataFrame,
+    nprobe: int = 8,
+    cand: int = 50,
+    topk: int = 10,
+) -> DataFrame:
+    """Probe ``nprobe`` cells per query, ADC-rank ONLY the pooled cell
+    members from code joins, exact-L2 re-rank the top ``cand``. Returns
+    (qid, vec_id, rank, adc_dist, exact_dist) — ``pq_query``'s shape, so
+    the two ADC paths are directly comparable."""
+    from pyspark.sql import Window
+
+    idc, vecc = index.ivf.id_col, index.ivf.vec_col
+    v = F.col(vecc).cast("array<double>")
+    qn = queries.select(
+        F.col(idc).alias("q_id"),
+        F.transform(v, lambda x: x / F.sqrt(_dot(v, v))).alias("q_u"),
+    )
+    probes = _probe_cells(index.ivf.centroids, qn, nprobe)
+    pool = (
+        probes.join(
+            index.ivf.assignments.select(
+                F.col(idc).alias("vec_id"), F.col("cluster_id").alias("_cid")
+            ),
+            "_cid",
+        )
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(F.col("q_id").alias("qid"), "_cid", "vec_id")
+    )
 
     cand_w = Window.partitionBy("qid").orderBy(
         F.col("_adc").asc(), F.col("vec_id").asc()
     )
     cands = (
-        adc.select("qid", "vec_id", dd_total.alias("_adc"))
+        _ivfpq_adc(index, queries, probes, pool)
         .withColumn("_rnk", F.row_number().over(cand_w))
         .filter(F.col("_rnk") <= cand)
         .select("qid", "vec_id", "_adc")
@@ -550,5 +565,106 @@ def ivfpq_query(
             "qid", "vec_id", F.col("rank").cast("int").alias("rank"),
             F.round(F.col("_adc") + F.lit(1e-9), 6).alias("adc_dist"),
             F.round(F.col("_exact") + F.lit(1e-9), 6).alias("exact_dist"),
+        )
+    )
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    index: IVFPQIndex,
+    queries: DataFrame,
+    label_col: str = "label",
+    nprobe: int = 8,
+    cand: int = 50,
+    topk: int = 5,
+) -> DataFrame:
+    """Hard-negative mining SERVED FROM the IVF-PQ index — the scale path
+    of the q146 catalog query (plans/similarity.py), which pins the exact
+    semantics with a query x corpus scan. Per query vector, the top
+    ``topk`` highest-cosine corpus vectors with a DIFFERENT label.
+
+    The label filter rides IN the candidate fetch (cell membership join),
+    not as a post-filter of an unlabeled top-k — so the result can never
+    under-fill when a query's own class dominates its probed cells, and
+    no ADC work is spent scoring same-label vectors that would be thrown
+    away. Candidates are ADC-ranked (approximate L2 from code joins),
+    then only the top ``cand`` get an exact cosine from raw embeddings —
+    the exact-read share stays cand/corpus per query, the contrastive
+    training-data story at 100 TB. Returns (query_id, query_label,
+    negative_id, negative_label, cosine, rank) — q146's shape."""
+    from pyspark.sql import Window
+
+    idc, vecc = index.ivf.id_col, index.ivf.vec_col
+    v = F.col(vecc).cast("array<double>")
+    qn = queries.select(
+        F.col(idc).alias("q_id"),
+        F.transform(v, lambda x: x / F.sqrt(_dot(v, v))).alias("q_u"),
+    )
+    probes = _probe_cells(index.ivf.centroids, qn, nprobe)
+    labels = vectors.select(
+        F.col(idc).alias("vec_id"), F.col(label_col).alias("_n_label")
+    )
+    # the query slice is the small side; its labels broadcast into the fetch
+    q_labels = F.broadcast(
+        queries.select(F.col(idc).alias("qid"), F.col(label_col).alias("_q_label"))
+    )
+    pool = (
+        probes.join(
+            index.ivf.assignments.select(
+                F.col(idc).alias("vec_id"), F.col("cluster_id").alias("_cid")
+            ),
+            "_cid",
+        )
+        .select(F.col("q_id").alias("qid"), "_cid", "vec_id")
+        .join(labels, "vec_id")
+        .join(q_labels, "qid")
+        .filter(F.col("_n_label") != F.col("_q_label"))
+        .select("qid", "_cid", "vec_id")
+    )
+    cand_w = Window.partitionBy("qid").orderBy(
+        F.col("_adc").asc(), F.col("vec_id").asc()
+    )
+    cands = (
+        _ivfpq_adc(index, queries, probes, pool)
+        .withColumn("_rnk", F.row_number().over(cand_w))
+        .filter(F.col("_rnk") <= cand)
+        .select("qid", "vec_id")
+    )
+    # exact re-rank by COSINE, q146's metric (ADC approximates L2 — good
+    # enough to pick candidates, not to order the final negatives)
+    nrm = F.sqrt(_dot(v, v))
+    vq = queries.select(
+        F.col(idc).alias("qid"),
+        F.col(label_col).alias("query_label"),
+        v.alias("_qv"),
+        nrm.alias("_qn"),
+    )
+    vx = vectors.select(
+        F.col(idc).alias("vec_id"),
+        F.col(label_col).alias("negative_label"),
+        v.alias("_xv"),
+        nrm.alias("_xn"),
+    )
+    final_w = Window.partitionBy("qid").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        cands.join(vq, "qid")
+        .join(vx, "vec_id")
+        .select(
+            "qid", "query_label", "vec_id", "negative_label",
+            (
+                _dot(F.col("_qv"), F.col("_xv")) / (F.col("_qn") * F.col("_xn"))
+            ).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(final_w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("qid").alias("query_id"),
+            "query_label",
+            F.col("vec_id").alias("negative_id"),
+            "negative_label",
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
         )
     )

@@ -780,9 +780,11 @@ register_sql(
 # teach a ranker the decision boundary; random negatives are too easy).
 # Same broadcast-queries x one-corpus-pass shape as q31: the label filter
 # rides IN the join condition, so no post-hoc filtering of a larger top-k
-# (which could under-fill). At 100 TB the corpus pass composes with the
-# IVF/PQ candidate generators (operators/ann_index.py) the same way q31's
-# exact scan does — this query pins the exact semantics.
+# (which could under-fill). This query pins the exact semantics; the scale
+# path is operators/ann_index.py::hard_negatives — the same contract served
+# from the IVF-PQ index with the label filter in the candidate fetch,
+# recall >= 0.8 of this exact top-5 at <= 15% exact-read share (pinned in
+# tests/test_ann_index.py).
 # ---------------------------------------------------------------------------
 def _q146(d: dict) -> str:
     dot_qc = d["dot"]("q.v", "c.v")

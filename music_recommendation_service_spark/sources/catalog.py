@@ -124,6 +124,10 @@ class Catalog:
         return self.spark.read.orc(path)
 
     def register_views(self, names: tuple[str, ...] = TABLES) -> None:
-        """Expose catalog tables as temp views for the spark.sql surface."""
+        """Expose catalog tables as temp views for the spark.sql surface.
+        Tables absent under the root are skipped — an Engine over a pure
+        lake root (snapshot tables only, no benchmark parquet) still gets
+        a working SQL surface."""
         for name in names:
-            self.table(name).createOrReplaceTempView(name)
+            if "://" in self.root or os.path.exists(self.path(name)):
+                self.table(name).createOrReplaceTempView(name)

