@@ -154,6 +154,47 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         queries_ext[name] = round(best, 3)
 
+    # Convergence floors (judge round-8 order #6): the committed warm-min
+    # numbers for the slowest queries swing round-over-round with host
+    # noise (q05 observed 11.45 <-> 14.45s sweep totals across rounds with
+    # identical plans). For each floor query, iterate until the best time
+    # stops improving by >2% for 2 consecutive runs (cap 8): ``floor`` is
+    # the converged number a regression check can trust mechanically,
+    # ``iterations``/``series`` show how it converged. Override the set
+    # with SPARK_GRAFT_BENCH_FLOORS (comma list; empty disables).
+    floor_env = os.environ.get("SPARK_GRAFT_BENCH_FLOORS", "auto")
+    if floor_env == "auto":
+        floor_names = [
+            "q05_hybrid_recommendations",
+            "q27_ngram_jaccard_neardup",
+            "q135_edit_distance_join",
+        ]
+    else:
+        floor_names = [n.strip() for n in floor_env.split(",") if n.strip()]
+    floors: dict[str, dict] = {}
+    for name in floor_names:
+        if name not in reg:
+            continue
+        series: list[float] = []
+        best = float("inf")
+        stale = 0
+        while len(series) < 8 and stale < 2:
+            t0 = time.perf_counter()
+            reg[name].build(spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = round(time.perf_counter() - t0, 3)
+            series.append(dt)
+            if dt < best * 0.98:
+                best, stale = dt, 0
+            else:
+                best, stale = min(best, dt), stale + 1
+        floors[name] = {
+            "floor": round(best, 3),
+            "iterations": len(series),
+            "series": series,
+        }
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     payload = json.dumps(
         {
@@ -178,6 +219,7 @@ def main() -> None:
                 ],
                 "n_runs": N_RUNS,
                 "queries_ext": queries_ext,
+                "floors": floors,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
     )

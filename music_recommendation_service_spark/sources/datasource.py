@@ -50,9 +50,12 @@ Design notes (and the 100 TB story):
   claim-once ``_commit`` primitive with the same rebase-or-abort
   concurrency rule as ``snapshot_append``. A crash before the manifest
   leaves only an invisible orphan dir (vacuumable), never a torn table.
-  Tables with CHECK constraints or generated columns reject DataSource
-  writes (those need driver-side Spark expressions) and point the caller
-  at ``snapshot_append``.
+  CHECK constraints are enforced IN THE TASK (DuckDB over the Arrow
+  batch — per-row predicates need no Spark session; fail-closed on
+  anything DuckDB can't evaluate). Generated and identity columns DO
+  reject DataSource writes: auto-fill expressions and table-wide id
+  reservation need the driver-side Spark coordination of
+  ``snapshot_append`` — the error says so.
 
 Reference parity: S2/S4/S6/S7 (`SURVEY.md §2.1`) at the ``format(...)``
 call-site level; the stream source is the engine-side twin of the
@@ -639,18 +642,22 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
         self._overwrite = overwrite
         self._schema_json = schema.json()
         latest = sn._latest_manifest(self._path)
+        self._constraints: dict = {}
         if latest is not None:
-            if (
-                latest.get("constraints")
-                or latest.get("generated")
-                or latest.get("identity")
-            ):
+            if latest.get("generated") or latest.get("identity"):
+                # Crisp boundary: generated columns AUTO-FILL from Spark
+                # expressions over the batch and identity columns reserve a
+                # table-wide id range BEFORE data lands — both need the
+                # driver-side Spark coordination of snapshot_append. CHECK
+                # constraints, by contrast, are pure per-row predicates and
+                # validate executor-side below.
                 raise ValueError(
-                    f"{self._path} declares CHECK constraints, generated "
-                    "columns, or an identity column, which need driver-side "
-                    "Spark coordination; write through snapshot_append/"
-                    "snapshot_write instead of the DataSource writer"
+                    f"{self._path} declares generated or identity columns, "
+                    "which need driver-side Spark coordination; write "
+                    "through snapshot_append/snapshot_write instead of the "
+                    "DataSource writer"
                 )
+            self._constraints = dict(latest.get("constraints") or {})
             self._mapping = sn._mapping(latest)
             if not overwrite and not sn._schema_equiv(
                 self._schema_json, latest["schema"]
@@ -703,6 +710,7 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
             tbl = pa.table(
                 {n: pa.nulls(0, to_arrow_schema(declared).field(n).type) for n in logical}
             )
+        self._validate_constraints(tbl)
         tbl = tbl.rename_columns([sn._phys(self._mapping, n) for n in logical])
         if tbl.num_rows == 0:
             # Don't land empty files for empty partitions — the manifest
@@ -734,6 +742,55 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
             rel_dir=self._rel_dir,
         )
 
+    def _validate_constraints(self, tbl) -> None:
+        """CHECK constraints, enforced IN THE TASK over the Arrow batch
+        (logical column names, before the physical rename). The evaluator
+        is DuckDB — the repo's oracle engine, zero-copy over Arrow — since
+        a Python DataSource task has no SparkSession. Semantics match
+        ``snapshots._enforce_constraints``: a row fails when the predicate
+        is false OR null. Fail-closed: an expression DuckDB cannot
+        evaluate rejects the write loudly (route through snapshot_append)
+        rather than committing unvalidated rows; typical constraint
+        predicates (comparisons, arithmetic, null checks, IN lists) are
+        dialect-portable, pinned by tests/test_datasource.py."""
+        if not self._constraints or tbl.num_rows == 0:
+            return
+        try:
+            import duckdb
+        except ImportError as e:  # pragma: no cover - environment gate
+            raise ValueError(
+                f"{self._path}: CHECK constraint validation needs duckdb "
+                "in the task environment; write through snapshot_append "
+                "instead"
+            ) from e
+        con = duckdb.connect()
+        try:
+            con.register("batch", tbl)
+            for name, expr in sorted(self._constraints.items()):
+                try:
+                    bad = con.execute(
+                        f"SELECT * FROM batch WHERE NOT coalesce(({expr}), "
+                        "false) LIMIT 1"
+                    ).fetchall()
+                    cols = [d[0] for d in con.description]
+                except sn.ConstraintViolationError:
+                    raise
+                except Exception as e:
+                    raise ValueError(
+                        f"{self._path}: CHECK constraint {name!r} "
+                        f"({expr!r}) is not executor-evaluable ({e}); "
+                        "write through snapshot_append/snapshot_write "
+                        "instead of the DataSource writer"
+                    ) from e
+                if bad:
+                    raise sn.ConstraintViolationError(
+                        f"datasource_write at {self._path} violates CHECK "
+                        f"constraint(s) [{name!r}]: example row "
+                        f"{dict(zip(cols, bad[0]))}"
+                    )
+        finally:
+            con.close()
+
     def _build_bloom(self, tbl, col: str) -> dict | None:
         """Per-file Bloom bitset built with the native XXH64 twin — same
         sizing/position algebra as ``snapshots._bloom_build``. Types whose
@@ -764,30 +821,38 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
         entries, n = _land_entries(self._path, msgs)
         schema_json = self._schema_json
         mapping = self._mapping
+        constraints = self._constraints
         path = self._path
         overwrite = self._overwrite
 
+        def check_features(latest: dict) -> None:
+            # Tasks validated against the constraint set read at writer
+            # construction; anything that changed the feature surface
+            # mid-flight means the landed data was never validated against
+            # the CURRENT table — refuse, caller retries fresh.
+            if latest.get("generated") or latest.get("identity"):
+                raise sn.ConcurrentSnapshotError(
+                    f"{path}: generated/identity columns added during "
+                    "DataSource write; retry through snapshot_append"
+                )
+            if dict(latest.get("constraints") or {}) != constraints:
+                raise sn.ConcurrentSnapshotError(
+                    f"{path}: CHECK constraints changed during DataSource "
+                    f"write (validated against {sorted(constraints)}); retry"
+                )
+
         def build(latest: dict | None, version: int) -> dict:
             if overwrite or latest is None:
-                if latest is not None and (
-                    latest.get("constraints")
-                    or latest.get("generated")
-                    or latest.get("identity")
-                ):
-                    # __init__ checked too, but a constraint/identity added
-                    # BETWEEN writer construction and commit must still
-                    # refuse: the overwriting data was never validated.
-                    raise sn.ConcurrentSnapshotError(
-                        f"{path}: constraints/generated/identity columns "
-                        "added during DataSource overwrite; retry through "
-                        "snapshot_write"
-                    )
+                if latest is not None:
+                    check_features(latest)
                 out = {
                     "data_dirs": sn._dirs_of(entries) if entries else [],
                     "files": entries,
                     "n_rows": n,
                     "schema": schema_json,
                 }
+                if constraints:
+                    out["constraints"] = constraints
                 # Overwrite replaces data AND resets the column mapping
                 # (files are written under logical names again).
                 return out
@@ -800,15 +865,7 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                     f"append schema mismatch at {path}: "
                     f"manifest={latest['schema']} incoming={schema_json}"
                 )
-            if (
-                latest.get("constraints")
-                or latest.get("generated")
-                or latest.get("identity")
-            ):
-                raise sn.ConcurrentSnapshotError(
-                    f"{path}: constraints/generated/identity columns added "
-                    "during DataSource append; retry through snapshot_append"
-                )
+            check_features(latest)
             base = sn._manifest_files(path, latest)
             files = base + entries
             out = {
@@ -898,6 +955,7 @@ class SnapshotStreamWriter(SnapshotBatchWriter, DataSourceStreamArrowWriter):
             return  # empty batch: nothing to make idempotent
         entries, n = _land_entries(self._path, msgs)
         schema_json, mapping = self._schema_json, self._mapping
+        constraints = self._constraints
         path, app = self._path, self._txn_app
 
         def build(latest: dict | None, version: int) -> dict:
@@ -914,15 +972,17 @@ class SnapshotStreamWriter(SnapshotBatchWriter, DataSourceStreamArrowWriter):
             txn = latest.get("stream_txn") or {}
             if app is not None and txn.get(app, -1) >= batchId:
                 raise _ReplaySkip()
-            if (
-                latest.get("constraints")
-                or latest.get("generated")
-                or latest.get("identity")
-            ):
+            if latest.get("generated") or latest.get("identity"):
                 raise sn.ConcurrentSnapshotError(
-                    f"{path}: constraints/generated/identity added during "
-                    "stream write; route the stream through foreach_batch_"
-                    "merge/snapshot_append instead"
+                    f"{path}: generated/identity added during stream "
+                    "write; route the stream through foreach_batch_merge/"
+                    "snapshot_append instead"
+                )
+            if dict(latest.get("constraints") or {}) != constraints:
+                raise sn.ConcurrentSnapshotError(
+                    f"{path}: CHECK constraints changed during stream "
+                    f"write (batches validated against "
+                    f"{sorted(constraints)}); restart the stream"
                 )
             if sn._mapping(latest) != mapping:
                 raise sn.ConcurrentSnapshotError(

@@ -278,12 +278,68 @@ def test_writer_append_schema_mismatch(spark, tmp_path):
             .write.format("snapshot").mode("append").save(t)
 
 
-def test_writer_rejects_constrained_tables(spark, tmp_path):
+def test_writer_enforces_check_constraints_in_task(spark, tmp_path):
+    """CHECK constraints validate executor-side (DuckDB over the Arrow
+    batch): clean batches land, violating batches reject per-batch with
+    snapshot_append's semantics (false OR null fails) and commit nothing."""
     t = str(tmp_path / "tbl")
     sn.snapshot_write(spark.range(5).selectExpr("id"), t)
     sn.snapshot_add_constraint(spark, t, "pos", "id >= 0")
+    # clean append lands and the constraint survives in the manifest
+    spark.range(5, 8).selectExpr("id").write.format("snapshot").mode(
+        "append"
+    ).save(t)
+    assert sn.snapshot_read(spark, t).count() == 8
+    assert "pos" in sn._latest_manifest(t)["constraints"]
+    v_before = sn.snapshot_versions(t)[-1]
+    # violating append rejects; same failure the native path raises
+    with pytest.raises(Exception, match="violates CHECK constraint"):
+        spark.range(3).selectExpr("id - 10 as id").write.format(
+            "snapshot"
+        ).mode("append").save(t)
+    with pytest.raises(sn.ConstraintViolationError):
+        sn.snapshot_append(spark.range(3).selectExpr("id - 10 as id"), t)
+    # NULL fails the predicate too (Delta CHECK semantics)
+    with pytest.raises(Exception, match="violates CHECK constraint"):
+        spark.range(1).selectExpr("cast(null as long) as id").write.format(
+            "snapshot"
+        ).mode("append").save(t)
+    assert sn.snapshot_versions(t)[-1] == v_before
+    assert sn.snapshot_read(spark, t).count() == 8
+    # DS overwrite validates too, and keeps the constraint sticky
+    spark.range(2).selectExpr("id + 100 as id").write.format("snapshot").mode(
+        "overwrite"
+    ).save(t)
+    assert "pos" in sn._latest_manifest(t)["constraints"]
+    with pytest.raises(Exception, match="violates CHECK constraint"):
+        spark.range(1).selectExpr("id - 99 as id").write.format(
+            "snapshot"
+        ).mode("overwrite").save(t)
+
+
+def test_writer_rejects_unevaluable_constraint_fail_closed(spark, tmp_path):
+    """A CHECK expression the task evaluator cannot run must reject the
+    write loudly — never commit unvalidated rows."""
+    t = str(tmp_path / "tbl")
+    sn.snapshot_write(spark.range(5).selectExpr("id"), t)
+    # xxhash64 is Spark-only; the native path validates fine...
+    sn.snapshot_add_constraint(spark, t, "odd", "pmod(xxhash64(id), 2) >= 0")
+    with pytest.raises(Exception, match="not executor-evaluable"):
+        spark.range(5, 8).selectExpr("id").write.format("snapshot").mode(
+            "append"
+        ).save(t)
+    # ...and the table is untouched
+    assert sn.snapshot_read(spark, t).count() == 5
+
+
+def test_writer_rejects_identity_tables(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    sn.snapshot_write(spark.range(5).selectExpr("id", "id * 2 as val"), t)
+    sn.snapshot_set_identity(spark, t, "id")
     with pytest.raises(Exception, match="snapshot_append"):
-        spark.range(5).selectExpr("id").write.format("snapshot").mode("append").save(t)
+        spark.range(5).selectExpr("cast(9.0 as double) as val").write.format(
+            "snapshot"
+        ).mode("append").save(t)
 
 
 def test_writer_concurrent_appends_both_land(spark, tmp_path):
@@ -672,22 +728,40 @@ def test_writer_overwrite_rechecks_constraints_at_commit(spark, tmp_path):
         pa.RecordBatch.from_pydict({"id": pa.array([-1], pa.int64())})
     ]))
     sn.snapshot_add_constraint(spark, t, "pos", "id >= 0")
-    with pytest.raises(sn.ConcurrentSnapshotError, match="overwrite"):
+    with pytest.raises(sn.ConcurrentSnapshotError, match="constraints changed"):
         w.commit([msg])
     # table untouched: still the original 3 rows, constraint intact
     assert sn.snapshot_read(spark, t).count() == 3
 
 
-def test_stream_sink_rejects_constrained_tables(spark, tmp_path):
+def test_stream_sink_validates_check_constraints(spark, tmp_path):
+    """The streaming sink enforces CHECK constraints per micro-batch in
+    the task (same evaluator as the batch writer); generated/identity
+    tables still reject up front."""
+    import pyarrow as pa
+
+    from music_recommendation_service_spark.sources.datasource import (
+        SnapshotStreamWriter,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
     t = str(tmp_path / "t")
     sn.snapshot_write(spark.range(3).selectExpr("id"), t)
     sn.snapshot_add_constraint(spark, t, "pos", "id >= 0")
+    schema = StructType([StructField("id", LongType())])
+    b = lambda vals: pa.RecordBatch.from_pydict({"id": pa.array(vals, pa.int64())})
+    w = SnapshotStreamWriter({"path": t, "txnappid": "app"}, schema)
+    w.commit([w.write(iter([b([7, 8])]))], 0)
+    assert sn.snapshot_read(spark, t).count() == 5
+    with pytest.raises(sn.ConstraintViolationError, match="violates CHECK"):
+        w.write(iter([b([-1])]))
+    assert sn.snapshot_read(spark, t).count() == 5
+    # identity tables stay driver-coordinated
+    t2 = str(tmp_path / "t2")
+    sn.snapshot_write(spark.range(3).selectExpr("id", "id * 2 as val"), t2)
+    sn.snapshot_set_identity(spark, t2, "id")
     with pytest.raises(Exception, match="snapshot_append"):
-        from music_recommendation_service_spark.sources.datasource import (
-            SnapshotStreamWriter,
-        )
-
-        SnapshotStreamWriter({"path": t}, sn.snapshot_read(spark, t).schema)
+        SnapshotStreamWriter({"path": t2}, sn.snapshot_read(spark, t2).schema)
 
 
 def test_vacuum_reclaims_crashed_write_orphan_dir(spark, tmp_path):

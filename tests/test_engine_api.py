@@ -90,3 +90,19 @@ def test_engine_snapshot_as_of(spark, sf_dir, tmp_path):
     assert eng.snapshot(path, as_of=t).count() == 3
     assert eng.snapshot(path, version=1, view="snap_v1").count() == 3
     assert eng.sql("SELECT count(*) AS n FROM snap_v1").collect()[0].n == 3
+
+
+def test_sql_front_event_time_windows(spark, sf_dir):
+    """window()/session_window() typed as literal SQL into Engine.sql (the
+    Thrift-user path) equals the oracle-checked catalog queries q147/q148."""
+    from music_recommendation_service_spark.plans.windows import (
+        _q147_sql,
+        _q148_sql,
+    )
+
+    eng = Engine(sf_dir, spark)
+    for sql, qname in ((_q147_sql(), "q147_sql_tumbling_windows"),
+                       (_q148_sql(), "q148_sql_session_windows")):
+        got = {tuple(r) for r in eng.sql(sql).collect()}
+        want = {tuple(r) for r in eng.query(qname).collect()}
+        assert got == want and len(want) > 0
