@@ -291,3 +291,66 @@ def q123_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q149 — the format("snapshot") READ path as a catalog query (round-8 judge
+# order #7): orders lands ONCE per session in a scratch snapshot table
+# (snapshot_write, per-file stats on the filter column), then the query
+# reads it back through the Python DataSource — manifest planning, stats
+# file-skipping, Arrow batch reads — and aggregates. The DuckDB oracle
+# reads the ORIGINAL parquet: a hash match proves the whole write->manifest
+# ->DataSource-read loop is value-exact, and running this at sf1 puts the
+# DataSource read leg under the 10x sweep.
+# ---------------------------------------------------------------------------
+@register(
+    "q149_snapshot_format_scan",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)          AS n_orders,
+           {rnd_sql("sum(o_totalprice)", 2)} AS total_price,
+           {rnd_sql("avg(o_totalprice)", 4)} AS avg_price
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 1000.0
+    GROUP BY o_orderpriority
+    """,
+    doc="Aggregate over a snapshot table read back through "
+    "format('snapshot') (manifest planning + stats skipping + Arrow "
+    "reads); oracle reads the original parquet — pins the write/read "
+    "loop value-exact.",
+    tags=("datasource", "snapshot", "scan"),
+)
+def q149_snapshot_format_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from music_recommendation_service_spark.sources.datasource import (
+        register_snapshot_datasource,
+    )
+    from music_recommendation_service_spark.sources.snapshots import (
+        snapshot_versions,
+        snapshot_write,
+    )
+
+    root = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
+    app = spark.sparkContext.applicationId
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    path = f"{root}/spark_graft_scratch/q149_snap-{app}-{tag}"
+    if not snapshot_versions(path):
+        snapshot_write(
+            _t(spark, sf_dir, "orders"),
+            path,
+            stats_cols=["o_totalprice", "o_orderstatus"],
+        )
+    register_snapshot_datasource(spark)
+    o = spark.read.format("snapshot").load(path)
+    return (
+        o.filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 1000.0))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            rnd(F.sum("o_totalprice"), 2).alias("total_price"),
+            rnd(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
