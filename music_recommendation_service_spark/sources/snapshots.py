@@ -4038,6 +4038,42 @@ def snapshot_history(path: str) -> list[dict]:
     return out
 
 
+def snapshot_detail(path: str) -> dict:
+    """DESCRIBE DETAIL parity: one record describing the CURRENT version —
+    location, format, row/file counts, total data bytes, partition-ish
+    layout (data dirs), declared features (constraints/identity/column
+    mapping), and commit times. Metadata plane only except the per-file
+    ``stat`` for sizes — O(files), never reads data pages."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    m = _read_manifest(path, versions[-1])
+    files = _manifest_files(path, m)
+    size = 0
+    for e in files:
+        fp = e["path"] if os.path.isabs(e["path"]) else os.path.join(path, e["path"])
+        try:
+            size += os.path.getsize(fp)
+        except OSError:
+            pass  # vacuumed-from-under external ref: size is best-effort
+    first = _read_manifest(path, versions[0])
+    return {
+        "location": path,
+        "format": "snapshot",
+        "version": m["version"],
+        "num_files": len(files),
+        "num_rows": m.get("n_rows"),
+        "size_bytes": size,
+        "data_dirs": len(m.get("data_dirs") or []),
+        "constraints": sorted(m.get("constraints") or {}),
+        "identity_col": (m.get("identity") or {}).get("col"),
+        "column_mapping": bool(_mapping(m)),
+        "created_at": first.get("committed_at"),
+        "last_modified": m.get("committed_at"),
+        "retained_versions": len(versions),
+    }
+
+
 def snapshot_rollback(path: str, version: int) -> int:
     """RESTORE: commit a NEW version whose manifest points at an old
     version's files (history is preserved — same as Delta RESTORE)."""
@@ -4119,7 +4155,10 @@ def snapshot_clone(src: str, dst: str, version: int | None = None) -> int:
 
 
 def snapshot_vacuum(
-    path: str, keep_last: int = 2, orphan_min_age_sec: float = 600.0
+    path: str,
+    keep_last: int = 2,
+    orphan_min_age_sec: float = 600.0,
+    dry_run: bool = False,
 ) -> list[str]:
     """Drop data no longer referenced by the last ``keep_last`` manifests
     (and the older manifests themselves). Returns removed paths. Like Delta
@@ -4137,6 +4176,10 @@ def snapshot_vacuum(
     unreferenced in a dir that stays live — invisible to readers but
     unbounded dead storage without file-level GC. Deletion-vector position
     dirs are excluded (their parquet is referenced as a dir, not per-file).
+
+    ``dry_run`` (Delta ``VACUUM ... DRY RUN`` parity) returns exactly what
+    a real run would remove — manifests included via side effect of the
+    drop list — and deletes nothing.
     """
     fs = _fs()
     versions = snapshot_versions(path)
@@ -4165,7 +4208,8 @@ def snapshot_vacuum(
                 continue
             d = e["path"].rsplit("/", 1)[0]
             if d not in live_dirs and fs.is_dir(os.path.join(path, d)):
-                fs.delete_tree(os.path.join(path, d))
+                if not dry_run:
+                    fs.delete_tree(os.path.join(path, d))
                 removed.append(d)
             elif (
                 d in live_dirs
@@ -4173,7 +4217,8 @@ def snapshot_vacuum(
                 and fs.is_file(os.path.join(path, e["path"]))
             ):
                 # merge rewrote this file but siblings in its dir are live
-                fs.delete_file(os.path.join(path, e["path"]))
+                if not dry_run:
+                    fs.delete_file(os.path.join(path, e["path"]))
                 removed.append(e["path"])
         for e in dropped:
             ref = (e.get("dv") or {}).get("ref")
@@ -4183,9 +4228,11 @@ def snapshot_vacuum(
                 and ref not in live_dirs
                 and fs.is_dir(os.path.join(path, ref))
             ):
-                fs.delete_tree(os.path.join(path, ref))
+                if not dry_run:
+                    fs.delete_tree(os.path.join(path, ref))
                 removed.append(ref)
-        fs.delete_file(os.path.join(_manifest_dir(path), f"{v}.json"))
+        if not dry_run:
+            fs.delete_file(os.path.join(_manifest_dir(path), f"{v}.json"))
     # Orphans from crashed writes (data dir, no surviving manifest): honor
     # the retention window — a too-eager sweep would delete a concurrent
     # writer's landed-but-uncommitted data mid-commit.
@@ -4194,7 +4241,8 @@ def snapshot_vacuum(
         if entry.startswith("v=") and entry not in live_dirs:
             full = os.path.join(path, entry)
             if fs.is_dir(full) and now - fs.mtime(full) >= orphan_min_age_sec:
-                fs.delete_tree(full)
+                if not dry_run:
+                    fs.delete_tree(full)
                 removed.append(entry)
     # Orphan files inside LIVE data dirs (stream-sink replays, aborted
     # tasks in shared per-query dirs): unreferenced by every retained
@@ -4223,7 +4271,8 @@ def snapshot_vacuum(
                 and fs.is_file(fp)
                 and now - fs.mtime(fp) >= orphan_min_age_sec
             ):
-                fs.delete_file(fp)
+                if not dry_run:
+                    fs.delete_file(fp)
                 removed.append(rel)
     return removed
 

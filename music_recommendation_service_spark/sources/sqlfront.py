@@ -27,8 +27,11 @@ malformed errors loudly rather than half-executing):
     SELECT ... FROM v VERSION AS OF <n> ...          -- time travel
     SELECT ... FROM v TIMESTAMP AS OF '<iso ts>' ... -- time travel
     DESCRIBE HISTORY v
+    DESCRIBE DETAIL v                                -- current-state summary
     OPTIMIZE v [ZORDER BY (c1, c2, ...)]             -- compact / cluster
-    VACUUM v [RETAIN <n> VERSIONS]                   -- version-based retention
+    VACUUM v [RETAIN <n> VERSIONS] [DRY RUN]         -- version-based retention
+    DROP TABLE [IF EXISTS] v                         -- unregister (data stays)
+    SHOW TABLES
     RESTORE [TABLE] v TO VERSION AS OF <n>
     RESTORE [TABLE] v TO TIMESTAMP AS OF '<iso ts>'
     CREATE [OR REPLACE] TABLE v LOCATION '<path>' AS <select>   -- CTAS
@@ -670,20 +673,30 @@ def dispatch_sql(
         return vdf(v), name
     if head == "VACUUM":
         vm = re.match(
-            rf"\s*VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$",
+            rf"\s*VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?"
+            rf"(\s+DRY\s+RUN)?\s*$",
             q, re.IGNORECASE,
         )
         if not vm:
             raise SqlDispatchError(
-                "VACUUM grammar: VACUUM <view> [RETAIN <n> VERSIONS] — the "
-                "snapshot protocol's retention unit is manifest versions, "
-                "not hours"
+                "VACUUM grammar: VACUUM <view> [RETAIN <n> VERSIONS] "
+                "[DRY RUN] — the snapshot protocol's retention unit is "
+                "manifest versions, not hours"
             )
-        name, keep = vm.group(1), vm.group(2)
+        name, keep, dry = vm.group(1), vm.group(2), bool(vm.group(3))
         removed = S.snapshot_vacuum(
             _require_view(name, views),
             keep_last=int(keep) if keep else 2,
+            dry_run=dry,
         )
+        if dry:
+            # Delta DRY RUN parity: list what WOULD be removed, touch nothing
+            return (
+                spark.createDataFrame(
+                    [(p,) for p in removed] or [], "path string"
+                ),
+                None,
+            )
         return (
             spark.createDataFrame(
                 [(len(removed),)], "paths_removed long"
@@ -727,6 +740,31 @@ def dispatch_sql(
             target = eligible[-1]
         return vdf(S.snapshot_rollback(path, target)), name
     if head == "DESCRIBE":
+        dm = re.match(
+            rf"\s*DESCRIBE\s+DETAIL\s+({_IDENT})\s*$", q, re.IGNORECASE
+        )
+        if dm:
+            d = S.snapshot_detail(_require_view(dm.group(1), views))
+            return (
+                spark.createDataFrame(
+                    [(
+                        d["location"], d["format"], d["version"],
+                        d["num_files"], d["num_rows"], d["size_bytes"],
+                        d["data_dirs"], ",".join(d["constraints"]),
+                        d["identity_col"], d["column_mapping"],
+                        float(d["created_at"] or 0),
+                        float(d["last_modified"] or 0),
+                        d["retained_versions"],
+                    )],
+                    "location string, format string, version long, "
+                    "num_files long, num_rows long, size_bytes long, "
+                    "data_dirs long, constraints string, "
+                    "identity_col string, column_mapping boolean, "
+                    "created_at double, last_modified double, "
+                    "retained_versions long",
+                ),
+                None,
+            )
         dm = re.match(
             rf"\s*DESCRIBE\s+HISTORY\s+({_IDENT})\s*$", q, re.IGNORECASE
         )

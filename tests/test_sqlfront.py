@@ -360,3 +360,28 @@ def test_sql_set_identity(spark, eng):
     e.sql("ALTER TABLE t1 DROP IDENTITY")
     e.sql("INSERT INTO t1 (k, amount, tag) VALUES (999, 1.0, 'x')")
     assert 999 in {r["k"] for r in e.sql("SELECT k FROM t1").collect()}
+
+
+def test_sql_describe_detail_and_vacuum_dry_run(spark, tmp_path, eng):
+    e, p = eng
+    d = e.sql("DESCRIBE DETAIL t1").collect()[0]
+    assert d["location"] == p and d["format"] == "snapshot"
+    assert d["version"] == 1 and d["num_rows"] == 4
+    assert d["num_files"] >= 1 and d["size_bytes"] > 0
+    assert d["constraints"] == "" and d["identity_col"] is None
+    # make versions 2..3 so retention has something to drop
+    e.sql("DELETE FROM t1 WHERE k = 1")
+    e.sql("DELETE FROM t1 WHERE k = 2")
+    would = {r["path"] for r in e.sql("VACUUM t1 RETAIN 1 VERSIONS DRY RUN").collect()}
+    # dry run removed NOTHING: time travel to v1 still works
+    assert e.sql("SELECT count(*) AS n FROM t1 VERSION AS OF 1").collect()[0]["n"] == 4
+    got = e.sql("VACUUM t1 RETAIN 1 VERSIONS").collect()[0]["paths_removed"]
+    assert got == len(would) > 0
+    # real vacuum removed exactly the dry-run list
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        e.sql("SELECT count(*) FROM t1 VERSION AS OF 1").collect()
+    assert e.sql("SELECT count(*) AS n FROM t1").collect()[0]["n"] == 2
+    d2 = e.sql("DESCRIBE DETAIL t1").collect()[0]
+    assert d2["retained_versions"] == 1
