@@ -25,12 +25,16 @@ Design notes (and the 100 TB story):
   I/O optimization, never a correctness dependency. Bloom lookups hash with
   the pure-Python XXH64 twin (``sources/xxhash64.py``, bit-parity pinned in
   tests) because the planner runs in a Python worker with no SparkSession.
-- **One input partition per live file** — scan parallelism is file count,
-  the same unit Delta/parquet scans use. Each task reads ONLY its file
-  (pyarrow), applies its deletion vector as a positional mask, null-fills
+- **Input partitions are SIZE-BINNED groups of live files** — Spark's own
+  FilePartition algorithm (``maxPartitionBytes`` 128 MiB default +
+  ``openCostInBytes`` 4 MiB per-file padding, both read options), so a
+  stream-sink table with 100k small commit files schedules ~hundreds of
+  Python tasks, not 100k worker round-trips, while a table of big files
+  keeps one task per file. Each task reads ONLY its files (pyarrow),
+  applies each file's deletion vector as a positional mask, null-fills
   columns added after the file was written, renames physical->logical
   column-mapping names, and yields Arrow record batches (zero row-at-a-time
-  Python).
+  Python; files needing no mask/rename/cast stream through zero-copy).
 - **The streaming source replays the commit chain**: offsets are manifest
   versions, so exactly-once replay falls out of Spark's checkpointed offset
   log plus manifest immutability. Delta streaming-source semantics:
@@ -289,6 +293,49 @@ class SnapshotFilePartition(InputPartition):
     delete_only_new_dead: bool = False
 
 
+@dataclass
+class SnapshotScanPartition(InputPartition):
+    """A size-binned group of files read by ONE task (batch reads)."""
+
+    files: tuple = ()
+
+
+_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+_OPEN_COST_BYTES = 4 * 1024 * 1024
+
+
+def _pack_file_bins(
+    parts: list[SnapshotFilePartition],
+    max_bytes: int = _MAX_PARTITION_BYTES,
+    open_cost: int = _OPEN_COST_BYTES,
+) -> list[SnapshotScanPartition]:
+    """Spark's FilePartition packing: files sorted by size descending,
+    greedily binned so each bin's Σ(size + open_cost) stays under
+    ``max_bytes`` (a single oversized file gets its own bin). The open
+    cost stops thousands of tiny commit files from collapsing into one
+    task; the byte cap keeps per-task memory bounded at 100 TB."""
+    sized = []
+    for p in parts:
+        try:
+            size = os.path.getsize(p.abs_path)
+        except OSError:
+            size = 0
+        sized.append((size + open_cost, p))
+    sized.sort(key=lambda t: t[0], reverse=True)
+    bins: list[SnapshotScanPartition] = []
+    cur: list[SnapshotFilePartition] = []
+    load = 0
+    for cost, p in sized:  # one O(n) pass, like Spark's FilePartition.getFilePartitions
+        if cur and load + cost > max_bytes:
+            bins.append(SnapshotScanPartition(files=tuple(cur)))
+            cur, load = [], 0
+        cur.append(p)
+        load += cost
+    if cur:
+        bins.append(SnapshotScanPartition(files=tuple(cur)))
+    return bins
+
+
 def _dead_positions(dv_ref: str | None, rel2: str):
     """Set of dead row positions this DV records for one file."""
     if not dv_ref:
@@ -320,8 +367,20 @@ def _read_partition_arrow(
 
     declared = _normalized_struct(schema_json)
     target = to_arrow_schema(declared)
-    tbl = pq.read_table(part.abs_path)
+    tbl = pq.read_table(part.abs_path, memory_map=True)
     n = tbl.num_rows
+
+    if (
+        not cdf
+        and part.dv_ref is None
+        and not part.delete_only_new_dead
+        and tbl.schema == target
+    ):
+        # fast path: no mask, no rename, no null-fill, no cast — stream
+        # the file's batches through untouched
+        if n:
+            yield from tbl.to_batches(max_chunksize=1 << 16)
+        return
 
     if part.delete_only_new_dead:
         new_dead = _dead_positions(part.dv_ref, part.rel2)
@@ -383,6 +442,7 @@ class SnapshotBatchReader(DataSourceReader):
                 "explicit .schema(...) on the read"
             )
         self._filters: list[Filter] = []
+        self._options = options
 
     def pushFilters(self, filters):  # noqa: N802 (API name)
         """Record every pushed filter for FILE skipping, then hand them all
@@ -393,7 +453,7 @@ class SnapshotBatchReader(DataSourceReader):
 
     def partitions(self):
         entries = prune_entries(self._path, self._manifest, self._filters)
-        return [
+        files = [
             SnapshotFilePartition(
                 abs_path=(
                     e["path"]
@@ -409,15 +469,21 @@ class SnapshotBatchReader(DataSourceReader):
             )
             for e in entries
         ]
+        return _pack_file_bins(
+            files,
+            int(self._options.get("maxpartitionbytes", _MAX_PARTITION_BYTES)),
+            int(self._options.get("opencostinbytes", _OPEN_COST_BYTES)),
+        )
 
-    def read(self, partition: SnapshotFilePartition):
+    def read(self, partition: SnapshotScanPartition):
         if partition is None:
             # every file pruned: Spark still schedules one task with a
             # None partition when partitions() returned []
             return
-        yield from _read_partition_arrow(
-            partition, self._schema_json, self._mapping, cdf=False
-        )
+        for f in partition.files:
+            yield from _read_partition_arrow(
+                f, self._schema_json, self._mapping, cdf=False
+            )
 
 
 # --------------------------------------------------------------------------

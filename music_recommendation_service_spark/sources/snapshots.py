@@ -20,10 +20,16 @@ Commit protocol (mirrors Delta's optimistic log append):
   object store): two concurrent writers racing to version N cannot both
   win. The loser RE-READS the new
   latest manifest and rebuilds its own manifest against it before retrying
-  (append stacks on top of the winner's files; merge aborts with
-  ``ConcurrentSnapshotError`` because its rewrite decisions are stale) —
-  the same rebase-or-abort rule as Delta's optimistic concurrency, so a
-  lost race can never silently drop the winner's rows.
+  — the same optimistic-concurrency rule as Delta, with LOGICAL conflict
+  detection (``_rebase_concurrent``): an append stacks on top of the
+  winner's files unconditionally; a MERGE/compaction rebases when the
+  concurrent commits are provably disjoint from its plan (none of the
+  files it rewrites changed, no concurrently added file can hold one of
+  its keys by manifest stats/blooms, table metadata untouched) and aborts
+  with ``ConcurrentSnapshotError`` only when disjointness cannot be
+  proven — so sharded writers each merging their own key range never
+  serialize on full recomputes, and a lost race can never silently drop
+  the winner's rows.
 - Readers always see the highest fully-written manifest: a crash between
   data and manifest leaves only an orphaned data dir (vacuumable after a
   retention window), never a torn table.
@@ -471,6 +477,13 @@ def _scan_file_entries(
     for name in names:
         r = by_name.get(name)
         rows = int(r["_rows"]) if r is not None else 0
+        if rows == 0:
+            # Spark emits an empty part file per input partition with no
+            # rows; referencing it buys nothing and COSTS elsewhere: a
+            # stats-less entry defeats metadata pruning and the commit-race
+            # disjointness proof (an empty file "may hold" every key), and
+            # every read schedules a task for it.
+            continue
         stats = None
         if r is not None and stats_cols:
             stats = {
@@ -1292,6 +1305,162 @@ def snapshot_drop_generated(path: str, col: str) -> int:
     return _commit(path, build, op="drop_generated")
 
 
+def _entry_id(e: dict) -> str:
+    """Full-content identity of a manifest file entry (path + dv ref +
+    stats + counts): rebase treats an entry as "unchanged by concurrent
+    commits" only when the WHOLE entry is byte-identical — a concurrently
+    attached deletion vector or re-stat shows up as a different id."""
+    return json.dumps(e, sort_keys=True)
+
+
+def _ident_decl(m: dict | None) -> tuple | None:
+    """Identity declaration signature IGNORING the high-water ``next`` —
+    concurrent appends legitimately advance ``next`` (the sticky carry in
+    ``_commit`` keeps the winner's reservation); only a changed column or
+    step invalidates an in-flight plan."""
+    ident = (m or {}).get("identity")
+    if not ident:
+        return None
+    return (ident.get("col"), ident.get("step"))
+
+
+def _rebase_concurrent(
+    spark: SparkSession,
+    path: str,
+    cur: dict,
+    latest: dict,
+    *,
+    replaced: list[dict],
+    produced: list[dict],
+    op: str,
+    key_cols: list | None = None,
+    mapping: dict | None = None,
+    bounds=None,
+    key_rows: list | None = None,
+    incoming: DataFrame | None = None,
+    forbid_adds: bool = False,
+    allow_any_adds: bool = False,
+) -> tuple[list[dict], int]:
+    """Delta-parity LOGICAL conflict detection for a rewrite commit that
+    lost its version race: decide from MANIFEST METADATA whether this
+    commit's plan is still valid on top of ``latest`` (concurrent commits
+    landed since ``cur`` was read), and return the rebased
+    ``(files, n_rows)`` — or raise ``ConcurrentSnapshotError``.
+
+    The plan stays valid iff ALL of:
+      1. table metadata is untouched — schema, column mapping, CHECK
+         constraints, generated-column rules, identity declaration (the
+         identity high-water may advance: ``_commit``'s sticky carry keeps
+         the winner's reservation);
+      2. every file entry this commit REPLACES (rewrites, re-points at a
+         new deletion vector, or folds away) is still present in ``latest``
+         byte-identically — a concurrent MERGE/compaction/DV-DML that
+         touched one of them invalidates our read of its rows;
+      3. files ADDED by the concurrent commits provably hold none of this
+         commit's merge keys: per-file min/max stats vs the incoming key
+         bounds first, then per-key point tests (stats + blooms, the
+         ``_prune_candidates_by_keys`` machinery) when the batch's distinct
+         keys are small enough to enumerate. ``allow_any_adds`` skips the
+         key test (compaction: adds never conflict with folding OTHER
+         files); ``forbid_adds`` hard-conflicts on any add (a merge with
+         WHEN NOT MATCHED BY SOURCE reads every target row, Delta's
+         documented full-table conflict for that clause).
+
+    Untouched files are taken from ``latest`` (not from ``cur``), so
+    concurrent appends/merges on disjoint keys survive: rebased files =
+    latest minus replaced plus produced. At 1000-writer scale this is what
+    keeps sharded MERGE writers from serializing on full recomputes —
+    the common case (each writer owns a key range, appends carry key
+    stats) commits on the first retry with zero extra data reads.
+    """
+    def conflict(reason: str):
+        raise ConcurrentSnapshotError(
+            f"{path}: version moved {cur.get('version')} -> "
+            f"{latest.get('version')} during {op}; {reason}"
+        )
+
+    if not _schema_equiv(cur["schema"], latest["schema"]):
+        conflict("the schema changed concurrently")
+    if _mapping(cur) != _mapping(latest):
+        conflict("the column mapping changed concurrently")
+    if (cur.get("constraints") or {}) != (latest.get("constraints") or {}):
+        conflict("CHECK constraints changed concurrently (rows were not "
+                 "validated against the new set)")
+    if _generated(cur) != _generated(latest):
+        conflict("generated-column rules changed concurrently")
+    if _ident_decl(cur) != _ident_decl(latest):
+        conflict("the identity declaration changed concurrently")
+
+    latest_files = _manifest_files(path, latest)
+    latest_ids = {_entry_id(e) for e in latest_files}
+    replaced_ids = {_entry_id(e) for e in replaced}
+    for e in replaced:
+        if _entry_id(e) not in latest_ids:
+            conflict(
+                f"file {e['path']} this {op} rewrites was itself "
+                "rewritten, re-pointed, or removed concurrently"
+            )
+
+    base_paths = {e["path"] for e in _manifest_files(path, cur)}
+    # rows == 0 entries (legacy manifests predating the empty-part-file
+    # skip) can't hold any key
+    adds = [
+        e for e in latest_files
+        if e["path"] not in base_paths and e.get("rows") != 0
+    ]
+    if adds and not allow_any_adds:
+        if forbid_adds:
+            conflict(
+                "a concurrent commit added rows and this merge classifies "
+                "every target row (WHEN NOT MATCHED BY SOURCE)"
+            )
+        if key_cols is None or bounds is None:
+            conflict("concurrent commits added rows")
+        phys = {c: _phys(mapping or {}, c) for c in key_cols}
+        overlapping = [
+            e
+            for e in adds
+            if all(
+                _stats_may_contain(
+                    e.get("stats"), phys[c],
+                    bounds[f"_lo_{c}"], bounds[f"_hi_{c}"],
+                )
+                for c in key_cols
+            )
+        ]
+        if overlapping:
+            rows = key_rows
+            if rows is None and incoming is not None:
+                rows = (
+                    incoming.select(*key_cols)
+                    .distinct()
+                    .limit(_MERGE_KEY_PRUNE_MAX + 1)
+                    .collect()
+                )
+            if rows is not None and len(rows) <= _MERGE_KEY_PRUNE_MAX:
+                overlapping = _prune_candidates_by_keys(
+                    spark, path, overlapping, key_cols, rows, mapping
+                )
+            if overlapping:
+                conflict(
+                    "concurrently added file(s) "
+                    f"{[e['path'] for e in overlapping[:3]]} may hold this "
+                    f"{op}'s keys (stats/bloom could not prove disjointness)"
+                )
+
+    live_replaced = [_live_rows(e) for e in replaced]
+    live_produced = [_live_rows(e) for e in produced]
+    if (
+        latest.get("n_rows") is None
+        or any(v is None for v in live_replaced)
+        or any(v is None for v in live_produced)
+    ):
+        conflict("legacy manifests without row counts cannot rebase")
+    out = [e for e in latest_files if _entry_id(e) not in replaced_ids]
+    out += list(produced)
+    return out, latest["n_rows"] - sum(live_replaced) + sum(live_produced)
+
+
 def _merge_dv(
     spark: SparkSession,
     df: DataFrame,
@@ -1304,6 +1473,8 @@ def _merge_dv(
     manifest_extra: dict | None,
     incoming: DataFrame,
     candidates: list[dict],
+    bounds=None,
+    key_rows: list | None = None,
 ) -> int:
     """DV-mode MERGE tail: existing rows beaten by their key's incoming seq
     are marked dead by position; the batch's surviving rows land in ONE
@@ -1351,20 +1522,30 @@ def _merge_dv(
         [_phys(mapping, c) for c in key_cols],
         _bloom_cols_in_use(path, cur),
     )
+    # rebase bookkeeping: base entries whose dv this merge re-points, and
+    # the re-pointed versions it produces (plus the fresh winners file).
+    repointed_base = [e for e in files if _rel2(e["path"]) in new_dead]
+    repointed_new = [e for e in out_files if _rel2(e["path"]) in new_dead]
     out_files = out_files + new_files
     n_killed = sum(new_dead.values())
 
     def build(latest: dict | None, version: int) -> dict:
-        if latest is None or latest["version"] != base_version:
-            raise ConcurrentSnapshotError(
-                f"{path}: version moved {base_version} -> "
-                f"{latest['version'] if latest else None} during merge_dv; "
-                "recompute the merge against the new state"
+        if latest is None:
+            raise ConcurrentSnapshotError(f"{path}: table vanished during merge_dv")
+        if latest["version"] != base_version:
+            files_out, n_rows = _rebase_concurrent(
+                spark, path, cur, latest,
+                replaced=repointed_base,
+                produced=repointed_new + new_files,
+                op="merge_dv", key_cols=key_cols, mapping=mapping,
+                bounds=bounds, key_rows=key_rows, incoming=incoming,
             )
+        else:
+            files_out, n_rows = out_files, cur["n_rows"] - n_killed + n_new
         out = {
-            "data_dirs": _dirs_of(out_files),
-            "files": out_files,
-            "n_rows": cur["n_rows"] - n_killed + n_new,
+            "data_dirs": _dirs_of(files_out),
+            "files": files_out,
+            "n_rows": n_rows,
             "schema": cur["schema"],
             **(manifest_extra or {}),
         }
@@ -1421,8 +1602,15 @@ def snapshot_merge(
          (key columns + ``input_file_name`` only) to find files that truly
          hold a matched key.
     Untouched files are carried into the new manifest by reference. A
-    concurrent commit between our state read and manifest write raises
-    ``ConcurrentSnapshotError`` (the rewrite plan would be stale).
+    concurrent commit landing between our state read and manifest write
+    triggers LOGICAL conflict detection (``_rebase_concurrent``, Delta's
+    optimistic-concurrency rules): the merge REBASES — commits on top of
+    the concurrent state with zero extra data reads — when none of the
+    files it rewrites changed, no concurrently added file can hold one of
+    its keys (manifest stats + bloom point tests), and table metadata is
+    untouched; otherwise it raises ``ConcurrentSnapshotError`` (the
+    rewrite plan would be stale). Sharded writers merging disjoint key
+    ranges therefore never serialize on full recomputes.
     """
     key_cols = list(key_cols)
     if mode not in ("rewrite", "dv"):
@@ -1495,14 +1683,18 @@ def snapshot_merge(
     # --- prune stage 1.5: per-key refinement for SMALL batches -----------
     # Batch-wide bounds cannot prune a scattered micro-batch; point tests
     # per incoming key (stats + blooms) can — the maintenance-wave shape.
+    # (key_rows is kept for the commit-race rebase: the same point tests
+    # prove a concurrently added file disjoint from this batch's keys.)
+    key_rows: list | None = None
     if len(candidates) > 1:
-        key_rows = (
+        probe = (
             incoming.select(*key_cols)
             .distinct()
             .limit(_MERGE_KEY_PRUNE_MAX + 1)
             .collect()
         )
-        if len(key_rows) <= _MERGE_KEY_PRUNE_MAX:
+        if len(probe) <= _MERGE_KEY_PRUNE_MAX:
+            key_rows = probe
             candidates = _prune_candidates_by_keys(
                 spark, path, candidates, key_cols, key_rows, mapping
             )
@@ -1510,6 +1702,7 @@ def snapshot_merge(
         return _merge_dv(
             spark, df, path, cur, base_version, key_cols, seq_col,
             delete_col, manifest_extra, incoming, candidates,
+            bounds=bounds, key_rows=key_rows,
         )
     # --- prune stage 2: exact key membership over candidates only --------
     # DV-aware: a key living only in a file's DEAD positions must not drag
@@ -1578,16 +1771,21 @@ def snapshot_merge(
     out_files = untouched + new_files
 
     def build(latest: dict | None, version: int) -> dict:
-        if latest is None or latest["version"] != base_version:
-            raise ConcurrentSnapshotError(
-                f"{path}: version moved {base_version} -> "
-                f"{latest['version'] if latest else None} during merge; "
-                "recompute the merge against the new state"
+        if latest is None:
+            raise ConcurrentSnapshotError(f"{path}: table vanished during merge")
+        if latest["version"] != base_version:
+            files_out, n_rows = _rebase_concurrent(
+                spark, path, cur, latest,
+                replaced=touched, produced=new_files,
+                op="merge", key_cols=key_cols, mapping=mapping,
+                bounds=bounds, key_rows=key_rows, incoming=incoming,
             )
+        else:
+            files_out, n_rows = out_files, untouched_rows + n_new
         out = {
-            "data_dirs": _dirs_of(out_files),
-            "files": out_files,
-            "n_rows": untouched_rows + n_new,
+            "data_dirs": _dirs_of(files_out),
+            "files": files_out,
+            "n_rows": n_rows,
             "schema": cur["schema"],
             **(manifest_extra or {}),
         }
@@ -1715,7 +1913,12 @@ def snapshot_merge_when(
     broadcast anti-join and only the insert rows land in a new file.
     ``when_not_matched_by_source`` must examine every target row, so it
     touches all files (the same full-table cost Delta documents for that
-    clause). Returns the new version, or None for a provable no-op."""
+    clause). A concurrent commit landing mid-merge rebases when provably
+    disjoint (``_rebase_concurrent``: rewritten files unchanged, added
+    files hold none of the source keys by stats, metadata untouched —
+    with a by-source clause ANY added row conflicts) and aborts with
+    ``ConcurrentSnapshotError`` otherwise. Returns the new version, or
+    None for a provable no-op."""
     import functools
     from pyspark.sql.types import StructType
 
@@ -1963,16 +2166,25 @@ def snapshot_merge_when(
     out_files = untouched + new_files
 
     def build(latest: dict | None, version: int) -> dict:
-        if latest is None or latest["version"] != base_version:
-            raise ConcurrentSnapshotError(
-                f"{path}: version moved {base_version} -> "
-                f"{latest['version'] if latest else None} during merge; "
-                "recompute the merge against the new state"
+        if latest is None:
+            raise ConcurrentSnapshotError(f"{path}: table vanished during merge")
+        if latest["version"] != base_version:
+            files_out, n_rows = _rebase_concurrent(
+                spark, path, cur, latest,
+                replaced=touched, produced=new_files,
+                op="merge", key_cols=key_cols, mapping=mapping,
+                bounds=bounds, incoming=source,
+                # WHEN NOT MATCHED BY SOURCE classifies every target row:
+                # ANY concurrently added row invalidates the plan (Delta's
+                # documented full-table conflict for the clause).
+                forbid_adds=bool(when_not_matched_by_source),
             )
+        else:
+            files_out, n_rows = out_files, untouched_rows + n_new
         mf = {
-            "data_dirs": _dirs_of(out_files),
-            "files": out_files,
-            "n_rows": untouched_rows + n_new,
+            "data_dirs": _dirs_of(files_out),
+            "files": files_out,
+            "n_rows": n_rows,
             "schema": cur["schema"],
             **(manifest_extra or {}),
         }
@@ -2451,9 +2663,12 @@ def snapshot_compact(
     ones and commit the result as a NEW version — content-identical, fewer
     files. Delta OPTIMIZE semantics on the snapshot protocol: readers of any
     prior version are untouched (their files are only dereferenced, never
-    deleted — ``snapshot_vacuum`` reclaims them later), and a concurrent
-    commit landing mid-compaction aborts with ``ConcurrentSnapshotError``
-    rather than clobbering it (compaction is always safe to just re-run).
+    deleted — ``snapshot_vacuum`` reclaims them later). A concurrent
+    commit landing mid-compaction REBASES when it did not touch any file
+    being folded (appends/disjoint merges never conflict with folding
+    other files — ``_rebase_concurrent`` with ``allow_any_adds``) and
+    aborts with ``ConcurrentSnapshotError`` otherwise (compaction is
+    always safe to just re-run).
 
     Files with more than ``small_file_max_rows`` rows (or legacy entries
     with unknown counts) are carried by reference; the small ones are read
@@ -2511,16 +2726,23 @@ def snapshot_compact(
     out_files = big + new_files
 
     def build(latest: dict | None, version: int) -> dict:
-        if latest is None or latest["version"] != base_version:
-            raise ConcurrentSnapshotError(
-                f"{path}: version moved {base_version} -> "
-                f"{latest['version'] if latest else None} during compaction; "
-                "re-run compaction against the new state"
+        if latest is None:
+            raise ConcurrentSnapshotError(f"{path}: table vanished during compaction")
+        if latest["version"] != base_version:
+            # Folding OTHER files never conflicts with concurrently ADDED
+            # rows (allow_any_adds); it only conflicts when a concurrent
+            # commit touched one of the files being folded.
+            files_out, n_rows = _rebase_concurrent(
+                spark, path, cur, latest,
+                replaced=small, produced=new_files,
+                op="compaction", mapping=mapping, allow_any_adds=True,
             )
+        else:
+            files_out, n_rows = out_files, cur["n_rows"]
         out = {
-            "data_dirs": _dirs_of(out_files),
-            "files": out_files,
-            "n_rows": cur["n_rows"],
+            "data_dirs": _dirs_of(files_out),
+            "files": files_out,
+            "n_rows": n_rows,
             "schema": cur["schema"],
             # Delta marks OPTIMIZE commits dataChange=false; the change feed
             # skips them so keyless consumers don't see the whole compacted

@@ -40,6 +40,12 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+def _scan_files(reader):
+    """Files surviving the reader's pruning, across the size-binned input
+    partitions (partitions() groups files per task; pruning is per-file)."""
+    return [f for p in reader.partitions() for f in p.files]
+
+
 def _assert_parity(spark, path, version=None):
     opts = {} if version is None else {"version": str(version)}
     got = spark.read.format("snapshot").options(**opts).load(path)
@@ -175,16 +181,16 @@ def test_pushdown_prunes_files(spark, tmp_path):
     r = SnapshotBatchReader({"path": t}, schema=None)
     returned = r.pushFilters([EqualTo(("s",), "x123")])
     assert list(returned) == [EqualTo(("s",), "x123")]  # Spark re-applies all
-    pruned = r.partitions()
+    pruned = _scan_files(r)
     assert 0 < len(pruned) < total  # bloom point skip
 
     r2 = SnapshotBatchReader({"path": t}, schema=None)
     r2.pushFilters([GreaterThan(("id",), 249)])
-    assert 0 < len(r2.partitions()) < total  # min/max range skip
+    assert 0 < len(_scan_files(r2)) < total  # min/max range skip
 
     r3 = SnapshotBatchReader({"path": t}, schema=None)
     r3.pushFilters([In(("s",), ("x3", "x260"))])
-    assert 0 < len(r3.partitions()) < total
+    assert 0 < len(_scan_files(r3)) < total
 
     # and the E2E answers stay exact
     got = spark.read.format("snapshot").load(t).filter("s = 'x123'").collect()
@@ -192,12 +198,40 @@ def test_pushdown_prunes_files(spark, tmp_path):
     assert spark.read.format("snapshot").load(t).filter("id > 249").count() == 50
 
 
+def test_scan_partitions_are_size_binned(spark, tmp_path):
+    """Many small commit files pack into FEW input partitions (Spark's
+    maxPartitionBytes + openCostInBytes algorithm) instead of one Python
+    task per file; the options re-split them; answers are identical."""
+    t = str(tmp_path / "tbl")
+    m = _chunked_table(spark, t)
+    total = len(m["files"])
+    assert total >= 6
+
+    r = SnapshotBatchReader({"path": t}, schema=None)
+    bins = r.partitions()
+    assert len(bins) < total  # tiny files share tasks under the default cap
+    assert sum(len(p.files) for p in bins) == total
+
+    # shrinking the cap re-splits down to one file per task
+    r1 = SnapshotBatchReader(
+        {"path": t, "maxpartitionbytes": "1", "opencostinbytes": "0"},
+        schema=None,
+    )
+    assert len(r1.partitions()) == total
+
+    got_default = _rows(spark.read.format("snapshot").load(t))
+    got_split = _rows(
+        spark.read.format("snapshot").option("maxPartitionBytes", "1").load(t)
+    )
+    assert got_default == got_split == _rows(sn.snapshot_read(spark, t))
+
+
 def test_pushdown_never_loses_rows_on_statless_files(spark, tmp_path):
     t = str(tmp_path / "tbl")
     sn.snapshot_write(spark.range(10).selectExpr("id"), t)  # no stats at all
     r = SnapshotBatchReader({"path": t}, schema=None)
     r.pushFilters([EqualTo(("id",), 3), GreaterThan(("id",), 100)])
-    assert len(r.partitions()) == len(sn._latest_manifest(t)["files"])
+    assert len(_scan_files(r)) == len(sn._latest_manifest(t)["files"])
 
 
 def test_isnotnull_skips_all_null_bloom_files(spark, tmp_path):
@@ -212,7 +246,7 @@ def test_isnotnull_skips_all_null_bloom_files(spark, tmp_path):
     )
     r = SnapshotBatchReader({"path": t}, schema=None)
     r.pushFilters([IsNotNull(("s",))])
-    kept = r.partitions()
+    kept = _scan_files(r)
     assert len(kept) < len(sn._latest_manifest(t)["files"])
     got = spark.read.format("snapshot").load(t).filter("s is not null")
     assert got.count() == 5
@@ -248,7 +282,7 @@ def test_writer_creates_and_appends_with_native_discipline(spark, tmp_path):
     # ...and the DS-written blooms actually skip on the DS READ path
     r = SnapshotBatchReader({"path": t}, schema=None)
     r.pushFilters([EqualTo(("s",), "k115")])
-    assert len(r.partitions()) < len(m2["files"])
+    assert len(_scan_files(r)) < len(m2["files"])
 
 
 def test_writer_bloom_bitsets_match_native_write_path(spark, tmp_path):

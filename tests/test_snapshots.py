@@ -164,8 +164,9 @@ def test_snapshot_merge_seq_and_replay(spark, tmp_path):
 
 def test_snapshot_merge_concurrent_commit_aborts(spark, tmp_path, monkeypatch, snapshot_fs):
     """A commit landing between merge's state read and its manifest write
-    must abort the merge (its rewrite plan is stale), not silently drop the
-    concurrent writer's rows."""
+    whose key-disjointness CANNOT be proven (this append carries no key
+    stats) must abort the merge, not silently drop the concurrent writer's
+    rows. The provably-disjoint rebase cases are below."""
     from music_recommendation_service_spark.sources import snapshots as S
 
     path = str(tmp_path / "merge_race")
@@ -192,6 +193,260 @@ def test_snapshot_merge_concurrent_commit_aborts(spark, tmp_path, monkeypatch, s
     # the concurrent append's row is intact
     ks = {r["k"] for r in S.snapshot_read(spark, path).collect()}
     assert 99 in ks
+
+
+def _race_once(monkeypatch, S, path, action):
+    """Patch ``_new_data_dir`` so ``action()`` fires as a concurrent commit
+    the first time the operation under test lands data at ``path`` —
+    deterministically between its state read and its manifest write."""
+    real = S._new_data_dir
+    fired = {"done": False}
+
+    def racing(p):
+        if p == path and not fired["done"]:
+            fired["done"] = True
+            with monkeypatch.context() as mp:
+                mp.setattr(S, "_new_data_dir", real)
+                action()
+        return real(p)
+
+    monkeypatch.setattr(S, "_new_data_dir", racing)
+
+
+def test_snapshot_merge_rebases_over_disjoint_append(spark, tmp_path, monkeypatch):
+    """Logical conflict detection (Delta OCC parity): an append whose file
+    stats prove it holds NONE of the merge's keys does not invalidate the
+    merge — the merge REBASES onto the appended state and commits without
+    recomputing. Both writers' effects land; nothing is lost."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "merge_rebase")
+    S.snapshot_merge(
+        _snap_df(spark, [(1, 1, "a"), (2, 1, "b")]),
+        path, key_cols=["k"], seq_col="seq",
+    )
+
+    _race_once(
+        monkeypatch, S, path,
+        lambda: S.snapshot_append(
+            _snap_df(spark, [(99, 1, "raced")]), path, stats_cols=["k"]
+        ),
+    )
+    v = S.snapshot_merge(
+        _snap_df(spark, [(1, 2, "upd")]), path, key_cols=["k"], seq_col="seq"
+    )
+    assert v == 3  # base, raced append, rebased merge — single commit, no retry
+    got = {r["k"]: (r["seq"], r["payload"]) for r in S.snapshot_read(spark, path).collect()}
+    assert got == {1: (2, "upd"), 2: (1, "b"), 99: (1, "raced")}
+
+
+def test_snapshot_merge_aborts_on_overlapping_append(spark, tmp_path, monkeypatch):
+    """An append that MAY hold one of the merge's keys (stats overlap: it
+    appended the very key being merged) is a real write-write conflict —
+    the merge must abort, or the upsert would leave duplicate keys."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "merge_overlap")
+    S.snapshot_merge(
+        _snap_df(spark, [(1, 1, "a"), (2, 1, "b")]),
+        path, key_cols=["k"], seq_col="seq",
+    )
+
+    _race_once(
+        monkeypatch, S, path,
+        lambda: S.snapshot_append(
+            _snap_df(spark, [(1, 9, "conflict")]), path, stats_cols=["k"]
+        ),
+    )
+    with pytest.raises(S.ConcurrentSnapshotError):
+        S.snapshot_merge(
+            _snap_df(spark, [(1, 2, "upd")]), path, key_cols=["k"], seq_col="seq"
+        )
+    # the concurrent append survives; a recomputed merge then works
+    assert (2, 9, "conflict") in {
+        (r["k"], r["seq"], r["payload"]) for r in S.snapshot_read(spark, path).collect()
+    } or (1, 9, "conflict") in {
+        (r["k"], r["seq"], r["payload"]) for r in S.snapshot_read(spark, path).collect()
+    }
+    S.snapshot_merge(
+        _snap_df(spark, [(1, 10, "recomputed")]), path, key_cols=["k"], seq_col="seq"
+    )
+    got = {r["k"]: r["payload"] for r in S.snapshot_read(spark, path).collect()}
+    assert got[1] == "recomputed"
+
+
+def test_snapshot_merge_rebase_point_tests_straddling_keys(spark, tmp_path, monkeypatch):
+    """Batch-wide key bounds cannot prove disjointness when the merge's keys
+    STRADDLE the appended range ([1, 200] brackets 99) — the per-key point
+    tests (the stage-1.5 machinery reused at commit time) still prove it,
+    so the merge rebases instead of aborting."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "merge_straddle")
+    S.snapshot_merge(
+        _snap_df(spark, [(1, 1, "a"), (200, 1, "z")]),
+        path, key_cols=["k"], seq_col="seq",
+    )
+
+    _race_once(
+        monkeypatch, S, path,
+        lambda: S.snapshot_append(
+            _snap_df(spark, [(99, 1, "raced")]), path, stats_cols=["k"]
+        ),
+    )
+    v = S.snapshot_merge(
+        _snap_df(spark, [(1, 2, "u1"), (200, 2, "u200")]),
+        path, key_cols=["k"], seq_col="seq",
+    )
+    assert v == 3
+    got = {r["k"]: r["payload"] for r in S.snapshot_read(spark, path).collect()}
+    assert got == {1: "u1", 200: "u200", 99: "raced"}
+
+
+def test_snapshot_merge_dv_rebases_over_disjoint_append(spark, tmp_path, monkeypatch):
+    """DV-mode merge rebases the same way: the re-pointed entries and the
+    fresh winners file stack on top of the concurrently appended state."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "merge_dv_rebase")
+    S.snapshot_merge(
+        _snap_df(spark, [(1, 1, "a"), (2, 1, "b")]),
+        path, key_cols=["k"], seq_col="seq", mode="dv",
+    )
+
+    _race_once(
+        monkeypatch, S, path,
+        lambda: S.snapshot_append(
+            _snap_df(spark, [(99, 1, "raced")]), path, stats_cols=["k"]
+        ),
+    )
+    v = S.snapshot_merge(
+        _snap_df(spark, [(1, 2, "upd")]), path, key_cols=["k"], seq_col="seq",
+        mode="dv",
+    )
+    assert v == 3
+    got = {r["k"]: (r["seq"], r["payload"]) for r in S.snapshot_read(spark, path).collect()}
+    assert got == {1: (2, "upd"), 2: (1, "b"), 99: (1, "raced")}
+
+
+def test_merge_when_rebases_over_disjoint_append(spark, tmp_path, monkeypatch):
+    """The multi-clause MERGE rebases over a provably key-disjoint
+    concurrent append exactly like the keyed merge."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "mw_rebase")
+    S.snapshot_write(
+        _snap_df(spark, [(1, 1, "a"), (2, 1, "b")]), path, stats_cols=["k"]
+    )
+
+    _race_once(
+        monkeypatch, S, path,
+        lambda: S.snapshot_append(
+            _snap_df(spark, [(99, 1, "raced")]), path, stats_cols=["k"]
+        ),
+    )
+    v = S.snapshot_merge_when(
+        _snap_df(spark, [(1, 2, "upd")]), path, key_cols=["k"],
+        when_matched=[{"action": "update", "set": {"payload": "s.payload", "seq": "s.seq"}}],
+    )
+    assert v == 3
+    got = {r["k"]: r["payload"] for r in S.snapshot_read(spark, path).collect()}
+    assert got == {1: "upd", 2: "b", 99: "raced"}
+
+
+def test_merge_when_by_source_conflicts_with_any_append(spark, tmp_path, monkeypatch):
+    """WHEN NOT MATCHED BY SOURCE classifies every target row, so ANY
+    concurrently added row — even provably key-disjoint — invalidates the
+    plan (Delta's documented full-table conflict for the clause)."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "mw_by_source")
+    S.snapshot_write(
+        _snap_df(spark, [(1, 1, "a"), (2, 1, "b")]), path, stats_cols=["k"]
+    )
+
+    _race_once(
+        monkeypatch, S, path,
+        lambda: S.snapshot_append(
+            _snap_df(spark, [(99, 1, "raced")]), path, stats_cols=["k"]
+        ),
+    )
+    with pytest.raises(S.ConcurrentSnapshotError):
+        S.snapshot_merge_when(
+            _snap_df(spark, [(1, 2, "upd")]), path, key_cols=["k"],
+            when_matched=[{"action": "update", "set": {"payload": "s.payload"}}],
+            when_not_matched_by_source=[{"action": "delete"}],
+        )
+    # the raced row is intact (it would have been wrongly deleted had the
+    # stale plan committed: it was not in the plan's target image)
+    assert 99 in {r["k"] for r in S.snapshot_read(spark, path).collect()}
+
+
+def test_merge_rebase_aborts_on_concurrent_constraint_change(spark, tmp_path, monkeypatch):
+    """A CHECK constraint added mid-merge invalidates the plan: the merge's
+    rows were never validated against it."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "merge_constraint_race")
+    S.snapshot_merge(
+        _snap_df(spark, [(1, 1, "a"), (2, 1, "b")]),
+        path, key_cols=["k"], seq_col="seq",
+    )
+
+    _race_once(
+        monkeypatch, S, path,
+        lambda: S.snapshot_add_constraint(spark, path, "seq_pos", "seq > 0"),
+    )
+    with pytest.raises(S.ConcurrentSnapshotError):
+        S.snapshot_merge(
+            _snap_df(spark, [(1, 2, "upd")]), path, key_cols=["k"], seq_col="seq"
+        )
+
+
+def test_concurrent_disjoint_merges_thread_stress(spark, tmp_path):
+    """Sharded-writer shape at 1000-executor scale, in miniature: writers
+    each MERGE their own key range concurrently. With logical conflict
+    detection most losers rebase instead of recomputing; with a bounded
+    retry-on-abort loop every update lands exactly once."""
+    import threading
+
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "merge_shard_stress")
+    # one file per key range so concurrent merges touch disjoint files
+    for shard in range(4):
+        S.snapshot_append(
+            _snap_df(spark, [(shard * 100 + i, 0, "base") for i in range(5)]),
+            path, stats_cols=["k"],
+        )
+
+    errors: list = []
+
+    def writer(shard: int):
+        try:
+            df = _snap_df(
+                spark, [(shard * 100 + i, 1, f"s{shard}") for i in range(5)]
+            )
+            for attempt in range(8):
+                try:
+                    S.snapshot_merge(df, path, key_cols=["k"], seq_col="seq")
+                    return
+                except S.ConcurrentSnapshotError:
+                    continue
+            raise AssertionError(f"shard {shard}: retries exhausted")
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(s,)) for s in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    got = {r["k"]: (r["seq"], r["payload"]) for r in S.snapshot_read(spark, path).collect()}
+    assert got == {
+        s * 100 + i: (1, f"s{s}") for s in range(4) for i in range(5)
+    }
 
 
 def test_snapshot_append_rebases_on_conflict(spark, tmp_path, monkeypatch):
@@ -271,10 +526,11 @@ def test_snapshot_compact_folds_small_files(spark, tmp_path):
     assert snapshot_compact(spark, path, small_file_max_rows=1000) is None
 
 
-def test_snapshot_compact_concurrent_commit_aborts(spark, tmp_path, monkeypatch):
-    """A commit landing between compaction's state read and its manifest
-    write aborts it (safe: compaction can simply be re-run) — the
-    concurrent writer's rows survive."""
+def test_snapshot_compact_rebases_over_concurrent_append(spark, tmp_path, monkeypatch):
+    """An append landing between compaction's state read and its manifest
+    write never conflicts with folding OTHER files: the compaction rebases
+    (commits on top of the appended state) instead of aborting — both the
+    folded content and the concurrent writer's rows survive."""
     from music_recommendation_service_spark.sources import snapshots as S
 
     path = str(tmp_path / "compact_race")
@@ -294,10 +550,48 @@ def test_snapshot_compact_concurrent_commit_aborts(spark, tmp_path, monkeypatch)
         return real(p)
 
     monkeypatch.setattr(S, "_new_data_dir", racing)
+    v = S.snapshot_compact(spark, path, small_file_max_rows=1000)
+    assert v == 3  # write, racing append, compact — no abort, no retry loop
+    got = {r["k"]: r["payload"] for r in S.snapshot_read(spark, path).collect()}
+    assert got == {**{k: "x" for k in range(10)}, 99: "raced"}
+    # the folded output replaced the 4 small base files; the raced append's
+    # file is carried by reference
+    n_files = len(S._manifest_files(path, S._read_manifest(path, v)))
+    assert n_files == 2
+
+
+def test_snapshot_compact_aborts_when_folded_file_touched(spark, tmp_path, monkeypatch):
+    """A concurrent commit that TOUCHES a file being folded (here: a DV
+    delete re-pointing it) invalidates the compaction plan — abort, and the
+    concurrent delete survives intact."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "compact_race_touch")
+    S.snapshot_write(
+        _snap_df(spark, [(k, 1, "x") for k in range(10)]).repartition(4),
+        path,
+        stats_cols=["k"],
+    )
+
+    real = S._new_data_dir
+    fired = {"done": False}
+
+    def racing(p):
+        if p == path and not fired["done"]:
+            fired["done"] = True
+            with monkeypatch.context() as mp:
+                mp.setattr(S, "_new_data_dir", real)
+                S.snapshot_delete_where(spark, path, "k = 3", mode="dv")
+        return real(p)
+
+    monkeypatch.setattr(S, "_new_data_dir", racing)
     with pytest.raises(S.ConcurrentSnapshotError):
         S.snapshot_compact(spark, path, small_file_max_rows=1000)
     ks = {r["k"] for r in S.snapshot_read(spark, path).collect()}
-    assert 99 in ks
+    assert ks == set(range(10)) - {3}
+    # compaction is safe to simply re-run against the new state
+    assert S.snapshot_compact(spark, path, small_file_max_rows=1000) is not None
+    assert {r["k"] for r in S.snapshot_read(spark, path).collect()} == ks
 
 
 def test_snapshot_changes_append_only(spark, tmp_path):

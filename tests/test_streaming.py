@@ -655,10 +655,12 @@ def test_foreach_batch_merge_snapshot_sink(
 
 
 def test_foreach_batch_merge_retry_on_conflict(spark, tmp_path, monkeypatch):
-    """A concurrent writer committing mid-merge makes the micro-batch's
-    first snapshot_merge attempt stale (ConcurrentSnapshotError); the sink
-    must recompute against the fresh manifest and retry, so the stream
-    completes and BOTH writers' rows survive."""
+    """A concurrent writer appending ONE OF THE MERGE'S OWN KEYS mid-merge
+    makes the micro-batch's first snapshot_merge attempt stale — logical
+    conflict detection cannot rebase over a key-overlapping add — so the
+    sink must recompute against the fresh manifest and retry; the stream
+    completes and BOTH writers' rows survive. (The key-DISJOINT race is
+    covered below: it rebases in-commit with no sink retry at all.)"""
     import datetime as dt
     import json as _json
 
@@ -691,7 +693,9 @@ def test_foreach_batch_merge_retry_on_conflict(spark, tmp_path, monkeypatch):
     def racing(p):
         if p == out and not fired["done"]:
             fired["done"] = True
-            S.snapshot_append(frame([(5, 99)]), out, stats_cols=["user_id"])
+            # user 1 is one of the micro-batch's merge keys: a real
+            # write-write conflict the rebase must NOT absorb
+            S.snapshot_append(frame([(5, 1)]), out, stats_cols=["user_id"])
         return real_ndd(p)
 
     monkeypatch.setattr(S, "_new_data_dir", racing)
@@ -728,6 +732,87 @@ def test_foreach_batch_merge_retry_on_conflict(spark, tmp_path, monkeypatch):
     q.awaitTermination(120)
 
     assert calls["n"] == 2  # first attempt aborted stale, retry succeeded
+    got = {
+        r["user_id"]: r["event_id"]
+        for r in S.snapshot_read(spark, out).select("user_id", "event_id").collect()
+    }
+    # the retry re-read user 1's raced row and the batch's seq-100 update
+    # still wins its key; nothing is lost, nothing duplicated
+    assert got == {1: 100, 2: 20, 3: 30}
+
+
+def test_foreach_batch_merge_rebases_disjoint_race_without_retry(
+    spark, tmp_path, monkeypatch
+):
+    """A concurrent append of a DIFFERENT key (with key stats) mid-merge is
+    absorbed by the commit's logical conflict detection: the micro-batch
+    merge rebases and commits on its FIRST attempt — no sink-level retry,
+    no recompute — and both writers' rows land."""
+    import datetime as dt
+    import json as _json
+
+    from music_recommendation_service_spark.sources import snapshots as S
+    from music_recommendation_service_spark.streaming.pipeline import (
+        foreach_batch_merge,
+    )
+
+    in_dir = tmp_path / "rebase_in"
+    in_dir.mkdir()
+    out, cp = str(tmp_path / "rebase_out"), str(tmp_path / "rebase_cp")
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [
+                (eid, dt.datetime(2024, 1, 1), uid, "like", 1.0, "{}")
+                for eid, uid in rows
+            ],
+            EVENT_SCHEMA,
+        )
+
+    S.snapshot_write(frame([(10, 1), (20, 2)]), out, stats_cols=["user_id"])
+
+    real_ndd = S._new_data_dir
+    fired = {"done": False}
+
+    def racing(p):
+        if p == out and not fired["done"]:
+            fired["done"] = True
+            S.snapshot_append(frame([(5, 99)]), out, stats_cols=["user_id"])
+        return real_ndd(p)
+
+    monkeypatch.setattr(S, "_new_data_dir", racing)
+
+    real_merge = S.snapshot_merge
+    calls = {"n": 0}
+
+    def counting_merge(*a, **kw):
+        calls["n"] += 1
+        return real_merge(*a, **kw)
+
+    monkeypatch.setattr(S, "snapshot_merge", counting_merge)
+
+    with open(in_dir / "b0.json", "w") as f:
+        for eid, uid in ((100, 1), (30, 3)):
+            f.write(
+                _json.dumps(
+                    {
+                        "event_id": eid,
+                        "ts": "2024-01-01T00:00:00.000000Z",
+                        "user_id": uid,
+                        "event_type": "like",
+                        "value": 1.0,
+                        "props": "{}",
+                    }
+                )
+                + "\n"
+            )
+    stream = stream_from_directory(spark, str(in_dir), EVENT_SCHEMA)
+    q = foreach_batch_merge(
+        stream, out, cp, key_cols=("user_id",), seq_col="event_id"
+    )
+    q.awaitTermination(120)
+
+    assert calls["n"] == 1  # rebased in-commit: zero sink retries
     got = {
         r["user_id"]: r["event_id"]
         for r in S.snapshot_read(spark, out).select("user_id", "event_id").collect()
