@@ -112,6 +112,72 @@ def _identity_worker(args) -> list:
     return claims
 
 
+def _merge_worker(args) -> tuple:
+    """One writer process doing merge-SHAPED rewrite commits: each commit
+    replaces the writer's own shard file with a new one (key stats
+    ``writer == wid``), using the same ``_rebase_concurrent`` logical
+    conflict detection ``snapshot_merge`` runs on a lost version race.
+    Shards are key-disjoint, so every lost race must REBASE — zero
+    aborts — which is exactly the sharded-writer claim at cluster scale."""
+    table, wid, n_commits, rows_per = args
+    from music_recommendation_service_spark.sources import snapshots as s
+
+    bounds = {"_lo_writer": wid, "_hi_writer": wid}
+    aborts = 0
+    my_entry: dict | None = None
+    for i in range(n_commits):
+        versions = s.snapshot_versions(table)
+        cur = s._read_manifest(table, versions[-1])
+        rel, full = s._new_data_dir(table)
+        os.makedirs(full, exist_ok=True)
+        name = f"part-w{wid}-c{i}.parquet"
+        tbl = pa.table(
+            {
+                "writer": pa.array([wid] * rows_per, pa.int64()),
+                "seq": pa.array([i] * rows_per, pa.int64()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(full, name))
+        new_entry = {
+            "path": f"{rel}/{name}",
+            "rows": rows_per,
+            "stats": {"writer": [wid, wid]},
+        }
+        replaced = [my_entry] if my_entry is not None else []
+
+        def build(latest, version):
+            if latest["version"] != cur["version"]:
+                files, n_rows = s._rebase_concurrent(
+                    None, table, cur, latest,
+                    replaced=replaced, produced=[new_entry],
+                    op="merge", key_cols=["writer"], mapping={},
+                    bounds=bounds,
+                )
+            else:
+                keep = [
+                    e for e in s._manifest_files(table, latest)
+                    if e["path"] != (my_entry or {}).get("path")
+                ]
+                files = keep + [new_entry]
+                n_rows = latest["n_rows"] + rows_per - (
+                    rows_per if my_entry is not None else 0
+                )
+            return {
+                "data_dirs": s._dirs_of(files),
+                "files": files,
+                "n_rows": n_rows,
+                "schema": latest["schema"],
+            }
+
+        try:
+            s._commit(table, build, op="stress_merge")
+        except s.ConcurrentSnapshotError:
+            aborts += 1
+            continue
+        my_entry = new_entry
+    return wid, aborts
+
+
 def _register_worker(args) -> list:
     """One process registering a slice of table names in the shared
     durable catalog (the CREATE TABLE front)."""
@@ -150,6 +216,32 @@ def test_cross_process_appends_linearize(spark, tmp_path):
     assert {(r["writer"], r["seq"]) for r in got} == {
         (w, i) for w in range(N_WRITERS) for i in range(N_COMMITS)
     }
+
+
+def test_cross_process_sharded_merges_rebase_without_aborts(spark, tmp_path):
+    """4 real OS processes × 25 merge-shaped rewrites each on ONE table,
+    each process owning a key-disjoint shard: logical conflict detection
+    must rebase EVERY lost race (zero aborts), the version chain stays
+    dense, and the final state is exactly each shard's last write."""
+    table = str(tmp_path / "t")
+    _create_empty(table)
+    with _pool() as pool:
+        results = pool.map(
+            _merge_worker,
+            [(table, w, N_COMMITS, ROWS_PER) for w in range(N_WRITERS)],
+        )
+    assert sorted(w for w, _ in results) == list(range(N_WRITERS))
+    assert sum(a for _, a in results) == 0  # every lost race rebased
+    total_commits = N_WRITERS * N_COMMITS
+    assert sn.snapshot_versions(table) == list(range(1, total_commits + 2))
+    m = sn._latest_manifest(table)
+    assert m["n_rows"] == N_WRITERS * ROWS_PER
+    assert len(m["files"]) == N_WRITERS  # one live shard file per writer
+    got = {
+        (r["writer"], r["seq"])
+        for r in sn.snapshot_read(spark, table).collect()
+    }
+    assert got == {(w, N_COMMITS - 1) for w in range(N_WRITERS)}
 
 
 def test_cross_process_identity_ranges_unique(tmp_path):
