@@ -500,6 +500,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
         mv = options.get("maxversionspertrigger")
         self._max_versions = int(mv) if mv else None
         self._last_end: int | None = None  # last PLANNED end, for rate limiting
+        self._options = options
         if not sn.snapshot_versions(self._path):
             raise FileNotFoundError(f"no snapshot table at {self._path}")
         # Pin the schema SPARK hands us (the query's analyzed schema): the
@@ -668,19 +669,26 @@ class SnapshotStreamReader(DataSourceStreamReader):
         for v in [x for x in versions if sv < x <= end["v"]]:
             parts += self._commit_partitions(v)
         self._last_end = end["v"]
-        return parts
+        # Same size-binning as the batch reader: the INITIAL SNAPSHOT of a
+        # large table (or a big replayed commit range) must not schedule
+        # one Python task per file. Per-file CDF metadata rides inside the
+        # bins, so change semantics are untouched.
+        return _pack_file_bins(
+            parts,
+            int(self._options.get("maxpartitionbytes", _MAX_PARTITION_BYTES)),
+            int(self._options.get("opencostinbytes", _OPEN_COST_BYTES)),
+        )
 
-    def read(self, partition: SnapshotFilePartition):
+    def read(self, partition: SnapshotScanPartition):
         if partition is None:
             return  # empty micro-batch window
         # Re-read the mapping lazily: renames fail the schema check above,
         # so the mapping in force when the stream started is still valid.
-        yield from _read_partition_arrow(
-            partition,
-            self._schema_json,
-            sn._mapping(sn._latest_manifest(self._path) or {}),
-            cdf=self._cdf,
-        )
+        mapping = sn._mapping(sn._latest_manifest(self._path) or {})
+        for f in partition.files:
+            yield from _read_partition_arrow(
+                f, self._schema_json, mapping, cdf=self._cdf
+            )
 
 
 # --------------------------------------------------------------------------

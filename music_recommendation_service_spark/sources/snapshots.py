@@ -1324,6 +1324,179 @@ def _ident_decl(m: dict | None) -> tuple | None:
     return (ident.get("col"), ident.get("step"))
 
 
+def _split_top_level_and(s: str) -> list[str] | None:
+    """Split ``s`` on the keyword AND at paren/quote depth 0
+    (case-insensitive); None when a depth-0 OR, or a BETWEEN anywhere (its
+    embedded AND would mangle the split), makes conjunction semantics
+    unsafe to assume."""
+    import re
+
+    if re.search(r"(?<![A-Za-z0-9_])BETWEEN(?![A-Za-z0-9_])", s.upper()):
+        return None
+
+    def kw_at(i: int, word: str) -> bool:
+        return (
+            s.upper().startswith(word, i)
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (
+                i + len(word) == len(s)
+                or not (s[i + len(word)].isalnum() or s[i + len(word)] == "_")
+            )
+        )
+
+    parts, buf, depth, i, in_q = [], [], 0, 0, False
+    while i < len(s):
+        ch = s[i]
+        if in_q:
+            buf.append(ch)
+            if ch == "'":
+                in_q = False
+            i += 1
+            continue
+        if ch == "'":
+            in_q = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0 and kw_at(i, "AND"):
+            parts.append("".join(buf))
+            buf = []
+            i += 3
+            continue
+        if depth == 0 and kw_at(i, "OR"):
+            return None  # depth-0 OR: not a conjunction
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
+def _try_iso_dt(v):
+    """datetime for an ISO-ish literal/stat string (space or 'T'
+    separator), else None — temporal stats compare chronologically, never
+    textually (isoformat 'T' vs SQL ' ' would corrupt string order)."""
+    import datetime as _dt
+    import re
+
+    if not isinstance(v, str) or not re.match(r"^\d{4}-\d{2}-\d{2}([ T]|$)", v):
+        return None
+    try:
+        return _dt.datetime.fromisoformat(v.replace(" ", "T"))
+    except ValueError:
+        return None
+
+
+_PRED_LIT = r"(?:'(?P<str>[^']*)'|(?P<num>-?\d+(?:\.\d+)?)|(?P<bool>(?i:true|false)))"
+
+
+def _pred_parse_lit(m) -> object:
+    if m.group("str") is not None:
+        return m.group("str")
+    if m.group("bool") is not None:
+        return m.group("bool").lower() == "true"
+    n = m.group("num")
+    return float(n) if "." in n else int(n)
+
+
+def _predicate_conjuncts(predicate: str) -> list[tuple[str, str, list]]:
+    """Best-effort SOUND parse of a DML predicate into required conjuncts
+    ``(col, op, values)`` — every returned conjunct MUST hold for a row to
+    match. Unparseable pieces are dropped (fewer constraints = weaker but
+    sound disproof); a depth-0 OR or BETWEEN voids the whole parse."""
+    import re
+
+    pieces = _split_top_level_and(predicate)
+    if pieces is None:
+        return []
+    out: list[tuple[str, str, list]] = []
+    cmp_re = re.compile(
+        rf"^\s*\(?\s*`?(?P<col>[A-Za-z_][A-Za-z0-9_]*)`?\s*"
+        rf"(?P<op>=|==|<=|>=|<|>)\s*{_PRED_LIT}\s*\)?\s*$"
+    )
+    in_re = re.compile(
+        r"^\s*\(?\s*`?(?P<col>[A-Za-z_][A-Za-z0-9_]*)`?\s+(?i:IN)\s*"
+        r"\((?P<body>[^()]*)\)\s*\)?\s*$"
+    )
+    lit_re = re.compile(rf"^\s*{_PRED_LIT}\s*$")
+    for p in pieces:
+        m = cmp_re.match(p)
+        if m:
+            op = "=" if m.group("op") == "==" else m.group("op")
+            out.append((m.group("col"), op, [_pred_parse_lit(m)]))
+            continue
+        m = in_re.match(p)
+        if m:
+            vals, ok = [], True
+            for item in m.group("body").split(","):
+                lm = lit_re.match(item)
+                if not lm:
+                    ok = False
+                    break
+                vals.append(_pred_parse_lit(lm))
+            if ok and vals:
+                out.append((m.group("col"), "=", vals))
+            continue
+        # unparseable conjunct: dropped (sound — see docstring)
+    return out
+
+
+def _pred_cmp(a, b):
+    """(a', b') coerced to a comparable pair, or None when comparing would
+    be unsafe (mixed types, one temporal-looking string)."""
+    ta, tb = _try_iso_dt(a), _try_iso_dt(b)
+    if ta is not None and tb is not None:
+        if (ta.tzinfo is None) != (tb.tzinfo is None):
+            return None
+        return ta, tb
+    if (ta is None) != (tb is None):
+        return None
+    if isinstance(a, bool) or isinstance(b, bool):
+        return (a, b) if isinstance(a, bool) and isinstance(b, bool) else None
+    if isinstance(a, str) and isinstance(b, str):
+        return a, b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return a, b
+    return None
+
+
+def _pred_may_match_entry(e: dict, conjuncts, mapping: dict | None) -> bool:
+    """Can any row of this manifest entry satisfy every conjunct, judged
+    by its min/max stats? True (may match) whenever stats are missing or
+    incomparable — sound over-approximation."""
+    stats = e.get("stats") or {}
+    for col, op, vals in conjuncts:
+        s = stats.get(_phys(mapping or {}, col))
+        if not s or s[0] is None or s[1] is None:
+            continue  # no stats: this conjunct can't disprove
+        mn, mx = s
+        may = False
+        for v in vals:
+            lo = _pred_cmp(mn, v)
+            hi = _pred_cmp(mx, v)
+            if lo is None or hi is None:
+                may = True
+                break
+            if op == "=":
+                ok = lo[0] <= lo[1] and hi[1] <= hi[0]
+            elif op == "<":
+                ok = lo[0] < lo[1]
+            elif op == "<=":
+                ok = lo[0] <= lo[1]
+            elif op == ">":
+                ok = hi[0] > hi[1]
+            elif op == ">=":
+                ok = hi[0] >= hi[1]
+            else:  # pragma: no cover - parser emits only the ops above
+                ok = True
+            if ok:
+                may = True
+                break
+        if not may:
+            return False  # one required conjunct provably never holds
+    return True
+
+
 def _rebase_concurrent(
     spark: SparkSession,
     path: str,
@@ -1338,6 +1511,7 @@ def _rebase_concurrent(
     bounds=None,
     key_rows: list | None = None,
     incoming: DataFrame | None = None,
+    predicate: str | None = None,
     forbid_adds: bool = False,
     allow_any_adds: bool = False,
 ) -> tuple[list[dict], int]:
@@ -1414,39 +1588,59 @@ def _rebase_concurrent(
                 "a concurrent commit added rows and this merge classifies "
                 "every target row (WHEN NOT MATCHED BY SOURCE)"
             )
-        if key_cols is None or bounds is None:
-            conflict("concurrent commits added rows")
-        phys = {c: _phys(mapping or {}, c) for c in key_cols}
-        overlapping = [
-            e
-            for e in adds
-            if all(
-                _stats_may_contain(
-                    e.get("stats"), phys[c],
-                    bounds[f"_lo_{c}"], bounds[f"_hi_{c}"],
+        elif key_cols is not None and bounds is not None:
+            # keyed MERGE: adds conflict only when a concurrently added
+            # file MAY hold one of this batch's keys
+            phys = {c: _phys(mapping or {}, c) for c in key_cols}
+            overlapping = [
+                e
+                for e in adds
+                if all(
+                    _stats_may_contain(
+                        e.get("stats"), phys[c],
+                        bounds[f"_lo_{c}"], bounds[f"_hi_{c}"],
+                    )
+                    for c in key_cols
                 )
-                for c in key_cols
+            ]
+            if overlapping:
+                rows = key_rows
+                if rows is None and incoming is not None:
+                    rows = (
+                        incoming.select(*key_cols)
+                        .distinct()
+                        .limit(_MERGE_KEY_PRUNE_MAX + 1)
+                        .collect()
+                    )
+                if rows is not None and len(rows) <= _MERGE_KEY_PRUNE_MAX:
+                    overlapping = _prune_candidates_by_keys(
+                        spark, path, overlapping, key_cols, rows, mapping
+                    )
+                if overlapping:
+                    conflict(
+                        "concurrently added file(s) "
+                        f"{[e['path'] for e in overlapping[:3]]} may hold this "
+                        f"{op}'s keys (stats/bloom could not prove disjointness)"
+                    )
+        elif predicate is not None:
+            # predicate DML (UPDATE/DELETE WHERE): adds conflict only when
+            # a concurrently added file MAY hold a predicate-matching row
+            # (Delta's ConcurrentAppendException rule) — judged by min/max
+            # stats against the predicate's required conjuncts.
+            conjuncts = _predicate_conjuncts(predicate)
+            overlapping = (
+                [e for e in adds if _pred_may_match_entry(e, conjuncts, mapping)]
+                if conjuncts
+                else adds
             )
-        ]
-        if overlapping:
-            rows = key_rows
-            if rows is None and incoming is not None:
-                rows = (
-                    incoming.select(*key_cols)
-                    .distinct()
-                    .limit(_MERGE_KEY_PRUNE_MAX + 1)
-                    .collect()
-                )
-            if rows is not None and len(rows) <= _MERGE_KEY_PRUNE_MAX:
-                overlapping = _prune_candidates_by_keys(
-                    spark, path, overlapping, key_cols, rows, mapping
-                )
             if overlapping:
                 conflict(
                     "concurrently added file(s) "
-                    f"{[e['path'] for e in overlapping[:3]]} may hold this "
-                    f"{op}'s keys (stats/bloom could not prove disjointness)"
+                    f"{[e['path'] for e in overlapping[:3]]} may match this "
+                    f"{op}'s predicate (stats could not prove otherwise)"
                 )
+        else:
+            conflict("concurrent commits added rows")
 
     live_replaced = [_live_rows(e) for e in replaced]
     live_produced = [_live_rows(e) for e in produced]
@@ -2239,11 +2433,14 @@ def _rewrite_touched(
     untouched: list[dict],
     rewrite,
     op: str,
+    predicate: str | None = None,
 ) -> int:
     """Shared predicate-DML tail: rewrite ``touched`` files through
     ``rewrite(df) -> df``, carry ``untouched`` by reference, commit with a
-    stale-state conflict check. Stats columns in use are recomputed for
-    the new files."""
+    stale-state conflict check (a lost version race rebases when the
+    rewritten files are untouched in the fresh manifest and concurrently
+    added files provably cannot match ``predicate``). Stats columns in
+    use are recomputed for the new files."""
     mapping = _mapping(cur)
     existing = _read_entries(spark, path, cur, touched)
     out_df = rewrite(existing)
@@ -2265,16 +2462,20 @@ def _rewrite_touched(
     out_files = untouched + new_files
 
     def build(latest: dict | None, version: int) -> dict:
-        if latest is None or latest["version"] != base_version:
-            raise ConcurrentSnapshotError(
-                f"{path}: version moved {base_version} -> "
-                f"{latest['version'] if latest else None} during {op}; "
-                "recompute against the new state"
+        if latest is None:
+            raise ConcurrentSnapshotError(f"{path}: table vanished during {op}")
+        if latest["version"] != base_version:
+            files_out, n_rows = _rebase_concurrent(
+                spark, path, cur, latest,
+                replaced=touched, produced=new_files,
+                op=op, mapping=mapping, predicate=predicate,
             )
+        else:
+            files_out, n_rows = out_files, untouched_rows + n_new
         out = {
-            "data_dirs": _dirs_of(out_files),
-            "files": out_files,
-            "n_rows": untouched_rows + n_new,
+            "data_dirs": _dirs_of(files_out),
+            "files": files_out,
+            "n_rows": n_rows,
             "schema": cur["schema"],
         }
         if mapping:
@@ -2308,7 +2509,13 @@ def snapshot_delete_where(
     feed diffs them into exact row-level deletes (keyed AND keyless), and
     ``snapshot_compact(purge_dvs=True)`` folds them away. Min/max/bloom
     file stats keep describing the PHYSICAL file — a superset, so pruning
-    stays conservative-correct."""
+    stays conservative-correct.
+
+    Concurrency: a commit landing mid-DELETE rebases when the files this
+    delete touches are unchanged in the fresh manifest and concurrently
+    added files provably cannot match the predicate (min/max stats vs the
+    predicate's required conjuncts — Delta's ConcurrentAppendException
+    rule); otherwise ``ConcurrentSnapshotError``."""
     if mode not in ("rewrite", "dv"):
         raise ValueError(f"snapshot_delete_where: unknown mode {mode!r}")
     versions = snapshot_versions(path)
@@ -2324,7 +2531,7 @@ def snapshot_delete_where(
     return _rewrite_touched(
         spark, path, cur, base_version, touched, untouched,
         lambda df: df.filter(~F.coalesce(F.expr(predicate), F.lit(False))),
-        "delete_where",
+        "delete_where", predicate=predicate,
     )
 
 
@@ -2397,18 +2604,24 @@ def _delete_where_dv(
     if ref is None:
         return None
     n_deleted = sum(new_dead.values())
+    repointed_base = [e for e in files if _rel2(e["path"]) in new_dead]
+    repointed_new = [e for e in out_files if _rel2(e["path"]) in new_dead]
 
     def build(latest: dict | None, version: int) -> dict:
-        if latest is None or latest["version"] != base_version:
-            raise ConcurrentSnapshotError(
-                f"{path}: version moved {base_version} -> "
-                f"{latest['version'] if latest else None} during delete_dv; "
-                "recompute against the new state"
+        if latest is None:
+            raise ConcurrentSnapshotError(f"{path}: table vanished during delete_dv")
+        if latest["version"] != base_version:
+            files_out, n_rows = _rebase_concurrent(
+                spark, path, cur, latest,
+                replaced=repointed_base, produced=repointed_new,
+                op="delete_dv", mapping=_mapping(cur), predicate=predicate,
             )
+        else:
+            files_out, n_rows = out_files, cur["n_rows"] - n_deleted
         out = {
-            "data_dirs": _dirs_of(out_files),
-            "files": out_files,
-            "n_rows": cur["n_rows"] - n_deleted,
+            "data_dirs": _dirs_of(files_out),
+            "files": files_out,
+            "n_rows": n_rows,
             "schema": cur["schema"],
         }
         if _mapping(cur):
@@ -2475,19 +2688,26 @@ def _update_where_dv(
             f"dv-update image drift at {path}: marked {sum(new_dead.values())} "
             f"dead but wrote {n_new} updated rows"
         )
+    repointed_base = [e for e in files if _rel2(e["path"]) in new_dead]
+    repointed_new = [e for e in out_files if _rel2(e["path"]) in new_dead]
     out_files = out_files + new_files
 
     def build(latest: dict | None, version: int) -> dict:
-        if latest is None or latest["version"] != base_version:
-            raise ConcurrentSnapshotError(
-                f"{path}: version moved {base_version} -> "
-                f"{latest['version'] if latest else None} during update_dv; "
-                "recompute against the new state"
+        if latest is None:
+            raise ConcurrentSnapshotError(f"{path}: table vanished during update_dv")
+        if latest["version"] != base_version:
+            files_out, n_rows = _rebase_concurrent(
+                spark, path, cur, latest,
+                replaced=repointed_base, produced=repointed_new + new_files,
+                op="update_dv", mapping=mapping, predicate=predicate,
             )
+        else:
+            # dead added == images added
+            files_out, n_rows = out_files, cur["n_rows"]
         out = {
-            "data_dirs": _dirs_of(out_files),
-            "files": out_files,
-            "n_rows": cur["n_rows"],  # dead added == images added
+            "data_dirs": _dirs_of(files_out),
+            "files": files_out,
+            "n_rows": n_rows,
             "schema": cur["schema"],
         }
         if mapping:
@@ -2512,7 +2732,11 @@ def snapshot_update_where(
     ``mode="dv"`` marks the matched rows' old images dead by position and
     writes ONLY the updated images to a fresh file — write cost O(matched
     rows) instead of O(touched files); updating 100 rows spread across a
-    hundred 1 GB files writes one tiny file plus a position list."""
+    hundred 1 GB files writes one tiny file plus a position list.
+
+    Concurrency: same rebase-or-abort rule as ``snapshot_delete_where`` —
+    a lost version race commits anyway when the touched files are
+    unchanged and concurrent adds provably cannot match the predicate."""
     from pyspark.sql.types import StructType
 
     if mode not in ("rewrite", "dv"):
@@ -2592,7 +2816,7 @@ def snapshot_update_where(
 
     return _rewrite_touched(
         spark, path, cur, base_version, touched, untouched, rewrite,
-        "update_where",
+        "update_where", predicate=predicate,
     )
 
 

@@ -449,6 +449,130 @@ def test_concurrent_disjoint_merges_thread_stress(spark, tmp_path):
     }
 
 
+def test_predicate_conjunct_parser():
+    """The rebase-time predicate parser must be SOUND: every conjunct it
+    returns is a necessary condition of the predicate; anything with
+    disjunctive structure at the top level parses to nothing."""
+    from music_recommendation_service_spark.sources.snapshots import (
+        _pred_may_match_entry,
+        _predicate_conjuncts,
+    )
+
+    assert _predicate_conjuncts("k = 1") == [("k", "=", [1])]
+    assert _predicate_conjuncts("k <= 1 AND s = 'x'") == [
+        ("k", "<=", [1]), ("s", "=", ["x"]),
+    ]
+    assert _predicate_conjuncts("k IN (1, 2, 3)") == [("k", "=", [1, 2, 3])]
+    assert _predicate_conjuncts("`k` > -2.5") == [("k", ">", [-2.5])]
+    # depth-0 OR / BETWEEN: the whole predicate is not a conjunction
+    assert _predicate_conjuncts("k = 1 OR s = 'x'") == []
+    assert _predicate_conjuncts("k = 1 OR s = 'x' AND f = 2") == []
+    assert _predicate_conjuncts("k BETWEEN 1 AND 3") == []
+    # parenthesized OR drops that conjunct only; 'k = 1' survives
+    assert _predicate_conjuncts("k = 1 AND (s = 'x' OR s = 'y')") == [
+        ("k", "=", [1]),
+    ]
+    # unparseable pieces (functions, IS NULL) are dropped, the rest kept
+    assert _predicate_conjuncts("length(s) > 3 AND k = 7") == [("k", "=", [7])]
+    # a quoted string containing AND/OR must not split
+    assert _predicate_conjuncts("s = 'a AND b' AND k = 1") == [
+        ("s", "=", ["a AND b"]), ("k", "=", [1]),
+    ]
+
+    e_num = {"stats": {"k": [10, 20]}}
+    assert not _pred_may_match_entry(e_num, [("k", "=", [1])], {})
+    assert _pred_may_match_entry(e_num, [("k", "=", [15])], {})
+    assert not _pred_may_match_entry(e_num, [("k", "<", [10])], {})
+    assert _pred_may_match_entry(e_num, [("k", "<=", [10])], {})
+    assert not _pred_may_match_entry(e_num, [("k", ">", [20])], {})
+    assert _pred_may_match_entry(e_num, [("k", ">=", [20])], {})
+    assert not _pred_may_match_entry(e_num, [("k", "=", [1, 2, 3])], {})
+    assert _pred_may_match_entry(e_num, [("k", "=", [1, 15])], {})
+    # no stats for the column: can't disprove
+    assert _pred_may_match_entry({"stats": {}}, [("k", "=", [1])], {})
+    # temporal stats (isoformat 'T') vs SQL literals (space): compared
+    # chronologically, never textually
+    e_ts = {"stats": {"ts": ["2024-01-01T06:00:00", "2024-01-01T12:00:00"]}}
+    assert _pred_may_match_entry(e_ts, [("ts", "=", ["2024-01-01 12:00:00"])], {})
+    assert not _pred_may_match_entry(e_ts, [("ts", ">", ["2024-01-01 12:00:00"])], {})
+    assert not _pred_may_match_entry(e_ts, [("ts", "=", ["2024-01-02 00:00:00"])], {})
+    # string column that LOOKS temporal on one side only: incomparable -> may match
+    assert _pred_may_match_entry(
+        {"stats": {"s": ["aaa", "zzz"]}}, [("s", "=", ["2024-01-01 00:00:00"])], {}
+    )
+    # column-mapping: conjunct names are LOGICAL, stats keys PHYSICAL
+    assert not _pred_may_match_entry(
+        {"stats": {"col_7": [10, 20]}}, [("k", "=", [1])], {"k": "col_7"}
+    )
+
+
+def test_delete_where_rebases_over_nonmatching_append(spark, tmp_path, monkeypatch):
+    """Predicate DELETE raced by an append whose stats prove it holds no
+    predicate-matching row (Delta's ConcurrentAppendException rule):
+    rebase, both effects land. Covers rewrite and dv modes."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    for mode in ("rewrite", "dv"):
+        path = str(tmp_path / f"del_rebase_{mode}")
+        S.snapshot_write(
+            _snap_df(spark, [(1, 1, "a"), (2, 1, "b")]), path, stats_cols=["k"]
+        )
+        _race_once(
+            monkeypatch, S, path,
+            lambda p=path: S.snapshot_append(
+                _snap_df(spark, [(99, 1, "raced")]), p, stats_cols=["k"]
+            ),
+        )
+        v = S.snapshot_delete_where(spark, path, "k = 1", mode=mode)
+        assert v == 3, mode
+        got = {r["k"] for r in S.snapshot_read(spark, path).collect()}
+        assert got == {2, 99}, mode
+
+
+def test_delete_where_aborts_on_matching_append(spark, tmp_path, monkeypatch):
+    """An appended row the predicate MAY match is a real conflict: had the
+    stale delete committed, the raced row would survive a DELETE that, in
+    serial order, should have removed it."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "del_conflict")
+    S.snapshot_write(
+        _snap_df(spark, [(1, 1, "a"), (2, 1, "b")]), path, stats_cols=["k"]
+    )
+    _race_once(
+        monkeypatch, S, path,
+        lambda: S.snapshot_append(
+            _snap_df(spark, [(1, 2, "raced-dup")]), path, stats_cols=["k"]
+        ),
+    )
+    with pytest.raises(S.ConcurrentSnapshotError):
+        S.snapshot_delete_where(spark, path, "k = 1")
+    # recomputed delete removes BOTH k=1 rows
+    S.snapshot_delete_where(spark, path, "k = 1")
+    assert {r["k"] for r in S.snapshot_read(spark, path).collect()} == {2}
+
+
+def test_update_where_rebases_over_nonmatching_append(spark, tmp_path, monkeypatch):
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "upd_rebase")
+    S.snapshot_write(
+        _snap_df(spark, [(1, 1, "a"), (2, 1, "b")]), path, stats_cols=["k"]
+    )
+    _race_once(
+        monkeypatch, S, path,
+        lambda: S.snapshot_append(
+            _snap_df(spark, [(99, 1, "raced")]), path, stats_cols=["k"]
+        ),
+    )
+    v = S.snapshot_update_where(
+        spark, path, "k <= 1", {"payload": "'updated'"}, mode="dv"
+    )
+    assert v == 3
+    got = {r["k"]: r["payload"] for r in S.snapshot_read(spark, path).collect()}
+    assert got == {1: "updated", 2: "b", 99: "raced"}
+
+
 def test_snapshot_append_rebases_on_conflict(spark, tmp_path, monkeypatch):
     """The loser of an append commit race rebuilds its manifest from the
     winner's — BOTH appends' rows land (no lost update)."""
