@@ -208,12 +208,92 @@ def _latest_manifest(path: str) -> dict | None:
     return _read_manifest(path, versions[-1]) if versions else None
 
 
+# Incremental (delta) manifests: above this file count a commit stores
+# only its adds/removes against a base version instead of the full file
+# list — commit metadata cost O(changed files), not O(table files), the
+# same reason Delta's log is deltas + periodic checkpoints. Small tables
+# keep full manifests (simpler to read and to debug).
+_DELTA_MANIFEST_MIN_FILES = 64
+# A full manifest ("checkpoint") is forced at least every N commits so
+# resolution walks a bounded chain and vacuum keeps bounded extra bases.
+_DELTA_MANIFEST_CHAIN_MAX = 16
+# Resolved file lists per (table path, version); manifests are immutable
+# once committed (vacuum's materialization rewrites CONTENT-equivalent
+# JSON), so cached resolutions can never go stale.
+_FILES_CACHE: dict = {}
+_FILES_CACHE_MAX = 32
+
+
+def _ekey(e: dict) -> str:
+    """Compact add/remove identity of a manifest file entry: path + dv
+    ref. Entry bodies never mutate under a fixed (path, dv) — every
+    rewrite produces a new path and every DV change a new ref — so this
+    is a sound delta key (checked again, defensively, at compression
+    time)."""
+    return f'{e["path"]}@{(e.get("dv") or {}).get("ref", "")}'
+
+
+def _maybe_delta_files(path: str, manifest: dict, latest: dict | None) -> dict:
+    """Rewrite a built manifest into delta form (files_base/files_add/
+    files_remove) when that is smaller than the full list — sound
+    fallbacks to full form whenever anything is irregular."""
+    files = manifest.get("files")
+    if (
+        files is None
+        or latest is None
+        or len(files) < _DELTA_MANIFEST_MIN_FILES
+        or ("files" not in latest and "files_base" not in latest)
+    ):
+        return manifest
+    chain = (latest.get("files_chain") or 0) + 1
+    if chain > _DELTA_MANIFEST_CHAIN_MAX:
+        return manifest  # periodic full checkpoint bounds resolution depth
+    base_files = _manifest_files(path, latest)
+    base_by_id = {_ekey(e): e for e in base_files}
+    new_ids = {_ekey(e) for e in files}
+    if len(base_by_id) != len(base_files) or len(new_ids) != len(files):
+        return manifest  # duplicate identities: stay on the full form
+    adds = []
+    for e in files:
+        k = _ekey(e)
+        prev = base_by_id.get(k)
+        if prev is None:
+            adds.append(e)
+        elif prev != e:
+            return manifest  # entry mutated in place: full form only
+    removes = sorted(k for k in base_by_id if k not in new_ids)
+    if (len(adds) + len(removes)) * 2 >= len(files):
+        return manifest  # delta wouldn't pay for itself
+    out = {k: v for k, v in manifest.items() if k != "files"}
+    out["files_base"] = latest["version"]
+    out["files_add"] = adds
+    out["files_remove"] = removes
+    out["files_chain"] = chain
+    return out
+
+
 def _manifest_files(path: str, m: dict) -> list[dict]:
     """Active file entries of a manifest: ``{"path": rel, "rows": int|None,
-    "stats": {col: [min, max]}|None}``. Legacy dir-level manifests are
-    expanded by listing their data dirs (no stats)."""
+    "stats": {col: [min, max]}|None}``. Delta manifests (files_base +
+    files_add/files_remove) resolve against their base chain (bounded by
+    ``_DELTA_MANIFEST_CHAIN_MAX``, memoized — manifests are immutable).
+    Legacy dir-level manifests are expanded by listing their data dirs
+    (no stats)."""
     if "files" in m:
         return m["files"]
+    if "files_base" in m:
+        key = (path, m.get("version"))
+        if m.get("version") is not None and key in _FILES_CACHE:
+            return _FILES_CACHE[key]
+        base_files = _manifest_files(path, _read_manifest(path, m["files_base"]))
+        rm = set(m.get("files_remove") or [])
+        out = [e for e in base_files if _ekey(e) not in rm]
+        out += list(m.get("files_add") or [])
+        if m.get("version") is not None:
+            while len(_FILES_CACHE) >= _FILES_CACHE_MAX:
+                _FILES_CACHE.pop(next(iter(_FILES_CACHE)))
+            _FILES_CACHE[key] = out
+        return out
     out = []
     for d in m["data_dirs"]:
         full = os.path.join(path, d)
@@ -330,7 +410,7 @@ def _bloom_cols_in_use(path: str, cur: dict) -> list[str]:
     manifest's sidecars — rewrite paths preserve the table's bloom
     discipline the same way they preserve min/max stats."""
     cols: set = set()
-    for e in cur.get("files") or []:
+    for e in _manifest_files(path, cur) if ("files" in cur or "files_base" in cur) else []:
         ref = e.get("bloom_ref")
         if ref:
             side = _bloom_sidecar(os.path.join(path, ref))
@@ -704,6 +784,10 @@ def _commit(
         ):
             if sticky not in manifest and latest and latest.get(sticky) is not None:
                 manifest[sticky] = latest[sticky]
+        # Above _DELTA_MANIFEST_MIN_FILES files, store adds/removes against
+        # the base version instead of the full list — O(changed files)
+        # commit metadata (Delta's delta-log + checkpoint design).
+        manifest = _maybe_delta_files(path, manifest, latest)
         target = os.path.join(_manifest_dir(path), f"{version}.json")
         # claim-once commit: O_EXCL locally, conditional PUT on an object
         # store (see SnapshotFS) — the loser of a race rebuilds and retries
@@ -2346,7 +2430,7 @@ def snapshot_merge_when(
     rel, full_dir = _new_data_dir(path)
     _to_physical_df(out, mapping).write.mode("error").parquet(full_dir)
     new_files, n_new = _scan_file_entries(
-        spark, full_dir, rel, _stats_cols_in_use(cur),
+        spark, full_dir, rel, _stats_cols_in_use(cur, path),
         _bloom_cols_in_use(path, cur),
     )
     if any(e["rows"] is None for e in untouched):
@@ -2389,12 +2473,17 @@ def snapshot_merge_when(
     return _commit(path, build, op="merge")
 
 
-def _stats_cols_in_use(cur: dict) -> list[str]:
+def _stats_cols_in_use(cur: dict, path: str | None = None) -> list[str]:
     """Union of per-file stats columns (PHYSICAL names) recorded in the
     current manifest — predicate DML preserves whatever stats discipline
-    the table already has, so merge pruning keeps firing afterwards."""
+    the table already has, so merge pruning keeps firing afterwards.
+    Pass ``path`` so delta manifests can resolve their base chain."""
+    if path is not None and ("files" in cur or "files_base" in cur):
+        entries = _manifest_files(path, cur)
+    else:
+        entries = cur.get("files") or []
     cols: set[str] = set()
-    for e in cur.get("files") or []:
+    for e in entries:
         cols.update((e.get("stats") or {}).keys())
     return sorted(cols)
 
@@ -2447,7 +2536,7 @@ def _rewrite_touched(
     rel, full_dir = _new_data_dir(path)
     _to_physical_df(out_df, mapping).write.mode("error").parquet(full_dir)
     new_files, n_new = _scan_file_entries(
-        spark, full_dir, rel, _stats_cols_in_use(cur), _bloom_cols_in_use(path, cur)
+        spark, full_dir, rel, _stats_cols_in_use(cur, path), _bloom_cols_in_use(path, cur)
     )
     if any(e["rows"] is None for e in untouched):
         untouched_rows = (
@@ -2681,7 +2770,7 @@ def _update_where_dv(
     img_rel, img_dir = _new_data_dir(path)
     _to_physical_df(image, mapping).write.mode("error").parquet(img_dir)
     new_files, n_new = _scan_file_entries(
-        spark, img_dir, img_rel, _stats_cols_in_use(cur), _bloom_cols_in_use(path, cur)
+        spark, img_dir, img_rel, _stats_cols_in_use(cur, path), _bloom_cols_in_use(path, cur)
     )
     if n_new != sum(new_dead.values()):
         raise RuntimeError(
@@ -2863,14 +2952,15 @@ def snapshot_read(
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
     m = _read_manifest(path, v)
-    if "files" in m:
-        if not m["files"]:
+    if "files" in m or "files_base" in m:
+        files = _manifest_files(path, m)
+        if not files:
             from pyspark.sql.types import StructType
 
             return spark.createDataFrame(
                 [], schema=StructType.fromJson(json.loads(m["schema"]))
             )
-        return _read_entries(spark, path, m, m["files"])
+        return _read_entries(spark, path, m, files)
     return _read_declared(
         spark, m, [os.path.join(path, d) for d in m["data_dirs"]]
     )
@@ -4251,8 +4341,8 @@ def snapshot_add_columns(path: str, new_fields) -> int:
             "schema": schema.json(),
             "data_change": False,
         }
-        if "files" in latest:
-            out["files"] = latest["files"]
+        if "files" in latest or "files_base" in latest:
+            out["files"] = _manifest_files(path, latest)
         if mapping:
             out["column_mapping"] = mapping
         return out
@@ -4327,8 +4417,8 @@ def snapshot_rename_columns(path: str, renames: dict) -> int:
             "schema": StructType(new_fields).json(),
             "data_change": False,
         }
-        if "files" in latest:
-            out["files"] = latest["files"]
+        if "files" in latest or "files_base" in latest:
+            out["files"] = _manifest_files(path, latest)
         if mapping:
             out["column_mapping"] = mapping
         return out
@@ -4388,8 +4478,8 @@ def snapshot_drop_columns(path: str, names: Sequence[str]) -> int:
             "schema": StructType(kept).json(),
             "data_change": False,
         }
-        if "files" in latest:
-            out["files"] = latest["files"]
+        if "files" in latest or "files_base" in latest:
+            out["files"] = _manifest_files(path, latest)
         mapping = {
             k: v for k, v in _mapping(latest).items() if k not in drop
         }
@@ -4469,7 +4559,11 @@ def snapshot_history(path: str) -> list[dict]:
     out = []
     for v in reversed(snapshot_versions(path)):
         m = _read_manifest(path, v)
-        files = m.get("files")
+        files = (
+            _manifest_files(path, m)
+            if ("files" in m or "files_base" in m)
+            else None
+        )
         out.append(
             {
                 "version": v,
@@ -4531,8 +4625,8 @@ def snapshot_rollback(path: str, version: int) -> int:
             "n_rows": m["n_rows"],
             "schema": m["schema"],
         }
-        if "files" in m:
-            out["files"] = m["files"]
+        if "files" in m or "files_base" in m:
+            out["files"] = _manifest_files(path, m)
         if _mapping(m):
             out["column_mapping"] = _mapping(m)
         # restore the target version's constraint set (possibly empty) —
@@ -4630,7 +4724,31 @@ def snapshot_vacuum(
     fs = _fs()
     versions = snapshot_versions(path)
     keep, drop = versions[-keep_last:], versions[:-keep_last]
-    keep_manifests = [_read_manifest(path, v) for v in keep]
+    keep_set = set(keep)
+    # Delta-manifest chains: resolve everything BEFORE any manifest is
+    # deleted, and MATERIALIZE a retained delta manifest whose base falls
+    # past the horizon (content-equivalent full rewrite via write_atomic —
+    # readers see either form; Delta's checkpoint-at-the-horizon move).
+    keep_manifests = []
+    for v in keep:
+        m = _read_manifest(path, v)
+        if "files_base" in m:
+            full = {
+                k: x
+                for k, x in m.items()
+                if k not in ("files_base", "files_add", "files_remove", "files_chain")
+            }
+            full["files"] = _manifest_files(path, m)
+            if m["files_base"] not in keep_set and not dry_run:
+                fs.write_atomic(
+                    os.path.join(_manifest_dir(path), f"{v}.json"),
+                    json.dumps(full),
+                )
+            m = full
+        keep_manifests.append(m)
+    dropped_by_version = {
+        v: _manifest_files(path, _read_manifest(path, v)) for v in drop
+    }
     live_files = {
         e["path"] for m in keep_manifests for e in _manifest_files(path, m)
     }
@@ -4646,7 +4764,7 @@ def snapshot_vacuum(
     }
     removed = []
     for v in drop:
-        dropped = _manifest_files(path, _read_manifest(path, v))
+        dropped = dropped_by_version[v]
         for e in dropped:
             if os.path.isabs(e["path"]):
                 # External ref (shallow clone): the data belongs to the

@@ -449,6 +449,138 @@ def test_concurrent_disjoint_merges_thread_stress(spark, tmp_path):
     }
 
 
+def _read_manifest_json(path, v):
+    import json as _json
+
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    with open(f"{S._manifest_dir(path)}/{v}.json") as f:
+        return _json.load(f)
+
+
+def test_delta_manifests_roundtrip(spark, tmp_path, monkeypatch):
+    """Incremental manifests: above the size threshold a commit stores
+    adds/removes against a base version (O(changed files) metadata, the
+    Delta delta-log design) and every reader — snapshot_read, time travel,
+    merge, dv DML, CDF, history — resolves the chain identically."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    monkeypatch.setattr(S, "_DELTA_MANIFEST_MIN_FILES", 1)
+    path = str(tmp_path / "delta_m")
+    base = _snap_df(spark, [(k, 1, f"p{k}") for k in range(8)]).repartition(8, "k")
+    S.snapshot_write(base, path, stats_cols=["k"])
+    n_base = len(_read_manifest_json(path, 1)["files"])
+    assert n_base >= 4  # wide enough that deltas pay for themselves
+    S.snapshot_append(_snap_df(spark, [(20, 1, "c")]), path, stats_cols=["k"])
+    m2 = _read_manifest_json(path, 2)
+    assert "files" not in m2
+    assert m2["files_base"] == 1 and m2["files_remove"] == []
+    assert len(m2["files_add"]) == 1 and m2["files_chain"] == 1
+
+    # merge rewrites only the file(s) holding k=1: remove + add in the delta
+    S.snapshot_merge(_snap_df(spark, [(1, 2, "upd")]), path,
+                     key_cols=["k"], seq_col="seq")
+    m3 = _read_manifest_json(path, 3)
+    assert "files" not in m3 and m3["files_base"] == 2
+    assert len(m3["files_remove"]) >= 1 and m3["files_chain"] == 2
+    assert len(m3["files_remove"]) < n_base  # O(changed), not O(table)
+
+    # dv delete re-points an entry: old identity removed, new identity added
+    S.snapshot_delete_where(spark, path, "k = 3", mode="dv")
+    m4 = _read_manifest_json(path, 4)
+    assert "files" not in m4
+    assert len(m4["files_remove"]) == 1 and len(m4["files_add"]) == 1
+
+    got = {r["k"]: (r["seq"], r["payload"])
+           for r in S.snapshot_read(spark, path).collect()}
+    want = {k: (1, f"p{k}") for k in range(8) if k != 3}
+    want[1] = (2, "upd")
+    want[20] = (1, "c")
+    assert got == want
+    # time travel resolves every intermediate chain state
+    assert {r["k"] for r in S.snapshot_read(spark, path, version=2).collect()} == set(range(8)) | {20}
+    assert {r["k"] for r in S.snapshot_read(spark, path, version=3).collect()} == set(range(8)) | {20}
+    # history/detail resolve counts through the chain
+    hist = {h["version"]: h["n_files"] for h in S.snapshot_history(path)}
+    assert hist[2] == n_base + 1 and hist[4] >= n_base
+    assert S.snapshot_detail(path)["num_rows"] == len(want)
+    # CDF across delta commits: keyed changes of the merge window
+    ch = S.snapshot_changes(spark, path, 2, 3, key_cols=["k"])
+    rows = {(r["k"], r["_change_type"]) for r in ch.collect()}
+    assert (1, "update_postimage") in rows
+
+
+def test_delta_manifest_chain_checkpoints(spark, tmp_path, monkeypatch):
+    """A full manifest is forced at least every _DELTA_MANIFEST_CHAIN_MAX
+    commits, bounding resolution depth and vacuum's base retention."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    monkeypatch.setattr(S, "_DELTA_MANIFEST_MIN_FILES", 1)
+    monkeypatch.setattr(S, "_DELTA_MANIFEST_CHAIN_MAX", 3)
+    path = str(tmp_path / "chain")
+    S.snapshot_write(_snap_df(spark, [(0, 1, "x")]), path, stats_cols=["k"])
+    for i in range(1, 9):
+        S.snapshot_append(_snap_df(spark, [(i, 1, "x")]), path, stats_cols=["k"])
+    forms = ["full" if "files" in _read_manifest_json(path, v) else "delta"
+             for v in range(1, 10)]
+    assert forms[0] == "full"
+    assert "full" in forms[1:]          # periodic checkpoint fired
+    assert forms.count("delta") >= 5    # and most commits stayed delta
+    # no delta run longer than the cap
+    run = 0
+    for f in forms:
+        run = run + 1 if f == "delta" else 0
+        assert run <= 3
+    assert {r["k"] for r in S.snapshot_read(spark, path).collect()} == set(range(9))
+
+
+def test_vacuum_materializes_horizon_crossing_delta(spark, tmp_path, monkeypatch):
+    """VACUUM past a delta chain must not orphan retained manifests: a
+    retained delta whose base falls past the horizon is rewritten in
+    place to full form (content-equivalent) before its base is deleted."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    monkeypatch.setattr(S, "_DELTA_MANIFEST_MIN_FILES", 1)
+    path = str(tmp_path / "vac_chain")
+    S.snapshot_write(_snap_df(spark, [(0, 1, "x")]), path, stats_cols=["k"])
+    for i in range(1, 6):
+        S.snapshot_append(_snap_df(spark, [(i, 1, "x")]), path, stats_cols=["k"])
+    assert "files_base" in _read_manifest_json(path, 5)
+
+    removed = S.snapshot_vacuum(path, keep_last=2, orphan_min_age_sec=0)
+    assert removed  # old versions reclaimed
+    assert S.snapshot_versions(path) == [5, 6]
+    # the horizon-crossing retained manifest is now full form on disk
+    m5 = _read_manifest_json(path, 5)
+    assert "files" in m5 and "files_base" not in m5
+    # and everything still reads exactly (fresh resolution from disk)
+    S._FILES_CACHE.clear()
+    assert {r["k"] for r in S.snapshot_read(spark, path).collect()} == set(range(6))
+    assert {r["k"] for r in S.snapshot_read(spark, path, version=5).collect()} == set(range(5))
+
+
+def test_delta_manifest_rebase_interplay(spark, tmp_path, monkeypatch):
+    """Commit-race rebase and delta manifests compose: the rebased merge
+    resolves the winner's delta manifest and its own commit stays delta."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    monkeypatch.setattr(S, "_DELTA_MANIFEST_MIN_FILES", 1)
+    path = str(tmp_path / "delta_rebase")
+    S.snapshot_merge(_snap_df(spark, [(1, 1, "a"), (2, 1, "b")]), path,
+                     key_cols=["k"], seq_col="seq")
+    _race_once(
+        monkeypatch, S, path,
+        lambda: S.snapshot_append(
+            _snap_df(spark, [(99, 1, "raced")]), path, stats_cols=["k"]
+        ),
+    )
+    v = S.snapshot_merge(_snap_df(spark, [(1, 2, "upd")]), path,
+                         key_cols=["k"], seq_col="seq")
+    assert v == 3
+    got = {r["k"]: r["payload"] for r in S.snapshot_read(spark, path).collect()}
+    assert got == {1: "upd", 2: "b", 99: "raced"}
+
+
 def test_predicate_conjunct_parser():
     """The rebase-time predicate parser must be SOUND: every conjunct it
     returns is a necessary condition of the predicate; anything with
