@@ -282,7 +282,10 @@ def _manifest_files(path: str, m: dict) -> list[dict]:
     if "files" in m:
         return m["files"]
     if "files_base" in m:
-        key = (path, m.get("version"))
+        # committed_at in the key guards a table dropped and re-created at
+        # the same path within one process: same (path, version) can then
+        # name two different manifests.
+        key = (path, m.get("version"), m.get("committed_at"))
         if m.get("version") is not None and key in _FILES_CACHE:
             return _FILES_CACHE[key]
         base_files = _manifest_files(path, _read_manifest(path, m["files_base"]))
