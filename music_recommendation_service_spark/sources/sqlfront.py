@@ -26,6 +26,8 @@ malformed errors loudly rather than half-executing):
       WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET ... | DELETE
     SELECT ... FROM v VERSION AS OF <n> ...          -- time travel
     SELECT ... FROM v TIMESTAMP AS OF '<iso ts>' ... -- time travel
+    SELECT ... FROM table_changes('v', from[, to])   -- CDF (per-commit
+        _change_type/_commit_version/_commit_timestamp, Delta parity)
     DESCRIBE HISTORY v
     DESCRIBE DETAIL v                                -- current-state summary
     OPTIMIZE v [ZORDER BY (c1, c2, ...)]             -- compact / cluster
@@ -398,6 +400,88 @@ def _parse_merge(q: str, views: dict):
         path, tname, src_sql, key_cols,
         when_matched, when_not_matched, when_by_source,
     )
+
+
+def _rewrite_table_changes(spark: SparkSession, q: str, views: dict) -> str:
+    """Replace ``table_changes('view', from[, to])`` with a temp view of
+    the row-level change feed — Delta's CDF SQL function. Per-commit
+    attribution (Delta parity): each data commit in the window diffs
+    against its predecessor (keyless ``snapshot_changes``, O(changed
+    files) per commit) and stamps ``_commit_version`` and
+    ``_commit_timestamp``; data_change=false commits (OPTIMIZE/metadata)
+    emit nothing; the window's first retained version emits its full
+    snapshot as inserts when the window opens at it (table creation is an
+    insert-only commit, same as Delta with CDF on from the start)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    out = q
+    while True:
+        # the "(" opens a nested span _top_level_spans excludes, so match
+        # the bare keyword at top level and read the argument list after it
+        m = _find_top(out, r"\btable_changes\b")
+        if not m:
+            return out
+        am = re.match(
+            r"\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+))?\s*\)",
+            out[m.end():],
+        )
+        if not am:
+            raise SqlDispatchError(
+                "table_changes needs ('view', from_version[, to_version])"
+            )
+        name, v_from = am.group(1), int(am.group(2))
+        path = _require_view(name, views)
+        versions = S.snapshot_versions(path)
+        v_to = int(am.group(3)) if am.group(3) else versions[-1]
+        if v_from < versions[0] or v_to > versions[-1] or v_from > v_to:
+            raise SqlDispatchError(
+                f"table_changes({name!r}, {v_from}, {v_to}): window outside "
+                f"retained versions {versions[0]}..{versions[-1]}"
+            )
+        parts = []
+        for v in versions:
+            if not (v_from <= v <= v_to):
+                continue
+            mf = S._read_manifest(path, v)
+            if mf.get("data_change") is False:
+                continue  # Delta CDF excludes OPTIMIZE/metadata commits
+            if v == versions[0]:
+                ch = S.snapshot_read(spark, path, version=v).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            else:
+                ch = S.snapshot_changes(spark, path, v - 1, v)
+            parts.append(
+                ch.withColumn("_commit_version", F.lit(v).cast("long"))
+                .withColumn(
+                    "_commit_timestamp",
+                    F.timestamp_seconds(F.lit(float(mf.get("committed_at") or 0))),
+                )
+            )
+        if parts:
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p, allowMissingColumns=True)
+        else:
+            sch = StructType.fromJson(
+                _json.loads(S._latest_manifest(path)["schema"])
+            )
+            df = (
+                spark.createDataFrame([], schema=sch)
+                .withColumn("_change_type", F.lit(""))
+                .withColumn("_commit_version", F.lit(0).cast("long"))
+                .withColumn(
+                    "_commit_timestamp", F.timestamp_seconds(F.lit(0.0))
+                )
+            )
+        tv = f"__tc_{name}_{v_from}_{v_to}"
+        df.createOrReplaceTempView(tv)
+        out = out[: m.start()] + tv + out[m.end() + am.end():]
 
 
 def _rewrite_time_travel(
@@ -787,6 +871,11 @@ def dispatch_sql(
                 None,
             )
         return None
+    if views and _find_top(q, r"\btable_changes\b"):
+        q2 = _rewrite_table_changes(spark, q, views)
+        if _find_top(q2, r"\b(VERSION|TIMESTAMP)\s+AS\s+OF\b"):
+            q2 = _rewrite_time_travel(spark, q2, views)
+        return spark.sql(q2), None
     if views and _find_top(q, r"\b(VERSION|TIMESTAMP)\s+AS\s+OF\b"):
         return spark.sql(_rewrite_time_travel(spark, q, views)), None
     return None

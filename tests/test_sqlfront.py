@@ -385,3 +385,60 @@ def test_sql_describe_detail_and_vacuum_dry_run(spark, tmp_path, eng):
     assert e.sql("SELECT count(*) AS n FROM t1").collect()[0]["n"] == 2
     d2 = e.sql("DESCRIBE DETAIL t1").collect()[0]
     assert d2["retained_versions"] == 1
+
+
+def test_sql_table_changes_function(spark, tmp_path, eng):
+    """Delta's CDF SQL function: SELECT ... FROM table_changes('v', a[, b])
+    emits per-commit row-level changes with _change_type /
+    _commit_version / _commit_timestamp; OPTIMIZE commits are excluded;
+    the window's first retained version emits its snapshot as inserts."""
+    from music_recommendation_service_spark.sources.snapshots import (
+        snapshot_append, snapshot_compact,
+    )
+
+    e, p = eng  # t1 @ v1 = BASE
+    e.sql("INSERT INTO t1 SELECT 5 AS k, CAST(50.0 AS DOUBLE) AS amount, 'd' AS tag")  # v2
+    e.sql("DELETE FROM t1 WHERE k = 1")                                                # v3
+    snapshot_compact(spark, p, small_file_max_rows=10_000)                             # v4, data_change=false
+    e.sql("INSERT INTO t1 SELECT 6 AS k, CAST(60.0 AS DOUBLE) AS amount, 'e' AS tag")  # v5
+
+    rows = e.sql(
+        "SELECT k, _change_type, _commit_version FROM table_changes('t1', 2, 5) "
+        "ORDER BY _commit_version, k"
+    ).collect()
+    got = [(r["k"], r["_change_type"], r["_commit_version"]) for r in rows]
+    assert got == [
+        (5, "insert", 2),
+        (1, "delete", 3),
+        (6, "insert", 5),   # v4 (OPTIMIZE) emits nothing
+    ]
+
+    # window opening at the first retained version: creation = inserts
+    first = e.sql(
+        "SELECT count(*) AS n FROM table_changes('t1', 1, 1) "
+        "WHERE _change_type = 'insert'"
+    ).collect()[0]["n"]
+    assert first == len(BASE)
+
+    # timestamps are real commit times, non-decreasing across the window
+    ts = [
+        r["_commit_timestamp"]
+        for r in e.sql(
+            "SELECT DISTINCT _commit_version, _commit_timestamp "
+            "FROM table_changes('t1', 1, 5) ORDER BY _commit_version"
+        ).collect()
+    ]
+    assert ts == sorted(ts) and ts[0].year >= 2024
+
+    # composes with plain SQL (joins, aggregates) like any relation
+    n_ins = e.sql(
+        "SELECT count(*) AS n FROM table_changes('t1', 1, 5) c "
+        "WHERE c._change_type = 'insert'"
+    ).collect()[0]["n"]
+    assert n_ins == len(BASE) + 2
+
+    # windows outside retention error loudly
+    with pytest.raises(SqlDispatchError, match="retained"):
+        e.sql("SELECT * FROM table_changes('t1', 0, 99)")
+    with pytest.raises(SqlDispatchError, match="not a registered"):
+        e.sql("SELECT * FROM table_changes('nope', 1)")
