@@ -197,10 +197,30 @@ def snapshot_versions(path: str) -> list[int]:
     return sorted(out)
 
 
+# Protocol reader version this engine understands (Delta's minReaderVersion
+# discipline). 1 = full/legacy manifests; 2 adds incremental manifests
+# (files_base/files_add/files_remove). A manifest written with a feature
+# this reader lacks must REFUSE loudly — the alternative is an older
+# reader's legacy fallback silently listing data dirs and resurrecting
+# rewritten rows.
+_READER_VERSION = 2
+
+
+class UnsupportedSnapshotProtocolError(RuntimeError):
+    """Manifest requires a newer reader than this engine implements."""
+
+
 def _read_manifest(path: str, version: int) -> dict:
-    return json.loads(
+    m = json.loads(
         _fs().read_text(os.path.join(_manifest_dir(path), f"{version}.json"))
     )
+    need = m.get("min_reader", 1)
+    if need > _READER_VERSION:
+        raise UnsupportedSnapshotProtocolError(
+            f"{path} version {version} needs protocol reader {need}; this "
+            f"engine implements {_READER_VERSION} — upgrade before reading"
+        )
+    return m
 
 
 def _latest_manifest(path: str) -> dict | None:
@@ -269,6 +289,9 @@ def _maybe_delta_files(path: str, manifest: dict, latest: dict | None) -> dict:
     out["files_add"] = adds
     out["files_remove"] = removes
     out["files_chain"] = chain
+    # a reader that predates incremental manifests would fall into the
+    # legacy data-dir listing and resurrect rewritten rows — refuse it
+    out["min_reader"] = 2
     return out
 
 
@@ -2975,6 +2998,7 @@ def snapshot_compact(
     small_file_max_rows: int = 1_000_000,
     target_files: int | None = None,
     purge_dvs: bool = False,
+    where: str | None = None,
 ) -> int | None:
     """OPTIMIZE: fold the latest version's small files into fewer, larger
     ones and commit the result as a NEW version — content-identical, fewer
@@ -3008,15 +3032,40 @@ def snapshot_compact(
     small = [
         e for e in files if e["rows"] is not None and e["rows"] <= small_file_max_rows
     ]
+    if where is not None:
+        # OPTIMIZE ... WHERE (Delta parity): fold only files the predicate
+        # MAY touch, judged by their min/max stats — compaction preserves
+        # content, so the conservative "may match" scoping is always safe;
+        # it just bounds the rewrite to the hot region (e.g. the current
+        # ingest day) instead of the whole table. An unprovable predicate
+        # errors loudly rather than silently compacting everything.
+        conjuncts = _predicate_conjuncts(where)
+        if not conjuncts:
+            raise ValueError(
+                f"snapshot_compact: WHERE {where!r} has no stats-checkable "
+                "conjunct (supported: top-level AND of column-vs-literal "
+                "comparisons / IN lists); run without WHERE to compact all"
+            )
+        mapping0 = _mapping(cur)
+        small = [
+            e for e in small if _pred_may_match_entry(e, conjuncts, mapping0)
+        ]
     if purge_dvs:
         # REORG PURGE parity: files carrying a deletion vector join the
         # rewrite set regardless of size, materializing their deletes into
-        # clean files (the new entries carry no dv).
+        # clean files (the new entries carry no dv). WHERE scopes this set
+        # the same way it scopes the small-file set.
         seen = {e["path"] for e in small}
         small += [
             e
             for e in files
-            if e.get("dv") and e["rows"] is not None and e["path"] not in seen
+            if e.get("dv")
+            and e["rows"] is not None
+            and e["path"] not in seen
+            and (
+                where is None
+                or _pred_may_match_entry(e, conjuncts, mapping0)
+            )
         ]
     small_paths = {e["path"] for e in small}
     big = [e for e in files if e["path"] not in small_paths]
@@ -4739,7 +4788,10 @@ def snapshot_vacuum(
             full = {
                 k: x
                 for k, x in m.items()
-                if k not in ("files_base", "files_add", "files_remove", "files_chain")
+                if k not in (
+                    "files_base", "files_add", "files_remove",
+                    "files_chain", "min_reader",
+                )
             }
             full["files"] = _manifest_files(path, m)
             if m["files_base"] not in keep_set and not dry_run:

@@ -30,7 +30,9 @@ malformed errors loudly rather than half-executing):
         _change_type/_commit_version/_commit_timestamp, Delta parity)
     DESCRIBE HISTORY v
     DESCRIBE DETAIL v                                -- current-state summary
-    OPTIMIZE v [ZORDER BY (c1, c2, ...)]             -- compact / cluster
+    OPTIMIZE v [WHERE <pred>] [ZORDER BY (c1, c2)]   -- compact / cluster
+        -- WHERE scopes compaction to files the predicate may touch
+        -- (per-file stats), Delta's partition-scoped OPTIMIZE shape
     VACUUM v [RETAIN <n> VERSIONS] [DRY RUN]         -- version-based retention
     DROP TABLE [IF EXISTS] v                         -- unregister (data stays)
     SHOW TABLES
@@ -739,21 +741,28 @@ def dispatch_sql(
     if head == "OPTIMIZE":
         om = re.match(
             rf"\s*OPTIMIZE\s+({_IDENT})"
+            rf"(?:\s+WHERE\s+(.+?))?"
             rf"(?:\s+ZORDER\s+BY\s*\(?\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)?)?\s*$",
             q, re.IGNORECASE,
         )
         if not om:
             raise SqlDispatchError(
-                "OPTIMIZE grammar: OPTIMIZE <view> [ZORDER BY (c1, c2, ...)]"
+                "OPTIMIZE grammar: OPTIMIZE <view> [WHERE <pred>] "
+                "[ZORDER BY (c1, c2, ...)]"
             )
-        name, zcols = om.group(1), om.group(2)
+        name, where, zcols = om.group(1), om.group(2), om.group(3)
         path = _require_view(name, views)
         if zcols:
+            if where:
+                raise SqlDispatchError(
+                    "OPTIMIZE ... ZORDER BY re-clusters the whole table; "
+                    "WHERE applies to compaction-only OPTIMIZE"
+                )
             v = S.snapshot_zorder(
                 spark, path, [c.strip() for c in zcols.split(",")]
             )
         else:
-            v = S.snapshot_compact(spark, path)
+            v = S.snapshot_compact(spark, path, where=where)
         return vdf(v), name
     if head == "VACUUM":
         vm = re.match(

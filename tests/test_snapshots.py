@@ -3214,3 +3214,42 @@ def test_merge_per_key_candidate_pruning(spark, tmp_path):
         for r in S.snapshot_read(spark, path).filter("k in (5, 3777)").collect()
     }
     assert got == {5: 99, 3777: 3777 % 7}
+
+
+def test_min_reader_protocol_gate(spark, tmp_path, monkeypatch):
+    """A manifest written with a feature this reader lacks must refuse
+    loudly (Delta minReaderVersion discipline) — the silent alternative is
+    the legacy data-dir fallback resurrecting rewritten rows. Delta
+    manifests stamp min_reader=2; vacuum's materialization strips it."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    monkeypatch.setattr(S, "_DELTA_MANIFEST_MIN_FILES", 1)
+    path = str(tmp_path / "proto")
+    S.snapshot_write(
+        _snap_df(spark, [(k, 1, "x") for k in range(4)]).repartition(4, "k"),
+        path, stats_cols=["k"],
+    )
+    S.snapshot_append(_snap_df(spark, [(9, 1, "y")]), path, stats_cols=["k"])
+    import json as _json
+
+    with open(f"{S._manifest_dir(path)}/2.json") as f:
+        m2 = _json.load(f)
+    assert m2["min_reader"] == 2 and "files_base" in m2
+
+    # a future feature level refuses instead of misreading
+    m2["min_reader"] = 99
+    S._fs().write_atomic(
+        f"{S._manifest_dir(path)}/2.json", _json.dumps(m2)
+    )
+    with pytest.raises(S.UnsupportedSnapshotProtocolError, match="reader 99"):
+        S.snapshot_read(spark, path).collect()
+
+    # restore and check vacuum materialization drops the gate with the keys
+    m2["min_reader"] = 2
+    S._fs().write_atomic(f"{S._manifest_dir(path)}/2.json", _json.dumps(m2))
+    S.snapshot_append(_snap_df(spark, [(10, 1, "z")]), path, stats_cols=["k"])
+    S.snapshot_vacuum(path, keep_last=2, orphan_min_age_sec=0)
+    with open(f"{S._manifest_dir(path)}/2.json") as f:
+        m2b = _json.load(f)
+    assert "files" in m2b and "min_reader" not in m2b
+    assert {r["k"] for r in S.snapshot_read(spark, path).collect()} == set(range(4)) | {9, 10}

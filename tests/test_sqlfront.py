@@ -442,3 +442,45 @@ def test_sql_table_changes_function(spark, tmp_path, eng):
         e.sql("SELECT * FROM table_changes('t1', 0, 99)")
     with pytest.raises(SqlDispatchError, match="not a registered"):
         e.sql("SELECT * FROM table_changes('nope', 1)")
+
+
+def test_sql_optimize_where_scoped_compaction(spark, tmp_path, eng):
+    """OPTIMIZE v WHERE <pred>: folds only files the predicate may touch
+    (per-file stats) — Delta's partition-scoped OPTIMIZE shape; content
+    identical, out-of-scope files carried byte-identically."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    e, _ = eng
+    p = str(tmp_path / "opt_where")
+    # two key regions, several small files each
+    for lo in (0, 1000):
+        for i in range(3):
+            df = _df(spark, [(lo + i * 10 + j, 1.0, "x") for j in range(3)])
+            if lo == 0 and i == 0:
+                S.snapshot_write(df, p, stats_cols=["k"])
+            else:
+                from music_recommendation_service_spark.sources.snapshots import (
+                    snapshot_append,
+                )
+                snapshot_append(df, p, stats_cols=["k"])
+    e.snapshot(p, view="optw")
+    before = S._manifest_files(p, S._latest_manifest(p))
+    hi_before = [x for x in before if x["stats"]["k"][0] >= 1000]
+
+    out = e.sql("OPTIMIZE optw WHERE k < 1000").collect()
+    assert out[0]["version"] is not None
+    after = S._manifest_files(p, S._latest_manifest(p))
+    hi_after = [x for x in after if x["stats"]["k"][0] >= 1000]
+    lo_after = [x for x in after if x["stats"]["k"][0] < 1000]
+    # out-of-scope files carried untouched; in-scope files folded to one
+    assert hi_after == hi_before
+    assert len(lo_after) == 1 and len(after) < len(before)
+    got = {r["k"] for r in e.sql("SELECT * FROM optw").collect()}
+    assert got == {i * 10 + j for i in range(3) for j in range(3)} | {
+        1000 + i * 10 + j for i in range(3) for j in range(3)
+    }
+
+    with pytest.raises(SqlDispatchError, match="WHERE applies"):
+        e.sql("OPTIMIZE optw WHERE k < 10 ZORDER BY (k)")
+    with pytest.raises(Exception, match="stats-checkable"):
+        e.sql("OPTIMIZE optw WHERE length(tag) > 1")
