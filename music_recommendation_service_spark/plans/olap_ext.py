@@ -354,3 +354,61 @@ def q149_snapshot_format_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.avg("o_totalprice"), 4).alias("avg_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q150 — CONVERT TO SNAPSHOT as a catalog query: the lineitem parquet is
+# onboarded IN PLACE (absolute external refs, zero rows copied — Delta's
+# CONVERT TO DELTA shape) with per-file min/max stats, then queried through
+# the snapshot reader with a stats-prunable predicate. The DuckDB oracle
+# reads the ORIGINAL parquet: a hash match proves conversion is metadata-
+# only and value-exact. At 100 TB this is the onboarding path for an
+# existing lake — one column-pruned stats scan, no rewrite.
+# ---------------------------------------------------------------------------
+@register(
+    "q150_convert_in_place",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(count(*) AS BIGINT)             AS n_items,
+           CAST(sum(l_quantity) AS BIGINT)      AS sum_qty,
+           {rnd_sql("sum(l_extendedprice)", 2)} AS sum_price
+    FROM lineitem
+    WHERE l_quantity <= 10
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Aggregate over a plain-parquet table onboarded via "
+    "snapshot_convert (absolute external refs, zero rows copied, stats "
+    "from one scan); oracle reads the original parquet.",
+    tags=("datasource", "snapshot", "convert"),
+)
+def q150_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from music_recommendation_service_spark.sources.snapshots import (
+        snapshot_convert,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    root = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
+    app = spark.sparkContext.applicationId
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    path = f"{root}/spark_graft_scratch/q150_conv-{app}-{tag}"
+    if not snapshot_versions(path):
+        snapshot_convert(
+            spark, os.path.join(sf_dir, "lineitem.parquet"), path,
+            stats_cols=["l_quantity"],
+        )
+    li = snapshot_read(spark, path)
+    return (
+        li.filter(F.col("l_quantity") <= 10)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            rnd(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )

@@ -4696,6 +4696,82 @@ def snapshot_rollback(path: str, version: int) -> int:
     return _commit(path, build, op="rollback")
 
 
+def snapshot_convert(
+    spark: SparkSession,
+    parquet_dir: str,
+    path: str,
+    stats_cols: Sequence[str] = (),
+) -> int:
+    """CONVERT TO SNAPSHOT (Delta's ``CONVERT TO DELTA`` parity): register
+    an EXISTING plain-parquet file or flat directory as version 1 of a
+    snapshot table at ``path`` — zero rows copied or rewritten at any
+    size. The manifest references the parquet by ABSOLUTE path (external
+    refs, the shallow-clone discipline, so this table's vacuum never
+    deletes the source data), and ONE column-pruned scan computes per-file
+    row counts and min/max ``stats_cols`` so merge/scan pruning fires from
+    the first commit. Schema comes from the parquet itself.
+
+    Divergence from Delta, by design: the transaction log lands in a NEW
+    table directory instead of inside the source (converting must not
+    mutate data it doesn't own; Delta writes ``_delta_log`` into the
+    directory). Later commits land local data dirs next to the manifests;
+    DML/compaction simply stop referencing the originals. Bloom sidecars
+    are not built here for the same no-mutation reason — rewrite paths
+    (compact/zorder/merge) add them under the table's own roof.
+
+    Hive-partitioned layouts (subdirectories) refuse loudly: the partition
+    columns live in directory names the file-level manifest cannot carry.
+    """
+    if snapshot_versions(path):
+        raise ValueError(
+            f"snapshot_convert: {path} is already a snapshot table"
+        )
+    src = os.path.abspath(parquet_dir)
+    fs = _fs()
+    if fs.is_dir(src):
+        names = sorted(n for n in fs.list_dir(src) if n.endswith(".parquet"))
+        if any(
+            fs.is_dir(os.path.join(src, n))
+            for n in fs.list_dir(src)
+            if not n.startswith(("_", "."))
+        ):
+            raise ValueError(
+                f"snapshot_convert: {src} has subdirectories (hive "
+                "partitioning?) — convert supports flat parquet layouts; "
+                "read-and-write through snapshot_write for partitioned ones"
+            )
+        if not names:
+            raise FileNotFoundError(f"no .parquet files in {src}")
+        entries, n = _scan_file_entries(spark, src, src, list(stats_cols))
+    elif fs.is_file(src):
+        df = spark.read.parquet(src)
+        aggs = [F.count(F.lit(1)).alias("_rows")]
+        for c in stats_cols:
+            aggs.append(F.min(c).alias(f"_min_{c}"))
+            aggs.append(F.max(c).alias(f"_max_{c}"))
+        r = df.agg(*aggs).collect()[0]
+        n = int(r["_rows"])
+        stats = {
+            c: [_stats_repr(r[f"_min_{c}"]), _stats_repr(r[f"_max_{c}"])]
+            for c in stats_cols
+        } or None
+        entries = [{"path": src, "rows": n, "stats": stats}]
+    else:
+        raise FileNotFoundError(src)
+    schema_json = spark.read.parquet(src).schema.json()
+
+    def build(latest: dict | None, _version: int) -> dict:
+        return {
+            "data_dirs": _dirs_of(entries),
+            "files": entries,
+            "n_rows": n,
+            "schema": schema_json,
+            "converted_from": src,
+        }
+
+    return _commit(path, build, op="convert")
+
+
 def snapshot_clone(src: str, dst: str, version: int | None = None) -> int:
     """SHALLOW CLONE parity: commit a version at ``dst`` whose manifest
     references ``src``'s data files by ABSOLUTE path — zero data copied,

@@ -40,6 +40,9 @@ malformed errors loudly rather than half-executing):
     RESTORE [TABLE] v TO TIMESTAMP AS OF '<iso ts>'
     CREATE [OR REPLACE] TABLE v LOCATION '<path>' AS <select>   -- CTAS
     CREATE TABLE v LOCATION '<path>' SHALLOW CLONE w [VERSION AS OF n]
+    CONVERT TO SNAPSHOT '<parquet>' AS v LOCATION '<path>' [STATS (c, ...)]
+        -- onboard existing parquet in place (absolute external refs,
+        -- zero rows copied; Delta CONVERT TO DELTA parity)
     ALTER TABLE v ADD COLUMNS (c TYPE, ...)          -- schema evolution
     ALTER TABLE v RENAME COLUMN a TO b               -- column mapping
     ALTER TABLE v DROP COLUMN(S) a[, b]
@@ -635,6 +638,29 @@ def dispatch_sql(
         else:
             select = re.sub(r"^AS\s+", "", tail, flags=re.IGNORECASE)
             v = S.snapshot_write(spark.sql(select), path)
+        views[name] = path  # Engine.sql re-registers it as a temp view
+        return vdf(v), name
+    if head == "CONVERT":
+        cm = re.match(
+            rf"\s*CONVERT\s+TO\s+SNAPSHOT\s+'([^']+)'\s+AS\s+({_IDENT})\s+"
+            rf"LOCATION\s+'([^']+)'(?:\s+STATS\s*\(\s*({_IDENT}"
+            rf"(?:\s*,\s*{_IDENT})*)\s*\))?\s*$",
+            q, re.IGNORECASE,
+        )
+        if not cm:
+            raise SqlDispatchError(
+                "CONVERT grammar: CONVERT TO SNAPSHOT '<parquet file|dir>' "
+                "AS <view> LOCATION '<table path>' [STATS (c1, c2, ...)]"
+            )
+        src, name, path, stats = cm.groups()
+        if name in views and views[name] != path:
+            raise SqlDispatchError(
+                f"view {name!r} already registered at {views[name]}"
+            )
+        v = S.snapshot_convert(
+            spark, src, path,
+            stats_cols=[c.strip() for c in stats.split(",")] if stats else (),
+        )
         views[name] = path  # Engine.sql re-registers it as a temp view
         return vdf(v), name
     if head == "ALTER":

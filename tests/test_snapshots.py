@@ -3253,3 +3253,59 @@ def test_min_reader_protocol_gate(spark, tmp_path, monkeypatch):
         m2b = _json.load(f)
     assert "files" in m2b and "min_reader" not in m2b
     assert {r["k"] for r in S.snapshot_read(spark, path).collect()} == set(range(4)) | {9, 10}
+
+
+def test_snapshot_convert_directory_and_file(spark, tmp_path):
+    """CONVERT TO SNAPSHOT onboards existing parquet without copying a
+    row: absolute external refs (vacuum never touches them), per-file
+    stats from one scan, full DML lifecycle available immediately."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    src = str(tmp_path / "plain")
+    spark.createDataFrame(
+        [(k, k * 10, f"p{k}") for k in range(100)], "k long, v long, s string"
+    ).repartition(4, "k").write.parquet(src)
+
+    t = str(tmp_path / "tbl")
+    v = S.snapshot_convert(spark, src, t, stats_cols=["k"])
+    assert v == 1
+    m = S._latest_manifest(t)
+    assert m["op"] == "convert" and m["converted_from"] == src
+    files = S._manifest_files(t, m)
+    assert all(os.path.isabs(e["path"]) and e["stats"]["k"] for e in files)
+    got = {r["k"]: r["v"] for r in S.snapshot_read(spark, t).collect()}
+    assert got == {k: k * 10 for k in range(100)}
+
+    # immediately writable: merge updates land in LOCAL dirs; the merge's
+    # stats pruning fires off the converted entries
+    S.snapshot_merge(
+        spark.createDataFrame([(5, 999, "upd")], "k long, v long, s string"),
+        t, key_cols=["k"], seq_col="v",
+    )
+    assert {
+        r["v"] for r in S.snapshot_read(spark, t).filter("k = 5").collect()
+    } == {999}
+    # vacuum past the converted version never deletes the source parquet
+    S.snapshot_append(
+        spark.createDataFrame([(200, 1, "z")], "k long, v long, s string"), t
+    )
+    S.snapshot_vacuum(t, keep_last=1, orphan_min_age_sec=0)
+    assert spark.read.parquet(src).count() == 100  # source intact
+
+    # single FILE form
+    one = [f for f in os.listdir(src) if f.endswith(".parquet")][0]
+    t2 = str(tmp_path / "tbl2")
+    S.snapshot_convert(spark, os.path.join(src, one), t2, stats_cols=["k"])
+    assert S.snapshot_read(spark, t2).count() == spark.read.parquet(
+        os.path.join(src, one)
+    ).count()
+
+    # refusals: existing table, hive-partitioned layout
+    with pytest.raises(ValueError, match="already a snapshot table"):
+        S.snapshot_convert(spark, src, t)
+    part = str(tmp_path / "parted")
+    spark.createDataFrame([(1, "a")], "k long, p string").write.partitionBy(
+        "p"
+    ).parquet(part)
+    with pytest.raises(ValueError, match="subdirectories"):
+        S.snapshot_convert(spark, part, str(tmp_path / "tbl3"))

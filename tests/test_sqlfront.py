@@ -484,3 +484,27 @@ def test_sql_optimize_where_scoped_compaction(spark, tmp_path, eng):
         e.sql("OPTIMIZE optw WHERE k < 10 ZORDER BY (k)")
     with pytest.raises(Exception, match="stats-checkable"):
         e.sql("OPTIMIZE optw WHERE length(tag) > 1")
+
+
+def test_sql_convert_to_snapshot(spark, tmp_path, eng):
+    """CONVERT TO SNAPSHOT through the SQL front: registers the view,
+    stats land, and the converted table takes DML + time travel."""
+    e, _ = eng
+    src = str(tmp_path / "legacy_parquet")
+    _df(spark, BASE).write.parquet(src)
+    loc = str(tmp_path / "converted")
+
+    out = e.sql(
+        f"CONVERT TO SNAPSHOT '{src}' AS legacy LOCATION '{loc}' STATS (k)"
+    ).collect()
+    assert out[0]["version"] == 1
+    assert _state(spark, e, "legacy") == {
+        k: (a, t) for k, a, t in BASE
+    }
+    e.sql("UPDATE legacy SET tag = 'seen' WHERE k = 1")
+    assert _state(spark, e, "legacy")[1] == (10.0, "seen")
+    v1 = e.sql("SELECT * FROM legacy VERSION AS OF 1").collect()
+    assert {r["tag"] for r in v1 if r["k"] == 1} == {"a"}
+
+    with pytest.raises(SqlDispatchError, match="CONVERT grammar"):
+        e.sql("CONVERT TO SNAPSHOT missing-quotes AS x LOCATION 'y'")
