@@ -56,10 +56,13 @@ Design notes (and the 100 TB story):
   leaves only an invisible orphan dir (vacuumable), never a torn table.
   CHECK constraints are enforced IN THE TASK (DuckDB over the Arrow
   batch — per-row predicates need no Spark session; fail-closed on
-  anything DuckDB can't evaluate). Generated and identity columns DO
-  reject DataSource writes: auto-fill expressions and table-wide id
+  anything DuckDB can't evaluate). GENERATED ALWAYS AS columns are
+  accepted when the batch PROVIDES the values — validated in-task as
+  ``col IS NOT DISTINCT FROM (expr)`` pseudo-constraints, Delta's
+  explicit-assignment rule; auto-fill (omitting the column) and identity
+  columns still reject: expression auto-fill and table-wide id
   reservation need the driver-side Spark coordination of
-  ``snapshot_append`` — the error says so.
+  ``snapshot_append``.
 
 Reference parity: S2/S4/S6/S7 (`SURVEY.md §2.1`) at the ``format(...)``
 call-site level; the stream source is the engine-side twin of the
@@ -716,22 +719,38 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
         self._overwrite = overwrite
         self._schema_json = schema.json()
         latest = sn._latest_manifest(self._path)
-        self._constraints: dict = {}
+        self._constraints: dict = {}       # validation set tasks enforce
+        self._table_constraints: dict = {}  # the manifest's declared set
+        self._generated: dict = {}
         if latest is not None:
-            if latest.get("generated") or latest.get("identity"):
-                # Crisp boundary: generated columns AUTO-FILL from Spark
-                # expressions over the batch and identity columns reserve a
-                # table-wide id range BEFORE data lands — both need the
-                # driver-side Spark coordination of snapshot_append. CHECK
-                # constraints, by contrast, are pure per-row predicates and
-                # validate executor-side below.
+            if latest.get("identity"):
+                # Crisp boundary: identity columns reserve a table-wide id
+                # range BEFORE data lands — that needs the driver-side
+                # Spark coordination of snapshot_append.
                 raise ValueError(
-                    f"{self._path} declares generated or identity columns, "
-                    "which need driver-side Spark coordination; write "
-                    "through snapshot_append/snapshot_write instead of the "
+                    f"{self._path} declares an identity column, which needs "
+                    "driver-side Spark coordination; write through "
+                    "snapshot_append/snapshot_write instead of the "
                     "DataSource writer"
                 )
-            self._constraints = dict(latest.get("constraints") or {})
+            self._table_constraints = dict(latest.get("constraints") or {})
+            self._generated = dict(sn._generated(latest) or {})
+            self._constraints = dict(self._table_constraints)
+            # GENERATED ALWAYS AS columns: the DataSource write schema
+            # carries every column, so the incoming batch must PROVIDE the
+            # generated values — validated in-task as a pseudo-constraint
+            # with snapshot_append's exact rule (eqNullSafe: value must
+            # equal the expression over the row's base columns). AUTO-FILL
+            # (omitting the column) still routes through snapshot_append:
+            # the schema-equiv check below rejects the narrower frame, and
+            # this error text says where to go. Per-row validation is a
+            # pure predicate, exactly the CHECK machinery's job; an
+            # expression DuckDB cannot evaluate fails the write loudly
+            # (fail-closed), never commits unvalidated rows.
+            for gc, ge in self._generated.items():
+                self._constraints[f"__generated_{gc}"] = (
+                    f"{gc} IS NOT DISTINCT FROM ({ge})"
+                )
             self._mapping = sn._mapping(latest)
             if not overwrite and not sn._schema_equiv(
                 self._schema_json, latest["schema"]
@@ -895,24 +914,31 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
         entries, n = _land_entries(self._path, msgs)
         schema_json = self._schema_json
         mapping = self._mapping
-        constraints = self._constraints
+        table_constraints = self._table_constraints
+        generated = self._generated
         path = self._path
         overwrite = self._overwrite
 
         def check_features(latest: dict) -> None:
-            # Tasks validated against the constraint set read at writer
-            # construction; anything that changed the feature surface
+            # Tasks validated against the constraint/generated sets read at
+            # writer construction; anything that changed the feature surface
             # mid-flight means the landed data was never validated against
             # the CURRENT table — refuse, caller retries fresh.
-            if latest.get("generated") or latest.get("identity"):
+            if latest.get("identity"):
                 raise sn.ConcurrentSnapshotError(
-                    f"{path}: generated/identity columns added during "
+                    f"{path}: an identity column was added during the "
                     "DataSource write; retry through snapshot_append"
                 )
-            if dict(latest.get("constraints") or {}) != constraints:
+            if dict(sn._generated(latest) or {}) != generated:
+                raise sn.ConcurrentSnapshotError(
+                    f"{path}: generated-column rules changed during "
+                    "DataSource write; retry"
+                )
+            if dict(latest.get("constraints") or {}) != table_constraints:
                 raise sn.ConcurrentSnapshotError(
                     f"{path}: CHECK constraints changed during DataSource "
-                    f"write (validated against {sorted(constraints)}); retry"
+                    f"write (validated against {sorted(table_constraints)}); "
+                    "retry"
                 )
 
         def build(latest: dict | None, version: int) -> dict:
@@ -925,10 +951,11 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                     "n_rows": n,
                     "schema": schema_json,
                 }
-                if constraints:
-                    out["constraints"] = constraints
+                if table_constraints:
+                    out["constraints"] = table_constraints
                 # Overwrite replaces data AND resets the column mapping
-                # (files are written under logical names again).
+                # (files are written under logical names again); generated
+                # rules ride _commit's sticky carry.
                 return out
             if sn._mapping(latest) != mapping:
                 raise sn.ConcurrentSnapshotError(
@@ -1029,7 +1056,8 @@ class SnapshotStreamWriter(SnapshotBatchWriter, DataSourceStreamArrowWriter):
             return  # empty batch: nothing to make idempotent
         entries, n = _land_entries(self._path, msgs)
         schema_json, mapping = self._schema_json, self._mapping
-        constraints = self._constraints
+        table_constraints = self._table_constraints
+        generated = self._generated
         path, app = self._path, self._txn_app
 
         def build(latest: dict | None, version: int) -> dict:
@@ -1046,17 +1074,22 @@ class SnapshotStreamWriter(SnapshotBatchWriter, DataSourceStreamArrowWriter):
             txn = latest.get("stream_txn") or {}
             if app is not None and txn.get(app, -1) >= batchId:
                 raise _ReplaySkip()
-            if latest.get("generated") or latest.get("identity"):
+            if latest.get("identity"):
                 raise sn.ConcurrentSnapshotError(
-                    f"{path}: generated/identity added during stream "
-                    "write; route the stream through foreach_batch_merge/"
-                    "snapshot_append instead"
+                    f"{path}: an identity column was added during the "
+                    "stream write; route the stream through "
+                    "foreach_batch_merge/snapshot_append instead"
                 )
-            if dict(latest.get("constraints") or {}) != constraints:
+            if dict(sn._generated(latest) or {}) != generated:
+                raise sn.ConcurrentSnapshotError(
+                    f"{path}: generated-column rules changed during stream "
+                    "write; restart the stream"
+                )
+            if dict(latest.get("constraints") or {}) != table_constraints:
                 raise sn.ConcurrentSnapshotError(
                     f"{path}: CHECK constraints changed during stream "
                     f"write (batches validated against "
-                    f"{sorted(constraints)}); restart the stream"
+                    f"{sorted(table_constraints)}); restart the stream"
                 )
             if sn._mapping(latest) != mapping:
                 raise sn.ConcurrentSnapshotError(

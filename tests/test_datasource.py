@@ -891,3 +891,56 @@ def test_fully_pruned_scan_returns_empty(spark, tmp_path):
     r = SnapshotBatchReader({"path": t}, schema=None)
     r.pushFilters([GreaterThan(("id",), 10_000)])
     assert r.partitions() == []
+
+
+def test_writer_validates_generated_columns_in_task(spark, tmp_path):
+    """GENERATED ALWAYS AS tables accept DataSource writes when the batch
+    PROVIDES the generated values (validated in-task via the pseudo-
+    constraint col IS NOT DISTINCT FROM (expr) — Delta's explicit-
+    assignment rule); a wrong value fails the write; omitting the column
+    fails the schema check (auto-fill stays driver-side)."""
+    t = str(tmp_path / "gen_tbl")
+    sn.snapshot_write(
+        spark.range(3).selectExpr("id", "id * 2 as dbl"), t, stats_cols=["id"]
+    )
+    sn.snapshot_set_generated(spark, t, "dbl", "id * 2")
+
+    ok = spark.range(10, 13).selectExpr("id", "id * 2 as dbl")
+    ok.write.format("snapshot").mode("append").save(t)
+    got = {(r["id"], r["dbl"]) for r in sn.snapshot_read(spark, t).collect()}
+    assert got == {(i, i * 2) for i in list(range(3)) + [10, 11, 12]}
+
+    bad = spark.range(20, 21).selectExpr("id", "id * 3 as dbl")
+    with pytest.raises(Exception, match="__generated_dbl"):
+        bad.write.format("snapshot").mode("append").save(t)
+    assert sn.snapshot_read(spark, t).count() == 6  # nothing landed
+
+    # omission: the append schema gate fires (auto-fill is snapshot_append's)
+    with pytest.raises(Exception, match="schema mismatch"):
+        spark.range(30, 31).selectExpr("id").write.format("snapshot").mode(
+            "append"
+        ).save(t)
+
+    # stream sink: same validation per micro-batch
+    import pyarrow as pa
+
+    from music_recommendation_service_spark.sources.datasource import (
+        SnapshotStreamWriter,
+    )
+
+    w = SnapshotStreamWriter(
+        {"path": t, "txnappid": "gens"}, sn.snapshot_read(spark, t).schema
+    )
+    w.commit(
+        [w.write(iter([pa.RecordBatch.from_pydict(
+            {"id": pa.array([40], pa.int64()), "dbl": pa.array([80], pa.int64())}
+        )]))],
+        0,
+    )
+    assert (40, 80) in {
+        (r["id"], r["dbl"]) for r in sn.snapshot_read(spark, t).collect()
+    }
+    with pytest.raises(sn.ConstraintViolationError, match="__generated_dbl"):
+        w.write(iter([pa.RecordBatch.from_pydict(
+            {"id": pa.array([50], pa.int64()), "dbl": pa.array([99], pa.int64())}
+        )]))
