@@ -722,6 +722,7 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
         self._constraints: dict = {}       # validation set tasks enforce
         self._table_constraints: dict = {}  # the manifest's declared set
         self._generated: dict = {}
+        self._merge_schema = _truthy(options, "mergeschema")
         if latest is not None:
             if latest.get("identity"):
                 # Crisp boundary: identity columns reserve a table-wide id
@@ -755,10 +756,19 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
             if not overwrite and not sn._schema_equiv(
                 self._schema_json, latest["schema"]
             ):
-                raise ValueError(
-                    f"append schema mismatch at {self._path}: "
-                    f"manifest={latest['schema']} incoming={self._schema_json}"
-                )
+                if self._merge_schema:
+                    # validate NOW (fail before any task writes); the
+                    # commit build re-merges against the fresh manifest
+                    sn._merged_schema_json(
+                        self._path, latest["schema"], self._schema_json
+                    )
+                else:
+                    raise ValueError(
+                        f"append schema mismatch at {self._path}: "
+                        f"manifest={latest['schema']} "
+                        f"incoming={self._schema_json} (option "
+                        "mergeSchema=true widens with new columns)"
+                    )
         else:
             self._mapping = {}
         # Preserve the table's stats/bloom discipline (physical names), or
@@ -918,6 +928,7 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
         generated = self._generated
         path = self._path
         overwrite = self._overwrite
+        merge_schema = self._merge_schema
 
         def check_features(latest: dict) -> None:
             # Tasks validated against the constraint/generated sets read at
@@ -961,7 +972,13 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                 raise sn.ConcurrentSnapshotError(
                     f"{path}: column mapping changed during append; retry"
                 )
-            if not sn._schema_equiv(schema_json, latest["schema"]):
+            if sn._schema_equiv(schema_json, latest["schema"]):
+                out_schema = schema_json
+            elif merge_schema:
+                out_schema = sn._merged_schema_json(
+                    path, latest["schema"], schema_json
+                )
+            else:
                 raise ValueError(
                     f"append schema mismatch at {path}: "
                     f"manifest={latest['schema']} incoming={schema_json}"
@@ -973,7 +990,7 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                 "data_dirs": sn._dirs_of(files),
                 "files": files,
                 "n_rows": latest["n_rows"] + n,
-                "schema": schema_json,
+                "schema": out_schema,
             }
             if mapping:
                 out["column_mapping"] = mapping
@@ -1058,6 +1075,7 @@ class SnapshotStreamWriter(SnapshotBatchWriter, DataSourceStreamArrowWriter):
         schema_json, mapping = self._schema_json, self._mapping
         table_constraints = self._table_constraints
         generated = self._generated
+        merge_schema = self._merge_schema
         path, app = self._path, self._txn_app
 
         def build(latest: dict | None, version: int) -> dict:
@@ -1095,7 +1113,13 @@ class SnapshotStreamWriter(SnapshotBatchWriter, DataSourceStreamArrowWriter):
                 raise sn.ConcurrentSnapshotError(
                     f"{path}: column mapping changed during stream write"
                 )
-            if not sn._schema_equiv(schema_json, latest["schema"]):
+            if sn._schema_equiv(schema_json, latest["schema"]):
+                out_schema = schema_json
+            elif merge_schema:
+                out_schema = sn._merged_schema_json(
+                    path, latest["schema"], schema_json
+                )
+            else:
                 raise ValueError(
                     f"stream append schema mismatch at {path}: "
                     f"manifest={latest['schema']} incoming={schema_json}"
@@ -1105,7 +1129,7 @@ class SnapshotStreamWriter(SnapshotBatchWriter, DataSourceStreamArrowWriter):
                 "data_dirs": sn._dirs_of(files),
                 "files": files,
                 "n_rows": latest["n_rows"] + n,
-                "schema": schema_json,
+                "schema": out_schema,
             }
             if app is not None:
                 out["stream_txn"] = {**txn, app: batchId}

@@ -879,14 +879,22 @@ def snapshot_append(
     stats_cols: Sequence[str] = (),
     manifest_extra: dict | None = None,
     bloom_cols: Sequence[str] = (),
+    merge_schema: bool = False,
 ) -> int:
     """Append as a NEW version: new data dir + manifest carrying the current
     version's files by reference — metadata-only append, no data rewrite.
     Schema must match the current version exactly (S6 strict-append
-    contract). On a commit race the loser rebases onto the winner's file
-    list, so concurrent appends both survive. ``manifest_extra`` merges
-    caller metadata into the committed manifest (used by the ingest ledger
-    to record its pending-file batch atomically with the data)."""
+    contract) — unless ``merge_schema`` (Delta ``mergeSchema`` parity):
+    NEW incoming columns widen the table schema in the same commit
+    (appended as nullable; existing files null-fill them on read through
+    the declared-schema machinery), while common columns must still
+    type-match exactly and existing columns may not be dropped — additive
+    evolution only, no silent narrowing or retyping. On a commit race the
+    loser rebases onto the winner's file list (and, with ``merge_schema``,
+    re-merges against the winner's schema), so concurrent appends both
+    survive. ``manifest_extra`` merges caller metadata into the committed
+    manifest (used by the ingest ledger to record its pending-file batch
+    atomically with the data)."""
     if not snapshot_versions(path):
         return snapshot_write(
             df, path, stats_cols, manifest_extra=manifest_extra,
@@ -921,10 +929,17 @@ def snapshot_append(
             raise ConcurrentSnapshotError(
                 f"{path}: column mapping changed during append; retry"
             )
-        if not _schema_equiv(schema_json, latest["schema"]):
+        if _schema_equiv(schema_json, latest["schema"]):
+            out_schema = schema_json
+        elif merge_schema:
+            # re-merged per commit attempt so a lost race folds the
+            # WINNER's evolution in too (both new columns land)
+            out_schema = _merged_schema_json(path, latest["schema"], schema_json)
+        else:
             raise ValueError(
                 f"append schema mismatch at {path}: manifest={latest['schema']} "
-                f"incoming={schema_json}"
+                f"incoming={schema_json} (pass merge_schema=True to widen "
+                "with the new columns)"
             )
         base = _manifest_files(path, latest)
         files = base + new_files
@@ -933,7 +948,7 @@ def snapshot_append(
             "data_dirs": _dirs_of(files),
             "files": files,
             "n_rows": base_rows + n,
-            "schema": schema_json,
+            "schema": out_schema,
             **(manifest_extra or {}),
         }
         if mapping:
@@ -941,6 +956,33 @@ def snapshot_append(
         return out
 
     return _commit(path, build, op="append")
+
+
+def _merged_schema_json(path: str, table_json: str, incoming_json: str) -> str:
+    """Delta mergeSchema rule: table fields keep their order and types;
+    incoming-only fields append as NULLABLE; a table field the incoming
+    frame omits null-fills on read (the schema-evolution machinery old
+    files already use); a common field with a different type refuses —
+    additive evolution only, no silent retypes."""
+    from pyspark.sql.types import StructField, StructType
+
+    table = StructType.fromJson(json.loads(table_json))
+    incoming = StructType.fromJson(json.loads(incoming_json))
+    by_name = {f.name: f for f in incoming.fields}
+    for f in table.fields:
+        inc = by_name.get(f.name)
+        if inc is not None and inc.dataType != f.dataType:
+            raise ValueError(
+                f"mergeSchema append at {path}: column {f.name!r} is "
+                f"{f.dataType.simpleString()} in the table but "
+                f"{inc.dataType.simpleString()} incoming — no silent retypes"
+            )
+    new = [
+        StructField(f.name, f.dataType, nullable=True)
+        for f in incoming.fields
+        if f.name not in {t.name for t in table.fields}
+    ]
+    return StructType(list(table.fields) + new).json()
 
 
 def _stats_repr(v):

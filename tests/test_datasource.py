@@ -944,3 +944,24 @@ def test_writer_validates_generated_columns_in_task(spark, tmp_path):
         w.write(iter([pa.RecordBatch.from_pydict(
             {"id": pa.array([50], pa.int64()), "dbl": pa.array([99], pa.int64())}
         )]))
+
+
+def test_writer_merge_schema_option(spark, tmp_path):
+    """option('mergeSchema','true') on format('snapshot') writes: new
+    columns widen the table in the same commit (old files null-fill);
+    without the option the append schema gate still fires."""
+    t = str(tmp_path / "msch_ds")
+    spark.range(3).selectExpr("id").write.format("snapshot").mode(
+        "overwrite"
+    ).option("statsCols", "id").save(t)
+
+    wide = spark.range(3, 6).selectExpr("id", "concat('v', id) as tag")
+    with pytest.raises(Exception, match="mergeSchema"):
+        wide.write.format("snapshot").mode("append").save(t)
+    wide.write.format("snapshot").mode("append").option(
+        "mergeSchema", "true"
+    ).save(t)
+    got = {(r["id"], r["tag"]) for r in sn.snapshot_read(spark, t).collect()}
+    assert got == {(0, None), (1, None), (2, None), (3, "v3"), (4, "v4"), (5, "v5")}
+    # native and DS reads agree on the evolved schema
+    _assert_parity(spark, t)

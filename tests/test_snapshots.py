@@ -3309,3 +3309,63 @@ def test_snapshot_convert_directory_and_file(spark, tmp_path):
     ).parquet(part)
     with pytest.raises(ValueError, match="subdirectories"):
         S.snapshot_convert(spark, part, str(tmp_path / "tbl3"))
+
+
+def test_append_merge_schema(spark, tmp_path, monkeypatch):
+    """mergeSchema append (Delta parity): new incoming columns widen the
+    table in the SAME commit; old files null-fill on read; common columns
+    must type-match; dropping columns refuses; time travel keeps the old
+    schema; a commit race folds BOTH writers' new columns in."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "msch")
+    S.snapshot_write(_snap_df(spark, [(1, 1, "a")]), path, stats_cols=["k"])
+
+    wide = spark.createDataFrame(
+        [(2, 1, "b", "web")], "k long, seq long, payload string, src string"
+    )
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        S.snapshot_append(wide, path)
+    v = S.snapshot_append(wide, path, merge_schema=True)
+    assert v == 2
+    got = {r["k"]: r["src"] for r in S.snapshot_read(spark, path).collect()}
+    assert got == {1: None, 2: "web"}  # old rows null-fill
+    assert S.snapshot_read(spark, path).columns == ["k", "seq", "payload", "src"]
+    assert S.snapshot_read(spark, path, version=1).columns == ["k", "seq", "payload"]
+
+    # additive only: no retypes; an OMITTED table column null-fills (the
+    # same declared-schema machinery old files use)
+    retyped = spark.createDataFrame([(3, 1.5, "c", "x")],
+                                    "k long, seq double, payload string, src string")
+    with pytest.raises(ValueError, match="no silent retypes"):
+        S.snapshot_append(retyped, path, merge_schema=True)
+    S.snapshot_append(_snap_df(spark, [(3, 1, "c")]), path, merge_schema=True)
+    assert {
+        r["src"] for r in S.snapshot_read(spark, path).filter("k = 3").collect()
+    } == {None}
+
+    # race: concurrent mergeSchema appends adding DIFFERENT columns — the
+    # loser re-merges against the winner's schema, both columns survive
+    _race_once(
+        monkeypatch, S, path,
+        lambda: S.snapshot_append(
+            spark.createDataFrame(
+                [(8, 1, "r", "app", 3)],
+                "k long, seq long, payload string, src string, rank long",
+            ),
+            path, merge_schema=True,
+        ),
+    )
+    S.snapshot_append(
+        spark.createDataFrame(
+            [(9, 1, "s", "web", 0.5)],
+            "k long, seq long, payload string, src string, score double",
+        ),
+        path, merge_schema=True,
+    )
+    cols = S.snapshot_read(spark, path).columns
+    assert cols == ["k", "seq", "payload", "src", "rank", "score"]
+    rows = {r["k"]: (r["rank"], r["score"])
+            for r in S.snapshot_read(spark, path).collect()}
+    assert rows[8] == (3, None) and rows[9] == (None, 0.5)
+    assert rows[1] == (None, None)
