@@ -412,3 +412,63 @@ def q150_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q151 — DML + change-data-feed round trip as a catalog query: orders lands
+# in a scratch snapshot table, a DV DELETE (positional deletion vectors —
+# O(matched rows) written, no file rewrite) removes the 'F' orders, and the
+# query consumes the commit's CHANGE FEED, aggregating exactly the deleted
+# rows. The DuckDB oracle computes the same aggregate from the ORIGINAL
+# parquet's WHERE clause: a hash match pins that the positional CDF emits
+# precisely the deleted rows — no carried-row noise, no misses — through
+# write -> DV-delete -> feed. At 100 TB this is the incremental-consumer
+# contract (downstream training-set refresh reads feeds, not snapshots).
+# ---------------------------------------------------------------------------
+@register(
+    "q151_cdf_delete_feed",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)          AS n_deleted,
+           {rnd_sql("sum(o_totalprice)", 2)} AS deleted_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    doc="Change feed of a DV DELETE aggregated by priority; oracle "
+    "derives the same set from the original parquet's WHERE — pins the "
+    "positional CDF row-exact.",
+    tags=("snapshot", "cdf", "dml"),
+)
+def q151_cdf_delete_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from music_recommendation_service_spark.sources.snapshots import (
+        snapshot_changes,
+        snapshot_delete_where,
+        snapshot_versions,
+        snapshot_write,
+    )
+
+    root = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
+    app = spark.sparkContext.applicationId
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    path = f"{root}/spark_graft_scratch/q151_cdf-{app}-{tag}"
+    if not snapshot_versions(path):
+        snapshot_write(
+            _t(spark, sf_dir, "orders"), path, stats_cols=["o_orderkey"]
+        )
+        snapshot_delete_where(
+            spark, path, "o_orderstatus = 'F'", mode="dv"
+        )
+    ch = snapshot_changes(spark, path, 1, 2)
+    return (
+        ch.filter(F.col("_change_type") == "delete")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_deleted"),
+            rnd(F.sum("o_totalprice"), 2).alias("deleted_price"),
+        )
+    )
