@@ -760,7 +760,8 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                     # validate NOW (fail before any task writes); the
                     # commit build re-merges against the fresh manifest
                     sn._merged_schema_json(
-                        self._path, latest["schema"], self._schema_json
+                        self._path, latest["schema"], self._schema_json,
+                        self._mapping,
                     )
                 else:
                     raise ValueError(
@@ -976,7 +977,7 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                 out_schema = schema_json
             elif merge_schema:
                 out_schema = sn._merged_schema_json(
-                    path, latest["schema"], schema_json
+                    path, latest["schema"], schema_json, mapping
                 )
             else:
                 raise ValueError(
@@ -1117,7 +1118,7 @@ class SnapshotStreamWriter(SnapshotBatchWriter, DataSourceStreamArrowWriter):
                 out_schema = schema_json
             elif merge_schema:
                 out_schema = sn._merged_schema_json(
-                    path, latest["schema"], schema_json
+                    path, latest["schema"], schema_json, mapping
                 )
             else:
                 raise ValueError(

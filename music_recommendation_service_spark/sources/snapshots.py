@@ -903,7 +903,15 @@ def snapshot_append(
     df = _apply_generated(df, path, "append")
     _enforce_constraints(df, path, "append")
     df, _ident_unpin = _assign_identity(df, path, "append")
-    mapping = _mapping(_latest_manifest(path) or {})
+    latest0 = _latest_manifest(path) or {}
+    mapping = _mapping(latest0)
+    if merge_schema and latest0.get("schema") and not _schema_equiv(
+        df.schema.json(), latest0["schema"]
+    ):
+        # validate BEFORE the physical write (a physical-name collision
+        # must fail here, loudly, not as a parquet duplicate-column error);
+        # the build re-merges against the fresh manifest on a race
+        _merged_schema_json(path, latest0["schema"], df.schema.json(), mapping)
     rel, full = _new_data_dir(path)
     _to_physical_df(df, mapping).write.mode("error").parquet(full)
     if _ident_unpin:
@@ -934,7 +942,7 @@ def snapshot_append(
         elif merge_schema:
             # re-merged per commit attempt so a lost race folds the
             # WINNER's evolution in too (both new columns land)
-            out_schema = _merged_schema_json(path, latest["schema"], schema_json)
+            out_schema = _merged_schema_json(path, latest["schema"], schema_json, mapping)
         else:
             raise ValueError(
                 f"append schema mismatch at {path}: manifest={latest['schema']} "
@@ -958,17 +966,25 @@ def snapshot_append(
     return _commit(path, build, op="append")
 
 
-def _merged_schema_json(path: str, table_json: str, incoming_json: str) -> str:
+def _merged_schema_json(
+    path: str, table_json: str, incoming_json: str, mapping: dict | None = None
+) -> str:
     """Delta mergeSchema rule: table fields keep their order and types;
     incoming-only fields append as NULLABLE; a table field the incoming
     frame omits null-fills on read (the schema-evolution machinery old
     files already use); a common field with a different type refuses —
-    additive evolution only, no silent retypes."""
+    additive evolution only, no silent retypes. A new name colliding with
+    a renamed column's PHYSICAL name refuses too: files store physical
+    names, so the collision would make old files' data ambiguous."""
     from pyspark.sql.types import StructField, StructType
 
     table = StructType.fromJson(json.loads(table_json))
     incoming = StructType.fromJson(json.loads(incoming_json))
     by_name = {f.name: f for f in incoming.fields}
+    table_names = {t.name for t in table.fields}
+    phys_taken = {
+        p for l, p in (mapping or {}).items() if p not in table_names
+    }
     for f in table.fields:
         inc = by_name.get(f.name)
         if inc is not None and inc.dataType != f.dataType:
@@ -976,6 +992,13 @@ def _merged_schema_json(path: str, table_json: str, incoming_json: str) -> str:
                 f"mergeSchema append at {path}: column {f.name!r} is "
                 f"{f.dataType.simpleString()} in the table but "
                 f"{inc.dataType.simpleString()} incoming — no silent retypes"
+            )
+    for f in incoming.fields:
+        if f.name not in table_names and f.name in phys_taken:
+            raise ValueError(
+                f"mergeSchema append at {path}: new column {f.name!r} "
+                "collides with a renamed column's stored physical name; "
+                "pick another name"
             )
     new = [
         StructField(f.name, f.dataType, nullable=True)

@@ -3369,3 +3369,27 @@ def test_append_merge_schema(spark, tmp_path, monkeypatch):
             for r in S.snapshot_read(spark, path).collect()}
     assert rows[8] == (3, None) and rows[9] == (None, 0.5)
     assert rows[1] == (None, None)
+
+
+def test_merge_schema_rejects_physical_name_collision(spark, tmp_path):
+    """A new mergeSchema column whose name equals a RENAMED column's stored
+    physical name refuses: files store physical names, so the collision
+    would make old files' data ambiguous on read."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "msch_coll")
+    S.snapshot_write(_snap_df(spark, [(1, 1, "a")]), path)
+    S.snapshot_rename_columns(path, {"payload": "note"})  # files store 'payload'
+    wide = spark.createDataFrame(
+        [(2, 1, "b", "boom")], "k long, seq long, note string, payload string"
+    )
+    with pytest.raises(ValueError, match="physical name"):
+        S.snapshot_append(wide, path, merge_schema=True)
+    # a non-colliding new name is fine
+    ok = spark.createDataFrame(
+        [(2, 1, "b", "x")], "k long, seq long, note string, extra string"
+    )
+    S.snapshot_append(ok, path, merge_schema=True)
+    got = {(r["k"], r["note"], r["extra"])
+           for r in S.snapshot_read(spark, path).collect()}
+    assert got == {(1, "a", None), (2, "b", "x")}
