@@ -4669,29 +4669,57 @@ def snapshot_auto_optimize(
 def snapshot_history(path: str) -> list[dict]:
     """DESCRIBE HISTORY parity: one record per surviving version, newest
     first — the audit view of the commit log (version, operation, commit
-    time, row/file counts, and whether the commit changed data or was
-    metadata-only). Reads manifests only; O(versions), never touches data.
-    Versions older than the vacuum horizon are gone by design — history is
-    as long as retention, exactly like Delta's."""
+    time, row/file counts, per-commit operation metrics, and whether the
+    commit changed data or was metadata-only). Reads manifests only;
+    O(versions), never touches data. Versions older than the vacuum
+    horizon are gone by design — history is as long as retention, exactly
+    like Delta's.
+
+    Operation metrics (Delta operationMetrics shape): ``net_rows`` (live
+    row delta vs the previous surviving version), ``n_files_added`` /
+    ``n_files_removed`` (manifest entry churn — a DV re-point counts on
+    both sides, the same way Delta's DV commits swap add actions). Delta
+    manifests carry the diff EXPLICITLY, so the metrics there are a field
+    read, not a set difference."""
+    versions = snapshot_versions(path)
     out = []
-    for v in reversed(snapshot_versions(path)):
+    prev_ids: set | None = None
+    prev_rows: int | None = None
+    for v in versions:
         m = _read_manifest(path, v)
-        files = (
-            _manifest_files(path, m)
-            if ("files" in m or "files_base" in m)
-            else None
-        )
+        has_files = "files" in m or "files_base" in m
+        files = _manifest_files(path, m) if has_files else None
+        n_rows = m.get("n_rows")
+        if not has_files:
+            added = removed = None
+        elif "files_add" in m and prev_ids is not None:
+            added, removed = len(m["files_add"]), len(m["files_remove"])
+        else:
+            ids = {_ekey(e) for e in files}
+            added = len(ids - prev_ids) if prev_ids is not None else len(ids)
+            removed = len(prev_ids - ids) if prev_ids is not None else 0
         out.append(
             {
                 "version": v,
                 "op": m.get("op"),
                 "committed_at": m.get("committed_at"),
-                "n_rows": m.get("n_rows"),
+                "n_rows": n_rows,
                 "n_files": len(files) if files is not None else None,
+                "net_rows": (
+                    n_rows - prev_rows
+                    if n_rows is not None and prev_rows is not None
+                    else n_rows
+                ),
+                "n_files_added": added,
+                "n_files_removed": removed,
                 "data_change": m.get("data_change", True),
                 "constraints": sorted(m.get("constraints") or {}),
             }
         )
+        if files is not None:
+            prev_ids = {_ekey(e) for e in files}
+        prev_rows = n_rows
+    out.reverse()
     return out
 
 

@@ -893,7 +893,9 @@ def dispatch_sql(
             rows = [
                 (
                     h["version"], h["op"], float(h["committed_at"] or 0),
-                    h["n_rows"], h["n_files"], bool(h["data_change"]),
+                    h["n_rows"], h["n_files"], h["net_rows"],
+                    h["n_files_added"], h["n_files_removed"],
+                    bool(h["data_change"]),
                 )
                 for h in hist
             ]
@@ -901,7 +903,9 @@ def dispatch_sql(
                 spark.createDataFrame(
                     rows,
                     "version long, op string, committed_at double, "
-                    "n_rows long, n_files long, data_change boolean",
+                    "n_rows long, n_files long, net_rows long, "
+                    "n_files_added long, n_files_removed long, "
+                    "data_change boolean",
                 ),
                 None,
             )

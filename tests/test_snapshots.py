@@ -3393,3 +3393,33 @@ def test_merge_schema_rejects_physical_name_collision(spark, tmp_path):
     got = {(r["k"], r["note"], r["extra"])
            for r in S.snapshot_read(spark, path).collect()}
     assert got == {(1, "a", None), (2, "b", "x")}
+
+
+def test_history_operation_metrics(spark, tmp_path, monkeypatch):
+    """DESCRIBE HISTORY operation metrics: net row delta and manifest
+    entry churn per commit — identical through full and DELTA manifests
+    (delta manifests answer from their recorded diff)."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    def lifecycle(path):
+        S.snapshot_write(
+            _snap_df(spark, [(k, 1, "x") for k in range(8)]).repartition(4, "k"),
+            path, stats_cols=["k"],
+        )
+        S.snapshot_append(_snap_df(spark, [(20, 1, "c")]), path, stats_cols=["k"])
+        S.snapshot_delete_where(spark, path, "k = 3", mode="dv")
+        S.snapshot_merge(_snap_df(spark, [(1, 2, "u")]), path,
+                         key_cols=["k"], seq_col="seq")
+        return {
+            h["version"]: (h["net_rows"], h["n_files_added"], h["n_files_removed"])
+            for h in S.snapshot_history(path)
+        }
+
+    full = lifecycle(str(tmp_path / "full"))
+    monkeypatch.setattr(S, "_DELTA_MANIFEST_MIN_FILES", 1)
+    delta = lifecycle(str(tmp_path / "delta"))
+    assert full == delta
+    assert full[2] == (1, 1, 0)        # append: one file, +1 row
+    assert full[3][0] == -1            # dv delete: one live row gone
+    assert full[3][1] >= 1 and full[3][2] >= 1  # re-point churns both sides
+    assert full[4][0] == 0             # merge replaced a row 1:1
