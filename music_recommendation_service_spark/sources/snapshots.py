@@ -2244,6 +2244,7 @@ def snapshot_merge_when(
     when_not_matched: Sequence[dict] = (),
     when_not_matched_by_source: Sequence[dict] = (),
     manifest_extra: dict | None = None,
+    merge_schema: bool = False,
 ) -> int | None:
     """General multi-clause MERGE — Delta's full ``MERGE INTO t USING s ON
     t.k = s.k WHEN ...`` surface on the snapshot protocol (reference
@@ -2307,6 +2308,33 @@ def snapshot_merge_when(
     base_version = versions[-1]
     cur = _read_manifest(path, base_version)
     schema = StructType.fromJson(json.loads(cur["schema"]))
+    # WITH SCHEMA EVOLUTION (Delta MERGE parity): source-only columns
+    # widen the target schema in the same commit — appended as nullable,
+    # carried/untouched rows null-fill on read through the declared-schema
+    # machinery; without the flag, extra source columns stay accessible
+    # in clause expressions (s.col) but are never stored, Delta's default.
+    new_fields: list = []
+    if merge_schema:
+        from pyspark.sql.types import StructField
+
+        have = set(schema.fieldNames())
+        new_fields = [
+            StructField(f.name, f.dataType, nullable=True)
+            for f in source.schema.fields
+            if f.name not in have
+        ]
+        phys_taken = {
+            p for _l, p in _mapping(cur).items() if p not in have
+        }
+        for f in new_fields:
+            if f.name in phys_taken:
+                raise ValueError(
+                    f"MERGE schema evolution at {path}: new column "
+                    f"{f.name!r} collides with a renamed column's stored "
+                    "physical name; pick another name"
+                )
+        if new_fields:
+            schema = StructType(list(schema.fields) + new_fields)
     types = {f.name: f.dataType for f in schema.fields}
     tcols = schema.fieldNames()
     missing_keys = sorted(set(key_cols) - set(tcols))
@@ -2409,6 +2437,10 @@ def snapshot_merge_when(
     # --- full-outer join of touched target rows vs (effective) source ----
     if touched:
         tgt = _read_entries(spark, path, cur, touched)
+        for f in new_fields:
+            # schema evolution: stored rows have no value for the new
+            # columns yet — typed nulls, same as untouched files on read
+            tgt = tgt.withColumn(f.name, F.lit(None).cast(f.dataType))
     else:
         tgt = spark.createDataFrame([], schema)
     t = tgt.withColumn("_t_present", F.lit(True)).alias("t")
@@ -2554,7 +2586,8 @@ def snapshot_merge_when(
             "data_dirs": _dirs_of(files_out),
             "files": files_out,
             "n_rows": n_rows,
-            "schema": cur["schema"],
+            # schema evolution widens here; identical to cur otherwise
+            "schema": schema.json(),
             **(manifest_extra or {}),
         }
         if mapping:

@@ -19,7 +19,11 @@ malformed errors loudly rather than half-executing):
     UPDATE v SET c = e [, ...] [WHERE <pred>]
     INSERT INTO v <SELECT ...>                       -- append
     INSERT INTO v (c1, ...) VALUES (...), (...)      -- append
-    MERGE INTO v [AS] t USING (<query>)|view [AS] s ON t.k = s.k [AND ...]
+    MERGE [WITH SCHEMA EVOLUTION] INTO v [AS] t
+      USING (<query>)|view [AS] s ON t.k = s.k [AND ...]
+      -- WITH SCHEMA EVOLUTION: source-only columns widen the target in
+      -- the same commit (Delta parity); without it they stay accessible
+      -- in clause expressions but are never stored
       WHEN MATCHED [AND <cond>] THEN UPDATE SET c = e, ... | DELETE
       WHEN NOT MATCHED [BY TARGET] [AND <cond>]
            THEN INSERT * | INSERT (c, ...) VALUES (e, ...)
@@ -268,12 +272,14 @@ def _parse_insert(q: str, views: dict):
 
 def _parse_merge(q: str, views: dict):
     head = re.match(
-        rf"\s*MERGE\s+INTO\s+({_IDENT})(?:\s+AS)?(?:\s+({_IDENT}))?\s+USING\s+",
+        rf"\s*MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+({_IDENT})"
+        rf"(?:\s+AS)?(?:\s+({_IDENT}))?\s+USING\s+",
         q, re.IGNORECASE,
     )
     if not head:
         raise SqlDispatchError(f"unparseable MERGE head: {q[:80]!r}")
-    tname, t_alias = head.group(1), head.group(2) or head.group(1)
+    evolve = bool(head.group(1))
+    tname, t_alias = head.group(2), head.group(3) or head.group(2)
     if t_alias.upper() == "USING":
         t_alias = tname
     path = _require_view(tname, views)
@@ -403,7 +409,7 @@ def _parse_merge(q: str, views: dict):
             when_not_matched.append(clause)
     return (
         path, tname, src_sql, key_cols,
-        when_matched, when_not_matched, when_by_source,
+        when_matched, when_not_matched, when_by_source, evolve,
     )
 
 
@@ -597,11 +603,14 @@ def dispatch_sql(
         ])
         return vdf(S.snapshot_append(df, path)), name
     if head == "MERGE":
-        (path, name, src_sql, key_cols, wm, wnm, wbs) = _parse_merge(q, views)
+        (path, name, src_sql, key_cols, wm, wnm, wbs, evolve) = _parse_merge(
+            q, views
+        )
         v = S.snapshot_merge_when(
             spark.sql(src_sql), path, key_cols=key_cols,
             when_matched=wm, when_not_matched=wnm,
             when_not_matched_by_source=wbs,
+            merge_schema=evolve,
         )
         return vdf(v), name
     if head == "CREATE":

@@ -3423,3 +3423,52 @@ def test_history_operation_metrics(spark, tmp_path, monkeypatch):
     assert full[3][0] == -1            # dv delete: one live row gone
     assert full[3][1] >= 1 and full[3][2] >= 1  # re-point churns both sides
     assert full[4][0] == 0             # merge replaced a row 1:1
+
+
+def test_merge_when_schema_evolution(spark, tmp_path):
+    """MERGE WITH SCHEMA EVOLUTION: source-only columns widen the target
+    in the same commit — updated/inserted rows carry them, carried and
+    untouched rows null-fill; without the flag extra source columns stay
+    expression-visible but are never stored (Delta's default)."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "mw_evolve")
+    S.snapshot_write(
+        _snap_df(spark, [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")]),
+        path, stats_cols=["k"],
+    )
+    src = spark.createDataFrame(
+        [(1, 2, "A", "web"), (9, 1, "new", "app")],
+        "k long, seq long, payload string, channel string",
+    )
+
+    # default: channel is usable in exprs but NOT stored
+    S.snapshot_merge_when(
+        src, path, key_cols=["k"],
+        when_matched=[{"action": "update",
+                       "set": {"payload": "concat(s.payload, '-', s.channel)"}}],
+    )
+    assert "channel" not in S.snapshot_read(spark, path).columns
+    assert {r["payload"] for r in S.snapshot_read(spark, path).filter("k=1").collect()} == {"A-web"}
+
+    # WITH SCHEMA EVOLUTION: channel becomes a target column
+    v = S.snapshot_merge_when(
+        src, path, key_cols=["k"],
+        when_matched=[{"action": "update",
+                       "set": {"payload": "s.payload", "channel": "s.channel"}}],
+        when_not_matched=[{"action": "insert"}],
+        merge_schema=True,
+    )
+    assert v is not None
+    got = {r["k"]: (r["payload"], r["channel"])
+           for r in S.snapshot_read(spark, path).collect()}
+    assert got == {
+        1: ("A", "web"),      # matched update carries the new column
+        2: ("b", None),       # carried row null-fills
+        3: ("c", None),
+        9: ("new", "app"),    # INSERT * stores it
+    }
+    # prior versions keep the narrow schema
+    assert "channel" not in S.snapshot_read(
+        spark, path, version=2
+    ).columns

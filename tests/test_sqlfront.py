@@ -508,3 +508,25 @@ def test_sql_convert_to_snapshot(spark, tmp_path, eng):
 
     with pytest.raises(SqlDispatchError, match="CONVERT grammar"):
         e.sql("CONVERT TO SNAPSHOT missing-quotes AS x LOCATION 'y'")
+
+
+def test_sql_merge_with_schema_evolution(spark, tmp_path, eng):
+    """MERGE WITH SCHEMA EVOLUTION INTO through the front door widens the
+    target with source-only columns; plain MERGE leaves them unstored."""
+    e, p = eng
+    e.sql(
+        "MERGE INTO t1 USING (SELECT 1 AS k, CAST(99.0 AS DOUBLE) AS amount, "
+        "'z' AS tag, 'web' AS channel) s ON t1.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET amount = s.amount"
+    )
+    assert "channel" not in e.sql("SELECT * FROM t1").columns
+
+    e.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO t1 USING (SELECT 1 AS k, "
+        "CAST(11.0 AS DOUBLE) AS amount, 'z' AS tag, 'web' AS channel) s "
+        "ON t1.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET channel = s.channel "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r["k"]: r["channel"] for r in e.sql("SELECT * FROM t1").collect()}
+    assert got[1] == "web" and all(v is None for k, v in got.items() if k != 1)
