@@ -455,15 +455,28 @@ def q151_cdf_delete_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
     app = spark.sparkContext.applicationId
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
-    path = f"{root}/spark_graft_scratch/q151_cdf-{app}-{tag}"
-    if not snapshot_versions(path):
+    base = f"{root}/spark_graft_scratch/q151_cdf-{app}-{tag}"
+    # Setup is a non-atomic two-step (write, then DV delete): gate on the
+    # EXPECTED FINAL state, not "any version exists" — a crash between the
+    # steps must rebuild into a fresh dir, not strand every later run on a
+    # half-initialized table (ADVICE r9 low).
+    path = base
+    for attempt in range(3):
+        if len(snapshot_versions(path)) >= 2:
+            break
+        if snapshot_versions(path):  # half-initialized: start over elsewhere
+            path = f"{base}-retry{attempt}"
+            continue
         snapshot_write(
             _t(spark, sf_dir, "orders"), path, stats_cols=["o_orderkey"]
         )
         snapshot_delete_where(
             spark, path, "o_orderstatus = 'F'", mode="dv"
         )
-    ch = snapshot_changes(spark, path, 1, 2)
+    versions = snapshot_versions(path)
+    if len(versions) < 2:
+        raise RuntimeError(f"q151 scratch init failed at {path}")
+    ch = snapshot_changes(spark, path, versions[-2], versions[-1])
     return (
         ch.filter(F.col("_change_type") == "delete")
         .groupBy("o_orderpriority")

@@ -294,6 +294,7 @@ class SnapshotFilePartition(InputPartition):
     # live under prev_dv_ref.
     prev_dv_ref: str | None = None
     delete_only_new_dead: bool = False
+    est_rows: int | None = None    # manifest row count (bin-size fallback)
 
 
 @dataclass
@@ -305,6 +306,11 @@ class SnapshotScanPartition(InputPartition):
 
 _MAX_PARTITION_BYTES = 128 * 1024 * 1024
 _OPEN_COST_BYTES = 4 * 1024 * 1024
+# When the metadata-plane FS can't stat a data file (remote backend without
+# cheap HEADs), estimate its size from the manifest row count instead of
+# treating it as empty — 0-sized files collapse every bin into one giant
+# task (ADVICE r9 low).
+_EST_BYTES_PER_ROW = 64
 
 
 def _pack_file_bins(
@@ -319,10 +325,12 @@ def _pack_file_bins(
     task; the byte cap keeps per-task memory bounded at 100 TB."""
     sized = []
     for p in parts:
-        try:
-            size = os.path.getsize(p.abs_path)
-        except OSError:
-            size = 0
+        # route sizing through the SnapshotFS abstraction (not a bare
+        # os.path.getsize) so a non-local metadata backend stats its own
+        # store; fall back to manifest row counts when no stat is cheap
+        size = sn._fs().size(p.abs_path)
+        if size is None:
+            size = (p.est_rows or 0) * _EST_BYTES_PER_ROW
         sized.append((size + open_cost, p))
     sized.sort(key=lambda t: t[0], reverse=True)
     bins: list[SnapshotScanPartition] = []
@@ -469,6 +477,7 @@ class SnapshotBatchReader(DataSourceReader):
                     if e.get("dv")
                     else None
                 ),
+                est_rows=e.get("rows"),
             )
             for e in entries
         ]
@@ -602,6 +611,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
             commit_version=commit_v if self._cdf else None,
             prev_dv_ref=prev_dv,
             delete_only_new_dead=only_new_dead,
+            est_rows=e.get("rows"),
         )
 
     def _commit_partitions(self, v: int) -> list[SnapshotFilePartition]:
@@ -658,6 +668,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                             else None
                         ),
                         delete_only_new_dead=True,
+                        est_rows=p_new.get("rows"),
                     )
                 )
         return parts

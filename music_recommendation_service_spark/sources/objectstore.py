@@ -135,3 +135,12 @@ class InMemoryObjectStoreFS(SnapshotFS):
             if path in self._mtimes:
                 return self._mtimes[path]
         return os.path.getmtime(path)
+
+    def size(self, path: str) -> int | None:
+        with self._lock:
+            if path in self._blobs:
+                return len(self._blobs[path].encode())
+        try:
+            return os.path.getsize(path)
+        except OSError:
+            return None

@@ -46,6 +46,7 @@ from __future__ import annotations
 import functools
 import json
 import os
+import threading
 import time
 from typing import Callable, Sequence
 
@@ -142,6 +143,15 @@ class SnapshotFS:
 
     def mtime(self, path: str) -> float:
         return os.path.getmtime(path)
+
+    def size(self, path: str) -> int | None:
+        """File size in bytes, or None when unknown (a backend without
+        cheap HEADs may decline; callers must fall back to an estimate,
+        not treat the file as empty)."""
+        try:
+            return os.path.getsize(path)
+        except OSError:
+            return None
 
 
 _SNAPSHOT_FS = SnapshotFS()
@@ -242,6 +252,11 @@ _DELTA_MANIFEST_CHAIN_MAX = 16
 # JSON), so cached resolutions can never go stale.
 _FILES_CACHE: dict = {}
 _FILES_CACHE_MAX = 32
+# Concurrent driver threads (the repo ships a thread-stress merge test)
+# share the cache: the lock makes check/evict/insert atomic, and cached
+# lists are returned as copies so no caller can mutate the shared value
+# in place (manifest builders extend/append the returned list).
+_FILES_CACHE_LOCK = threading.Lock()
 
 
 def _ekey(e: dict) -> str:
@@ -309,16 +324,20 @@ def _manifest_files(path: str, m: dict) -> list[dict]:
         # the same path within one process: same (path, version) can then
         # name two different manifests.
         key = (path, m.get("version"), m.get("committed_at"))
-        if m.get("version") is not None and key in _FILES_CACHE:
-            return _FILES_CACHE[key]
+        if m.get("version") is not None:
+            with _FILES_CACHE_LOCK:
+                hit = _FILES_CACHE.get(key)
+                if hit is not None:
+                    return list(hit)
         base_files = _manifest_files(path, _read_manifest(path, m["files_base"]))
         rm = set(m.get("files_remove") or [])
         out = [e for e in base_files if _ekey(e) not in rm]
         out += list(m.get("files_add") or [])
         if m.get("version") is not None:
-            while len(_FILES_CACHE) >= _FILES_CACHE_MAX:
-                _FILES_CACHE.pop(next(iter(_FILES_CACHE)))
-            _FILES_CACHE[key] = out
+            with _FILES_CACHE_LOCK:
+                while len(_FILES_CACHE) >= _FILES_CACHE_MAX:
+                    _FILES_CACHE.pop(next(iter(_FILES_CACHE)))
+                _FILES_CACHE[key] = list(out)
         return out
     out = []
     for d in m["data_dirs"]:
@@ -1689,6 +1708,7 @@ def _rebase_concurrent(
     predicate: str | None = None,
     forbid_adds: bool = False,
     allow_any_adds: bool = False,
+    read_set: list[dict] | None = None,
 ) -> tuple[list[dict], int]:
     """Delta-parity LOGICAL conflict detection for a rewrite commit that
     lost its version race: decide from MANIFEST METADATA whether this
@@ -1705,6 +1725,14 @@ def _rebase_concurrent(
          new deletion vector, or folds away) is still present in ``latest``
          byte-identically — a concurrent MERGE/compaction/DV-DML that
          touched one of them invalidates our read of its rows;
+      2b. every file entry this commit merely READ to make its plan
+         (``read_set`` — e.g. the key-pruned candidate files an insert-only
+         MERGE anti-joined against, or a DV merge consulted for max-seq) is
+         also still byte-identical in ``latest``: a concurrent DELETE /
+         DV-repoint / rewrite of a consulted file may have removed the very
+         rows that justified dropping an insert, so the plan is stale —
+         Delta's ConcurrentDeleteReadException. Entries already listed in
+         ``replaced`` are skipped (check 2 covers them).
       3. files ADDED by the concurrent commits provably hold none of this
          commit's merge keys: per-file min/max stats vs the incoming key
          bounds first, then per-key point tests (stats + blooms, the
@@ -1748,6 +1776,14 @@ def _rebase_concurrent(
             conflict(
                 f"file {e['path']} this {op} rewrites was itself "
                 "rewritten, re-pointed, or removed concurrently"
+            )
+    for e in read_set or []:
+        eid = _entry_id(e)
+        if eid not in replaced_ids and eid not in latest_ids:
+            conflict(
+                f"file {e['path']} this {op} read to classify its incoming "
+                "keys was rewritten, re-pointed, or removed concurrently "
+                "(the rows that justified the plan may be gone)"
             )
 
     base_paths = {e["path"] for e in _manifest_files(path, cur)}
@@ -1908,6 +1944,10 @@ def _merge_dv(
                 produced=repointed_new + new_files,
                 op="merge_dv", key_cols=key_cols, mapping=mapping,
                 bounds=bounds, key_rows=key_rows, incoming=incoming,
+                # candidates whose stored seq BEAT an incoming row are not
+                # repointed, yet their content dropped that row from the
+                # winners — a concurrent delete of one invalidates the plan
+                read_set=candidates,
             )
         else:
             files_out, n_rows = out_files, cur["n_rows"] - n_killed + n_new
@@ -2397,6 +2437,7 @@ def snapshot_merge_when(
 
     rewrite_matched = bool(when_matched) or bool(when_not_matched_by_source)
     src_eff = source
+    consulted: list[dict] = []  # read-but-not-rewritten files (rebase read_set)
     if when_not_matched_by_source:
         # Every target row must be classified — all live files are touched.
         touched, untouched = list(files), []
@@ -2431,6 +2472,10 @@ def snapshot_merge_when(
                 .distinct()
             )
             src_eff = source.join(existing_keys, key_cols, "left_anti")
+            # the anti-join READ these files to drop already-present keys:
+            # a concurrent delete of one invalidates that decision
+            # (Delta's ConcurrentDeleteReadException for insert-only MERGE)
+            consulted = list(candidates)
     if not touched and not when_not_matched:
         return None  # no matched files, nothing to insert: provable no-op
 
@@ -2579,6 +2624,7 @@ def snapshot_merge_when(
                 # ANY concurrently added row invalidates the plan (Delta's
                 # documented full-table conflict for the clause).
                 forbid_adds=bool(when_not_matched_by_source),
+                read_set=consulted,
             )
         else:
             files_out, n_rows = out_files, untouched_rows + n_new

@@ -462,6 +462,19 @@ def _rewrite_table_changes(spark: SparkSession, q: str, views: dict) -> str:
             if mf.get("data_change") is False:
                 continue  # Delta CDF excludes OPTIMIZE/metadata commits
             if v == versions[0]:
+                # Whole-snapshot-as-inserts is only the truth for the
+                # TABLE-CREATION commit (version 1: every row IS an
+                # insert). After vacuum truncates the manifest prefix,
+                # versions[0] can be any commit — its per-commit diff
+                # needs the vacuumed predecessor, so the change data is
+                # gone (Delta errors likewise). ADVICE r9 medium.
+                if v != 1:
+                    raise SqlDispatchError(
+                        f"table_changes({name!r}, {v_from}, {v_to}): change "
+                        f"data for version {v} requires vacuumed version "
+                        f"{v - 1}; earliest available window starts at "
+                        f"{versions[0] + 1}"
+                    )
                 ch = S.snapshot_read(spark, path, version=v).withColumn(
                     "_change_type", F.lit("insert")
                 )

@@ -3472,3 +3472,122 @@ def test_merge_when_schema_evolution(spark, tmp_path):
     assert "channel" not in S.snapshot_read(
         spark, path, version=2
     ).columns
+
+
+def test_insert_only_merge_conflicts_with_concurrent_delete_of_read_file(
+    spark, tmp_path, monkeypatch
+):
+    """ConcurrentDeleteReadException parity for insert-only MERGE: the
+    anti-join READ candidate files to drop already-present keys; a
+    concurrent DELETE that removes one of those files invalidates the
+    decision (the skipped insert's justification is gone), so the rebase
+    must conflict rather than silently commit a state no serial order
+    explains (ADVICE r9 high)."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "ins_only_del_race")
+    S.snapshot_write(
+        _snap_df(spark, [(1, 1, "a"), (2, 1, "b")]), path, stats_cols=["k"]
+    )
+
+    _race_once(
+        monkeypatch, S, path,
+        lambda: S.snapshot_delete_where(spark, path, "k = 1"),
+    )
+    with pytest.raises(S.ConcurrentSnapshotError):
+        S.snapshot_merge_when(
+            _snap_df(spark, [(1, 9, "new1"), (3, 9, "new3")]),
+            path, key_cols=["k"],
+            when_not_matched=[{"action": "insert"}],
+        )
+    # the raced delete's effect is intact; no half-applied merge state
+    got = {r["k"] for r in S.snapshot_read(spark, path).collect()}
+    assert got == {2}
+
+
+def test_insert_only_merge_conflicts_with_concurrent_dv_repoint(
+    spark, tmp_path, monkeypatch
+):
+    """Same read-set rule when the concurrent DELETE lands as a deletion
+    vector: the consulted entry's dv ref changed, so its rows may be dead
+    and the anti-join's key-exists decision is stale."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "ins_only_dv_race")
+    S.snapshot_write(
+        _snap_df(spark, [(1, 1, "a"), (2, 1, "b")]), path, stats_cols=["k"]
+    )
+
+    _race_once(
+        monkeypatch, S, path,
+        lambda: S.snapshot_delete_where(spark, path, "k = 1", mode="dv"),
+    )
+    with pytest.raises(S.ConcurrentSnapshotError):
+        S.snapshot_merge_when(
+            # k=3 keeps the insert set non-empty so the merge commits
+            # (an all-duplicate batch legitimately no-ops at its read
+            # snapshot and never reaches the race)
+            _snap_df(spark, [(1, 9, "new1"), (3, 9, "new3")]),
+            path, key_cols=["k"],
+            when_not_matched=[{"action": "insert"}],
+        )
+
+
+def test_insert_only_merge_rebases_over_delete_of_unconsulted_file(
+    spark, tmp_path, monkeypatch
+):
+    """The read-set conflict is scoped: a concurrent DELETE that removes a
+    file the merge never consulted (key-disjoint by stats, so not a
+    candidate) still rebases — sharded writers on disjoint ranges don't
+    serialize."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "ins_only_disjoint_del")
+    S.snapshot_append(
+        _snap_df(spark, [(1, 1, "a"), (2, 1, "b")]), path, stats_cols=["k"]
+    )
+    S.snapshot_append(
+        _snap_df(spark, [(100, 1, "x"), (101, 1, "y")]), path, stats_cols=["k"]
+    )
+
+    _race_once(
+        monkeypatch, S, path,
+        lambda: S.snapshot_delete_where(spark, path, "k = 100"),
+    )
+    v = S.snapshot_merge_when(
+        _snap_df(spark, [(1, 9, "dup"), (3, 9, "new3")]),
+        path, key_cols=["k"],
+        when_not_matched=[{"action": "insert"}],
+    )
+    assert v is not None
+    got = {r["k"]: r["payload"] for r in S.snapshot_read(spark, path).collect()}
+    # k=1 kept its stored row (insert-only skips existing keys), k=3 landed,
+    # and the raced delete of k=100 survived the rebase
+    assert got == {1: "a", 2: "b", 3: "new3", 101: "y"}
+
+
+def test_merge_dv_conflicts_when_consulted_seq_winner_file_deleted(
+    spark, tmp_path, monkeypatch
+):
+    """DV-mode MERGE read-set: an incoming row that LOSES its seq race is
+    dropped because of rows in a candidate file that is never repointed;
+    a concurrent DELETE removing that file invalidates the drop."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "mdv_del_race")
+    # stored seq=5 beats the incoming seq=2, so the candidate file is
+    # consulted (max-seq) but not repointed
+    S.snapshot_merge(
+        _snap_df(spark, [(1, 5, "high"), (2, 5, "b")]),
+        path, key_cols=["k"], seq_col="seq",
+    )
+
+    _race_once(
+        monkeypatch, S, path,
+        lambda: S.snapshot_delete_where(spark, path, "k = 1"),
+    )
+    with pytest.raises(S.ConcurrentSnapshotError):
+        S.snapshot_merge(
+            _snap_df(spark, [(1, 2, "low")]),
+            path, key_cols=["k"], seq_col="seq", mode="dv",
+        )

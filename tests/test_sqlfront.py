@@ -530,3 +530,35 @@ def test_sql_merge_with_schema_evolution(spark, tmp_path, eng):
     )
     got = {r["k"]: r["channel"] for r in e.sql("SELECT * FROM t1").collect()}
     assert got[1] == "web" and all(v is None for k, v in got.items() if k != 1)
+
+
+def test_sql_table_changes_refuses_vacuumed_horizon(spark, tmp_path, eng):
+    """After VACUUM truncates the manifest prefix, the earliest retained
+    version is NOT the creation commit — emitting its whole snapshot as
+    'insert' rows would misreport a delete/merge commit's changes, so the
+    feed refuses (Delta CDF errors when change data for the range is
+    unavailable). Windows starting one past the horizon still work."""
+    from music_recommendation_service_spark.sources.snapshots import (
+        snapshot_vacuum, snapshot_versions,
+    )
+
+    e, p = eng  # t1 @ v1 = BASE
+    e.sql("DELETE FROM t1 WHERE k = 1")                                                # v2
+    e.sql("INSERT INTO t1 SELECT 6 AS k, CAST(60.0 AS DOUBLE) AS amount, 'e' AS tag")  # v3
+    e.sql("INSERT INTO t1 SELECT 7 AS k, CAST(70.0 AS DOUBLE) AS amount, 'f' AS tag")  # v4
+    snapshot_vacuum(p, keep_last=3, orphan_min_age_sec=0.0)
+    assert snapshot_versions(p) == [2, 3, 4]
+
+    # v2 is a DELETE commit whose predecessor manifest is gone: refusing
+    # beats returning the whole surviving table as inserts
+    with pytest.raises(SqlDispatchError, match="vacuumed"):
+        e.sql("SELECT * FROM table_changes('t1', 2, 4)")
+
+    rows = e.sql(
+        "SELECT k, _change_type, _commit_version FROM table_changes('t1', 3, 4) "
+        "ORDER BY _commit_version"
+    ).collect()
+    assert [(r["k"], r["_change_type"], r["_commit_version"]) for r in rows] == [
+        (6, "insert", 3),
+        (7, "insert", 4),
+    ]
