@@ -55,13 +55,42 @@ class Engine:
         self.lake_catalog = LakeCatalog(
             catalog_path or os.path.join(root.rstrip("/"), "_lake_catalog")
         )
+        # names the boot could not resolve, with the reason — surfaced by a
+        # warning here and queryable via boot_skipped (never a silent drop)
+        self.boot_skipped: dict[str, str] = {}
         for name, ent in sorted(self.lake_catalog.tables().items()):
+            fmt = ent.get("format", "snapshot")
             try:
-                self.snapshot(ent["path"], view=name, persist=False)
-            except FileNotFoundError:
-                # a registered table whose data dir is gone must not brick
-                # Engine boot; the name stays visible in the durable map
-                continue
+                if fmt == "snapshot":
+                    self.snapshot(ent["path"], view=name, persist=False)
+                elif fmt == "parquet":
+                    self.spark.read.parquet(
+                        ent["path"]
+                    ).createOrReplaceTempView(name)
+                elif fmt == "csv":
+                    self.spark.read.options(
+                        header=True, inferSchema=True
+                    ).csv(ent["path"]).createOrReplaceTempView(name)
+                else:
+                    self.boot_skipped[name] = f"unknown format {fmt!r}"
+                    continue
+            except Exception as e:  # noqa: BLE001 — boot must not brick
+                # a registered table whose data is gone (or unreadable)
+                # must not prevent every OTHER name from resolving; the
+                # name stays visible in the durable map and in
+                # boot_skipped so the gap is diagnosable
+                self.boot_skipped[name] = f"{type(e).__name__}: {e}"
+        if self.boot_skipped:
+            import warnings
+
+            warnings.warn(
+                "lake catalog names skipped at Engine boot: "
+                + ", ".join(
+                    f"{n} ({r.splitlines()[0][:80]})"
+                    for n, r in sorted(self.boot_skipped.items())
+                ),
+                stacklevel=2,
+            )
 
     # -- tables ------------------------------------------------------------
     def table(self, name: str) -> DataFrame:
@@ -98,6 +127,32 @@ class Engine:
                 self._snapshot_views[view] = path
                 if persist:
                     self._persist(view, path)
+        return df
+
+    def register_external(
+        self, name: str, path: str, fmt: str = "parquet", replace: bool = False
+    ) -> DataFrame:
+        """Register a non-snapshot location (plain parquet / csv) as a
+        named view, durably when the lake catalog is enabled — the
+        external-table registration every warehouse offers next to its
+        managed tables. Returns the view's DataFrame."""
+        if fmt == "parquet":
+            df = self.spark.read.parquet(path)
+        elif fmt == "csv":
+            df = self.spark.read.options(header=True, inferSchema=True).csv(path)
+        elif fmt == "snapshot":
+            return self.snapshot(path, view=name)
+        else:
+            from music_recommendation_service_spark.sources.lakecatalog import (
+                SUPPORTED_FORMATS,
+            )
+
+            raise ValueError(
+                f"unsupported format {fmt!r} (supported: {sorted(SUPPORTED_FORMATS)})"
+            )
+        df.createOrReplaceTempView(name)
+        if self._catalog_enabled():
+            self.lake_catalog.register(name, path, fmt=fmt, replace=replace)
         return df
 
     # -- durable catalog write-through --------------------------------------

@@ -485,3 +485,71 @@ def q151_cdf_delete_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.sum("o_totalprice"), 2).alias("deleted_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q152 — PARTITIONED CONVERT + partition-pruned scan as a catalog query: a
+# year-partitioned Hive copy of orders (the reference's bronze layout —
+# process_historical_data.py:75 partitions its Delta fact by year/month) is
+# onboarded IN PLACE by snapshot_convert, which derives the partition column
+# and per-file values from the key=value directory names and folds them into
+# exact [v, v] manifest stats. snapshot_scan then prunes to ONE partition's
+# files in metadata before any data is opened. The DuckDB oracle computes
+# the same aggregate from the ORIGINAL orders parquet's year() predicate: a
+# hash match pins layout-derived partition values, typed discovery, and
+# pruning as value-exact end to end. At 100 TB this is the onboarding path
+# for the most common real lake layout — zero rows copied, partition-scoped
+# reads from commit 1.
+# ---------------------------------------------------------------------------
+@register(
+    "q152_partitioned_convert_scan",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)          AS n_orders,
+           {rnd_sql("sum(o_totalprice)", 2)} AS sum_price
+    FROM orders
+    WHERE year(o_orderdate) = 1995 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    doc="Hive-partitioned orders copy converted in place "
+    "(partition_cols + [v,v] stats from directory names), then a "
+    "partition-pruned scan; oracle derives the same slice from the "
+    "original parquet's year() predicate.",
+    tags=("snapshot", "convert", "partition"),
+)
+def q152_partitioned_convert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from music_recommendation_service_spark.sources.snapshots import (
+        snapshot_convert,
+        snapshot_scan,
+        snapshot_versions,
+    )
+
+    root = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
+    app = spark.sparkContext.applicationId
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    hive = f"{root}/spark_graft_scratch/q152_hive-{app}-{tag}"
+    path = f"{root}/spark_graft_scratch/q152_part-{app}-{tag}"
+    if not snapshot_versions(path):
+        if not os.path.isdir(hive):
+            # the "existing lake": a year-partitioned Hive directory
+            (
+                _t(spark, sf_dir, "orders")
+                .withColumn("o_year", F.year("o_orderdate"))
+                .write.partitionBy("o_year")
+                .mode("overwrite")
+                .parquet(hive)
+            )
+        snapshot_convert(spark, hive, path, stats_cols=["o_orderkey"])
+    pruned = snapshot_scan(spark, path, {"o_year": (1995, 1995)})
+    return (
+        pruned.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            rnd(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )

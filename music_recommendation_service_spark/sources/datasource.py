@@ -295,6 +295,10 @@ class SnapshotFilePartition(InputPartition):
     prev_dv_ref: str | None = None
     delete_only_new_dead: bool = False
     est_rows: int | None = None    # manifest row count (bin-size fallback)
+    # Hive entries: ((physical_col, string_value), ...) — partition values
+    # live in directory names, not the file; the reader attaches them as
+    # constant columns cast to the declared type.
+    partition: tuple = ()
 
 
 @dataclass
@@ -407,6 +411,7 @@ def _read_partition_arrow(
             mask[np.fromiter(dead, dtype=np.int64)] = False
             tbl = tbl.filter(pa.array(mask))
 
+    part_vals = dict(part.partition)
     cols = []
     for f in declared.fields:
         phys = sn._phys(mapping, f.name)
@@ -415,6 +420,17 @@ def _read_partition_arrow(
             col = tbl[phys]
             if col.type != at:
                 col = pc.cast(col, at)
+        elif phys in part_vals:
+            # Hive layout: the partition value is a path-derived constant,
+            # cast from its directory-string form to the declared type
+            s = part_vals[phys]
+            col = (
+                pa.nulls(tbl.num_rows, type=at)
+                if s is None
+                else pc.cast(
+                    pa.array([s] * tbl.num_rows, type=pa.string()), at
+                )
+            )
         else:
             col = pa.nulls(tbl.num_rows, type=at)
         cols.append(col)
@@ -471,13 +487,14 @@ class SnapshotBatchReader(DataSourceReader):
                     if os.path.isabs(e["path"])
                     else os.path.join(self._path, e["path"])
                 ),
-                rel2=sn._rel2(e["path"]),
+                rel2=sn._entry_rid(e),
                 dv_ref=(
                     sn._dv_ref_path(self._path, e["dv"]["ref"])
                     if e.get("dv")
                     else None
                 ),
                 est_rows=e.get("rows"),
+                partition=tuple(sorted((e.get("partition") or {}).items())),
             )
             for e in entries
         ]
@@ -603,7 +620,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 if os.path.isabs(e["path"])
                 else os.path.join(self._path, e["path"])
             ),
-            rel2=sn._rel2(e["path"]),
+            rel2=sn._entry_rid(e),
             dv_ref=(
                 sn._dv_ref_path(self._path, e["dv"]["ref"]) if e.get("dv") else None
             ),
@@ -612,6 +629,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
             prev_dv_ref=prev_dv,
             delete_only_new_dead=only_new_dead,
             est_rows=e.get("rows"),
+            partition=tuple(sorted((e.get("partition") or {}).items())),
         )
 
     def _commit_partitions(self, v: int) -> list[SnapshotFilePartition]:
@@ -654,7 +672,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
                             if os.path.isabs(p_new["path"])
                             else os.path.join(self._path, p_new["path"])
                         ),
-                        rel2=sn._rel2(p_new["path"]),
+                        rel2=sn._entry_rid(p_new),
                         dv_ref=(
                             sn._dv_ref_path(self._path, p_new["dv"]["ref"])
                             if p_new.get("dv")
@@ -669,6 +687,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
                         ),
                         delete_only_new_dead=True,
                         est_rows=p_new.get("rows"),
+                        partition=tuple(
+                            sorted((p_new.get("partition") or {}).items())
+                        ),
                     )
                 )
         return parts

@@ -54,6 +54,10 @@ class TableExistsError(ValueError):
     """Registering a name that already maps to a DIFFERENT path."""
 
 
+# formats Engine boot knows how to resolve into a view
+SUPPORTED_FORMATS = frozenset({"snapshot", "parquet", "csv"})
+
+
 class LakeCatalog:
     """Durable name -> {path, format, registered_at} map over one catalog
     directory, mutated through claim-once commits."""
@@ -88,6 +92,13 @@ class LakeCatalog:
         a different path requires ``replace`` or raises
         :class:`TableExistsError`. Concurrency-safe: the build re-reads
         the fresh map on every commit attempt."""
+        if fmt not in SUPPORTED_FORMATS:
+            # validate at WRITE time: a durable registration no boot can
+            # resolve is a silent-vanish bug, not a feature
+            raise ValueError(
+                f"catalog {self.path}: unsupported format {fmt!r} for "
+                f"{name!r} (supported: {sorted(SUPPORTED_FORMATS)})"
+            )
         entry = {
             "path": table_path,
             "format": fmt,

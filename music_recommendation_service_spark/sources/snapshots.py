@@ -214,10 +214,33 @@ def snapshot_versions(path: str) -> list[int]:
 # reader's legacy fallback silently listing data dirs and resurrecting
 # rewritten rows.
 _READER_VERSION = 2
+# Protocol writer version (Delta's minWriterVersion discipline). 1 = plain
+# full manifests; 2 adds the feature set a committing writer must
+# UNDERSTAND to not corrupt state it carries forward: deletion vectors,
+# column mapping, CHECK constraints, generated/identity columns,
+# incremental manifests, partition declarations. A table whose latest
+# manifest demands a newer writer must refuse EVERY mutation up front —
+# an older writer's commit would silently drop feature state (e.g. carry
+# files without their DVs, skip constraint enforcement).
+_WRITER_VERSION = 2
+# manifest keys whose presence requires writer version 2
+_W2_FEATURE_KEYS = (
+    "column_mapping", "generated", "identity", "constraints",
+    "partition_cols", "files_base",
+)
 
 
 class UnsupportedSnapshotProtocolError(RuntimeError):
-    """Manifest requires a newer reader than this engine implements."""
+    """Manifest requires a newer reader/writer than this engine."""
+
+
+def _required_writer(manifest: dict) -> int:
+    if any(manifest.get(k) for k in _W2_FEATURE_KEYS):
+        return 2
+    entries = (manifest.get("files") or []) + (manifest.get("files_add") or [])
+    if any(e.get("dv") for e in entries):
+        return 2
+    return 1
 
 
 def _read_manifest(path: str, version: int) -> dict:
@@ -571,6 +594,8 @@ def _scan_file_entries(
     rel_dir: str,
     stats_cols: Sequence[str],
     bloom_cols: Sequence[str] = (),
+    partition_cols: Sequence[str] = (),
+    read_schema=None,
 ) -> tuple[list[dict], int]:
     """List the parquet files of a freshly-written data dir and (in ONE
     column-pruned scan) compute per-file row counts, min/max stats for
@@ -578,7 +603,22 @@ def _scan_file_entries(
     ``snapshot_merge`` / ``snapshot_scan`` prune by. Min/max skips range
     predicates on clustered columns; the bloom skips POINT lookups on
     high-cardinality unsorted columns, where every file's [min, max]
-    brackets everything and range stats are useless."""
+    brackets everything and range stats are useless.
+
+    With ``partition_cols`` the dir holds a HIVE layout (``key=value``
+    subdirectories from a ``partitionBy`` write or an in-place CONVERT):
+    entries carry their partition values (string form, per ``partition``)
+    AND those values folded into ``stats`` as degenerate ``[v, v]``
+    ranges — every existing pruning path (scan skipping, merge candidate
+    selection, OCC disjointness proofs, OPTIMIZE WHERE scoping) then
+    prunes on partition predicates with zero new machinery.
+    ``read_schema`` types the partition values (Spark's path inference
+    alone would re-type "03" as 3)."""
+    if partition_cols:
+        return _scan_file_entries_hive(
+            spark, full_dir, rel_dir, stats_cols, partition_cols,
+            read_schema, bloom_cols,
+        )
     names = sorted(f for f in _fs().list_dir(full_dir) if f.endswith(".parquet"))
     if not names:
         return [], 0
@@ -634,6 +674,83 @@ def _scan_file_entries(
     return entries, total
 
 
+def _scan_file_entries_hive(
+    spark: SparkSession,
+    full_dir: str,
+    rel_dir: str,
+    stats_cols: Sequence[str],
+    partition_cols: Sequence[str],
+    read_schema,
+    bloom_cols: Sequence[str] = (),
+) -> tuple[list[dict], int]:
+    """Hive-layout twin of ``_scan_file_entries``: walk the ``key=value``
+    tree, then ONE partition-discovering scan computes per-file row counts
+    and min/max stats for both data columns and partition columns (a
+    partition column is constant per file, so its [min, max] degenerates
+    to the exact value — typed by ``read_schema``, not path inference)."""
+    if bloom_cols:
+        # the bloom sidecar keys per-dir by FILENAME; partition subdirs can
+        # repeat filenames within one write, so blooms stay rewrite-path
+        # (compact/zorder produce flat files) until keyed by subpath
+        raise ValueError(
+            "bloom_cols are not supported on partitioned writes; blooms "
+            "attach when compaction rewrites files flat"
+        )
+    fs = _fs()
+    subpaths: list[str] = []
+
+    def walk(rel: str) -> None:
+        d = os.path.join(full_dir, rel) if rel else full_dir
+        for n in sorted(fs.list_dir(d)):
+            sub = f"{rel}/{n}" if rel else n
+            p = os.path.join(d, n)
+            if fs.is_dir(p):
+                if "=" in n and not n.startswith(("_", ".")):
+                    walk(sub)
+            elif n.endswith(".parquet"):
+                subpaths.append(sub)
+
+    walk("")
+    if not subpaths:
+        return [], 0
+    k = 1 + len(partition_cols)
+    rdr = spark.read.option("basePath", full_dir)
+    if read_schema is not None:
+        rdr = rdr.schema(read_schema)
+    df = rdr.parquet(full_dir)
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    stat_all = list(dict.fromkeys([*stats_cols, *partition_cols]))
+    for c in stat_all:
+        aggs.append(F.min(c).alias(f"_min_{c}"))
+        aggs.append(F.max(c).alias(f"_max_{c}"))
+    fparts = F.split(F.input_file_name(), "/")
+    suffix = F.concat_ws(
+        "/", *[F.element_at(fparts, i) for i in range(-k, 0)]
+    )
+    per_file = df.groupBy(suffix.alias("_f")).agg(*aggs).collect()
+    by_sub = {r["_f"]: r for r in per_file}
+    entries, total = [], 0
+    for sub in subpaths:
+        r = by_sub.get(sub)
+        rows = int(r["_rows"]) if r is not None else 0
+        if rows == 0:
+            continue  # same empty-part-file skip as the flat scan
+        stats = {
+            c: [_stats_repr(r[f"_min_{c}"]), _stats_repr(r[f"_max_{c}"])]
+            for c in stat_all
+        } or None
+        entries.append(
+            {
+                "path": f"{rel_dir}/{sub}",
+                "rows": rows,
+                "stats": stats,
+                "partition": _hive_partition_values(sub, partition_cols),
+            }
+        )
+        total += rows
+    return entries, total
+
+
 def _mapping(m: dict) -> dict:
     """logical -> physical column-name map (identity entries omitted)."""
     return m.get("column_mapping", {})
@@ -655,7 +772,11 @@ def _to_physical_df(df: DataFrame, mapping: dict) -> DataFrame:
 
 
 def _read_declared(
-    spark: SparkSession, m: dict, paths: list[str], lineage: bool = False
+    spark: SparkSession,
+    m: dict,
+    paths: list[str],
+    lineage: bool = False,
+    hive_root: str | None = None,
 ) -> DataFrame:
     """Read data files under the MANIFEST's declared schema, not the file
     footers' — after ``snapshot_add_columns`` a version legitimately mixes
@@ -667,34 +788,58 @@ def _read_declared(
     without a schema.
 
     ``lineage=True`` appends two physical-position columns the deletion-
-    vector machinery keys on: ``_sn_file`` (the file's manifest-relative
-    ``dir/name`` path, from ``_metadata.file_path``) and ``_sn_pos`` (the
-    row's position within its file, ``_metadata.row_index`` — stable for
-    immutable parquet regardless of split planning)."""
+    vector machinery keys on: ``_sn_file`` (the file's ``_entry_rid``
+    suffix — ``dir/name`` for flat entries, ``2 + n_partition_cols``
+    segments for Hive entries — from ``_metadata.file_path``) and
+    ``_sn_pos`` (the row's position within its file,
+    ``_metadata.row_index`` — stable for immutable parquet regardless of
+    split planning).
+
+    ``hive_root`` reads Hive-layout files (partition columns live in
+    ``key=value`` directory names, not the files): Spark's own partition
+    discovery resolves the declared schema's partition columns from the
+    paths relative to the basePath — one vectorized relation, no per-file
+    literal stitching."""
     from pyspark.sql.types import StructField, StructType
+
+    n_part = len(m.get("partition_cols") or []) if hive_root else 0
 
     def lin(df: DataFrame) -> DataFrame:
         if not lineage:
             return df
         parts = F.split(F.col("_metadata.file_path"), "/")
+        segs = [F.element_at(parts, i) for i in range(-(2 + n_part), 0)]
         return df.withColumn(
-            _SN_FILE,
-            F.concat_ws("/", F.element_at(parts, -2), F.element_at(parts, -1)),
+            _SN_FILE, F.concat_ws("/", *segs)
         ).withColumn(_SN_POS, F.col("_metadata.row_index"))
 
+    def rd():
+        r = spark.read
+        if hive_root is not None:
+            r = r.option("basePath", hive_root)
+        return r
+
     if "schema" not in m:
-        return lin(spark.read.parquet(*paths))
+        return lin(rd().parquet(*paths))
     schema = StructType.fromJson(json.loads(m["schema"]))
     mapping = _mapping(m)
     if not mapping:
-        return lin(spark.read.schema(schema).parquet(*paths))
+        df = lin(rd().schema(schema).parquet(*paths))
+        if hive_root is None:
+            return df
+        # partition discovery moves partition columns to the end of the
+        # relation's output; restore the declared column order
+        return df.select(
+            *[f.name for f in schema.fields],
+            *([_SN_FILE, _SN_POS] if lineage else []),
+        )
     physical = StructType(
         [
             StructField(_phys(mapping, f.name), f.dataType, f.nullable, f.metadata)
             for f in schema.fields
         ]
     )
-    df = lin(spark.read.schema(physical).parquet(*paths))
+    df = lin(rd().schema(physical).parquet(*paths))
     return df.select(
         *[
             F.col(_phys(mapping, f.name)).alias(f.name)
@@ -747,6 +892,51 @@ def _rel2(p: str) -> str:
     return "/".join(p.split("/")[-2:])
 
 
+def _entry_rid(e: dict) -> str:
+    """Row-lineage identity of a manifest file entry — the suffix the
+    ``_sn_file`` lineage column carries and DV position files key on.
+
+    Flat entries keep the historical two-segment ``dir/name`` form. HIVE
+    entries (``partition`` values derived from ``key=value`` directory
+    segments) need ``2 + n_partition_cols`` segments: within ONE
+    ``partitionBy`` write, Spark reuses the same job UUID and per-task
+    part numbering across every partition directory, so two partitions'
+    files can share their last two segments (``month=3/part-00000-<uuid>``
+    under both ``year=1995`` and ``year=1996``) — a two-segment identity
+    would cross-contaminate deletion vectors."""
+    part = e.get("partition")
+    k = 2 + (len(part) if part else 0)
+    return "/".join(e["path"].split("/")[-k:])
+
+
+def _hive_partition_values(subpath: str, partition_cols: Sequence[str]) -> dict:
+    """Parse ``key=value`` directory segments of a file's subpath into the
+    Hive string form Spark's writer produced (``__HIVE_DEFAULT_PARTITION__``
+    maps to None = NULL partition value; %-escapes decode). Segment order
+    must match ``partition_cols`` — the nesting order is the declaration
+    order, same as Spark/Delta."""
+    from urllib.parse import unquote
+
+    segs = subpath.split("/")[:-1]
+    if len(segs) != len(partition_cols):
+        raise ValueError(
+            f"partitioned entry {subpath!r}: expected "
+            f"{len(partition_cols)} key=value segments for "
+            f"{list(partition_cols)}, found {segs}"
+        )
+    out: dict = {}
+    for seg, col in zip(segs, partition_cols):
+        key, _, raw = seg.partition("=")
+        if key != col:
+            raise ValueError(
+                f"partitioned entry {subpath!r}: segment {seg!r} does not "
+                f"match declared partition column {col!r}"
+            )
+        val = unquote(raw)
+        out[col] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
+    return out
+
+
 def _read_entries(
     spark: SparkSession,
     path: str,
@@ -758,11 +948,17 @@ def _read_entries(
     declared schema — dead positions recorded in the entries' deletion
     vectors are anti-joined out on (file, row position). The single choke
     point every protocol reader (read / scan / merge / DML / CDF / compact)
-    goes through, so no path can resurrect a deleted row."""
-    full = [
-        e["path"] if os.path.isabs(e["path"]) else os.path.join(path, e["path"])
-        for e in entries
-    ]
+    goes through, so no path can resurrect a deleted row.
+
+    Partitioned tables mix two physical layouts: HIVE entries (from
+    ``partitionBy`` writes / CONVERT of a Hive directory — partition
+    values live in ``key=value`` path segments, carried per entry) read
+    grouped by their Hive root through Spark's native partition discovery
+    (one relation per data dir, values typed by the declared schema), and
+    FLAT entries (DML rewrites / compaction store partition columns as
+    ordinary data columns) read through the plain declared-schema path.
+    Group count is O(data dirs touched), which compaction keeps folded —
+    never O(partitions)."""
     dvd = [e for e in entries if e.get("dv")]
     if (lineage or dvd) and "schema" in m:
         declared = {f["name"] for f in json.loads(m["schema"]).get("fields", [])}
@@ -772,7 +968,41 @@ def _read_entries(
                 f"column names {sorted(taken)} are reserved by the snapshot "
                 "protocol's deletion-vector/lineage machinery"
             )
-    base = _read_declared(spark, m, full, lineage=lineage or bool(dvd))
+    want_lineage = lineage or bool(dvd)
+
+    def _full(e: dict) -> str:
+        return (
+            e["path"] if os.path.isabs(e["path"]) else os.path.join(path, e["path"])
+        )
+
+    flat = [_full(e) for e in entries if not e.get("partition")]
+    hive_groups: dict[str, list[str]] = {}
+    for e in entries:
+        part = e.get("partition")
+        if part:
+            fp = _full(e)
+            root = "/".join(fp.split("/")[: -(1 + len(part))])
+            hive_groups.setdefault(root, []).append(fp)
+    parts_df: list[DataFrame] = []
+    if flat:
+        parts_df.append(_read_declared(spark, m, flat, lineage=want_lineage))
+    for root in sorted(hive_groups):
+        parts_df.append(
+            _read_declared(
+                spark, m, hive_groups[root], lineage=want_lineage,
+                hive_root=root,
+            )
+        )
+    if not parts_df:
+        from pyspark.sql.types import StructType
+
+        base = spark.createDataFrame(
+            [], schema=StructType.fromJson(json.loads(m["schema"]))
+        )
+    else:
+        base = parts_df[0]
+        for p in parts_df[1:]:
+            base = base.unionByName(p)
     if dvd:
         refs = sorted({e["dv"]["ref"] for e in dvd})
         dead = spark.read.parquet(
@@ -802,6 +1032,15 @@ def _commit(
     while True:
         versions = snapshot_versions(path)
         latest = _read_manifest(path, versions[-1]) if versions else None
+        # min_writer gate (Delta minWriterVersion): refuse BEFORE building
+        # or claiming anything — an older writer committing onto a
+        # feature-bearing table would carry state it doesn't understand.
+        need_w = (latest or {}).get("min_writer", 1)
+        if need_w > _WRITER_VERSION:
+            raise UnsupportedSnapshotProtocolError(
+                f"{path} needs protocol writer {need_w}; this engine "
+                f"implements {_WRITER_VERSION} — upgrade before writing"
+            )
         version = (versions[-1] if versions else 0) + 1
         manifest = build(latest, version)
         manifest["version"] = version
@@ -826,6 +1065,10 @@ def _commit(
             "source_version",
             "maint_fact_version",
             "maint_dim_version",
+            # partitioning is immutable table metadata: every commit type
+            # (append/merge/DML/compact/schema evolution) carries it; only
+            # an explicit overwrite may re-declare it
+            "partition_cols",
         ):
             if sticky not in manifest and latest and latest.get(sticky) is not None:
                 manifest[sticky] = latest[sticky]
@@ -833,6 +1076,11 @@ def _commit(
         # the base version instead of the full list — O(changed files)
         # commit metadata (Delta's delta-log + checkpoint design).
         manifest = _maybe_delta_files(path, manifest, latest)
+        # stamp the writer requirement: the max of this commit's features
+        # and the table's standing requirement (never silently downgrade)
+        need = max(_required_writer(manifest), need_w)
+        if need > 1:
+            manifest["min_writer"] = need
         target = os.path.join(_manifest_dir(path), f"{version}.json")
         # claim-once commit: O_EXCL locally, conditional PUT on an object
         # store (see SnapshotFS) — the loser of a race rebuilds and retries
@@ -860,6 +1108,7 @@ def snapshot_write(
     stats_cols: Sequence[str] = (),
     manifest_extra: dict | None = None,
     bloom_cols: Sequence[str] = (),
+    partition_by: Sequence[str] | None = None,
 ) -> int:
     """Overwrite: land a new immutable data dir, then commit. Returns the
     new version. Readers of older versions are unaffected (their files are
@@ -867,16 +1116,43 @@ def snapshot_write(
     manifest so later ``snapshot_merge`` calls can prune files;
     ``bloom_cols`` adds per-file Bloom bitsets so ``snapshot_scan`` can
     skip files on point lookups over unsorted high-cardinality columns;
-    ``manifest_extra`` merges caller metadata into the manifest."""
+    ``manifest_extra`` merges caller metadata into the manifest.
+
+    ``partition_by`` (Delta ``partitionBy`` parity) lands a HIVE layout —
+    ``df.write.partitionBy`` strips the partition columns into ``key=value``
+    directories, so every file holds exactly one partition tuple — and
+    records the declaration in the manifest (``partition_cols``, sticky
+    across every later commit). Partition values fold into per-file
+    ``stats`` as exact ``[v, v]`` ranges, so partition pruning, OCC
+    partition-disjointness, and OPTIMIZE WHERE scoping ride the existing
+    stats machinery (reference parity: ``process_historical_data.py:75``'s
+    ``partitionBy("year","month")`` Delta fact table). An overwrite that
+    OMITS ``partition_by`` on a partitioned table keeps the existing
+    partitioning (Delta overwrite semantics); passing an explicit empty
+    list de-partitions the table."""
+    latest0 = _latest_manifest(path)
+    if partition_by is None:
+        partition_by = (
+            list(latest0.get("partition_cols") or []) if latest0 else []
+        )
+    else:
+        partition_by = list(partition_by)
+    _validate_partition_decl(df, partition_by)
     df = _apply_generated(df, path, "overwrite")
     _enforce_constraints(df, path, "overwrite")
     df, _ident_unpin = _assign_identity(df, path, "overwrite")
     rel, full = _new_data_dir(path)
-    df.write.mode("error").parquet(full)
+    if partition_by:
+        df.write.partitionBy(*partition_by).mode("error").parquet(full)
+    else:
+        df.write.mode("error").parquet(full)
     if _ident_unpin:
         _ident_unpin()
     spark = df.sparkSession
-    files, n = _scan_file_entries(spark, full, rel, stats_cols, bloom_cols)
+    files, n = _scan_file_entries(
+        spark, full, rel, stats_cols, bloom_cols,
+        partition_cols=partition_by, read_schema=df.schema,
+    )
     schema_json = df.schema.json()
 
     def build(latest: dict | None, version: int) -> dict:
@@ -886,10 +1162,27 @@ def snapshot_write(
             "files": files,
             "n_rows": n,
             "schema": schema_json,
+            # explicit None blocks the sticky carry when an overwrite
+            # deliberately de-partitions the table
+            "partition_cols": partition_by or None,
             **(manifest_extra or {}),
         }
 
     return _commit(path, build, op="write")
+
+
+def _validate_partition_decl(df: DataFrame, partition_by: Sequence[str]) -> None:
+    if not partition_by:
+        return
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition_by columns not in the data: {missing}")
+    if "v" in partition_by:
+        # data dirs are named "v=<hint>-<pid>-<ms>-<seq>": a partition
+        # column named v would make the layout ambiguous to the walker
+        raise ValueError("'v' is reserved by the snapshot protocol's data-dir naming")
+    if len(partition_by) == len(df.columns):
+        raise ValueError("cannot partition by every column (no data columns left)")
 
 
 def snapshot_append(
@@ -931,8 +1224,19 @@ def snapshot_append(
         # must fail here, loudly, not as a parquet duplicate-column error);
         # the build re-merges against the fresh manifest on a race
         _merged_schema_json(path, latest0["schema"], df.schema.json(), mapping)
+    pcols = list(latest0.get("partition_cols") or [])
+    if pcols:
+        _validate_partition_decl(df, pcols)
     rel, full = _new_data_dir(path)
-    _to_physical_df(df, mapping).write.mode("error").parquet(full)
+    phys_df = _to_physical_df(df, mapping)
+    if pcols:
+        # appends to a partitioned table land the same Hive layout the
+        # table was created with, so partition pruning covers every commit
+        phys_df.write.partitionBy(
+            *[_phys(mapping, c) for c in pcols]
+        ).mode("error").parquet(full)
+    else:
+        phys_df.write.mode("error").parquet(full)
     if _ident_unpin:
         _ident_unpin()
     spark = df.sparkSession
@@ -940,6 +1244,8 @@ def snapshot_append(
         spark, full, rel,
         [_phys(mapping, c) for c in stats_cols],
         [_phys(mapping, c) for c in bloom_cols],
+        partition_cols=[_phys(mapping, c) for c in pcols],
+        read_schema=phys_df.schema,
     )
     schema_json = df.schema.json()
 
@@ -1654,6 +1960,75 @@ def _pred_cmp(a, b):
     return None
 
 
+def _partition_drop_split(
+    files: list[dict], predicate: str, pcols: set, mapping: dict
+) -> tuple[list[dict], list[dict]] | None:
+    """(dropped, kept) when the predicate is EXACTLY a conjunction of
+    ``=``/``IN`` tests on partition columns and every live file decides
+    WHOLLY from its exact per-file partition value ([v, v] stats) — the
+    Delta DROP-PARTITION shape: a metadata-only commit, zero rows read.
+    Returns None whenever anything is inexact (unparsed conjunct, a
+    non-partition column, a file spanning values, missing stats/rows) —
+    the caller falls back to the row-level scan path."""
+    import re
+
+    pieces = _split_top_level_and(predicate)
+    if not pieces:
+        return None
+    cmp_re = re.compile(
+        rf"^\s*\(?\s*`?(?P<col>[A-Za-z_][A-Za-z0-9_]*)`?\s*"
+        rf"(?P<op>=|==)\s*{_PRED_LIT}\s*\)?\s*$"
+    )
+    in_re = re.compile(
+        r"^\s*\(?\s*`?(?P<col>[A-Za-z_][A-Za-z0-9_]*)`?\s+(?i:IN)\s*"
+        r"\((?P<body>[^()]*)\)\s*\)?\s*$"
+    )
+    lit_re = re.compile(rf"^\s*{_PRED_LIT}\s*$")
+    conj: list[tuple[str, list]] = []
+    for p in pieces:
+        m = cmp_re.match(p)
+        if m:
+            conj.append((m.group("col"), [_pred_parse_lit(m)]))
+            continue
+        m = in_re.match(p)
+        if not m:
+            return None
+        vals = []
+        for item in m.group("body").split(","):
+            lm = lit_re.match(item)
+            if not lm:
+                return None
+            vals.append(_pred_parse_lit(lm))
+        if not vals:
+            return None
+        conj.append((m.group("col"), vals))
+    if not conj or any(col not in pcols for col, _ in conj):
+        return None
+    dropped, kept = [], []
+    for e in files:
+        if e.get("rows") is None:
+            return None
+        stats = e.get("stats") or {}
+        match_all = True
+        for col, vals in conj:
+            s = stats.get(_phys(mapping, col))
+            if not s or s[0] is None or s[0] != s[1]:
+                return None  # not an exact single-value file: fall back
+            hit = False
+            for v in vals:
+                cp = _pred_cmp(s[0], v)
+                if cp is None:
+                    return None
+                if cp[0] == cp[1]:
+                    hit = True
+                    break
+            if not hit:
+                match_all = False
+                break
+        (dropped if match_all else kept).append(e)
+    return dropped, kept
+
+
 def _pred_may_match_entry(e: dict, conjuncts, mapping: dict | None) -> bool:
     """Can any row of this manifest entry satisfy every conjunct, judged
     by its min/max stats? True (may match) whenever stats are missing or
@@ -1929,8 +2304,8 @@ def _merge_dv(
     )
     # rebase bookkeeping: base entries whose dv this merge re-points, and
     # the re-pointed versions it produces (plus the fresh winners file).
-    repointed_base = [e for e in files if _rel2(e["path"]) in new_dead]
-    repointed_new = [e for e in out_files if _rel2(e["path"]) in new_dead]
+    repointed_base = [e for e in files if _entry_rid(e) in new_dead]
+    repointed_new = [e for e in out_files if _entry_rid(e) in new_dead]
     out_files = out_files + new_files
     n_killed = sum(new_dead.values())
 
@@ -2128,7 +2503,7 @@ def snapshot_merge(
         )
         hit_rels = {r[_SN_FILE] for r in hits}
         touched_paths = {
-            e["path"] for e in candidates if _rel2(e["path"]) in hit_rels
+            e["path"] for e in candidates if _entry_rid(e) in hit_rels
         }
     touched = [e for e in files if e["path"] in touched_paths]
     untouched = [e for e in files if e["path"] not in touched_paths]
@@ -2457,7 +2832,7 @@ def snapshot_merge_when(
             )
             hit_rels = {r[_SN_FILE] for r in hits}
             touched_paths = {
-                e["path"] for e in candidates if _rel2(e["path"]) in hit_rels
+                e["path"] for e in candidates if _entry_rid(e) in hit_rels
             }
         touched = [e for e in files if e["path"] in touched_paths]
         untouched = [e for e in files if e["path"] not in touched_paths]
@@ -2676,7 +3051,7 @@ def _predicate_file_split(
         .collect()
     )
     hit_rels = {r[_SN_FILE] for r in hits}
-    touched_paths = {e["path"] for e in files if _rel2(e["path"]) in hit_rels}
+    touched_paths = {e["path"] for e in files if _entry_rid(e) in hit_rels}
     return (
         [e for e in files if e["path"] in touched_paths],
         [e for e in files if e["path"] not in touched_paths],
@@ -2782,6 +3157,47 @@ def snapshot_delete_where(
         raise FileNotFoundError(f"no snapshots at {path}")
     base_version = versions[-1]
     cur = _read_manifest(path, base_version)
+    pcols = cur.get("partition_cols") or []
+    if pcols and mode == "rewrite":
+        # DROP-PARTITION fast path: a pure partition predicate over exact
+        # [v, v]-stat files decides whole files in METADATA — no scan, no
+        # rewrite, the commit just stops referencing the dropped entries.
+        # At 100 TB this turns "delete a year" from a rewrite into a
+        # manifest diff. Falls through whenever anything is inexact.
+        split = _partition_drop_split(
+            _manifest_files(path, cur), predicate, set(pcols), _mapping(cur)
+        )
+        if split is not None:
+            dropped, kept = split
+            if not dropped:
+                return None
+            n_kept = sum(_live_rows(e) for e in kept)
+
+            def build(latest: dict | None, version: int) -> dict:
+                if latest is None:
+                    raise ConcurrentSnapshotError(
+                        f"{path}: table vanished during delete_where"
+                    )
+                if latest["version"] != base_version:
+                    files_out, n_rows = _rebase_concurrent(
+                        spark, path, cur, latest,
+                        replaced=dropped, produced=[],
+                        op="delete_where", mapping=_mapping(cur),
+                        predicate=predicate,
+                    )
+                else:
+                    files_out, n_rows = kept, n_kept
+                out = {
+                    "data_dirs": _dirs_of(files_out),
+                    "files": files_out,
+                    "n_rows": n_rows,
+                    "schema": cur["schema"],
+                }
+                if _mapping(cur):
+                    out["column_mapping"] = _mapping(cur)
+                return out
+
+            return _commit(path, build, op="delete_where")
     if mode == "dv":
         return _delete_where_dv(spark, path, cur, base_version, predicate)
     touched, untouched = _predicate_file_split(spark, path, cur, predicate)
@@ -2820,7 +3236,7 @@ def _dv_land_positions(
     if not new_dead:
         _fs().delete_tree(full_dir)  # no-op DML leaves no orphan dir
         return None, {}, files
-    touched = [e for e in files if _rel2(e["path"]) in new_dead]
+    touched = [e for e in files if _entry_rid(e) in new_dead]
     prior_refs = sorted({e["dv"]["ref"] for e in touched if e.get("dv")})
     if prior_refs:
         # Cumulative refs: append each touched file's prior dead set, so
@@ -2833,7 +3249,7 @@ def _dv_land_positions(
         )
     out_files = []
     for e in files:
-        rid = _rel2(e["path"])
+        rid = _entry_rid(e)
         if rid not in new_dead:
             out_files.append(e)
             continue
@@ -2863,8 +3279,8 @@ def _delete_where_dv(
     if ref is None:
         return None
     n_deleted = sum(new_dead.values())
-    repointed_base = [e for e in files if _rel2(e["path"]) in new_dead]
-    repointed_new = [e for e in out_files if _rel2(e["path"]) in new_dead]
+    repointed_base = [e for e in files if _entry_rid(e) in new_dead]
+    repointed_new = [e for e in out_files if _entry_rid(e) in new_dead]
 
     def build(latest: dict | None, version: int) -> dict:
         if latest is None:
@@ -2947,8 +3363,8 @@ def _update_where_dv(
             f"dv-update image drift at {path}: marked {sum(new_dead.values())} "
             f"dead but wrote {n_new} updated rows"
         )
-    repointed_base = [e for e in files if _rel2(e["path"]) in new_dead]
-    repointed_new = [e for e in out_files if _rel2(e["path"]) in new_dead]
+    repointed_base = [e for e in files if _entry_rid(e) in new_dead]
+    repointed_new = [e for e in out_files if _entry_rid(e) in new_dead]
     out_files = out_files + new_files
 
     def build(latest: dict | None, version: int) -> dict:
@@ -3557,7 +3973,9 @@ def _dv_swap_changes(
     # covers every file that moved between those refs.
     groups: dict[tuple, list[str]] = {}
     for p, r_old, r_new in swaps:
-        groups.setdefault((r_old, r_new), []).append(_rel2(p))
+        groups.setdefault((r_old, r_new), []).append(
+            _entry_rid(ent_by_id[(p, r_new)])
+        )
     del_parts: list[DataFrame] = []
     ins_parts: list[DataFrame] = []
     for (r_old, r_new), rels in sorted(
@@ -4566,10 +4984,19 @@ def snapshot_rename_columns(path: str, renames: dict) -> int:
         schema = StructType.fromJson(json.loads(latest["schema"]))
         names = schema.fieldNames()
         mapping = dict(_mapping(latest))
+        pcols = set(latest.get("partition_cols") or [])
         for old_name, new_name in renames.items():
             if old_name not in names:
                 raise ValueError(
                     f"snapshot_rename_columns: {old_name!r} not in schema"
+                )
+            if old_name in pcols:
+                # partition values live in key=value DIRECTORY NAMES — a
+                # logical-only rename would desynchronize the layout from
+                # the declaration (Delta refuses likewise)
+                raise ValueError(
+                    f"snapshot_rename_columns: {old_name!r} is a partition "
+                    "column; partitioned layouts bind physical names"
                 )
             for cname, cexpr in (latest.get("constraints") or {}).items():
                 if _expr_references(cexpr, old_name):
@@ -4891,30 +5318,50 @@ def snapshot_convert(
     are not built here for the same no-mutation reason — rewrite paths
     (compact/zorder/merge) add them under the table's own roof.
 
-    Hive-partitioned layouts (subdirectories) refuse loudly: the partition
-    columns live in directory names the file-level manifest cannot carry.
-    """
+    Hive-partitioned layouts (``key=value`` subdirectories — the single
+    most common lake layout, e.g. the reference's year/month-partitioned
+    fact table, ``process_historical_data.py:75``) convert IN PLACE:
+    partition columns and their per-file values derive from the directory
+    names (typed by Spark's partition discovery), land in the manifest as
+    ``partition_cols`` + per-entry ``partition`` values + exact ``[v, v]``
+    stats, and every later scan prunes on partition predicates before
+    touching data."""
     if snapshot_versions(path):
         raise ValueError(
             f"snapshot_convert: {path} is already a snapshot table"
         )
     src = os.path.abspath(parquet_dir)
     fs = _fs()
+    pcols: list[str] = []
     if fs.is_dir(src):
-        names = sorted(n for n in fs.list_dir(src) if n.endswith(".parquet"))
-        if any(
-            fs.is_dir(os.path.join(src, n))
+        subdirs = [
+            n
             for n in fs.list_dir(src)
-            if not n.startswith(("_", "."))
-        ):
-            raise ValueError(
-                f"snapshot_convert: {src} has subdirectories (hive "
-                "partitioning?) — convert supports flat parquet layouts; "
-                "read-and-write through snapshot_write for partitioned ones"
+            if fs.is_dir(os.path.join(src, n)) and not n.startswith(("_", "."))
+        ]
+        if subdirs:
+            pcols = _infer_hive_partition_cols(src)
+            entries, n = _scan_file_entries(
+                spark, src, src, list(stats_cols), partition_cols=pcols
             )
-        if not names:
-            raise FileNotFoundError(f"no .parquet files in {src}")
-        entries, n = _scan_file_entries(spark, src, src, list(stats_cols))
+            rids = [_entry_rid(e) for e in entries]
+            dupes = {r for r in rids if rids.count(r) > 1}
+            if dupes:
+                # the lineage identity is a path SUFFIX; a hand-laid layout
+                # repeating filenames across partitions at the same depth
+                # would cross-contaminate deletion vectors
+                raise ValueError(
+                    "snapshot_convert: duplicate file identities across "
+                    f"partitions ({sorted(dupes)[:3]}); re-layout with "
+                    "unique file names or rewrite through snapshot_write"
+                )
+        else:
+            names = sorted(
+                f for f in fs.list_dir(src) if f.endswith(".parquet")
+            )
+            if not names:
+                raise FileNotFoundError(f"no .parquet files in {src}")
+            entries, n = _scan_file_entries(spark, src, src, list(stats_cols))
     elif fs.is_file(src):
         df = spark.read.parquet(src)
         aggs = [F.count(F.lit(1)).alias("_rows")]
@@ -4933,15 +5380,42 @@ def snapshot_convert(
     schema_json = spark.read.parquet(src).schema.json()
 
     def build(latest: dict | None, _version: int) -> dict:
-        return {
+        out = {
             "data_dirs": _dirs_of(entries),
             "files": entries,
             "n_rows": n,
             "schema": schema_json,
             "converted_from": src,
         }
+        if pcols:
+            out["partition_cols"] = pcols
+        return out
 
     return _commit(path, build, op="convert")
+
+
+def _infer_hive_partition_cols(src: str) -> list[str]:
+    """Partition column names from a Hive directory tree, in nesting order
+    (= declaration order). Refuses mixed or non-``key=value`` levels."""
+    fs = _fs()
+    pcols: list[str] = []
+    probe = src
+    while True:
+        dirs = [
+            n
+            for n in fs.list_dir(probe)
+            if fs.is_dir(os.path.join(probe, n)) and not n.startswith(("_", "."))
+        ]
+        if not dirs:
+            return pcols
+        keys = {n.split("=", 1)[0] for n in dirs if "=" in n}
+        if len(keys) != 1 or any("=" not in n for n in dirs):
+            raise ValueError(
+                f"snapshot_convert: {probe} mixes partition levels "
+                f"({sorted(dirs)[:4]}); not a uniform key=value layout"
+            )
+        pcols.append(next(iter(keys)))
+        probe = os.path.join(probe, sorted(dirs)[0])
 
 
 def snapshot_clone(src: str, dst: str, version: int | None = None) -> int:
@@ -5023,6 +5497,14 @@ def snapshot_vacuum(
     """
     fs = _fs()
     versions = snapshot_versions(path)
+    if versions:
+        # vacuum mutates outside _commit: apply the same min_writer gate
+        need_w = _read_manifest(path, versions[-1]).get("min_writer", 1)
+        if need_w > _WRITER_VERSION:
+            raise UnsupportedSnapshotProtocolError(
+                f"{path} needs protocol writer {need_w}; this engine "
+                f"implements {_WRITER_VERSION} — upgrade before vacuuming"
+            )
     keep, drop = versions[-keep_last:], versions[:-keep_last]
     keep_set = set(keep)
     # Delta-manifest chains: resolve everything BEFORE any manifest is
@@ -5104,8 +5586,12 @@ def snapshot_vacuum(
     # the retention window — a too-eager sweep would delete a concurrent
     # writer's landed-but-uncommitted data mid-commit.
     now = time.time()
+    # Hive-partitioned data dirs nest key=value subdirs, so live_dirs holds
+    # LEAF paths ("v=5-x/year=1995/month=3"); the orphan test below sees the
+    # TOP-LEVEL name ("v=5-x") and must not sweep a dir whose leaves are live.
+    live_top = {d.split("/", 1)[0] for d in live_dirs}
     for entry in fs.list_dir(path):
-        if entry.startswith("v=") and entry not in live_dirs:
+        if entry.startswith("v=") and entry not in live_top:
             full = os.path.join(path, entry)
             if fs.is_dir(full) and now - fs.mtime(full) >= orphan_min_age_sec:
                 if not dry_run:

@@ -3300,15 +3300,19 @@ def test_snapshot_convert_directory_and_file(spark, tmp_path):
         os.path.join(src, one)
     ).count()
 
-    # refusals: existing table, hive-partitioned layout
+    # refusal: existing table
     with pytest.raises(ValueError, match="already a snapshot table"):
         S.snapshot_convert(spark, src, t)
+    # hive-partitioned layouts now convert in place (round 10); the full
+    # contract lives in tests/test_partitioned.py
     part = str(tmp_path / "parted")
     spark.createDataFrame([(1, "a")], "k long, p string").write.partitionBy(
         "p"
     ).parquet(part)
-    with pytest.raises(ValueError, match="subdirectories"):
-        S.snapshot_convert(spark, part, str(tmp_path / "tbl3"))
+    t3 = str(tmp_path / "tbl3")
+    S.snapshot_convert(spark, part, t3)
+    assert S._latest_manifest(t3)["partition_cols"] == ["p"]
+    assert S.snapshot_read(spark, t3).count() == 1
 
 
 def test_append_merge_schema(spark, tmp_path, monkeypatch):
@@ -3591,3 +3595,67 @@ def test_merge_dv_conflicts_when_consulted_seq_winner_file_deleted(
             _snap_df(spark, [(1, 2, "low")]),
             path, key_cols=["k"], seq_col="seq", mode="dv",
         )
+
+
+def test_min_writer_gate_refuses_every_mutation(spark, tmp_path):
+    """min_writer (Delta minWriterVersion parity): a table whose latest
+    manifest demands a newer writer refuses append / merge / DML /
+    optimize / vacuum up front, without mutating any state; reads still
+    work (reader and writer requirements are independent)."""
+    import json
+    import os
+
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    path = str(tmp_path / "minw")
+    S.snapshot_write(_snap_df(spark, [(1, 1, "a")]), path, stats_cols=["k"])
+    # two small files so OPTIMIZE has something to fold (else it no-ops
+    # before ever reaching the commit gate)
+    S.snapshot_append(_snap_df(spark, [(5, 1, "e")]), path, stats_cols=["k"])
+    # forge a future-writer manifest on top (what a newer engine would leave)
+    m = dict(S._latest_manifest(path))
+    m["version"], m["min_writer"] = 3, 99
+    tgt = os.path.join(S._manifest_dir(path), "3.json")
+    assert S._fs().create_exclusive(tgt, json.dumps(m))
+
+    before = S.snapshot_versions(path)
+    with pytest.raises(S.UnsupportedSnapshotProtocolError):
+        S.snapshot_append(_snap_df(spark, [(2, 1, "b")]), path)
+    with pytest.raises(S.UnsupportedSnapshotProtocolError):
+        S.snapshot_merge(
+            _snap_df(spark, [(1, 2, "u")]), path, key_cols=["k"], seq_col="seq"
+        )
+    with pytest.raises(S.UnsupportedSnapshotProtocolError):
+        S.snapshot_delete_where(spark, path, "k = 1")
+    with pytest.raises(S.UnsupportedSnapshotProtocolError):
+        S.snapshot_compact(spark, path, small_file_max_rows=10)
+    with pytest.raises(S.UnsupportedSnapshotProtocolError):
+        S.snapshot_vacuum(path, keep_last=1)
+    assert S.snapshot_versions(path) == before
+    assert S.snapshot_read(spark, path).count() == 2
+
+
+def test_min_writer_stamped_by_feature_commits(spark, tmp_path):
+    """Feature-bearing commits stamp min_writer=2; plain tables stay
+    unstamped (legacy writers keep working on legacy tables)."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    plain = str(tmp_path / "plain")
+    S.snapshot_write(_snap_df(spark, [(1, 1, "a")]), plain)
+    assert "min_writer" not in S._latest_manifest(plain)
+
+    # deletion vector commit -> writer 2
+    dv = str(tmp_path / "dv")
+    S.snapshot_write(_snap_df(spark, [(1, 1, "a"), (2, 1, "b")]), dv, stats_cols=["k"])
+    S.snapshot_delete_where(spark, dv, "k = 1", mode="dv")
+    assert S._latest_manifest(dv)["min_writer"] == 2
+
+    # partitioned table -> writer 2, and the stamp STICKS on later commits
+    pt = str(tmp_path / "pt")
+    df = spark.createDataFrame([(1, 1990, "x"), (2, 1991, "y")], ["k", "year", "p"])
+    S.snapshot_write(df, pt, partition_by=["year"])
+    assert S._latest_manifest(pt)["min_writer"] == 2
+    S.snapshot_append(
+        spark.createDataFrame([(3, 1992, "z")], ["k", "year", "p"]), pt
+    )
+    assert S._latest_manifest(pt)["min_writer"] == 2
