@@ -179,6 +179,16 @@ class Engine:
         if not self._views_registered:
             self.catalog.register_views()
             self._views_registered = True
+        import re as _re
+
+        tx = _re.match(
+            r"\s*BEGIN\s+LAKE\s+TRANSACTION\s*;(.*);\s*COMMIT\s*;?\s*$",
+            query, _re.IGNORECASE | _re.DOTALL,
+        )
+        if tx:
+            stmts = [s for s in _split_semicolons(tx.group(1)) if s.strip()]
+            results = self.sql_atomic(stmts)
+            return results[-1] if results else self.spark.sql("SELECT 1 AS ok")
         from music_recommendation_service_spark.sources.sqlfront import (
             dispatch_sql,
         )
@@ -202,6 +212,66 @@ class Engine:
                         self.snapshot(p, view=v, persist=False)
             return df
         return self.spark.sql(query)
+
+    def sql_atomic(self, statements: list[str], publish: bool = True) -> list[DataFrame]:
+        """Multi-statement LAKE TRANSACTION: run ``statements`` as one
+        all-or-nothing unit across N snapshot tables (SQL spelling:
+        ``BEGIN LAKE TRANSACTION; <stmt>; <stmt>; COMMIT``).
+
+        Semantics (the write-then-publish discipline of
+        sources/multicommit.py, plus compensating rollback):
+
+        - each statement commits its table normally (per-table atomicity
+          is the protocol's);
+        - a FAILURE mid-transaction rolls every already-advanced table
+          back to its pre-transaction version (``snapshot_rollback`` — a
+          new RESTORE commit, history preserved), and drops views the
+          transaction created, so direct readers see the old content of
+          BOTH tables — no half-applied pair;
+        - on success, ONE lake-log entry (``lake_commit``) pins every
+          advanced table's new version, so readers resolving through the
+          log (``lake_read``) observe the pair move together; a process
+          crash before the publish leaves the previous, mutually
+          consistent pin set in force.
+        """
+        import os
+
+        from music_recommendation_service_spark.sources import (
+            multicommit as mc,
+            snapshots as sn,
+        )
+
+        pre = {
+            name: (path, (sn.snapshot_versions(path) or [None])[-1])
+            for name, path in self._snapshot_views.items()
+        }
+        results: list[DataFrame] = []
+        try:
+            for stmt in statements:
+                results.append(self.sql(stmt))
+        except Exception:
+            for name, (path, v0) in pre.items():
+                vs = sn.snapshot_versions(path)
+                if v0 is not None and vs and vs[-1] != v0:
+                    sn.snapshot_rollback(path, v0)
+                    self.snapshot(path, view=name, persist=False)
+            for name in [n for n in self._snapshot_views if n not in pre]:
+                # a table the failed transaction created: unregister the
+                # name (the orphan data dir is vacuum's to reclaim)
+                self.spark.catalog.dropTempView(name)
+                del self._snapshot_views[name]
+                self._unpersist(name)
+            raise
+        if publish:
+            pins = {
+                os.path.relpath(path, self.root): sn.snapshot_versions(path)[-1]
+                for name, (path, v0) in pre.items()
+                if sn.snapshot_versions(path)
+                and sn.snapshot_versions(path)[-1] != v0
+            }
+            if pins:
+                mc.lake_commit(self.root, pins)
+        return results
 
     # -- named query catalog ----------------------------------------------
     def query(self, name: str) -> DataFrame:
@@ -231,3 +301,20 @@ class Engine:
             else self.query(name_or_df)
         )
         return plan_audit(df)
+
+
+def _split_semicolons(block: str) -> list[str]:
+    """Split a statement block on semicolons OUTSIDE single-quoted
+    literals (the dialect's only string form)."""
+    out, cur, in_str = [], [], False
+    for ch in block:
+        if ch == "'":
+            in_str = not in_str
+            cur.append(ch)
+        elif ch == ";" and not in_str:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return out

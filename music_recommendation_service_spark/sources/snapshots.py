@@ -226,7 +226,7 @@ _WRITER_VERSION = 2
 # manifest keys whose presence requires writer version 2
 _W2_FEATURE_KEYS = (
     "column_mapping", "generated", "identity", "constraints",
-    "partition_cols", "files_base",
+    "partition_cols", "files_base", "widened",
 )
 
 
@@ -1284,6 +1284,12 @@ def snapshot_append(
             "schema": out_schema,
             **(manifest_extra or {}),
         }
+        widened = _widened_cols(latest["schema"], out_schema)
+        if widened:
+            # records the type-widening event (DESCRIBE HISTORY) and, via
+            # _required_writer, bumps min_writer on the table — the Delta
+            # typeWidening table-feature discipline
+            out["widened"] = widened
         if mapping:
             out["column_mapping"] = mapping
         return out
@@ -1291,16 +1297,34 @@ def snapshot_append(
     return _commit(path, build, op="append")
 
 
+def _widened_cols(old_json: str, new_json: str) -> dict:
+    """{col: [old_type, new_type]} for common fields whose declared type
+    changed between two schema versions (only safe widenings can)."""
+    old = {f["name"]: f["type"] for f in json.loads(old_json)["fields"]}
+    new = {f["name"]: f["type"] for f in json.loads(new_json)["fields"]}
+    return {
+        c: [old[c], new[c]]
+        for c in old
+        if c in new and old[c] != new[c]
+        and isinstance(old[c], str) and isinstance(new[c], str)
+    }
+
+
 def _merged_schema_json(
     path: str, table_json: str, incoming_json: str, mapping: dict | None = None
 ) -> str:
-    """Delta mergeSchema rule: table fields keep their order and types;
-    incoming-only fields append as NULLABLE; a table field the incoming
-    frame omits null-fills on read (the schema-evolution machinery old
-    files already use); a common field with a different type refuses —
-    additive evolution only, no silent retypes. A new name colliding with
-    a renamed column's PHYSICAL name refuses too: files store physical
-    names, so the collision would make old files' data ambiguous."""
+    """Delta mergeSchema rule: table fields keep their order; incoming-only
+    fields append as NULLABLE; a table field the incoming frame omits
+    null-fills on read (the schema-evolution machinery old files already
+    use). Common fields with different types: a SAFE WIDENING (Delta 3.x
+    type-widening lattice — byte/short/int up to long, float to double)
+    widens the declared type to the wider of the two in the same commit;
+    everything else refuses — no silent retypes or narrowings. Old files
+    stay readable because every read goes through the declared schema and
+    Spark's parquet reader upcasts int32->int64 / float->double natively.
+    A new name colliding with a renamed column's PHYSICAL name refuses
+    too: files store physical names, so the collision would make old
+    files' data ambiguous."""
     from pyspark.sql.types import StructField, StructType
 
     table = StructType.fromJson(json.loads(table_json))
@@ -1310,13 +1334,26 @@ def _merged_schema_json(
     phys_taken = {
         p for l, p in (mapping or {}).items() if p not in table_names
     }
+    out_fields = []
     for f in table.fields:
         inc = by_name.get(f.name)
-        if inc is not None and inc.dataType != f.dataType:
+        if inc is None or inc.dataType == f.dataType:
+            out_fields.append(f)
+        elif _widens(f.dataType, inc.dataType):
+            # incoming is wider: widen the declaration (old narrow files
+            # upcast on read through the declared schema)
+            out_fields.append(StructField(f.name, inc.dataType, True, f.metadata))
+        elif _widens(inc.dataType, f.dataType):
+            # incoming is narrower: keep the wider declaration; the landed
+            # file upcasts on read like any pre-widening file
+            out_fields.append(f)
+        else:
             raise ValueError(
                 f"mergeSchema append at {path}: column {f.name!r} is "
                 f"{f.dataType.simpleString()} in the table but "
-                f"{inc.dataType.simpleString()} incoming — no silent retypes"
+                f"{inc.dataType.simpleString()} incoming — only safe "
+                "widenings (byte/short/int->long, float->double) evolve; "
+                "no silent retypes"
             )
     for f in incoming.fields:
         if f.name not in table_names and f.name in phys_taken:
@@ -1328,9 +1365,26 @@ def _merged_schema_json(
     new = [
         StructField(f.name, f.dataType, nullable=True)
         for f in incoming.fields
-        if f.name not in {t.name for t in table.fields}
+        if f.name not in table_names
     ]
-    return StructType(list(table.fields) + new).json()
+    return StructType(out_fields + new).json()
+
+
+# Safe type-widening lattice (Delta 3.x typeWidening): reading a narrow
+# parquet file through the wider declared type is lossless and supported
+# natively by Spark's vectorized reader. Anything not listed (e.g.
+# long->int, double->float, string<->numeric) refuses.
+_WIDEN_UP = {
+    "byte": {"short", "integer", "long"},
+    "short": {"integer", "long"},
+    "integer": {"long"},
+    "float": {"double"},
+}
+
+
+def _widens(narrow, wide) -> bool:
+    """True when ``narrow -> wide`` is a safe (lossless) widening."""
+    return wide.typeName() in _WIDEN_UP.get(narrow.typeName(), set())
 
 
 def _stats_repr(v):
@@ -3754,10 +3808,12 @@ def snapshot_zorder(
     cols: Sequence[str],
     target_files: int = 8,
     bits: int = 8,
+    where: str | None = None,
 ) -> int | None:
-    """OPTIMIZE ZORDER BY: rewrite the latest version clustered along a
-    Morton curve over ``cols`` and commit as a new ``data_change=false``
-    version with per-file min/max stats on those columns.
+    """OPTIMIZE [WHERE <pred>] ZORDER BY: rewrite the in-scope files
+    clustered along a Morton curve over ``cols`` and commit as a new
+    ``data_change=false`` version with per-file min/max stats on those
+    columns (plus whatever stats discipline the folded files carried).
 
     A linear sort clusters one column perfectly and the others not at all;
     the Z-curve gives every listed column locality, so ``snapshot_scan``
@@ -3767,16 +3823,48 @@ def snapshot_zorder(
     each TTL refresh, ``MinioService.cs:71-216`` — clustering + stats
     pruning is what makes that replay sub-linear at scale).
 
-    Content-identical rewrite: same rows, new layout. Concurrent commits
-    abort with ``ConcurrentSnapshotError`` exactly like ``snapshot_compact``.
+    ``where`` scopes the rewrite to the files the predicate MAY touch
+    (min/max stats, ``_predicate_conjuncts`` — exactly the OPTIMIZE WHERE
+    scoping): on a partitioned table, ``where="year = 2024"`` re-clusters
+    one partition's files and carries everything else by reference.
+
+    Content-identical rewrite: same rows, new layout. A concurrent commit
+    landing mid-cluster REBASES when it did not touch any file being
+    folded (appends and disjoint merges never conflict — the same
+    ``allow_any_adds`` treatment as compaction; concurrently added files
+    simply stay unclustered until the next maintenance pass) and aborts
+    with ``ConcurrentSnapshotError`` when it rewrote or DV-re-pointed a
+    folded file. At 1000-writer scale this is what lets z-order
+    maintenance land on a hot table at all.
     """
     versions = snapshot_versions(path)
     if not versions:
         return None
     base_version = versions[-1]
     cur = _read_manifest(path, base_version)
-    data = snapshot_read(spark, path, base_version)
-    n_rows = cur["n_rows"]
+    files = _manifest_files(path, cur)
+    mapping = _mapping(cur)
+    if where is not None:
+        conjuncts = _predicate_conjuncts(where)
+        if not conjuncts:
+            raise ValueError(
+                f"snapshot_zorder: WHERE {where!r} has no stats-checkable "
+                "conjunct (supported: top-level AND of column-vs-literal "
+                "comparisons / IN lists); run without WHERE to cluster all"
+            )
+        folded = [e for e in files if _pred_may_match_entry(e, conjuncts, mapping)]
+    else:
+        folded = list(files)
+    if not folded:
+        return None
+    folded_paths = {e["path"] for e in folded}
+    carried = [e for e in files if e["path"] not in folded_paths]
+    folded_rows = (
+        None
+        if any(e.get("rows") is None for e in folded)
+        else sum(_live_rows(e) for e in folded)
+    )
+    data = _read_entries(spark, path, cur, folded)
 
     zdf, helper_cols = _zvalue(data, cols, bits)
     clustered = (
@@ -3784,34 +3872,45 @@ def snapshot_zorder(
         .sortWithinPartitions("_zval")
         .drop("_zval", *helper_cols)
     )
-    mapping = _mapping(cur)
+    stats_cols = sorted(
+        {_phys(mapping, c) for c in cols}
+        | {c for e in folded if e.get("stats") for c in e["stats"]}
+    )
     rel, full = _new_data_dir(path)
     _to_physical_df(clustered, mapping).write.mode("error").parquet(full)
     new_files, n_new = _scan_file_entries(
-        spark, full, rel,
-        sorted(_phys(mapping, c) for c in cols),
-        _bloom_cols_in_use(path, cur),
+        spark, full, rel, stats_cols, _bloom_cols_in_use(path, cur),
     )
-    if n_new != n_rows:
+    if folded_rows is not None and n_new != folded_rows:
         raise RuntimeError(
-            f"zorder row-count drift at {path}: {n_rows} in, {n_new} out"
+            f"zorder row-count drift at {path}: {folded_rows} in, {n_new} out"
         )
+    out_files = carried + new_files
 
     def build(latest: dict | None, version: int) -> dict:
-        if latest is None or latest["version"] != base_version:
-            raise ConcurrentSnapshotError(
-                f"{path}: version moved {base_version} -> "
-                f"{latest['version'] if latest else None} during zorder; "
-                "re-run against the new state"
+        if latest is None:
+            raise ConcurrentSnapshotError(f"{path}: table vanished during zorder")
+        if latest["version"] != base_version:
+            # same rebase rule as compaction: re-clustering the folded set
+            # never conflicts with concurrently ADDED rows; it conflicts
+            # only when a concurrent commit touched a folded file
+            files_out, n_rows = _rebase_concurrent(
+                spark, path, cur, latest,
+                replaced=folded, produced=new_files,
+                op="zorder", mapping=mapping, allow_any_adds=True,
             )
+        else:
+            files_out, n_rows = out_files, cur["n_rows"]
         out = {
-            "data_dirs": _dirs_of(new_files),
-            "files": new_files,
+            "data_dirs": _dirs_of(files_out),
+            "files": files_out,
             "n_rows": n_rows,
             "schema": cur["schema"],
             "data_change": False,
             "clustered_by": list(cols),
         }
+        if where is not None:
+            out["clustered_where"] = where
         if mapping:
             out["column_mapping"] = mapping
         return out

@@ -801,13 +801,9 @@ def dispatch_sql(
         name, where, zcols = om.group(1), om.group(2), om.group(3)
         path = _require_view(name, views)
         if zcols:
-            if where:
-                raise SqlDispatchError(
-                    "OPTIMIZE ... ZORDER BY re-clusters the whole table; "
-                    "WHERE applies to compaction-only OPTIMIZE"
-                )
             v = S.snapshot_zorder(
-                spark, path, [c.strip() for c in zcols.split(",")]
+                spark, path, [c.strip() for c in zcols.split(",")],
+                where=where,
             )
         else:
             v = S.snapshot_compact(spark, path, where=where)

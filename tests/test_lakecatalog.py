@@ -263,3 +263,33 @@ def test_bogus_format_refused_at_register_and_surfaced_at_boot(spark, tmp_path):
         e = Engine(str(lake), spark=spark.newSession())
     assert "weird" in e.boot_skipped and "unknown format" in e.boot_skipped["weird"]
     assert e.sql("SELECT count(*) AS n FROM ok").collect()[0]["n"] == 1
+
+
+def test_catalog_vacuum_reclaims_manifest_history(tmp_path):
+    """The lake catalog is itself a snapshot table whose every registration
+    is a commit: VACUUM must reclaim the old manifests (retention unit =
+    versions), DESCRIBE-HISTORY-style version listing must honor the
+    horizon, and the full map must survive untouched (judge r9 order #8)."""
+    cat = str(tmp_path / "_lake_catalog")
+    c = LakeCatalog(cat)
+    for i in range(55):
+        c.register(f"t{i:03d}", str(tmp_path / f"tbl{i:03d}"))
+    assert len(sn.snapshot_versions(cat)) == 55
+    before = c.tables()
+    assert len(before) == 55
+
+    removed = sn.snapshot_vacuum(cat, keep_last=3, orphan_min_age_sec=0.0)
+    kept = sn.snapshot_versions(cat)
+    assert kept == [53, 54, 55]
+    # metadata-only table: nothing but manifests to reclaim, map intact
+    assert c.tables() == before
+    # time travel past the horizon is gone (Delta VACUUM semantics)
+    with pytest.raises(Exception):
+        sn._read_manifest(cat, 1)
+    # history over the retained window still resolves per-commit ops
+    ops = {v: sn._read_manifest(cat, v).get("op") for v in kept}
+    assert set(ops.values()) == {"catalog_register"}
+    # and the catalog keeps taking commits after the vacuum
+    c.register("post_vacuum", str(tmp_path / "pv"))
+    assert "post_vacuum" in c.tables()
+    assert sn.snapshot_versions(cat)[-1] == 56

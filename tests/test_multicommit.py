@@ -163,3 +163,65 @@ def test_dedup_ingest_publishes_atomically(spark, tmp_path, monkeypatch):
     invariant(pins1)
     assert lake_read(spark, root, "docs").count() == 3
     assert lake_latest(root)["version"] == len(lake_versions(root))
+
+
+def test_sql_atomic_two_tables_one_call(spark, tmp_path):
+    """BEGIN LAKE TRANSACTION; <stmt>; <stmt>; COMMIT mutates two tables in
+    one SQL call and publishes ONE synchronized lake-log pin pair."""
+    from music_recommendation_service_spark.engine import Engine
+    from music_recommendation_service_spark.sources.snapshots import (
+        snapshot_versions, snapshot_write,
+    )
+
+    root = str(tmp_path)
+    fact, view = f"{root}/fact", f"{root}/view"
+    snapshot_write(spark.createDataFrame([(1, 10.0, "a")], "k int, amount double, tag string"), fact)
+    snapshot_write(spark.createDataFrame([(1, 10.0, "a")], "k int, amount double, tag string"), view)
+    e = Engine(root, spark=spark)
+    e.snapshot(fact, view="fact")
+    e.snapshot(view, view="vw")
+
+    e.sql(
+        "BEGIN LAKE TRANSACTION; "
+        "INSERT INTO fact SELECT 2 AS k, CAST(20.0 AS DOUBLE) AS amount, 'b' AS tag; "
+        "UPDATE vw SET amount = 99.0 WHERE k = 1; "
+        "COMMIT"
+    )
+    assert e.sql("SELECT count(*) AS n FROM fact").collect()[0]["n"] == 2
+    assert e.sql("SELECT amount FROM vw").collect()[0]["amount"] == 99.0
+    assert snapshot_versions(fact) == [1, 2]
+    assert snapshot_versions(view) == [1, 2]
+    # one lake-log entry pins the PAIR at their new versions together
+    entry = lake_latest(root)
+    assert entry["tables"] == {"fact": 2, "view": 2}
+
+
+def test_sql_atomic_failure_rolls_both_back(spark, tmp_path):
+    """A crash between the two statements leaves BOTH tables reading their
+    pre-transaction content (compensating RESTORE on the advanced one) and
+    publishes nothing."""
+    import pytest as _pytest
+
+    from music_recommendation_service_spark.engine import Engine
+    from music_recommendation_service_spark.sources.snapshots import (
+        snapshot_read, snapshot_write,
+    )
+
+    root = str(tmp_path)
+    fact, view = f"{root}/fact", f"{root}/view"
+    snapshot_write(spark.createDataFrame([(1, 10.0, "a")], "k int, amount double, tag string"), fact)
+    snapshot_write(spark.createDataFrame([(1, 10.0, "a")], "k int, amount double, tag string"), view)
+    e = Engine(root, spark=spark)
+    e.snapshot(fact, view="fact")
+    e.snapshot(view, view="vw")
+
+    with _pytest.raises(Exception):
+        e.sql_atomic([
+            "INSERT INTO fact SELECT 2 AS k, CAST(20.0 AS DOUBLE) AS amount, 'b' AS tag",
+            "UPDATE vw SET nope_column = 1 WHERE k = 1",  # fails
+        ])
+    # first statement's durable commit was compensated: both read old state
+    assert snapshot_read(spark, fact).count() == 1
+    assert {r["amount"] for r in snapshot_read(spark, view).collect()} == {10.0}
+    assert e.sql("SELECT count(*) AS n FROM fact").collect()[0]["n"] == 1
+    assert lake_latest(root) is None  # nothing published

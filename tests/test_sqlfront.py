@@ -480,8 +480,12 @@ def test_sql_optimize_where_scoped_compaction(spark, tmp_path, eng):
         1000 + i * 10 + j for i in range(3) for j in range(3)
     }
 
-    with pytest.raises(SqlDispatchError, match="WHERE applies"):
-        e.sql("OPTIMIZE optw WHERE k < 10 ZORDER BY (k)")
+    # scoped ZORDER (round 10): WHERE bounds the re-cluster to the
+    # stats-scoped file set; content identical, out-of-scope carried
+    before_all = {r["k"] for r in e.sql("SELECT * FROM optw").collect()}
+    vz = e.sql("OPTIMIZE optw WHERE k < 10 ZORDER BY (k)").collect()[0]["version"]
+    assert vz is not None
+    assert {r["k"] for r in e.sql("SELECT * FROM optw").collect()} == before_all
     with pytest.raises(Exception, match="stats-checkable"):
         e.sql("OPTIMIZE optw WHERE length(tag) > 1")
 
