@@ -5560,6 +5560,10 @@ def snapshot_clone(src: str, dst: str, version: int | None = None) -> int:
             "constraints": m.get("constraints", {}),
             "cloned_from": {"path": src_abs, "version": v},
         }
+        if m.get("partition_cols"):
+            # the clone inherits the source's partitioning: its entries
+            # carry partition values, so the declaration must ride along
+            out["partition_cols"] = m["partition_cols"]
         if _mapping(m):
             out["column_mapping"] = _mapping(m)
         return out

@@ -42,11 +42,13 @@ malformed errors loudly rather than half-executing):
     SHOW TABLES
     RESTORE [TABLE] v TO VERSION AS OF <n>
     RESTORE [TABLE] v TO TIMESTAMP AS OF '<iso ts>'
-    CREATE [OR REPLACE] TABLE v LOCATION '<path>' AS <select>   -- CTAS
+    CREATE [OR REPLACE] TABLE v LOCATION '<path>'
+        [PARTITIONED BY (c1, c2)] AS <select>        -- CTAS (Hive layout)
     CREATE TABLE v LOCATION '<path>' SHALLOW CLONE w [VERSION AS OF n]
     CONVERT TO SNAPSHOT '<parquet>' AS v LOCATION '<path>' [STATS (c, ...)]
         -- onboard existing parquet in place (absolute external refs,
-        -- zero rows copied; Delta CONVERT TO DELTA parity)
+        -- zero rows copied; Delta CONVERT TO DELTA parity; Hive
+        -- key=value layouts convert partitioned, values from the paths)
     ALTER TABLE v ADD COLUMNS (c TYPE, ...)          -- schema evolution
     ALTER TABLE v RENAME COLUMN a TO b               -- column mapping
     ALTER TABLE v DROP COLUMN(S) a[, b]
@@ -629,16 +631,23 @@ def dispatch_sql(
     if head == "CREATE":
         cm = re.match(
             rf"\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})\s+"
-            rf"LOCATION\s+'([^']+)'\s+(AS\s+.*|SHALLOW\s+CLONE\s+.*)$",
+            rf"LOCATION\s+'([^']+)'\s+"
+            rf"(?:PARTITIONED\s+BY\s*\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)\s+)?"
+            rf"(AS\s+.*|SHALLOW\s+CLONE\s+.*)$",
             q, re.IGNORECASE | re.DOTALL,
         )
         if not cm:
             raise SqlDispatchError(
                 "CREATE grammar: CREATE [OR REPLACE] TABLE <view> LOCATION "
-                "'<path>' AS <select> | SHALLOW CLONE <view> [VERSION AS OF n]"
+                "'<path>' [PARTITIONED BY (c1, c2)] AS <select> | "
+                "SHALLOW CLONE <view> [VERSION AS OF n]"
             )
-        replace, name, path, tail = (
-            bool(cm.group(1)), cm.group(2), cm.group(3), cm.group(4).strip()
+        replace, name, path, pby, tail = (
+            bool(cm.group(1)), cm.group(2), cm.group(3),
+            cm.group(4), cm.group(5).strip(),
+        )
+        partition_by = (
+            [c.strip() for c in pby.split(",")] if pby else None
         )
         if name in views and views[name] != path:
             raise SqlDispatchError(
@@ -654,12 +663,19 @@ def dispatch_sql(
             tail, re.IGNORECASE,
         )
         if clone:
+            if partition_by:
+                raise SqlDispatchError(
+                    "SHALLOW CLONE inherits the source's partitioning; "
+                    "PARTITIONED BY applies to CTAS only"
+                )
             src = _require_view(clone.group(1), views)
             ver = int(clone.group(2)) if clone.group(2) else None
             v = S.snapshot_clone(src, path, version=ver)
         else:
             select = re.sub(r"^AS\s+", "", tail, flags=re.IGNORECASE)
-            v = S.snapshot_write(spark.sql(select), path)
+            v = S.snapshot_write(
+                spark.sql(select), path, partition_by=partition_by
+            )
         views[name] = path  # Engine.sql re-registers it as a temp view
         return vdf(v), name
     if head == "CONVERT":

@@ -346,3 +346,77 @@ def test_unpartitioned_overwrite_departitions(spark, tmp_path):
     # same-shape overwrite, no partition_by: inherits ["year"]
     S.snapshot_write(_pdf(spark, BASE[:6]), p2)
     assert S._latest_manifest(p2)["partition_cols"] == ["year"]
+
+
+def test_sql_ctas_partitioned_by(spark, tmp_path):
+    """CREATE TABLE ... PARTITIONED BY (...) AS SELECT lands the Hive
+    layout through the SQL front; DML on partition predicates then drops
+    in metadata; SHALLOW CLONE inherits the declaration."""
+    from music_recommendation_service_spark.engine import Engine
+
+    e = Engine(str(tmp_path), spark=spark)
+    loc = str(tmp_path / "ctas_pt")
+    df = _pdf(spark, BASE)
+    df.createOrReplaceTempView("src_rows")
+    e.sql(
+        f"CREATE TABLE pt LOCATION '{loc}' PARTITIONED BY (year) "
+        "AS SELECT * FROM src_rows"
+    )
+    m = S._latest_manifest(loc)
+    assert m["partition_cols"] == ["year"]
+    assert e.sql("SELECT count(*) AS n FROM pt").collect()[0]["n"] == 30
+    v = e.sql("DELETE FROM pt WHERE year = 1991").collect()[0]["version"]
+    assert v == 2
+    assert e.sql("SELECT count(*) AS n FROM pt").collect()[0]["n"] == 20
+
+    clone_loc = str(tmp_path / "pt_clone")
+    e.sql(f"CREATE TABLE ptc LOCATION '{clone_loc}' SHALLOW CLONE pt")
+    assert S._latest_manifest(clone_loc)["partition_cols"] == ["year"]
+    assert e.sql("SELECT count(*) AS n FROM ptc").collect()[0]["n"] == 20
+    # scoped OPTIMIZE ZORDER through SQL on the partitioned table
+    e.sql("OPTIMIZE pt WHERE year = 1990 ZORDER BY (k)")
+    assert e.sql("SELECT count(*) AS n FROM pt").collect()[0]["n"] == 20
+
+
+def test_partitioned_stream_read_initial_snapshot(spark, tmp_path):
+    """readStream.format('snapshot') over a partitioned table: the initial
+    snapshot attaches path-derived partition values per file."""
+    from music_recommendation_service_spark.sources.datasource import (
+        register_snapshot_datasource,
+    )
+
+    register_snapshot_datasource(spark)
+    p = _mk(spark, tmp_path)
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    q = (
+        spark.readStream.format("snapshot").load(p)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 30
+    by_k = {r["k"]: r["year"] for r in got.collect()}
+    assert by_k[0] == 1990 and by_k[4] == 1991
+
+
+def test_datasource_write_appends_to_partitioned_table(spark, tmp_path):
+    """df.write.format('snapshot').mode('append') on a partitioned table:
+    the writer's flat files carry the partition columns as data, and the
+    mixed layout reads back value-exact."""
+    from music_recommendation_service_spark.sources.datasource import (
+        register_snapshot_datasource,
+    )
+
+    register_snapshot_datasource(spark)
+    p = _mk(spark, tmp_path)
+    _pdf(spark, [(500, 1991, "via_ds")]).write.format("snapshot").mode(
+        "append"
+    ).save(p)
+    got = S.snapshot_read(spark, p)
+    assert got.count() == 31
+    assert got.filter(F.col("k") == 500).collect()[0]["year"] == 1991
+    # partitioning declaration survives the DataSource commit (sticky)
+    assert S._latest_manifest(p).get("partition_cols") == ["year"]
