@@ -3692,12 +3692,34 @@ def snapshot_compact(
         {c for e in small if e.get("stats") for c in e["stats"]}
     )
     mapping = _mapping(cur)
-    folded = _read_entries(spark, path, cur, small).coalesce(n_out)
+    pcols = [_phys(mapping, c) for c in (cur.get("partition_cols") or [])]
     rel, full = _new_data_dir(path)
-    _to_physical_df(folded, mapping).write.mode("error").parquet(full)
-    new_files, n_new = _scan_file_entries(
-        spark, full, rel, stats_cols, _bloom_cols_in_use(path, cur)
-    )
+    if pcols:
+        # Partitioned tables compact WITHIN partitions (Delta OPTIMIZE
+        # bin-packs per partition): the folded output lands back in Hive
+        # layout, so partition purity — and with it the metadata-only
+        # DROP-PARTITION path and exact [v, v] pruning — survives routine
+        # maintenance. repartition on the partition columns keeps each
+        # tuple in one task (≈ one output file per partition tuple).
+        folded = _read_entries(spark, path, cur, small).repartition(
+            max(n_out, 1), *[F.col(c) for c in (cur.get("partition_cols") or [])]
+        )
+        phys_folded = _to_physical_df(folded, mapping)
+        phys_folded.write.partitionBy(*pcols).mode("error").parquet(full)
+        new_files, n_new = _scan_file_entries(
+            spark, full, rel,
+            [c for c in stats_cols if c not in pcols],
+            partition_cols=pcols,
+            # declared (physical) types, not path re-inference: a string
+            # partition value like '0095' must not re-type to int 95
+            read_schema=phys_folded.schema,
+        )
+    else:
+        folded = _read_entries(spark, path, cur, small).coalesce(n_out)
+        _to_physical_df(folded, mapping).write.mode("error").parquet(full)
+        new_files, n_new = _scan_file_entries(
+            spark, full, rel, stats_cols, _bloom_cols_in_use(path, cur)
+        )
     if n_new != small_rows:
         # Not an assert: integrity checks must survive ``python -O``.
         raise RuntimeError(
@@ -3867,20 +3889,46 @@ def snapshot_zorder(
     data = _read_entries(spark, path, cur, folded)
 
     zdf, helper_cols = _zvalue(data, cols, bits)
-    clustered = (
-        zdf.repartitionByRange(target_files, F.col("_zval"))
-        .sortWithinPartitions("_zval")
-        .drop("_zval", *helper_cols)
-    )
+    pcols_log = list(cur.get("partition_cols") or [])
+    pcols = [_phys(mapping, c) for c in pcols_log]
+    if pcols_log:
+        # Partitioned tables z-order WITHIN partitions (Delta semantics):
+        # range-partitioning on (partition cols, zval) aligns task splits
+        # to partition boundaries first and the curve within each, and the
+        # partitionBy write keeps the Hive layout — purity, [v, v] stats,
+        # and metadata drop-partition all survive the re-cluster.
+        clustered = (
+            zdf.repartitionByRange(
+                target_files, *[F.col(c) for c in pcols_log], F.col("_zval")
+            )
+            .sortWithinPartitions(*pcols_log, "_zval")
+            .drop("_zval", *helper_cols)
+        )
+    else:
+        clustered = (
+            zdf.repartitionByRange(target_files, F.col("_zval"))
+            .sortWithinPartitions("_zval")
+            .drop("_zval", *helper_cols)
+        )
     stats_cols = sorted(
         {_phys(mapping, c) for c in cols}
         | {c for e in folded if e.get("stats") for c in e["stats"]}
     )
     rel, full = _new_data_dir(path)
-    _to_physical_df(clustered, mapping).write.mode("error").parquet(full)
-    new_files, n_new = _scan_file_entries(
-        spark, full, rel, stats_cols, _bloom_cols_in_use(path, cur),
-    )
+    phys_clustered = _to_physical_df(clustered, mapping)
+    if pcols:
+        phys_clustered.write.partitionBy(*pcols).mode("error").parquet(full)
+        new_files, n_new = _scan_file_entries(
+            spark, full, rel,
+            [c for c in stats_cols if c not in pcols],
+            partition_cols=pcols,
+            read_schema=phys_clustered.schema,
+        )
+    else:
+        phys_clustered.write.mode("error").parquet(full)
+        new_files, n_new = _scan_file_entries(
+            spark, full, rel, stats_cols, _bloom_cols_in_use(path, cur),
+        )
     if folded_rows is not None and n_new != folded_rows:
         raise RuntimeError(
             f"zorder row-count drift at {path}: {folded_rows} in, {n_new} out"

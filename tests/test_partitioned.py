@@ -243,18 +243,20 @@ def test_convert_refuses_mixed_layout(spark, tmp_path):
         S.snapshot_convert(spark, src, str(tmp_path / "t"))
 
 
-def test_compaction_folds_partitions_flat_with_stats(spark, tmp_path):
-    """OPTIMIZE on a partitioned table folds small hive files into flat
-    files that CARRY the partition columns as data (and their min/max
-    stats), so reads and pruning keep working on the mixed layout."""
+def test_compaction_on_partitioned_table_keeps_hive_stats(spark, tmp_path):
+    """OPTIMIZE on a partitioned table folds small files back INTO the
+    Hive layout: entries keep partition values + exact [v, v] stats, the
+    declaration stays sticky, and mixed pre/post-fold reads agree."""
     p = _mk(spark, tmp_path)
     S.snapshot_append(_pdf(spark, [(100, 1999, "x")]), p, stats_cols=["k"])
     v = S.snapshot_compact(spark, p, small_file_max_rows=10_000)
     assert v is not None
     m = S._latest_manifest(p)
     files = S._manifest_files(p, m)
-    flat = [e for e in files if not e.get("partition")]
-    assert flat and "year" in (flat[0].get("stats") or {})
+    assert all(e.get("partition") for e in files)
+    assert all(
+        e["stats"]["year"][0] == e["stats"]["year"][1] for e in files
+    )
     got = S.snapshot_read(spark, p)
     assert got.count() == 31
     assert got.filter(F.col("year") == 1991).count() == 10
@@ -420,3 +422,62 @@ def test_datasource_write_appends_to_partitioned_table(spark, tmp_path):
     assert got.filter(F.col("k") == 500).collect()[0]["year"] == 1991
     # partitioning declaration survives the DataSource commit (sticky)
     assert S._latest_manifest(p).get("partition_cols") == ["year"]
+
+
+def test_compaction_preserves_partition_purity(spark, tmp_path):
+    """OPTIMIZE on a partitioned table bin-packs WITHIN partitions (Delta
+    semantics): the folded output lands back in Hive layout, so the
+    metadata-only DROP-PARTITION path keeps working after routine
+    maintenance."""
+    p = _mk(spark, tmp_path)
+    for i in range(3):  # small-file churn across all partitions
+        S.snapshot_append(
+            _pdf(spark, [(200 + 3 * i + d, 1990 + d, "x") for d in range(3)]),
+            p, stats_cols=["k"],
+        )
+    n_before = len(S._manifest_files(p, S._latest_manifest(p)))
+    v = S.snapshot_compact(spark, p, small_file_max_rows=10_000)
+    assert v is not None
+    m = S._latest_manifest(p)
+    files = S._manifest_files(p, m)
+    assert len(files) < n_before
+    # every surviving entry is partition-pure (carries its value)
+    assert all(e.get("partition") for e in files)
+    assert S.snapshot_read(spark, p).count() == 39
+    # the drop path still fires metadata-only after the fold
+    import music_recommendation_service_spark.sources.snapshots as SS
+
+    def boom(*a, **k):
+        raise AssertionError("metadata-only drop wrote data")
+
+    real = SS._new_data_dir
+    SS._new_data_dir = boom
+    try:
+        S.snapshot_delete_where(spark, p, "year = 1991")
+    finally:
+        SS._new_data_dir = real
+    got = S.snapshot_read(spark, p)
+    assert got.filter(F.col("year") == 1991).count() == 0
+    assert got.count() == 26
+
+
+def test_zorder_preserves_partition_purity_and_clusters_within(spark, tmp_path):
+    """ZORDER on a partitioned table clusters within partitions and keeps
+    the Hive layout; intra-partition scans on the clustered column prune
+    files."""
+    n = 8000
+    rows = [(i, 1990 + i % 2, f"p{i}") for i in range(n)]
+    p = str(tmp_path / "zpt")
+    df = spark.createDataFrame(rows, ["k", "year", "payload"])
+    S.snapshot_write(df.repartition(8), p, stats_cols=["k"], partition_by=["year"])
+    v = S.snapshot_zorder(spark, p, ["k"], target_files=8)
+    assert v == 2
+    m = S._latest_manifest(p)
+    files = S._manifest_files(p, m)
+    assert all(e.get("partition") for e in files)
+    assert S.snapshot_read(spark, p).count() == n
+    # conjunction of partition + clustered-column range opens few files
+    pruned = S.snapshot_scan(spark, p, {"year": (1990, 1990), "k": (0, 800)})
+    opened = {f.rsplit("/", 1)[-1] for f in pruned.inputFiles()}
+    assert len(opened) < len(files)
+    assert pruned.count() == len([r for r in rows if r[1] == 1990 and r[0] <= 800])
