@@ -2014,6 +2014,116 @@ def _pred_cmp(a, b):
     return None
 
 
+def _monotone_expr(expr: str):
+    """(base_col, py_fn) for a generated-column expression that is a
+    MONOTONE function of one column — the class where a range predicate
+    on the base column implies a range on the generated value, so a
+    partition column generated as ``year(ts)`` prunes scans whose
+    predicate is on ``ts`` (Delta's generated-column partition pruning;
+    SURVEY §4.1 flags exactly this: the reference's 7-day trending filter
+    is on event_timestamp, not the partition cols, so its pruning never
+    fires). Supported: year(c), to_date(c)/date(c), CAST(c AS DATE),
+    date_trunc('year'|'month'|'week'|'day', c). month()/day() alone are
+    NOT monotone across years and are deliberately absent."""
+    import datetime as _dt
+    import re
+
+    def as_naive(v):
+        if isinstance(v, _dt.datetime):
+            return None if v.tzinfo is not None else v
+        if isinstance(v, _dt.date):
+            return _dt.datetime(v.year, v.month, v.day)
+        if isinstance(v, str):
+            d = _try_iso_dt(v)
+            return None if d is None or d.tzinfo is not None else d
+        return None
+
+    def f_year(v):
+        d = as_naive(v)
+        return None if d is None else d.year
+
+    def f_date(v):
+        d = as_naive(v)
+        return None if d is None else d.date()
+
+    def f_trunc(unit):
+        def f(v):
+            d = as_naive(v)
+            if d is None:
+                return None
+            if unit == "year":
+                return _dt.datetime(d.year, 1, 1)
+            if unit == "month":
+                return _dt.datetime(d.year, d.month, 1)
+            if unit == "week":
+                base = _dt.datetime(d.year, d.month, d.day)
+                return base - _dt.timedelta(days=base.weekday())
+            return _dt.datetime(d.year, d.month, d.day)
+
+        return f
+
+    col = r"`?([A-Za-z_][A-Za-z0-9_]*)`?"
+    m = re.match(rf"^\s*year\s*\(\s*{col}\s*\)\s*$", expr, re.IGNORECASE)
+    if m:
+        return m.group(1), f_year
+    m = re.match(
+        rf"^\s*(?:to_date|date)\s*\(\s*{col}\s*\)\s*$", expr, re.IGNORECASE
+    )
+    if m:
+        return m.group(1), f_date
+    m = re.match(
+        rf"^\s*cast\s*\(\s*{col}\s+as\s+date\s*\)\s*$", expr, re.IGNORECASE
+    )
+    if m:
+        return m.group(1), f_date
+    m = re.match(
+        rf"^\s*date_trunc\s*\(\s*'(year|month|week|day)'\s*,\s*{col}\s*\)\s*$",
+        expr, re.IGNORECASE,
+    )
+    if m:
+        return m.group(2), f_trunc(m.group(1).lower())
+    return None
+
+
+def _gen_partition_derivations(m: dict) -> list[tuple]:
+    """[(partition_col, base_col, py_fn)] for partition columns whose
+    generated rule is a supported monotone expression."""
+    out = []
+    gen = _generated(m)
+    for g in m.get("partition_cols") or []:
+        rule = gen.get(g)
+        if not rule:
+            continue
+        parsed = _monotone_expr(rule)
+        if parsed:
+            out.append((g, parsed[0], parsed[1]))
+    return out
+
+
+def _derive_generated_conjuncts(m: dict, conjuncts: list) -> list:
+    """Extra REQUIRED conjuncts on generated partition columns implied by
+    conjuncts on their base column: ``ts >= lo`` implies
+    ``year_col >= year(lo)`` for a monotone rule — sound to add, and it
+    makes partition [v, v] stats prune DML discovery and OCC adds checks
+    even when the user's predicate never names the partition column."""
+    out = []
+    for g, base, fn in _gen_partition_derivations(m):
+        for col, op, vals in conjuncts:
+            if col != base:
+                continue
+            dvals = [_stats_repr(fn(v)) for v in vals]
+            if any(d is None for d in dvals):
+                continue
+            if op == "=":
+                out.append((g, "=", dvals))
+            elif op in ("<", "<="):
+                # strict < still implies <= after flooring through fn
+                out.append((g, "<=", dvals))
+            elif op in (">", ">="):
+                out.append((g, ">=", dvals))
+    return out
+
+
 def _partition_drop_split(
     files: list[dict], predicate: str, pcols: set, mapping: dict
 ) -> tuple[list[dict], list[dict]] | None:
@@ -2266,8 +2376,12 @@ def _rebase_concurrent(
             # predicate DML (UPDATE/DELETE WHERE): adds conflict only when
             # a concurrently added file MAY hold a predicate-matching row
             # (Delta's ConcurrentAppendException rule) — judged by min/max
-            # stats against the predicate's required conjuncts.
+            # stats against the predicate's required conjuncts, plus
+            # conjuncts derived onto generated partition columns (an
+            # append into another partition proves disjoint even when the
+            # predicate only names the base timestamp column).
             conjuncts = _predicate_conjuncts(predicate)
+            conjuncts = conjuncts + _derive_generated_conjuncts(cur, conjuncts)
             overlapping = (
                 [e for e in adds if _pred_may_match_entry(e, conjuncts, mapping)]
                 if conjuncts
@@ -3090,22 +3204,36 @@ def _stats_cols_in_use(cur: dict, path: str | None = None) -> list[str]:
 def _predicate_file_split(
     spark: SparkSession, path: str, cur: dict, predicate: str
 ) -> tuple[list[dict], list[dict]]:
-    """(touched, untouched) manifest file entries for a row predicate: ONE
-    scan projecting only the predicate's input columns + input_file_name.
+    """(touched, untouched) manifest file entries for a row predicate: a
+    stats pre-prune (the predicate's required conjuncts, plus conjuncts
+    DERIVED onto generated partition columns) bounds the candidate set in
+    metadata, then ONE scan projecting only the predicate's input columns
+    + input_file_name finds the files that truly hold a matching row.
     Catalyst prunes the scan to the referenced columns, so at 100 TB the
-    discovery pass reads a couple of columns, never the table."""
+    discovery pass reads a couple of columns of the candidate files,
+    never the table."""
     files = _manifest_files(path, cur)
     if not files:
         return [], []
+    conjuncts = _predicate_conjuncts(predicate)
+    conjuncts = conjuncts + _derive_generated_conjuncts(cur, conjuncts)
+    mapping = _mapping(cur)
+    candidates = (
+        [e for e in files if _pred_may_match_entry(e, conjuncts, mapping)]
+        if conjuncts
+        else list(files)
+    )
+    if not candidates:
+        return [], list(files)
     hits = (
-        _read_entries(spark, path, cur, files, lineage=True)
+        _read_entries(spark, path, cur, candidates, lineage=True)
         .filter(F.expr(predicate))
         .select(_SN_FILE)
         .distinct()
         .collect()
     )
     hit_rels = {r[_SN_FILE] for r in hits}
-    touched_paths = {e["path"] for e in files if _entry_rid(e) in hit_rels}
+    touched_paths = {e["path"] for e in candidates if _entry_rid(e) in hit_rels}
     return (
         [e for e in files if e["path"] in touched_paths],
         [e for e in files if e["path"] not in touched_paths],
@@ -3993,6 +4121,19 @@ def snapshot_scan(
     m = _read_manifest(path, v)
     files = _manifest_files(path, m)
     predicates = predicates or {}
+    # generated-column partition pruning: a range on the BASE column of a
+    # monotone generated partition column implies a range on the partition
+    # value (year(ts) etc.) — injected here so the [v, v] partition stats
+    # fire even though the caller's predicate never names the partition
+    # column. The derived range is implied, so the exact re-filter below
+    # stays a no-op on rows.
+    for g, base, fn in _gen_partition_derivations(m):
+        if g in predicates or base not in predicates:
+            continue
+        lo, hi = predicates[base]
+        dlo, dhi = fn(lo), fn(hi)
+        if dlo is not None and dhi is not None:
+            predicates = {**predicates, g: (dlo, dhi)}
     mapping = _mapping(m)
     bloom_pos: dict[str, list[int] | None] = {}
     if any(e.get("bloom_ref") for e in files):
