@@ -553,3 +553,77 @@ def q152_partitioned_convert_scan(spark: SparkSession, sf_dir: str) -> DataFrame
             rnd(F.sum("o_totalprice"), 2).alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q153 — GENERATED-PARTITION PRUNING as a catalog query: events lands in a
+# scratch snapshot table partitioned by evt_day = date_trunc('day', ts)
+# (30 daily partitions at every SF) with the rule declared GENERATED ALWAYS
+# AS, and the query's predicate is a RANGE ON ts ONLY — the partition column
+# never appears. snapshot_scan derives the implied partition range from the
+# monotone rule and opens one week's files out of 30 days (SURVEY §4.1 notes the reference's own 7-day trending filter
+# is on event_timestamp, so its year/month partition pruning never fires —
+# this is the engine-side fix). The DuckDB oracle computes the same window
+# from the original events parquet: a hash match pins the derivation, the
+# Hive layout, and the typed path-derived partition values as value-exact.
+# ---------------------------------------------------------------------------
+@register(
+    "q153_generated_partition_pruning",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {rnd_sql("sum(value)", 2)} AS sum_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+    GROUP BY event_type
+    """,
+    doc="Events in a snapshot table partitioned by a GENERATED "
+    "date_trunc('day', ts) column; the query filters a ts range only "
+    "and the scan derives + prunes to the week's partitions; oracle "
+    "computes the same window from the original parquet.",
+    tags=("snapshot", "partition", "generated"),
+)
+def q153_generated_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+    import hashlib
+    import os
+    import tempfile
+
+    from music_recommendation_service_spark.sources.snapshots import (
+        snapshot_scan,
+        snapshot_set_generated,
+        snapshot_versions,
+        snapshot_write,
+    )
+
+    root = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
+    app = spark.sparkContext.applicationId
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    path = f"{root}/spark_graft_scratch/q153_genpt-{app}-{tag}"
+    if len(snapshot_versions(path)) < 2:
+        if snapshot_versions(path):  # crashed between write and declare
+            path = f"{path}-retry"
+        if len(snapshot_versions(path)) < 2:
+            ev = _t(spark, sf_dir, "events").withColumn(
+                "evt_day", F.date_trunc("day", F.col("ts"))
+            )
+            snapshot_write(
+                ev, path, stats_cols=["event_id"], partition_by=["evt_day"]
+            )
+            snapshot_set_generated(
+                spark, path, "evt_day", "date_trunc('day', ts)"
+            )
+    pruned = snapshot_scan(
+        spark, path,
+        {"ts": (dt.datetime(2024, 1, 8), dt.datetime(2024, 1, 15))},
+    )
+    return (
+        # the scan's range re-filter is INCLUSIVE on hi; the window is
+        # half-open, so re-apply the strict bound exactly
+        pruned.filter(F.col("ts") < F.lit(dt.datetime(2024, 1, 15)))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

@@ -724,11 +724,19 @@ def _scan_file_entries_hive(
         aggs.append(F.min(c).alias(f"_min_{c}"))
         aggs.append(F.max(c).alias(f"_max_{c}"))
     fparts = F.split(F.input_file_name(), "/")
-    suffix = F.concat_ws(
-        "/", *[F.element_at(fparts, i) for i in range(-k, 0)]
+    suffix = _fs_form(
+        F.concat_ws("/", *[F.element_at(fparts, i) for i in range(-k, 0)])
     )
     per_file = df.groupBy(suffix.alias("_f")).agg(*aggs).collect()
     by_sub = {r["_f"]: r for r in per_file}
+    if per_file and not any(sub in by_sub for sub in subpaths):
+        # fail CLOSED: a total mismatch between scanned suffixes and the
+        # walked layout means the identity canonicalization broke — an
+        # empty manifest here would silently commit a 0-row table
+        raise RuntimeError(
+            f"hive scan identity mismatch under {full_dir}: scanned "
+            f"{sorted(by_sub)[:2]} vs walked {subpaths[:2]}"
+        )
     entries, total = [], 0
     for sub in subpaths:
         r = by_sub.get(sub)
@@ -810,7 +818,7 @@ def _read_declared(
         parts = F.split(F.col("_metadata.file_path"), "/")
         segs = [F.element_at(parts, i) for i in range(-(2 + n_part), 0)]
         return df.withColumn(
-            _SN_FILE, F.concat_ws("/", *segs)
+            _SN_FILE, _fs_form(F.concat_ws("/", *segs))
         ).withColumn(_SN_POS, F.col("_metadata.row_index"))
 
     def rd():
@@ -847,6 +855,17 @@ def _read_declared(
         ],
         *([_SN_FILE, _SN_POS] if lineage else []),
     )
+
+
+def _fs_form(col):
+    """FILESYSTEM form of a URI-escaped path expression: Spark's
+    ``_metadata.file_path`` / ``input_file_name`` return URI-encoded paths
+    (space -> %20, and a literal % in a Hive partition dir name — e.g. the
+    %3A a timestamp value's colon escapes to — re-encodes to %25), while
+    manifest entry paths store the on-disk names. One %XX decode inverts
+    the URI encoding; ``url_decode`` would ALSO turn a literal '+' into a
+    space (form encoding), so '+' is protected through the round trip."""
+    return F.url_decode(F.replace(col, F.lit("+"), F.lit("%2B")))
 
 
 def _dirs_of(files: list[dict]) -> list[str]:

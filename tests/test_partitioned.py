@@ -583,3 +583,31 @@ def test_generated_partition_occ_disjoint_append_rebases(spark, tmp_path, monkey
     got = S.snapshot_read(spark, p)
     assert got.filter(F.col("k") == 99).count() == 1  # raced append survived
     assert got.filter(F.year("ts") == 1991).count() == 0
+
+
+def test_timestamp_partition_values_and_dv_on_escaped_dirs(spark, tmp_path):
+    """Timestamp partition values produce dir names with escaped colons
+    ('evt_day=2024-01-01 00%3A00%3A00') that Spark's file-path metadata
+    re-escapes (%20 / %25): the lineage identity canonicalizes back to
+    the on-disk form, so stats scans find every file and deletion vectors
+    land on the right rows."""
+    import datetime as dt
+
+    p = str(tmp_path / "tspt")
+    rows = [(i, dt.datetime(2024, 1, 1 + i % 3, 6, 30), f"p{i}") for i in range(18)]
+    df = spark.createDataFrame(rows, ["k", "ts", "payload"]).withColumn(
+        "evt_day", F.date_trunc("day", "ts")
+    )
+    S.snapshot_write(df, p, stats_cols=["k"], partition_by=["evt_day"])
+    m = S._latest_manifest(p)
+    assert m["n_rows"] == 18 and m["files"]
+    assert all("%3A" in e["path"] for e in m["files"])  # escaped colons on disk
+    assert all(":" in e["partition"]["evt_day"] for e in m["files"])  # decoded values
+    got = S.snapshot_read(spark, p)
+    assert got.count() == 18
+
+    # DV delete must kill exactly one row despite the escaped identities
+    v = S.snapshot_delete_where(spark, p, "k = 7", mode="dv")
+    assert v == 2
+    left = {r["k"] for r in S.snapshot_read(spark, p).collect()}
+    assert left == set(range(18)) - {7}
