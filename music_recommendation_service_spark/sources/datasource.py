@@ -256,11 +256,42 @@ def _entry_may_satisfy(table_path: str, entry: dict, phys: str, f: Filter) -> bo
     return True
 
 
+def _derived_generated_filters(manifest: dict, filters: Sequence[Filter]) -> list:
+    """Synthetic filters on generated partition columns implied by pushed
+    filters on their base column (``ts > lo`` implies
+    ``year_col >= year(lo)`` for a monotone rule) — the DataSource twin of
+    ``snapshots._derive_generated_conjuncts``, so format('snapshot') reads
+    partition-prune on base-column predicates too."""
+    out: list = []
+    for g, base, fn in sn._gen_partition_derivations(manifest):
+        for f in filters:
+            if _filter_col(f) != base:
+                continue
+            if isinstance(f, (EqualTo, EqualNullSafe)):
+                d = fn(f.value)
+                if d is not None:
+                    out.append(EqualTo((g,), d))
+            elif isinstance(f, In):
+                dvals = [fn(v) for v in f.value]
+                if dvals and all(d is not None for d in dvals):
+                    out.append(In((g,), tuple(dvals)))
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                d = fn(f.value)
+                if d is not None:
+                    out.append(GreaterThanOrEqual((g,), d))
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                d = fn(f.value)
+                if d is not None:
+                    out.append(LessThanOrEqual((g,), d))
+    return out
+
+
 def prune_entries(
     table_path: str, manifest: dict, filters: Sequence[Filter]
 ) -> list[dict]:
     """File-skipping over a manifest's live entries: a file survives only
     if every pushed conjunct is possibly satisfiable in it."""
+    filters = list(filters) + _derived_generated_filters(manifest, filters)
     mapping = sn._mapping(manifest)
     entries = sn._manifest_files(table_path, manifest)
     out = []

@@ -611,3 +611,35 @@ def test_timestamp_partition_values_and_dv_on_escaped_dirs(spark, tmp_path):
     assert v == 2
     left = {r["k"] for r in S.snapshot_read(spark, p).collect()}
     assert left == set(range(18)) - {7}
+
+
+def test_datasource_prunes_generated_partition_on_base_filter(spark, tmp_path):
+    """prune_entries derives partition filters from pushed BASE-column
+    filters through the generated rule — format('snapshot') reads prune
+    the same way snapshot_scan does."""
+    import datetime as dt
+
+    from music_recommendation_service_spark.sources.datasource import (
+        prune_entries,
+    )
+    from pyspark.sql.datasource import GreaterThan, LessThan
+
+    p = str(tmp_path / "ds_genpt")
+    rows = [(i, dt.datetime(2024, 1, 1 + i % 5, 8, 0), f"p{i}") for i in range(25)]
+    df = spark.createDataFrame(rows, ["k", "ts", "payload"]).withColumn(
+        "evt_day", F.date_trunc("day", "ts")
+    )
+    S.snapshot_write(df, p, stats_cols=["k"], partition_by=["evt_day"])
+    S.snapshot_set_generated(spark, p, "evt_day", "date_trunc('day', ts)")
+    m = S._latest_manifest(p)
+    kept = prune_entries(
+        p, m,
+        [GreaterThan(("ts",), dt.datetime(2024, 1, 3, 0, 0)),
+         LessThan(("ts",), dt.datetime(2024, 1, 4, 0, 0))],
+    )
+    days = {e["partition"]["evt_day"] for e in kept}
+    # the derived bounds keep day 3 and the boundary day 4; days 1/2/5 prune
+    assert "2024-01-01 00:00:00" not in days
+    assert "2024-01-02 00:00:00" not in days
+    assert "2024-01-03 00:00:00" in days
+    assert len(kept) < len(S._manifest_files(p, m))
