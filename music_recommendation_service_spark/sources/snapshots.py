@@ -3465,6 +3465,231 @@ def _dv_land_positions(
     return rel, new_dead, out_files
 
 
+def snapshot_replace_where(
+    df: DataFrame,
+    path: str,
+    predicate: str,
+    manifest_extra: dict | None = None,
+) -> int:
+    """Delta ``replaceWhere`` parity: in ONE commit, delete every stored
+    row matching ``predicate`` and insert ``df``'s rows — the atomic
+    backfill shape ("rewrite this day/partition") a partitioned lake runs
+    constantly. Every incoming row must itself satisfy the predicate
+    (fail-closed validation, Delta semantics): a backfill can never leak
+    rows outside its declared scope.
+
+    Scale shape: a pure partition predicate drops whole files in METADATA
+    (zero rows read); otherwise only the files that actually hold a
+    matching row are rewritten (their non-matching rows survive), and
+    everything else is carried by reference. On a commit race the rebase
+    rules are the predicate-DML ones: concurrent commits on files outside
+    the replaced set rebase; a concurrent append that may match the
+    predicate conflicts (its rows would be silently deleted)."""
+    spark = df.sparkSession
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    base_version = versions[-1]
+    cur = _read_manifest(path, base_version)
+    mapping = _mapping(cur)
+    df = _apply_generated(df, path, "replace_where")
+    _enforce_constraints(df, path, "replace_where")
+    if "schema" in cur and not _schema_equiv(df.schema.json(), cur["schema"]):
+        raise ValueError(
+            f"replace_where schema mismatch at {path}: "
+            f"manifest={cur['schema']} incoming={df.schema.json()}"
+        )
+    bad = df.filter(~F.coalesce(F.expr(predicate), F.lit(False))).take(1)
+    if bad:
+        raise ValueError(
+            f"replaceWhere at {path}: incoming row violates the scope "
+            f"{predicate!r}: {bad[0].asDict()}"
+        )
+    df, _ident_unpin = _assign_identity(df, path, "replace_where")
+    pcols = list(cur.get("partition_cols") or [])
+    files = _manifest_files(path, cur)
+    split = (
+        _partition_drop_split(files, predicate, set(pcols), mapping)
+        if pcols
+        else None
+    )
+    rewritten: list[dict] = []
+    if split is not None:
+        touched, untouched = split
+    else:
+        touched, untouched = _predicate_file_split(spark, path, cur, predicate)
+        if touched:
+            # survivors: the touched files' NON-matching rows
+            keep_df = _read_entries(spark, path, cur, touched).filter(
+                ~F.coalesce(F.expr(predicate), F.lit(False))
+            )
+            rel_k, full_k = _new_data_dir(path)
+            _to_physical_df(keep_df, mapping).write.mode("error").parquet(full_k)
+            rewritten, _n_kept = _scan_file_entries(
+                spark, full_k, rel_k,
+                _stats_cols_in_use(cur, path), _bloom_cols_in_use(path, cur),
+            )
+    # land the incoming rows (Hive layout on partitioned tables)
+    rel, full = _new_data_dir(path)
+    phys_df = _to_physical_df(df, mapping)
+    if pcols:
+        phys_pcols = [_phys(mapping, c) for c in pcols]
+        phys_df.write.partitionBy(*phys_pcols).mode("error").parquet(full)
+        incoming, n_in = _scan_file_entries(
+            spark, full, rel,
+            [c for c in _stats_cols_in_use(cur, path) if c not in phys_pcols],
+            partition_cols=phys_pcols, read_schema=phys_df.schema,
+        )
+    else:
+        phys_df.write.mode("error").parquet(full)
+        incoming, n_in = _scan_file_entries(
+            spark, full, rel,
+            _stats_cols_in_use(cur, path), _bloom_cols_in_use(path, cur),
+        )
+    if _ident_unpin:
+        _ident_unpin()
+    produced = rewritten + incoming
+    if any(e["rows"] is None for e in untouched):
+        untouched_rows = (
+            _read_entries(spark, path, cur, untouched).count() if untouched else 0
+        )
+    else:
+        untouched_rows = sum(_live_rows(e) for e in untouched)
+    produced_rows = sum(_live_rows(e) for e in produced)
+    out_files = untouched + produced
+
+    def build(latest: dict | None, version: int) -> dict:
+        if latest is None:
+            raise ConcurrentSnapshotError(
+                f"{path}: table vanished during replace_where"
+            )
+        if latest["version"] != base_version:
+            files_out, n_rows = _rebase_concurrent(
+                spark, path, cur, latest,
+                replaced=touched, produced=produced,
+                op="replace_where", mapping=mapping, predicate=predicate,
+            )
+        else:
+            files_out, n_rows = out_files, untouched_rows + produced_rows
+        out = {
+            "data_dirs": _dirs_of(files_out),
+            "files": files_out,
+            "n_rows": n_rows,
+            "schema": cur["schema"],
+            **(manifest_extra or {}),
+        }
+        if mapping:
+            out["column_mapping"] = mapping
+        return out
+
+    return _commit(path, build, op="replace_where")
+
+
+def snapshot_dynamic_partition_overwrite(
+    df: DataFrame, path: str, manifest_extra: dict | None = None
+) -> int:
+    """Spark's ``partitionOverwriteMode=dynamic`` on the snapshot protocol:
+    overwrite EXACTLY the partitions present in ``df`` (metadata drop of
+    their current files + Hive-layout insert, one commit); every other
+    partition is untouched. The idempotent-backfill shape: re-running a
+    day's job replaces that day, never the table.
+
+    Requires a partitioned table whose live entries all carry partition
+    values (fresh writes/appends/compactions do by construction); tables
+    holding pre-partitioning flat rewrites should OPTIMIZE first or use
+    ``snapshot_replace_where``. Conservative on races: a concurrent commit
+    ADDING rows conflicts (its rows might land in an overwritten
+    partition); commits on untouched files rebase."""
+    spark = df.sparkSession
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    base_version = versions[-1]
+    cur = _read_manifest(path, base_version)
+    pcols = list(cur.get("partition_cols") or [])
+    if not pcols:
+        raise ValueError(
+            f"dynamic partition overwrite needs a partitioned table; "
+            f"{path} declares none"
+        )
+    mapping = _mapping(cur)
+    df = _apply_generated(df, path, "dynamic_overwrite")
+    _enforce_constraints(df, path, "dynamic_overwrite")
+    if "schema" in cur and not _schema_equiv(df.schema.json(), cur["schema"]):
+        raise ValueError(
+            f"dynamic overwrite schema mismatch at {path}: "
+            f"manifest={cur['schema']} incoming={df.schema.json()}"
+        )
+    files = _manifest_files(path, cur)
+    if any(not e.get("partition") for e in files):
+        raise ValueError(
+            f"dynamic partition overwrite at {path}: live flat files "
+            "(pre-partitioning rewrites) — OPTIMIZE first or use "
+            "snapshot_replace_where"
+        )
+    # incoming partition tuples, canonicalized the way entry stats are
+    tuples = {
+        tuple(_stats_repr(r[c]) for c in pcols)
+        for r in df.select(*pcols).distinct().collect()
+    }
+    phys = [_phys(mapping, c) for c in pcols]
+
+    def entry_tuple(e: dict):
+        st = e.get("stats") or {}
+        vals = []
+        for c in phys:
+            s = st.get(c)
+            if not s or s[0] != s[1]:
+                return None
+            vals.append(s[0])
+        return tuple(vals)
+
+    dropped = [e for e in files if entry_tuple(e) in tuples]
+    kept = [e for e in files if entry_tuple(e) not in tuples]
+    df2, _ident_unpin = _assign_identity(df, path, "dynamic_overwrite")
+    rel, full = _new_data_dir(path)
+    phys_df = _to_physical_df(df2, mapping)
+    phys_df.write.partitionBy(*phys).mode("error").parquet(full)
+    new_files, n_in = _scan_file_entries(
+        spark, full, rel,
+        [c for c in _stats_cols_in_use(cur, path) if c not in phys],
+        partition_cols=phys, read_schema=phys_df.schema,
+    )
+    if _ident_unpin:
+        _ident_unpin()
+    kept_rows = sum(_live_rows(e) for e in kept)
+    out_files = kept + new_files
+
+    def build(latest: dict | None, version: int) -> dict:
+        if latest is None:
+            raise ConcurrentSnapshotError(
+                f"{path}: table vanished during dynamic overwrite"
+            )
+        if latest["version"] != base_version:
+            files_out, n_rows = _rebase_concurrent(
+                spark, path, cur, latest,
+                replaced=dropped, produced=new_files,
+                op="dynamic_overwrite", mapping=mapping,
+                # multi-column tuple membership has no single-predicate
+                # form for the adds check: any concurrent add conflicts
+                forbid_adds=True,
+            )
+        else:
+            files_out, n_rows = out_files, kept_rows + n_in
+        out = {
+            "data_dirs": _dirs_of(files_out),
+            "files": files_out,
+            "n_rows": n_rows,
+            "schema": cur["schema"],
+            **(manifest_extra or {}),
+        }
+        if mapping:
+            out["column_mapping"] = mapping
+        return out
+
+    return _commit(path, build, op="dynamic_overwrite")
+
+
 def _delete_where_dv(
     spark: SparkSession, path: str, cur: dict, base_version: int, predicate: str
 ) -> int | None:

@@ -643,3 +643,101 @@ def test_datasource_prunes_generated_partition_on_base_filter(spark, tmp_path):
     assert "2024-01-02 00:00:00" not in days
     assert "2024-01-03 00:00:00" in days
     assert len(kept) < len(S._manifest_files(p, m))
+
+
+def test_replace_where_atomic_backfill(spark, tmp_path):
+    """Delta replaceWhere: one commit deletes the predicate's rows and
+    inserts the replacement; incoming rows outside the scope fail closed;
+    non-matching rows in touched files survive."""
+    p = _mk(spark, tmp_path)
+    repl = _pdf(spark, [(1000 + i, 1991, f"new{i}") for i in range(4)])
+    v = S.snapshot_replace_where(repl, p, "year = 1991")
+    assert v == 2  # ONE commit
+    got = S.snapshot_read(spark, p)
+    assert got.count() == 24  # 20 untouched + 4 replacements
+    y91 = {r["k"] for r in got.filter(F.col("year") == 1991).collect()}
+    assert y91 == {1000, 1001, 1002, 1003}
+    # scope violation fails closed, nothing committed
+    with pytest.raises(ValueError, match="violates the scope"):
+        S.snapshot_replace_where(
+            _pdf(spark, [(9, 1992, "leak")]), p, "year = 1991"
+        )
+    assert S.snapshot_versions(p)[-1] == 2
+
+    # row-level (non-partition) scope: survivors in touched files carry over
+    v2 = S.snapshot_replace_where(
+        _pdf(spark, [(5, 1990, "lowk")]), p, "year = 1990 AND k < 10"
+    )
+    assert v2 == 3
+    got = S.snapshot_read(spark, p)
+    y90 = {r["k"] for r in got.filter(F.col("year") == 1990).collect()}
+    # the low-k rows were replaced by the single k=5; k>=10 rows survived
+    assert 5 in y90 and all(k >= 10 for k in y90 - {5})
+    assert got.filter((F.col("year") == 1990) & (F.col("payload") == "lowk")).count() == 1
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """partitionOverwriteMode=dynamic: exactly the incoming partitions are
+    replaced; the rest untouched; re-running is idempotent."""
+    p = _mk(spark, tmp_path)
+    day = _pdf(spark, [(5000 + i, 1992, f"re{i}") for i in range(3)])
+    v = S.snapshot_dynamic_partition_overwrite(day, p)
+    assert v == 2
+    got = S.snapshot_read(spark, p)
+    assert got.count() == 23  # 20 + 3
+    assert {r["k"] for r in got.filter(F.col("year") == 1992).collect()} == {
+        5000, 5001, 5002
+    }
+    assert got.filter(F.col("year") == 1990).count() == 10  # untouched
+    # idempotent: re-run replaces the same partition with the same rows
+    v2 = S.snapshot_dynamic_partition_overwrite(day, p)
+    assert v2 == 3 and S.snapshot_read(spark, p).count() == 23
+    # unpartitioned tables refuse
+    q = str(tmp_path / "flat")
+    S.snapshot_write(_pdf(spark, BASE[:5]), q)
+    with pytest.raises(ValueError, match="partitioned table"):
+        S.snapshot_dynamic_partition_overwrite(day, q)
+
+
+def test_replace_where_conflicts_with_in_scope_append(spark, tmp_path, monkeypatch):
+    """A concurrent append INTO the replaced scope conflicts (its rows
+    would silently vanish); an out-of-scope append rebases."""
+    p = _mk(spark, tmp_path)
+
+    _race_once_local(
+        monkeypatch, p,
+        lambda: S.snapshot_append(_pdf(spark, [(777, 1991, "raced")]), p),
+    )
+    with pytest.raises(S.ConcurrentSnapshotError):
+        S.snapshot_replace_where(
+            _pdf(spark, [(1000, 1991, "new")]), p, "year = 1991"
+        )
+    assert 777 in {r["k"] for r in S.snapshot_read(spark, p).collect()}
+
+    p2 = _mk(spark, tmp_path, name="pt2")
+    _race_once_local(
+        monkeypatch, p2,
+        lambda: S.snapshot_append(_pdf(spark, [(888, 1999, "raced")]), p2),
+    )
+    v = S.snapshot_replace_where(
+        _pdf(spark, [(1000, 1991, "new")]), p2, "year = 1991"
+    )
+    assert v is not None
+    got = S.snapshot_read(spark, p2)
+    assert got.filter(F.col("k") == 888).count() == 1
+    assert {r["k"] for r in got.filter(F.col("year") == 1991).collect()} == {1000}
+
+
+def _race_once_local(monkeypatch, path, action):
+    real = S._new_data_dir
+    fired = {"done": False}
+
+    def racing(p_):
+        if p_ == path and not fired["done"]:
+            fired["done"] = True
+            with monkeypatch.context() as mp:
+                mp.setattr(S, "_new_data_dir", real)
+                action()
+        return real(p_)
+
+    monkeypatch.setattr(S, "_new_data_dir", racing)
