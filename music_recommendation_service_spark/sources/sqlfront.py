@@ -19,6 +19,9 @@ malformed errors loudly rather than half-executing):
     UPDATE v SET c = e [, ...] [WHERE <pred>]
     INSERT INTO v <SELECT ...>                       -- append
     INSERT INTO v (c1, ...) VALUES (...), (...)      -- append
+    INSERT OVERWRITE v <SELECT ...>      -- dynamic partition overwrite on
+                                         -- partitioned tables, else full
+    INSERT OVERWRITE v WHERE <pred> <SELECT ...>     -- replaceWhere
     MERGE [WITH SCHEMA EVOLUTION] INTO v [AS] t
       USING (<query>)|view [AS] s ON t.k = s.k [AND ...]
       -- WITH SCHEMA EVOLUTION: source-only columns widen the target in
@@ -245,12 +248,19 @@ def _parse_update(q: str, views: dict):
 
 def _parse_insert(q: str, views: dict):
     m = re.match(
-        rf"\s*INSERT\s+INTO\s+({_IDENT})\s*(.*)$", q,
-        re.IGNORECASE | re.DOTALL,
+        rf"\s*INSERT\s+(INTO|OVERWRITE)\s+({_IDENT})\s*"
+        rf"(?:WHERE\s+(.+?)\s+(?=(?:SELECT|WITH|VALUES|\()))?(.*)$",
+        q, re.IGNORECASE | re.DOTALL,
     )
     if not m:
         raise SqlDispatchError(f"unparseable INSERT: {q!r}")
-    name, rest = m.group(1), m.group(2).strip()
+    mode = m.group(1).upper()
+    name, where, rest = m.group(2), m.group(3), m.group(4).strip()
+    if where is not None and mode == "INTO":
+        raise SqlDispatchError(
+            "INSERT INTO takes no WHERE; the scoped form is "
+            "INSERT OVERWRITE <view> WHERE <pred> <select>"
+        )
     path = _require_view(name, views)
     cm = re.match(r"\(([^)]*)\)\s*VALUES\s*(.+)$", rest,
                   re.IGNORECASE | re.DOTALL)
@@ -269,7 +279,9 @@ def _parse_insert(q: str, views: dict):
                 f"(cols) VALUES (...), got {rest[:60]!r}"
             )
         select = rest
-    return path, name, select
+    return path, name, select, mode, (
+        _strip_table_prefix(where.strip(), name) if where else None
+    )
 
 
 def _parse_merge(q: str, views: dict):
@@ -590,7 +602,7 @@ def dispatch_sql(
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
-        path, name, select = _parse_insert(q, views)
+        path, name, select, ins_mode, ins_where = _parse_insert(q, views)
         df = spark.sql(select)
         latest = S._latest_manifest(path)
         sch = StructType.fromJson(_json.loads(latest["schema"]))
@@ -616,6 +628,17 @@ def dispatch_sql(
             F.col(f.name).cast(f.dataType)
             for f in sch.fields if f.name in df.columns
         ])
+        if ins_mode == "OVERWRITE":
+            if ins_where is not None:
+                # INSERT OVERWRITE v WHERE p <select>  =  Delta replaceWhere
+                v = S.snapshot_replace_where(df, path, ins_where)
+            elif latest.get("partition_cols"):
+                # partitioned, no scope: replace exactly the incoming
+                # partitions (Spark's dynamic partitionOverwriteMode)
+                v = S.snapshot_dynamic_partition_overwrite(df, path)
+            else:
+                v = S.snapshot_write(df, path)
+            return vdf(v), name
         return vdf(S.snapshot_append(df, path)), name
     if head == "MERGE":
         (path, name, src_sql, key_cols, wm, wnm, wbs, evolve) = _parse_merge(

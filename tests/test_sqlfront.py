@@ -566,3 +566,47 @@ def test_sql_table_changes_refuses_vacuumed_horizon(spark, tmp_path, eng):
         (6, "insert", 3),
         (7, "insert", 4),
     ]
+
+
+def test_sql_insert_overwrite_forms(spark, tmp_path, eng):
+    """INSERT OVERWRITE: WHERE form = replaceWhere; bare form on a
+    partitioned table = dynamic partition overwrite; bare form on an
+    unpartitioned table = full overwrite; INTO rejects WHERE."""
+    from music_recommendation_service_spark.engine import Engine
+    from music_recommendation_service_spark.sources.snapshots import (
+        snapshot_versions, snapshot_write,
+    )
+
+    e, p = eng  # t1 (unpartitioned) @ v1 = BASE
+    # replaceWhere through SQL: replace tag 'a' rows with one row
+    e.sql(
+        "INSERT OVERWRITE t1 WHERE tag = 'a' "
+        "SELECT 77 AS k, CAST(7.0 AS DOUBLE) AS amount, 'a' AS tag"
+    )
+    got = {(r["k"], r["tag"]) for r in e.sql("SELECT k, tag FROM t1").collect()}
+    assert (77, "a") in got and not {(1, "a"), (3, "a")} & got
+    assert (2, "b") in got and (4, "c") in got
+
+    # full overwrite on the unpartitioned table
+    e.sql("INSERT OVERWRITE t1 SELECT 9 AS k, CAST(1.0 AS DOUBLE) AS amount, 'z' AS tag")
+    assert e.sql("SELECT count(*) AS n FROM t1").collect()[0]["n"] == 1
+
+    # dynamic overwrite on a partitioned table
+    loc = str(tmp_path / "pt_io")
+    pdf = spark.createDataFrame(
+        [(i, 1990 + i % 2, float(i)) for i in range(10)], "k int, yr int, amount double"
+    )
+    snapshot_write(pdf, loc, partition_by=["yr"])
+    e2 = Engine(str(tmp_path), spark=spark)
+    e2.snapshot(loc, view="pio")
+    e2.sql(
+        "INSERT OVERWRITE pio "
+        "SELECT 100 AS k, 1991 AS yr, CAST(0.5 AS DOUBLE) AS amount"
+    )
+    rows = {(r["k"], r["yr"]) for r in e2.sql("SELECT k, yr FROM pio").collect()}
+    assert (100, 1991) in rows
+    assert all(yr == 1990 for k, yr in rows if k != 100)
+    assert len(rows) == 6  # 5 of 1990 + the one replacement row
+
+    with pytest.raises(SqlDispatchError, match="INTO takes no WHERE"):
+        e.sql("INSERT INTO t1 WHERE tag = 'a' SELECT 1 AS k, CAST(1.0 AS DOUBLE) AS amount, 'a' AS tag")
