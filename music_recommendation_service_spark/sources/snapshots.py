@@ -5791,10 +5791,40 @@ def snapshot_detail(path: str) -> dict:
         "constraints": sorted(m.get("constraints") or {}),
         "identity_col": (m.get("identity") or {}).get("col"),
         "column_mapping": bool(_mapping(m)),
+        "partition_cols": list(m.get("partition_cols") or []),
         "created_at": first.get("committed_at"),
         "last_modified": m.get("committed_at"),
         "retained_versions": len(versions),
     }
+
+
+def snapshot_partitions(path: str, version: int | None = None) -> list[dict]:
+    """SHOW PARTITIONS, from METADATA only: one record per partition tuple
+    with its live row count and file count — entries carry their
+    partition values, so a 100 TB table answers this without opening a
+    file. Flat entries (pre-purity rewrites) aggregate under a None
+    tuple so nothing is silently uncounted."""
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    v = versions[-1] if version is None else version
+    m = _read_manifest(path, v)
+    pcols = list(m.get("partition_cols") or [])
+    if not pcols:
+        raise ValueError(f"{path} is not partitioned")
+    agg: dict[tuple, dict] = {}
+    for e in _manifest_files(path, m):
+        part = e.get("partition")
+        key = tuple(part.get(c) for c in pcols) if part else None
+        slot = agg.setdefault(key, {"n_rows": 0, "n_files": 0})
+        slot["n_rows"] += _live_rows(e) or 0
+        slot["n_files"] += 1
+    out = []
+    for key in sorted(agg, key=lambda k: ("",) * len(pcols) if k is None else tuple(str(x) for x in k)):
+        rec = dict(zip(pcols, key)) if key is not None else dict.fromkeys(pcols)
+        rec.update(agg[key])
+        out.append(rec)
+    return out
 
 
 def snapshot_rollback(path: str, version: int) -> int:

@@ -43,6 +43,8 @@ malformed errors loudly rather than half-executing):
     VACUUM v [RETAIN <n> VERSIONS] [DRY RUN]         -- version-based retention
     DROP TABLE [IF EXISTS] v                         -- unregister (data stays)
     SHOW TABLES
+    SHOW PARTITIONS v        -- partition tuples + live row/file counts,
+                             -- answered from manifest metadata only
     RESTORE [TABLE] v TO VERSION AS OF <n>
     RESTORE [TABLE] v TO TIMESTAMP AS OF '<iso ts>'
     CREATE [OR REPLACE] TABLE v LOCATION '<path>'
@@ -824,6 +826,28 @@ def dispatch_sql(
                 spark.createDataFrame(rows or [], "name string, path string"),
                 None,
             )
+        pm = re.match(
+            rf"\s*SHOW\s+PARTITIONS\s+({_IDENT})\s*$", q, re.IGNORECASE
+        )
+        if pm:
+            # metadata only: partition tuples + live row/file counts from
+            # manifest entries — never opens a data file
+            recs = S.snapshot_partitions(_require_view(pm.group(1), views))
+            pcols = [c for c in recs[0] if c not in ("n_rows", "n_files")]
+            return (
+                spark.createDataFrame(
+                    [
+                        tuple(
+                            [str(r[c]) if r[c] is not None else None for c in pcols]
+                            + [r["n_rows"], r["n_files"]]
+                        )
+                        for r in recs
+                    ],
+                    ", ".join([f"{c} string" for c in pcols])
+                    + ", n_rows long, n_files long",
+                ),
+                None,
+            )
         return None
     if head == "OPTIMIZE":
         om = re.match(
@@ -928,6 +952,7 @@ def dispatch_sql(
                         d["num_files"], d["num_rows"], d["size_bytes"],
                         d["data_dirs"], ",".join(d["constraints"]),
                         d["identity_col"], d["column_mapping"],
+                        ",".join(d["partition_cols"]),
                         float(d["created_at"] or 0),
                         float(d["last_modified"] or 0),
                         d["retained_versions"],
@@ -936,6 +961,7 @@ def dispatch_sql(
                     "num_files long, num_rows long, size_bytes long, "
                     "data_dirs long, constraints string, "
                     "identity_col string, column_mapping boolean, "
+                    "partition_cols string, "
                     "created_at double, last_modified double, "
                     "retained_versions long",
                 ),

@@ -741,3 +741,33 @@ def _race_once_local(monkeypatch, path, action):
         return real(p_)
 
     monkeypatch.setattr(S, "_new_data_dir", racing)
+
+
+def test_show_partitions_and_describe_detail(spark, tmp_path):
+    """SHOW PARTITIONS answers from manifest metadata (values + live
+    row/file counts, DV-dead excluded); DESCRIBE DETAIL reports the
+    partition declaration."""
+    from music_recommendation_service_spark.engine import Engine
+
+    p = _mk(spark, tmp_path)
+    S.snapshot_delete_where(spark, p, "k = 4", mode="dv")  # one 1991 row dies
+    e = Engine(str(tmp_path), spark=spark)
+    e.snapshot(p, view="ptv")
+
+    rows = {
+        r["year"]: (r["n_rows"], r["n_files"])
+        for r in e.sql("SHOW PARTITIONS ptv").collect()
+    }
+    assert set(rows) == {"1990", "1991", "1992"}
+    assert rows["1990"][0] == 10 and rows["1991"][0] == 9  # live counts
+    assert all(nf >= 1 for _, nf in rows.values())
+
+    d = e.sql("DESCRIBE DETAIL ptv").collect()[0]
+    assert d["partition_cols"] == "year"
+
+    # unpartitioned tables refuse loudly
+    q = str(tmp_path / "flat_sp")
+    S.snapshot_write(_pdf(spark, BASE[:3]), q)
+    e.snapshot(q, view="flat_sp")
+    with pytest.raises(Exception, match="not partitioned"):
+        e.sql("SHOW PARTITIONS flat_sp")
