@@ -771,3 +771,55 @@ def test_show_partitions_and_describe_detail(spark, tmp_path):
     e.snapshot(q, view="flat_sp")
     with pytest.raises(Exception, match="not partitioned"):
         e.sql("SHOW PARTITIONS flat_sp")
+
+
+def test_per_partition_writer_thread_stress(spark, tmp_path):
+    """Sharded per-partition maintenance in miniature: concurrent writers
+    each UPDATE their own partition with a bounded retry loop. The
+    partition [v, v] stats let most losers rebase; every update lands
+    exactly once and no partition sees another writer's rows."""
+    import threading
+
+    p = str(tmp_path / "pt_stress")
+    rows = [(i, 1990 + i % 4, "base") for i in range(40)]
+    S.snapshot_write(_pdf(spark, rows), p, stats_cols=["k"], partition_by=["year"])
+
+    errors: list = []
+
+    def writer(year: int):
+        try:
+            for _ in range(10):
+                try:
+                    S.snapshot_update_where(
+                        spark, p, f"year = {year}",
+                        {"payload": f"'w{year}'"},
+                    )
+                    return
+                except S.ConcurrentSnapshotError:
+                    continue
+            raise AssertionError(f"writer {year}: retries exhausted")
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=(y,))
+        for y in (1990, 1991, 1992, 1993)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    got = S.snapshot_read(spark, p)
+    assert got.count() == 40
+    per = {
+        r["year"]: r["n"]
+        for r in got.filter(F.col("payload").startswith("w"))
+        .groupBy("year").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per == {1990: 10, 1991: 10, 1992: 10, 1993: 10}
+    bad = got.filter(
+        F.col("payload").startswith("w")
+        & (F.col("payload") != F.concat(F.lit("w"), F.col("year").cast("string")))
+    )
+    assert bad.count() == 0
