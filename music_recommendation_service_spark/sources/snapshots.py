@@ -5627,6 +5627,13 @@ def snapshot_drop_columns(path: str, names: Sequence[str]) -> int:
                     f"generated column {gcol!r} ({gexpr}); drop the rule "
                     "first"
                 )
+        phit = sorted(drop & set(latest.get("partition_cols") or []))
+        if phit:
+            # the layout's key=value directories ARE this column's storage
+            raise ValueError(
+                f"snapshot_drop_columns: {phit} are partition columns; "
+                "re-partition via an explicit overwrite first"
+            )
         out = {
             "data_dirs": latest["data_dirs"],
             "n_rows": latest["n_rows"],

@@ -823,3 +823,13 @@ def test_per_partition_writer_thread_stress(spark, tmp_path):
         & (F.col("payload") != F.concat(F.lit("w"), F.col("year").cast("string")))
     )
     assert bad.count() == 0
+
+
+def test_drop_partition_column_refused(spark, tmp_path):
+    p = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="partition columns"):
+        S.snapshot_drop_columns(p, ["year"])
+    # non-partition columns still drop fine on a partitioned table
+    v = S.snapshot_drop_columns(p, ["payload"])
+    assert v == 2
+    assert S.snapshot_read(spark, p).columns == ["k", "year"]
