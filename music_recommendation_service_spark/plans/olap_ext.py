@@ -627,3 +627,64 @@ def q153_generated_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFr
             rnd(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q154 — replaceWhere BACKFILL as a catalog query: orders lands in a scratch
+# snapshot table, then ONE snapshot_replace_where commit swaps every
+# 'P'-status order for its re-priced image (x1.1) — the atomic "rewrite this
+# slice" op a partitioned lake runs constantly (Delta replaceWhere). The
+# final aggregate runs over the WHOLE post-backfill table, and the DuckDB
+# oracle recomputes the same state from the ORIGINAL parquet with a CASE
+# expression: a hash match pins that exactly the in-scope rows changed,
+# exactly once (fail-closed scope validation, untouched files carried by
+# reference, one commit).
+# ---------------------------------------------------------------------------
+@register(
+    "q154_replace_where_backfill",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {rnd_sql("sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 1.1 ELSE o_totalprice END)", 2)} AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Atomic replaceWhere backfill (re-price the 'P' orders in one "
+    "commit), aggregated over the post-backfill table; oracle recomputes "
+    "the same state from the original parquet via CASE.",
+    tags=("snapshot", "dml", "replace-where"),
+)
+def q154_replace_where_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from music_recommendation_service_spark.sources.snapshots import (
+        snapshot_read,
+        snapshot_replace_where,
+        snapshot_versions,
+        snapshot_write,
+    )
+
+    root = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
+    app = spark.sparkContext.applicationId
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    path = f"{root}/spark_graft_scratch/q154_rw-{app}-{tag}"
+    if len(snapshot_versions(path)) < 2:
+        if snapshot_versions(path):  # crashed between the two setup commits
+            path = f"{path}-retry"
+        if len(snapshot_versions(path)) < 2:
+            orders = _t(spark, sf_dir, "orders")
+            snapshot_write(orders, path, stats_cols=["o_orderkey"])
+            repriced = orders.filter(F.col("o_orderstatus") == "P").withColumn(
+                "o_totalprice", F.col("o_totalprice") * 1.1
+            )
+            snapshot_replace_where(repriced, path, "o_orderstatus = 'P'")
+    return (
+        snapshot_read(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            rnd(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
