@@ -642,10 +642,18 @@ def q153_generated_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFr
 # ---------------------------------------------------------------------------
 @register(
     "q154_replace_where_backfill",
-    oracle=f"""
+    # DECIMAL arithmetic end to end: o_totalprice values carry <=2dp, so
+    # the cast is exact, the x1.1 product exact at 3dp, and the SUM exact
+    # and ORDER-INDEPENDENT — a double sum at sf0.1 lands one group within
+    # an ulp of a .005 boundary and the rounded 2dp value becomes a coin
+    # flip on reduction order. Round in decimal, cast to double last.
+    oracle="""
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_orders,
-           {rnd_sql("sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 1.1 ELSE o_totalprice END)", 2)} AS sum_price
+           CAST(round(sum(CASE WHEN o_orderstatus = 'P'
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST('1.1' AS DECIMAL(2,1))
+                    ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) END), 2)
+                AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -680,11 +688,16 @@ def q154_replace_where_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "o_totalprice", F.col("o_totalprice") * 1.1
             )
             snapshot_replace_where(repriced, path, "o_orderstatus = 'P'")
+    # the stored table holds the DOUBLE backfill (price * 1.1); aggregate
+    # through exact decimals so the group sums are reduction-order-free
+    # (see the oracle note) — each stored double rounds exactly back to
+    # its 3dp decimal image
+    price_dec = F.round(F.col("o_totalprice").cast("decimal(21,3)"), 3)
     return (
         snapshot_read(spark, path)
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            rnd(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.sum(price_dec), 2).cast("double").alias("sum_price"),
         )
     )
