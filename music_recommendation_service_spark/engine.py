@@ -189,29 +189,41 @@ class Engine:
             stmts = [s for s in _split_semicolons(tx.group(1)) if s.strip()]
             results = self.sql_atomic(stmts)
             return results[-1] if results else self.spark.sql("SELECT 1 AS ok")
+        return self._run_sql(query)[0]
+
+    def _run_sql(self, query: str) -> tuple[DataFrame, set[str]]:
+        """Run ONE statement and report the snapshot views it touched —
+        the DML target plus any views the statement registered, re-pointed
+        or dropped. sql_atomic uses the touched set to scope compensating
+        rollback / lake pins to the transaction's OWN tables (a concurrent
+        writer's commit to an unrelated table must never be reverted)."""
         from music_recommendation_service_spark.sources.sqlfront import (
             dispatch_sql,
         )
 
         before = dict(self._snapshot_views)
         out = dispatch_sql(self.spark, query, self._snapshot_views)
-        if out is not None:
-            df, touched = out
-            # sync the durable catalog with dispatch-side registration
-            # changes (CREATE TABLE adds, DROP TABLE removes)
-            for name, p in self._snapshot_views.items():
-                if before.get(name) != p:
-                    self._persist(name, p)
-            for name in before:
-                if name not in self._snapshot_views:
-                    self._unpersist(name)
-            if touched is not None and touched in self._snapshot_views:
-                path = self._snapshot_views[touched]
-                for v, p in self._snapshot_views.items():
-                    if p == path:
-                        self.snapshot(p, view=v, persist=False)
-            return df
-        return self.spark.sql(query)
+        if out is None:
+            return self.spark.sql(query), set()
+        df, touched = out
+        names: set[str] = set()
+        # sync the durable catalog with dispatch-side registration
+        # changes (CREATE TABLE adds, DROP TABLE removes)
+        for name, p in self._snapshot_views.items():
+            if before.get(name) != p:
+                self._persist(name, p)
+                names.add(name)
+        for name in before:
+            if name not in self._snapshot_views:
+                self._unpersist(name)
+                names.add(name)
+        if touched is not None and touched in self._snapshot_views:
+            names.add(touched)
+            path = self._snapshot_views[touched]
+            for v, p in self._snapshot_views.items():
+                if p == path:
+                    self.snapshot(p, view=v, persist=False)
+        return df, names
 
     def sql_atomic(self, statements: list[str], publish: bool = True) -> list[DataFrame]:
         """Multi-statement LAKE TRANSACTION: run ``statements`` as one
@@ -223,15 +235,20 @@ class Engine:
 
         - each statement commits its table normally (per-table atomicity
           is the protocol's);
-        - a FAILURE mid-transaction rolls every already-advanced table
-          back to its pre-transaction version (``snapshot_rollback`` — a
-          new RESTORE commit, history preserved), and drops views the
-          transaction created, so direct readers see the old content of
-          BOTH tables — no half-applied pair;
-        - on success, ONE lake-log entry (``lake_commit``) pins every
-          advanced table's new version, so readers resolving through the
-          log (``lake_read``) observe the pair move together; a process
-          crash before the publish leaves the previous, mutually
+        - a FAILURE mid-transaction rolls back ONLY the tables this
+          transaction's statements touched (``snapshot_rollback`` to
+          their pre-transaction version — a new RESTORE commit, history
+          preserved) and drops views the transaction created, so direct
+          readers see the old content of BOTH tables — no half-applied
+          pair. Tables a CONCURRENT writer advanced during the window are
+          never rolled back (that would be a lost update); if a concurrent
+          writer advanced a table PAST this transaction's own commit,
+          compensation refuses loudly rather than reverting the other
+          writer's durable commit;
+        - on success, ONE lake-log entry (``lake_commit``) pins exactly
+          the versions this transaction produced, so readers resolving
+          through the log (``lake_read``) observe the pair move together;
+          a process crash before the publish leaves the previous, mutually
           consistent pin set in force.
         """
         import os
@@ -246,28 +263,52 @@ class Engine:
             for name, path in self._snapshot_views.items()
         }
         results: list[DataFrame] = []
+        touched: set[str] = set()
+        # path -> version this transaction's last commit to it produced
+        produced: dict[str, int] = {}
         try:
             for stmt in statements:
-                results.append(self.sql(stmt))
-        except Exception:
-            for name, (path, v0) in pre.items():
+                df, names = self._run_sql(stmt)
+                results.append(df)
+                touched |= names
+                for nm in names:
+                    p = self._snapshot_views.get(nm)
+                    if p is not None:
+                        vs = sn.snapshot_versions(p)
+                        if vs:
+                            produced[p] = vs[-1]
+        except Exception as exc:
+            for name in sorted(touched):
+                if name not in pre:
+                    # a table the failed transaction created: unregister
+                    # the name (the orphan data dir is vacuum's to reclaim)
+                    if name in self._snapshot_views:
+                        self.spark.catalog.dropTempView(name)
+                        del self._snapshot_views[name]
+                        self._unpersist(name)
+                    continue
+                path, v0 = pre[name]
                 vs = sn.snapshot_versions(path)
-                if v0 is not None and vs and vs[-1] != v0:
-                    sn.snapshot_rollback(path, v0)
-                    self.snapshot(path, view=name, persist=False)
-            for name in [n for n in self._snapshot_views if n not in pre]:
-                # a table the failed transaction created: unregister the
-                # name (the orphan data dir is vacuum's to reclaim)
-                self.spark.catalog.dropTempView(name)
-                del self._snapshot_views[name]
-                self._unpersist(name)
+                if v0 is None or not vs or vs[-1] == v0:
+                    continue
+                if path in produced and vs[-1] != produced[path]:
+                    raise RuntimeError(
+                        f"lake transaction compensation refused for "
+                        f"{name!r} ({path}): a concurrent writer advanced "
+                        f"the table to v{vs[-1]} past this transaction's "
+                        f"commit v{produced[path]}; rolling back to "
+                        f"v{v0} would revert that writer's durable "
+                        f"commit. Resolve manually (RESTORE or re-apply)."
+                    ) from exc
+                sn.snapshot_rollback(path, v0)
+                self.snapshot(path, view=name, persist=False)
             raise
         if publish:
+            pre_v = {path: v0 for path, v0 in pre.values()}
             pins = {
-                os.path.relpath(path, self.root): sn.snapshot_versions(path)[-1]
-                for name, (path, v0) in pre.items()
-                if sn.snapshot_versions(path)
-                and sn.snapshot_versions(path)[-1] != v0
+                os.path.relpath(path, self.root): v
+                for path, v in produced.items()
+                if pre_v.get(path) != v
             }
             if pins:
                 mc.lake_commit(self.root, pins)

@@ -729,13 +729,20 @@ def _scan_file_entries_hive(
     )
     per_file = df.groupBy(suffix.alias("_f")).agg(*aggs).collect()
     by_sub = {r["_f"]: r for r in per_file}
-    if per_file and not any(sub in by_sub for sub in subpaths):
-        # fail CLOSED: a total mismatch between scanned suffixes and the
-        # walked layout means the identity canonicalization broke — an
-        # empty manifest here would silently commit a 0-row table
+    orphans = set(by_sub) - set(subpaths)
+    if orphans:
+        # fail CLOSED on ANY scanned suffix that matches no walked file —
+        # a partial mismatch (one oddly-named file in a hand-laid tree
+        # whose canonicalized suffix fails to match) would otherwise be
+        # indistinguishable from the empty-file skip and its rows would
+        # silently vanish from the manifest. A TOTAL mismatch (identity
+        # canonicalization broke) is the same condition with every
+        # suffix orphaned.
         raise RuntimeError(
-            f"hive scan identity mismatch under {full_dir}: scanned "
-            f"{sorted(by_sub)[:2]} vs walked {subpaths[:2]}"
+            f"hive scan identity mismatch under {full_dir}: "
+            f"{len(orphans)} scanned file(s) match no walked path — "
+            f"e.g. {sorted(orphans)[:2]} vs walked {subpaths[:2]}; "
+            f"refusing a manifest that would drop their rows"
         )
     entries, total = [], 0
     for sub in subpaths:

@@ -124,6 +124,35 @@ def _top_level_spans(s: str):
         yield (start, n)
 
 
+def _top_level_groups(s: str):
+    """Yield (open_idx, close_idx) of balanced top-level ``(...)`` groups,
+    skipping single-quoted literals ('' escapes, SQL-style)."""
+    depth, i, n, open_at = 0, 0, len(s), -1
+    while i < n:
+        c = s[i]
+        if c == "'":
+            i += 1
+            while i < n:
+                if s[i] == "'":
+                    if i + 1 < n and s[i + 1] == "'":
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                i += 1
+            continue
+        if c == "(":
+            if depth == 0:
+                open_at = i
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0 and open_at >= 0:
+                yield (open_at, i)
+                open_at = -1
+        i += 1
+
+
 def _find_top(s: str, pattern: str, pos: int = 0):
     """First match of ``pattern`` (case-insensitive) at top level, at or
     after ``pos``; returns a re.Match against s or None."""
@@ -250,14 +279,46 @@ def _parse_update(q: str, views: dict):
 
 def _parse_insert(q: str, views: dict):
     m = re.match(
-        rf"\s*INSERT\s+(INTO|OVERWRITE)\s+({_IDENT})\s*"
-        rf"(?:WHERE\s+(.+?)\s+(?=(?:SELECT|WITH|VALUES|\()))?(.*)$",
+        rf"\s*INSERT\s+(INTO|OVERWRITE)\s+({_IDENT})\s*(.*)$",
         q, re.IGNORECASE | re.DOTALL,
     )
     if not m:
         raise SqlDispatchError(f"unparseable INSERT: {q!r}")
     mode = m.group(1).upper()
-    name, where, rest = m.group(2), m.group(3), m.group(4).strip()
+    name, rest = m.group(2), m.group(3).strip()
+    where = None
+    wm = re.match(r"WHERE\b\s*(.*)$", rest, re.IGNORECASE | re.DOTALL)
+    if wm:
+        # The replaceWhere predicate may itself contain parenthesized
+        # terms — IN ('a','b'), (x=1 OR y=2), even IN (SELECT ...) — so
+        # split with the quote/paren-aware scanner, not a lookahead: the
+        # predicate ends at the first TOP-LEVEL SELECT/WITH/VALUES
+        # keyword (subqueries sit inside parens and are skipped).
+        body = wm.group(1)
+        qm = _find_top(body, r"\b(SELECT|WITH|VALUES)\b")
+        if qm:
+            where, rest = body[: qm.start()].strip(), body[qm.start():].strip()
+        else:
+            # query itself parenthesized: WHERE <pred> (SELECT ...) — take
+            # the last top-level group that runs to end-of-string and
+            # opens with a query keyword
+            split_at = None
+            for a, b in _top_level_groups(body):
+                if body[b + 1:].strip() == "" and re.match(
+                    r"\s*(SELECT|WITH|VALUES)\b", body[a + 1: b], re.IGNORECASE
+                ):
+                    split_at = a
+            if split_at is None:
+                raise SqlDispatchError(
+                    f"INSERT OVERWRITE {name} WHERE <pred> <query>: could "
+                    f"not find the start of the query after the predicate "
+                    f"in {body[:80]!r}"
+                )
+            where, rest = body[:split_at].strip(), body[split_at:].strip()
+        if not where:
+            raise SqlDispatchError(
+                f"INSERT OVERWRITE {name}: empty WHERE predicate"
+            )
     if where is not None and mode == "INTO":
         raise SqlDispatchError(
             "INSERT INTO takes no WHERE; the scoped form is "
@@ -831,9 +892,14 @@ def dispatch_sql(
         )
         if pm:
             # metadata only: partition tuples + live row/file counts from
-            # manifest entries — never opens a data file
-            recs = S.snapshot_partitions(_require_view(pm.group(1), views))
-            pcols = [c for c in recs[0] if c not in ("n_rows", "n_files")]
+            # manifest entries — never opens a data file. Column names
+            # come from the manifest's partition_cols declaration, not the
+            # first record, so a partitioned table with ZERO live entries
+            # (all rows deleted / every partition dropped) returns an
+            # empty frame with the right schema instead of crashing.
+            ppath = _require_view(pm.group(1), views)
+            recs = S.snapshot_partitions(ppath)
+            pcols = S.snapshot_detail(ppath)["partition_cols"]
             return (
                 spark.createDataFrame(
                     [

@@ -225,3 +225,122 @@ def test_sql_atomic_failure_rolls_both_back(spark, tmp_path):
     assert {r["amount"] for r in snapshot_read(spark, view).collect()} == {10.0}
     assert e.sql("SELECT count(*) AS n FROM fact").collect()[0]["n"] == 1
     assert lake_latest(root) is None  # nothing published
+
+
+def _hook_before_second_stmt(e, side_effect):
+    """Run ``side_effect()`` just before the transaction's SECOND
+    statement — simulates a concurrent writer landing mid-window, after
+    sql_atomic has recorded statement 1's produced version."""
+    orig = e._run_sql
+    state = {"n": 0}
+
+    def hooked(q):
+        state["n"] += 1
+        if state["n"] == 2:
+            side_effect()
+        return orig(q)
+
+    e._run_sql = hooked
+
+
+def test_sql_atomic_failure_spares_concurrent_writer(spark, tmp_path):
+    """Compensating rollback is scoped to the transaction's OWN tables: a
+    bystander table another session committed to during the window keeps
+    that commit (rolling it back would be a lost update)."""
+    from music_recommendation_service_spark.engine import Engine
+
+    root = str(tmp_path)
+    fact, view, other = f"{root}/fact", f"{root}/view", f"{root}/other"
+    sch = "k int, amount double, tag string"
+    for p in (fact, view, other):
+        snapshot_write(spark.createDataFrame([(1, 10.0, "a")], sch), p)
+    e = Engine(root, spark=spark)
+    e.snapshot(fact, view="fact")
+    e.snapshot(view, view="vw")
+    e.snapshot(other, view="bystander")
+
+    _hook_before_second_stmt(
+        e,
+        lambda: snapshot_append(
+            spark.createDataFrame([(9, 90.0, "concurrent")], sch), other
+        ),
+    )
+    with pytest.raises(Exception):
+        e.sql_atomic([
+            "INSERT INTO fact SELECT 2 AS k, CAST(20.0 AS DOUBLE) AS amount, 'b' AS tag",
+            "UPDATE vw SET nope_column = 1 WHERE k = 1",  # fails
+        ])
+    # the tx's own commit was compensated...
+    assert snapshot_read(spark, fact).count() == 1
+    # ...but the concurrent writer's durable commit on the bystander stands
+    assert snapshot_versions(other) == [1, 2]
+    assert {r["tag"] for r in snapshot_read(spark, other).collect()} == {
+        "a", "concurrent",
+    }
+    assert lake_latest(root) is None
+
+
+def test_sql_atomic_refuses_rollback_past_concurrent_commit(spark, tmp_path):
+    """If a concurrent writer advanced a touched table PAST the
+    transaction's own commit, compensation refuses loudly instead of
+    reverting the other writer's durable commit."""
+    from music_recommendation_service_spark.engine import Engine
+
+    root = str(tmp_path)
+    fact, view = f"{root}/fact", f"{root}/view"
+    sch = "k int, amount double, tag string"
+    for p in (fact, view):
+        snapshot_write(spark.createDataFrame([(1, 10.0, "a")], sch), p)
+    e = Engine(root, spark=spark)
+    e.snapshot(fact, view="fact")
+    e.snapshot(view, view="vw")
+
+    _hook_before_second_stmt(
+        e,
+        lambda: snapshot_append(
+            spark.createDataFrame([(9, 90.0, "concurrent")], sch), fact
+        ),
+    )
+    with pytest.raises(RuntimeError, match="compensation refused"):
+        e.sql_atomic([
+            "INSERT INTO fact SELECT 2 AS k, CAST(20.0 AS DOUBLE) AS amount, 'b' AS tag",
+            "UPDATE vw SET nope_column = 1 WHERE k = 1",  # fails
+        ])
+    # NOTHING was rolled back on fact: both the tx's commit and the
+    # concurrent one survive for manual resolution
+    assert snapshot_versions(fact) == [1, 2, 3]
+    assert {r["tag"] for r in snapshot_read(spark, fact).collect()} == {
+        "a", "b", "concurrent",
+    }
+    assert lake_latest(root) is None
+
+
+def test_sql_atomic_pins_only_own_versions(spark, tmp_path):
+    """The success-path lake pin set carries exactly the versions THIS
+    transaction produced — not a bystander's concurrent commit, and not a
+    later version a concurrent writer stacked on a touched table."""
+    from music_recommendation_service_spark.engine import Engine
+
+    root = str(tmp_path)
+    fact, other = f"{root}/fact", f"{root}/other"
+    sch = "k int, amount double, tag string"
+    for p in (fact, other):
+        snapshot_write(spark.createDataFrame([(1, 10.0, "a")], sch), p)
+    e = Engine(root, spark=spark)
+    e.snapshot(fact, view="fact")
+    e.snapshot(other, view="bystander")
+
+    _hook_before_second_stmt(
+        e,
+        lambda: snapshot_append(
+            spark.createDataFrame([(9, 90.0, "concurrent")], sch), other
+        ),
+    )
+    e.sql_atomic([
+        "INSERT INTO fact SELECT 2 AS k, CAST(20.0 AS DOUBLE) AS amount, 'b' AS tag",
+        "INSERT INTO fact SELECT 3 AS k, CAST(30.0 AS DOUBLE) AS amount, 'c' AS tag",
+    ])
+    entry = lake_latest(root)
+    # only the touched table is pinned, at the tx's own final version
+    assert entry["tables"] == {"fact": 3}
+    assert snapshot_versions(other) == [1, 2]  # bystander untouched by pins

@@ -833,3 +833,41 @@ def test_drop_partition_column_refused(spark, tmp_path):
     v = S.snapshot_drop_columns(p, ["payload"])
     assert v == 2
     assert S.snapshot_read(spark, p).columns == ["k", "year"]
+
+
+def test_show_partitions_empty_table(spark, tmp_path):
+    """SHOW PARTITIONS on a partitioned table with ZERO live entries
+    (every row deleted) returns an empty frame with the partition-column
+    schema instead of crashing — column names come from the manifest's
+    partition_cols declaration, not the first record."""
+    from music_recommendation_service_spark.engine import Engine
+
+    p = _mk(spark, tmp_path, name="pt_empty")
+    S.snapshot_delete_where(spark, p, "true")  # kill every row
+    e = Engine(str(tmp_path), spark=spark)
+    e.snapshot(p, view="pte")
+
+    df = e.sql("SHOW PARTITIONS pte")
+    assert df.columns == ["year", "n_rows", "n_files"]
+    assert df.count() == 0
+
+
+def test_hive_scan_refuses_partial_suffix_mismatch(spark, tmp_path, monkeypatch):
+    """A PARTIAL identity mismatch in the hive manifest scan — one file
+    whose canonicalized suffix matches no walked path — fails CLOSED
+    instead of silently dropping that file's rows (the empty-file skip
+    must not swallow it)."""
+    real = S._fs_form
+
+    def mangled(col):
+        c = real(col)
+        # corrupt the suffix of exactly the files from ONE partition dir:
+        # other files still match, so the old any()-overlap guard would
+        # have let this through and the 1991 rows would vanish
+        return F.when(
+            c.contains("year=1991"), F.concat(c, F.lit(".mangled"))
+        ).otherwise(c)
+
+    monkeypatch.setattr(S, "_fs_form", mangled)
+    with pytest.raises(RuntimeError, match="match no walked path"):
+        _mk(spark, tmp_path, name="pt_mismatch")

@@ -610,3 +610,39 @@ def test_sql_insert_overwrite_forms(spark, tmp_path, eng):
 
     with pytest.raises(SqlDispatchError, match="INTO takes no WHERE"):
         e.sql("INSERT INTO t1 WHERE tag = 'a' SELECT 1 AS k, CAST(1.0 AS DOUBLE) AS amount, 'a' AS tag")
+
+
+def test_sql_insert_overwrite_where_paren_predicates(spark, tmp_path, eng):
+    """The replaceWhere predicate may contain parenthesized terms —
+    IN-lists, grouped boolean terms, scalar subqueries — the paren-aware
+    scanner finds where the query starts instead of truncating at the
+    first '('."""
+    e, p = eng  # t1 @ BASE: (1,a) (2,b) (3,a) (4,c)
+
+    # IN-list predicate
+    e.sql(
+        "INSERT OVERWRITE t1 WHERE tag IN ('a', 'b') "
+        "SELECT 77 AS k, CAST(7.0 AS DOUBLE) AS amount, 'a' AS tag"
+    )
+    st = _state(spark, e, "t1")
+    assert set(st) == {77, 4}
+
+    # grouped boolean predicate with a top-level AND
+    e.sql(
+        "INSERT OVERWRITE t1 WHERE (tag = 'a' OR tag = 'zz') AND k > 0 "
+        "SELECT 88 AS k, CAST(8.0 AS DOUBLE) AS amount, 'a' AS tag"
+    )
+    st = _state(spark, e, "t1")
+    assert set(st) == {88, 4}
+
+    # parenthesized query after the predicate
+    e.sql(
+        "INSERT OVERWRITE t1 WHERE tag IN ('c') "
+        "(SELECT 99 AS k, CAST(9.0 AS DOUBLE) AS amount, 'c' AS tag)"
+    )
+    st = _state(spark, e, "t1")
+    assert set(st) == {88, 99}
+
+    # empty predicate refuses loudly
+    with pytest.raises(SqlDispatchError, match="empty WHERE"):
+        e.sql("INSERT OVERWRITE t1 WHERE SELECT 1 AS k, CAST(1.0 AS DOUBLE) AS amount, 'a' AS tag")
