@@ -701,3 +701,73 @@ def q154_replace_where_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(price_dec), 2).cast("double").alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q155 — the q153 table built PURELY THROUGH SQL DDL: one Engine.sql
+# statement declares the generated partition column and the layout —
+#   CREATE TABLE t (evt_day TIMESTAMP GENERATED ALWAYS AS
+#     (date_trunc('day', ts))) LOCATION '...' PARTITIONED BY (evt_day)
+#   AS SELECT * FROM events
+# — zero Python protocol calls (Delta CREATE TABLE generated-column
+# parity; the reference's bronze table shape, process_historical_data.py:
+# 70-75, whose own ts-range filter never prunes per SURVEY §4.1). The rule
+# rides the SAME commit as the data, so the scan planner's
+# generated-partition derivation prunes the ts-only predicate to ~7 of 30
+# daily partitions exactly as in q153; the DuckDB oracle recomputes the
+# window from the original parquet, so a hash match pins the whole
+# SQL-declared lifecycle.
+# ---------------------------------------------------------------------------
+@register(
+    "q155_sql_generated_partition_ddl",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {rnd_sql("sum(value)", 2)} AS sum_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+    GROUP BY event_type
+    """,
+    doc="CREATE TABLE (evt_day GENERATED ALWAYS AS (date_trunc('day', "
+    "ts))) PARTITIONED BY (evt_day) AS SELECT — the generated-partition "
+    "table declared in ONE SQL statement; scan prunes a ts-only range "
+    "to the week's partitions; oracle recomputes from the original "
+    "parquet.",
+    tags=("snapshot", "partition", "generated", "sql"),
+)
+def q155_sql_generated_partition_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+    import hashlib
+    import os
+    import tempfile
+
+    from music_recommendation_service_spark.engine import Engine
+    from music_recommendation_service_spark.sources.snapshots import (
+        snapshot_scan,
+        snapshot_versions,
+    )
+
+    root = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
+    app = spark.sparkContext.applicationId
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    path = f"{root}/spark_graft_scratch/q155_sqlgen-{app}-{tag}"
+    if not snapshot_versions(path):
+        eng = Engine(sf_dir, spark=spark)
+        eng.sql(
+            "CREATE TABLE q155_events (evt_day TIMESTAMP GENERATED ALWAYS "
+            "AS (date_trunc('day', ts))) "
+            f"LOCATION '{path}' PARTITIONED BY (evt_day) "
+            "AS SELECT * FROM events"
+        )
+    pruned = snapshot_scan(
+        spark, path,
+        {"ts": (dt.datetime(2024, 1, 8), dt.datetime(2024, 1, 15))},
+    )
+    return (
+        pruned.filter(F.col("ts") < F.lit(dt.datetime(2024, 1, 15)))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

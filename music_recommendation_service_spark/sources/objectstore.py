@@ -43,7 +43,7 @@ class InMemoryObjectStoreFS(SnapshotFS):
     """
 
     def __init__(self, race_hook: Callable[[str], None] | None = None):
-        self._blobs: dict[str, str] = {}
+        self._blobs: dict[str, str | bytes] = {}
         self._mtimes: dict[str, float] = {}
         self._lock = threading.Lock()
         self.race_hook = race_hook
@@ -111,6 +111,21 @@ class InMemoryObjectStoreFS(SnapshotFS):
             self._blobs[path] = data
             self._mtimes[path] = time.time()
 
+    # binary blobs (parquet checkpoint manifests): a plain PUT, same map —
+    # checkpoint keys and manifest keys never collide
+    def read_bytes(self, path: str) -> bytes:
+        with self._lock:
+            if path in self._blobs:
+                blob = self._blobs[path]
+                return blob if isinstance(blob, bytes) else blob.encode()
+        with open(path, "rb") as f:
+            return f.read()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        with self._lock:
+            self._blobs[path] = data
+            self._mtimes[path] = time.time()
+
     def delete_file(self, path: str) -> None:
         with self._lock:
             if path in self._blobs:
@@ -139,7 +154,8 @@ class InMemoryObjectStoreFS(SnapshotFS):
     def size(self, path: str) -> int | None:
         with self._lock:
             if path in self._blobs:
-                return len(self._blobs[path].encode())
+                blob = self._blobs[path]
+                return len(blob if isinstance(blob, bytes) else blob.encode())
         try:
             return os.path.getsize(path)
         except OSError:

@@ -133,6 +133,22 @@ class SnapshotFS:
             f.write(data)
         os.replace(tmp, path)
 
+    # -- binary surface (parquet checkpoint manifests) ---------------------
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        """Whole-object binary write (parquet checkpoints). On an object
+        store this is a plain PUT (atomic per key); locally temp+rename so
+        no reader can observe a partial body. Checkpoints are referenced
+        only AFTER the manifest naming them commits, so exclusivity is the
+        manifest's job, not this write's."""
+        tmp = f"{path}.tmp-{os.getpid()}-{threading.get_ident()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
     def delete_file(self, path: str) -> None:
         os.remove(path)
 
@@ -209,20 +225,25 @@ def snapshot_versions(path: str) -> list[int]:
 
 # Protocol reader version this engine understands (Delta's minReaderVersion
 # discipline). 1 = full/legacy manifests; 2 adds incremental manifests
-# (files_base/files_add/files_remove). A manifest written with a feature
-# this reader lacks must REFUSE loudly — the alternative is an older
-# reader's legacy fallback silently listing data dirs and resurrecting
-# rewritten rows.
-_READER_VERSION = 2
+# (files_base/files_add/files_remove); 3 adds PARQUET CHECKPOINT manifests
+# (``files_ckpt`` — the full file list externalized to a columnar sidecar,
+# Delta's ``.checkpoint.parquet`` re-realized; reference parity:
+# MusicRecommendationService/Services/MinioService.cs:120-161 replays
+# exactly this structure). A manifest written with a feature this reader
+# lacks must REFUSE loudly — the alternative is an older reader's legacy
+# fallback silently listing data dirs and resurrecting rewritten rows.
+_READER_VERSION = 3
 # Protocol writer version (Delta's minWriterVersion discipline). 1 = plain
 # full manifests; 2 adds the feature set a committing writer must
 # UNDERSTAND to not corrupt state it carries forward: deletion vectors,
 # column mapping, CHECK constraints, generated/identity columns,
-# incremental manifests, partition declarations. A table whose latest
-# manifest demands a newer writer must refuse EVERY mutation up front —
-# an older writer's commit would silently drop feature state (e.g. carry
-# files without their DVs, skip constraint enforcement).
-_WRITER_VERSION = 2
+# incremental manifests, partition declarations. 3 adds parquet checkpoint
+# manifests (a writer must resolve ``files_ckpt`` to carry entries forward
+# and must externalize oversized full manifests the same way). A table
+# whose latest manifest demands a newer writer must refuse EVERY mutation
+# up front — an older writer's commit would silently drop feature state
+# (e.g. carry files without their DVs, skip constraint enforcement).
+_WRITER_VERSION = 3
 # manifest keys whose presence requires writer version 2
 _W2_FEATURE_KEYS = (
     "column_mapping", "generated", "identity", "constraints",
@@ -235,6 +256,8 @@ class UnsupportedSnapshotProtocolError(RuntimeError):
 
 
 def _required_writer(manifest: dict) -> int:
+    if "files_ckpt" in manifest:
+        return 3
     if any(manifest.get(k) for k in _W2_FEATURE_KEYS):
         return 2
     entries = (manifest.get("files") or []) + (manifest.get("files_add") or [])
@@ -300,7 +323,7 @@ def _maybe_delta_files(path: str, manifest: dict, latest: dict | None) -> dict:
         files is None
         or latest is None
         or len(files) < _DELTA_MANIFEST_MIN_FILES
-        or ("files" not in latest and "files_base" not in latest)
+        or not _has_files(latest)
     ):
         return manifest
     chain = (latest.get("files_chain") or 0) + 1
@@ -333,15 +356,435 @@ def _maybe_delta_files(path: str, manifest: dict, latest: dict | None) -> dict:
     return out
 
 
+def _has_files(m: dict) -> bool:
+    """True when the manifest carries an explicit file list in ANY form —
+    inline (``files``), incremental (``files_base``), or externalized
+    parquet checkpoint (``files_ckpt``)."""
+    return "files" in m or "files_base" in m or "files_ckpt" in m
+
+
+# Full manifests at or above this entry count externalize their file list
+# to a columnar parquet checkpoint (``_snapshots/checkpoints/``) instead of
+# inlining it as JSON — Delta's ``.checkpoint.parquet`` design. At millions
+# of files a JSON checkpoint is the metadata-plane ceiling: O(live files)
+# driver-side serialize per checkpoint and a full-document parse on every
+# cold resolve; parquet stores the list columnar and compressed, reads
+# column-pruned, and hands distributed readers a real DataFrame
+# (``snapshot_files_df``). Below the threshold JSON stays — simpler to
+# read and to debug, and small tables never pay the sidecar.
+_PARQUET_CHECKPOINT_MIN_FILES = 2048
+# entry keys stored as dedicated checkpoint columns; anything else rides
+# the json ``extra`` column so unknown future keys round-trip losslessly
+_CKPT_KNOWN_KEYS = ("path", "rows", "stats", "partition", "dv", "bloom_ref")
+
+
+def _ckpt_scalar_type(vals):
+    """The single pyarrow type covering every non-None value, or None when
+    mixed (bool is checked before int — it subclasses it)."""
+    import pyarrow as pa
+
+    ts = {type(v) for v in vals if v is not None}
+    if not ts:
+        return pa.int64()  # all-None column: any nullable type round-trips
+    if ts == {bool}:
+        return pa.bool_()
+    if ts == {int}:
+        return pa.int64()
+    if ts == {float}:
+        return pa.float64()
+    if ts == {str}:
+        return pa.string()
+    return None
+
+
+def _ckpt_typed_columns(files: list[dict]):
+    """Build the TYPED checkpoint column map (Delta ``stats_parsed``
+    style): per stats column a has/min/max triple in its native type, the
+    partition tuple as string columns, dv as ref+n. Returns
+    ``(columns, layout_meta)`` or ``None`` when any entry shape is
+    irregular — mixed-typed stats after widening, unexpected dv keys,
+    varying partition key sets — in which case the caller falls back to
+    the JSON-string layout (always correct, slower to resolve)."""
+    import pyarrow as pa
+
+    stats_cols: list[str] = []
+    part_cols: list[str] | None = None
+    for e in files:
+        st = e.get("stats")
+        if st is not None:
+            if not isinstance(st, dict):
+                return None
+            for c in st:
+                v = st[c]
+                if not isinstance(v, list) or len(v) != 2:
+                    return None
+                if c not in stats_cols:
+                    stats_cols.append(c)
+        pt = e.get("partition")
+        if pt is not None:
+            if not isinstance(pt, dict) or not all(
+                isinstance(x, (str, type(None))) for x in pt.values()
+            ):
+                return None
+            keys = sorted(pt)
+            if part_cols is None:
+                part_cols = keys
+            elif keys != part_cols:
+                return None
+        dv = e.get("dv")
+        if dv is not None and (
+            not isinstance(dv, dict) or set(dv) - {"ref", "n"} or "ref" not in dv
+        ):
+            return None
+    cols: dict = {
+        "path": pa.array([e["path"] for e in files], pa.string()),
+        "rows": pa.array([e.get("rows") for e in files], pa.int64()),
+        "stats_null": pa.array(
+            [e.get("stats") is None for e in files], pa.bool_()
+        ),
+    }
+    for i, c in enumerate(stats_cols):
+        has, mins, maxs = [], [], []
+        for e in files:
+            st = e.get("stats") or {}
+            present = c in st
+            has.append(present)
+            mins.append(st[c][0] if present else None)
+            maxs.append(st[c][1] if present else None)
+        t = _ckpt_scalar_type(mins + maxs)
+        if t is None:
+            return None
+        try:
+            cols[f"s{i}_min"] = pa.array(mins, t)
+            cols[f"s{i}_max"] = pa.array(maxs, t)
+        except (pa.ArrowInvalid, OverflowError):
+            return None  # e.g. int64 overflow: JSON layout handles it
+        cols[f"s{i}_has"] = pa.array(has, pa.bool_())
+    cols["part_null"] = pa.array(
+        [e.get("partition") is None for e in files], pa.bool_()
+    )
+    for j_, c in enumerate(part_cols or []):
+        cols[f"p{j_}"] = pa.array(
+            [(e.get("partition") or {}).get(c) for e in files], pa.string()
+        )
+    cols["dv_ref"] = pa.array(
+        [(e.get("dv") or {}).get("ref") for e in files], pa.string()
+    )
+    cols["dv_n"] = pa.array(
+        [(e.get("dv") or {}).get("n") for e in files], pa.int64()
+    )
+    cols["bloom_ref"] = pa.array(
+        [e.get("bloom_ref") for e in files], pa.string()
+    )
+    cols["extra"] = pa.array(
+        [
+            json.dumps(
+                {k: v for k, v in e.items() if k not in _CKPT_KNOWN_KEYS},
+                sort_keys=True,
+            )
+            if set(e) - set(_CKPT_KNOWN_KEYS)
+            else None
+            for e in files
+        ],
+        pa.string(),
+    )
+    return cols, {"stats_cols": stats_cols, "part_cols": part_cols or []}
+
+
+def _write_parquet_checkpoint(path: str, files: list[dict], version: int) -> dict:
+    """Serialize ``files`` to a parquet checkpoint under
+    ``_snapshots/checkpoints/`` and return the ``files_ckpt`` pointer.
+
+    Preferred layout is TYPED (``layout: "typed"``): stats min/max in
+    native parquet types (Delta's ``stats_parsed``), partition values and
+    dv refs as dedicated columns — cold resolve then reconstructs entries
+    from typed arrays with NO JSON parsing of the payload. Irregular entry
+    shapes (mixed-typed stats after widening, unknown dv keys) fall back
+    to the JSON-string layout (``layout: "json"`` — Delta's ``add.stats``
+    string form), which is always exact. Both layouts JSON round-trip
+    values, so fidelity matches the inline-JSON manifest form. The file
+    name carries a uuid: a commit-race loser's checkpoint becomes an
+    unreferenced orphan (vacuum sweeps it), never a collision."""
+    import io
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ptr: dict = {"count": len(files)}
+    typed = _ckpt_typed_columns(files)
+    if typed is not None:
+        cols, meta = typed
+        ptr["layout"] = "typed"
+        ptr.update(meta)
+    else:
+
+        def j(e, k):
+            v = e.get(k)
+            return json.dumps(v, sort_keys=True) if v is not None else None
+
+        ptr["layout"] = "json"
+        cols = {
+            "path": pa.array([e["path"] for e in files], pa.string()),
+            "rows": pa.array([e.get("rows") for e in files], pa.int64()),
+            "stats": pa.array([j(e, "stats") for e in files], pa.string()),
+            "partition": pa.array(
+                [j(e, "partition") for e in files], pa.string()
+            ),
+            "dv": pa.array([j(e, "dv") for e in files], pa.string()),
+            "bloom_ref": pa.array(
+                [e.get("bloom_ref") for e in files], pa.string()
+            ),
+            "extra": pa.array(
+                [
+                    json.dumps(
+                        {
+                            k: v
+                            for k, v in e.items()
+                            if k not in _CKPT_KNOWN_KEYS
+                        },
+                        sort_keys=True,
+                    )
+                    if set(e) - set(_CKPT_KNOWN_KEYS)
+                    else None
+                    for e in files
+                ],
+                pa.string(),
+            ),
+        }
+    buf = io.BytesIO()
+    pq.write_table(pa.table(cols), buf, compression="zstd")
+    rel = f"checkpoints/{version}-{_uuid.uuid4().hex[:12]}.parquet"
+    abs_p = os.path.join(_manifest_dir(path), rel)
+    _fs().mkdirs(os.path.dirname(abs_p))
+    _fs().write_bytes(abs_p, buf.getvalue())
+    ptr["ref"] = rel
+    return ptr
+
+
+def _read_parquet_checkpoint(path: str, ckpt: dict) -> list[dict]:
+    """Resolve a ``files_ckpt`` pointer back to manifest entries. Key-set
+    discipline mirrors the builders: ``path``/``rows``/``stats`` always
+    present, optional keys only when non-null. The typed layout rebuilds
+    entries from native arrays with no payload JSON parse; the json layout
+    parses each JSON column in ONE batched ``json.loads`` (a single
+    C-speed parse of a synthesized array), not one call per row."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    abs_p = os.path.join(_manifest_dir(path), ckpt["ref"])
+    table = pq.read_table(io.BytesIO(_fs().read_bytes(abs_p)))
+    d = table.to_pydict()
+    if ckpt.get("layout", "json") == "typed":
+        out = _decode_typed_ckpt(d, ckpt)
+    else:
+        out = _decode_json_ckpt(d)
+    if len(out) != ckpt.get("count", len(out)):
+        raise RuntimeError(
+            f"parquet checkpoint {ckpt['ref']} at {path}: read "
+            f"{len(out)} entries, manifest pins {ckpt['count']} — "
+            f"truncated or corrupt checkpoint; refusing a partial file list"
+        )
+    return out
+
+
+def _decode_json_ckpt(d: dict) -> list[dict]:
+    def batch(col: list) -> list:
+        return json.loads(
+            "[" + ",".join(x if x is not None else "null" for x in col) + "]"
+        )
+
+    stats_v = batch(d["stats"])
+    part_v = batch(d["partition"])
+    dv_v = batch(d["dv"])
+    extra_v = batch(d["extra"])
+    out = []
+    for i, p in enumerate(d["path"]):
+        e = {"path": p, "rows": d["rows"][i], "stats": stats_v[i]}
+        if part_v[i] is not None:
+            e["partition"] = part_v[i]
+        if dv_v[i] is not None:
+            e["dv"] = dv_v[i]
+        if d["bloom_ref"][i]:
+            e["bloom_ref"] = d["bloom_ref"][i]
+        if extra_v[i] is not None:
+            e.update(extra_v[i])
+        out.append(e)
+    return out
+
+
+def _decode_typed_ckpt(d: dict, ckpt: dict) -> list[dict]:
+    stats_cols = ckpt.get("stats_cols") or []
+    part_cols = ckpt.get("part_cols") or []
+    # pre-zip the per-entry stats triples: (c1, has, mn, mx, c2, ...) rows —
+    # one flat tuple per entry beats len(stats_cols) indexed lookups
+    svals = (
+        list(
+            zip(
+                *[
+                    col
+                    for i in range(len(stats_cols))
+                    for col in (d[f"s{i}_has"], d[f"s{i}_min"], d[f"s{i}_max"])
+                ]
+            )
+        )
+        if stats_cols
+        else [()] * len(d["path"])
+    )
+    pvals = (
+        list(zip(*[d[f"p{j}"] for j in range(len(part_cols))]))
+        if part_cols
+        else [()] * len(d["path"])
+    )
+    out = []
+    rng3 = [(c, 3 * i) for i, c in enumerate(stats_cols)]
+    for p, r, snull, pnull, dref, dn, bref, ex, sv, pv in zip(
+        d["path"], d["rows"], d["stats_null"], d["part_null"],
+        d["dv_ref"], d["dv_n"], d["bloom_ref"], d["extra"], svals, pvals,
+    ):
+        e = {"path": p, "rows": r}
+        if snull:
+            e["stats"] = None
+        else:
+            e["stats"] = {
+                c: [sv[o + 1], sv[o + 2]] for c, o in rng3 if sv[o]
+            }
+        if not pnull:
+            e["partition"] = dict(zip(part_cols, pv))
+        if dref is not None:
+            e["dv"] = {"ref": dref} if dn is None else {"ref": dref, "n": dn}
+        if bref:
+            e["bloom_ref"] = bref
+        if ex:
+            e.update(json.loads(ex))
+        out.append(e)
+    return out
+
+
+def _manifest_files_pruned(
+    path: str, m: dict, phys_predicates: dict
+) -> list[dict] | None:
+    """Vectorized stats pruning INSIDE the checkpoint resolve: evaluate
+    ``{physical_col: (lo, hi)}`` range predicates over a TYPED sidecar's
+    native min/max columns with Arrow compute, then materialize ONLY the
+    surviving entries as Python dicts. At 100k+ files this is the
+    difference between reconstructing the whole file list (O(files) Python
+    object churn) and reconstructing the handful a pruned scan opens —
+    the log-replay data skipping Delta performs on its checkpoint.
+
+    Returns a conservative SUPERSET of the exact prune (semantics
+    identical: callers re-apply ``_stats_may_contain`` on the survivors),
+    or None when not applicable — non-typed layout, no predicate on a
+    stats column, or a type pairing the vectorized compare can't do
+    exactly (caller falls back to the full resolve)."""
+    ck = m.get("files_ckpt")
+    if not ck or ck.get("layout") != "typed" or not phys_predicates:
+        return None
+    stats_cols = ck.get("stats_cols") or []
+    idx = {c: i for i, c in enumerate(stats_cols)}
+    usable = {
+        c: rng for c, rng in phys_predicates.items() if c in idx
+    }
+    if not usable:
+        return None
+    import io
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    abs_p = os.path.join(_manifest_dir(path), ck["ref"])
+    table = pq.read_table(io.BytesIO(_fs().read_bytes(abs_p)))
+
+    def lit_for(col_type, v):
+        # exact compare or bail: int col + int lit in int64; float col +
+        # numeric lit in float64 (float stats are float64-born); str+str.
+        # A float literal against an INTEGER column falls back (float64
+        # rounding above 2^53 could wrongly skip a file).
+        if isinstance(v, bool) or v is None:
+            return None
+        if pa.types.is_integer(col_type) and isinstance(v, int):
+            return pa.scalar(v, col_type)
+        if pa.types.is_floating(col_type) and isinstance(v, (int, float)):
+            return pa.scalar(float(v), col_type)
+        if pa.types.is_string(col_type) and isinstance(v, str):
+            return pa.scalar(v, col_type)
+        return None
+
+    keep = None
+    try:
+        for c, (lo, hi) in usable.items():
+            i = idx[c]
+            has = table[f"s{i}_has"]
+            mn, mx = table[f"s{i}_min"], table[f"s{i}_max"]
+            lo_r, hi_r = _stats_repr(lo), _stats_repr(hi)
+            if lo_r is None or hi_r is None:
+                continue  # unprunable literal: this predicate keeps all
+            hi_s = lit_for(mn.type, hi_r)
+            lo_s = lit_for(mx.type, lo_r)
+            if hi_s is None or lo_s is None:
+                return None  # inexact pairing: full resolve decides
+            unknown = pc.or_(
+                pc.invert(pc.fill_null(has, False)),
+                pc.or_(pc.is_null(mn), pc.is_null(mx)),
+            )
+            rng = pc.and_(
+                pc.less_equal(mn, hi_s), pc.greater_equal(mx, lo_s)
+            )
+            cond = pc.or_(unknown, pc.fill_null(rng, False))
+            keep = cond if keep is None else pc.and_(keep, cond)
+    except (pa.lib.ArrowInvalid, pa.lib.ArrowNotImplementedError, TypeError,
+            OverflowError):
+        return None
+    if keep is None:
+        return None
+    filtered = table.filter(pc.fill_null(keep, True))
+    d = filtered.to_pydict()
+    return _decode_typed_ckpt(d, ck)
+
+
+def _maybe_parquet_checkpoint(path: str, manifest: dict, version: int) -> dict:
+    """Externalize an oversized FULL manifest's file list to a parquet
+    checkpoint. Runs after ``_maybe_delta_files`` — incremental manifests
+    are already O(changed files) and stay JSON; only the periodic full
+    checkpoint pays O(live files), and above the threshold that cost moves
+    to a columnar sidecar. Readers lacking the feature must refuse
+    (min_reader 3): their legacy fallback would list data dirs and
+    resurrect rewritten rows."""
+    files = manifest.get("files")
+    if files is None or len(files) < _PARQUET_CHECKPOINT_MIN_FILES:
+        return manifest
+    out = {k: v for k, v in manifest.items() if k != "files"}
+    out["files_ckpt"] = _write_parquet_checkpoint(path, files, version)
+    out["min_reader"] = 3
+    return out
+
+
 def _manifest_files(path: str, m: dict) -> list[dict]:
     """Active file entries of a manifest: ``{"path": rel, "rows": int|None,
     "stats": {col: [min, max]}|None}``. Delta manifests (files_base +
     files_add/files_remove) resolve against their base chain (bounded by
     ``_DELTA_MANIFEST_CHAIN_MAX``, memoized — manifests are immutable).
-    Legacy dir-level manifests are expanded by listing their data dirs
-    (no stats)."""
+    Parquet checkpoint manifests (``files_ckpt``) read their columnar
+    sidecar (memoized the same way). Legacy dir-level manifests are
+    expanded by listing their data dirs (no stats)."""
     if "files" in m:
         return m["files"]
+    if "files_ckpt" in m:
+        key = (path, m.get("version"), m.get("committed_at"), "ckpt")
+        if m.get("version") is not None:
+            with _FILES_CACHE_LOCK:
+                hit = _FILES_CACHE.get(key)
+                if hit is not None:
+                    return list(hit)
+        out = _read_parquet_checkpoint(path, m["files_ckpt"])
+        if m.get("version") is not None:
+            with _FILES_CACHE_LOCK:
+                while len(_FILES_CACHE) >= _FILES_CACHE_MAX:
+                    _FILES_CACHE.pop(next(iter(_FILES_CACHE)))
+                _FILES_CACHE[key] = list(out)
+        return out
     if "files_base" in m:
         # committed_at in the key guards a table dropped and re-created at
         # the same path within one process: same (path, version) can then
@@ -478,7 +921,7 @@ def _bloom_cols_in_use(path: str, cur: dict) -> list[str]:
     manifest's sidecars — rewrite paths preserve the table's bloom
     discipline the same way they preserve min/max stats."""
     cols: set = set()
-    for e in _manifest_files(path, cur) if ("files" in cur or "files_base" in cur) else []:
+    for e in _manifest_files(path, cur) if _has_files(cur) else []:
         ref = e.get("bloom_ref")
         if ref:
             side = _bloom_sidecar(os.path.join(path, ref))
@@ -1102,6 +1545,10 @@ def _commit(
         # the base version instead of the full list — O(changed files)
         # commit metadata (Delta's delta-log + checkpoint design).
         manifest = _maybe_delta_files(path, manifest, latest)
+        # Oversized FULL manifests (the periodic checkpoints delta chains
+        # rebase on) externalize their file list to a columnar parquet
+        # sidecar — the JSON manifest stays a tiny pointer.
+        manifest = _maybe_parquet_checkpoint(path, manifest, version)
         # stamp the writer requirement: the max of this commit's features
         # and the table's standing requirement (never silently downgrade)
         need = max(_required_writer(manifest), need_w)
@@ -3217,7 +3664,7 @@ def _stats_cols_in_use(cur: dict, path: str | None = None) -> list[str]:
     current manifest — predicate DML preserves whatever stats discipline
     the table already has, so merge pruning keeps firing afterwards.
     Pass ``path`` so delta manifests can resolve their base chain."""
-    if path is not None and ("files" in cur or "files_base" in cur):
+    if path is not None and _has_files(cur):
         entries = _manifest_files(path, cur)
     else:
         entries = cur.get("files") or []
@@ -3971,7 +4418,7 @@ def snapshot_read(
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
     m = _read_manifest(path, v)
-    if "files" in m or "files_base" in m:
+    if _has_files(m):
         files = _manifest_files(path, m)
         if not files:
             from pyspark.sql.types import StructType
@@ -4370,7 +4817,6 @@ def snapshot_scan(
         raise FileNotFoundError(f"no snapshots at {path}")
     v = versions[-1] if version is None else version
     m = _read_manifest(path, v)
-    files = _manifest_files(path, m)
     predicates = predicates or {}
     # generated-column partition pruning: a range on the BASE column of a
     # monotone generated partition column implies a range on the partition
@@ -4386,6 +4832,16 @@ def snapshot_scan(
         if dlo is not None and dhi is not None:
             predicates = {**predicates, g: (dlo, dhi)}
     mapping = _mapping(m)
+    # typed parquet checkpoint: push the range predicates INTO the resolve
+    # (vectorized over the sidecar's native min/max columns) so only a
+    # pruned superset of entries ever materializes driver-side; the exact
+    # _stats_may_contain pass below re-checks the survivors, so semantics
+    # are unchanged.
+    files = _manifest_files_pruned(
+        path, m, {_phys(mapping, c): rng for c, rng in predicates.items()}
+    )
+    if files is None:
+        files = _manifest_files(path, m)
     bloom_pos: dict[str, list[int] | None] = {}
     if any(e.get("bloom_ref") for e in files):
         for c, (lo, hi) in predicates.items():
@@ -5494,7 +5950,7 @@ def snapshot_add_columns(path: str, new_fields) -> int:
             "schema": schema.json(),
             "data_change": False,
         }
-        if "files" in latest or "files_base" in latest:
+        if _has_files(latest):
             out["files"] = _manifest_files(path, latest)
         if mapping:
             out["column_mapping"] = mapping
@@ -5579,7 +6035,7 @@ def snapshot_rename_columns(path: str, renames: dict) -> int:
             "schema": StructType(new_fields).json(),
             "data_change": False,
         }
-        if "files" in latest or "files_base" in latest:
+        if _has_files(latest):
             out["files"] = _manifest_files(path, latest)
         if mapping:
             out["column_mapping"] = mapping
@@ -5647,7 +6103,7 @@ def snapshot_drop_columns(path: str, names: Sequence[str]) -> int:
             "schema": StructType(kept).json(),
             "data_change": False,
         }
-        if "files" in latest or "files_base" in latest:
+        if _has_files(latest):
             out["files"] = _manifest_files(path, latest)
         mapping = {
             k: v for k, v in _mapping(latest).items() if k not in drop
@@ -5739,7 +6195,7 @@ def snapshot_history(path: str) -> list[dict]:
     prev_rows: int | None = None
     for v in versions:
         m = _read_manifest(path, v)
-        has_files = "files" in m or "files_base" in m
+        has_files = _has_files(m)
         files = _manifest_files(path, m) if has_files else None
         n_rows = m.get("n_rows")
         if not has_files:
@@ -5841,6 +6297,158 @@ def snapshot_partitions(path: str, version: int | None = None) -> list[dict]:
     return out
 
 
+def snapshot_files_df(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The version's ACTIVE FILE LIST as a DataFrame — distributed resolve
+    of the metadata plane, for inventory/audit jobs that aggregate over
+    file metadata (bytes per partition, rows per file, DV debt).
+
+    Typed schema: ``path`` string, ``rows`` long, ``partition``
+    map<string,string> (null when unpartitioned), ``dv_ref`` string,
+    ``dv_n`` long, ``bloom_ref`` string, plus ``smin_<c>``/``smax_<c>``
+    per stats column — natively typed, so Spark aggregates them without
+    any JSON parsing.
+
+    Resolution by manifest form:
+    - typed ``files_ckpt``: Spark reads the columnar sidecar DIRECTLY
+      (parallel, column-prunable) when it lives on a Spark-readable
+      filesystem — at millions of files the list never materializes on
+      the driver;
+    - ``files_base`` chains: the base resolves recursively (its horizon is
+      a checkpoint), then the O(changed files) removes filter out and adds
+      union in — the distributed twin of ``_manifest_files``;
+    - inline ``files`` / legacy dir / json-layout checkpoints: driver
+      entries (small by construction, or the rare irregular fallback).
+    """
+    versions = snapshot_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    return _files_df_of(spark, path, _read_manifest(path, v))
+
+
+def _entries_to_files_df(spark: SparkSession, entries: list[dict]) -> DataFrame:
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    stats_cols: list[str] = []
+    for e in entries:
+        for c in e.get("stats") or {}:
+            if c not in stats_cols:
+                stats_cols.append(c)
+    pa_types = {bool: BooleanType(), int: LongType(), float: DoubleType()}
+
+    def spark_type(c):
+        vals = [
+            v
+            for e in entries
+            for v in (e.get("stats") or {}).get(c) or []
+            if v is not None
+        ]
+        ts = {type(v) for v in vals}
+        if ts == {bool} or ts == {int} or ts == {float}:
+            return pa_types[next(iter(ts))]
+        return StringType()  # strings, mixed, or all-None: stringified
+
+    fields = [
+        StructField("path", StringType()),
+        StructField("rows", LongType()),
+        StructField("partition", MapType(StringType(), StringType())),
+        StructField("dv_ref", StringType()),
+        StructField("dv_n", LongType()),
+        StructField("bloom_ref", StringType()),
+    ]
+    stypes = {c: spark_type(c) for c in stats_cols}
+    for c in stats_cols:
+        fields.append(StructField(f"smin_{c}", stypes[c]))
+        fields.append(StructField(f"smax_{c}", stypes[c]))
+
+    def coerce(c, v):
+        if v is None or not isinstance(stypes[c], StringType):
+            return v
+        return v if isinstance(v, str) else json.dumps(v)
+
+    rows = []
+    for e in entries:
+        st = e.get("stats") or {}
+        dv = e.get("dv") or {}
+        row = [
+            e["path"],
+            e.get("rows"),
+            e.get("partition"),
+            dv.get("ref"),
+            dv.get("n"),
+            e.get("bloom_ref"),
+        ]
+        for c in stats_cols:
+            mn, mx = st.get(c) or (None, None)
+            row += [coerce(c, mn), coerce(c, mx)]
+        rows.append(tuple(row))
+    return spark.createDataFrame(rows, StructType(fields))
+
+
+def _files_df_of(spark: SparkSession, path: str, m: dict) -> DataFrame:
+    ck = m.get("files_ckpt")
+    if ck is not None and ck.get("layout") == "typed":
+        abs_p = os.path.join(_manifest_dir(path), ck["ref"])
+        if os.path.isfile(abs_p):
+            df = spark.read.parquet(abs_p)
+            stats_cols = ck.get("stats_cols") or []
+            part_cols = ck.get("part_cols") or []
+            sel = [F.col("path"), F.col("rows")]
+            if part_cols:
+                kv = []
+                for j_, c in enumerate(part_cols):
+                    kv += [F.lit(c), F.col(f"p{j_}")]
+                sel.append(
+                    F.when(F.col("part_null"), F.lit(None))
+                    .otherwise(F.create_map(*kv))
+                    .alias("partition")
+                )
+            else:
+                sel.append(
+                    F.lit(None)
+                    .cast("map<string,string>")
+                    .alias("partition")
+                )
+            sel += [
+                F.col("dv_ref"),
+                F.col("dv_n"),
+                F.col("bloom_ref"),
+            ]
+            for i, c in enumerate(stats_cols):
+                sel.append(F.col(f"s{i}_min").alias(f"smin_{c}"))
+                sel.append(F.col(f"s{i}_max").alias(f"smax_{c}"))
+            return df.select(*sel)
+        # metadata plane on a non-Spark-readable store: driver reconstruct
+        return _entries_to_files_df(spark, _read_parquet_checkpoint(path, ck))
+    if "files_base" in m:
+        base = _files_df_of(spark, path, _read_manifest(path, m["files_base"]))
+        ek = F.concat_ws(
+            "@", F.col("path"), F.coalesce(F.col("dv_ref"), F.lit(""))
+        )
+        # removes/adds are O(changed files) — in-list + small union
+        rm = list(m.get("files_remove") or [])
+        out = base.where(~ek.isin(rm)) if rm else base
+        adds = list(m.get("files_add") or [])
+        if adds:
+            out = out.unionByName(
+                _entries_to_files_df(spark, adds), allowMissingColumns=True
+            )
+        return out
+    return _entries_to_files_df(spark, _manifest_files(path, m))
+
+
 def snapshot_rollback(path: str, version: int) -> int:
     """RESTORE: commit a NEW version whose manifest points at an old
     version's files (history is preserved — same as Delta RESTORE)."""
@@ -5852,7 +6460,7 @@ def snapshot_rollback(path: str, version: int) -> int:
             "n_rows": m["n_rows"],
             "schema": m["schema"],
         }
-        if "files" in m or "files_base" in m:
+        if _has_files(m):
             out["files"] = _manifest_files(path, m)
         if _mapping(m):
             out["column_mapping"] = _mapping(m)
@@ -6092,8 +6700,13 @@ def snapshot_vacuum(
     # past the horizon (content-equivalent full rewrite via write_atomic —
     # readers see either form; Delta's checkpoint-at-the-horizon move).
     keep_manifests = []
+    # parquet checkpoints referenced by retained manifests (or written by
+    # materialization below) must survive the checkpoint GC at the end
+    live_ckpt_names: set[str] = set()
     for v in keep:
         m = _read_manifest(path, v)
+        if "files_ckpt" in m:
+            live_ckpt_names.add(m["files_ckpt"]["ref"].rsplit("/", 1)[-1])
         if "files_base" in m:
             full = {
                 k: x
@@ -6105,15 +6718,28 @@ def snapshot_vacuum(
             }
             full["files"] = _manifest_files(path, m)
             if m["files_base"] not in keep_set and not dry_run:
+                # an oversized materialized list externalizes to a parquet
+                # checkpoint exactly like a committed full manifest would
+                towrite = _maybe_parquet_checkpoint(path, full, v)
+                if "files_ckpt" in towrite:
+                    live_ckpt_names.add(
+                        towrite["files_ckpt"]["ref"].rsplit("/", 1)[-1]
+                    )
                 fs.write_atomic(
                     os.path.join(_manifest_dir(path), f"{v}.json"),
-                    json.dumps(full),
+                    json.dumps(towrite),
                 )
             m = full
         keep_manifests.append(m)
+    dropped_manifests = {v: _read_manifest(path, v) for v in drop}
     dropped_by_version = {
-        v: _manifest_files(path, _read_manifest(path, v)) for v in drop
+        v: _manifest_files(path, m) for v, m in dropped_manifests.items()
     }
+    dropped_ckpt_names = {
+        m["files_ckpt"]["ref"].rsplit("/", 1)[-1]
+        for m in dropped_manifests.values()
+        if "files_ckpt" in m
+    } - live_ckpt_names
     live_files = {
         e["path"] for m in keep_manifests for e in _manifest_files(path, m)
     }
@@ -6207,6 +6833,22 @@ def snapshot_vacuum(
                 if not dry_run:
                     fs.delete_file(fp)
                 removed.append(rel)
+    # Parquet checkpoint GC: a dropped version's checkpoint is definitively
+    # dead (its manifest is gone). Anything else unreferenced in the
+    # checkpoints dir is a commit-race loser's orphan — age-guarded, since
+    # an in-flight commit writes its checkpoint BEFORE its manifest lands.
+    ckpt_dir = os.path.join(_manifest_dir(path), "checkpoints")
+    if fs.is_dir(ckpt_dir):
+        for fname in fs.list_dir(ckpt_dir):
+            if not fname.endswith(".parquet") or fname in live_ckpt_names:
+                continue
+            fp = os.path.join(ckpt_dir, fname)
+            if fname in dropped_ckpt_names or (
+                fs.is_file(fp) and now - fs.mtime(fp) >= orphan_min_age_sec
+            ):
+                if not dry_run:
+                    fs.delete_file(fp)
+                removed.append(f"_snapshots/checkpoints/{fname}")
     return removed
 
 

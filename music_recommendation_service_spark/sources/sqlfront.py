@@ -153,6 +153,35 @@ def _top_level_groups(s: str):
         i += 1
 
 
+def _parse_gen_colspecs(spec: str) -> list[tuple[str, str, str]]:
+    """Parse a CREATE TABLE column-spec list into
+    ``[(col, type_ddl, expr)]``. CTAS derives its data schema from the
+    select, so every entry here MUST be a generated column:
+    ``<col> <TYPE> GENERATED ALWAYS AS (<expr>)``. Types with arguments
+    (DECIMAL(10,2)) and exprs with nested parens/commas are handled by
+    top-level splitting."""
+    out = []
+    for piece in _split_top(spec, r","):
+        if not piece.strip():
+            continue
+        m = re.match(
+            r"\s*`?([\w]+)`?\s+(.+?)\s+GENERATED\s+ALWAYS\s+AS\s*\((.*)\)\s*$",
+            piece, re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise SqlDispatchError(
+                f"CREATE TABLE column spec {piece.strip()!r}: CTAS takes "
+                f"its data columns from the select; the only declarations "
+                f"allowed here are generated columns — "
+                f"<col> <TYPE> GENERATED ALWAYS AS (<expr>). For identity "
+                f"columns use ALTER TABLE ... SET IDENTITY."
+            )
+        out.append((m.group(1), m.group(2).strip(), m.group(3).strip()))
+    if not out:
+        raise SqlDispatchError("CREATE TABLE: empty column-spec list")
+    return out
+
+
 def _find_top(s: str, pattern: str, pos: int = 0):
     """First match of ``pattern`` (case-insensitive) at top level, at or
     after ``pos``; returns a re.Match against s or None."""
@@ -671,19 +700,24 @@ def dispatch_sql(
         sch = StructType.fromJson(_json.loads(latest["schema"]))
         ident_col = (latest.get("identity") or {}).get("col")
         required = sorted(sch.fieldNames())
-        # an identity column is GENERATED ALWAYS: the INSERT may (must)
-        # omit it — snapshot_append assigns; supplying it falls through to
-        # the append's own clear rejection
-        ok = sorted(df.columns) == required or (
-            ident_col is not None
-            and sorted(df.columns) == sorted(set(required) - {ident_col})
+        # identity and generated columns are GENERATED ALWAYS: the INSERT
+        # may omit ANY subset of them — snapshot_append assigns/auto-fills;
+        # supplying a value falls through to the append's own validation
+        omittable = set(latest.get("generated") or {})
+        if ident_col is not None:
+            omittable.add(ident_col)
+        got_cols = set(df.columns)
+        ok = (
+            got_cols <= set(required)
+            and set(required) - got_cols <= omittable
+            and len(df.columns) == len(got_cols)
         )
         if not ok:
             raise SqlDispatchError(
                 f"INSERT INTO {name}: query columns {sorted(df.columns)} "
                 f"!= table columns {required}"
-                + (f" (identity column {ident_col!r} may be omitted)"
-                   if ident_col else "")
+                + (f" (GENERATED ALWAYS columns {sorted(omittable)} may "
+                   f"be omitted)" if omittable else "")
             )
         # Delta INSERT semantics: align by name, implicit-cast to the
         # declared column types
@@ -715,23 +749,41 @@ def dispatch_sql(
         )
         return vdf(v), name
     if head == "CREATE":
+        pm = re.match(
+            rf"\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})\s*(.*)$",
+            q, re.IGNORECASE | re.DOTALL,
+        )
+        crest = pm.group(3).strip() if pm else ""
+        gen_specs: list[tuple[str, str, str]] = []
+        if pm and crest.startswith("("):
+            # optional column-spec list — CTAS derives its schema from the
+            # select, so the ONLY declarations allowed here are generated
+            # columns, added on top of the select's output (the q153 shape:
+            # evt_day TIMESTAMP GENERATED ALWAYS AS (date_trunc('day', ts))
+            # ... PARTITIONED BY (evt_day), Delta CREATE TABLE parity)
+            groups = list(_top_level_groups(crest))
+            if not groups or groups[0][0] != 0:
+                raise SqlDispatchError(
+                    "CREATE TABLE: unbalanced column-spec list"
+                )
+            a, b = groups[0]
+            gen_specs = _parse_gen_colspecs(crest[1:b])
+            crest = crest[b + 1:].strip()
         cm = re.match(
-            rf"\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})\s+"
             rf"LOCATION\s+'([^']+)'\s+"
             rf"(?:PARTITIONED\s+BY\s*\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)\s+)?"
             rf"(AS\s+.*|SHALLOW\s+CLONE\s+.*)$",
-            q, re.IGNORECASE | re.DOTALL,
-        )
+            crest, re.IGNORECASE | re.DOTALL,
+        ) if pm else None
         if not cm:
             raise SqlDispatchError(
-                "CREATE grammar: CREATE [OR REPLACE] TABLE <view> LOCATION "
+                "CREATE grammar: CREATE [OR REPLACE] TABLE <view> "
+                "[(c TYPE GENERATED ALWAYS AS (expr), ...)] LOCATION "
                 "'<path>' [PARTITIONED BY (c1, c2)] AS <select> | "
                 "SHALLOW CLONE <view> [VERSION AS OF n]"
             )
-        replace, name, path, pby, tail = (
-            bool(cm.group(1)), cm.group(2), cm.group(3),
-            cm.group(4), cm.group(5).strip(),
-        )
+        replace, name = bool(pm.group(1)), pm.group(2)
+        path, pby, tail = cm.group(1), cm.group(2), cm.group(3).strip()
         partition_by = (
             [c.strip() for c in pby.split(",")] if pby else None
         )
@@ -754,13 +806,43 @@ def dispatch_sql(
                     "SHALLOW CLONE inherits the source's partitioning; "
                     "PARTITIONED BY applies to CTAS only"
                 )
+            if gen_specs:
+                raise SqlDispatchError(
+                    "SHALLOW CLONE inherits the source's generated rules; "
+                    "column specs apply to CTAS only"
+                )
             src = _require_view(clone.group(1), views)
             ver = int(clone.group(2)) if clone.group(2) else None
             v = S.snapshot_clone(src, path, version=ver)
         else:
             select = re.sub(r"^AS\s+", "", tail, flags=re.IGNORECASE)
+            df = spark.sql(select)
+            extra = None
+            if gen_specs:
+                from pyspark.sql import functions as F
+
+                for col, typ, gexpr in gen_specs:
+                    if col in df.columns:
+                        raise SqlDispatchError(
+                            f"generated column {col!r} collides with a "
+                            f"column the select already produces"
+                        )
+                    try:
+                        df = df.withColumn(col, F.expr(gexpr).cast(typ))
+                        df.schema  # force analysis: refuse BEFORE any write
+                    except SqlDispatchError:
+                        raise
+                    except Exception as exc:
+                        raise SqlDispatchError(
+                            f"bad GENERATED ALWAYS AS rule for {col!r} "
+                            f"({typ}, {gexpr}): {exc}"
+                        ) from None
+                # the rule rides the SAME commit as the data it governs —
+                # every later write auto-fills/validates, and the scan
+                # planner's generated-partition derivations prune on it
+                extra = {"generated": {c: e for c, _t, e in gen_specs}}
             v = S.snapshot_write(
-                spark.sql(select), path, partition_by=partition_by
+                df, path, partition_by=partition_by, manifest_extra=extra
             )
         views[name] = path  # Engine.sql re-registers it as a temp view
         return vdf(v), name

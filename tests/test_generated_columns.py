@@ -190,3 +190,97 @@ def test_rule_sticky_across_maintenance_commits(spark, tmp_path):
     with pytest.raises(ConstraintViolationError, match="GENERATED"):
         snapshot_append(_df(spark, [(99, 1.0, 3.0)]), path)
     assert snapshot_read(spark, path).count() == 50
+
+
+def test_sql_create_table_generated_partition_column(spark, tmp_path):
+    """The q153 shape declared in ONE SQL statement: CREATE TABLE
+    (g TYPE GENERATED ALWAYS AS (expr)) LOCATION ... PARTITIONED BY (g)
+    AS SELECT — rule + layout ride the write commit; later INSERTs
+    auto-fill; the ts-only scan prunes via the generated derivation."""
+    import datetime as dt
+
+    from music_recommendation_service_spark.engine import Engine
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    e = Engine(str(tmp_path), spark=spark)
+    spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1 + i % 10, 6), float(i)) for i in range(40)],
+        "event_id int, ts timestamp, value double",
+    ).createOrReplaceTempView("gen_src")
+    p = str(tmp_path / "gen_sql")
+    e.sql(
+        "CREATE TABLE gtv (evt_day TIMESTAMP GENERATED ALWAYS AS "
+        f"(date_trunc('day', ts))) LOCATION '{p}' "
+        "PARTITIONED BY (evt_day) AS SELECT * FROM gen_src"
+    )
+    m = S._latest_manifest(p)
+    assert m["partition_cols"] == ["evt_day"]
+    assert m["generated"] == {"evt_day": "date_trunc('day', ts)"}
+    assert S.snapshot_versions(p) == [1]  # rule rides the SAME commit
+
+    # later INSERT auto-fills the generated column
+    e.sql(
+        "INSERT INTO gtv SELECT 100 AS event_id, "
+        "TIMESTAMP '2024-01-03 09:00:00' AS ts, CAST(1.5 AS DOUBLE) AS value"
+    )
+    got = e.sql(
+        "SELECT evt_day FROM gtv WHERE event_id = 100"
+    ).collect()[0]["evt_day"]
+    assert got == dt.datetime(2024, 1, 3)
+
+    # ts-only predicate prunes via the generated derivation: the scan
+    # opens a strict subset of files
+    full = S._manifest_files(p, S._latest_manifest(p))
+    pruned = S.snapshot_scan(
+        spark, p, {"ts": (dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 3, 23))}
+    )
+    import re as _re
+
+    opened = {
+        _re.sub(r".*/(v=[^/]+/)", r"\1", f)
+        for f in pruned.inputFiles()
+    }
+    assert 0 < len(opened) < len(full)
+    assert pruned.count() == 8 + 1  # days 2,3 (4 each) + the insert
+
+
+def test_sql_create_generated_refusals(spark, tmp_path):
+    """Bad rules refuse at parse/analysis time, before any commit: unknown
+    base column, bad type, name collision, non-generated column specs."""
+    import pytest as _pytest
+
+    from music_recommendation_service_spark.engine import Engine
+    from music_recommendation_service_spark.sources import snapshots as S
+    from music_recommendation_service_spark.sources.sqlfront import (
+        SqlDispatchError,
+    )
+
+    e = Engine(str(tmp_path), spark=spark)
+    spark.createDataFrame(
+        [(1, 2.0)], "event_id int, value double"
+    ).createOrReplaceTempView("gen_src2")
+    p = str(tmp_path / "refuse")
+
+    with _pytest.raises(SqlDispatchError, match="bad GENERATED ALWAYS AS"):
+        e.sql(
+            "CREATE TABLE r1 (d TIMESTAMP GENERATED ALWAYS AS "
+            f"(date_trunc('day', nope_col))) LOCATION '{p}' "
+            "AS SELECT * FROM gen_src2"
+        )
+    with _pytest.raises(SqlDispatchError, match="bad GENERATED ALWAYS AS"):
+        e.sql(
+            "CREATE TABLE r2 (d NOT_A_TYPE GENERATED ALWAYS AS "
+            f"(event_id)) LOCATION '{p}' AS SELECT * FROM gen_src2"
+        )
+    with _pytest.raises(SqlDispatchError, match="collides"):
+        e.sql(
+            "CREATE TABLE r3 (value DOUBLE GENERATED ALWAYS AS "
+            f"(value * 2)) LOCATION '{p}' AS SELECT * FROM gen_src2"
+        )
+    with _pytest.raises(SqlDispatchError, match="only declarations"):
+        e.sql(
+            f"CREATE TABLE r4 (plain_col INT) LOCATION '{p}' "
+            "AS SELECT * FROM gen_src2"
+        )
+    # nothing committed by any refusal
+    assert S.snapshot_versions(p) == []
