@@ -762,6 +762,25 @@ class SnapshotStreamReader(DataSourceStreamReader):
 # --------------------------------------------------------------------------
 
 
+_HIVE_ESCAPE_CHARS = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _hive_escape_value(v) -> str:
+    """Hive directory-name form of a partition value: the characters Hive
+    escapes become %XX (uppercase hex) so ``_hive_partition_values``'
+    unquote round-trips them; NULL and the empty string map to
+    ``__HIVE_DEFAULT_PARTITION__`` (Spark writer parity)."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    s = str(v)
+    if not s:
+        return "__HIVE_DEFAULT_PARTITION__"
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE_CHARS or ord(ch) < 0x20 else ch
+        for ch in s
+    )
+
+
 @dataclass
 class SnapshotFileCommit(WriterCommitMessage):
     name: str
@@ -774,6 +793,11 @@ class SnapshotFileCommit(WriterCommitMessage):
     # the dir must travel in the message, never be read off commit()'s
     # instance state.
     rel_dir: str = ""
+    # Hive-partitioned tasks write one file PER partition tuple present in
+    # the batch; each item is {"name", "subdir" (key=value segments),
+    # "rows", "stats", "partition", "blooms"} and name/stats above are
+    # unused (rows carries the task total).
+    parts: list = field(default_factory=list)
 
 
 class SnapshotBatchWriter(DataSourceArrowWriter):
@@ -856,6 +880,80 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
             self._bloom_cols = (
                 sn._bloom_cols_in_use(self._path, latest) if latest else []
             )
+        # Partition declaration (S5 through the DataSource): option
+        # partitionBy declares the layout when CREATING (fresh table or
+        # overwrite); appends adopt the manifest's declaration and land
+        # real Hive key=value files; a MISMATCHED option on an existing
+        # table refuses. Types whose Hive directory string form Spark's
+        # writer formats specially (timestamps) refuse at creation (route
+        # through snapshot_write); appends onto such tables keep the
+        # pre-existing flat/mixed-layout behavior instead of breaking.
+        pby = options.get("partitionby")
+        declared = (
+            [c.strip() for c in pby.split(",") if c.strip()] if pby else None
+        )
+        existing = (
+            list(latest.get("partition_cols") or [])
+            if latest is not None
+            else None
+        )
+        if latest is None:
+            pcols = declared or []
+        elif overwrite:
+            pcols = declared if declared is not None else existing
+        else:
+            if declared is not None and declared != existing:
+                raise ValueError(
+                    f"partitionBy {declared} does not match the table's "
+                    f"declared partitioning {existing} at {self._path}"
+                )
+            pcols = existing
+        self._partition_cols = list(pcols or [])
+        self._hive_split = bool(self._partition_cols)
+        if self._partition_cols:
+            ftypes = {f.name: f.dataType for f in schema.fields}
+            missing = [c for c in self._partition_cols if c not in ftypes]
+            if missing:
+                raise ValueError(
+                    f"partitionBy columns not in the data: {missing}"
+                )
+            if "v" in self._partition_cols:
+                raise ValueError(
+                    "'v' is reserved by the snapshot protocol's "
+                    "data-dir naming"
+                )
+            if len(self._partition_cols) == len(schema.fields):
+                raise ValueError(
+                    "cannot partition by every column (no data columns left)"
+                )
+            from pyspark.sql.types import (
+                ByteType, DateType, IntegerType, LongType, ShortType,
+                StringType,
+            )
+
+            unsupported = [
+                c for c in self._partition_cols
+                if not isinstance(
+                    ftypes[c],
+                    (ByteType, ShortType, IntegerType, LongType,
+                     StringType, DateType),
+                )
+            ]
+            if unsupported:
+                if declared is not None:
+                    raise ValueError(
+                        f"partitionBy column types "
+                        f"{[(c, str(ftypes[c])) for c in unsupported]} "
+                        f"need Spark's own directory-name formatting; "
+                        f"create the table through snapshot_write"
+                    )
+                # append onto an existing table with exotic partition
+                # types: land flat files (mixed layout, the pre-existing
+                # contract) rather than mis-formatting directory names
+                self._hive_split = False
+        self._partition_phys = [
+            sn._phys(self._mapping, c) for c in self._partition_cols
+        ]
         self._rel_dir, self._abs_dir = sn._new_data_dir(self._path)
         os.makedirs(self._abs_dir, exist_ok=True)
 
@@ -883,6 +981,8 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
             # Don't land empty files for empty partitions — the manifest
             # would carry them forever.
             return SnapshotFileCommit(name="", rows=0, stats=None)
+        if self._hive_split:
+            return self._write_hive_split(tbl)
         os.makedirs(self._abs_dir, exist_ok=True)
         name = f"part-{uuid.uuid4().hex}.parquet"
         pq.write_table(tbl, os.path.join(self._abs_dir, name))
@@ -907,6 +1007,79 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
         return SnapshotFileCommit(
             name=name, rows=tbl.num_rows, stats=stats, blooms=blooms,
             rel_dir=self._rel_dir,
+        )
+
+    def _write_hive_split(self, tbl) -> SnapshotFileCommit:
+        """Hive-layout task write: split the Arrow batch by partition
+        tuple, land one file per tuple under ``rel_dir/key=value/...``
+        WITHOUT the partition columns (they live in the directory names,
+        exactly Spark's ``partitionBy`` layout), and fold each tuple's
+        values into the entry stats as exact [v, v] ranges — the manifest
+        shape ``snapshot_write(partition_by=...)`` produces."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        pcols = self._partition_phys
+        data_cols = [c for c in tbl.column_names if c not in pcols]
+        combos = tbl.group_by(pcols).aggregate([]).to_pylist()
+        parts, total = [], 0
+        for combo in combos:
+            mask = None
+            for c in pcols:
+                v = combo[c]
+                cond = (
+                    pc.is_null(tbl[c])
+                    if v is None
+                    else pc.equal(
+                        tbl[c], pa.scalar(v, tbl.schema.field(c).type)
+                    )
+                )
+                mask = cond if mask is None else pc.and_(mask, cond)
+            sub = tbl.filter(mask).select(data_cols)
+            subdir = "/".join(
+                f"{c}={_hive_escape_value(combo[c])}" for c in pcols
+            )
+            os.makedirs(os.path.join(self._abs_dir, subdir), exist_ok=True)
+            name = f"part-{uuid.uuid4().hex}.parquet"
+            pq.write_table(sub, os.path.join(self._abs_dir, subdir, name))
+            stats: dict = {}
+            for c in self._stats_cols:
+                if c in pcols:
+                    continue  # folded below as the exact [v, v]
+                if c in sub.column_names and sub.num_rows:
+                    mm = pc.min_max(sub[c])
+                    stats[c] = [
+                        sn._stats_repr(mm["min"].as_py()),
+                        sn._stats_repr(mm["max"].as_py()),
+                    ]
+                else:
+                    stats[c] = [None, None]
+            for c in pcols:
+                r = sn._stats_repr(combo[c])
+                stats[c] = [r, r]
+            blooms = {}
+            for c in self._bloom_cols:
+                b = self._build_bloom(sub, c)
+                if b is not None:
+                    blooms[c] = b
+            parts.append(
+                {
+                    "name": name,
+                    "subdir": subdir,
+                    "rows": sub.num_rows,
+                    "stats": stats,
+                    "partition": {
+                        c: (None if combo[c] is None else str(combo[c]))
+                        for c in pcols
+                    },
+                    "blooms": blooms,
+                }
+            )
+            total += sub.num_rows
+        return SnapshotFileCommit(
+            name="", rows=total, stats=None, rel_dir=self._rel_dir,
+            parts=parts,
         )
 
     def _validate_constraints(self, tbl) -> None:
@@ -984,7 +1157,10 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
     # -- driver side -----------------------------------------------------------
 
     def commit(self, messages) -> None:
-        msgs = [m for m in messages if m is not None and m.name]
+        msgs = [
+            m for m in messages
+            if m is not None and (m.name or getattr(m, "parts", None))
+        ]
         entries, n = _land_entries(self._path, msgs)
         schema_json = self._schema_json
         mapping = self._mapping
@@ -1016,6 +1192,8 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                     "retry"
                 )
 
+        partition_cols = self._partition_cols
+
         def build(latest: dict | None, version: int) -> dict:
             if overwrite or latest is None:
                 if latest is not None:
@@ -1028,6 +1206,8 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                 }
                 if table_constraints:
                     out["constraints"] = table_constraints
+                if partition_cols:
+                    out["partition_cols"] = partition_cols
                 # Overwrite replaces data AND resets the column mapping
                 # (files are written under logical names again); generated
                 # rules ride _commit's sticky carry.
@@ -1081,10 +1261,27 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
 def _land_entries(table_path: str, msgs) -> tuple[list[dict], int]:
     """Manifest entries (+ bloom sidecars, grouped per data dir) for
     task-written files — paths come from the MESSAGES the tasks sent, not
-    from writer-instance state (see SnapshotFileCommit.rel_dir)."""
+    from writer-instance state (see SnapshotFileCommit.rel_dir).
+    Partitioned tasks send one ``parts`` item per partition tuple; the
+    entries carry the partition values and their [v, v] stats, so the
+    manifest is indistinguishable from a ``snapshot_write`` Hive
+    layout's."""
     by_dir: dict[str, dict] = {}
     entries: list[dict] = []
     for m in msgs:
+        if getattr(m, "parts", None):
+            for p in m.parts:
+                e = {
+                    "path": f"{m.rel_dir}/{p['subdir']}/{p['name']}",
+                    "rows": p["rows"],
+                    "stats": p["stats"] or None,
+                    "partition": p["partition"],
+                }
+                if p.get("blooms"):
+                    e["bloom_ref"] = f"{m.rel_dir}/{sn._BLOOM_SIDECAR}"
+                    by_dir.setdefault(m.rel_dir, {})[p["name"]] = p["blooms"]
+                entries.append(e)
+            continue
         e = {"path": f"{m.rel_dir}/{m.name}", "rows": m.rows, "stats": m.stats}
         if m.blooms:
             e["bloom_ref"] = f"{m.rel_dir}/{sn._BLOOM_SIDECAR}"
@@ -1132,7 +1329,10 @@ class SnapshotStreamWriter(SnapshotBatchWriter, DataSourceStreamArrowWriter):
     # write() inherited: one parquet file + stats/blooms per task
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803
-        msgs = [m for m in messages if m is not None and m.name]
+        msgs = [
+            m for m in messages
+            if m is not None and (m.name or getattr(m, "parts", None))
+        ]
         if not msgs:
             return  # empty batch: nothing to make idempotent
         entries, n = _land_entries(self._path, msgs)
@@ -1142,6 +1342,8 @@ class SnapshotStreamWriter(SnapshotBatchWriter, DataSourceStreamArrowWriter):
         merge_schema = self._merge_schema
         path, app = self._path, self._txn_app
 
+        partition_cols = self._partition_cols
+
         def build(latest: dict | None, version: int) -> dict:
             if latest is None:
                 out = {
@@ -1150,6 +1352,8 @@ class SnapshotStreamWriter(SnapshotBatchWriter, DataSourceStreamArrowWriter):
                     "n_rows": n,
                     "schema": schema_json,
                 }
+                if partition_cols:
+                    out["partition_cols"] = partition_cols
                 if app is not None:
                     out["stream_txn"] = {app: batchId}
                 return out
@@ -1211,10 +1415,17 @@ class SnapshotStreamWriter(SnapshotBatchWriter, DataSourceStreamArrowWriter):
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
         # files only, never dirs: the query-run dirs host other batches
         for m in messages or []:
-            if m is not None and getattr(m, "name", "") and m.rel_dir:
+            if m is None or not m.rel_dir:
+                continue
+            rels = [m.name] if getattr(m, "name", "") else []
+            rels += [
+                f"{p['subdir']}/{p['name']}"
+                for p in getattr(m, "parts", None) or []
+            ]
+            for rel in rels:
                 try:
                     sn._fs().delete_file(
-                        os.path.join(self._path, m.rel_dir, m.name)
+                        os.path.join(self._path, m.rel_dir, rel)
                     )
                 except Exception:
                     pass

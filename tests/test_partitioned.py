@@ -871,3 +871,182 @@ def test_hive_scan_refuses_partial_suffix_mismatch(spark, tmp_path, monkeypatch)
     monkeypatch.setattr(S, "_fs_form", mangled)
     with pytest.raises(RuntimeError, match="match no walked path"):
         _mk(spark, tmp_path, name="pt_mismatch")
+
+
+# --------------------------------------------------------------------------
+# partition declaration through the DataSource and stream sink (round 11)
+# --------------------------------------------------------------------------
+
+
+def _reg(spark):
+    from music_recommendation_service_spark.sources.datasource import (
+        register_snapshot_datasource,
+    )
+
+    register_snapshot_datasource(spark)
+
+
+def test_datasource_creates_partitioned_table(spark, tmp_path):
+    """df.write.format('snapshot').option('partitionBy', ...) creates a
+    table whose manifest is indistinguishable from snapshot_write's Hive
+    layout: partition_cols declared, key=value dirs on disk, partition
+    values + exact [v, v] stats per entry."""
+    _reg(spark)
+    p = str(tmp_path / "ds_pt")
+    _pdf(spark, BASE).write.format("snapshot").option(
+        "partitionBy", "year"
+    ).option("statsCols", "k").mode("append").save(p)
+
+    m = S._latest_manifest(p)
+    assert m["partition_cols"] == ["year"]
+    entries = S._manifest_files(p, m)
+    assert entries
+    for e in entries:
+        assert "year=" in e["path"]
+        assert e["partition"]["year"] in {"1990", "1991", "1992"}
+        lo, hi = e["stats"]["year"]
+        assert lo == hi == int(e["partition"]["year"])
+        assert e["stats"]["k"][0] <= e["stats"]["k"][1]
+    got = S.snapshot_read(spark, p)
+    assert got.columns == ["k", "year", "payload"]
+    assert got.count() == 30
+    assert {r["k"] for r in got.collect()} == set(range(30))
+    # twin check: same manifest shape as the native writer's
+    twin = _mk(spark, tmp_path, name="native_twin")
+    tm = S._latest_manifest(twin)
+    e_ds, e_tw = entries[0], S._manifest_files(twin, tm)[0]
+    assert set(e_ds) == set(e_tw)
+    # metadata partition answerability identical
+    assert {r["year"]: r["n_rows"] for r in S.snapshot_partitions(p)} == {
+        r["year"]: r["n_rows"] for r in S.snapshot_partitions(twin)
+    }
+
+
+def test_datasource_partitionby_mismatch_refuses(spark, tmp_path):
+    """A partitionBy option that contradicts the table's declared layout
+    refuses before any data lands."""
+    _reg(spark)
+    p = _mk(spark, tmp_path)
+    with pytest.raises(Exception, match="does not match"):
+        _pdf(spark, [(500, 1999, "x")]).write.format("snapshot").option(
+            "partitionBy", "k"
+        ).mode("append").save(p)
+    assert S.snapshot_read(spark, p).count() == 30  # nothing landed
+
+
+def test_datasource_append_adopts_hive_layout(spark, tmp_path):
+    """An optionless DS append onto a partitioned table now lands REAL
+    Hive files (partition values in the entries, key=value dirs), so
+    partition pruning and metadata-only drops keep firing."""
+    _reg(spark)
+    p = _mk(spark, tmp_path)
+    _pdf(spark, [(500, 1999, "via_ds"), (501, 1990, "via_ds")]).write.format(
+        "snapshot"
+    ).mode("append").save(p)
+    m = S._latest_manifest(p)
+    new = [
+        e for e in S._manifest_files(p, m) if e.get("partition", {}).get("year") == "1999"
+    ]
+    assert len(new) == 1 and "year=1999" in new[0]["path"]
+    assert new[0]["stats"]["year"] == [1999, 1999]
+    got = S.snapshot_read(spark, p)
+    assert got.count() == 32
+    assert got.filter(F.col("k") == 500).collect()[0]["year"] == 1999
+    # a partition-predicate DELETE of the new partition stays metadata-only
+    before = {e["path"] for e in S._manifest_files(p, S._latest_manifest(p))}
+    S.snapshot_delete_where(spark, p, "year = 1999")
+    after = {e["path"] for e in S._manifest_files(p, S._latest_manifest(p))}
+    assert before - after == {new[0]["path"]} and after < before
+
+
+def test_datasource_partition_value_escaping(spark, tmp_path):
+    """String partition values with Hive-escaped characters (slash, equals,
+    space, percent) and NULL round-trip the directory encoding exactly."""
+    _reg(spark)
+    p = str(tmp_path / "ds_esc")
+    rows = [(1, "a/b"), (2, "x=y"), (3, "has space"), (4, "100%"), (5, None)]
+    spark.createDataFrame(rows, ["k", "tag"]).write.format("snapshot").option(
+        "partitionBy", "tag"
+    ).mode("append").save(p)
+    got = {r["k"]: r["tag"] for r in S.snapshot_read(spark, p).collect()}
+    assert got == dict(rows)
+    parts = {
+        e["partition"]["tag"]
+        for e in S._manifest_files(p, S._latest_manifest(p))
+    }
+    assert parts == {"a/b", "x=y", "has space", "100%", None}
+
+
+def test_datasource_timestamp_partitionby_refuses_create(spark, tmp_path):
+    """Creating a timestamp-partitioned table through the DS writer
+    refuses (directory-name formatting is Spark's); appending onto an
+    EXISTING timestamp-partitioned table keeps the flat/mixed-layout
+    contract and reads back value-exact."""
+    import datetime as dt
+
+    _reg(spark)
+    p = str(tmp_path / "ds_ts")
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1))], "k int, evt_day timestamp"
+    )
+    with pytest.raises(Exception, match="snapshot_write"):
+        df.write.format("snapshot").option("partitionBy", "evt_day").mode(
+            "append"
+        ).save(p)
+
+    ev = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1 + i % 3)) for i in range(6)],
+        "k int, evt_day timestamp",
+    )
+    S.snapshot_write(ev, p, partition_by=["evt_day"])
+    df2 = spark.createDataFrame(
+        [(100, dt.datetime(2024, 1, 2))], "k int, evt_day timestamp"
+    )
+    df2.write.format("snapshot").mode("append").save(p)
+    got = S.snapshot_read(spark, p)
+    assert got.count() == 7
+    assert got.filter("k = 100").collect()[0]["evt_day"] == dt.datetime(2024, 1, 2)
+
+
+def test_stream_sink_creates_partitioned_table_exactly_once(spark, tmp_path):
+    """writeStream.format('snapshot').option('partitionBy', ...) CREATES a
+    partitioned table; micro-batches land Hive files with partition
+    entries, replays are no-ops (txnAppId), and the layout survives source
+    growth across restarts."""
+    src, dst, cp = (str(tmp_path / x) for x in ("src", "dst", "cp"))
+    S.snapshot_write(
+        spark.range(10).selectExpr("id AS k", "1990 + id % 3 AS year"), src
+    )
+
+    def run():
+        q = (
+            spark.readStream.format("snapshot").load(src)
+            .writeStream.format("snapshot")
+            .option("partitionBy", "year")
+            .option("statsCols", "k")
+            .option("txnAppId", "pt_stream")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True).start(dst)
+        )
+        q.awaitTermination(120)
+
+    _reg(spark)
+    run()
+    m = S._latest_manifest(dst)
+    assert m["partition_cols"] == ["year"]
+    for e in S._manifest_files(dst, m):
+        assert "year=" in e["path"] and e["partition"]["year"] in {
+            "1990", "1991", "1992",
+        }
+    assert S.snapshot_read(spark, dst).count() == 10
+
+    S.snapshot_append(
+        spark.range(10, 15).selectExpr("id AS k", "1990 + id % 3 AS year"), src
+    )
+    run()
+    assert S.snapshot_read(spark, dst).count() == 15
+    run()  # replay: provable no-op
+    assert S.snapshot_read(spark, dst).count() == 15
+    assert {r["year"]: r["n_rows"] for r in S.snapshot_partitions(dst)} == {
+        "1990": 5, "1991": 5, "1992": 5,
+    }
