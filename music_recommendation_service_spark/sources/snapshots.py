@@ -1488,6 +1488,25 @@ def _read_entries(
     return base
 
 
+# Commit-race backoff: a create_exclusive loser re-lists, rebuilds and
+# re-claims immediately today — at 1000-writer contention on an object
+# store that is a hot retry loop against the metadata endpoint (plus
+# conditional-PUT request charges). Full-jitter exponential backoff (the
+# AWS-documented scheme: sleep ~ U[0, min(cap, base*2^n)]) de-synchronizes
+# the losers; the FIRST attempt never sleeps.
+_COMMIT_BACKOFF_BASE = 0.02
+_COMMIT_BACKOFF_MAX = 2.0
+
+
+def _commit_backoff_delay(attempt: int) -> float:
+    """Seconds to sleep before retry number ``attempt`` (1-based): full
+    jitter over an exponentially growing, capped window."""
+    import random
+
+    cap = min(_COMMIT_BACKOFF_MAX, _COMMIT_BACKOFF_BASE * (2 ** (attempt - 1)))
+    return random.uniform(0.0, cap)
+
+
 def _commit(
     path: str, build: Callable[[dict | None, int], dict], op: str | None = None
 ) -> int:
@@ -1496,9 +1515,15 @@ def _commit(
     loser of a commit race rebases on (or rejects, by raising) the state the
     winner left — never blindly re-commits a stale view (lost update).
     ``op`` stamps the committing operation into the manifest for
-    ``snapshot_history`` (DESCRIBE HISTORY parity)."""
+    ``snapshot_history`` (DESCRIBE HISTORY parity). Contended commits
+    back off with full jitter between attempts and stamp their attempt
+    count (``commit_attempts``) into the manifest — contention telemetry
+    readable through DESCRIBE HISTORY."""
     _fs().mkdirs(_manifest_dir(path))
+    attempt = 0
     while True:
+        if attempt:
+            time.sleep(_commit_backoff_delay(attempt))
         versions = snapshot_versions(path)
         latest = _read_manifest(path, versions[-1]) if versions else None
         # min_writer gate (Delta minWriterVersion): refuse BEFORE building
@@ -1514,6 +1539,9 @@ def _commit(
         manifest = build(latest, version)
         manifest["version"] = version
         manifest["committed_at"] = time.time()
+        # builders that start from a copy of the previous manifest must
+        # not inherit ITS contention telemetry
+        manifest.pop("commit_attempts", None)
         if op is not None:
             # Assignment, not setdefault: builders that start from a copy of
             # the previous manifest (constraints, schema evolution, rollback)
@@ -1554,11 +1582,15 @@ def _commit(
         need = max(_required_writer(manifest), need_w)
         if need > 1:
             manifest["min_writer"] = need
+        if attempt:
+            manifest["commit_attempts"] = attempt + 1
         target = os.path.join(_manifest_dir(path), f"{version}.json")
         # claim-once commit: O_EXCL locally, conditional PUT on an object
-        # store (see SnapshotFS) — the loser of a race rebuilds and retries
+        # store (see SnapshotFS) — the loser of a race rebuilds, backs
+        # off (top of loop) and retries
         if _fs().create_exclusive(target, json.dumps(manifest)):
             return version
+        attempt += 1
 
 
 _DATA_DIR_SEQ = __import__("itertools").count()
@@ -3919,6 +3951,11 @@ def _dv_land_positions(
     return rel, new_dead, out_files
 
 
+# marker inside the in-task scope-guard message so the driver can
+# translate the Spark job failure back into the protocol's ValueError
+_REPLACE_SCOPE_MARK = "REPLACE_WHERE_SCOPE"
+
+
 def snapshot_replace_where(
     df: DataFrame,
     path: str,
@@ -3953,12 +3990,39 @@ def snapshot_replace_where(
             f"replace_where schema mismatch at {path}: "
             f"manifest={cur['schema']} incoming={df.schema.json()}"
         )
-    bad = df.filter(~F.coalesce(F.expr(predicate), F.lit(False))).take(1)
-    if bad:
-        raise ValueError(
-            f"replaceWhere at {path}: incoming row violates the scope "
-            f"{predicate!r}: {bad[0].asDict()}"
-        )
+    # Fail-closed scope validation, folded INTO the write job: every row
+    # evaluates assert_true(predicate) inside the write tasks, so a 100 TB
+    # backfill makes ONE pass over its source instead of a validation scan
+    # plus the write (the round-10 double evaluation). A violating row
+    # aborts the job mid-write — before any commit — and the partial data
+    # dirs are swept below, so fail-closed still means "nothing landed".
+    scope_ok = F.coalesce(F.expr(predicate), F.lit(False))
+    # the failure detail reports only the PREDICATE's columns: pulling the
+    # whole row into the guard would force every source column into the
+    # filter stage (observable as double evaluation of computed columns)
+    import re as _re
+
+    pred_cols = [
+        c for c in df.columns
+        if _re.search(rf"\b{_re.escape(c)}\b", predicate)
+    ]
+    detail = (
+        F.to_json(F.struct(*[F.col(c) for c in pred_cols]))
+        if pred_cols
+        else F.lit("(no predicate columns in the row)")
+    )
+    df = df.where(
+        F.assert_true(
+            scope_ok,
+            F.concat(
+                F.lit(
+                    f"{_REPLACE_SCOPE_MARK} at {path}: incoming row "
+                    f"violates the scope {predicate!r}: "
+                ),
+                detail,
+            ),
+        ).isNull()
+    )
     df, _ident_unpin = _assign_identity(df, path, "replace_where")
     pcols = list(cur.get("partition_cols") or [])
     files = _manifest_files(path, cur)
@@ -3968,38 +4032,69 @@ def snapshot_replace_where(
         else None
     )
     rewritten: list[dict] = []
-    if split is not None:
-        touched, untouched = split
-    else:
-        touched, untouched = _predicate_file_split(spark, path, cur, predicate)
-        if touched:
-            # survivors: the touched files' NON-matching rows
-            keep_df = _read_entries(spark, path, cur, touched).filter(
-                ~F.coalesce(F.expr(predicate), F.lit(False))
+    landed_dirs: list[str] = []
+    try:
+        if split is not None:
+            touched, untouched = split
+        else:
+            touched, untouched = _predicate_file_split(
+                spark, path, cur, predicate
             )
-            rel_k, full_k = _new_data_dir(path)
-            _to_physical_df(keep_df, mapping).write.mode("error").parquet(full_k)
-            rewritten, _n_kept = _scan_file_entries(
-                spark, full_k, rel_k,
+            if touched:
+                # survivors: the touched files' NON-matching rows
+                keep_df = _read_entries(spark, path, cur, touched).filter(
+                    ~F.coalesce(F.expr(predicate), F.lit(False))
+                )
+                rel_k, full_k = _new_data_dir(path)
+                landed_dirs.append(full_k)
+                _to_physical_df(keep_df, mapping).write.mode("error").parquet(
+                    full_k
+                )
+                rewritten, _n_kept = _scan_file_entries(
+                    spark, full_k, rel_k,
+                    _stats_cols_in_use(cur, path),
+                    _bloom_cols_in_use(path, cur),
+                )
+        # land the incoming rows (Hive layout on partitioned tables)
+        rel, full = _new_data_dir(path)
+        landed_dirs.append(full)
+        phys_df = _to_physical_df(df, mapping)
+        if pcols:
+            phys_pcols = [_phys(mapping, c) for c in pcols]
+            phys_df.write.partitionBy(*phys_pcols).mode("error").parquet(full)
+            incoming, n_in = _scan_file_entries(
+                spark, full, rel,
+                [
+                    c
+                    for c in _stats_cols_in_use(cur, path)
+                    if c not in phys_pcols
+                ],
+                partition_cols=phys_pcols, read_schema=phys_df.schema,
+            )
+        else:
+            phys_df.write.mode("error").parquet(full)
+            incoming, n_in = _scan_file_entries(
+                spark, full, rel,
                 _stats_cols_in_use(cur, path), _bloom_cols_in_use(path, cur),
             )
-    # land the incoming rows (Hive layout on partitioned tables)
-    rel, full = _new_data_dir(path)
-    phys_df = _to_physical_df(df, mapping)
-    if pcols:
-        phys_pcols = [_phys(mapping, c) for c in pcols]
-        phys_df.write.partitionBy(*phys_pcols).mode("error").parquet(full)
-        incoming, n_in = _scan_file_entries(
-            spark, full, rel,
-            [c for c in _stats_cols_in_use(cur, path) if c not in phys_pcols],
-            partition_cols=phys_pcols, read_schema=phys_df.schema,
-        )
-    else:
-        phys_df.write.mode("error").parquet(full)
-        incoming, n_in = _scan_file_entries(
-            spark, full, rel,
-            _stats_cols_in_use(cur, path), _bloom_cols_in_use(path, cur),
-        )
+    except Exception as exc:
+        # nothing committed: sweep the partial data dirs so a failed
+        # backfill leaves the table byte-identical
+        for d in landed_dirs:
+            try:
+                _fs().delete_tree(d)
+            except Exception:
+                pass
+        if _ident_unpin:
+            _ident_unpin()
+        msg = str(exc)
+        if _REPLACE_SCOPE_MARK in msg:
+            start = msg.index(_REPLACE_SCOPE_MARK)
+            raise ValueError(
+                "replaceWhere " + msg[start + len(_REPLACE_SCOPE_MARK):]
+                .split("\n", 1)[0].strip()
+            ) from exc
+        raise
     if _ident_unpin:
         _ident_unpin()
     produced = rewritten + incoming
@@ -6222,6 +6317,9 @@ def snapshot_history(path: str) -> list[dict]:
                 "n_files_removed": removed,
                 "data_change": m.get("data_change", True),
                 "constraints": sorted(m.get("constraints") or {}),
+                # contention telemetry: how many claim attempts this
+                # commit needed (1 = uncontended, stored only when > 1)
+                "commit_attempts": m.get("commit_attempts", 1),
             }
         )
         if files is not None:

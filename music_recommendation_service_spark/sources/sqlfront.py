@@ -1126,7 +1126,7 @@ def dispatch_sql(
                     h["version"], h["op"], float(h["committed_at"] or 0),
                     h["n_rows"], h["n_files"], h["net_rows"],
                     h["n_files_added"], h["n_files_removed"],
-                    bool(h["data_change"]),
+                    bool(h["data_change"]), h.get("commit_attempts", 1),
                 )
                 for h in hist
             ]
@@ -1136,7 +1136,7 @@ def dispatch_sql(
                     "version long, op string, committed_at double, "
                     "n_rows long, n_files long, net_rows long, "
                     "n_files_added long, n_files_removed long, "
-                    "data_change boolean",
+                    "data_change boolean, commit_attempts long",
                 ),
                 None,
             )

@@ -4,8 +4,9 @@ Every other claim-once test runs threads inside one interpreter (or the
 in-memory object store with injected races); this one spawns real OS
 processes hammering ONE table through the local-FS O_EXCL commit
 primitive — the deployment shape of independent Spark drivers sharing a
-lake. Proven here, with 4 writers x 25 commits each (the round-8 verdict's
-floor):
+lake. Proven here, with 8 writers x 15 commits each (the round-10 verdict's
+order #4 raised the writer count from 4; commit-race losers now back off
+with full jitter and stamp their attempt counts into the manifest):
 
 - **linearizable versions**: after N successful commits the version chain
   is dense 1..N — no gaps, no forks, no lost updates;
@@ -34,8 +35,8 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from music_recommendation_service_spark.sources import snapshots as sn
 
-N_WRITERS = 4
-N_COMMITS = 25
+N_WRITERS = 8
+N_COMMITS = 15
 ROWS_PER = 3
 
 _SCHEMA_JSON = StructType(
@@ -217,10 +218,20 @@ def test_cross_process_appends_linearize(spark, tmp_path):
     assert {(r["writer"], r["seq"]) for r in got} == {
         (w, i) for w in range(N_WRITERS) for i in range(N_COMMITS)
     }
+    # contention telemetry rode the manifests into DESCRIBE HISTORY:
+    # under 8-way contention SOME commit needed a retry, and the attempt
+    # distribution stays bounded (p99 under the writer count x a small
+    # constant — runaway spinning would blow far past this)
+    attempts = sorted(
+        h["commit_attempts"] for h in sn.snapshot_history(table)
+    )
+    assert attempts[-1] >= 2
+    p99 = attempts[int(0.99 * (len(attempts) - 1))]
+    assert p99 <= N_WRITERS * 4
 
 
 def test_cross_process_sharded_merges_rebase_without_aborts(spark, tmp_path):
-    """4 real OS processes × 25 merge-shaped rewrites each on ONE table,
+    """8 real OS processes × 15 merge-shaped rewrites each on ONE table,
     each process owning a key-disjoint shard: logical conflict detection
     must rebase EVERY lost race (zero aborts), the version chain stays
     dense, and the final state is exactly each shard's last write."""
@@ -278,3 +289,75 @@ def test_cross_process_catalog_registrations(tmp_path):
     tables = LakeCatalog(cat).tables()
     assert sorted(tables) == sorted(n for s in slices for n in s)
     assert sn.snapshot_versions(cat) == list(range(1, N_WRITERS * per + 1))
+
+
+def test_commit_backoff_schedule_bounds():
+    """The retry delay is full-jitter exponential: uniform over
+    [0, min(cap, base * 2^(n-1))] — pinned over many samples so a
+    regression to constant or unbounded sleeps fails loudly."""
+    base, cap = sn._COMMIT_BACKOFF_BASE, sn._COMMIT_BACKOFF_MAX
+    for attempt in (1, 2, 5, 8, 20):
+        window = min(cap, base * (2 ** (attempt - 1)))
+        samples = [sn._commit_backoff_delay(attempt) for _ in range(300)]
+        assert all(0.0 <= x <= window for x in samples)
+        # the jitter actually spreads (not a constant)
+        assert max(samples) - min(samples) > window * 0.3
+    # the window grows with attempts, then clamps at the cap
+    assert min(cap, base * 2 ** 6) > min(cap, base * 2 ** 1)
+    assert min(cap, base * 2 ** 30) == cap
+
+
+def test_contended_commit_stamps_attempts(tmp_path, monkeypatch):
+    """A commit that loses its first claim sleeps once (backoff engaged)
+    and stamps commit_attempts=2 into the manifest it finally lands;
+    uncontended commits carry no stamp (history reports 1)."""
+    from music_recommendation_service_spark.sources.objectstore import (
+        InMemoryObjectStoreFS,
+    )
+
+    table = str(tmp_path / "t")
+    sleeps: list[float] = []
+    monkeypatch.setattr(
+        sn.time, "sleep", lambda s: sleeps.append(s)
+    )
+
+    fs = InMemoryObjectStoreFS()
+    prev = sn.set_snapshot_fs(fs)
+    try:
+        _create_empty(table)  # uncontended
+        raced = {}
+
+        def hook(key):
+            # inject a competing commit into the claim window, once
+            if "_snapshots" in key and not raced and key.endswith("2.json"):
+                raced["hit"] = True
+
+                def build(latest, version):
+                    out = {
+                        kk: vv for kk, vv in latest.items()
+                        if kk not in ("version", "committed_at")
+                    }
+                    out["data_change"] = False
+                    return out
+
+                sn._commit(table, build, op="interloper")
+
+        fs.race_hook = hook
+
+        def build(latest, version):
+            out = {
+                kk: vv for kk, vv in latest.items()
+                if kk not in ("version", "committed_at")
+            }
+            out["data_change"] = False
+            return out
+
+        sn._commit(table, build, op="contended")
+        hist = {h["op"]: h for h in sn.snapshot_history(table)}
+    finally:
+        sn.set_snapshot_fs(prev)
+
+    assert hist["create"]["commit_attempts"] == 1
+    assert hist["interloper"]["commit_attempts"] == 1
+    assert hist["contended"]["commit_attempts"] == 2
+    assert len(sleeps) == 1 and 0.0 <= sleeps[0] <= sn._COMMIT_BACKOFF_BASE

@@ -1050,3 +1050,40 @@ def test_stream_sink_creates_partitioned_table_exactly_once(spark, tmp_path):
     assert {r["year"]: r["n_rows"] for r in S.snapshot_partitions(dst)} == {
         "1990": 5, "1991": 5, "1992": 5,
     }
+
+
+def test_replace_where_single_pass_and_clean_failure(spark, tmp_path):
+    """The scope guard rides the write job: the source is evaluated ONCE
+    per row (no validation pre-pass), and a failing backfill sweeps its
+    partial data dirs — the table directory is unchanged."""
+    import os
+
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import LongType
+
+    p = _mk(spark, tmp_path)
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(k):
+        acc.add(1)
+        return k
+
+    bump_udf = udf(bump, LongType())
+    src = _pdf(spark, [(2000 + i, 1991, f"rw{i}") for i in range(6)])
+    src = src.withColumn("k", bump_udf(F.col("k").cast("long")).cast("bigint"))
+    S.snapshot_replace_where(src.selectExpr(
+        "cast(k as bigint) k", "cast(year as bigint) year", "payload"
+    ), p, "year = 1991")
+    assert acc.value == 6  # one evaluation per source row, not two
+
+    # failing backfill: no commit, no leftover partial data dirs
+    dirs_before = sorted(
+        d for d in os.listdir(p) if d.startswith("v=")
+    )
+    v_before = S.snapshot_versions(p)[-1]
+    with pytest.raises(ValueError, match="violates the scope"):
+        S.snapshot_replace_where(
+            _pdf(spark, [(1, 1990, "out_of_scope")]), p, "year = 1991"
+        )
+    assert S.snapshot_versions(p)[-1] == v_before
+    assert sorted(d for d in os.listdir(p) if d.startswith("v=")) == dirs_before
