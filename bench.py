@@ -72,6 +72,13 @@ SF1_QUERIES = [
     "q134_ann_pq",
     "q135_edit_distance_join",
     "q142_incremental_hybrid_recommendations",
+    # partition-era lifecycle family (round-10/11): scratch snapshot tables
+    # built once per dataset, then metadata-pruned scans — their 10x
+    # numbers pin that the partition machinery's win survives scale
+    "q152_partitioned_convert_scan",
+    "q153_generated_partition_pruning",
+    "q154_replace_where_backfill",
+    "q155_sql_generated_partition_ddl",
 ]
 
 
@@ -237,6 +244,50 @@ def main() -> None:
             "series": series,
         }
 
+    # Partition-pruning delta (judge r10 order #8): on the q153 scratch
+    # table (30 daily partitions at any SF), time the generated-partition
+    # PRUNED scan against the full-table scan and record the file-open
+    # ratio — the partition machinery's scale win as a committed number.
+    partition_pruning: dict = {}
+    if SF1_MODE and "q153_generated_partition_pruning" in bench_queries:
+        import datetime as dt
+        import hashlib
+
+        from music_recommendation_service_spark.sources import snapshots as sn
+
+        scratch = os.environ.get("SPARK_GRAFT_SCRATCH", __import__("tempfile").gettempdir())
+        tag = hashlib.sha256(SF_DIR.encode()).hexdigest()[:12]
+        tpath = (
+            f"{scratch}/spark_graft_scratch/"
+            f"q153_genpt-{spark.sparkContext.applicationId}-{tag}"
+        )
+        if sn.snapshot_versions(tpath):
+            n_files = len(sn._manifest_files(tpath, sn._latest_manifest(tpath)))
+            lo, hi = dt.datetime(2024, 1, 8), dt.datetime(2024, 1, 15)
+
+            def t_pruned():
+                t0 = time.perf_counter()
+                df = sn.snapshot_scan(spark, tpath, {"ts": (lo, hi)})
+                df.write.format("noop").mode("overwrite").save()
+                return round(time.perf_counter() - t0, 3), len(df.inputFiles())
+
+            def t_full():
+                t0 = time.perf_counter()
+                df = sn.snapshot_read(spark, tpath)
+                df.write.format("noop").mode("overwrite").save()
+                return round(time.perf_counter() - t0, 3), len(df.inputFiles())
+
+            (p1, f1), (p2, _) = t_pruned(), t_pruned()
+            (u1, ft), (u2, _) = t_full(), t_full()
+            partition_pruning = {
+                "files_total": n_files,
+                "files_opened_total": ft,
+                "files_opened_pruned": f1,
+                "pruned_scan_sec": min(p1, p2),
+                "full_scan_sec": min(u1, u2),
+                "file_ratio": round(f1 / max(ft, 1), 4),
+            }
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     payload = json.dumps(
         {
@@ -262,6 +313,7 @@ def main() -> None:
                 "n_runs": N_RUNS,
                 "queries_ext": queries_ext,
                 "floors": floors,
+                "partition_pruning": partition_pruning,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
     )

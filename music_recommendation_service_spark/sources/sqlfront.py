@@ -61,6 +61,21 @@ malformed errors loudly rather than half-executing):
     ALTER TABLE v DROP CONSTRAINT n
     ALTER TABLE v SET IDENTITY c [START n] [STEP n]  -- GENERATED ALWAYS
     ALTER TABLE v DROP IDENTITY
+    BEGIN LAKE TRANSACTION; <stmt>; ...; COMMIT      -- multi-table unit
+
+``BEGIN LAKE TRANSACTION`` — the guarantee, precisely (Engine.sql_atomic):
+each statement commits its table normally; on success ONE lake-log entry
+pins every version the transaction produced, so readers resolving
+through the log (``lake_read``) always observe the tables move TOGETHER
+— that is the atomicity this surface provides, and it is atomic even
+against a crash before the publish (the previous consistent pin set
+stays in force). It is NOT snapshot isolation for direct readers: a
+reader using the table paths (or the registered temp views) directly can
+observe table A's new version before table B commits, and a mid-
+transaction failure is repaired by COMPENSATION (RESTORE commits on the
+transaction's own tables — a window exists before compensation lands).
+Consumers that need the all-or-nothing view must read through the lake
+log.
 
 MERGE/UPDATE/DELETE map 1:1 onto ``snapshot_merge_when`` /
 ``snapshot_update_where`` / ``snapshot_delete_where``, so the CDF a SQL

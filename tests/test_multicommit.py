@@ -344,3 +344,46 @@ def test_sql_atomic_pins_only_own_versions(spark, tmp_path):
     # only the touched table is pinned, at the tx's own final version
     assert entry["tables"] == {"fact": 3}
     assert snapshot_versions(other) == [1, 2]  # bystander untouched by pins
+
+
+def test_lake_transaction_isolation_contract(spark, tmp_path):
+    """The documented guarantee, pinned from both sides: mid-window a
+    DIRECT reader observes table A advanced before table B commits (the
+    documented anomaly), while a log-resolving reader (lake_read) still
+    serves the previous consistent pin pair; after COMMIT the log serves
+    the new pair."""
+    from music_recommendation_service_spark.engine import Engine
+
+    root = str(tmp_path)
+    fact, view = f"{root}/fact", f"{root}/view"
+    sch = "k int, amount double"
+    snapshot_write(spark.createDataFrame([(1, 1.0)], sch), fact)
+    snapshot_write(spark.createDataFrame([(1, 1.0)], sch), view)
+    lake_commit(root, {"fact": 1, "view": 1})
+    e = Engine(root, spark=spark)
+    e.snapshot(fact, view="tfact")
+    e.snapshot(view, view="tview")
+
+    observed = {}
+
+    def observe():
+        # the window between stmt1's table commit and stmt2's: direct
+        # readers are SKEWED, the lake log is not
+        observed["direct_fact"] = snapshot_read(spark, fact).count()
+        observed["direct_view"] = snapshot_read(spark, view).count()
+        observed["lake_fact"] = lake_read(spark, root, "fact").count()
+        observed["lake_view"] = lake_read(spark, root, "view").count()
+
+    _hook_before_second_stmt(e, observe)
+    e.sql_atomic([
+        "INSERT INTO tfact SELECT 2 AS k, CAST(2.0 AS DOUBLE) AS amount",
+        "INSERT INTO tview SELECT 2 AS k, CAST(2.0 AS DOUBLE) AS amount",
+    ])
+    # the anomaly, as documented: direct read saw A without B
+    assert observed["direct_fact"] == 2 and observed["direct_view"] == 1
+    # the guarantee: the log never served the torn pair
+    assert observed["lake_fact"] == 1 and observed["lake_view"] == 1
+    # after COMMIT the log serves the new pair together
+    assert lake_read(spark, root, "fact").count() == 2
+    assert lake_read(spark, root, "view").count() == 2
+    assert lake_pins(root) == {"fact": 2, "view": 2}
