@@ -662,6 +662,88 @@ def _decode_typed_ckpt(d: dict, ckpt: dict) -> list[dict]:
     return out
 
 
+def _ckpt_cmp_scalar(col_type, v):
+    """Exact-compare literal for a typed sidecar column, or None to bail:
+    int col + int lit in int64; float col + numeric lit in float64 (float
+    stats are float64-born); str+str. A float literal against an INTEGER
+    column falls back (float64 rounding above 2^53 could wrongly skip a
+    file)."""
+    import pyarrow as pa
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if pa.types.is_integer(col_type) and isinstance(v, int):
+        try:
+            return pa.scalar(v, col_type)
+        except (OverflowError, pa.lib.ArrowInvalid):
+            return None
+    if pa.types.is_floating(col_type) and isinstance(v, (int, float)):
+        return pa.scalar(float(v), col_type)
+    if pa.types.is_string(col_type) and isinstance(v, str):
+        return pa.scalar(v, col_type)
+    return None
+
+
+def _manifest_files_pruned_in(
+    path: str, m: dict, phys_col: str, vals: Sequence
+) -> list[dict] | None:
+    """IN-list twin of ``_manifest_files_pruned``: keep a file when ANY
+    value may sit in its [min, max] (union over values — vs the range
+    form's intersection over predicates). Large value lists collapse to
+    one conservative [min(vals), max(vals)] range pass (the exact
+    per-value check runs on the survivors anyway). Returns a conservative
+    superset or None when not applicable."""
+    ck = m.get("files_ckpt")
+    if not ck or ck.get("layout") != "typed" or not vals:
+        return None
+    stats_cols = ck.get("stats_cols") or []
+    if phys_col not in stats_cols:
+        return None
+    if len(vals) > 64:
+        try:
+            return _manifest_files_pruned(
+                path, m, {phys_col: (min(vals), max(vals))}
+            )
+        except TypeError:  # mixed-type values: full resolve decides
+            return None
+    i = stats_cols.index(phys_col)
+    import io
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    abs_p = os.path.join(_manifest_dir(path), ck["ref"])
+    table = pq.read_table(io.BytesIO(_fs().read_bytes(abs_p)))
+    has = table[f"s{i}_has"]
+    mn, mx = table[f"s{i}_min"], table[f"s{i}_max"]
+    any_hit = None
+    try:
+        unknown = pc.or_(
+            pc.invert(pc.fill_null(has, False)),
+            pc.or_(pc.is_null(mn), pc.is_null(mx)),
+        )
+        for v in vals:
+            r = _stats_repr(v)
+            if r is None:
+                return None  # unprunable literal: every file may hold it
+            v_hi = _ckpt_cmp_scalar(mn.type, r)
+            v_lo = _ckpt_cmp_scalar(mx.type, r)
+            if v_hi is None or v_lo is None:
+                return None
+            rng = pc.fill_null(
+                pc.and_(pc.less_equal(mn, v_hi), pc.greater_equal(mx, v_lo)),
+                False,
+            )
+            any_hit = rng if any_hit is None else pc.or_(any_hit, rng)
+        keep = pc.or_(unknown, any_hit)
+    except (pa.lib.ArrowInvalid, pa.lib.ArrowNotImplementedError, TypeError,
+            OverflowError):
+        return None
+    filtered = table.filter(pc.fill_null(keep, True))
+    return _decode_typed_ckpt(filtered.to_pydict(), ck)
+
+
 def _manifest_files_pruned(
     path: str, m: dict, phys_predicates: dict
 ) -> list[dict] | None:
@@ -696,22 +778,7 @@ def _manifest_files_pruned(
 
     abs_p = os.path.join(_manifest_dir(path), ck["ref"])
     table = pq.read_table(io.BytesIO(_fs().read_bytes(abs_p)))
-
-    def lit_for(col_type, v):
-        # exact compare or bail: int col + int lit in int64; float col +
-        # numeric lit in float64 (float stats are float64-born); str+str.
-        # A float literal against an INTEGER column falls back (float64
-        # rounding above 2^53 could wrongly skip a file).
-        if isinstance(v, bool) or v is None:
-            return None
-        if pa.types.is_integer(col_type) and isinstance(v, int):
-            return pa.scalar(v, col_type)
-        if pa.types.is_floating(col_type) and isinstance(v, (int, float)):
-            return pa.scalar(float(v), col_type)
-        if pa.types.is_string(col_type) and isinstance(v, str):
-            return pa.scalar(v, col_type)
-        return None
-
+    lit_for = _ckpt_cmp_scalar
     keep = None
     try:
         for c, (lo, hi) in usable.items():
@@ -4986,8 +5053,13 @@ def snapshot_scan_in(
         raise FileNotFoundError(f"no snapshots at {path}")
     v = versions[-1] if version is None else version
     m = _read_manifest(path, v)
-    files = _manifest_files(path, m)
     phys = _phys(_mapping(m), col)
+    # typed checkpoint: the IN-list pushes into the resolve (Arrow union
+    # over per-value range masks) — only a pruned superset materializes;
+    # the exact per-file check below re-runs on the survivors
+    files = _manifest_files_pruned_in(path, m, phys, vals)
+    if files is None:
+        files = _manifest_files(path, m)
     has_bloom = any(e.get("bloom_ref") for e in files)
     pos_by_val: dict = {}
     if has_bloom and vals:

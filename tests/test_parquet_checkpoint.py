@@ -404,3 +404,51 @@ def test_pruned_resolve_keeps_statless_and_null_stat_files(spark, tmp_path):
     assert {e["path"].rsplit("/", 1)[-1] for e in kept} == {
         "a.parquet", "b.parquet", "c.parquet", "d.parquet",
     }
+
+
+def test_pruned_resolve_in_list(spark, tmp_path):
+    """IN-list point lookups push into the typed sidecar: the union over
+    per-value masks keeps exactly the candidate files (plus the
+    stats-unknown ones), and snapshot_scan_in returns the same rows as
+    read + isin. Large value lists collapse to one range pass."""
+    import tempfile
+
+    files = [
+        {"path": "v=1-x/a.parquet", "rows": 1, "stats": {"k": [1, 5]}},
+        {"path": "v=1-x/b.parquet", "rows": 1, "stats": {"k": [10, 20]}},
+        {"path": "v=1-x/c.parquet", "rows": 1, "stats": None},
+        {"path": "v=1-x/d.parquet", "rows": 1, "stats": {"k": [50, 60]}},
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        S._fs().mkdirs(S._manifest_dir(d))
+        ptr = S._write_parquet_checkpoint(d, files, 1)
+        m = {"files_ckpt": ptr, "version": 1}
+        kept = S._manifest_files_pruned_in(d, m, "k", [3, 15])
+        assert {e["path"].rsplit("/", 1)[-1] for e in kept} == {
+            "a.parquet", "b.parquet", "c.parquet",
+        }
+        # >64 values: one conservative [min, max] range pass — [0, 65]
+        # brackets d's [50, 60] too, so the superset keeps all four
+        big = list(range(0, 66))
+        kept2 = S._manifest_files_pruned_in(d, m, "k", big)
+        assert {e["path"].rsplit("/", 1)[-1] for e in kept2} == {
+            "a.parquet", "b.parquet", "c.parquet", "d.parquet",
+        }
+        # a tight large list still prunes: [100..170] misses every file
+        # except the stats-unknown one
+        kept3 = S._manifest_files_pruned_in(d, m, "k", list(range(100, 170)))
+        assert {e["path"].rsplit("/", 1)[-1] for e in kept3} == {"c.parquet"}
+        # unprunable pairing falls back to the full resolve
+        assert S._manifest_files_pruned_in(d, m, "k", ["x"]) is None
+
+
+def test_scan_in_through_checkpoint(spark, tmp_path, monkeypatch):
+    """End-to-end: snapshot_scan_in over a checkpointed table equals
+    read + isin."""
+    _low_thresholds(monkeypatch)
+    p = str(tmp_path / "scanin")
+    S.snapshot_write(_df(spark), p, stats_cols=["k"])
+    assert "files_ckpt" in S._latest_manifest(p)
+    got = S.snapshot_scan_in(spark, p, "k", [3, 77, 150])
+    assert sorted(r["k"] for r in got.collect()) == [3, 77, 150]
+    assert got.count() == 3
