@@ -191,12 +191,19 @@ class Engine:
             return results[-1] if results else self.spark.sql("SELECT 1 AS ok")
         return self._run_sql(query)[0]
 
-    def _run_sql(self, query: str) -> tuple[DataFrame, set[str]]:
-        """Run ONE statement and report the snapshot views it touched —
-        the DML target plus any views the statement registered, re-pointed
-        or dropped. sql_atomic uses the touched set to scope compensating
-        rollback / lake pins to the transaction's OWN tables (a concurrent
-        writer's commit to an unrelated table must never be reverted)."""
+    def _run_sql(
+        self, query: str
+    ) -> tuple[DataFrame, set[str], tuple[str, int] | None]:
+        """Run ONE statement and report (result, touched view names, dml)
+        where ``dml`` is ``(table_path, committed_version)`` when the
+        statement's dispatch returned a commit result — the version is the
+        COMMIT'S OWN return value, never a post-hoc listing a concurrent
+        writer could race. sql_atomic uses the touched set to scope
+        compensating rollback / lake pins to the transaction's OWN tables
+        and the dml versions to attribute commits exactly. If the
+        post-commit bookkeeping raises AFTER a table advanced, the
+        exception carries ``_sql_touched`` so the transaction still knows
+        what it committed."""
         from music_recommendation_service_spark.sources.sqlfront import (
             dispatch_sql,
         )
@@ -204,26 +211,47 @@ class Engine:
         before = dict(self._snapshot_views)
         out = dispatch_sql(self.spark, query, self._snapshot_views)
         if out is None:
-            return self.spark.sql(query), set()
+            return self.spark.sql(query), set(), None
         df, touched = out
+        dml: tuple[str, int] | None = None
+        if touched is not None and touched in self._snapshot_views:
+            ver = None
+            try:
+                if [f.name for f in df.schema.fields] == ["version"]:
+                    rows = df.collect()  # one local row: the DML result
+                    ver = rows[0]["version"] if rows else None
+            except Exception:
+                ver = None
+            if ver is not None:
+                dml = (self._snapshot_views[touched], int(ver))
         names: set[str] = set()
-        # sync the durable catalog with dispatch-side registration
-        # changes (CREATE TABLE adds, DROP TABLE removes)
-        for name, p in self._snapshot_views.items():
-            if before.get(name) != p:
-                self._persist(name, p)
-                names.add(name)
-        for name in before:
-            if name not in self._snapshot_views:
-                self._unpersist(name)
-                names.add(name)
         if touched is not None and touched in self._snapshot_views:
             names.add(touched)
-            path = self._snapshot_views[touched]
-            for v, p in self._snapshot_views.items():
-                if p == path:
-                    self.snapshot(p, view=v, persist=False)
-        return df, names
+        try:
+            # sync the durable catalog with dispatch-side registration
+            # changes (CREATE TABLE adds, DROP TABLE removes)
+            for name, p in self._snapshot_views.items():
+                if before.get(name) != p:
+                    self._persist(name, p)
+                    names.add(name)
+            for name in before:
+                if name not in self._snapshot_views:
+                    self._unpersist(name)
+                    names.add(name)
+            if touched is not None and touched in self._snapshot_views:
+                path = self._snapshot_views[touched]
+                for v, p in self._snapshot_views.items():
+                    if p == path:
+                        self.snapshot(p, view=v, persist=False)
+        except Exception as exc:
+            # the table may have COMMITTED before the bookkeeping failed:
+            # ship the attribution so sql_atomic can still compensate
+            for name, p in self._snapshot_views.items():
+                if before.get(name) != p:
+                    names.add(name)
+            exc._sql_touched = (names, dml)  # type: ignore[attr-defined]
+            raise
+        return df, names, dml
 
     def sql_atomic(self, statements: list[str], publish: bool = True) -> list[DataFrame]:
         """Multi-statement LAKE TRANSACTION: run ``statements`` as one
@@ -264,20 +292,30 @@ class Engine:
         }
         results: list[DataFrame] = []
         touched: set[str] = set()
-        # path -> version this transaction's last commit to it produced
+        # path -> version this transaction's OWN commit produced (the
+        # commit's return value, never a post-hoc listing a concurrent
+        # writer could race into)
         produced: dict[str, int] = {}
         try:
             for stmt in statements:
-                df, names = self._run_sql(stmt)
+                try:
+                    df, names, dml = self._run_sql(stmt)
+                except Exception as exc:
+                    info = getattr(exc, "_sql_touched", None)
+                    if info is not None:
+                        # the statement committed, then its bookkeeping
+                        # failed: keep the attribution for compensation
+                        names2, dml2 = info
+                        touched |= names2
+                        if dml2 is not None:
+                            produced[dml2[0]] = dml2[1]
+                    raise
                 results.append(df)
                 touched |= names
-                for nm in names:
-                    p = self._snapshot_views.get(nm)
-                    if p is not None:
-                        vs = sn.snapshot_versions(p)
-                        if vs:
-                            produced[p] = vs[-1]
+                if dml is not None:
+                    produced[dml[0]] = dml[1]
         except Exception as exc:
+            refusals: list[str] = []
             for name in sorted(touched):
                 if name not in pre:
                     # a table the failed transaction created: unregister
@@ -291,17 +329,32 @@ class Engine:
                 vs = sn.snapshot_versions(path)
                 if v0 is None or not vs or vs[-1] == v0:
                     continue
-                if path in produced and vs[-1] != produced[path]:
-                    raise RuntimeError(
-                        f"lake transaction compensation refused for "
-                        f"{name!r} ({path}): a concurrent writer advanced "
-                        f"the table to v{vs[-1]} past this transaction's "
-                        f"commit v{produced[path]}; rolling back to "
-                        f"v{v0} would revert that writer's durable "
-                        f"commit. Resolve manually (RESTORE or re-apply)."
-                    ) from exc
+                if vs[-1] != produced.get(path):
+                    # latest is NOT this transaction's own commit — either
+                    # a concurrent writer advanced past it, or the advance
+                    # cannot be attributed. Rolling back to v0 would revert
+                    # a commit that is not ours: refuse THIS table, keep
+                    # compensating the rest.
+                    own = produced.get(path)
+                    refusals.append(
+                        f"{name!r} ({path}): latest v{vs[-1]}, transaction "
+                        + (f"produced v{own}" if own is not None
+                           else "has no attributable commit")
+                        + f", pre-transaction v{v0}"
+                    )
+                    continue
                 sn.snapshot_rollback(path, v0)
                 self.snapshot(path, view=name, persist=False)
+            if refusals:
+                raise RuntimeError(
+                    "lake transaction compensation refused for: "
+                    + "; ".join(refusals)
+                    + " — the latest version is not this transaction's own "
+                    "commit, and rolling back would revert another "
+                    "writer's durable commit. Every other touched table "
+                    "was compensated. Resolve manually (RESTORE or "
+                    "re-apply)."
+                ) from exc
             raise
         if publish:
             pre_v = {path: v0 for path, v0 in pre.values()}

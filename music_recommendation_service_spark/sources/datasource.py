@@ -1055,8 +1055,22 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                     ]
                 else:
                     stats[c] = [None, None]
+            # NULL and the EMPTY STRING both land in the
+            # __HIVE_DEFAULT_PARTITION__ directory and read back as null
+            # (Hive/Spark semantics) — the manifest must record None for
+            # both, exactly what _hive_partition_values parses from a
+            # snapshot_write layout; recording "" would declare a phantom
+            # partition no query could ever retrieve.
+            part_vals = {}
             for c in pcols:
-                r = sn._stats_repr(combo[c])
+                sval = None if combo[c] is None else str(combo[c])
+                part_vals[c] = sval if sval != "" else None
+            for c in pcols:
+                r = (
+                    sn._stats_repr(combo[c])
+                    if part_vals[c] is not None
+                    else None
+                )
                 stats[c] = [r, r]
             blooms = {}
             for c in self._bloom_cols:
@@ -1069,10 +1083,7 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                     "subdir": subdir,
                     "rows": sub.num_rows,
                     "stats": stats,
-                    "partition": {
-                        c: (None if combo[c] is None else str(combo[c]))
-                        for c in pcols
-                    },
+                    "partition": part_vals,
                     "blooms": blooms,
                 }
             )

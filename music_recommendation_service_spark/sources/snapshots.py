@@ -6359,27 +6359,65 @@ def snapshot_history(path: str) -> list[dict]:
     versions = snapshot_versions(path)
     out = []
     prev_ids: set | None = None
+    prev_n: int | None = None
     prev_rows: int | None = None
+    first = True
     for v in versions:
         m = _read_manifest(path, v)
         has_files = _has_files(m)
-        files = _manifest_files(path, m) if has_files else None
+        ck = m.get("files_ckpt")
         n_rows = m.get("n_rows")
+        ids: set | None = None
+        n_files: int | None = None
         if not has_files:
             added = removed = None
-        elif "files_add" in m and prev_ids is not None:
+        elif "files_add" in m:
+            # delta manifest: explicit per-version churn (files_base is
+            # always v-1 by construction) — a field read, no resolution;
+            # the id chain carries forward incrementally (O(changed)) so
+            # a later full manifest can still set-diff against it
             added, removed = len(m["files_add"]), len(m["files_remove"])
+            n_files = (
+                prev_n + added - removed
+                if prev_n is not None
+                else len(_manifest_files(path, m))
+            )
+            if prev_ids is not None:
+                rm = set(m.get("files_remove") or [])
+                ids = {k for k in prev_ids if k not in rm} | {
+                    _ekey(e) for e in (m.get("files_add") or [])
+                }
+        elif ck is not None:
+            # parquet checkpoint: the pointer carries the count; decoding
+            # the sidecar per retained version would make DESCRIBE HISTORY
+            # O(versions x files) — exactly what the pointer design ends
+            n_files = ck["count"]
+            if first:
+                added, removed = n_files, 0
+            elif prev_ids is not None:
+                ids = {_ekey(e) for e in _manifest_files(path, m)}
+                added = len(ids - prev_ids)
+                removed = len(prev_ids - ids)
+            else:
+                added = removed = None  # unknown without chain resolves
         else:
+            files = _manifest_files(path, m)
             ids = {_ekey(e) for e in files}
-            added = len(ids - prev_ids) if prev_ids is not None else len(ids)
-            removed = len(prev_ids - ids) if prev_ids is not None else 0
+            n_files = len(files)
+            if first:
+                added, removed = len(ids), 0
+            elif prev_ids is not None:
+                added = len(ids - prev_ids)
+                removed = len(prev_ids - ids)
+            else:
+                added = removed = None
         out.append(
             {
                 "version": v,
                 "op": m.get("op"),
                 "committed_at": m.get("committed_at"),
                 "n_rows": n_rows,
-                "n_files": len(files) if files is not None else None,
+                "n_files": n_files,
                 "net_rows": (
                     n_rows - prev_rows
                     if n_rows is not None and prev_rows is not None
@@ -6394,9 +6432,10 @@ def snapshot_history(path: str) -> list[dict]:
                 "commit_attempts": m.get("commit_attempts", 1),
             }
         )
-        if files is not None:
-            prev_ids = {_ekey(e) for e in files}
+        prev_ids = ids
+        prev_n = n_files
         prev_rows = n_rows
+        first = False
     out.reverse()
     return out
 

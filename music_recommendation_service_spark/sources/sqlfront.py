@@ -343,15 +343,27 @@ def _parse_insert(q: str, views: dict):
         if qm:
             where, rest = body[: qm.start()].strip(), body[qm.start():].strip()
         else:
-            # query itself parenthesized: WHERE <pred> (SELECT ...) — take
-            # the last top-level group that runs to end-of-string and
-            # opens with a query keyword
+            # query itself parenthesized: WHERE <pred> (SELECT ...)
+            # [UNION ALL (SELECT ...)] — take the FIRST top-level group
+            # that opens with a query keyword and is not preceded by an
+            # operator (an operator means it's a scalar subquery INSIDE
+            # the predicate, e.g. x = (SELECT max(k) FROM t)); the query
+            # runs from that group to end-of-string, so set-operator
+            # chains of parenthesized branches parse whole.
             split_at = None
             for a, b in _top_level_groups(body):
-                if body[b + 1:].strip() == "" and re.match(
+                if not re.match(
                     r"\s*(SELECT|WITH|VALUES)\b", body[a + 1: b], re.IGNORECASE
                 ):
-                    split_at = a
+                    continue
+                before_txt = body[:a].rstrip()
+                if re.search(
+                    r"([=<>!+\-*/,(]|\b(IN|NOT|AND|OR|BETWEEN|LIKE)\b)$",
+                    before_txt, re.IGNORECASE,
+                ):
+                    continue  # part of the predicate, keep scanning
+                split_at = a
+                break
             if split_at is None:
                 raise SqlDispatchError(
                     f"INSERT OVERWRITE {name} WHERE <pred> <query>: could "
@@ -379,7 +391,13 @@ def _parse_insert(q: str, views: dict):
         )
     else:
         if rest.startswith("(") and rest.endswith(")"):
-            rest = rest[1:-1]
+            # strip the wrapper ONLY when one group spans the whole
+            # string — "(A) UNION ALL (B)" must keep its parens
+            groups = list(_top_level_groups(rest))
+            if groups and groups[0] == (0, len(rest) - 1):
+                rest = rest[1:-1]
+            else:
+                rest = f"SELECT * FROM ({rest}) AS _ins_q"
         if not re.match(r"\s*(SELECT|WITH|VALUES)\b", rest, re.IGNORECASE):
             raise SqlDispatchError(
                 f"INSERT INTO {name}: expected a SELECT/WITH query or "
@@ -996,7 +1014,14 @@ def dispatch_sql(
             # empty frame with the right schema instead of crashing.
             ppath = _require_view(pm.group(1), views)
             recs = S.snapshot_partitions(ppath)
-            pcols = S.snapshot_detail(ppath)["partition_cols"]
+            # partition_cols straight off the manifest (O(1) on a pointer
+            # manifest) — snapshot_detail would stat every live data file
+            pcols = list(
+                S._read_manifest(
+                    ppath, S.snapshot_versions(ppath)[-1]
+                ).get("partition_cols")
+                or []
+            )
             return (
                 spark.createDataFrame(
                     [

@@ -961,20 +961,33 @@ def test_datasource_append_adopts_hive_layout(spark, tmp_path):
 
 def test_datasource_partition_value_escaping(spark, tmp_path):
     """String partition values with Hive-escaped characters (slash, equals,
-    space, percent) and NULL round-trip the directory encoding exactly."""
+    space, percent) and NULL round-trip the directory encoding exactly;
+    the EMPTY STRING lands in the default partition and reads back as
+    NULL (Hive semantics — '' and NULL are indistinguishable in a
+    partition directory), and the manifest records None for both, never a
+    phantom '' partition."""
     _reg(spark)
     p = str(tmp_path / "ds_esc")
-    rows = [(1, "a/b"), (2, "x=y"), (3, "has space"), (4, "100%"), (5, None)]
+    rows = [
+        (1, "a/b"), (2, "x=y"), (3, "has space"), (4, "100%"), (5, None),
+        (6, ""),
+    ]
     spark.createDataFrame(rows, ["k", "tag"]).write.format("snapshot").option(
         "partitionBy", "tag"
     ).mode("append").save(p)
     got = {r["k"]: r["tag"] for r in S.snapshot_read(spark, p).collect()}
-    assert got == dict(rows)
+    want = dict(rows)
+    want[6] = None  # '' coalesces into the default (null) partition
+    assert got == want
     parts = {
         e["partition"]["tag"]
         for e in S._manifest_files(p, S._latest_manifest(p))
     }
     assert parts == {"a/b", "x=y", "has space", "100%", None}
+    # the null-partition entries carry unknown ([None, None]) tag stats
+    for e in S._manifest_files(p, S._latest_manifest(p)):
+        if e["partition"]["tag"] is None:
+            assert e["stats"]["tag"] == [None, None]
 
 
 def test_datasource_timestamp_partitionby_refuses_create(spark, tmp_path):

@@ -646,3 +646,29 @@ def test_sql_insert_overwrite_where_paren_predicates(spark, tmp_path, eng):
     # empty predicate refuses loudly
     with pytest.raises(SqlDispatchError, match="empty WHERE"):
         e.sql("INSERT OVERWRITE t1 WHERE SELECT 1 AS k, CAST(1.0 AS DOUBLE) AS amount, 'a' AS tag")
+
+
+def test_sql_insert_overwrite_where_paren_query_chains(spark, tmp_path, eng):
+    """Parenthesized compound queries after a replaceWhere predicate and
+    scalar subqueries INSIDE the predicate both parse: the query starts at
+    the first top-level query-group not preceded by an operator."""
+    e, p = eng  # BASE: (1,a) (2,b) (3,a) (4,c)
+    e.sql(
+        "INSERT OVERWRITE t1 WHERE tag IN ('a') "
+        "(SELECT 70 AS k, CAST(7.0 AS DOUBLE) AS amount, 'a' AS tag) "
+        "UNION ALL "
+        "(SELECT 71 AS k, CAST(7.1 AS DOUBLE) AS amount, 'a' AS tag)"
+    )
+    st = _state(spark, e, "t1")
+    assert set(st) == {70, 71, 2, 4}
+
+    # scalar subquery in the predicate, parenthesized query after it:
+    # re-price the current max-k row in place (incoming must satisfy the
+    # scope, so it reuses k = max(k) = 71)
+    e.sql(
+        "INSERT OVERWRITE t1 WHERE k = (SELECT max(k) FROM t1) "
+        "(SELECT 71 AS k, CAST(9.9 AS DOUBLE) AS amount, 'z' AS tag)"
+    )
+    st = _state(spark, e, "t1")
+    assert st[71] == (9.9, "z")
+    assert set(st) == {70, 71, 2, 4}
