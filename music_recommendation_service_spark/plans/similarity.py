@@ -767,7 +767,7 @@ register_sql(
     ("embeddings",),
     doc=f"Product-quantization ANN: M={_PQ_M} subspaces x K={_PQ_K} "
     f"codebooks (md5-seeded, one Lloyd step), ADC scan from code joins, "
-    f"exact re-rank of top {_PQ_CAND} (recall@10 0.44 at 10% exact-read "
+    f"exact re-rank of top {_PQ_CAND} (recall@10 0.50 at 10% exact-read "
     "share; 64x scan compression).",
     tags=("similarity", "ann", "pq", "kmeans"),
 )

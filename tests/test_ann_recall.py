@@ -71,7 +71,7 @@ def test_ann_lsh_candidate_share_bounded(spark, sf_dir):
 def test_ann_pq_recall_and_share(spark):
     """q134 (product quantization): ADC top-candidates + exact re-rank must
     retrieve real L2 neighbors. Measured on the fixed sf0.01 corpus:
-    recall@10 = 0.44 at a 10% exact-read share — PQ trades recall for the
+    recall@10 = 0.50 at a 10% exact-read share (round-11 reconstructed corpus; see README 'testdata incident') — PQ trades recall for the
     smallest exact-read share of the three ANN legs plus a 64x-compressed
     ADC scan (codes, not embeddings). Pinned at sf0.01 because at sf0.001
     the candidate budget covers the whole corpus and recall is trivially
