@@ -88,7 +88,7 @@ def main() -> None:
     if SF1_MODE:
         SF_DIR = SF1_DIR
         N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-        if not os.path.isdir(os.path.join(SF1_DIR, "lineitem.parquet")):
+        if not os.path.exists(os.path.join(SF1_DIR, "lineitem.parquet")):
             import subprocess
 
             subprocess.run(

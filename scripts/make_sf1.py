@@ -27,6 +27,15 @@ SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
 AMPLIFY = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "10"))
 
+# HARD GUARD (round-11 incident): this script must never write into the
+# driver's read-only testdata — a mispointed SPARK_GRAFT_SF1_DIR once
+# overwrote /root/testdata/sf0.01 (root ignores the read-only mode bits).
+if os.path.realpath(DST).startswith("/root/testdata"):
+    raise SystemExit(
+        f"refusing to write sf1 data into {DST!r}: /root/testdata is the "
+        f"driver's read-only corpus; point SPARK_GRAFT_SF1_DIR elsewhere"
+    )
+
 # Per-key-family shift offsets — far above any sf0.1 key value, so copies
 # can never collide.
 K_CUST = 1_000_000
