@@ -249,7 +249,14 @@ class Engine:
             for name, p in self._snapshot_views.items():
                 if before.get(name) != p:
                     names.add(name)
-            exc._sql_touched = (names, dml)  # type: ignore[attr-defined]
+            try:
+                exc._sql_touched = (names, dml)  # type: ignore[attr-defined]
+            except AttributeError:
+                # __slots__-style exception rejects attribute assignment:
+                # re-raise the ORIGINAL error unannotated rather than mask
+                # it (sql_atomic's unattributed-advance sweep still
+                # surfaces the half-applied table in its refusal list)
+                pass
             raise
         return df, names, dml
 
@@ -345,15 +352,60 @@ class Engine:
                     continue
                 sn.snapshot_rollback(path, v0)
                 self.snapshot(path, view=name, persist=False)
-            if refusals:
+            # Sweep for UNATTRIBUTED advances: a statement whose
+            # snapshot-layer call committed and then raised BEFORE
+            # dispatch_sql returned leaves no _sql_touched attribution,
+            # so its table is absent from `touched` — neither rolled back
+            # nor refused above. Surface any pre-known table whose latest
+            # version moved without attribution so the divergence is
+            # never silent (it may equally be a concurrent writer's
+            # commit, which is exactly why we surface rather than revert).
+            touched_paths = {
+                pre[n][0] for n in touched if n in pre
+            } | {
+                self._snapshot_views[n]
+                for n in touched
+                if n in self._snapshot_views
+            } | set(produced)
+            seen_paths: set[str] = set()
+            unattributed: list[str] = []
+            for name in sorted(pre):
+                path, v0 = pre[name]
+                if path in touched_paths or path in seen_paths:
+                    continue
+                seen_paths.add(path)
+                if v0 is None:
+                    continue
+                try:
+                    vs = sn.snapshot_versions(path)
+                except Exception:
+                    continue
+                if vs and vs[-1] != v0:
+                    unattributed.append(
+                        f"{name!r} ({path}): advanced v{v0}->v{vs[-1]} "
+                        "during the failed transaction without attribution"
+                    )
+            if refusals or unattributed:
+                parts = []
+                if refusals:
+                    parts.append(
+                        "lake transaction compensation refused for: "
+                        + "; ".join(refusals)
+                        + " — the latest version is not this transaction's "
+                        "own commit, and rolling back would revert another "
+                        "writer's durable commit."
+                    )
+                if unattributed:
+                    parts.append(
+                        "unattributed advances (possibly this "
+                        "transaction's own commit whose statement failed "
+                        "post-commit, or a concurrent writer's — NOT "
+                        "rolled back): " + "; ".join(unattributed) + "."
+                    )
                 raise RuntimeError(
-                    "lake transaction compensation refused for: "
-                    + "; ".join(refusals)
-                    + " — the latest version is not this transaction's own "
-                    "commit, and rolling back would revert another "
-                    "writer's durable commit. Every other touched table "
-                    "was compensated. Resolve manually (RESTORE or "
-                    "re-apply)."
+                    " ".join(parts)
+                    + " Every other touched table was compensated. "
+                    "Resolve manually (RESTORE or re-apply)."
                 ) from exc
             raise
         if publish:

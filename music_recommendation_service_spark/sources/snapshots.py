@@ -6392,14 +6392,18 @@ def snapshot_history(path: str) -> list[dict]:
             # the sidecar per retained version would make DESCRIBE HISTORY
             # O(versions x files) — exactly what the pointer design ends
             n_files = ck["count"]
+            # always seed the id chain (the decode is memoized in
+            # _FILES_CACHE, so a history walk decodes each sidecar once) —
+            # without the seed, a table whose full manifests are ALL
+            # checkpoint-form would report added/removed = None forever
+            ids = {_ekey(e) for e in _manifest_files(path, m)}
             if first:
                 added, removed = n_files, 0
             elif prev_ids is not None:
-                ids = {_ekey(e) for e in _manifest_files(path, m)}
                 added = len(ids - prev_ids)
                 removed = len(prev_ids - ids)
             else:
-                added = removed = None  # unknown without chain resolves
+                added = removed = None  # prior version itself unresolvable
         else:
             files = _manifest_files(path, m)
             ids = {_ekey(e) for e in files}
@@ -6930,6 +6934,15 @@ def snapshot_vacuum(
                 # an oversized materialized list externalizes to a parquet
                 # checkpoint exactly like a committed full manifest would
                 towrite = _maybe_parquet_checkpoint(path, full, v)
+                # re-derive the writer requirement like _commit does: the
+                # externalized files_ckpt is a v3 writer feature, and the
+                # materialized manifest must never stamp a LOWER
+                # requirement than its own features imply
+                need_w = max(
+                    towrite.get("min_writer", 1), _required_writer(towrite)
+                )
+                if need_w > 1:
+                    towrite["min_writer"] = need_w
                 if "files_ckpt" in towrite:
                     live_ckpt_names.add(
                         towrite["files_ckpt"]["ref"].rsplit("/", 1)[-1]

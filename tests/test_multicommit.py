@@ -387,3 +387,87 @@ def test_lake_transaction_isolation_contract(spark, tmp_path):
     assert lake_read(spark, root, "fact").count() == 2
     assert lake_read(spark, root, "view").count() == 2
     assert lake_pins(root) == {"fact": 2, "view": 2}
+
+
+def test_sql_atomic_surfaces_unattributed_advance(spark, tmp_path):
+    """A statement whose snapshot-layer call COMMITS and then raises before
+    dispatch returns leaves no ``_sql_touched`` attribution. Compensation
+    cannot tell the advance from a concurrent writer's, so it must not
+    roll it back — but it must SURFACE the divergence instead of leaving a
+    silently half-applied pair (round-11 ADVICE, engine.py)."""
+    from music_recommendation_service_spark.engine import Engine
+
+    root = str(tmp_path)
+    fact, view = f"{root}/fact", f"{root}/view"
+    sch = "k int, amount double, tag string"
+    for p in (fact, view):
+        snapshot_write(spark.createDataFrame([(1, 10.0, "a")], sch), p)
+    e = Engine(root, spark=spark)
+    e.snapshot(fact, view="fact")
+    e.snapshot(view, view="vw")
+
+    orig = e._run_sql
+    state = {"n": 0}
+
+    def hooked(q):
+        state["n"] += 1
+        if state["n"] == 2:
+            # the statement's table commit LANDS, then the statement dies
+            # without shipping any attribution (post-commit, pre-return)
+            snapshot_append(
+                spark.createDataFrame([(2, 20.0, "b")], sch), view
+            )
+            raise RuntimeError("post-commit pre-return crash")
+        return orig(q)
+
+    e._run_sql = hooked
+    with pytest.raises(RuntimeError, match="unattributed advance"):
+        e.sql_atomic([
+            "INSERT INTO fact SELECT 3 AS k, CAST(30.0 AS DOUBLE) AS amount, 'c' AS tag",
+            "INSERT INTO vw SELECT 4 AS k, CAST(40.0 AS DOUBLE) AS amount, 'd' AS tag",
+        ])
+    # the attributed commit (stmt 1) was compensated...
+    assert snapshot_read(spark, fact).count() == 1
+    # ...the unattributed one was NOT rolled back (it could equally be a
+    # concurrent writer's durable commit), only surfaced
+    assert snapshot_versions(view) == [1, 2]
+    assert lake_latest(root) is None
+
+
+def test_sql_atomic_slotted_exception_keeps_original_error(spark, tmp_path):
+    """Attribution is shipped by annotating the in-flight exception; an
+    exception class that rejects attribute assignment (``__slots__``) must
+    not be masked by the annotation attempt — the ORIGINAL error
+    propagates and the unattributed-advance sweep still surfaces the
+    advanced table (round-11 ADVICE, engine.py)."""
+    from music_recommendation_service_spark.engine import Engine
+
+    class SlottedError(Exception):
+        __slots__ = ()
+
+        def __setattr__(self, k, v):  # simulate attribute rejection
+            raise AttributeError(k)
+
+    root = str(tmp_path)
+    fact = f"{root}/fact"
+    sch = "k int, amount double, tag string"
+    snapshot_write(spark.createDataFrame([(1, 10.0, "a")], sch), fact)
+    e = Engine(root, spark=spark)
+    e.snapshot(fact, view="fact")
+
+    # make the post-commit bookkeeping fail with the slotted exception:
+    # the touched-table view refresh runs inside _run_sql's try AFTER the
+    # table committed
+    def bad_snapshot(*a, **kw):
+        raise SlottedError("bookkeeping died")
+
+    e.snapshot = bad_snapshot
+    # the INSERT commits, bookkeeping raises SlottedError, attribution
+    # fails (slots) — the sweep then reports the advance instead of the
+    # old behavior (AttributeError masking everything)
+    with pytest.raises(RuntimeError, match="unattributed advance"):
+        e.sql_atomic([
+            "INSERT INTO fact SELECT 6 AS k, CAST(60.0 AS DOUBLE) AS amount, 'f' AS tag",
+        ])
+    # the commit stands (never rolled back without attribution)
+    assert snapshot_versions(fact) == [1, 2]

@@ -452,3 +452,57 @@ def test_scan_in_through_checkpoint(spark, tmp_path, monkeypatch):
     got = S.snapshot_scan_in(spark, p, "k", [3, 77, 150])
     assert sorted(r["k"] for r in got.collect()) == [3, 77, 150]
     assert got.count() == 3
+
+
+def test_history_metrics_through_all_checkpoint_manifests(spark, tmp_path, monkeypatch):
+    """A table whose FULL manifests are all checkpoint-form still reports
+    real n_files_added/n_files_removed: the id chain is seeded from the
+    memoized sidecar decode on the first ckpt version too, instead of
+    staying None forever (round-11 ADVICE, snapshot_history)."""
+    _low_thresholds(monkeypatch, ckpt=8)
+    # keep every manifest FULL (no delta form) so each one externalizes
+    monkeypatch.setattr(S, "_DELTA_MANIFEST_MIN_FILES", 10**9)
+    p = str(tmp_path / "allckpt")
+    S.snapshot_write(_df(spark, n=200, parts=12), p, stats_cols=["k"])
+    S.snapshot_append(
+        spark.createDataFrame(
+            [(1000, 0, 1.0)], "k long, grp long, amount double"
+        ).repartition(1),
+        p,
+        stats_cols=["k"],
+    )
+    for v in S.snapshot_versions(p):
+        assert "files_ckpt" in S._read_manifest(p, v)
+
+    hist = {h["version"]: h for h in S.snapshot_history(p)}
+    assert hist[1]["n_files_added"] == 12 and hist[1]["n_files_removed"] == 0
+    # the regression: this pair used to be None/None because v1 never
+    # seeded the id chain
+    assert hist[2]["n_files_added"] == 1 and hist[2]["n_files_removed"] == 0
+    assert hist[2]["n_files"] == 13
+
+
+def test_vacuum_materialized_ckpt_stamps_min_writer(spark, tmp_path, monkeypatch):
+    """Vacuum's materialization externalizes to files_ckpt (a v3 writer
+    feature): the rewritten manifest must carry min_writer >= 3, not the
+    delta-form manifest's stale 2 (round-11 ADVICE, snapshot_vacuum)."""
+    # writes happen BELOW the ckpt threshold: v1 full inline, v2 delta —
+    # the table's standing writer requirement is 2
+    monkeypatch.setattr(S, "_DELTA_MANIFEST_MIN_FILES", 4)
+    p = str(tmp_path / "matw")
+    S.snapshot_write(_df(spark), p, stats_cols=["k"])  # v1 full inline
+    S.snapshot_append(
+        spark.createDataFrame([(1000, 0, 1.0)], "k long, grp long, amount double"),
+        p,
+        stats_cols=["k"],
+    )  # v2 delta on v1 (min_writer 2)
+    assert S._read_manifest(p, 2).get("min_writer", 1) == 2
+
+    # the vacuum-side materialization crosses the (now lowered) threshold
+    monkeypatch.setattr(S, "_PARQUET_CHECKPOINT_MIN_FILES", 8)
+    S.snapshot_vacuum(p, keep_last=1)
+    m = S._latest_manifest(p)
+    assert "files_ckpt" in m
+    assert m.get("min_writer", 1) >= 3
+    assert m.get("min_reader", 1) >= 3
+    assert S.snapshot_read(spark, p).count() == 201
