@@ -255,7 +255,11 @@ def main() -> None:
 
         from music_recommendation_service_spark.sources import snapshots as sn
 
-        scratch = os.environ.get("SPARK_GRAFT_SCRATCH", __import__("tempfile").gettempdir())
+        from scripts._guard import assert_not_testdata
+
+        scratch = assert_not_testdata(
+            os.environ.get("SPARK_GRAFT_SCRATCH", __import__("tempfile").gettempdir())
+        )
         tag = hashlib.sha256(SF_DIR.encode()).hexdigest()[:12]
         tpath = (
             f"{scratch}/spark_graft_scratch/"

@@ -30,11 +30,9 @@ AMPLIFY = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "10"))
 # HARD GUARD (round-11 incident): this script must never write into the
 # driver's read-only testdata — a mispointed SPARK_GRAFT_SF1_DIR once
 # overwrote /root/testdata/sf0.01 (root ignores the read-only mode bits).
-if os.path.realpath(DST).startswith("/root/testdata"):
-    raise SystemExit(
-        f"refusing to write sf1 data into {DST!r}: /root/testdata is the "
-        f"driver's read-only corpus; point SPARK_GRAFT_SF1_DIR elsewhere"
-    )
+from scripts._guard import assert_not_testdata  # noqa: E402
+
+DST = assert_not_testdata(DST)
 
 # Per-key-family shift offsets — far above any sf0.1 key value, so copies
 # can never collide.
