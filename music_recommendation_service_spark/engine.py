@@ -265,26 +265,33 @@ class Engine:
         all-or-nothing unit across N snapshot tables (SQL spelling:
         ``BEGIN LAKE TRANSACTION; <stmt>; <stmt>; COMMIT``).
 
-        Semantics (the write-then-publish discipline of
-        sources/multicommit.py, plus compensating rollback):
+        Semantics — STAGED PUBLISH (snapshot protocol v4):
 
-        - each statement commits its table normally (per-table atomicity
-          is the protocol's);
-        - a FAILURE mid-transaction rolls back ONLY the tables this
-          transaction's statements touched (``snapshot_rollback`` to
-          their pre-transaction version — a new RESTORE commit, history
-          preserved) and drops views the transaction created, so direct
-          readers see the old content of BOTH tables — no half-applied
-          pair. Tables a CONCURRENT writer advanced during the window are
-          never rolled back (that would be a lost update); if a concurrent
-          writer advanced a table PAST this transaction's own commit,
-          compensation refuses loudly rather than reverting the other
-          writer's durable commit;
-        - on success, ONE lake-log entry (``lake_commit``) pins exactly
-          the versions this transaction produced, so readers resolving
-          through the log (``lake_read``) observe the pair move together;
-          a process crash before the publish leaves the previous, mutually
-          consistent pin set in force.
+        - every statement's table commit lands as a STAGED version,
+          invisible to ALL readers (direct ``snapshot_read``/temp-view
+          readers included) until the transaction's single decision file
+          is claimed "published"; inside the transaction, this thread
+          reads its own staged versions (read-your-writes);
+        - COMMIT is ONE ``create_exclusive`` on the decision file: every
+          staged version becomes visible at the same instant — a direct
+          reader can never observe table A's new version without table
+          B's (the pre-v4 anomaly this design removes);
+        - a FAILURE mid-transaction (or a process crash at ANY point
+          before the decision) leaves every staged version invisible:
+          both tables keep reading their old, mutually consistent
+          content — no compensation commits, no rollback window. An
+          explicit failure additionally decides "aborted" so blocked
+          writers release immediately and vacuum reclaims the staged
+          data;
+        - a concurrent writer cannot commit past a PENDING staged version
+          (that would be a lost update on publish): it backs off briefly,
+          then raises ``ConcurrentSnapshotError``; a staged transaction
+          whose writer crashed is decided "aborted" by the first blocked
+          writer (or vacuum) after ``SNAPSHOT_TXN_TIMEOUT_SEC``;
+        - on success, ONE lake-log entry (``lake_commit``) additionally
+          pins the produced versions, so log-resolving readers
+          (``lake_read``) get the same all-or-nothing view with lake-level
+          time travel.
         """
         import os
 
@@ -297,12 +304,30 @@ class Engine:
             name: (path, (sn.snapshot_versions(path) or [None])[-1])
             for name, path in self._snapshot_views.items()
         }
+        txn = sn.begin_staged_txn(self.root)
         results: list[DataFrame] = []
         touched: set[str] = set()
         # path -> version this transaction's OWN commit produced (the
         # commit's return value, never a post-hoc listing a concurrent
         # writer could race into)
         produced: dict[str, int] = {}
+
+        def _reset_views() -> None:
+            # created tables: unregister the name (their only versions are
+            # staged-aborted — invisible; vacuum reclaims the data);
+            # touched views: re-resolve to the visible (pre-txn) state
+            for name in sorted(touched):
+                if name not in pre:
+                    if name in self._snapshot_views:
+                        self.spark.catalog.dropTempView(name)
+                        del self._snapshot_views[name]
+                        self._unpersist(name)
+                    continue
+                try:
+                    self.snapshot(pre[name][0], view=name, persist=False)
+                except Exception:
+                    pass
+
         try:
             for stmt in statements:
                 try:
@@ -310,8 +335,9 @@ class Engine:
                 except Exception as exc:
                     info = getattr(exc, "_sql_touched", None)
                     if info is not None:
-                        # the statement committed, then its bookkeeping
-                        # failed: keep the attribution for compensation
+                        # the statement committed (staged), then its
+                        # bookkeeping failed: keep the attribution so the
+                        # view reset below covers the table
                         names2, dml2 = info
                         touched |= names2
                         if dml2 is not None:
@@ -321,93 +347,35 @@ class Engine:
                 touched |= names
                 if dml is not None:
                     produced[dml[0]] = dml[1]
-        except Exception as exc:
-            refusals: list[str] = []
-            for name in sorted(touched):
-                if name not in pre:
-                    # a table the failed transaction created: unregister
-                    # the name (the orphan data dir is vacuum's to reclaim)
-                    if name in self._snapshot_views:
-                        self.spark.catalog.dropTempView(name)
-                        del self._snapshot_views[name]
-                        self._unpersist(name)
-                    continue
-                path, v0 = pre[name]
-                vs = sn.snapshot_versions(path)
-                if v0 is None or not vs or vs[-1] == v0:
-                    continue
-                if vs[-1] != produced.get(path):
-                    # latest is NOT this transaction's own commit — either
-                    # a concurrent writer advanced past it, or the advance
-                    # cannot be attributed. Rolling back to v0 would revert
-                    # a commit that is not ours: refuse THIS table, keep
-                    # compensating the rest.
-                    own = produced.get(path)
-                    refusals.append(
-                        f"{name!r} ({path}): latest v{vs[-1]}, transaction "
-                        + (f"produced v{own}" if own is not None
-                           else "has no attributable commit")
-                        + f", pre-transaction v{v0}"
-                    )
-                    continue
-                sn.snapshot_rollback(path, v0)
-                self.snapshot(path, view=name, persist=False)
-            # Sweep for UNATTRIBUTED advances: a statement whose
-            # snapshot-layer call committed and then raised BEFORE
-            # dispatch_sql returned leaves no _sql_touched attribution,
-            # so its table is absent from `touched` — neither rolled back
-            # nor refused above. Surface any pre-known table whose latest
-            # version moved without attribution so the divergence is
-            # never silent (it may equally be a concurrent writer's
-            # commit, which is exactly why we surface rather than revert).
-            touched_paths = {
-                pre[n][0] for n in touched if n in pre
-            } | {
-                self._snapshot_views[n]
-                for n in touched
-                if n in self._snapshot_views
-            } | set(produced)
-            seen_paths: set[str] = set()
-            unattributed: list[str] = []
-            for name in sorted(pre):
-                path, v0 = pre[name]
-                if path in touched_paths or path in seen_paths:
-                    continue
-                seen_paths.add(path)
-                if v0 is None:
-                    continue
-                try:
-                    vs = sn.snapshot_versions(path)
-                except Exception:
-                    continue
-                if vs and vs[-1] != v0:
-                    unattributed.append(
-                        f"{name!r} ({path}): advanced v{v0}->v{vs[-1]} "
-                        "during the failed transaction without attribution"
-                    )
-            if refusals or unattributed:
-                parts = []
-                if refusals:
-                    parts.append(
-                        "lake transaction compensation refused for: "
-                        + "; ".join(refusals)
-                        + " — the latest version is not this transaction's "
-                        "own commit, and rolling back would revert another "
-                        "writer's durable commit."
-                    )
-                if unattributed:
-                    parts.append(
-                        "unattributed advances (possibly this "
-                        "transaction's own commit whose statement failed "
-                        "post-commit, or a concurrent writer's — NOT "
-                        "rolled back): " + "; ".join(unattributed) + "."
-                    )
-                raise RuntimeError(
-                    " ".join(parts)
-                    + " Every other touched table was compensated. "
-                    "Resolve manually (RESTORE or re-apply)."
-                ) from exc
+        except Exception:
+            # decide 'aborted': every staged version is now permanently
+            # invisible — direct readers never saw a torn state, and
+            # nothing needs rolling back
+            try:
+                sn.txn_abort(txn)
+                sn.txn_backfill_tombstones(txn, {p for p, _ in pre.values()})
+            finally:
+                sn.end_staged_txn()
+                _reset_views()
             raise
+        sn.end_staged_txn()
+        try:
+            # ONE claim flips every staged version visible together
+            sn.txn_publish(txn)
+        except sn.TxnAbortedError:
+            _reset_views()
+            raise
+        sn.txn_backfill_tombstones(txn, set(produced))
+        # refresh touched views OUTSIDE the transaction context (resolves
+        # the now-published versions through the normal visible path)
+        for name in sorted(touched):
+            if name in self._snapshot_views:
+                try:
+                    self.snapshot(
+                        self._snapshot_views[name], view=name, persist=False
+                    )
+                except Exception:
+                    pass
         if publish:
             pre_v = {path: v0 for path, v0 in pre.values()}
             pins = {

@@ -160,3 +160,156 @@ class InMemoryObjectStoreFS(SnapshotFS):
             return os.path.getsize(path)
         except OSError:
             return None
+
+
+class FileBackedObjectStoreFS(SnapshotFS):
+    """Cross-PROCESS object-store emulation: the "bucket" is one shared
+    directory holding a FLAT namespace of url-encoded keys, so N real OS
+    processes exercise conditional-PUT claim semantics against shared
+    durable state (the in-memory twin above cannot cross a process
+    boundary). Semantics mirrored from S3 with strong consistency:
+
+    - ``create_exclusive`` = ``PUT If-None-Match: *`` — implemented as
+      write-temp + ``os.link`` (EEXIST == the 412 response); the ONLY
+      conditional primitive, everything else is plain PUT/GET/LIST;
+    - ``write_atomic`` = unconditional PUT: whole-object atomic
+      visibility (temp + rename), last writer wins;
+    - FLAT keys: there are no directories in the bucket — ``mkdirs`` is a
+      no-op and ``list_dir``/``is_dir`` are prefix scans over the whole
+      key set, exactly the LIST-with-prefix an object store serves;
+    - hybrid data plane (same split as the in-memory twin and a real
+      "metadata on S3, data via the cluster FS" deployment): parquet DATA
+      files written by Spark/pyarrow live on the real local filesystem;
+      the listing/read surface merges both namespaces.
+    """
+
+    def __init__(self, bucket_dir: str):
+        import urllib.parse
+
+        self._bucket = bucket_dir
+        self._q = urllib.parse.quote
+        self._uq = urllib.parse.unquote
+        os.makedirs(bucket_dir, exist_ok=True)
+        self.conditional_puts = 0
+        self.conditional_put_conflicts = 0
+
+    def _key(self, path: str) -> str:
+        return os.path.join(self._bucket, self._q(path, safe=""))
+
+    def _keys(self) -> list[str]:
+        return [self._uq(n) for n in os.listdir(self._bucket) if not n.endswith(".tmp")]
+
+    # -- namespace --------------------------------------------------------
+    def list_dir(self, path: str) -> list[str]:
+        norm = path.rstrip("/")
+        names = set()
+        if os.path.isdir(norm):
+            names.update(os.listdir(norm))
+        for k in self._keys():
+            if os.path.dirname(k) == norm:
+                names.add(os.path.basename(k))
+        return sorted(names)
+
+    def exists(self, path: str) -> bool:
+        return (
+            os.path.exists(self._key(path))
+            or os.path.exists(path)
+            or self.is_dir(path)
+        )
+
+    def is_dir(self, path: str) -> bool:
+        if os.path.isdir(path):
+            return True
+        prefix = path.rstrip("/") + "/"
+        return any(k.startswith(prefix) for k in self._keys())
+
+    def is_file(self, path: str) -> bool:
+        return os.path.isfile(self._key(path)) or os.path.isfile(path)
+
+    def mkdirs(self, path: str) -> None:
+        # flat namespace: keys imply their "directories"
+        return None
+
+    # -- reads ------------------------------------------------------------
+    def read_text(self, path: str) -> str:
+        k = self._key(path)
+        if os.path.exists(k):
+            with open(k) as f:
+                return f.read()
+        with open(path) as f:
+            return f.read()
+
+    def read_bytes(self, path: str) -> bytes:
+        k = self._key(path)
+        if os.path.exists(k):
+            with open(k, "rb") as f:
+                return f.read()
+        with open(path, "rb") as f:
+            return f.read()
+
+    # -- writes -----------------------------------------------------------
+    def create_exclusive(self, path: str, data: str) -> bool:
+        self.conditional_puts += 1
+        k = self._key(path)
+        tmp = f"{k}.{os.getpid()}.{threading.get_ident()}.tmp"
+        with open(tmp, "w") as f:
+            f.write(data)
+        try:
+            os.link(tmp, k)  # atomic iff absent: the If-None-Match PUT
+            return True
+        except FileExistsError:
+            self.conditional_put_conflicts += 1  # the 412 response
+            return False
+        finally:
+            os.remove(tmp)
+
+    def write_atomic(self, path: str, data: str) -> None:
+        k = self._key(path)
+        tmp = f"{k}.{os.getpid()}.{threading.get_ident()}.tmp"
+        with open(tmp, "w") as f:
+            f.write(data)
+        os.replace(tmp, k)  # unconditional PUT: atomic replace
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        k = self._key(path)
+        tmp = f"{k}.{os.getpid()}.{threading.get_ident()}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, k)
+
+    # -- deletes ----------------------------------------------------------
+    def delete_file(self, path: str) -> None:
+        k = self._key(path)
+        if os.path.exists(k):
+            os.remove(k)
+            return
+        os.remove(path)
+
+    def delete_tree(self, path: str) -> None:
+        prefix = path.rstrip("/") + "/"
+        for key in self._keys():
+            if key.startswith(prefix):
+                try:
+                    os.remove(self._key(key))
+                except FileNotFoundError:
+                    continue
+        if os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path)
+
+    # -- stat -------------------------------------------------------------
+    def mtime(self, path: str) -> float:
+        k = self._key(path)
+        if os.path.exists(k):
+            return os.path.getmtime(k)
+        return os.path.getmtime(path)
+
+    def size(self, path: str) -> int | None:
+        k = self._key(path)
+        if os.path.exists(k):
+            return os.path.getsize(k)
+        try:
+            return os.path.getsize(path)
+        except OSError:
+            return None

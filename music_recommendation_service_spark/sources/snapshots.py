@@ -210,17 +210,205 @@ def _manifest_dir(path: str) -> str:
     return os.path.join(path, "_snapshots")
 
 
-def snapshot_versions(path: str) -> list[int]:
-    """All committed versions, ascending."""
+# --- staged multi-table transactions (protocol reader/writer 4) ----------
+#
+# A LAKE TRANSACTION commits each table's data as a STAGED version: the
+# manifest carries ``staged_txn: {"id", "final"}`` and is INVISIBLE to
+# every reader until the transaction's single decision file (``final``)
+# exists with content "published". One ``create_exclusive`` on that file
+# decides the whole transaction — publish and timeout-abort race on the
+# same path, so there is exactly one outcome and no marker-ordering
+# ambiguity. A crash anywhere before the decision leaves every staged
+# version invisible: direct readers keep the old, mutually consistent
+# state (this is what upgrades the engine's lake transactions from
+# log-reader atomicity to DIRECT-reader atomicity).
+#
+# Discovery stays O(1) on the listing the resolver already does: the
+# committer drops a ``<v>.staged.json`` hint file BEFORE claiming
+# ``<v>.json``, so ``snapshot_versions`` only reads manifests for
+# versions the listing flags (a stale hint from a lost claim race is
+# disambiguated by the manifest itself, which is authoritative). After
+# the decision, readers backfill a table-local tombstone
+# (``_snapshots/txn/<id>.final``) so steady-state visibility checks never
+# leave the table directory.
+_TXN_CTX = threading.local()
+# a PENDING staged version blocks other writers (committing past it would
+# be a lost update on publish); one older than this may be decided
+# "aborted" by the blocked writer — the staging transaction crashed.
+_STAGED_TXN_TIMEOUT = float(os.environ.get("SNAPSHOT_TXN_TIMEOUT_SEC", "900"))
+# bounded politeness: how many backoff rounds a writer waits on a YOUNG
+# pending transaction before raising ConcurrentSnapshotError
+_STAGED_WAIT_ATTEMPTS = 4
+
+
+class TxnAbortedError(RuntimeError):
+    """This transaction was decided 'aborted' (by a crashed-writer
+    timeout recovery) before its own publish landed; none of its staged
+    versions will ever become visible."""
+
+
+class StagedTxn:
+    """Handle for one staged multi-table transaction."""
+
+    __slots__ = ("id", "final")
+
+    def __init__(self, txn_id: str, final: str):
+        self.id = txn_id
+        self.final = final
+
+
+def begin_staged_txn(root: str) -> StagedTxn:
+    """Open a staged transaction whose decision file lives under
+    ``root/_lake/txn/``. Every ``_commit`` on this thread stages until
+    ``end_staged_txn``; publish/abort via :func:`txn_publish` /
+    :func:`txn_abort`."""
+    import uuid as _uuid
+
+    txn_id = _uuid.uuid4().hex[:16]
+    final = os.path.join(root, "_lake", "txn", f"{txn_id}.final")
+    txn = StagedTxn(txn_id, final)
+    if getattr(_TXN_CTX, "active", None) is not None:
+        raise RuntimeError("a staged transaction is already active on this thread")
+    _TXN_CTX.active = txn
+    return txn
+
+
+def end_staged_txn() -> None:
+    _TXN_CTX.active = None
+
+
+def _active_txn() -> StagedTxn | None:
+    return getattr(_TXN_CTX, "active", None)
+
+
+def txn_publish(txn: StagedTxn) -> None:
+    """Decide the transaction 'published' — the single atomic claim that
+    makes every staged version visible at once. Raises TxnAbortedError if
+    a timeout recovery decided 'aborted' first."""
+    _fs().mkdirs(os.path.dirname(txn.final))
+    if _fs().create_exclusive(txn.final, "published"):
+        return
+    if (_fs().read_text(txn.final) or "").strip() == "aborted":
+        raise TxnAbortedError(
+            f"transaction {txn.id} was aborted by timeout recovery before "
+            "publish; its staged versions stay invisible"
+        )
+
+
+def txn_abort(txn: StagedTxn) -> str:
+    """Decide the transaction 'aborted'. Returns the actual outcome —
+    'aborted', or 'published' when the publish already won the claim."""
+    _fs().mkdirs(os.path.dirname(txn.final))
+    if _fs().create_exclusive(txn.final, "aborted"):
+        return "aborted"
+    return (_fs().read_text(txn.final) or "").strip() or "aborted"
+
+
+def txn_backfill_tombstones(txn: StagedTxn, table_paths) -> None:
+    """Best-effort copy of the decision into each table's local txn dir,
+    so steady-state visibility checks stay inside the table directory
+    (and survive a relocated lake root)."""
+    try:
+        outcome = (_fs().read_text(txn.final) or "").strip()
+    except Exception:
+        return
+    for p in table_paths:
+        try:
+            d = os.path.join(_manifest_dir(p), "txn")
+            _fs().mkdirs(d)
+            _fs().write_atomic(os.path.join(d, f"{txn.id}.final"), outcome)
+        except Exception:
+            continue
+
+
+def _txn_state(table_path: str, st: dict) -> str:
+    """Resolve a staged manifest's transaction outcome: 'published',
+    'aborted', or 'pending'. Table-local tombstone first (cheap, local,
+    relocation-proof), then the global decision file; a readable decision
+    is backfilled locally."""
+    local = os.path.join(_manifest_dir(table_path), "txn", f"{st['id']}.final")
+    try:
+        c = (_fs().read_text(local) or "").strip()
+        if c in ("published", "aborted"):
+            return c
+    except Exception:
+        pass
+    try:
+        c = (_fs().read_text(st["final"]) or "").strip()
+    except Exception:
+        return "pending"
+    if c not in ("published", "aborted"):
+        return "pending"
+    try:
+        d = os.path.join(_manifest_dir(table_path), "txn")
+        _fs().mkdirs(d)
+        _fs().write_atomic(os.path.join(d, f"{st['id']}.final"), c)
+    except Exception:
+        pass
+    return c
+
+
+def _list_versions_raw(path: str) -> tuple[list[int], set]:
+    """One listing: (all claimed versions ascending, versions carrying a
+    staged hint)."""
     d = _manifest_dir(path)
-    out = []
+    vs, hints = [], set()
     for f in _fs().list_dir(d):
-        if f.endswith(".json"):
+        if not f.endswith(".json"):
+            continue
+        stem = f[:-5]
+        if stem.endswith(".staged"):
             try:
-                out.append(int(f[:-5]))
+                hints.add(int(stem[: -len(".staged")]))
             except ValueError:
                 continue
-    return sorted(out)
+        else:
+            try:
+                vs.append(int(stem))
+            except ValueError:
+                continue
+    return sorted(vs), hints
+
+
+def _filter_visible(path: str, vs: list, hints: set) -> list:
+    """Visibility filter over ONE raw listing (callers must pass the vs/
+    hints pair from the SAME ``_list_versions_raw`` call — filtering one
+    listing against another races with concurrent commits)."""
+    if not hints:
+        return vs
+    own = _active_txn()
+    out = []
+    for v in vs:
+        if v in hints:
+            try:
+                st = _read_manifest(path, v).get("staged_txn")
+            except UnsupportedSnapshotProtocolError:
+                raise
+            except Exception:
+                st = None
+            if st is not None:
+                if own is not None and own.id == st["id"]:
+                    out.append(v)
+                elif _txn_state(path, st) == "published":
+                    out.append(v)
+                continue
+        out.append(v)
+    return out
+
+
+def snapshot_versions(path: str, include_pending: bool = False) -> list[int]:
+    """All VISIBLE committed versions, ascending: staged versions appear
+    only once their transaction is decided 'published' (or to the staging
+    thread itself — read-your-writes inside the transaction). Aborted and
+    pending staged versions are holes in the sequence by design: time
+    travel to them refuses, history skips them, delta chains never
+    reference them (writers cannot commit past a pending one).
+    ``include_pending=True`` returns the raw claim sequence — the commit
+    slot allocator's and vacuum's view."""
+    vs, hints = _list_versions_raw(path)
+    if include_pending:
+        return vs
+    return _filter_visible(path, vs, hints)
 
 
 # Protocol reader version this engine understands (Delta's minReaderVersion
@@ -232,7 +420,11 @@ def snapshot_versions(path: str) -> list[int]:
 # exactly this structure). A manifest written with a feature this reader
 # lacks must REFUSE loudly — the alternative is an older reader's legacy
 # fallback silently listing data dirs and resurrecting rewritten rows.
-_READER_VERSION = 3
+# 4 adds STAGED TRANSACTION manifests (``staged_txn`` — a version that is
+# invisible until its transaction's single decision file reads
+# "published"; an older reader would treat a pending staged version as
+# committed latest and serve a torn multi-table state).
+_READER_VERSION = 4
 # Protocol writer version (Delta's minWriterVersion discipline). 1 = plain
 # full manifests; 2 adds the feature set a committing writer must
 # UNDERSTAND to not corrupt state it carries forward: deletion vectors,
@@ -243,7 +435,10 @@ _READER_VERSION = 3
 # whose latest manifest demands a newer writer must refuse EVERY mutation
 # up front — an older writer's commit would silently drop feature state
 # (e.g. carry files without their DVs, skip constraint enforcement).
-_WRITER_VERSION = 3
+# 4 adds staged-transaction manifests (a writer must refuse to commit past
+# a PENDING staged version — committing blind would be a lost update when
+# the transaction publishes).
+_WRITER_VERSION = 4
 # manifest keys whose presence requires writer version 2
 _W2_FEATURE_KEYS = (
     "column_mapping", "generated", "identity", "constraints",
@@ -256,6 +451,8 @@ class UnsupportedSnapshotProtocolError(RuntimeError):
 
 
 def _required_writer(manifest: dict) -> int:
+    if "staged_txn" in manifest:
+        return 4
     if "files_ckpt" in manifest:
         return 3
     if any(manifest.get(k) for k in _W2_FEATURE_KEYS):
@@ -562,19 +759,23 @@ def _write_parquet_checkpoint(path: str, files: list[dict], version: int) -> dic
     return ptr
 
 
-def _read_parquet_checkpoint(path: str, ckpt: dict) -> list[dict]:
-    """Resolve a ``files_ckpt`` pointer back to manifest entries. Key-set
-    discipline mirrors the builders: ``path``/``rows``/``stats`` always
-    present, optional keys only when non-null. The typed layout rebuilds
-    entries from native arrays with no payload JSON parse; the json layout
-    parses each JSON column in ONE batched ``json.loads`` (a single
-    C-speed parse of a synthesized array), not one call per row."""
+def _read_parquet_checkpoint(path: str, ckpt: dict, table=None) -> list[dict]:
+    """Resolve a ``files_ckpt`` pointer back to FULL-FIDELITY manifest
+    entries. Key-set discipline mirrors the builders: ``path``/``rows``/
+    ``stats`` always present, optional keys only when non-null. The typed
+    layout rebuilds entries from native arrays with no payload JSON parse;
+    the json layout parses each JSON column in ONE batched ``json.loads``
+    (a single C-speed parse of a synthesized array), not one call per row.
+    Callers holding the cached Arrow handle pass it as ``table`` to skip
+    the re-read; consumers that need only path/partition/dv should use
+    ``_manifest_files_scan`` and never materialize full entries."""
     import io
 
     import pyarrow.parquet as pq
 
-    abs_p = os.path.join(_manifest_dir(path), ckpt["ref"])
-    table = pq.read_table(io.BytesIO(_fs().read_bytes(abs_p)))
+    if table is None:
+        abs_p = os.path.join(_manifest_dir(path), ckpt["ref"])
+        table = pq.read_table(io.BytesIO(_fs().read_bytes(abs_p)))
     d = table.to_pydict()
     if ckpt.get("layout", "json") == "typed":
         out = _decode_typed_ckpt(d, ckpt)
@@ -662,6 +863,115 @@ def _decode_typed_ckpt(d: dict, ckpt: dict) -> list[dict]:
     return out
 
 
+# The sidecar as a pyarrow Table, cached — manifests (and their
+# checkpoints) are immutable, so entries never go stale; keyed like
+# _FILES_CACHE with the ref appended (a table dropped and re-created at
+# the same path gets a new uuid'd ref). Tables are immutable and shared
+# as-is, no defensive copy needed.
+_CKPT_TABLE_CACHE: dict = {}
+_CKPT_TABLE_CACHE_MAX = 8
+
+
+def _ckpt_table(path: str, m: dict):
+    """Columnar handle on a ``files_ckpt`` sidecar: the Arrow table
+    itself, never materialized into Python dicts. This is what the scan
+    planner, vacuum's path sweeps, and history's id chain consume — the
+    100 TB design point is that a FULL cold resolve stays columnar end to
+    end, and per-entry dicts are built only by consumers that genuinely
+    need full fidelity (manifest rewrites, compaction scoping)."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    ck = m["files_ckpt"]
+    key = (path, m.get("version"), m.get("committed_at"), ck["ref"])
+    with _FILES_CACHE_LOCK:
+        hit = _CKPT_TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    abs_p = os.path.join(_manifest_dir(path), ck["ref"])
+    table = pq.read_table(io.BytesIO(_fs().read_bytes(abs_p)))
+    if table.num_rows != ck.get("count", table.num_rows):
+        raise RuntimeError(
+            f"parquet checkpoint {ck['ref']} at {path}: read "
+            f"{table.num_rows} entries, manifest pins {ck['count']} — "
+            f"truncated or corrupt checkpoint; refusing a partial file list"
+        )
+    with _FILES_CACHE_LOCK:
+        while len(_CKPT_TABLE_CACHE) >= _CKPT_TABLE_CACHE_MAX:
+            _CKPT_TABLE_CACHE.pop(next(iter(_CKPT_TABLE_CACHE)))
+        _CKPT_TABLE_CACHE[key] = table
+    return table
+
+
+def _manifest_files_scan(path: str, m: dict) -> list[dict]:
+    """Scan-plan projection of the active file list: ``path`` +
+    ``partition`` + ``dv`` only — exactly the keys ``_read_entries``
+    consumes. For a checkpoint-form manifest this touches 3-6 sidecar
+    columns (C-speed ``to_pylist``) and skips the stats/extra payload
+    entirely, so an UNPREDICATED cold scan of a 200k-file table builds
+    200k three-key dicts instead of full-fidelity entries; every other
+    manifest form falls back to ``_manifest_files`` (inline lists are
+    below the externalization threshold by construction). The returned
+    entries are a sound projection: any consumer needing rows/stats/
+    bloom/extra must use ``_manifest_files``."""
+    ck = m.get("files_ckpt")
+    if not ck:
+        return _manifest_files(path, m)
+    t = _ckpt_table(path, m)
+    out: list[dict] = [{"path": p} for p in t.column("path").to_pylist()]
+    if ck.get("layout") == "typed":
+        part_cols = ck.get("part_cols") or []
+        if part_cols:
+            pvals = [
+                t.column(f"p{j}").to_pylist() for j in range(len(part_cols))
+            ]
+            for e, pn, *pv in zip(
+                out, t.column("part_null").to_pylist(), *pvals
+            ):
+                if not pn:
+                    e["partition"] = dict(zip(part_cols, pv))
+        if t.column("dv_ref").null_count != len(out):
+            for e, r, n in zip(
+                out,
+                t.column("dv_ref").to_pylist(),
+                t.column("dv_n").to_pylist(),
+            ):
+                if r is not None:
+                    e["dv"] = {"ref": r} if n is None else {"ref": r, "n": n}
+    else:
+        for col in ("partition", "dv"):
+            if t.column(col).null_count == len(out):
+                continue
+            vals = t.column(col).to_pylist()
+            for i, e in enumerate(out):
+                if vals[i] is not None:
+                    v = json.loads(vals[i])
+                    if v is not None:
+                        e[col] = v
+    return out
+
+
+def _ckpt_entry_keys(path: str, m: dict) -> set:
+    """Vectorized ``_ekey`` set of a checkpoint-form manifest (path +
+    dv ref identity) — two sidecar columns, no dict materialization; the
+    history id chain's seed."""
+    t = _ckpt_table(path, m)
+    paths = t.column("path").to_pylist()
+    if m["files_ckpt"].get("layout") == "typed":
+        refs = t.column("dv_ref").to_pylist()
+        return {
+            f"{p}@{r}" if r is not None else f"{p}@"
+            for p, r in zip(paths, refs)
+        }
+    dvs = t.column("dv").to_pylist()
+    out = set()
+    for p, d in zip(paths, dvs):
+        r = (json.loads(d) or {}).get("ref", "") if d is not None else ""
+        out.add(f"{p}@{r}")
+    return out
+
+
 def _ckpt_cmp_scalar(col_type, v):
     """Exact-compare literal for a typed sidecar column, or None to bail:
     int col + int lit in int64; float col + numeric lit in float64 (float
@@ -713,8 +1023,7 @@ def _manifest_files_pruned_in(
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    abs_p = os.path.join(_manifest_dir(path), ck["ref"])
-    table = pq.read_table(io.BytesIO(_fs().read_bytes(abs_p)))
+    table = _ckpt_table(path, m)
     has = table[f"s{i}_has"]
     mn, mx = table[f"s{i}_min"], table[f"s{i}_max"]
     any_hit = None
@@ -776,8 +1085,7 @@ def _manifest_files_pruned(
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    abs_p = os.path.join(_manifest_dir(path), ck["ref"])
-    table = pq.read_table(io.BytesIO(_fs().read_bytes(abs_p)))
+    table = _ckpt_table(path, m)
     lit_for = _ckpt_cmp_scalar
     keep = None
     try:
@@ -845,7 +1153,9 @@ def _manifest_files(path: str, m: dict) -> list[dict]:
                 hit = _FILES_CACHE.get(key)
                 if hit is not None:
                     return list(hit)
-        out = _read_parquet_checkpoint(path, m["files_ckpt"])
+        out = _read_parquet_checkpoint(
+            path, m["files_ckpt"], table=_ckpt_table(path, m)
+        )
         if m.get("version") is not None:
             with _FILES_CACHE_LOCK:
                 while len(_FILES_CACHE) >= _FILES_CACHE_MAX:
@@ -1588,10 +1898,52 @@ def _commit(
     readable through DESCRIBE HISTORY."""
     _fs().mkdirs(_manifest_dir(path))
     attempt = 0
+    txn_waits = 0
     while True:
         if attempt:
             time.sleep(_commit_backoff_delay(attempt))
-        versions = snapshot_versions(path)
+        raw, hints = _list_versions_raw(path)
+        # the claim number AND the build base derive from this ONE
+        # listing — two listings would race a concurrent commit into the
+        # gap (claim past it, build without it: lost update)
+        versions = _filter_visible(path, raw, hints)
+        # PENDING-staged gate: committing past another transaction's
+        # undecided staged version would be a lost update when it
+        # publishes. Wait briefly (it is about to publish or abort);
+        # decide 'aborted' ourselves when it is stale (the stager
+        # crashed); raise when a young one keeps the slot contended.
+        own = _active_txn()
+        vis_set = set(versions)
+        pending_block = False
+        for v in raw:
+            if v in vis_set or v not in hints:
+                continue
+            m_v = _read_manifest(path, v)
+            st = m_v.get("staged_txn")
+            if st is None or (own is not None and own.id == st["id"]):
+                continue
+            state = _txn_state(path, st)
+            if state != "pending":
+                continue  # aborted: a permanent hole; published: visible
+            age = time.time() - (m_v.get("committed_at") or 0)
+            if age >= _STAGED_TXN_TIMEOUT:
+                # one decision file: whoever claims it first wins, so this
+                # never reverts a transaction that published concurrently
+                _fs().mkdirs(os.path.dirname(st["final"]))
+                _fs().create_exclusive(st["final"], "aborted")
+                if _txn_state(path, st) == "published":
+                    pending_block = True  # it won: re-list, it is visible
+                continue
+            pending_block = True
+        if pending_block:
+            txn_waits += 1
+            if txn_waits > _STAGED_WAIT_ATTEMPTS:
+                raise ConcurrentSnapshotError(
+                    f"{path}: a concurrent staged transaction holds a "
+                    "pending version; retry after it publishes or aborts"
+                )
+            attempt += 1
+            continue
         latest = _read_manifest(path, versions[-1]) if versions else None
         # min_writer gate (Delta minWriterVersion): refuse BEFORE building
         # or claiming anything — an older writer committing onto a
@@ -1602,13 +1954,17 @@ def _commit(
                 f"{path} needs protocol writer {need_w}; this engine "
                 f"implements {_WRITER_VERSION} — upgrade before writing"
             )
-        version = (versions[-1] if versions else 0) + 1
+        # claim numbering is over the RAW sequence: aborted/pending holes
+        # keep their slot (their manifest file exists), so the next claim
+        # must always be one past the highest CLAIMED version
+        version = (raw[-1] if raw else 0) + 1
         manifest = build(latest, version)
         manifest["version"] = version
         manifest["committed_at"] = time.time()
         # builders that start from a copy of the previous manifest must
-        # not inherit ITS contention telemetry
+        # not inherit ITS contention telemetry or transaction marker
         manifest.pop("commit_attempts", None)
+        manifest.pop("staged_txn", None)
         if op is not None:
             # Assignment, not setdefault: builders that start from a copy of
             # the previous manifest (constraints, schema evolution, rollback)
@@ -1644,6 +2000,12 @@ def _commit(
         # rebase on) externalize their file list to a columnar parquet
         # sidecar — the JSON manifest stays a tiny pointer.
         manifest = _maybe_parquet_checkpoint(path, manifest, version)
+        # staged transaction: the commit lands invisible (and demands
+        # reader/writer 4 — older engines must refuse rather than treat a
+        # pending version as committed state)
+        if own is not None:
+            manifest["staged_txn"] = {"id": own.id, "final": own.final}
+            manifest["min_reader"] = max(manifest.get("min_reader", 1), 4)
         # stamp the writer requirement: the max of this commit's features
         # and the table's standing requirement (never silently downgrade)
         need = max(_required_writer(manifest), need_w)
@@ -1651,6 +2013,14 @@ def _commit(
             manifest["min_writer"] = need
         if attempt:
             manifest["commit_attempts"] = attempt + 1
+        if own is not None:
+            # listing-visible hint BEFORE the claim: resolvers only pay a
+            # manifest read for versions the listing flags (a stale hint
+            # from a lost claim race is harmless — the manifest decides)
+            _fs().write_atomic(
+                os.path.join(_manifest_dir(path), f"{version}.staged.json"),
+                own.id,
+            )
         target = os.path.join(_manifest_dir(path), f"{version}.json")
         # claim-once commit: O_EXCL locally, conditional PUT on an object
         # store (see SnapshotFS) — the loser of a race rebuilds, backs
@@ -2595,8 +2965,12 @@ def _monotone_expr(expr: str):
     SURVEY §4.1 flags exactly this: the reference's 7-day trending filter
     is on event_timestamp, not the partition cols, so its pruning never
     fires). Supported: year(c), to_date(c)/date(c), CAST(c AS DATE),
-    date_trunc('year'|'month'|'week'|'day', c). month()/day() alone are
-    NOT monotone across years and are deliberately absent."""
+    date_trunc('year'|'month'|'week'|'day'|'hour'|'minute', c), and the
+    epoch-seconds log-pipeline shapes — from_unixtime(c) (string form,
+    ISO ordering keeps it monotone), year/to_date/CAST-AS-DATE/date_trunc
+    over from_unixtime(c). Epoch conversion follows the engine's pinned
+    UTC session timezone (session.py). month()/day() alone are NOT
+    monotone across years and are deliberately absent."""
     import datetime as _dt
     import re
 
@@ -2630,11 +3004,67 @@ def _monotone_expr(expr: str):
             if unit == "week":
                 base = _dt.datetime(d.year, d.month, d.day)
                 return base - _dt.timedelta(days=base.weekday())
+            if unit == "hour":
+                return _dt.datetime(d.year, d.month, d.day, d.hour)
+            if unit == "minute":
+                return _dt.datetime(d.year, d.month, d.day, d.hour, d.minute)
             return _dt.datetime(d.year, d.month, d.day)
 
         return f
 
+    def as_epoch(v):
+        # from_unixtime's input: epoch SECONDS (int/float, bool excluded);
+        # the engine pins the session timezone UTC (session.py), so the
+        # conversion is the UTC rendering Spark produces
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            return None
+        try:
+            return _dt.datetime.fromtimestamp(v, _dt.timezone.utc).replace(
+                tzinfo=None
+            )
+        except (OverflowError, OSError, ValueError):
+            return None
+
+    def epoch_wrap(inner_fn):
+        def f(v):
+            d = as_epoch(v)
+            return None if d is None else inner_fn(d)
+
+        return f
+
+    def f_fu_str(v):
+        # bare from_unixtime(c): Spark's default string form — ISO-ordered,
+        # so string comparison preserves the epoch order (monotone)
+        d = as_epoch(v)
+        return None if d is None else d.strftime("%Y-%m-%d %H:%M:%S")
+
     col = r"`?([A-Za-z_][A-Za-z0-9_]*)`?"
+    fu = rf"from_unixtime\s*\(\s*{col}\s*\)"
+    m = re.match(rf"^\s*{fu}\s*$", expr, re.IGNORECASE)
+    if m:
+        return m.group(1), f_fu_str
+    m = re.match(rf"^\s*year\s*\(\s*{fu}\s*\)\s*$", expr, re.IGNORECASE)
+    if m:
+        return m.group(1), epoch_wrap(lambda d: d.year)
+    m = re.match(
+        rf"^\s*(?:to_date|date)\s*\(\s*{fu}\s*\)\s*$", expr, re.IGNORECASE
+    )
+    if m:
+        return m.group(1), epoch_wrap(lambda d: d.date())
+    m = re.match(
+        rf"^\s*cast\s*\(\s*{fu}\s+as\s+date\s*\)\s*$", expr, re.IGNORECASE
+    )
+    if m:
+        return m.group(1), epoch_wrap(lambda d: d.date())
+    m = re.match(
+        rf"^\s*date_trunc\s*\(\s*'(year|month|week|day|hour|minute)'\s*,"
+        rf"\s*{fu}\s*\)\s*$",
+        expr, re.IGNORECASE,
+    )
+    if m:
+        return m.group(2), epoch_wrap(
+            lambda d, _u=m.group(1).lower(): f_trunc(_u)(d)
+        )
     m = re.match(rf"^\s*year\s*\(\s*{col}\s*\)\s*$", expr, re.IGNORECASE)
     if m:
         return m.group(1), f_year
@@ -2649,7 +3079,7 @@ def _monotone_expr(expr: str):
     if m:
         return m.group(1), f_date
     m = re.match(
-        rf"^\s*date_trunc\s*\(\s*'(year|month|week|day)'\s*,\s*{col}\s*\)\s*$",
+        rf"^\s*date_trunc\s*\(\s*'(year|month|week|day|hour|minute)'\s*,\s*{col}\s*\)\s*$",
         expr, re.IGNORECASE,
     )
     if m:
@@ -4581,7 +5011,10 @@ def snapshot_read(
         raise ValueError(f"version {v} not in {versions}")
     m = _read_manifest(path, v)
     if _has_files(m):
-        files = _manifest_files(path, m)
+        # scan-plan projection: an unpredicated read needs path/partition/
+        # dv only — a checkpoint-form manifest stays columnar, no
+        # full-fidelity dict rebuild
+        files = _manifest_files_scan(path, m)
         if not files:
             from pyspark.sql.types import StructType
 
@@ -6392,11 +6825,11 @@ def snapshot_history(path: str) -> list[dict]:
             # the sidecar per retained version would make DESCRIBE HISTORY
             # O(versions x files) — exactly what the pointer design ends
             n_files = ck["count"]
-            # always seed the id chain (the decode is memoized in
-            # _FILES_CACHE, so a history walk decodes each sidecar once) —
-            # without the seed, a table whose full manifests are ALL
-            # checkpoint-form would report added/removed = None forever
-            ids = {_ekey(e) for e in _manifest_files(path, m)}
+            # always seed the id chain (vectorized: two sidecar columns,
+            # never full dicts) — without the seed, a table whose full
+            # manifests are ALL checkpoint-form would report
+            # added/removed = None forever
+            ids = _ckpt_entry_keys(path, m)
             if first:
                 added, removed = n_files, 0
             elif prev_ids is not None:
@@ -6953,9 +7386,36 @@ def snapshot_vacuum(
                 )
             m = full
         keep_manifests.append(m)
+    # Staged-transaction versions are INVISIBLE to the retention window
+    # above. Decided-aborted ones are permanently dead: drop their
+    # manifests now (their data dirs become orphans the age-guarded sweep
+    # reclaims). Stale PENDING ones get decided 'aborted' first (the
+    # single decision file settles any race with a slow publish); young
+    # pending ones are protected — their manifests join the live set so
+    # no sweep can eat a mid-flight transaction's data.
+    raw_vs, hint_vs = _list_versions_raw(path)
+    vis_set = set(versions)
+    for v in raw_vs:
+        if v in vis_set:
+            continue
+        m_v = _read_manifest(path, v)
+        st = m_v.get("staged_txn")
+        if st is None:
+            continue
+        state = _txn_state(path, st)
+        if state == "pending":
+            age = time.time() - (m_v.get("committed_at") or 0)
+            if age >= _STAGED_TXN_TIMEOUT and not dry_run:
+                fs.mkdirs(os.path.dirname(st["final"]))
+                fs.create_exclusive(st["final"], "aborted")
+                state = _txn_state(path, st)
+        if state == "aborted":
+            drop = drop + [v]
+        else:
+            keep_manifests.append(m_v)  # pending/just-published: protect
     dropped_manifests = {v: _read_manifest(path, v) for v in drop}
     dropped_by_version = {
-        v: _manifest_files(path, m) for v, m in dropped_manifests.items()
+        v: _manifest_files_scan(path, m) for v, m in dropped_manifests.items()
     }
     dropped_ckpt_names = {
         m["files_ckpt"]["ref"].rsplit("/", 1)[-1]
@@ -6963,7 +7423,7 @@ def snapshot_vacuum(
         if "files_ckpt" in m
     } - live_ckpt_names
     live_files = {
-        e["path"] for m in keep_manifests for e in _manifest_files(path, m)
+        e["path"] for m in keep_manifests for e in _manifest_files_scan(path, m)
     }
     live_dirs = {p.rsplit("/", 1)[0] for p in live_files}
     # Deletion-vector position dirs referenced by retained manifests are
@@ -6972,7 +7432,7 @@ def snapshot_vacuum(
     live_dirs |= {
         e["dv"]["ref"]
         for m in keep_manifests
-        for e in _manifest_files(path, m)
+        for e in _manifest_files_scan(path, m)
         if e.get("dv") and not os.path.isabs(e["dv"]["ref"])
     }
     removed = []
@@ -7010,6 +7470,9 @@ def snapshot_vacuum(
                 removed.append(ref)
         if not dry_run:
             fs.delete_file(os.path.join(_manifest_dir(path), f"{v}.json"))
+            hint = os.path.join(_manifest_dir(path), f"{v}.staged.json")
+            if fs.is_file(hint):
+                fs.delete_file(hint)
     # Orphans from crashed writes (data dir, no surviving manifest): honor
     # the retention window — a too-eager sweep would delete a concurrent
     # writer's landed-but-uncommitted data mid-commit.
@@ -7032,7 +7495,7 @@ def snapshot_vacuum(
     live_dv_dirs = {
         e["dv"]["ref"]
         for m in keep_manifests
-        for e in _manifest_files(path, m)
+        for e in _manifest_files_scan(path, m)
         if e.get("dv") and not os.path.isabs(e["dv"]["ref"])
     }
     for d in sorted(
@@ -7055,6 +7518,20 @@ def snapshot_vacuum(
                 if not dry_run:
                     fs.delete_file(fp)
                 removed.append(rel)
+    # Stale staged hints (claim-race losers, or versions dropped above):
+    # a hint without a manifest is pure noise once past the age guard.
+    raw_after = set(raw_vs) - set(drop)
+    for hv in hint_vs:
+        hint = os.path.join(_manifest_dir(path), f"{hv}.staged.json")
+        if (
+            (hv not in raw_after or hv in set(drop))
+            and fs.is_file(hint)
+            and (hv in set(drop) or now - fs.mtime(hint) >= orphan_min_age_sec)
+        ):
+            if not dry_run:
+                if fs.is_file(hint):
+                    fs.delete_file(hint)
+            removed.append(f"_snapshots/{hv}.staged.json")
     # Parquet checkpoint GC: a dropped version's checkpoint is definitively
     # dead (its manifest is gone). Anything else unreferenced in the
     # checkpoints dir is a commit-race loser's orphan — age-guarded, since

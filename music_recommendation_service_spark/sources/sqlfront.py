@@ -63,19 +63,23 @@ malformed errors loudly rather than half-executing):
     ALTER TABLE v DROP IDENTITY
     BEGIN LAKE TRANSACTION; <stmt>; ...; COMMIT      -- multi-table unit
 
-``BEGIN LAKE TRANSACTION`` — the guarantee, precisely (Engine.sql_atomic):
-each statement commits its table normally; on success ONE lake-log entry
-pins every version the transaction produced, so readers resolving
-through the log (``lake_read``) always observe the tables move TOGETHER
-— that is the atomicity this surface provides, and it is atomic even
-against a crash before the publish (the previous consistent pin set
-stays in force). It is NOT snapshot isolation for direct readers: a
-reader using the table paths (or the registered temp views) directly can
-observe table A's new version before table B commits, and a mid-
-transaction failure is repaired by COMPENSATION (RESTORE commits on the
-transaction's own tables — a window exists before compensation lands).
-Consumers that need the all-or-nothing view must read through the lake
-log.
+``BEGIN LAKE TRANSACTION`` — the guarantee, precisely (Engine.sql_atomic,
+STAGED PUBLISH, snapshot protocol v4): every statement's table commit
+lands as a STAGED version, invisible to ALL readers — direct
+``snapshot_read`` / temp-view readers included — until the transaction's
+single decision file is claimed "published". COMMIT is that one atomic
+claim, so every staged version becomes visible at the same instant: a
+direct reader can never observe table A's new version without table B's.
+A mid-transaction failure (or a crash at ANY point before the decision)
+leaves every staged version invisible — both tables keep serving their
+old, mutually consistent content; no compensation commits, no rollback
+window. A concurrent writer cannot commit past a pending staged version
+(it backs off, then raises ``ConcurrentSnapshotError``; a transaction
+whose writer crashed is decided "aborted" after
+``SNAPSHOT_TXN_TIMEOUT_SEC`` by the first blocked writer or vacuum). On
+success ONE lake-log entry additionally pins the produced versions for
+log-resolving readers (``lake_read``), adding lake-level time travel on
+top of the direct-reader atomicity.
 
 MERGE/UPDATE/DELETE map 1:1 onto ``snapshot_merge_when`` /
 ``snapshot_update_where`` / ``snapshot_delete_where``, so the CDF a SQL

@@ -71,14 +71,23 @@ def _commit_with(entries, path, force_json: bool):
         S._PARQUET_CHECKPOINT_MIN_FILES = saved
 
 
-def _cold_resolve(path, version, runs):
+def _clear_caches():
+    with S._FILES_CACHE_LOCK:
+        S._FILES_CACHE.clear()
+        S._CKPT_TABLE_CACHE.clear()
+
+
+def _cold_resolve(path, version, runs, fn=None):
+    """Cold resolve timing. ``fn`` picks the consumer shape:
+    S._manifest_files (full-fidelity dicts) or S._manifest_files_scan
+    (the scan planner's columnar path/partition/dv projection)."""
+    fn = fn or S._manifest_files
     times = []
     for _ in range(runs):
-        with S._FILES_CACHE_LOCK:
-            S._FILES_CACHE.clear()
+        _clear_caches()
         t0 = time.perf_counter()
         m = S._read_manifest(path, version)
-        files = S._manifest_files(path, m)
+        files = fn(path, m)
         times.append(time.perf_counter() - t0)
         assert files
     return times, len(files)
@@ -113,15 +122,30 @@ def main() -> None:
 
         tj, nj = _cold_resolve(pj, vj, args.runs)
         tp, np_ = _cold_resolve(pp, vp, args.runs)
-        assert nj == np_ == args.files
+        # the scan planner's cold resolve: columnar end-to-end, only the
+        # path/partition/dv projection materializes (what snapshot_read,
+        # vacuum's sweeps, and the history id chain consume)
+        ts_, ns = _cold_resolve(pp, vp, args.runs, fn=S._manifest_files_scan)
+        assert nj == np_ == ns == args.files
         # fidelity check: identical entry lists both ways
-        with S._FILES_CACHE_LOCK:
-            S._FILES_CACHE.clear()
+        _clear_caches()
         assert S._manifest_files(pp, S._read_manifest(pp, vp)) == entries
+        # ...and the scan projection is exactly the 3-key subset
+        scan = S._manifest_files_scan(pp, S._read_manifest(pp, vp))
+        assert all(
+            e["path"] == f["path"]
+            and e.get("partition") == f.get("partition")
+            and e.get("dv") == f.get("dv")
+            for e, f in zip(entries, scan)
+        )
         result["json_resolve_sec"] = round(statistics.median(tj), 4)
         result["parquet_resolve_sec"] = round(statistics.median(tp), 4)
+        result["parquet_scan_resolve_sec"] = round(statistics.median(ts_), 4)
         result["resolve_speedup"] = round(
             result["json_resolve_sec"] / result["parquet_resolve_sec"], 2
+        )
+        result["scan_resolve_speedup"] = round(
+            result["json_resolve_sec"] / result["parquet_scan_resolve_sec"], 2
         )
 
         # manifest-METADATA ops (DESCRIBE HISTORY / versions / detail):
@@ -143,8 +167,7 @@ def main() -> None:
         def time_pruned():
             times, n_kept = [], None
             for _ in range(args.runs):
-                with S._FILES_CACHE_LOCK:
-                    S._FILES_CACHE.clear()
+                _clear_caches()
                 t0 = time.perf_counter()
                 m = S._read_manifest(pp, vp)
                 kept = S._manifest_files_pruned(
@@ -184,6 +207,12 @@ def main() -> None:
                 result["real_n_files"] = m["files_ckpt"]["count"]
                 times, _ = _cold_resolve(p, m["version"], args.runs)
                 result["real_resolve_sec"] = round(statistics.median(times), 4)
+                times, _ = _cold_resolve(
+                    p, m["version"], args.runs, fn=S._manifest_files_scan
+                )
+                result["real_scan_resolve_sec"] = round(
+                    statistics.median(times), 4
+                )
                 t0 = time.perf_counter()
                 got = S.snapshot_read(spark, p).agg({"k": "sum"}).collect()[0][0]
                 result["real_scan_sec"] = round(time.perf_counter() - t0, 2)

@@ -243,10 +243,29 @@ def _hook_before_second_stmt(e, side_effect):
     e._run_sql = hooked
 
 
+def _in_thread(fn):
+    """Run ``fn`` on a separate thread (a REAL concurrent writer: the
+    staged-transaction context is thread-local) and re-raise or return."""
+    import threading
+
+    box = {}
+
+    def run():
+        try:
+            box["result"] = fn()
+        except Exception as exc:  # noqa: BLE001
+            box["error"] = exc
+
+    t = threading.Thread(target=run)
+    t.start()
+    t.join()
+    return box
+
+
 def test_sql_atomic_failure_spares_concurrent_writer(spark, tmp_path):
-    """Compensating rollback is scoped to the transaction's OWN tables: a
-    bystander table another session committed to during the window keeps
-    that commit (rolling it back would be a lost update)."""
+    """A bystander table another session committed to during the window
+    keeps that commit — the transaction's abort never touches tables it
+    did not stage (rolling a bystander back would be a lost update)."""
     from music_recommendation_service_spark.engine import Engine
 
     root = str(tmp_path)
@@ -259,19 +278,20 @@ def test_sql_atomic_failure_spares_concurrent_writer(spark, tmp_path):
     e.snapshot(view, view="vw")
     e.snapshot(other, view="bystander")
 
-    _hook_before_second_stmt(
-        e,
-        lambda: snapshot_append(
+    def concurrent_append():
+        return snapshot_append(
             spark.createDataFrame([(9, 90.0, "concurrent")], sch), other
-        ),
-    )
+        )
+
+    _hook_before_second_stmt(e, lambda: _in_thread(concurrent_append))
     with pytest.raises(Exception):
         e.sql_atomic([
             "INSERT INTO fact SELECT 2 AS k, CAST(20.0 AS DOUBLE) AS amount, 'b' AS tag",
             "UPDATE vw SET nope_column = 1 WHERE k = 1",  # fails
         ])
-    # the tx's own commit was compensated...
+    # the tx's own staged commit never became visible...
     assert snapshot_read(spark, fact).count() == 1
+    assert snapshot_versions(fact) == [1]  # staged v2 is an invisible hole
     # ...but the concurrent writer's durable commit on the bystander stands
     assert snapshot_versions(other) == [1, 2]
     assert {r["tag"] for r in snapshot_read(spark, other).collect()} == {
@@ -280,39 +300,43 @@ def test_sql_atomic_failure_spares_concurrent_writer(spark, tmp_path):
     assert lake_latest(root) is None
 
 
-def test_sql_atomic_refuses_rollback_past_concurrent_commit(spark, tmp_path):
-    """If a concurrent writer advanced a touched table PAST the
-    transaction's own commit, compensation refuses loudly instead of
-    reverting the other writer's durable commit."""
+def test_sql_atomic_concurrent_writer_blocked_on_pending_stage(spark, tmp_path):
+    """A concurrent writer cannot commit past a PENDING staged version —
+    committing blind would be a lost update when the transaction
+    publishes. It backs off, then raises ConcurrentSnapshotError; the
+    transaction itself is unaffected and publishes."""
     from music_recommendation_service_spark.engine import Engine
+    from music_recommendation_service_spark.sources.snapshots import (
+        ConcurrentSnapshotError,
+    )
 
     root = str(tmp_path)
     fact, view = f"{root}/fact", f"{root}/view"
     sch = "k int, amount double, tag string"
     for p in (fact, view):
-        snapshot_write(spark.createDataFrame([(1, 10.0, "a")], sch), p)
+        snapshot_write(spark.createDataFrame([(1, 10.0, "a")], sch), fact if p == fact else view)
     e = Engine(root, spark=spark)
     e.snapshot(fact, view="fact")
     e.snapshot(view, view="vw")
 
-    _hook_before_second_stmt(
-        e,
-        lambda: snapshot_append(
+    box = {}
+
+    def concurrent_append():
+        return snapshot_append(
             spark.createDataFrame([(9, 90.0, "concurrent")], sch), fact
-        ),
+        )
+
+    _hook_before_second_stmt(
+        e, lambda: box.update(_in_thread(concurrent_append))
     )
-    with pytest.raises(RuntimeError, match="compensation refused"):
-        e.sql_atomic([
-            "INSERT INTO fact SELECT 2 AS k, CAST(20.0 AS DOUBLE) AS amount, 'b' AS tag",
-            "UPDATE vw SET nope_column = 1 WHERE k = 1",  # fails
-        ])
-    # NOTHING was rolled back on fact: both the tx's commit and the
-    # concurrent one survive for manual resolution
-    assert snapshot_versions(fact) == [1, 2, 3]
-    assert {r["tag"] for r in snapshot_read(spark, fact).collect()} == {
-        "a", "b", "concurrent",
-    }
-    assert lake_latest(root) is None
+    e.sql_atomic([
+        "INSERT INTO fact SELECT 2 AS k, CAST(20.0 AS DOUBLE) AS amount, 'b' AS tag",
+        "INSERT INTO vw SELECT 2 AS k, CAST(20.0 AS DOUBLE) AS amount, 'b' AS tag",
+    ])
+    assert isinstance(box.get("error"), ConcurrentSnapshotError)
+    # the transaction's own commits published fine
+    assert {r["tag"] for r in snapshot_read(spark, fact).collect()} == {"a", "b"}
+    assert snapshot_read(spark, view).count() == 2
 
 
 def test_sql_atomic_pins_only_own_versions(spark, tmp_path):
@@ -347,11 +371,11 @@ def test_sql_atomic_pins_only_own_versions(spark, tmp_path):
 
 
 def test_lake_transaction_isolation_contract(spark, tmp_path):
-    """The documented guarantee, pinned from both sides: mid-window a
-    DIRECT reader observes table A advanced before table B commits (the
-    documented anomaly), while a log-resolving reader (lake_read) still
-    serves the previous consistent pin pair; after COMMIT the log serves
-    the new pair."""
+    """INVERTED from the pre-v4 contract: mid-window, a DIRECT reader (on
+    its own thread — a real concurrent reader) observes the OLD state of
+    BOTH tables even though statement 1's commit already landed (staged,
+    invisible); the lake log agrees; after COMMIT both serve the new pair
+    together."""
     from music_recommendation_service_spark.engine import Engine
 
     root = str(tmp_path)
@@ -367,34 +391,81 @@ def test_lake_transaction_isolation_contract(spark, tmp_path):
     observed = {}
 
     def observe():
-        # the window between stmt1's table commit and stmt2's: direct
-        # readers are SKEWED, the lake log is not
+        # the window between stmt1's staged commit and stmt2's: a direct
+        # reader sees the OLD pair — no torn state, ever
         observed["direct_fact"] = snapshot_read(spark, fact).count()
         observed["direct_view"] = snapshot_read(spark, view).count()
         observed["lake_fact"] = lake_read(spark, root, "fact").count()
         observed["lake_view"] = lake_read(spark, root, "view").count()
+        # ...while the transaction itself reads its own staged write
+        observed["fact_versions"] = snapshot_versions(fact)
 
-    _hook_before_second_stmt(e, observe)
+    _hook_before_second_stmt(e, lambda: _in_thread(observe))
     e.sql_atomic([
         "INSERT INTO tfact SELECT 2 AS k, CAST(2.0 AS DOUBLE) AS amount",
         "INSERT INTO tview SELECT 2 AS k, CAST(2.0 AS DOUBLE) AS amount",
     ])
-    # the anomaly, as documented: direct read saw A without B
-    assert observed["direct_fact"] == 2 and observed["direct_view"] == 1
-    # the guarantee: the log never served the torn pair
+    # the guarantee: direct readers NEVER saw the torn pair
+    assert observed["direct_fact"] == 1 and observed["direct_view"] == 1
+    assert observed["fact_versions"] == [1]  # staged v2 invisible mid-window
     assert observed["lake_fact"] == 1 and observed["lake_view"] == 1
-    # after COMMIT the log serves the new pair together
+    # after COMMIT both surfaces serve the new pair together
+    assert snapshot_read(spark, fact).count() == 2
+    assert snapshot_read(spark, view).count() == 2
     assert lake_read(spark, root, "fact").count() == 2
     assert lake_read(spark, root, "view").count() == 2
     assert lake_pins(root) == {"fact": 2, "view": 2}
 
 
-def test_sql_atomic_surfaces_unattributed_advance(spark, tmp_path):
-    """A statement whose snapshot-layer call COMMITS and then raises before
-    dispatch returns leaves no ``_sql_touched`` attribution. Compensation
-    cannot tell the advance from a concurrent writer's, so it must not
-    roll it back — but it must SURFACE the divergence instead of leaving a
-    silently half-applied pair (round-11 ADVICE, engine.py)."""
+def test_sql_atomic_crash_before_publish_leaves_old_pair(spark, tmp_path, monkeypatch):
+    """Crash injection between the last staged commit and the publish
+    decision: every staged version stays invisible — BOTH tables read
+    their pre-transaction content on a fresh resolve, and the staged
+    versions are holes a later writer claims past."""
+    from music_recommendation_service_spark.engine import Engine
+
+    root = str(tmp_path)
+    fact, view = f"{root}/fact", f"{root}/view"
+    sch = "k int, amount double, tag string"
+    for p in (fact, view):
+        snapshot_write(spark.createDataFrame([(1, 10.0, "a")], sch), p)
+    e = Engine(root, spark=spark)
+    e.snapshot(fact, view="fact")
+    e.snapshot(view, view="vw")
+
+    real_publish = S.txn_publish
+
+    def crash(txn):
+        raise RuntimeError("simulated crash before publish decision")
+
+    monkeypatch.setattr(S, "txn_publish", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        e.sql_atomic([
+            "INSERT INTO fact SELECT 2 AS k, CAST(20.0 AS DOUBLE) AS amount, 'b' AS tag",
+            "INSERT INTO vw SELECT 2 AS k, CAST(20.0 AS DOUBLE) AS amount, 'b' AS tag",
+        ])
+    monkeypatch.setattr(S, "txn_publish", real_publish)
+    # both tables at the old versions; the staged pair never surfaced
+    assert snapshot_versions(fact) == [1]
+    assert snapshot_versions(view) == [1]
+    assert snapshot_read(spark, fact).count() == 1
+    assert snapshot_read(spark, view).count() == 1
+    assert lake_latest(root) is None
+    # a later writer claims PAST the invisible hole after the timeout
+    monkeypatch.setattr(S, "_STAGED_TXN_TIMEOUT", 0.0)
+    snapshot_append(spark.createDataFrame([(5, 50.0, "later")], sch), fact)
+    assert snapshot_versions(fact) == [1, 3]  # v2 is a permanent hole
+    assert {r["tag"] for r in snapshot_read(spark, fact).collect()} == {
+        "a", "later",
+    }
+
+
+def test_sql_atomic_post_commit_crash_has_no_divergence(spark, tmp_path):
+    """A statement whose snapshot-layer call COMMITS and then raises
+    before dispatch returns (post-commit, pre-attribution) used to leave a
+    silently half-applied table. Under staged publish the commit was
+    staged: the abort leaves it invisible — there is NO divergence to
+    surface, and the original error propagates."""
     from music_recommendation_service_spark.engine import Engine
 
     root = str(tmp_path)
@@ -412,8 +483,9 @@ def test_sql_atomic_surfaces_unattributed_advance(spark, tmp_path):
     def hooked(q):
         state["n"] += 1
         if state["n"] == 2:
-            # the statement's table commit LANDS, then the statement dies
-            # without shipping any attribution (post-commit, pre-return)
+            # the statement's table commit LANDS (staged, same thread =
+            # same transaction), then the statement dies without shipping
+            # any attribution (post-commit, pre-return)
             snapshot_append(
                 spark.createDataFrame([(2, 20.0, "b")], sch), view
             )
@@ -421,25 +493,25 @@ def test_sql_atomic_surfaces_unattributed_advance(spark, tmp_path):
         return orig(q)
 
     e._run_sql = hooked
-    with pytest.raises(RuntimeError, match="unattributed advance"):
+    with pytest.raises(RuntimeError, match="post-commit pre-return crash"):
         e.sql_atomic([
             "INSERT INTO fact SELECT 3 AS k, CAST(30.0 AS DOUBLE) AS amount, 'c' AS tag",
             "INSERT INTO vw SELECT 4 AS k, CAST(40.0 AS DOUBLE) AS amount, 'd' AS tag",
         ])
-    # the attributed commit (stmt 1) was compensated...
+    # BOTH staged commits (attributed and unattributed) are invisible:
+    # direct readers see the old pair, nothing is half-applied
+    assert snapshot_versions(fact) == [1]
+    assert snapshot_versions(view) == [1]
     assert snapshot_read(spark, fact).count() == 1
-    # ...the unattributed one was NOT rolled back (it could equally be a
-    # concurrent writer's durable commit), only surfaced
-    assert snapshot_versions(view) == [1, 2]
+    assert snapshot_read(spark, view).count() == 1
     assert lake_latest(root) is None
 
 
 def test_sql_atomic_slotted_exception_keeps_original_error(spark, tmp_path):
-    """Attribution is shipped by annotating the in-flight exception; an
-    exception class that rejects attribute assignment (``__slots__``) must
-    not be masked by the annotation attempt — the ORIGINAL error
-    propagates and the unattributed-advance sweep still surfaces the
-    advanced table (round-11 ADVICE, engine.py)."""
+    """An exception class that rejects attribute assignment
+    (``__slots__``) must not be masked by the attribution annotation
+    attempt — the ORIGINAL error propagates, and under staged publish the
+    committed-then-crashed statement leaves no visible advance at all."""
     from music_recommendation_service_spark.engine import Engine
 
     class SlottedError(Exception):
@@ -457,17 +529,15 @@ def test_sql_atomic_slotted_exception_keeps_original_error(spark, tmp_path):
 
     # make the post-commit bookkeeping fail with the slotted exception:
     # the touched-table view refresh runs inside _run_sql's try AFTER the
-    # table committed
+    # (staged) table commit
     def bad_snapshot(*a, **kw):
         raise SlottedError("bookkeeping died")
 
     e.snapshot = bad_snapshot
-    # the INSERT commits, bookkeeping raises SlottedError, attribution
-    # fails (slots) — the sweep then reports the advance instead of the
-    # old behavior (AttributeError masking everything)
-    with pytest.raises(RuntimeError, match="unattributed advance"):
+    with pytest.raises(SlottedError, match="bookkeeping died"):
         e.sql_atomic([
             "INSERT INTO fact SELECT 6 AS k, CAST(60.0 AS DOUBLE) AS amount, 'f' AS tag",
         ])
-    # the commit stands (never rolled back without attribution)
-    assert snapshot_versions(fact) == [1, 2]
+    # the staged commit never became visible
+    assert snapshot_versions(fact) == [1]
+    assert snapshot_read(spark, fact).count() == 1

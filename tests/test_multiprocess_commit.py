@@ -39,6 +39,44 @@ N_WRITERS = 8
 N_COMMITS = 15
 ROWS_PER = 3
 
+
+def _apply_stress_fs():
+    """Workers (spawned processes) pick their snapshot FS from the env:
+    the object-store variant routes ALL metadata through a shared
+    file-backed bucket with conditional-PUT claim semantics
+    (FileBackedObjectStoreFS) — the round-11 verdict's order #4: the
+    cross-process stress must also prove the object-store backend."""
+    spec = os.environ.get("STRESS_SNAPSHOT_FS", "")
+    if spec.startswith("objectstore:"):
+        from music_recommendation_service_spark.sources import snapshots as s
+        from music_recommendation_service_spark.sources.objectstore import (
+            FileBackedObjectStoreFS,
+        )
+
+        return s.set_snapshot_fs(FileBackedObjectStoreFS(spec.split(":", 1)[1]))
+    return None
+
+
+import pytest
+
+
+@pytest.fixture(params=["local", "objectstore"])
+def stress_fs(request, tmp_path, monkeypatch):
+    """Parametrize the cross-process stress over both commit backends.
+    The env var rides into the spawned workers; the parent applies the
+    same FS so creation and verification resolve the same metadata."""
+    if request.param == "local":
+        monkeypatch.delenv("STRESS_SNAPSHOT_FS", raising=False)
+        yield "local"
+        return
+    bucket = str(tmp_path / "bucket")
+    monkeypatch.setenv("STRESS_SNAPSHOT_FS", f"objectstore:{bucket}")
+    prev = _apply_stress_fs()
+    try:
+        yield "objectstore"
+    finally:
+        sn.set_snapshot_fs(prev)
+
 _SCHEMA_JSON = StructType(
     [StructField("writer", LongType()), StructField("seq", LongType())]
 ).json()
@@ -58,6 +96,7 @@ def _append_worker(args) -> int:
     """One writer process: N_COMMITS real appends (parquet file + rebase
     commit, the same build discipline as ``snapshot_append``)."""
     table, wid, n_commits, rows_per = args
+    _apply_stress_fs()
     from music_recommendation_service_spark.sources import snapshots as s
 
     for i in range(n_commits):
@@ -90,6 +129,7 @@ def _identity_worker(args) -> list:
     """One writer process: N_COMMITS identity-range reservations (the
     exact metadata commit ``_assign_identity`` lands before data)."""
     table, wid, n_commits, k = args
+    _apply_stress_fs()
     from music_recommendation_service_spark.sources import snapshots as s
 
     claims = []
@@ -121,6 +161,7 @@ def _merge_worker(args) -> tuple:
     Shards are key-disjoint, so every lost race must REBASE — zero
     aborts — which is exactly the sharded-writer claim at cluster scale."""
     table, wid, n_commits, rows_per = args
+    _apply_stress_fs()
     from music_recommendation_service_spark.sources import snapshots as s
 
     bounds = {"_lo_writer": wid, "_hi_writer": wid}
@@ -195,7 +236,7 @@ def _pool():
     return mp.get_context("spawn").Pool(N_WRITERS)
 
 
-def test_cross_process_appends_linearize(spark, tmp_path):
+def test_cross_process_appends_linearize(spark, tmp_path, stress_fs):
     table = str(tmp_path / "t")
     _create_empty(table)
     with _pool() as pool:
@@ -230,7 +271,7 @@ def test_cross_process_appends_linearize(spark, tmp_path):
     assert p99 <= N_WRITERS * 4
 
 
-def test_cross_process_sharded_merges_rebase_without_aborts(spark, tmp_path):
+def test_cross_process_sharded_merges_rebase_without_aborts(spark, tmp_path, stress_fs):
     """8 real OS processes × 15 merge-shaped rewrites each on ONE table,
     each process owning a key-disjoint shard: logical conflict detection
     must rebase EVERY lost race (zero aborts), the version chain stays
