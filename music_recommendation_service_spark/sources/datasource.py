@@ -56,13 +56,16 @@ Design notes (and the 100 TB story):
   leaves only an invisible orphan dir (vacuumable), never a torn table.
   CHECK constraints are enforced IN THE TASK (DuckDB over the Arrow
   batch — per-row predicates need no Spark session; fail-closed on
-  anything DuckDB can't evaluate). GENERATED ALWAYS AS columns are
-  accepted when the batch PROVIDES the values — validated in-task as
-  ``col IS NOT DISTINCT FROM (expr)`` pseudo-constraints, Delta's
-  explicit-assignment rule; auto-fill (omitting the column) and identity
-  columns still reject: expression auto-fill and table-wide id
-  reservation need the driver-side Spark coordination of
-  ``snapshot_append``.
+  anything DuckDB can't evaluate). GENERATED ALWAYS AS columns: a batch
+  that PROVIDES the column is validated in-task as a
+  ``col IS NOT DISTINCT FROM (expr)`` pseudo-constraint (Delta's
+  explicit-assignment rule); a batch that OMITS it gets the value
+  COMPUTED in-task by the same DuckDB engine (fail-closed on any
+  expression it cannot reproduce), so ``df.write.format("snapshot")``
+  onto a generated-partition table auto-fills and prunes. IDENTITY
+  columns must be omitted; each task reserves ``step * rows`` ids in a
+  claim-once metadata commit and assigns its block locally (per-task
+  offsets — retried tasks leave gaps, never duplicates).
 
 Reference parity: S2/S4/S6/S7 (`SURVEY.md §2.1`) at the ``format(...)``
 call-site level; the stream source is the engine-side twin of the
@@ -312,6 +315,21 @@ def prune_entries(
 # --------------------------------------------------------------------------
 # executor-side file read (pyarrow only)
 # --------------------------------------------------------------------------
+
+
+def _duck_compat(con) -> None:
+    """Spark->DuckDB compatibility macros for in-task expression
+    evaluation (CHECK constraints, generated-column fill/validation).
+    Macros compose through nesting (``to_date(from_unixtime(x))``) and
+    never shadow a DuckDB built-in — each is created only because DuckDB
+    has no function of that name. from_unixtime follows the engine's
+    pinned UTC session (session.py): epoch seconds -> the naive UTC
+    rendering Spark produces."""
+    con.execute("CREATE MACRO to_date(x) AS CAST(x AS DATE)")
+    con.execute(
+        "CREATE MACRO from_unixtime(x) AS strftime("
+        "make_timestamp(CAST(x AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S')"
+    )
 
 
 @dataclass
@@ -809,37 +827,73 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
         self._constraints: dict = {}       # validation set tasks enforce
         self._table_constraints: dict = {}  # the manifest's declared set
         self._generated: dict = {}
+        self._identity: dict | None = None  # task-side id reservation
+        self._fill_generated: dict = {}     # task-side expression fill
         self._merge_schema = _truthy(options, "mergeschema")
         if latest is not None:
-            if latest.get("identity"):
-                # Crisp boundary: identity columns reserve a table-wide id
-                # range BEFORE data lands — that needs the driver-side
-                # Spark coordination of snapshot_append.
-                raise ValueError(
-                    f"{self._path} declares an identity column, which needs "
-                    "driver-side Spark coordination; write through "
-                    "snapshot_append/snapshot_write instead of the "
-                    "DataSource writer"
-                )
+            incoming = set(schema.fieldNames())
+            ident = latest.get("identity")
+            if ident:
+                if ident["col"] in incoming:
+                    raise ValueError(
+                        f"{ident['col']!r} is GENERATED ALWAYS AS IDENTITY "
+                        f"at {self._path}; writers cannot supply it — drop "
+                        "the column from the batch (tasks reserve and "
+                        "assign the ids)"
+                    )
+                # each task reserves step*rows ids in a claim-once
+                # metadata commit and assigns its block locally — the
+                # same reservation discipline snapshot_append runs on the
+                # driver, moved to the task (per-task offsets; gaps on
+                # task retry, exactly Delta's identity contract)
+                self._identity = dict(ident)
             self._table_constraints = dict(latest.get("constraints") or {})
             self._generated = dict(sn._generated(latest) or {})
             self._constraints = dict(self._table_constraints)
-            # GENERATED ALWAYS AS columns: the DataSource write schema
-            # carries every column, so the incoming batch must PROVIDE the
-            # generated values — validated in-task as a pseudo-constraint
-            # with snapshot_append's exact rule (eqNullSafe: value must
-            # equal the expression over the row's base columns). AUTO-FILL
-            # (omitting the column) still routes through snapshot_append:
-            # the schema-equiv check below rejects the narrower frame, and
-            # this error text says where to go. Per-row validation is a
-            # pure predicate, exactly the CHECK machinery's job; an
-            # expression DuckDB cannot evaluate fails the write loudly
-            # (fail-closed), never commits unvalidated rows.
+            # GENERATED ALWAYS AS columns: a batch that PROVIDES the
+            # column is validated in-task as a pseudo-constraint with
+            # snapshot_append's exact rule (eqNullSafe); a batch that
+            # OMITS it gets the value COMPUTED in-task (DuckDB over the
+            # Arrow batch — the same engine the CHECK machinery uses,
+            # fail-closed on any expression it cannot evaluate).
             for gc, ge in self._generated.items():
-                self._constraints[f"__generated_{gc}"] = (
-                    f"{gc} IS NOT DISTINCT FROM ({ge})"
-                )
+                if gc in incoming:
+                    self._constraints[f"__generated_{gc}"] = (
+                        f"{gc} IS NOT DISTINCT FROM ({ge})"
+                    )
+                else:
+                    self._fill_generated[gc] = ge
             self._mapping = sn._mapping(latest)
+            fill_cols = set(self._fill_generated) | (
+                {self._identity["col"]} if self._identity else set()
+            )
+            if fill_cols:
+                # effective schema = the MANIFEST's layout; the incoming
+                # frame must match it minus the task-filled columns
+                # (auto-fill composes with neither mergeSchema nor a
+                # partial column set — keep the contract crisp)
+                man = json.loads(latest["schema"])
+                by_name = {f["name"]: f for f in man.get("fields", [])}
+                absent = fill_cols - set(by_name)
+                if absent:
+                    raise ValueError(
+                        f"{self._path}: generated/identity columns "
+                        f"{sorted(absent)} not in the table schema"
+                    )
+                pruned = dict(man)
+                pruned["fields"] = [
+                    f for f in man["fields"] if f["name"] not in fill_cols
+                ]
+                if not sn._schema_equiv(self._schema_json, json.dumps(pruned)):
+                    raise ValueError(
+                        f"auto-fill schema mismatch at {self._path}: the "
+                        f"batch must carry exactly the table columns minus "
+                        f"the generated/identity ones {sorted(fill_cols)}; "
+                        f"table={latest['schema']} "
+                        f"incoming={self._schema_json}"
+                    )
+                schema = StructType.fromJson(man)
+                self._schema_json = schema.json()
             if not overwrite and not sn._schema_equiv(
                 self._schema_json, latest["schema"]
             ):
@@ -975,6 +1029,9 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
             tbl = pa.table(
                 {n: pa.nulls(0, to_arrow_schema(declared).field(n).type) for n in logical}
             )
+        tbl = self._autofill_columns(tbl, declared)
+        if tbl.column_names != logical:
+            tbl = tbl.select(logical)
         self._validate_constraints(tbl)
         tbl = tbl.rename_columns([sn._phys(self._mapping, n) for n in logical])
         if tbl.num_rows == 0:
@@ -1093,6 +1150,94 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
             parts=parts,
         )
 
+    def _autofill_columns(self, tbl, declared):
+        """Task-side fill of GENERATED ALWAYS columns the batch omitted.
+
+        - identity: reserve ``step * rows`` ids in a claim-once metadata
+          commit (data_change=false) and assign the block locally — the
+          reservation discipline of ``snapshots._assign_identity``, moved
+          into the task; retried tasks reserve fresh blocks, so replays
+          leave gaps, never duplicates (Delta's identity contract);
+        - generated expressions: DuckDB evaluates the rule over the Arrow
+          batch (the CHECK machinery's engine — no SparkSession in a
+          task), cast to the declared column type; fail-closed on any
+          expression or cast DuckDB cannot reproduce.
+        """
+        import pyarrow as pa
+
+        if (self._identity is None and not self._fill_generated) or (
+            tbl.num_rows == 0
+        ):
+            return tbl
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_types = {
+            f.name: to_arrow_schema(StructType([f])).field(0).type
+            for f in declared.fields
+        }
+        if self._identity is not None:
+            col, step = self._identity["col"], self._identity["step"]
+            n = tbl.num_rows
+            holder: dict = {}
+
+            def build(latest_m, _v):
+                cur = (latest_m or {}).get("identity")
+                if not cur or cur["col"] != col:
+                    raise sn.ConcurrentSnapshotError(
+                        f"{self._path}: identity column dropped/changed "
+                        "during the DataSource write; retry"
+                    )
+                holder["base"] = cur["next"]
+                out = {
+                    k: v
+                    for k, v in latest_m.items()
+                    if k not in ("version", "committed_at")
+                }
+                out["identity"] = {**cur, "next": cur["next"] + step * n}
+                out["data_change"] = False
+                return out
+
+            sn._commit(self._path, build, op="identity_reserve")
+            base = holder["base"]
+            ids = pa.array(
+                range(base, base + step * n, step), pa.int64()
+            ).cast(arrow_types[col])
+            tbl = tbl.append_column(col, ids)
+        if self._fill_generated:
+            try:
+                import duckdb
+            except ImportError as e:  # pragma: no cover - environment gate
+                raise ValueError(
+                    f"{self._path}: generated-column auto-fill needs duckdb "
+                    "in the task environment; write through snapshot_append"
+                ) from e
+            con = duckdb.connect()
+            try:
+                _duck_compat(con)
+                con.register("batch", tbl)
+                for gc, ge in sorted(self._fill_generated.items()):
+                    try:
+                        vals = (
+                            con.execute(f"SELECT ({ge}) AS v FROM batch")
+                            .arrow()
+                            .column("v")
+                            .combine_chunks()
+                            .cast(arrow_types[gc])
+                        )
+                    except Exception as e:
+                        raise ValueError(
+                            f"{self._path}: generated column {gc!r} "
+                            f"({ge!r}) is not executor-evaluable ({e}); "
+                            "write through snapshot_append/snapshot_write "
+                            "instead of the DataSource writer"
+                        ) from e
+                    tbl = tbl.append_column(gc, vals)
+                    con.unregister("batch")
+                    con.register("batch", tbl)
+            finally:
+                con.close()
+        return tbl
+
     def _validate_constraints(self, tbl) -> None:
         """CHECK constraints, enforced IN THE TASK over the Arrow batch
         (logical column names, before the physical rename). The evaluator
@@ -1116,6 +1261,7 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
             ) from e
         con = duckdb.connect()
         try:
+            _duck_compat(con)
             con.register("batch", tbl)
             for name, expr in sorted(self._constraints.items()):
                 try:
@@ -1177,6 +1323,7 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
         mapping = self._mapping
         table_constraints = self._table_constraints
         generated = self._generated
+        identity0 = self._identity
         path = self._path
         overwrite = self._overwrite
         merge_schema = self._merge_schema
@@ -1185,11 +1332,18 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
             # Tasks validated against the constraint/generated sets read at
             # writer construction; anything that changed the feature surface
             # mid-flight means the landed data was never validated against
-            # the CURRENT table — refuse, caller retries fresh.
-            if latest.get("identity"):
+            # the CURRENT table — refuse, caller retries fresh. Identity
+            # compares the DECLARATION (col/step), not `next`: this
+            # write's own task reservations legitimately advance next.
+            cur_id = latest.get("identity") or None
+            if (cur_id is None) != (identity0 is None) or (
+                cur_id is not None
+                and (cur_id["col"], cur_id.get("step"))
+                != (identity0["col"], identity0.get("step"))
+            ):
                 raise sn.ConcurrentSnapshotError(
-                    f"{path}: an identity column was added during the "
-                    "DataSource write; retry through snapshot_append"
+                    f"{path}: the identity declaration changed during the "
+                    "DataSource write; retry"
                 )
             if dict(sn._generated(latest) or {}) != generated:
                 raise sn.ConcurrentSnapshotError(
@@ -1350,6 +1504,7 @@ class SnapshotStreamWriter(SnapshotBatchWriter, DataSourceStreamArrowWriter):
         schema_json, mapping = self._schema_json, self._mapping
         table_constraints = self._table_constraints
         generated = self._generated
+        identity0 = self._identity
         merge_schema = self._merge_schema
         path, app = self._path, self._txn_app
 
@@ -1371,11 +1526,15 @@ class SnapshotStreamWriter(SnapshotBatchWriter, DataSourceStreamArrowWriter):
             txn = latest.get("stream_txn") or {}
             if app is not None and txn.get(app, -1) >= batchId:
                 raise _ReplaySkip()
-            if latest.get("identity"):
+            cur_id = latest.get("identity") or None
+            if (cur_id is None) != (identity0 is None) or (
+                cur_id is not None
+                and (cur_id["col"], cur_id.get("step"))
+                != (identity0["col"], identity0.get("step"))
+            ):
                 raise sn.ConcurrentSnapshotError(
-                    f"{path}: an identity column was added during the "
-                    "stream write; route the stream through "
-                    "foreach_batch_merge/snapshot_append instead"
+                    f"{path}: the identity declaration changed during the "
+                    "stream write; restart the stream"
                 )
             if dict(sn._generated(latest) or {}) != generated:
                 raise sn.ConcurrentSnapshotError(

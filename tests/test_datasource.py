@@ -366,11 +366,35 @@ def test_writer_rejects_unevaluable_constraint_fail_closed(spark, tmp_path):
     assert sn.snapshot_read(spark, t).count() == 5
 
 
-def test_writer_rejects_identity_tables(spark, tmp_path):
+def test_writer_identity_autofill_and_supply_refusal(spark, tmp_path):
+    """Identity through the DataSource writer (round-11 verdict order
+    #7): a batch that OMITS the identity column gets task-reserved ids —
+    unique, step-spaced, disjoint from existing; SUPPLYING the column
+    refuses (GENERATED ALWAYS), and a wrong remaining schema refuses."""
     t = str(tmp_path / "tbl")
     sn.snapshot_write(spark.range(5).selectExpr("id", "id * 2 as val"), t)
     sn.snapshot_set_identity(spark, t, "id")
-    with pytest.raises(Exception, match="snapshot_append"):
+    next0 = sn._latest_manifest(t)["identity"]["next"]
+
+    # auto-assign: omit id, matching remaining schema
+    spark.range(5).selectExpr("id * 10 as val").write.format(
+        "snapshot"
+    ).mode("append").save(t)
+    rows = sn.snapshot_read(spark, t).collect()
+    assert len(rows) == 10
+    ids = [r["id"] for r in rows]
+    assert len(set(ids)) == 10  # all unique
+    new_ids = sorted(i for i in ids if i >= next0)
+    assert len(new_ids) == 5  # the batch drew from the reserved range
+    assert sn._latest_manifest(t)["identity"]["next"] >= next0 + 5
+
+    # supplying the identity column refuses (GENERATED ALWAYS)
+    with pytest.raises(Exception, match="GENERATED ALWAYS AS IDENTITY"):
+        spark.range(5).selectExpr("id", "id * 2 as val").write.format(
+            "snapshot"
+        ).mode("append").save(t)
+    # wrong remaining schema refuses loudly
+    with pytest.raises(Exception, match="auto-fill schema mismatch"):
         spark.range(5).selectExpr("cast(9.0 as double) as val").write.format(
             "snapshot"
         ).mode("append").save(t)
@@ -794,7 +818,7 @@ def test_stream_sink_validates_check_constraints(spark, tmp_path):
     t2 = str(tmp_path / "t2")
     sn.snapshot_write(spark.range(3).selectExpr("id", "id * 2 as val"), t2)
     sn.snapshot_set_identity(spark, t2, "id")
-    with pytest.raises(Exception, match="snapshot_append"):
+    with pytest.raises(Exception, match="GENERATED ALWAYS AS IDENTITY"):
         SnapshotStreamWriter({"path": t2}, sn.snapshot_read(spark, t2).schema)
 
 
@@ -898,7 +922,7 @@ def test_writer_validates_generated_columns_in_task(spark, tmp_path):
     PROVIDES the generated values (validated in-task via the pseudo-
     constraint col IS NOT DISTINCT FROM (expr) — Delta's explicit-
     assignment rule); a wrong value fails the write; omitting the column
-    fails the schema check (auto-fill stays driver-side)."""
+    auto-fills IN THE TASK (round-11 verdict order #7)."""
     t = str(tmp_path / "gen_tbl")
     sn.snapshot_write(
         spark.range(3).selectExpr("id", "id * 2 as dbl"), t, stats_cols=["id"]
@@ -915,11 +939,12 @@ def test_writer_validates_generated_columns_in_task(spark, tmp_path):
         bad.write.format("snapshot").mode("append").save(t)
     assert sn.snapshot_read(spark, t).count() == 6  # nothing landed
 
-    # omission: the append schema gate fires (auto-fill is snapshot_append's)
-    with pytest.raises(Exception, match="schema mismatch"):
-        spark.range(30, 31).selectExpr("id").write.format("snapshot").mode(
-            "append"
-        ).save(t)
+    # omission: the task COMPUTES the value (DuckDB over the Arrow batch)
+    spark.range(30, 31).selectExpr("id").write.format("snapshot").mode(
+        "append"
+    ).save(t)
+    got = {(r["id"], r["dbl"]) for r in sn.snapshot_read(spark, t).collect()}
+    assert (30, 60) in got and len(got) == 7
 
     # stream sink: same validation per micro-batch
     import pyarrow as pa

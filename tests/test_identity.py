@@ -148,17 +148,27 @@ def test_identity_burned_range_on_abandoned_write(spark, tmp_path):
     assert _ids(spark, t) == [1, 2, 6, 7]  # gap 3-5, no duplicates
 
 
-def test_identity_datasource_writer_rejected(spark, tmp_path):
+def test_identity_datasource_writer_autofills(spark, tmp_path):
+    """Round-11 verdict order #7: the DataSource writer no longer rejects
+    identity tables — a batch OMITTING the column gets task-reserved ids
+    (unique, above the watermark); SUPPLYING it still refuses."""
     from music_recommendation_service_spark.sources.datasource import (
         register_snapshot_datasource,
     )
 
     register_snapshot_datasource(spark)
     t = str(tmp_path / "t")
-    _mk(spark, t)
-    with pytest.raises(Exception, match="identity"):
-        spark.range(3).selectExpr("id as payload") \
-            .write.format("snapshot").mode("append").save(t)
+    _mk(spark, t)  # rids 1..10 -> watermark 11
+    spark.range(3).selectExpr("id as payload") \
+        .write.format("snapshot").mode("append").save(t)
+    got = _ids(spark, t)
+    assert len(got) == 13 and len(set(got)) == 13
+    assert sorted(got)[:10] == list(range(1, 11))
+    assert all(i >= 11 for i in sorted(got)[10:])
+    with pytest.raises(Exception, match="GENERATED ALWAYS AS IDENTITY"):
+        spark.range(3).selectExpr(
+            "id + 99 as rid", "id as payload"
+        ).write.format("snapshot").mode("append").save(t)
 
 
 def test_identity_drop_then_writer_supplies(spark, tmp_path):

@@ -1233,3 +1233,64 @@ def test_monotone_derivation_soundness_property(spark, tmp_path):
     assert fns["date_trunc('hour', ts)"](dt.datetime(2024, 3, 5, 13, 47, 9)) == row["h"]
     assert fns["from_unixtime(epoch_s)"](1709646429) == row["fu"]
     assert fns["to_date(from_unixtime(epoch_s))"](1709646429) == row["fd"]
+
+
+def test_datasource_autofill_generated_partition_and_prune(spark, tmp_path):
+    """Round-11 verdict order #7 E2E: df.write.format('snapshot') onto a
+    generated-partition table with the partition column OMITTED — the
+    task computes it (DuckDB over the Arrow batch), the files land in the
+    Hive layout, and a base-column range scan prunes to the written
+    days. Content is hash-checked against the expected derivation."""
+    import datetime as dt
+
+    from music_recommendation_service_spark.sources.datasource import (
+        register_snapshot_datasource,
+    )
+
+    register_snapshot_datasource(spark)
+    p = str(tmp_path / "ds_genpt2")
+    rows = [
+        (i, dt.datetime(2024, 4, 1 + i % 5, 8 + i % 10), float(i))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "amount"]).withColumn(
+        "evt_day", F.to_date(F.col("ts"))
+    )
+    S.snapshot_write(df, p, stats_cols=["k"], partition_by=["evt_day"])
+    S.snapshot_set_generated(spark, p, "evt_day", "to_date(ts)")
+
+    # DataSource append OMITS evt_day: the task auto-fills it
+    extra = [
+        (100 + i, dt.datetime(2024, 4, 20 + i, 12), 1000.0 + i)
+        for i in range(3)
+    ]
+    spark.createDataFrame(extra, ["k", "ts", "amount"]).write.format(
+        "snapshot"
+    ).mode("append").save(p)
+
+    full = S.snapshot_read(spark, p)
+    assert full.count() == 23
+    # the auto-filled values equal Spark's own derivation, row for row
+    assert full.filter(
+        ~F.col("evt_day").eqNullSafe(F.to_date(F.col("ts")))
+    ).count() == 0
+    # the appended files carry REAL partition values (Hive layout) ...
+    latest = S._latest_manifest(p)
+    by_part = {}
+    for e in S._manifest_files(p, latest):
+        by_part.setdefault((e.get("partition") or {}).get("evt_day"), 0)
+        by_part[(e.get("partition") or {}).get("evt_day")] += 1
+    assert {"2024-04-20", "2024-04-21", "2024-04-22"} <= set(by_part)
+    # ... and a ts-range scan on the NEW days prunes the old ones
+    n_files = len(S._manifest_files(p, latest))
+    pruned = S.snapshot_scan(
+        spark, p,
+        {"ts": (dt.datetime(2024, 4, 20), dt.datetime(2024, 4, 23))},
+    )
+    opened = {f.rsplit("/", 1)[-1] for f in pruned.inputFiles()}
+    assert len(opened) < n_files
+    got = {
+        (r["k"], float(r["amount"]))
+        for r in pruned.filter(F.col("k") >= 100).collect()
+    }
+    assert got == {(100 + i, 1000.0 + i) for i in range(3)}
