@@ -771,3 +771,88 @@ def q155_sql_generated_partition_ddl(spark: SparkSession, sf_dir: str) -> DataFr
             rnd(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q156 — HOUR-GRAIN generated partitions + DataSource AUTO-FILL, end to end
+# (both round-12 additions in one driver-gated query): events lands in a
+# snapshot table partitioned by evt_hour = date_trunc('hour', ts); the
+# first 15 days arrive through snapshot_write (Hive hour dirs), the rest
+# through df.write.format('snapshot') with evt_hour OMITTED — the task
+# computes it (DuckDB over the Arrow batch). The query filters a ts RANGE
+# only (the hour-grain monotone derivation prunes the snapshot_write
+# files; the DataSource files are statless on evt_hour and conservatively
+# kept) and aggregates n_hours = count(DISTINCT evt_hour): the DuckDB
+# oracle recomputes the hour from raw ts, so a hash match pins the
+# auto-filled values bit-for-bit. Scale note: hour partitions are the log
+# shape (24 dirs/day); pruning work stays O(files), the scan O(window).
+# ---------------------------------------------------------------------------
+@register(
+    "q156_hour_partition_autofill",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_hours,
+           {rnd_sql("sum(value)", 2)} AS sum_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 06:00:00'
+      AND ts < TIMESTAMP '2024-01-20 18:00:00'
+    GROUP BY event_type
+    """,
+    doc="Hour-grain generated partitions (date_trunc('hour', ts)) with "
+    "half the data appended through the DataSource writer with the "
+    "partition column omitted (task-side auto-fill); ts-range scan "
+    "prunes through the hour-grain rule; n_hours pins the auto-filled "
+    "values against the oracle's raw-ts derivation.",
+    tags=("snapshot", "partition", "generated", "datasource"),
+)
+def q156_hour_partition_autofill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+    import hashlib
+    import os
+    import tempfile
+
+    from music_recommendation_service_spark.sources.datasource import (
+        register_snapshot_datasource,
+    )
+    from music_recommendation_service_spark.sources.snapshots import (
+        snapshot_scan,
+        snapshot_set_generated,
+        snapshot_versions,
+        snapshot_write,
+    )
+
+    root = os.environ.get("SPARK_GRAFT_SCRATCH", tempfile.gettempdir())
+    app = spark.sparkContext.applicationId
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    path = f"{root}/spark_graft_scratch/q156_hourpt-{app}-{tag}"
+    split = dt.datetime(2024, 1, 16)
+    if len(snapshot_versions(path)) < 3:
+        if snapshot_versions(path):  # crashed mid-setup: fresh path
+            path = f"{path}-retry"
+        if len(snapshot_versions(path)) < 3:
+            ev = _t(spark, sf_dir, "events")
+            first = ev.filter(F.col("ts") < F.lit(split)).withColumn(
+                "evt_hour", F.date_trunc("hour", F.col("ts"))
+            )
+            snapshot_write(
+                first, path, stats_cols=["event_id"],
+                partition_by=["evt_hour"],
+            )
+            snapshot_set_generated(
+                spark, path, "evt_hour", "date_trunc('hour', ts)"
+            )
+            register_snapshot_datasource(spark)
+            rest = ev.filter(F.col("ts") >= F.lit(split))  # NO evt_hour
+            rest.write.format("snapshot").mode("append").save(path)
+    lo, hi = dt.datetime(2024, 1, 10, 6), dt.datetime(2024, 1, 20, 18)
+    pruned = snapshot_scan(spark, path, {"ts": (lo, hi)})
+    return (
+        pruned.filter(F.col("ts") < F.lit(hi))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("evt_hour").alias("n_hours"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
