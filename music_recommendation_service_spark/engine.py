@@ -353,7 +353,18 @@ class Engine:
             # nothing needs rolling back
             try:
                 sn.txn_abort(txn)
-                sn.txn_backfill_tombstones(txn, {p for p, _ in pre.values()})
+                # tombstones only where staged versions may exist: the
+                # tables this transaction actually touched
+                sn.txn_backfill_tombstones(
+                    txn,
+                    {pre[n][0] for n in touched if n in pre}
+                    | {
+                        self._snapshot_views[n]
+                        for n in touched
+                        if n in self._snapshot_views
+                    }
+                    | set(produced),
+                )
             finally:
                 sn.end_staged_txn()
                 _reset_views()
