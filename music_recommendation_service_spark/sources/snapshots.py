@@ -307,7 +307,11 @@ def txn_abort(txn: StagedTxn) -> str:
 def txn_backfill_tombstones(txn: StagedTxn, table_paths) -> None:
     """Best-effort copy of the decision into each table's local txn dir,
     so steady-state visibility checks stay inside the table directory
-    (and survive a relocated lake root)."""
+    (and survive a relocated lake root). For a PUBLISHED transaction the
+    staged hints of its versions are deleted too — a published version is
+    unconditionally visible, so dropping the hint returns the resolver to
+    the zero-overhead fast path (aborted transactions must KEEP their
+    hints: the hint is what routes readers to the invisibility check)."""
     try:
         outcome = (_fs().read_text(txn.final) or "").strip()
     except Exception:
@@ -317,6 +321,23 @@ def txn_backfill_tombstones(txn: StagedTxn, table_paths) -> None:
             d = os.path.join(_manifest_dir(p), "txn")
             _fs().mkdirs(d)
             _fs().write_atomic(os.path.join(d, f"{txn.id}.final"), outcome)
+        except Exception:
+            continue
+        if outcome != "published":
+            continue
+        try:
+            _vs, hints = _list_versions_raw(p)
+            for v in hints:
+                try:
+                    st = _read_manifest(p, v).get("staged_txn")
+                except Exception:
+                    continue
+                if st is not None and st["id"] == txn.id:
+                    hint = os.path.join(
+                        _manifest_dir(p), f"{v}.staged.json"
+                    )
+                    if _fs().is_file(hint):
+                        _fs().delete_file(hint)
         except Exception:
             continue
 

@@ -220,3 +220,30 @@ def test_tombstone_backfill_keeps_checks_local(spark, tmp_path):
     S._fs().delete_file(txn.final)
     assert snapshot_versions(p) == [1, 2]
     assert snapshot_read(spark, p).count() == 2
+
+
+def test_published_txn_hints_garbage_collected(spark, tmp_path):
+    """After publish + tombstone backfill, the versions' staged hints are
+    gone (published versions are unconditionally visible — the resolver
+    returns to the zero-overhead listing fast path), while an ABORTED
+    transaction keeps its hints (they route readers to the invisibility
+    check)."""
+    root = str(tmp_path)
+    p = f"{root}/t"
+    snapshot_write(_df(spark, [(1, 1)]), p)
+    txn, v2 = _staged_commit(spark, root, p, [(2, 2)])
+    hint = os.path.join(p, "_snapshots", f"{v2}.staged.json")
+    assert S._fs().is_file(hint)
+    S.txn_publish(txn)
+    S.txn_backfill_tombstones(txn, [p])
+    assert not S._fs().is_file(hint)
+    assert snapshot_versions(p) == [1, 2]
+    assert snapshot_read(spark, p).count() == 2
+
+    # aborted: hint survives, version stays invisible
+    txn2, v3 = _staged_commit(spark, root, p, [(3, 3)])
+    S.txn_abort(txn2)
+    S.txn_backfill_tombstones(txn2, [p])
+    hint3 = os.path.join(p, "_snapshots", f"{v3}.staged.json")
+    assert S._fs().is_file(hint3)
+    assert snapshot_versions(p) == [1, 2]
