@@ -780,9 +780,11 @@ def q155_sql_generated_partition_ddl(spark: SparkSession, sf_dir: str) -> DataFr
 # first 15 days arrive through snapshot_write (Hive hour dirs), the rest
 # through df.write.format('snapshot') with evt_hour OMITTED — the task
 # computes it (DuckDB over the Arrow batch). The query filters a ts RANGE
-# only (the hour-grain monotone derivation prunes the snapshot_write
-# files; the DataSource files are statless on evt_hour and conservatively
-# kept) and aggregates n_hours = count(DISTINCT evt_hour): the DuckDB
+# only; the hour-grain monotone derivation prunes BOTH layouts (the
+# snapshot_write files by their exact [v, v] partition stats, the
+# DataSource flat files by the evt_hour min/max the writer folds in from
+# the table's stats discipline) and aggregates
+# n_hours = count(DISTINCT evt_hour): the DuckDB
 # oracle recomputes the hour from raw ts, so a hash match pins the
 # auto-filled values bit-for-bit. Scale note: hour partitions are the log
 # shape (24 dirs/day); pruning work stays O(files), the scan O(window).
