@@ -6908,7 +6908,9 @@ def snapshot_detail(path: str) -> dict:
     if not versions:
         raise FileNotFoundError(f"no snapshots at {path}")
     m = _read_manifest(path, versions[-1])
-    files = _manifest_files(path, m)
+    # the scan projection suffices: detail needs paths only (plus sizes
+    # from stat) — never the full-fidelity stats/extra rebuild
+    files = _manifest_files_scan(path, m)
     size = 0
     for e in files:
         fp = e["path"] if os.path.isabs(e["path"]) else os.path.join(path, e["path"])
@@ -6917,6 +6919,23 @@ def snapshot_detail(path: str) -> dict:
         except OSError:
             pass  # vacuumed-from-under external ref: size is best-effort
     first = _read_manifest(path, versions[0])
+    if "files" in m:
+        manifest_form = "inline"
+    elif "files_ckpt" in m:
+        manifest_form = "parquet_checkpoint"
+    elif "files_base" in m:
+        manifest_form = "delta"
+    else:
+        manifest_form = "legacy_dirs"
+    ck = m.get("files_ckpt")
+    ckpt_bytes = None
+    if ck is not None:
+        try:
+            ckpt_bytes = _fs().size(
+                os.path.join(_manifest_dir(path), ck["ref"])
+            )
+        except Exception:
+            ckpt_bytes = None
     return {
         "location": path,
         "format": "snapshot",
@@ -6927,11 +6946,20 @@ def snapshot_detail(path: str) -> dict:
         "data_dirs": len(m.get("data_dirs") or []),
         "constraints": sorted(m.get("constraints") or {}),
         "identity_col": (m.get("identity") or {}).get("col"),
+        "generated_cols": sorted(_generated(m) or {}),
         "column_mapping": bool(_mapping(m)),
         "partition_cols": list(m.get("partition_cols") or []),
         "created_at": first.get("committed_at"),
         "last_modified": m.get("committed_at"),
         "retained_versions": len(versions),
+        # protocol/metadata plane (round-12 additions): the manifest's
+        # storage form, its checkpoint sidecar size, and the
+        # reader/writer feature gates a fleet upgrade plans around
+        "manifest_form": manifest_form,
+        "checkpoint_layout": (ck or {}).get("layout"),
+        "checkpoint_bytes": ckpt_bytes,
+        "min_reader": m.get("min_reader", 1),
+        "min_writer": m.get("min_writer", 1),
     }
 
 

@@ -33,6 +33,9 @@ malformed errors loudly rather than half-executing):
       WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET ... | DELETE
     SELECT ... FROM v VERSION AS OF <n> ...          -- time travel
     SELECT ... FROM v TIMESTAMP AS OF '<iso ts>' ... -- time travel
+    SELECT ... FROM snapshot_files('v'[, ver])       -- active-file
+                                                     -- inventory (typed,
+                                                     -- distributed resolve)
     SELECT ... FROM table_changes('v', from[, to])   -- CDF (per-commit
         _change_type/_commit_version/_commit_timestamp, Delta parity)
     DESCRIBE HISTORY v
@@ -651,6 +654,43 @@ def _rewrite_table_changes(spark: SparkSession, q: str, views: dict) -> str:
         out = out[: m.start()] + tv + out[m.end() + am.end():]
 
 
+def _rewrite_snapshot_files(
+    spark: SparkSession, q: str, views: dict
+) -> str:
+    """Replace ``snapshot_files('view'[, version])`` with a temp view of
+    the version's ACTIVE FILE LIST (``snapshot_files_df``) — the
+    metadata-plane inventory surface as a SQL table function: bytes/rows
+    per partition, DV debt, stats ranges, all aggregable in plain SQL
+    with no JSON parsing. Typed parquet-checkpoint manifests resolve
+    DISTRIBUTED (Spark reads the sidecar directly), so a million-file
+    table answers inventory queries without materializing its file list
+    on the driver."""
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    out = q
+    while True:
+        m = _find_top(out, r"\bsnapshot_files\b")
+        if not m:
+            return out
+        am = re.match(
+            r"\s*\(\s*'([^']+)'\s*(?:,\s*(\d+))?\s*\)", out[m.end():]
+        )
+        if not am:
+            raise SqlDispatchError(
+                "snapshot_files needs ('view'[, version])"
+            )
+        name = am.group(1)
+        path = _require_view(name, views)
+        version = int(am.group(2)) if am.group(2) else None
+        try:
+            df = S.snapshot_files_df(spark, path, version)
+        except ValueError as e:
+            raise SqlDispatchError(str(e)) from e
+        tv = f"__sf_{name}_{version if version is not None else 'latest'}"
+        df.createOrReplaceTempView(tv)
+        out = out[: m.start()] + tv + out[m.end() + am.end():]
+
+
 def _rewrite_time_travel(
     spark: SparkSession, q: str, views: dict
 ) -> str:
@@ -1143,19 +1183,28 @@ def dispatch_sql(
                         d["location"], d["format"], d["version"],
                         d["num_files"], d["num_rows"], d["size_bytes"],
                         d["data_dirs"], ",".join(d["constraints"]),
-                        d["identity_col"], d["column_mapping"],
+                        d["identity_col"],
+                        ",".join(d["generated_cols"]),
+                        d["column_mapping"],
                         ",".join(d["partition_cols"]),
                         float(d["created_at"] or 0),
                         float(d["last_modified"] or 0),
                         d["retained_versions"],
+                        d["manifest_form"], d["checkpoint_layout"],
+                        d["checkpoint_bytes"],
+                        d["min_reader"], d["min_writer"],
                     )],
                     "location string, format string, version long, "
                     "num_files long, num_rows long, size_bytes long, "
                     "data_dirs long, constraints string, "
-                    "identity_col string, column_mapping boolean, "
+                    "identity_col string, generated_cols string, "
+                    "column_mapping boolean, "
                     "partition_cols string, "
                     "created_at double, last_modified double, "
-                    "retained_versions long",
+                    "retained_versions long, "
+                    "manifest_form string, checkpoint_layout string, "
+                    "checkpoint_bytes long, "
+                    "min_reader long, min_writer long",
                 ),
                 None,
             )
@@ -1185,8 +1234,12 @@ def dispatch_sql(
                 None,
             )
         return None
-    if views and _find_top(q, r"\btable_changes\b"):
-        q2 = _rewrite_table_changes(spark, q, views)
+    if views and _find_top(q, r"\btable_changes\b|\bsnapshot_files\b"):
+        q2 = q
+        if _find_top(q2, r"\bsnapshot_files\b"):
+            q2 = _rewrite_snapshot_files(spark, q2, views)
+        if _find_top(q2, r"\btable_changes\b"):
+            q2 = _rewrite_table_changes(spark, q2, views)
         if _find_top(q2, r"\b(VERSION|TIMESTAMP)\s+AS\s+OF\b"):
             q2 = _rewrite_time_travel(spark, q2, views)
         return spark.sql(q2), None

@@ -672,3 +672,89 @@ def test_sql_insert_overwrite_where_paren_query_chains(spark, tmp_path, eng):
     st = _state(spark, e, "t1")
     assert st[71] == (9.9, "z")
     assert set(st) == {70, 71, 2, 4}
+
+
+def test_snapshot_files_sql_table_function(spark, tmp_path):
+    """SELECT ... FROM snapshot_files('v'[, ver]) — the active-file
+    inventory as a SQL table function (round-12): aggregable rows/paths,
+    version-addressable, composable with ordinary SQL; bad versions and
+    unknown views refuse loudly."""
+    from music_recommendation_service_spark.engine import Engine
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    root = str(tmp_path)
+    p = f"{root}/t"
+    S.snapshot_write(
+        spark.range(100).selectExpr("id AS k", "id % 5 AS g").repartition(4),
+        p, stats_cols=["k"],
+    )
+    S.snapshot_append(
+        spark.createDataFrame([(1000, 0)], "k long, g long").repartition(1),
+        p, stats_cols=["k"],
+    )
+    e = Engine(root, spark=spark)
+    e.snapshot(p, view="tv")
+
+    rows = e.sql(
+        "SELECT count(*) AS n_files, CAST(sum(rows) AS BIGINT) AS n_rows "
+        "FROM snapshot_files('tv')"
+    ).collect()[0]
+    ent = S._manifest_files(p, S._latest_manifest(p))
+    assert rows["n_files"] == len(ent)
+    assert rows["n_rows"] == 101
+
+    # version-addressed: v1's inventory excludes the appended file
+    v1 = e.sql(
+        "SELECT count(*) AS n, CAST(sum(rows) AS BIGINT) AS r "
+        "FROM snapshot_files('tv', 1)"
+    ).collect()[0]
+    assert v1["r"] == 100 and v1["n"] == len(ent) - 1
+
+    # stats columns ride natively typed
+    mm = e.sql(
+        "SELECT min(smin_k) AS lo, max(smax_k) AS hi FROM snapshot_files('tv')"
+    ).collect()[0]
+    assert (mm["lo"], mm["hi"]) == (0, 1000)
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="version 9"):
+        e.sql("SELECT * FROM snapshot_files('tv', 9)").collect()
+    with _pytest.raises(Exception, match="not a registered snapshot view"):
+        e.sql("SELECT * FROM snapshot_files('nope')").collect()
+
+
+def test_describe_detail_protocol_fields(spark, tmp_path):
+    """DESCRIBE DETAIL carries the metadata-plane fields a fleet plans
+    around (round-12): manifest form, checkpoint layout/bytes, and the
+    min_reader/min_writer gates."""
+    from music_recommendation_service_spark.engine import Engine
+    from music_recommendation_service_spark.sources import snapshots as S
+
+    root = str(tmp_path)
+    p = f"{root}/t"
+    S.snapshot_write(spark.range(10).selectExpr("id AS k"), p)
+    e = Engine(root, spark=spark)
+    e.snapshot(p, view="dt")
+    d = e.sql("DESCRIBE DETAIL dt").collect()[0]
+    assert d["manifest_form"] == "inline"
+    assert d["checkpoint_layout"] is None and d["checkpoint_bytes"] is None
+    assert d["min_reader"] == 1 and d["min_writer"] == 1
+    assert d["generated_cols"] == ""
+
+    # checkpoint-form table reports the sidecar
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(S, "_PARQUET_CHECKPOINT_MIN_FILES", 2)
+        S.snapshot_append(
+            spark.range(10, 40).selectExpr("id AS k").repartition(3), p
+        )
+    finally:
+        mp.undo()
+    d2 = e.sql("DESCRIBE DETAIL dt").collect()[0]
+    assert d2["manifest_form"] in ("parquet_checkpoint", "delta")
+    if d2["manifest_form"] == "parquet_checkpoint":
+        assert d2["checkpoint_bytes"] > 0
+        assert d2["min_reader"] >= 3
