@@ -260,6 +260,44 @@ class Engine:
             raise
         return df, names, dml
 
+    def transaction(self):
+        """Python-side staged multi-table transaction — the
+        context-manager twin of ``BEGIN LAKE TRANSACTION`` for code that
+        calls the snapshot API directly (``snapshot_append`` /
+        ``snapshot_merge`` / ``df.write`` paths that commit on this
+        thread):
+
+            with eng.transaction():
+                snapshot_append(batch, store_path)
+                snapshot_merge(index_delta, index_path, keys=["fp"])
+            # one atomic publish: direct readers see both or neither
+
+        Every commit inside the block lands STAGED (invisible); a normal
+        exit publishes them all with ONE decision-file claim; an
+        exception (or a crash) leaves every staged version invisible and
+        decides 'aborted' so blocked writers release. Nesting is refused
+        (the thread-local context is single-level by design)."""
+        from contextlib import contextmanager
+
+        from music_recommendation_service_spark.sources import snapshots as sn
+
+        @contextmanager
+        def _txn():
+            txn = sn.begin_staged_txn(self.root)
+            try:
+                yield txn
+            except BaseException:
+                sn.end_staged_txn()
+                try:
+                    sn.txn_abort(txn)
+                except Exception:
+                    pass
+                raise
+            sn.end_staged_txn()
+            sn.txn_publish(txn)
+
+        return _txn()
+
     def sql_atomic(self, statements: list[str], publish: bool = True) -> list[DataFrame]:
         """Multi-statement LAKE TRANSACTION: run ``statements`` as one
         all-or-nothing unit across N snapshot tables (SQL spelling:

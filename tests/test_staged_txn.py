@@ -247,3 +247,30 @@ def test_published_txn_hints_garbage_collected(spark, tmp_path):
     hint3 = os.path.join(p, "_snapshots", f"{v3}.staged.json")
     assert S._fs().is_file(hint3)
     assert snapshot_versions(p) == [1, 2]
+
+
+def test_engine_transaction_context_manager(spark, tmp_path):
+    """`with eng.transaction():` — the Python twin of BEGIN LAKE
+    TRANSACTION for direct snapshot-API callers: both commits publish
+    together on exit; an exception leaves both invisible."""
+    from music_recommendation_service_spark.engine import Engine
+
+    root = str(tmp_path)
+    a, b = f"{root}/a", f"{root}/b"
+    snapshot_write(_df(spark, [(1, 1)]), a)
+    snapshot_write(_df(spark, [(1, 1)]), b)
+    e = Engine(root, spark=spark)
+
+    with e.transaction():
+        snapshot_append(_df(spark, [(2, 2)]), a)
+        snapshot_append(_df(spark, [(2, 2)]), b)
+    assert snapshot_read(spark, a).count() == 2
+    assert snapshot_read(spark, b).count() == 2
+
+    with pytest.raises(RuntimeError, match="boom"):
+        with e.transaction():
+            snapshot_append(_df(spark, [(3, 3)]), a)
+            raise RuntimeError("boom")
+    # the staged commit never surfaced; a later writer claims past it
+    assert snapshot_versions(a) == [1, 2]
+    assert snapshot_read(spark, a).count() == 2
