@@ -783,6 +783,23 @@ class SnapshotStreamReader(DataSourceStreamReader):
 _HIVE_ESCAPE_CHARS = set('"#%\'*/:=?\\\x7f{[]^')
 
 
+def _hive_value_str(v) -> str:
+    """Spark's partition-value string form. Timestamps render as
+    ``yyyy-MM-dd HH:mm:ss[.f...]`` with trailing fraction zeros trimmed —
+    byte-identical to the directory names Spark's own ``partitionBy``
+    writer produces (UTC session, session.py), so DataSource files and
+    ``snapshot_write`` files of the same logical partition share one
+    directory and one manifest value."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            s += ("." + f"{v.microsecond:06d}").rstrip("0")
+        return s
+    return str(v)
+
+
 def _hive_escape_value(v) -> str:
     """Hive directory-name form of a partition value: the characters Hive
     escapes become %XX (uppercase hex) so ``_hive_partition_values``'
@@ -938,10 +955,12 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
         # partitionBy declares the layout when CREATING (fresh table or
         # overwrite); appends adopt the manifest's declaration and land
         # real Hive key=value files; a MISMATCHED option on an existing
-        # table refuses. Types whose Hive directory string form Spark's
-        # writer formats specially (timestamps) refuse at creation (route
-        # through snapshot_write); appends onto such tables keep the
-        # pre-existing flat/mixed-layout behavior instead of breaking.
+        # table refuses. Timestamp partition values render through
+        # _hive_value_str — byte-identical to Spark's own partitionBy
+        # directory names (round 12), so hour-grain log tables create and
+        # append through the DataSource; remaining exotic types (e.g.
+        # decimals/binary) refuse at creation, and appends onto such
+        # tables keep the flat/mixed-layout behavior instead of breaking.
         pby = options.get("partitionby")
         declared = (
             [c.strip() for c in pby.split(",") if c.strip()] if pby else None
@@ -982,7 +1001,7 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                 )
             from pyspark.sql.types import (
                 ByteType, DateType, IntegerType, LongType, ShortType,
-                StringType,
+                StringType, TimestampType,
             )
 
             unsupported = [
@@ -990,7 +1009,7 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                 if not isinstance(
                     ftypes[c],
                     (ByteType, ShortType, IntegerType, LongType,
-                     StringType, DateType),
+                     StringType, DateType, TimestampType),
                 )
             ]
             if unsupported:
@@ -1095,7 +1114,8 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
                 mask = cond if mask is None else pc.and_(mask, cond)
             sub = tbl.filter(mask).select(data_cols)
             subdir = "/".join(
-                f"{c}={_hive_escape_value(combo[c])}" for c in pcols
+                f"{c}={_hive_escape_value(_hive_value_str(combo[c])) if combo[c] is not None else _hive_escape_value(None)}"
+                for c in pcols
             )
             os.makedirs(os.path.join(self._abs_dir, subdir), exist_ok=True)
             name = f"part-{uuid.uuid4().hex}.parquet"
@@ -1120,7 +1140,7 @@ class SnapshotBatchWriter(DataSourceArrowWriter):
             # partition no query could ever retrieve.
             part_vals = {}
             for c in pcols:
-                sval = None if combo[c] is None else str(combo[c])
+                sval = None if combo[c] is None else _hive_value_str(combo[c])
                 part_vals[c] = sval if sval != "" else None
             for c in pcols:
                 r = (

@@ -990,35 +990,66 @@ def test_datasource_partition_value_escaping(spark, tmp_path):
             assert e["stats"]["tag"] == [None, None]
 
 
-def test_datasource_timestamp_partitionby_refuses_create(spark, tmp_path):
-    """Creating a timestamp-partitioned table through the DS writer
-    refuses (directory-name formatting is Spark's); appending onto an
-    EXISTING timestamp-partitioned table keeps the flat/mixed-layout
-    contract and reads back value-exact."""
+def test_datasource_timestamp_partitionby_creates_spark_identical_dirs(spark, tmp_path):
+    """Round-12: timestamp partitionBy through the DS writer CREATES the
+    table with directory names byte-identical to Spark's own partitionBy
+    writer (one shared directory + one manifest value per logical
+    partition across both writers), appends land Hive, and reads are
+    value-exact."""
     import datetime as dt
+    import os as _os
 
     _reg(spark)
-    p = str(tmp_path / "ds_ts")
-    df = spark.createDataFrame(
-        [(1, dt.datetime(2024, 1, 1))], "k int, evt_day timestamp"
+    rows = [(i, dt.datetime(2024, 1, 1 + i % 3, 7 + i % 2)) for i in range(6)]
+    # Spark's own layout for the same data
+    ref = str(tmp_path / "spark_ts")
+    S.snapshot_write(
+        spark.createDataFrame(rows, "k int, evt_hour timestamp"),
+        ref, partition_by=["evt_hour"],
     )
-    with pytest.raises(Exception, match="snapshot_write"):
-        df.write.format("snapshot").option("partitionBy", "evt_day").mode(
-            "append"
-        ).save(p)
+    ref_dirs = sorted(
+        d for v in _os.listdir(ref) if v.startswith("v=")
+        for d in _os.listdir(_os.path.join(ref, v)) if d.startswith("evt_hour=")
+    )
 
-    ev = spark.createDataFrame(
-        [(i, dt.datetime(2024, 1, 1 + i % 3)) for i in range(6)],
-        "k int, evt_day timestamp",
+    p = str(tmp_path / "ds_ts")
+    spark.createDataFrame(rows, "k int, evt_hour timestamp").write.format(
+        "snapshot"
+    ).option("partitionBy", "evt_hour").mode("append").save(p)
+    ds_dirs = sorted(
+        d for v in _os.listdir(p) if v.startswith("v=")
+        for d in _os.listdir(_os.path.join(p, v)) if d.startswith("evt_hour=")
     )
-    S.snapshot_write(ev, p, partition_by=["evt_day"])
+    assert ds_dirs == ref_dirs  # byte-identical directory names
+
+    # manifest partition values identical too (no split groupings)
+    ref_vals = {e["partition"]["evt_hour"] for e in S._manifest_files(ref, S._latest_manifest(ref))}
+    ds_vals = {e["partition"]["evt_hour"] for e in S._manifest_files(p, S._latest_manifest(p))}
+    assert ds_vals == ref_vals
+
+    # append adopts the layout; read back value-exact, partitions prune
     df2 = spark.createDataFrame(
-        [(100, dt.datetime(2024, 1, 2))], "k int, evt_day timestamp"
+        [(100, dt.datetime(2024, 1, 2, 7))], "k int, evt_hour timestamp"
     )
     df2.write.format("snapshot").mode("append").save(p)
     got = S.snapshot_read(spark, p)
     assert got.count() == 7
-    assert got.filter("k = 100").collect()[0]["evt_day"] == dt.datetime(2024, 1, 2)
+    assert got.filter("k = 100").collect()[0]["evt_hour"] == dt.datetime(2024, 1, 2, 7)
+    assert len(S.snapshot_partitions(p)) == len(ref_dirs)
+
+    # fractional-second values trim trailing zeros exactly like Spark
+    frac = [(1, dt.datetime(2024, 1, 1, 7, 0, 0, 500000))]
+    ref2, p2 = str(tmp_path / "spark_frac"), str(tmp_path / "ds_frac")
+    S.snapshot_write(
+        spark.createDataFrame(frac, "k int, evt_hour timestamp"),
+        ref2, partition_by=["evt_hour"],
+    )
+    spark.createDataFrame(frac, "k int, evt_hour timestamp").write.format(
+        "snapshot"
+    ).option("partitionBy", "evt_hour").mode("append").save(p2)
+    rv = {e["partition"]["evt_hour"] for e in S._manifest_files(ref2, S._latest_manifest(ref2))}
+    dv = {e["partition"]["evt_hour"] for e in S._manifest_files(p2, S._latest_manifest(p2))}
+    assert dv == rv
 
 
 def test_stream_sink_creates_partitioned_table_exactly_once(spark, tmp_path):
