@@ -779,12 +779,11 @@ def q155_sql_generated_partition_ddl(spark: SparkSession, sf_dir: str) -> DataFr
 # snapshot table partitioned by evt_hour = date_trunc('hour', ts); the
 # first 15 days arrive through snapshot_write (Hive hour dirs), the rest
 # through df.write.format('snapshot') with evt_hour OMITTED — the task
-# computes it (DuckDB over the Arrow batch). The query filters a ts RANGE
-# only; the hour-grain monotone derivation prunes BOTH layouts (the
-# snapshot_write files by their exact [v, v] partition stats, the
-# DataSource flat files by the evt_hour min/max the writer folds in from
-# the table's stats discipline) and aggregates
-# n_hours = count(DISTINCT evt_hour): the DuckDB
+# computes it (DuckDB over the Arrow batch) and lands REAL Hive hour
+# directories byte-identical to Spark's own partitionBy layout. The query
+# filters a ts RANGE only; the hour-grain monotone derivation prunes both
+# writers' files by their exact [v, v] partition stats, and
+# n_hours = count(DISTINCT evt_hour) makes the DuckDB
 # oracle recomputes the hour from raw ts, so a hash match pins the
 # auto-filled values bit-for-bit. Scale note: hour partitions are the log
 # shape (24 dirs/day); pruning work stays O(files), the scan O(window).
