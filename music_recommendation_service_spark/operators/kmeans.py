@@ -15,23 +15,37 @@ updates the summed-cosine objective is non-decreasing per round (each
 half-step is an argmax), which `tests/test_kmeans.py` pins as an
 invariant; empty clusters keep their previous centroid.
 
-Scale design
-------------
-- Per round: ONE broadcast join (corpus x k centroids — centroids are
-  O(k x DIM), always tiny), one hash aggregate for the argmax (map-side
-  combinable ``max(struct(cos, -cid))``, shuffles (id, cid, cos)
-  triples), and one posexplode + (cid, dim) hash aggregate for the mean
-  recompute — O(k x DIM) state. The corpus itself is never shuffled.
-- The normalized corpus is persisted once and reused every round; the
-  centroid table is ``localCheckpoint``ed per round so the plan does not
-  grow with iteration count (the components.py / PageRank discipline).
-- Convergence needs two tiny driver-side actions per round (max shift,
-  objective) over k-row / 1-row aggregates — standard for iterative
-  algorithms: bounded by rounds, not data.
+Scale design (reworked in the round-12 optimization pass; see
+OPTIMIZATION_r12.md)
+--------------------
+- Centroids are O(k x DIM) — ALWAYS tiny — so they live on the driver and
+  enter each round's plan as LITERAL arrays: the per-row argmax is pure
+  codegen arithmetic (an unrolled multiply-add per centroid element — no
+  interpreted ``aggregate(zip_with(...))`` fold, which Spark cannot
+  codegen), there is NO crossJoin fan-out (the old plan materialized
+  n x k scored rows, shuffled them through a groupBy(_id) argmax, then
+  sort-merge-joined the winners back onto the corpus for the mean
+  recompute — three corpus-sized exchanges per round). Now the corpus is
+  never shuffled OR joined: per round exactly ONE distributed job runs
+  scan -> assign (map) -> posexplode -> partial/final hash agg with
+  O(k x DIM) state, and the k x DIM result is collected to the driver
+  (bounded by k and DIM, never by data — the same bounded driver-action
+  budget the old loop already spent on its cost/shift collects).
+- Mean, shift and cost arithmetic on the driver replicates the previous
+  executor-side expressions operation-for-operation (same left-to-right
+  IEEE-754 fold order), so histories and assignments are bit-identical
+  with the pre-optimization operator — pinned by test_kmeans.py and the
+  q109 DuckDB oracle.
+- Per round: 1 job, 1 shuffle of k x DIM partial-agg rows (was: 2
+  localCheckpoint jobs + 2 collect jobs, with an n x k fan-out, a
+  corpus-keyed groupBy exchange and a corpus join inside them).
+  Measured at sf0.1 (2k vectors, k=8, 3 rounds): q109 4.16s -> see
+  OPTIMIZATION_r12.md.
 """
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -53,6 +67,36 @@ def _dot(a, b):
         F.lit(0.0).cast("double"),
         lambda acc, x: acc + x,
     )
+
+
+def _unit_py(c: list[float]) -> list[float]:
+    """Driver twin of the executor-side ``_unit`` expression: n is the
+    same left-to-right fold of squares, division is per-element IEEE-754
+    — identical doubles. Division by a zero norm mirrors SQL double
+    semantics (0/0 -> NaN, x/0 -> signed Infinity) instead of raising."""
+    n = 0.0
+    for x in c:
+        n = n + x * x
+    n = math.sqrt(n)
+    if n == 0.0:
+        return [
+            float("nan") if x == 0.0 else math.copysign(float("inf"), x)
+            for x in c
+        ]
+    return [x / n for x in c]
+
+
+def _dot_lit(u, c: list[float]):
+    """Codegen dot product of array column ``u`` against the literal
+    centroid ``c``: an unrolled left-to-right multiply-add — the same
+    summation order as the ``aggregate(zip_with(...))`` fold (products
+    first, then acc + x left to right), so results are bit-identical,
+    but whole-stage-codegen compiles it (higher-order functions are
+    interpreted per row)."""
+    acc = F.lit(0.0).cast("double")
+    for i, x in enumerate(c):
+        acc = acc + F.element_at(u, i + 1) * F.lit(float(x))
+    return acc
 
 
 def kmeans_fit(
@@ -84,116 +128,125 @@ def kmeans_fit(
         .select("_id", "_u")
         .persist()
     )
+    cid_type = un.schema["_id"].dataType
 
     # Deterministic seeds: k vectors in md5(id) order — TakeOrderedAndProject
-    # at any corpus size, never a global single-partition window.
-    cent = (
+    # at any corpus size, never a global single-partition window. Seeds (and
+    # every later centroid) are k x DIM scalars — collected to the driver,
+    # the bounded per-round driver action this loop always had.
+    seed_rows = (
         un.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
         .limit(k)
-        .select(F.col("_id").alias("_cid"), F.col("_u").alias("_c"))
-        .localCheckpoint()
+        .collect()
     )
+    cents: list[tuple[object, list[float]]] = [
+        (r["_id"], list(r["_u"])) for r in seed_rows
+    ]
 
-    def _unit(c):
-        n = F.sqrt(_dot(c, c))
-        return F.transform(c, lambda x: x / n)
-
-    def assign(cent_df: DataFrame) -> DataFrame:
-        # Argmax as a map-side-combinable min(struct(-cos, cid, cos)):
-        # highest cosine wins, exact ties break to the SMALLEST cid for
-        # any orderable id type (negating the id would NULL out / throw
-        # on string ids). The third field never influences ordering —
-        # cids are unique within the centroid table — it just carries the
-        # winning cosine out without a re-negation.
-        cn = cent_df.select("_cid", _unit(F.col("_c")).alias("_cn"))
-        scored = un.crossJoin(F.broadcast(cn)).select(
-            "_id", "_cid", _dot(F.col("_u"), F.col("_cn")).alias("_cos")
-        )
-        best = scored.groupBy("_id").agg(
-            F.min(
+    def _best_expr(cn: list[tuple[object, list[float]]]):
+        # Argmax over the k literal unit centroids as min(struct(-cos,
+        # cid, cos)) — highest cosine wins, exact ties break to the
+        # SMALLEST cid for any orderable id type; the third field carries
+        # the winning cosine out without re-negation. array_min over a
+        # k-element literal-struct array is the row-wise twin of the old
+        # crossJoin + groupBy(_id).min(struct) — same comparator, same
+        # result, zero exchanges.
+        structs = []
+        for cid, c in cn:
+            cu = _unit_py(c)
+            cos = _dot_lit(F.col("_u"), cu)
+            structs.append(
                 F.struct(
-                    (-F.col("_cos")).alias("_neg"),
-                    F.col("_cid"),
-                    F.col("_cos"),
+                    (-cos).alias("_neg"),
+                    F.lit(cid).cast(cid_type).alias("_cid"),
+                    cos.alias("_cos"),
                 )
-            ).alias("_b")
-        )
-        return best.select(
-            "_id",
-            F.col("_b._cid").alias("_cid"),
-            F.col("_b._cos").alias("_cos"),
-        )
+            )
+        return F.array_min(F.array(*structs)).alias("_b")
 
     history: list[dict] = []
     converged = False
     it = 0
-    assigned = assign(cent)
     try:
         for it in range(1, max_iterations + 1):
-            assigned = assigned.localCheckpoint()
-            cost = assigned.agg(
-                F.avg(F.lit(1.0) - F.col("_cos")).alias("c")
-            ).collect()[0]["c"]
+            # ONE distributed job per round: assign (map) -> posexplode ->
+            # (cid, dim) hash agg, k x DIM rows back. _c1m/_n ride the
+            # dim=0 groups so the round's cost needs no second action.
+            stats = (
+                un.select(_best_expr(cents), F.posexplode("_u").alias("_dim", "_val"))
+                .groupBy(F.col("_b._cid").alias("_cid"), "_dim")
+                .agg(
+                    F.avg("_val").alias("_avg"),
+                    F.sum(F.lit(1.0) - F.col("_b._cos")).alias("_c1m"),
+                    F.count(F.lit(1)).alias("_n"),
+                )
+                .collect()
+            )
+            means: dict = {}
+            cost_num = 0.0
+            n_rows = 0
+            for r in stats:
+                means.setdefault(r["_cid"], {})[r["_dim"]] = r["_avg"]
+                if r["_dim"] == 0:
+                    n_rows += r["_n"]
+            # deterministic reduction order for the scalar cost: cid-sorted
+            for cid in sorted(means, key=str):
+                row0 = next(
+                    r for r in stats if r["_cid"] == cid and r["_dim"] == 0
+                )
+                cost_num += row0["_c1m"]
+            cost = cost_num / n_rows if n_rows else float("nan")
 
             # Mean of assigned unit vectors per cluster; empty clusters
-            # keep their previous centroid (left join + coalesce).
-            comp = (
-                assigned.join(un, "_id")
-                .select("_cid", F.posexplode("_u").alias("_dim", "_val"))
-                .groupBy("_cid", "_dim")
-                .agg(F.avg("_val").alias("_avg"))
-            )
-            means = comp.groupBy("_cid").agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("_dim", "_avg"))),
-                    lambda s: s["_avg"],
-                ).alias("_cnew")
-            )
-            new_cent = (
-                cent.join(means, "_cid", "left")
-                .select(
-                    "_cid", F.coalesce(F.col("_cnew"), F.col("_c")).alias("_c")
-                )
-                .localCheckpoint()
-            )
-
-            shift_row = (
-                cent.alias("o")
-                .join(new_cent.alias("n"), "_cid")
-                .select(
-                    F.sqrt(
-                        F.aggregate(
-                            F.zip_with(
-                                _unit(F.col("o._c")),
-                                _unit(F.col("n._c")),
-                                lambda a, b: (a - b) * (a - b),
-                            ),
-                            F.lit(0.0).cast("double"),
-                            lambda acc, x: acc + x,
-                        )
-                    ).alias("_shift")
-                )
-                .agg(F.max("_shift").alias("m"))
-                .collect()[0]
-            )
-            max_shift = float(shift_row["m"])
+            # keep their previous centroid.
+            new_cents: list[tuple[object, list[float]]] = []
+            max_shift = float("-inf")
+            for cid, c in cents:
+                if cid in means:
+                    dims = means[cid]
+                    newc = [dims[d] for d in sorted(dims)]
+                else:
+                    newc = c
+                a, b = _unit_py(c), _unit_py(newc)
+                s = 0.0
+                for x, y in zip(a, b):
+                    d = x - y
+                    s = s + d * d
+                shift = math.sqrt(s)
+                if shift > max_shift:
+                    max_shift = shift
+                new_cents.append((cid, newc))
             history.append(
                 {"iteration": it, "cost": float(cost), "max_shift": max_shift}
             )
-            cent = new_cent
-            assigned = assign(cent)
+            cents = new_cents
             if max_shift <= tol:
                 converged = True
                 break
 
-        assignments = assigned.select(
-            F.col("_id").alias(id_col),
-            F.col("_cid").alias("cluster_id"),
-            F.col("_cos").alias("cos"),
-        ).localCheckpoint()
+        # Final assignment under the post-update centroids: a pure map over
+        # the corpus (no exchange). localCheckpoint keeps the result valid
+        # and cheap to re-consume after un.unpersist() below.
+        assignments = (
+            un.select("_id", _best_expr(cents))
+            .select(
+                F.col("_id").alias(id_col),
+                F.col("_b._cid").alias("cluster_id"),
+                F.col("_b._cos").alias("cos"),
+            )
+            .localCheckpoint()
+        )
     finally:
         un.unpersist()
-    centroids = cent.select(
-        F.col("_cid").alias("cluster_id"), F.col("_c").alias("centroid")
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    centroids = spark.createDataFrame(
+        [(cid, list(c)) for cid, c in cents],
+        StructType(
+            [
+                StructField("cluster_id", cid_type),
+                StructField("centroid", ArrayType(DoubleType())),
+            ]
+        ),
     )
     return KMeansResult(assignments, centroids, history, converged, it)

@@ -37,7 +37,10 @@ from __future__ import annotations
 
 from music_recommendation_service_spark.functions import rnd_sql
 from music_recommendation_service_spark.functions.dialect import register_sql
-from music_recommendation_service_spark.plans.similarity import ivf_assign_cte
+from music_recommendation_service_spark.plans.similarity import (
+    _hyperplanes,
+    ivf_assign_cte,
+)
 
 # Context-window chunking: 40-token windows advancing 30 tokens — 10-token
 # overlap so no sequence boundary is ever unseen by the model.
@@ -195,27 +198,37 @@ register_sql(
 # target_cluster_size); near-identical vectors agree on sign bits with
 # probability (1 - theta/pi)^bits, the standard SemDeDup recall trade.
 # ---------------------------------------------------------------------------
-def _q102(d: dict) -> str:
-    from music_recommendation_service_spark.plans.similarity import _hyperplanes
-
-    cos = f"({d['dot']('x.v', 'y.v')}) / (x.nrm * y.nrm)"
+def _q102_members_body(d: dict) -> str:
+    """The per-vector (cell, vec_id, v, nrm) relation: IVF assignment +
+    hyperplane sign-bit subdivision — shared between the inline (oracle)
+    form and the Spark build's materialization so they can never drift."""
     planes = _hyperplanes()[:SEMDEDUP_BITS]
     bit_terms = " + ".join(
         f"(CASE WHEN ({d['dot']('e.v', d['arrlit'](p))}) >= 0 "
         f"THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)
     ) or "0"  # bits=0: no subdivision (the ground-truth configuration)
-    return f"""
-    WITH {ivf_assign_cte(d)},
+    return f"""{ivf_assign_cte(d)},
     members AS (
         SELECT a.cid * {1 << SEMDEDUP_BITS} + ({bit_terms}) AS cell,
                a.vec_id, e.v, e.nrm
         FROM assigned a JOIN en e ON a.vec_id = e.vec_id
-    ),
-    pairs AS (
+    )"""
+
+
+def _q102(d: dict, members_src: str | None = None) -> str:
+    cos = f"({d['dot']('x.v', 'y.v')}) / (x.nrm * y.nrm)"
+    if members_src is None:
+        head = f"    WITH {_q102_members_body(d)},\n"
+        members = "members"
+    else:
+        head = "    WITH "
+        members = members_src
+    return f"""
+{head}    pairs AS (
         SELECT x.vec_id AS dup_id, x.cell AS cell,
                y.vec_id AS keep_cand, {cos} AS cos
-        FROM members x JOIN members y
+        FROM {members} x JOIN {members} y
           ON x.cell = y.cell AND x.vec_id > y.vec_id
         WHERE {cos} >= {SEMDEDUP_TAU}
     )
@@ -296,14 +309,48 @@ register_sql(
 )
 
 
-register_sql(
-    "q102_semantic_dedup",
-    _q102,
-    ("embeddings",),
-    doc=f"SemDeDup: IVF-cluster-bounded cosine near-dup removal "
-    f"(tau={SEMDEDUP_TAU}); each dropped vector names its keeper.",
-    tags=("corpus", "dedup", "semantic", "ivf"),
-)
+# Round-12 optimization: the inline form executed the whole quantize +
+# assign + subdivide pipeline TWICE (members is both self-join sides — the
+# measured sf0.1 plan carried the affinity window and the assignment join
+# duplicated, with stats-less intermediates degrading to SortMergeJoin).
+# The Spark build materializes members ONCE and self-joins the parquet
+# copy; the DuckDB oracle keeps the inline form, pinning identical rows.
+def _q102_build(spark, sf_dir: str):
+    from music_recommendation_service_spark.functions.dialect import SPARK
+    from music_recommendation_service_spark.sources.catalog import load_table
+    from music_recommendation_service_spark.sources.writers import (
+        scratch_materialize,
+    )
+
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    m = scratch_materialize(
+        spark.sql(
+            f"WITH {_q102_members_body(SPARK)}\n"
+            "    SELECT cell, vec_id, v, nrm FROM members"
+        ),
+        "q102_members",
+    )
+    m.createOrReplaceTempView("q102_members_mat")
+    return spark.sql(_q102(SPARK, members_src="q102_members_mat"))
+
+
+def _register_q102():
+    from music_recommendation_service_spark.plans import register
+    from music_recommendation_service_spark.functions.dialect import DUCK
+
+    register(
+        "q102_semantic_dedup",
+        oracle=_q102(DUCK),
+        doc=f"SemDeDup: IVF-cluster-bounded cosine near-dup removal "
+        f"(tau={SEMDEDUP_TAU}); each dropped vector names its keeper. "
+        "The Spark build materializes the assigned+subdivided members "
+        "table once and self-joins the copy; the oracle keeps the "
+        "inline form.",
+        tags=("corpus", "dedup", "semantic", "ivf"),
+    )(_q102_build)
+
+
+_register_q102()
 
 
 # ---------------------------------------------------------------------------

@@ -424,6 +424,16 @@ _BFS_EDGES_SQL = """
     tags=("graph", "bfs", "iterative"),
 )
 def q122_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Frontier BFS (round-12 optimization; see OPTIMIZATION_r12.md). All
+    # edges have unit weight, so a vertex's FIRST label is its final
+    # minimum distance — only the vertices labeled in the previous round
+    # can label anything new. The old loop relaxed from the ENTIRE labeled
+    # set for a fixed _BFS_MAX rounds (every round re-joined and re-wrote
+    # all |V| labels, even after the fixpoint); this one joins only the
+    # shrinking frontier and STOPS as soon as a round labels nothing —
+    # identical output (min-hop labels <= _BFS_MAX), strictly less work
+    # per round and usually fewer rounds. At 100 TB the frontier join is
+    # O(edges touching the wave), not O(E) per round.
     from music_recommendation_service_spark.plans.olap_ext import basket_pairs_co2
 
     edges = basket_pairs_co2(spark, sf_dir).select(
@@ -433,26 +443,34 @@ def q122_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     verts = sym.select(F.col("a").alias("v")).distinct()
-    labels = verts.select(
-        "v",
-        F.when(F.col("v") % _BFS_SEED_MOD == 0, F.lit(0))
-        .otherwise(F.lit(None).cast("int"))
-        .alias("dist"),
-    ).localCheckpoint()
-    for _ in range(_BFS_MAX):
-        reach = (
-            sym.join(labels.filter(F.col("dist").isNotNull()), sym.a == labels.v)
-            .groupBy(F.col("b").alias("v2"))
-            .agg((F.min("dist") + F.lit(1)).alias("nd"))
+    seeds = verts.filter(F.col("v") % _BFS_SEED_MOD == 0).select(
+        "v", F.lit(0).alias("dist")
+    )
+    labeled = seeds.localCheckpoint()
+    parts = [labeled]
+    frontier = labeled
+    for r in range(1, _BFS_MAX + 1):
+        cand = (
+            sym.join(frontier.select("v"), sym.a == F.col("v"))
+            .select(F.col("b").alias("v"))
+            .distinct()
         )
-        labels = (
-            labels.join(reach, labels.v == reach.v2, "left")
-            # least() skips nulls (null only when BOTH are null) — exactly
-            # the relaxation semantics.
-            .select("v", F.least(F.col("dist"), F.col("nd")).alias("dist"))
-            .localCheckpoint()
+        new = (
+            cand.join(labeled, "v", "left_anti")
+            .select("v", F.lit(r).alias("dist"))
+            .localCheckpoint()  # one job per wave; isEmpty below is ~free
         )
-    return labels.filter(F.col("dist").isNotNull()).select(
+        if new.isEmpty():
+            break
+        parts.append(new)
+        # anti-join target: everything labeled so far (union of shallow
+        # checkpointed waves — the plan does not grow with iterations)
+        labeled = labeled.unionByName(new)
+        frontier = new
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
         F.col("v").cast("long").alias("item_id"),
         F.col("dist").cast("int").alias("dist"),
     )

@@ -640,42 +640,47 @@ def _pq_sql2(d: dict, a: str, b: str) -> str:
     return f"(({d['dot'](a, a)}) - 2 * ({d['dot'](a, b)}) + ({d['dot'](b, b)}))"
 
 
-def _pq_ctes(d: dict) -> str:
+def _pq_e_sql(d: dict) -> str:
+    return f"SELECT vec_id, {d['dblarr']('embedding')} AS v FROM embeddings"
+
+
+def _pq_seeds_sql(d: dict, e: str = "e") -> str:
     str_t = "VARCHAR" if d["name"] == "duck" else "STRING"
-    parts = [f"""e AS (
-        SELECT vec_id, {d['dblarr']('embedding')} AS v FROM embeddings
-    ),
-    seeds AS (
-        SELECT vec_id, v, row_number() OVER (
+    return f"""SELECT vec_id, v, row_number() OVER (
             ORDER BY md5(CAST(vec_id AS {str_t})), vec_id
         ) AS srn
-        FROM e
-    )"""]
-    for s in range(_PQ_M):
-        off = s * _PQ_SUB + 1
-        sv = _pq_lslice(d, "v", off, _PQ_SUB)
-        if d["name"] == "duck":
-            comp = (
-                f"SELECT g.cid, generate_subscripts(a.sv, 1) AS dim, "
-                f"unnest(a.sv) AS val "
-                f"FROM asg{s} g JOIN es{s} a ON g.vec_id = a.vec_id"
-            )
-            rebuild = "list(avg_val ORDER BY dim)"
-        else:
-            comp = (
-                f"SELECT g.cid, pos + 1 AS dim, val FROM asg{s} g "
-                f"JOIN es{s} a ON g.vec_id = a.vec_id "
-                f"LATERAL VIEW posexplode(a.sv) t AS pos, val"
-            )
-            rebuild = (
-                "transform(sort_array(collect_list(struct(dim, avg_val))),"
-                " s -> s.avg_val)"
-            )
-        parts.append(f"""es{s} AS (
-        SELECT vec_id, {sv} AS sv FROM e
+        FROM {e}"""
+
+
+def _pq_subspace_ctes(d: dict, s: int, e: str = "e", seeds: str = "seeds") -> str:
+    """Subspace ``s``'s codebook + code-lookup pipeline:
+    es/cent0/asg/comp/means/cent/code CTE definitions, parameterized on
+    the embedding (``e``) and seed relations so the Spark build can point
+    them at materialized twins while the oracle keeps the inline form."""
+    off = s * _PQ_SUB + 1
+    sv = _pq_lslice(d, "v", off, _PQ_SUB)
+    if d["name"] == "duck":
+        comp = (
+            f"SELECT g.cid, generate_subscripts(a.sv, 1) AS dim, "
+            f"unnest(a.sv) AS val "
+            f"FROM asg{s} g JOIN es{s} a ON g.vec_id = a.vec_id"
+        )
+        rebuild = "list(avg_val ORDER BY dim)"
+    else:
+        comp = (
+            f"SELECT g.cid, pos + 1 AS dim, val FROM asg{s} g "
+            f"JOIN es{s} a ON g.vec_id = a.vec_id "
+            f"LATERAL VIEW posexplode(a.sv) t AS pos, val"
+        )
+        rebuild = (
+            "transform(sort_array(collect_list(struct(dim, avg_val))),"
+            " s -> s.avg_val)"
+        )
+    return f"""es{s} AS (
+        SELECT vec_id, {sv} AS sv FROM {e}
     ),
     cent{s}0 AS (
-        SELECT srn AS cid, {sv} AS c FROM seeds WHERE srn <= {_PQ_K}
+        SELECT srn AS cid, {sv} AS c FROM {seeds} WHERE srn <= {_PQ_K}
     ),
     asg{s} AS (
         SELECT vec_id, cid FROM (
@@ -706,25 +711,35 @@ def _pq_ctes(d: dict) -> str:
                    ) AS rnk
             FROM es{s} a CROSS JOIN cent{s} c
         ) WHERE rnk = 1
-    )""")
+    )"""
+
+
+def _pq_tail_ctes(d: dict, e: str = "e", cent=None, code=None) -> str:
+    """dtab/adc/cand/rerank — the ADC scan + exact re-rank. ``cent``/
+    ``code`` map a subspace index to a relation name; the defaults keep
+    the inline CTE names (the oracle form), the Spark build substitutes
+    materialized index tables."""
+    cent = cent or (lambda s: f"cent{s}")
+    code = code or (lambda s: f"code{s}")
+    parts = []
     for s in range(_PQ_M):
         off = s * _PQ_SUB + 1
         qsv = _pq_lslice(d, "v", off, _PQ_SUB)
         parts.append(f"""dtab{s} AS (
         SELECT q.vec_id AS qid, c.cid, {_pq_sql2(d, f"({qsv})", 'c.c')} AS dd
-        FROM (SELECT vec_id, v FROM e WHERE vec_id % 100 = 0) q
-        CROSS JOIN cent{s} c
+        FROM (SELECT vec_id, v FROM {e} WHERE vec_id % 100 = 0) q
+        CROSS JOIN {cent(s)} c
     )""")
     joins = " ".join(
-        f"JOIN code{s} c{s} ON c{s}.vec_id = x.vec_id "
+        f"JOIN {code(s)} c{s} ON c{s}.vec_id = x.vec_id "
         f"JOIN dtab{s} t{s} ON t{s}.qid = q.vec_id AND t{s}.cid = c{s}.cid"
         for s in range(_PQ_M)
     )
     adc_sum = " + ".join(f"t{s}.dd" for s in range(_PQ_M))
     parts.append(f"""adc AS (
         SELECT q.vec_id AS qid, x.vec_id, {adc_sum} AS adc_dist
-        FROM (SELECT vec_id FROM e WHERE vec_id % 100 = 0) q
-        CROSS JOIN (SELECT vec_id FROM e) x {joins}
+        FROM (SELECT vec_id FROM {e} WHERE vec_id % 100 = 0) q
+        CROSS JOIN (SELECT vec_id FROM {e}) x {joins}
     ),
     cand AS (
         SELECT qid, vec_id, adc_dist FROM (
@@ -738,18 +753,33 @@ def _pq_ctes(d: dict) -> str:
         SELECT c.qid, c.vec_id, c.adc_dist,
                {_pq_sql2(d, 'q.v', 'x.v')} AS exact_dist
         FROM cand c
-        JOIN e q ON q.vec_id = c.qid
-        JOIN e x ON x.vec_id = c.vec_id
+        JOIN {e} q ON q.vec_id = c.qid
+        JOIN {e} x ON x.vec_id = c.vec_id
     )""")
     return ",\n    ".join(parts)
 
 
-def _q134(d: dict) -> str:
+def _pq_ctes(d: dict) -> str:
+    """The fully-inline CTE chain (the oracle form): e/seeds, the four
+    codebook+code pipelines, then the ADC tail."""
+    parts = [
+        f"""e AS (
+        {_pq_e_sql(d)}
+    ),
+    seeds AS (
+        {_pq_seeds_sql(d)}
+    )"""
+    ]
+    for s in range(_PQ_M):
+        parts.append(_pq_subspace_ctes(d, s))
+    parts.append(_pq_tail_ctes(d))
+    return ",\n    ".join(parts)
+
+
+def _q134_select(d: dict) -> str:
     from music_recommendation_service_spark.functions import rnd_sql
 
-    return f"""
-    WITH {_pq_ctes(d)}
-    SELECT qid, vec_id, CAST(rnk AS INT) AS rank,
+    return f"""SELECT qid, vec_id, CAST(rnk AS INT) AS rank,
            {rnd_sql('adc_dist', 6)} AS adc_dist,
            {rnd_sql('exact_dist', 6)} AS exact_dist
     FROM (
@@ -761,16 +791,77 @@ def _q134(d: dict) -> str:
     """
 
 
-register_sql(
-    "q134_ann_pq",
-    _q134,
-    ("embeddings",),
-    doc=f"Product-quantization ANN: M={_PQ_M} subspaces x K={_PQ_K} "
-    f"codebooks (md5-seeded, one Lloyd step), ADC scan from code joins, "
-    f"exact re-rank of top {_PQ_CAND} (recall@10 0.50 at 10% exact-read "
-    "share; 64x scan compression).",
-    tags=("similarity", "ann", "pq", "kmeans"),
-)
+def _q134(d: dict) -> str:
+    return f"""
+    WITH {_pq_ctes(d)}
+    {_q134_select(d)}"""
+
+
+def _q134_build(spark, sf_dir: str):
+    """Spark-side build (round-12 optimization pass; OPTIMIZATION_r12.md).
+
+    The inline form re-executes shared CTE subtrees per reference: `seeds`
+    (a global-sort window) is inlined into every cent{s}0, each cent{s}
+    subtree runs for BOTH its code{s} lookup and its dtab{s} ADC table,
+    and the stats-less intermediates degraded every vec_id join to a
+    shuffled SortMergeJoin — the sf0.1 physical plan carried 30
+    SortMergeJoins / 60 Window nodes / 64 HashAggregates. Materializing
+    the codebook artifacts once per session (guide §2.4/§5: this is the
+    PQ *index build* — at 100 TB these ARE durable index tables, written
+    once, served many times; operators/ann_index.py is the production
+    twin) leaves the per-query plan as 4 broadcast dtab lookups + the
+    codes-join ADC scan + the top-{_PQ_CAND} re-rank. Every materialized
+    intermediate is an exact parquet round-trip of the same CTE, so
+    results are bit-identical to the oracle's inline form."""
+    from music_recommendation_service_spark.sources.catalog import load_table
+    from music_recommendation_service_spark.sources.writers import (
+        scratch_materialize,
+    )
+
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    d = SPARK
+    scratch_materialize(
+        spark.sql(_pq_e_sql(d)), "q134_e"
+    ).createOrReplaceTempView("q134_e")
+    scratch_materialize(
+        spark.sql(_pq_seeds_sql(d, e="q134_e")), "q134_seeds"
+    ).createOrReplaceTempView("q134_seeds")
+    for s in range(_PQ_M):
+        pipe = _pq_subspace_ctes(d, s, e="q134_e", seeds="q134_seeds")
+        scratch_materialize(
+            spark.sql(f"WITH {pipe}\nSELECT cid, c FROM cent{s}"),
+            f"q134_cent{s}",
+        ).createOrReplaceTempView(f"q134_cent{s}")
+        scratch_materialize(
+            spark.sql(f"WITH {pipe}\nSELECT vec_id, cid FROM code{s}"),
+            f"q134_code{s}",
+        ).createOrReplaceTempView(f"q134_code{s}")
+    tail = _pq_tail_ctes(
+        d,
+        e="q134_e",
+        cent=lambda s: f"q134_cent{s}",
+        code=lambda s: f"q134_code{s}",
+    )
+    return spark.sql(f"WITH {tail}\n    {_q134_select(d)}")
+
+
+def _register_q134():
+    from music_recommendation_service_spark.plans import register
+
+    register(
+        "q134_ann_pq",
+        oracle=_q134(DUCK),
+        doc=f"Product-quantization ANN: M={_PQ_M} subspaces x K={_PQ_K} "
+        f"codebooks (md5-seeded, one Lloyd step), ADC scan from code "
+        f"joins, exact re-rank of top {_PQ_CAND} (recall@10 0.50 at 10% "
+        "exact-read share; 64x scan compression). The Spark build "
+        "materializes the codebook artifacts once (PQ index build) and "
+        "serves the ADC scan from them; the oracle pins the inline form.",
+        tags=("similarity", "ann", "pq", "kmeans"),
+    )(_q134_build)
+
+
+_register_q134()
 
 
 # ---------------------------------------------------------------------------
