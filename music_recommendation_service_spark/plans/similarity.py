@@ -536,13 +536,19 @@ register_sql(
 # steps (engine-side you'd localCheckpoint between them, as
 # operators/components.py does).
 # ---------------------------------------------------------------------------
-def _q108(d: dict) -> str:
+def _q108(d: dict, mat_src: str | None = None) -> str:
+    """``mat_src`` substitutes a pre-materialized (vec_id, cid, v, nrm)
+    relation for the inline assigned ⋈ en join (the Spark build's round-12
+    optimization); the default inlines everything (the oracle form)."""
     from music_recommendation_service_spark.functions import rnd_sql
 
     if d["name"] == "duck":
         comp1 = (
             "SELECT a.cid, generate_subscripts(e.v, 1) AS dim, unnest(e.v) AS val "
             "FROM assigned a JOIN en e ON a.vec_id = e.vec_id"
+            if mat_src is None
+            else "SELECT cid, generate_subscripts(v, 1) AS dim, unnest(v) AS val "
+            f"FROM {mat_src}"
         )
         rebuild = "list(avg_val ORDER BY dim)"
     else:
@@ -550,15 +556,23 @@ def _q108(d: dict) -> str:
             "SELECT a.cid, pos + 1 AS dim, val "
             "FROM assigned a JOIN en e ON a.vec_id = e.vec_id "
             "LATERAL VIEW posexplode(e.v) t AS pos, val"
+            if mat_src is None
+            else f"SELECT cid, pos + 1 AS dim, val FROM {mat_src} "
+            "LATERAL VIEW posexplode(v) t AS pos, val"
         )
         rebuild = (
             "transform(sort_array(collect_list(struct(dim, avg_val))),"
             " s -> s.avg_val)"
         )
     cos1 = f"({d['dot']('a.v', 'c.c1')}) / (a.nrm * c.cnrm1)"
+    head = (
+        f"    WITH {ivf_assign_cte(d)},\n    "
+        if mat_src is None
+        else "    WITH "
+    )
+    en1 = "en" if mat_src is None else f"(SELECT vec_id, v, nrm FROM {mat_src})"
     return f"""
-    WITH {ivf_assign_cte(d)},
-    comp1 AS ({comp1}),
+{head}comp1 AS ({comp1}),
     cent1 AS (
         SELECT cid, {rebuild} AS c1
         FROM (SELECT cid, dim, avg(val) AS avg_val FROM comp1 GROUP BY cid, dim)
@@ -572,7 +586,7 @@ def _q108(d: dict) -> str:
                row_number() OVER (
                    PARTITION BY a.vec_id ORDER BY {cos1} DESC, c.cid
                ) AS rnk
-        FROM en a CROSS JOIN cent1_n c
+        FROM {en1} a CROSS JOIN cent1_n c
     )
     SELECT cid                           AS cluster_id,
            CAST(count(*) AS BIGINT)      AS n_vectors,
@@ -584,14 +598,46 @@ def _q108(d: dict) -> str:
     """
 
 
-register_sql(
-    "q108_kmeans_refine",
-    _q108,
-    ("embeddings",),
-    doc="One Lloyd's refinement of the IVF coarse quantizer: reassign -> "
-    "mean-recompute -> reassign; per-cluster size, mean cosine, exemplar.",
-    tags=("similarity", "kmeans", "iterative", "clustering"),
-)
+# Round-12 optimization: the inline form executed the e/en subtree for
+# both the mean-recompute join AND the reassignment scan, with the coarse
+# assignment window above one of them. The Spark build materializes ONE
+# (vec_id, cid, v, nrm) relation (assignment map + vectors — the IVF
+# index-build artifact) and feeds both consumers from it; the DuckDB
+# oracle keeps the inline form, pinning identical rows.
+def _q108_build(spark, sf_dir: str):
+    from music_recommendation_service_spark.sources.catalog import load_table
+    from music_recommendation_service_spark.sources.writers import (
+        scratch_materialize,
+    )
+
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    m = scratch_materialize(
+        spark.sql(
+            f"WITH {ivf_assign_cte(SPARK)}\n"
+            "    SELECT a.vec_id, a.cid, e.v, e.nrm\n"
+            "    FROM assigned a JOIN en e ON a.vec_id = e.vec_id"
+        ),
+        "q108_assigned",
+    )
+    m.createOrReplaceTempView("q108_assigned_mat")
+    return spark.sql(_q108(SPARK, mat_src="q108_assigned_mat"))
+
+
+def _register_q108():
+    from music_recommendation_service_spark.plans import register
+
+    register(
+        "q108_kmeans_refine",
+        oracle=_q108(DUCK),
+        doc="One Lloyd's refinement of the IVF coarse quantizer: reassign "
+        "-> mean-recompute -> reassign; per-cluster size, mean cosine, "
+        "exemplar. The Spark build materializes the (assignment, vector) "
+        "relation once; the oracle keeps the inline form.",
+        tags=("similarity", "kmeans", "iterative", "clustering"),
+    )(_q108_build)
+
+
+_register_q108()
 
 
 # ---------------------------------------------------------------------------
