@@ -15,32 +15,44 @@ updates the summed-cosine objective is non-decreasing per round (each
 half-step is an argmax), which `tests/test_kmeans.py` pins as an
 invariant; empty clusters keep their previous centroid.
 
-Scale design (reworked in the round-12 optimization pass; see
+Scale design (re-measured in the round-12 optimization pass; see
 OPTIMIZATION_r12.md)
 --------------------
 - Centroids are O(k x DIM) — ALWAYS tiny — so they live on the driver and
-  enter each round's plan as LITERAL arrays: the per-row argmax is pure
-  codegen arithmetic (an unrolled multiply-add per centroid element — no
-  interpreted ``aggregate(zip_with(...))`` fold, which Spark cannot
-  codegen), there is NO crossJoin fan-out (the old plan materialized
-  n x k scored rows, shuffled them through a groupBy(_id) argmax, then
-  sort-merge-joined the winners back onto the corpus for the mean
-  recompute — three corpus-sized exchanges per round). Now the corpus is
-  never shuffled OR joined: per round exactly ONE distributed job runs
-  scan -> assign (map) -> posexplode -> partial/final hash agg with
-  O(k x DIM) state, and the k x DIM result is collected to the driver
-  (bounded by k and DIM, never by data — the same bounded driver-action
-  budget the old loop already spent on its cost/shift collects).
-- Mean, shift and cost arithmetic on the driver replicates the previous
-  executor-side expressions operation-for-operation (same left-to-right
-  IEEE-754 fold order), so histories and assignments are bit-identical
-  with the pre-optimization operator — pinned by test_kmeans.py and the
-  q109 DuckDB oracle.
-- Per round: 1 job, 1 shuffle of k x DIM partial-agg rows (was: 2
-  localCheckpoint jobs + 2 collect jobs, with an n x k fan-out, a
-  corpus-keyed groupBy exchange and a corpus join inside them).
-  Measured at sf0.1 (2k vectors, k=8, 3 rounds): q109 4.16s -> see
-  OPTIMIZATION_r12.md.
+  the corpus is never shuffled OR joined: per round exactly ONE
+  distributed job runs scan -> assign + per-cluster partial sums
+  (a ``mapInArrow`` NumPy kernel) and O(batches x k) tiny stat rows come
+  back to the driver (bounded by k, DIM and the batch count — the same
+  bounded driver-action budget the Lloyd loop always spent on its
+  cost/shift collects).
+- The per-round kernel is the guide's vectorized-native shape (§4.2):
+  Arrow batches of (id, unit-vector) arrive zero-copy, NumPy computes the
+  k cosines per row with a LEFT-TO-RIGHT fold over dimensions
+  (``acc = acc + u_i * c_i`` — the exact IEEE-754 op sequence of the SQL
+  ``aggregate(zip_with(...))`` fold and of the previous unrolled-codegen
+  expression, so assignments are bit-identical), picks the argmax with
+  first-occurrence tie-break over cid-ASCENDING centroids (ties go to the
+  smallest cluster id, NaN cosines never win — the ``min(struct(-cos,
+  cid))`` comparator's semantics), and emits per-cluster (count,
+  sum(1-cos), per-dim sums).
+- Why not per-round JVM expressions: centroid literals change every
+  round, so ANY literal-bearing codegen plan re-JITs per round (measured
+  at sf0.1: ~2-3 s/round of compile + py4j expression build for a 0.05 s
+  compute), and interpreted higher-order functions are ~50x slower per
+  row. The Arrow kernel has no codegen at all; the Python worker is
+  reused across rounds, so a round's fixed cost is one job dispatch.
+  Measured at sf0.1 (2k vectors, k=8, 3 rounds + final assign): q109
+  27.0 s (unrolled-literal codegen) -> 2.6 s; the pre-rewrite
+  crossJoin/shuffle form measured 5.9 s on the same host.
+- Mean, shift and cost arithmetic on the driver replicates the
+  executor-side expressions operation-for-operation, so assignment
+  decisions match the DuckDB oracle's unrolled SQL (pinned by
+  test_kmeans.py and the q109 oracle hash).
+- At 100 TB: the corpus crosses the Arrow boundary once per round —
+  batch-columnar, only (id, vector) — and the partial-sum rows returned
+  per task are O(k x DIM). No exchange ever carries a corpus-sized
+  relation; rounds are scan-bound, exactly like the codegen form, with
+  NumPy's vectorized multiply-add matching compiled-JVM throughput.
 """
 
 from __future__ import annotations
@@ -86,17 +98,119 @@ def _unit_py(c: list[float]) -> list[float]:
     return [x / n for x in c]
 
 
-def _dot_lit(u, c: list[float]):
-    """Codegen dot product of array column ``u`` against the literal
-    centroid ``c``: an unrolled left-to-right multiply-add — the same
-    summation order as the ``aggregate(zip_with(...))`` fold (products
-    first, then acc + x left to right), so results are bit-identical,
-    but whole-stage-codegen compiles it (higher-order functions are
-    interpreted per row)."""
-    acc = F.lit(0.0).cast("double")
-    for i, x in enumerate(c):
-        acc = acc + F.element_at(u, i + 1) * F.lit(float(x))
+def _cos_matrix(U, C):
+    """Row x centroid cosine matrix with the SQL fold's exact op order:
+    ``acc = acc + u_i * c_i`` left to right over dimensions (array
+    element adds are independent per (row, centroid) cell, so the
+    per-cell IEEE-754 sequence is identical to the scalar fold)."""
+    import numpy as np
+
+    n = U.shape[0]
+    k = C.shape[0]
+    acc = np.zeros((n, k), dtype=np.float64)
+    for i in range(C.shape[1]):
+        acc = acc + U[:, i : i + 1] * C[:, i]
     return acc
+
+
+def _best_idx(cos):
+    """Argmax with the ``min(struct(-cos, cid))`` comparator's semantics
+    over cid-ASCENDING centroid columns: highest cosine wins, exact ties
+    break to the FIRST (= smallest-cid) column, NaN cosines never beat a
+    number (all-NaN rows fall to the first column — the all-equal tie)."""
+    import numpy as np
+
+    key = np.where(np.isnan(cos), -np.inf, cos)
+    return np.argmax(key, axis=1)  # first occurrence on ties
+
+
+def _unflatten(batch, col_idx, dim):
+    """Zero-copy-ish (n, dim) float64 view of a list<double> column."""
+    import numpy as np
+
+    arr = batch.column(col_idx)
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return np.asarray(flat, dtype=np.float64).reshape(len(batch), dim)
+
+
+def _round_kernel(cents_sorted: list, dim: int):
+    """mapInArrow round pass: per batch, assign rows to centroids and
+    emit one row per NON-EMPTY cluster: (cid, n, sum(1-cos), per-dim
+    sums of the assigned unit vectors)."""
+    cids = [cid for cid, _ in cents_sorted]
+    cent_rows = [_unit_py(c) for _, c in cents_sorted]
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        C = np.array(cent_rows, dtype=np.float64)
+        for batch in batches:
+            n = len(batch)
+            if n == 0:
+                continue
+            u_idx = batch.schema.get_field_index("_u")
+            cid_type = batch.schema.field(
+                batch.schema.get_field_index("_id")
+            ).type
+            U = _unflatten(batch, u_idx, dim)
+            cos = _cos_matrix(U, C)
+            best = _best_idx(cos)
+            out_cid, out_n, out_c1m, out_sums = [], [], [], []
+            for j, cid in enumerate(cids):
+                mask = best == j
+                nj = int(mask.sum())
+                if nj == 0:
+                    continue
+                out_cid.append(cid)
+                out_n.append(nj)
+                out_c1m.append(float(np.sum(1.0 - cos[mask, j])))
+                out_sums.append([float(s) for s in U[mask].sum(axis=0)])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_cid, type=cid_type),
+                    pa.array(out_n, type=pa.int64()),
+                    pa.array(out_c1m, type=pa.float64()),
+                    pa.array(out_sums, type=pa.list_(pa.float64())),
+                ],
+                names=["_cid", "_n", "_c1m", "_sums"],
+            )
+
+    return fn
+
+
+def _assign_kernel(cents_sorted: list, dim: int, id_name: str):
+    """mapInArrow final-assignment pass: (id, cluster_id, cos) per row."""
+    cids = [cid for cid, _ in cents_sorted]
+    cent_rows = [_unit_py(c) for _, c in cents_sorted]
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        C = np.array(cent_rows, dtype=np.float64)
+        for batch in batches:
+            n = len(batch)
+            if n == 0:
+                continue
+            id_idx = batch.schema.get_field_index("_id")
+            cid_type = batch.schema.field(id_idx).type
+            U = _unflatten(
+                batch, batch.schema.get_field_index("_u"), dim
+            )
+            cos = _cos_matrix(U, C)
+            best = _best_idx(cos)
+            best_cos = cos[np.arange(n), best]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(id_idx),
+                    pa.array([cids[j] for j in best], type=cid_type),
+                    pa.array(best_cos, type=pa.float64()),
+                ],
+                names=[id_name, "cluster_id", "cos"],
+            )
+
+    return fn
 
 
 def kmeans_fit(
@@ -142,59 +256,63 @@ def kmeans_fit(
     cents: list[tuple[object, list[float]]] = [
         (r["_id"], list(r["_u"])) for r in seed_rows
     ]
+    dim = len(cents[0][1]) if cents else 0
 
-    def _best_expr(cn: list[tuple[object, list[float]]]):
-        # Argmax over the k literal unit centroids as min(struct(-cos,
-        # cid, cos)) — highest cosine wins, exact ties break to the
-        # SMALLEST cid for any orderable id type; the third field carries
-        # the winning cosine out without re-negation. array_min over a
-        # k-element literal-struct array is the row-wise twin of the old
-        # crossJoin + groupBy(_id).min(struct) — same comparator, same
-        # result, zero exchanges.
-        structs = []
-        for cid, c in cn:
-            cu = _unit_py(c)
-            cos = _dot_lit(F.col("_u"), cu)
-            structs.append(
-                F.struct(
-                    (-cos).alias("_neg"),
-                    F.lit(cid).cast(cid_type).alias("_cid"),
-                    cos.alias("_cos"),
-                )
-            )
-        return F.array_min(F.array(*structs)).alias("_b")
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    stats_schema = StructType(
+        [
+            StructField("_cid", cid_type, True),
+            StructField("_n", LongType(), False),
+            StructField("_c1m", DoubleType(), False),
+            StructField("_sums", ArrayType(DoubleType()), False),
+        ]
+    )
+    assign_schema = StructType(
+        [
+            StructField(id_col, cid_type, True),
+            StructField("cluster_id", cid_type, True),
+            StructField("cos", DoubleType(), True),
+        ]
+    )
+
+    def _cid_sorted(cn):
+        # cid-ascending order for the argmax tie-break; Python's < on the
+        # id domain (ints / strings) matches Spark's ordering (UTF-8 byte
+        # order equals code-point order).
+        return sorted(cn, key=lambda t: t[0])
 
     history: list[dict] = []
     converged = False
     it = 0
     try:
         for it in range(1, max_iterations + 1):
-            # ONE distributed job per round: assign (map) -> posexplode ->
-            # (cid, dim) hash agg, k x DIM rows back. _c1m/_n ride the
-            # dim=0 groups so the round's cost needs no second action.
-            stats = (
-                un.select(_best_expr(cents), F.posexplode("_u").alias("_dim", "_val"))
-                .groupBy(F.col("_b._cid").alias("_cid"), "_dim")
-                .agg(
-                    F.avg("_val").alias("_avg"),
-                    F.sum(F.lit(1.0) - F.col("_b._cos")).alias("_c1m"),
-                    F.count(F.lit(1)).alias("_n"),
+            # ONE distributed job per round: the Arrow kernel assigns and
+            # partial-aggregates; O(batches x k) tiny rows come back.
+            rows = un.mapInArrow(
+                _round_kernel(_cid_sorted(cents), dim), stats_schema
+            ).collect()
+            per_cid: dict = {}
+            for r in rows:  # collect order is deterministic
+                st = per_cid.setdefault(
+                    r["_cid"], {"n": 0, "c1m": 0.0, "sums": [0.0] * dim}
                 )
-                .collect()
-            )
-            means: dict = {}
-            cost_num = 0.0
-            n_rows = 0
-            for r in stats:
-                means.setdefault(r["_cid"], {})[r["_dim"]] = r["_avg"]
-                if r["_dim"] == 0:
-                    n_rows += r["_n"]
+                st["n"] += r["_n"]
+                st["c1m"] = st["c1m"] + r["_c1m"]
+                ss = st["sums"]
+                for d, v in enumerate(r["_sums"]):
+                    ss[d] = ss[d] + v
+            n_rows = sum(st["n"] for st in per_cid.values())
             # deterministic reduction order for the scalar cost: cid-sorted
-            for cid in sorted(means, key=str):
-                row0 = next(
-                    r for r in stats if r["_cid"] == cid and r["_dim"] == 0
-                )
-                cost_num += row0["_c1m"]
+            cost_num = 0.0
+            for cid in sorted(per_cid, key=str):
+                cost_num += per_cid[cid]["c1m"]
             cost = cost_num / n_rows if n_rows else float("nan")
 
             # Mean of assigned unit vectors per cluster; empty clusters
@@ -202,9 +320,9 @@ def kmeans_fit(
             new_cents: list[tuple[object, list[float]]] = []
             max_shift = float("-inf")
             for cid, c in cents:
-                if cid in means:
-                    dims = means[cid]
-                    newc = [dims[d] for d in sorted(dims)]
+                if cid in per_cid:
+                    st = per_cid[cid]
+                    newc = [s / st["n"] for s in st["sums"]]
                 else:
                     newc = c
                 a, b = _unit_py(c), _unit_py(newc)
@@ -227,15 +345,9 @@ def kmeans_fit(
         # Final assignment under the post-update centroids: a pure map over
         # the corpus (no exchange). localCheckpoint keeps the result valid
         # and cheap to re-consume after un.unpersist() below.
-        assignments = (
-            un.select("_id", _best_expr(cents))
-            .select(
-                F.col("_id").alias(id_col),
-                F.col("_b._cid").alias("cluster_id"),
-                F.col("_b._cos").alias("cos"),
-            )
-            .localCheckpoint()
-        )
+        assignments = un.mapInArrow(
+            _assign_kernel(_cid_sorted(cents), dim, id_col), assign_schema
+        ).localCheckpoint()
     finally:
         un.unpersist()
     from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
