@@ -640,7 +640,11 @@ def _q131_prefix_body(d: dict, sh: str) -> str:
 
 
 def _q131(
-    d: dict, sh_src: str | None = None, prefix_src: str | None = None
+    d: dict,
+    sh_src: str | None = None,
+    prefix_src: str | None = None,
+    cand_repart: bool = False,
+    n_part: int | None = None,
 ) -> str:
     sh_cte = (
         "sh AS (\n        " + _q131_sh(d).strip() + "\n    ),\n    "
@@ -659,14 +663,61 @@ def _q131(
     ),
     """
         prefix = prefix_src
-    return f"""
-    WITH {head}cand AS (
-        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        FROM {prefix} a
-        JOIN {prefix} b ON a.s = b.s AND a.doc_id < b.doc_id
-                     AND 10 * least(a.n, b.n) >= 7 * greatest(a.n, b.n)
+    # Spark build only (guide §2.5/§2.6): the DISTINCT over candidates is a
+    # few hundred thousand TINY rows, so AQE coalesces it to 1-2 partitions
+    # — but each row downstream pays an intersection-count verification,
+    # so per-row cost, not bytes, should size the stage. The REPARTITION
+    # hint re-spreads candidates across spark.sql.shuffle.partitions
+    # (env-parameterized) before the verification; hash-partitioning on
+    # (d1, d2) lets the one-row-per-group aggregate barrier below reuse
+    # the same exchange. The DuckDB oracle text is unchanged.
+    # The explicit partition count (the session's configured shuffle
+    # parallelism, env-parameterized — NOT a constant) keeps AQE from
+    # byte-coalescing the tiny candidate rows back to one partition.
+    cand_tail = (
+        f"""),
+    cand AS (SELECT /*+ REPARTITION({n_part}, d1) */ * FROM cand0
+    ),"""
+        if cand_repart
+        else "),"
+    )
+    cand_name = "cand0" if cand_repart else "cand"
+    if cand_repart:
+        # Spark-only verification shape (same rows, pinned by the unchanged
+        # DuckDB oracle below): instead of exploding every candidate pair
+        # into its shared-shingle rows (cand ⋈ sh ⋈ sh — measured ~39M
+        # intermediate rows + a (d1,d2) re-shuffle at sf0.1) and joining
+        # sizes back on, collapse each doc's DISTINCT shingles into ONE
+        # array row (O(docs) rows, scratch-materialized by the build) and
+        # verify per candidate with size(array_intersect(...)) — a
+        # map-side set intersection against two O(docs) broadcast array
+        # tables. The one-row-per-group max() aggregate is an optimizer
+        # barrier: the threshold filter stays ABOVE it, so the intersect
+        # is evaluated once per candidate (a pushed-down filter would
+        # re-evaluate it in the join condition and the projection), and
+        # the agg itself reuses the candidate exchange's (d1, d2)
+        # partitioning — no second shuffle.
+        arrs = "q131_arrs_mat"
+        verify = f"""pairs AS (
+        SELECT /*+ BROADCAST(a1), BROADCAST(a2) */
+               c.d1, c.d2,
+               CAST(size(array_intersect(a1.ss, a2.ss)) AS BIGINT) AS shared,
+               a1.n AS n1, a2.n AS n2
+        FROM cand c
+        JOIN {arrs} a1 ON c.d1 = a1.doc_id
+        JOIN {arrs} a2 ON c.d2 = a2.doc_id
     ),
-    pairs AS (
+    agg AS (
+        SELECT d1, d2, max(shared) AS shared, max(n1) AS n1, max(n2) AS n2
+        FROM pairs GROUP BY d1, d2
+    )
+    SELECT d1, d2, shared,
+           {rnd_sql("shared * 1.0 / (n1 + n2 - shared)", 6)} AS jaccard
+    FROM agg
+    WHERE 10 * shared >= 7 * (n1 + n2 - shared)
+    """
+    else:
+        verify = f"""pairs AS (
         SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS shared
         FROM cand c
         JOIN {sh} x ON x.doc_id = c.d1
@@ -680,6 +731,14 @@ def _q131(
     JOIN sizes s2 ON p.d2 = s2.doc_id
     WHERE 10 * p.shared >= 7 * (s1.n + s2.n - p.shared)
     """
+    return f"""
+    WITH {head}{cand_name} AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM {prefix} a
+        JOIN {prefix} b ON a.s = b.s AND a.doc_id < b.doc_id
+                     AND 10 * least(a.n, b.n) >= 7 * greatest(a.n, b.n)
+    {cand_tail}
+    {verify}"""
 
 
 # Like q27, the shingle index feeds many shuffles (sizes, df, the ranked
@@ -703,9 +762,33 @@ def _q131_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "q131_prefix",
     )
-    p.createOrReplaceTempView("q131_p_mat")
+    # Re-spread the tiny materialized prefix across the session's
+    # parallelism so the candidate self-join stage is not bounded by the
+    # scratch file count (1-2 files after AQE coalescing at write time).
+    p.repartition(spark.sparkContext.defaultParallelism).createOrReplaceTempView(
+        "q131_p_rep"
+    )
+    # Per-doc shingle-set arrays for the map-side verification (see the
+    # _q131 Spark tail): O(docs) rows, materialized once so both
+    # verification broadcasts build from a 6k-row parquet instead of
+    # re-aggregating the 600k-row shingle index per side.
+    arrs = scratch_materialize(
+        spark.sql(
+            "SELECT doc_id, collect_list(s) AS ss, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM q131_sh_mat GROUP BY doc_id"
+        ),
+        "q131_arrs",
+    )
+    arrs.createOrReplaceTempView("q131_arrs_mat")
     return spark.sql(
-        _q131(SPARK, sh_src="q131_sh_mat", prefix_src="q131_p_mat")
+        _q131(
+            SPARK,
+            sh_src="q131_sh_mat",
+            prefix_src="q131_p_rep",
+            cand_repart=True,
+            n_part=int(spark.conf.get("spark.sql.shuffle.partitions")),
+        )
     )
 
 
@@ -822,7 +905,11 @@ def _q135_prefix_body(d: dict, g: str) -> str:
 
 
 def _q135(
-    d: dict, g_src: str | None = None, prefix_src: str | None = None
+    d: dict,
+    g_src: str | None = None,
+    prefix_src: str | None = None,
+    cand_repart: bool = False,
+    n_part: int | None = None,
 ) -> str:
     g_cte = (
         "g AS (\n        " + _q135_g(d).strip() + "\n    ),\n    "
@@ -837,15 +924,30 @@ def _q135(
         g_cte = ""  # the grams are already folded into the prefix relation
         prefix_cte = ""
         prefix = prefix_src
+    # Spark build only: candidates are tiny rows with an expensive
+    # levenshtein verification each — AQE's byte-based coalescing collapses
+    # them to 1-2 partitions, so re-spread before the verification joins
+    # (same rationale as _q131; oracle text unchanged).
+    # Explicit count (the session's configured shuffle parallelism) so AQE
+    # cannot byte-coalesce the tiny candidate rows back to one partition —
+    # per-row verification cost, not bytes, sizes this stage.
+    cand_tail = (
+        f"""),
+    cand AS (SELECT /*+ REPARTITION({n_part}, id1) */ * FROM cand0
+    )"""
+        if cand_repart
+        else ")"
+    )
+    cand_name = "cand0" if cand_repart else "cand"
     return f"""
     WITH {g_cte}corpus AS ({_q135_corpus(d)}),
-    {prefix_cte}cand AS (
+    {prefix_cte}{cand_name} AS (
         SELECT DISTINCT a.id AS id1, b.id AS id2
         FROM {prefix} a
         JOIN {prefix} b ON a.s = b.s AND a.id < b.id
                      AND abs(a.len - b.len) <= {_ED_D}
                      AND a.lo <= b.hi + {_ED_D} AND b.lo <= a.hi + {_ED_D}
-    )
+    {cand_tail}
     SELECT id1, id2, dist FROM (
         SELECT c.id1, c.id2,
                CAST(levenshtein(x.name, y.name) AS INT) AS dist
@@ -879,8 +981,19 @@ def _q135_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "q135_prefix",
     )
-    p.createOrReplaceTempView("q135_p_mat")
-    return spark.sql(_q135(SPARK, prefix_src="q135_p_mat"))
+    # Same re-spread as _q131_build: the candidate self-join stage should
+    # run at session parallelism, not at the scratch file count.
+    p.repartition(spark.sparkContext.defaultParallelism).createOrReplaceTempView(
+        "q135_p_rep"
+    )
+    return spark.sql(
+        _q135(
+            SPARK,
+            prefix_src="q135_p_rep",
+            cand_repart=True,
+            n_part=int(spark.conf.get("spark.sql.shuffle.partitions")),
+        )
+    )
 
 
 register(
