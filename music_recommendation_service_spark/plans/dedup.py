@@ -87,21 +87,40 @@ def _q27_sh(d: dict) -> str:
     return f"SELECT doc_id, {d['explode'](_shingles(d), 's')} FROM documents"
 
 
-def _q27(d: dict, sh_src: str | None = None) -> str:
+def _q27(
+    d: dict,
+    sh_src: str | None = None,
+    probe_src: str | None = None,
+    sizes_src: str | None = None,
+) -> str:
     """``sh_src`` substitutes a pre-materialized shingle relation; default
-    inlines it as a CTE (the oracle form)."""
+    inlines it as a CTE (the oracle form). ``probe_src`` (Spark build only)
+    substitutes a parallelism-spread copy for the self-join's PROBE side:
+    the scratch parquet lands as 1-2 small files, so the pair-explode stage
+    (260k index rows -> 1.1M candidate rows at sf0.1, two broadcast hash
+    joins) otherwise runs nearly single-threaded — per-row cost, not input
+    bytes, should size that stage (guide §2.5/§2.6). ``sizes_src`` (Spark
+    build only) substitutes a pre-aggregated per-doc size table: the sizes
+    CTE is joined twice, and Spark's CTE inlining would otherwise execute
+    the scan+aggregate subtree once per join side. Same rows either way."""
     sh_cte = f"sh AS (\n        {_q27_sh(d)}\n    ),\n    " if sh_src is None else ""
     sh = "sh" if sh_src is None else sh_src
+    probe = probe_src or sh
+    sizes_body = (
+        f"SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM {sh} GROUP BY doc_id"
+        if sizes_src is None
+        else f"SELECT doc_id, n FROM {sizes_src}"
+    )
     return f"""
     WITH {sh_cte}sizes AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM {sh} GROUP BY doc_id
+        {sizes_body}
     ),
     common AS (
         SELECT s FROM {sh} GROUP BY s HAVING count(*) <= 100
     ),
     pairs AS (
         SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS shared
-        FROM {sh} a
+        FROM {probe} a
         JOIN common c ON a.s = c.s
         JOIN {sh} b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
@@ -129,7 +148,30 @@ def _q27_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     sh = scratch_materialize(spark.sql(_q27_sh(SPARK)), "q27_shingles")
     sh.createOrReplaceTempView("q27_sh_mat")
-    return spark.sql(_q27(SPARK, sh_src="q27_sh_mat"))
+    # Probe side of the pair self-join spread across the session's
+    # parallelism (see _q27 docstring); the other three consumers (sizes,
+    # common, build side b) keep the plain 1-file scan.
+    sh.repartition(spark.sparkContext.defaultParallelism).createOrReplaceTempView(
+        "q27_sh_rep"
+    )
+    # Per-doc shingle counts, aggregated ONCE: the sizes CTE feeds two join
+    # sides, and CTE inlining re-executes the scan+aggregate per side.
+    sizes = scratch_materialize(
+        spark.sql(
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n "
+            "FROM q27_sh_mat GROUP BY doc_id"
+        ),
+        "q27_sizes",
+    )
+    sizes.createOrReplaceTempView("q27_sizes_mat")
+    return spark.sql(
+        _q27(
+            SPARK,
+            sh_src="q27_sh_mat",
+            probe_src="q27_sh_rep",
+            sizes_src="q27_sizes_mat",
+        )
+    )
 
 
 register(
