@@ -436,6 +436,8 @@ def q122_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(edges touching the wave), not O(E) per round.
     from music_recommendation_service_spark.plans.olap_ext import basket_pairs_co2
 
+    from pyspark.sql import Observation
+
     edges = basket_pairs_co2(spark, sf_dir).select(
         F.col("l_partkey_1").alias("a"), F.col("l_partkey_2").alias("b")
     )
@@ -446,27 +448,42 @@ def q122_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = verts.filter(F.col("v") % _BFS_SEED_MOD == 0).select(
         "v", F.lit(0).alias("dist")
     )
-    labeled = seeds.localCheckpoint()
-    parts = [labeled]
-    frontier = labeled
-    for r in range(1, _BFS_MAX + 1):
-        cand = (
-            sym.join(frontier.select("v"), sym.a == F.col("v"))
-            .select(F.col("b").alias("v"))
-            .distinct()
-        )
-        new = (
-            cand.join(labeled, "v", "left_anti")
-            .select("v", F.lit(r).alias("dist"))
-            .localCheckpoint()  # one job per wave; isEmpty below is ~free
-        )
-        if new.isEmpty():
-            break
-        parts.append(new)
-        # anti-join target: everything labeled so far (union of shallow
-        # checkpointed waves — the plan does not grow with iterations)
-        labeled = labeled.unionByName(new)
-        frontier = new
+    # Wave-loop overheads (round-12, guide §1.3/§2.5): each wave is a TINY
+    # plan, so per-wave cost here is driver work, not data. (a) AQE is
+    # disabled for the loop — it re-plans and submits a separate stage-job
+    # per exchange (measured: ~5 jobs/wave, 37 jobs total at sf0.1 for
+    # ~2s of scheduler time); the wave side sizes are known (frontier and
+    # labeled set are O(V) and explicitly broadcast), so there is nothing
+    # adaptive to decide. (b) The emptiness probe rides the checkpoint's
+    # own job as an Observation instead of a second isEmpty job.
+    aqe0 = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        labeled = seeds.localCheckpoint()
+        parts = [labeled]
+        frontier = labeled
+        for r in range(1, _BFS_MAX + 1):
+            cand = (
+                sym.join(F.broadcast(frontier.select("v")), sym.a == F.col("v"))
+                .select(F.col("b").alias("v"))
+                .distinct()
+            )
+            obs = Observation(f"q122_wave_{r}")
+            new = (
+                cand.join(F.broadcast(labeled), "v", "left_anti")
+                .select("v", F.lit(r).alias("dist"))
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint()  # one job per wave, emptiness observed
+            )
+            if obs.get["n"] == 0:
+                break
+            parts.append(new)
+            # anti-join target: everything labeled so far (union of shallow
+            # checkpointed waves — the plan does not grow with iterations)
+            labeled = labeled.unionByName(new)
+            frontier = new
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe0)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
