@@ -855,10 +855,16 @@ def _q134_build(spark, sf_dir: str):
     the codebook artifacts once per session (guide §2.4/§5: this is the
     PQ *index build* — at 100 TB these ARE durable index tables, written
     once, served many times; operators/ann_index.py is the production
-    twin) leaves the per-query plan as 4 broadcast dtab lookups + the
-    codes-join ADC scan + the top-{_PQ_CAND} re-rank. Every materialized
-    intermediate is an exact parquet round-trip of the same CTE, so
-    results are bit-identical to the oracle's inline form."""
+    twin) leaves the per-query plan as the ADC scan + top-{_PQ_CAND}
+    re-rank. The artifacts are CONSOLIDATED (second round-12 pass): one
+    (vec_id, c0..c{_PQ_M - 1}) codes row per vector instead of {_PQ_M}
+    one-column-code tables, the {_PQ_M} codebooks in one (s, cid, c)
+    table, and the per-query ADC distance tables precomputed into one
+    (s, qid, cid, dd) table — the warm plan builds 5-6 tiny broadcasts
+    instead of 16 (measured: 16 single-task ~50-100 ms broadcast-build
+    jobs dominated the warm profile). Every materialized intermediate is
+    an exact value-preserving reshape of the same CTEs, so results are
+    bit-identical to the oracle's inline form."""
     from music_recommendation_service_spark.sources.catalog import load_table
     from music_recommendation_service_spark.sources.writers import (
         scratch_materialize,
@@ -872,23 +878,88 @@ def _q134_build(spark, sf_dir: str):
     scratch_materialize(
         spark.sql(_pq_seeds_sql(d, e="q134_e")), "q134_seeds"
     ).createOrReplaceTempView("q134_seeds")
-    for s in range(_PQ_M):
-        pipe = _pq_subspace_ctes(d, s, e="q134_e", seeds="q134_seeds")
-        scratch_materialize(
-            spark.sql(f"WITH {pipe}\nSELECT cid, c FROM cent{s}"),
-            f"q134_cent{s}",
-        ).createOrReplaceTempView(f"q134_cent{s}")
-        scratch_materialize(
-            spark.sql(f"WITH {pipe}\nSELECT vec_id, cid FROM code{s}"),
-            f"q134_code{s}",
-        ).createOrReplaceTempView(f"q134_code{s}")
-    tail = _pq_tail_ctes(
-        d,
-        e="q134_e",
-        cent=lambda s: f"q134_cent{s}",
-        code=lambda s: f"q134_code{s}",
+    # All M codebooks in one (s, cid, c) table: one index-build job for the
+    # four subspace Lloyd pipelines (unreferenced CTEs are pruned).
+    pipes = ",\n    ".join(
+        _pq_subspace_ctes(d, s, e="q134_e", seeds="q134_seeds")
+        for s in range(_PQ_M)
     )
-    return spark.sql(f"WITH {tail}\n    {_q134_select(d)}")
+    cents_union = "\nUNION ALL ".join(
+        f"SELECT {s} AS s, cid, c FROM cent{s}" for s in range(_PQ_M)
+    )
+    scratch_materialize(
+        spark.sql(f"WITH {pipes}\n{cents_union}"), "q134_cents"
+    ).createOrReplaceTempView("q134_cents")
+    # One codes row per vector (vec_id, c0..c3): the code-assignment window
+    # per subspace against its codebook slice, joined on vec_id.
+    code_ctes, sel, joins = [], [], []
+    for s in range(_PQ_M):
+        off = s * _PQ_SUB + 1
+        sv = _pq_lslice(d, "v", off, _PQ_SUB)
+        code_ctes.append(
+            f"""x{s} AS (
+        SELECT vec_id, cid FROM (
+            SELECT a.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {_pq_sql2(d, f"({sv})", 'c.c')}, c.cid
+                   ) AS rnk
+            FROM q134_e a
+            CROSS JOIN (SELECT cid, c FROM q134_cents WHERE s = {s}) c
+        ) WHERE rnk = 1
+    )"""
+        )
+        sel.append(f"x{s}.cid AS c{s}")
+        if s:
+            joins.append(f"JOIN x{s} ON x{s}.vec_id = x0.vec_id")
+    scratch_materialize(
+        spark.sql(
+            "WITH " + ",\n    ".join(code_ctes) + "\nSELECT x0.vec_id, "
+            + ", ".join(sel) + "\nFROM x0 " + " ".join(joins)
+        ),
+        "q134_codes",
+    ).createOrReplaceTempView("q134_codes")
+    # The ADC distance tables for the fixed query slice, one (s, qid, cid,
+    # dd) table (O(M x K x queries) rows).
+    dtab_union = "\nUNION ALL ".join(
+        f"SELECT {s} AS s, q.vec_id AS qid, c.cid, "
+        + _pq_sql2(d, f"({_pq_lslice(d, 'v', s * _PQ_SUB + 1, _PQ_SUB)})", "c.c")
+        + " AS dd FROM (SELECT vec_id, v FROM q134_e WHERE vec_id % 100 = 0) q"
+        f" CROSS JOIN (SELECT cid, c FROM q134_cents WHERE s = {s}) c"
+        for s in range(_PQ_M)
+    )
+    scratch_materialize(spark.sql(dtab_union), "q134_dtab").createOrReplaceTempView(
+        "q134_dtab"
+    )
+    adc_joins = " ".join(
+        f"JOIN q134_dtab t{s} ON t{s}.s = {s} AND t{s}.qid = q.vec_id "
+        f"AND t{s}.cid = x.c{s}"
+        for s in range(_PQ_M)
+    )
+    adc_sum = " + ".join(f"t{s}.dd" for s in range(_PQ_M))
+    return spark.sql(
+        f"""WITH adc AS (
+        SELECT q.vec_id AS qid, x.vec_id, {adc_sum} AS adc_dist
+        FROM (SELECT vec_id FROM q134_e WHERE vec_id % 100 = 0) q
+        CROSS JOIN q134_codes x {adc_joins}
+    ),
+    cand AS (
+        SELECT qid, vec_id, adc_dist FROM (
+            SELECT qid, vec_id, adc_dist, row_number() OVER (
+                PARTITION BY qid ORDER BY adc_dist, vec_id
+            ) AS rnk
+            FROM adc WHERE qid <> vec_id
+        ) WHERE rnk <= {_PQ_CAND}
+    ),
+    rerank AS (
+        SELECT c.qid, c.vec_id, c.adc_dist,
+               {_pq_sql2(d, 'q.v', 'x.v')} AS exact_dist
+        FROM cand c
+        JOIN q134_e q ON q.vec_id = c.qid
+        JOIN q134_e x ON x.vec_id = c.vec_id
+    )
+    {_q134_select(d)}"""
+    )
 
 
 def _register_q134():
