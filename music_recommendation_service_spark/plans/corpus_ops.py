@@ -121,7 +121,10 @@ register_sql(
 # corpus mean are boilerplate/garbage candidates (the classic
 # perplexity-filter signal, computed with no external model).
 # ---------------------------------------------------------------------------
-def _q101(d: dict) -> str:
+def _q101_big(d: dict) -> str:
+    """The exploded (doc_id, w1, w2) bigram stream (Spark build helper:
+    the same toks/expanded/big chain as the inline form, as a standalone
+    statement the build can materialize once)."""
     if d["name"] == "duck":
         expand = """
         SELECT doc_id, tk, unnest(range(1, n)) AS i
@@ -135,8 +138,35 @@ def _q101(d: dict) -> str:
         """
     w1 = d["elem"]("tk", "i")
     w2 = d["elem"]("tk", "i + 1")
-    return f"""
-    WITH toks AS (
+    return f"""WITH toks AS (
+        SELECT doc_id, {d['split']('text')} AS tk,
+               {d['len']}({d['split']('text')}) AS n
+        FROM documents
+    ),
+    expanded AS ({expand})
+    SELECT doc_id, {w1} AS w1, {w2} AS w2 FROM expanded"""
+
+
+def _q101(d: dict, big_src: str | None = None) -> str:
+    """``big_src`` (Spark build only) substitutes a pre-materialized bigram
+    stream: the ``big`` CTE feeds FOUR consumers (c2, c1, vocab, scored),
+    and CTE inlining re-executes the split+explode string pipeline per
+    consumer. The oracle keeps the inline form. Same rows either way."""
+    if d["name"] == "duck":
+        expand = """
+        SELECT doc_id, tk, unnest(range(1, n)) AS i
+        FROM toks WHERE n >= 2
+        """
+    else:
+        expand = """
+        SELECT doc_id, tk, i
+        FROM (SELECT * FROM toks WHERE n >= 2)
+        LATERAL VIEW explode(sequence(1, n - 1)) t AS i
+        """
+    w1 = d["elem"]("tk", "i")
+    w2 = d["elem"]("tk", "i + 1")
+    head = (
+        f"""toks AS (
         SELECT doc_id, {d['split']('text')} AS tk,
                {d['len']}({d['split']('text')}) AS n
         FROM documents
@@ -144,7 +174,14 @@ def _q101(d: dict) -> str:
     expanded AS ({expand}),
     big AS (
         SELECT doc_id, {w1} AS w1, {w2} AS w2 FROM expanded
-    ),
+    ),"""
+        if big_src is None
+        else f"""big AS (
+        SELECT doc_id, w1, w2 FROM {big_src}
+    ),"""
+    )
+    return f"""
+    WITH {head}
     c2 AS (
         SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2
     ),
@@ -170,15 +207,39 @@ def _q101(d: dict) -> str:
     """
 
 
-register_sql(
-    "q101_bigram_quality",
-    _q101,
-    ("documents",),
-    doc="Corpus-trained bigram LM quality score: Laplace-smoothed mean "
-    "log-probability per document (perplexity-filter signal, no external "
-    "model).",
-    tags=("corpus", "quality", "lm", "pipeline"),
-)
+def _q101_build(spark, sf_dir: str):
+    """Materialize the bigram stream once (round-12; see _q101 docstring):
+    the split+explode string pipeline is the expensive leaf, and the
+    inline form runs it once per ``big`` consumer (4x). The oracle keeps
+    the inline CTE chain, pinning identical rows."""
+    from music_recommendation_service_spark.functions.dialect import SPARK
+    from music_recommendation_service_spark.sources.catalog import load_table
+    from music_recommendation_service_spark.sources.writers import (
+        scratch_materialize,
+    )
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    big = scratch_materialize(spark.sql(_q101_big(SPARK)), "q101_big")
+    big.createOrReplaceTempView("q101_big_mat")
+    return spark.sql(_q101(SPARK, big_src="q101_big_mat"))
+
+
+def _register_q101():
+    from music_recommendation_service_spark.functions.dialect import DUCK
+    from music_recommendation_service_spark.plans import register
+
+    register(
+        "q101_bigram_quality",
+        oracle=_q101(DUCK),
+        doc="Corpus-trained bigram LM quality score: Laplace-smoothed mean "
+        "log-probability per document (perplexity-filter signal, no external "
+        "model). The Spark build materializes the bigram stream once; the "
+        "oracle keeps the inline form.",
+        tags=("corpus", "quality", "lm", "pipeline"),
+    )(_q101_build)
+
+
+_register_q101()
 
 
 # ---------------------------------------------------------------------------
