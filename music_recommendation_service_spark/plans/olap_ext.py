@@ -254,13 +254,25 @@ def basket_pairs_co2(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("assoc-rules", "pairs", "J2"),
 )
 def q123_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from music_recommendation_service_spark.sources.writers import scratch_materialize
+
     li = _t(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    # The baskets distinct feeds THREE consumers (n, and the freq dim used
+    # on both rule sides); inlined, each re-scans lineitem and re-runs the
+    # distinct shuffle. Materialize the distinct once (round-12; same
+    # silver-table discipline as basket_pairs_co2 above) — n and freq then
+    # aggregate a small parquet.
+    baskets = scratch_materialize(
+        li.select("l_orderkey", "l_partkey").distinct(), "q123_baskets"
+    )
     n = baskets.select(
         F.countDistinct("l_orderkey").cast("double").alias("n_baskets")
     )
-    freq = baskets.groupBy(F.col("l_partkey").alias("item")).agg(
-        F.count(F.lit(1)).cast("double").alias("cnt")
+    freq = scratch_materialize(
+        baskets.groupBy(F.col("l_partkey").alias("item")).agg(
+            F.count(F.lit(1)).cast("double").alias("cnt")
+        ),
+        "q123_freq",
     )
     pairs = basket_pairs_co2(spark, sf_dir)
     directed = pairs.select(
