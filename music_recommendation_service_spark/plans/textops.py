@@ -363,9 +363,19 @@ def _q132_build(spark, sf_dir):
     )
     from music_recommendation_service_spark.sources.catalog import load_table
 
-    toks = (
-        load_table(spark, sf_dir, "documents")
-        .select(F.explode(F.split("text", " ")).alias("item"))
+    from music_recommendation_service_spark.sources.writers import (
+        scratch_materialize,
+    )
+
+    # Both heavy-hitter passes (the Misra-Gries sketch and the exact
+    # verification) consume the token stream; materialize the split+explode
+    # once (round-12) so pass 2 re-reads skinny parquet instead of
+    # re-running the string pipeline.
+    toks = scratch_materialize(
+        load_table(spark, sf_dir, "documents").select(
+            F.explode(F.split("text", " ")).alias("item")
+        ),
+        "q132_toks",
     )
     return heavy_hitters(toks, "item", _HH_K).orderBy("item")
 
