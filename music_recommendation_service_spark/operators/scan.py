@@ -53,6 +53,22 @@ _BLOCK = 128
 _SAFE_LO, _SAFE_HI = 1e-200, 1e200
 
 
+def _default_parts(df: DataFrame) -> int:
+    """Scale-adaptive scan width: one fold task per upstream split, capped
+    by the session's parallelism. The result is partitioning-independent
+    (every width folds the same sequence), so width is purely a cost knob:
+    a tiny series (a daily aggregate, a materialized O(days) relation)
+    folds in one task instead of paying default-parallelism empty shuffle
+    partitions and Python workers per pass, while a multi-split input
+    still fans out to the full session width."""
+    sc = df.sparkSession.sparkContext
+    try:
+        upstream = df.rdd.getNumPartitions()
+    except Exception:
+        upstream = sc.defaultParallelism
+    return max(1, min(sc.defaultParallelism, upstream))
+
+
 def _fold_block(m: np.ndarray, b: np.ndarray, s0: float) -> tuple[np.ndarray, float]:
     """States for one block given incoming state s0; vectorized when safe."""
     P = np.cumprod(m)
@@ -94,7 +110,7 @@ def linear_scan(
     be globally unique (it defines the sequence). Cost: one range shuffle
     + two narrow passes; partition-count independent by construction.
     """
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = num_partitions or _default_parts(df)
     sdf = (
         df.repartitionByRange(parts, F.col(order_col))
         .sortWithinPartitions(order_col)
@@ -245,7 +261,7 @@ def matrix_scan(
         raise ValueError(
             f"matrix_scan: need d*d a_cols, d c_cols/init/out_cols (d={d})"
         )
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = num_partitions or _default_parts(df)
     sdf = (
         df.repartitionByRange(parts, F.col(order_col))
         .sortWithinPartitions(order_col)

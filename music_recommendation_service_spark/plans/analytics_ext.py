@@ -1450,10 +1450,20 @@ def _q137_oracle() -> str:
 def q137_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from music_recommendation_service_spark.operators.scan import holt_linear
 
-    daily = (
+    from music_recommendation_service_spark.sources.writers import (
+        scratch_materialize,
+    )
+
+    # holt_linear's scan takes three actions over its input (head-row
+    # collect, range-partitioner sample, localCheckpoint): land the
+    # O(days) daily aggregate on scratch once (round-12) so those
+    # actions read a tiny parquet instead of re-aggregating the fact
+    # table each time.
+    daily = scratch_materialize(
         _t(spark, sf_dir, "events")
         .groupBy(F.col("ts").cast("date").alias("d"))
-        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y")),
+        "q137_daily",
     )
     out = holt_linear(daily, "d", "y", _HOLT_A, _HOLT_B)
     return out.select(
