@@ -362,13 +362,13 @@ def q88_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each stage must happen strictly AFTER the previous stage's first
 # occurrence — the product-analytics query every event warehouse runs.
 #
-# Scale shape: three stage-filtered min() hash aggregates keyed on user_id
-# (partial+final, map-side combinable), chained by equi-joins on user_id.
-# Spark plans ONE user_id exchange reused across the chain; nothing ever
-# shuffles raw events except the per-stage pre-aggregation, and the final
-# funnel report is a 1-row global aggregate. No window over the whole
-# event stream, no per-user state. At 100 TB the per-stage aggregates are
-# the only memory: O(users), not O(events).
+# Scale shape (round 12): ONE user_id exchange. The strictly-after chain
+# is three min() windows over the same user partition (each stage's
+# predicate consumes the previous window's column), the per-user rollup
+# reuses that partitioning, and the funnel report is a 1-row global
+# aggregate. Raw events shuffle once; per-user state is three
+# timestamps — O(users) memory, not O(events). The oracle keeps the
+# textbook three-CTE join chain, pinning identical semantics.
 # ---------------------------------------------------------------------------
 def _q104_sql(duck: bool) -> str:
     # epoch seconds with fractional part, identical in both engines
@@ -424,8 +424,67 @@ _RND2 = "round(({x}) + 1e-9, 2)"
     tags=("events", "funnel", "analytics"),
 )
 def q104_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_q104_sql(duck=False))
+    # Round-12: the SQL form scanned events three times (one stage-filtered
+    # aggregate per CTE) and chained them through joins — 8 jobs at sf0.1.
+    # The same strictly-after chain is three min() windows over ONE
+    # user_id partition (each stage's condition consumes the previous
+    # window's column, so Spark plans a single exchange + three Window
+    # nodes), and the per-user rollup reuses that partitioning with no
+    # second shuffle. The DuckDB oracle keeps the CTE-chain SQL, pinning
+    # identical output.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    ty = F.col("event_type")
+    staged = (
+        e.withColumn(
+            "t0", F.min(F.when(ty == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t1",
+            F.min(
+                F.when(
+                    (ty == "click") & (F.col("ts") > F.col("t0")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (ty == "purchase") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = (
+        staged.groupBy("user_id")
+        .agg(
+            F.min("t0").alias("t0"),
+            F.min("t1").alias("t1"),
+            F.min("t2").alias("t2"),
+        )
+        .where(F.col("t0").isNotNull())
+    )
+
+    def ep(c: str):
+        return F.col(c).cast("timestamp").cast("double")
+
+    n_view = F.count(F.lit(1))
+    n_click = F.count("t1")
+    n_purchase = F.count("t2")
+    return per_user.agg(
+        n_view.cast("long").alias("n_view"),
+        n_click.cast("long").alias("n_click"),
+        n_purchase.cast("long").alias("n_purchase"),
+        rnd(n_click * F.lit(1.0) / n_view, 6).alias("conv_view_click"),
+        rnd(n_purchase * F.lit(1.0) / n_view, 6).alias("conv_view_purchase"),
+        rnd(F.avg(ep("t1") - ep("t0")), 2).alias("avg_s_view_click"),
+        rnd(F.avg(ep("t2") - ep("t1")), 2).alias("avg_s_click_purchase"),
+    )
 
 
 # ---------------------------------------------------------------------------
