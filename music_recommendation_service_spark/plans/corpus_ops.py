@@ -469,12 +469,82 @@ def _q110(d: dict) -> str:
     """
 
 
-register_sql(
-    "q110_corpus_drift",
-    _q110,
-    ("documents",),
-    doc="Corpus drift: per-token Jensen-Shannon divergence contributions "
-    "between two ingest waves (even/odd doc_id); top drivers of the "
-    "distribution shift. O(vocab) state, 1-row total broadcasts.",
-    tags=("corpus", "drift", "monitoring", "llm-pipeline"),
-)
+# Round-12 optimization: the inline form tokenized the corpus four times
+# (old_c and new_c each feed the FULL OUTER join AND a scalar-subquery
+# total). The Spark build collapses both sides to ONE conditional
+# aggregate — n_old/n_new per token in a single explode+groupBy pass,
+# which also makes the full-outer vocab join vanish (the union of the two
+# vocabularies IS the grouped relation) — materialized once for its two
+# consumers (totals, distribution). The DuckDB oracle keeps the two-sided
+# inline form, pinning identical rows.
+def _q110_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from music_recommendation_service_spark.functions.dialect import SPARK
+    from music_recommendation_service_spark.sources.catalog import load_table
+    from music_recommendation_service_spark.sources.writers import (
+        scratch_materialize,
+    )
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    counts = scratch_materialize(
+        spark.sql(
+            """
+            SELECT tok,
+                   sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_old,
+                   sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_new
+            FROM (SELECT doc_id, explode(split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY tok
+            """
+        ),
+        "q110_counts",
+    )
+    counts.createOrReplaceTempView("q110_counts_mat")
+    jsd = (
+        "0.5 * (CASE WHEN p_old > 0 "
+        "THEN p_old * ln(2 * p_old / (p_old + p_new)) ELSE 0.0 END) + "
+        "0.5 * (CASE WHEN p_new > 0 "
+        "THEN p_new * ln(2 * p_new / (p_old + p_new)) ELSE 0.0 END)"
+    )
+    return spark.sql(
+        f"""
+        WITH tot AS (
+            SELECT CAST(sum(n_old) AS DOUBLE) AS t_old,
+                   CAST(sum(n_new) AS DOUBLE) AS t_new
+            FROM q110_counts_mat
+        ),
+        dist AS (
+            SELECT c.tok          AS token,
+                   c.n_old / t.t_old AS p_old,
+                   c.n_new / t.t_new AS p_new
+            FROM q110_counts_mat c
+            CROSS JOIN tot t
+        ),
+        scored AS (
+            SELECT token, p_old, p_new, {jsd} AS j FROM dist
+        )
+        SELECT token,
+               {rnd_sql('p_old', 6)}      AS p_old,
+               {rnd_sql('p_new', 6)}      AS p_new,
+               {rnd_sql('j', 6)}          AS jsd_part
+        FROM scored
+        ORDER BY j DESC, token
+        LIMIT 25
+        """
+    )
+
+
+def _register_q110():
+    from music_recommendation_service_spark.plans import register
+    from music_recommendation_service_spark.functions.dialect import DUCK
+
+    register(
+        "q110_corpus_drift",
+        oracle=_q110(DUCK),
+        doc="Corpus drift: per-token Jensen-Shannon divergence contributions "
+        "between two ingest waves (even/odd doc_id); top drivers of the "
+        "distribution shift. O(vocab) state, 1-row total broadcasts.",
+        tags=("corpus", "drift", "monitoring", "llm-pipeline"),
+    )(_q110_build)
+
+
+_register_q110()
