@@ -631,7 +631,10 @@ def q106_series_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _H_LO, _H_HI, _H_NB = 0.0, 110000.0, 22
 
 
-def _q113(d: dict) -> str:
+def _q113_counts_sql() -> str:
+    """The O(groups x bins) bin-count aggregate — the ONLY corpus-sized
+    stage; shared between the inline (oracle) form and the Spark build's
+    materialization so they can never drift."""
     w = (_H_HI - _H_LO) / _H_NB
     x = "l_extendedprice"
     bin_expr = (
@@ -640,24 +643,34 @@ def _q113(d: dict) -> str:
         f"ELSE least({_H_NB}, greatest(1, "
         f"CAST(floor(({x} - {_H_LO}) / {w}) AS INT) + 1)) END"
     )
-    mid = (
-        f"CASE WHEN qbin = 0 THEN {_H_LO} "
-        f"WHEN qbin = {_H_NB + 1} THEN {_H_HI} "
-        f"ELSE {_H_LO} + (qbin - 0.5) * {w} END"
-    )
-    return f"""
-    WITH binned AS (
+    return f"""binned AS (
         SELECT l_returnflag AS flag, {bin_expr} AS bin FROM lineitem
     ),
     counts AS (
         SELECT flag, bin, CAST(count(*) AS BIGINT) AS c
         FROM binned GROUP BY flag, bin
-    ),
-    cum AS (
+    )"""
+
+
+def _q113(d: dict, counts_src: str | None = None) -> str:
+    w = (_H_HI - _H_LO) / _H_NB
+    mid = (
+        f"CASE WHEN qbin = 0 THEN {_H_LO} "
+        f"WHEN qbin = {_H_NB + 1} THEN {_H_HI} "
+        f"ELSE {_H_LO} + (qbin - 0.5) * {w} END"
+    )
+    if counts_src is None:
+        head = f"    WITH {_q113_counts_sql()},\n"
+        counts = "counts"
+    else:
+        head = "    WITH "
+        counts = counts_src
+    return f"""
+{head}    cum AS (
         SELECT flag, bin, c,
                sum(c) OVER (PARTITION BY flag ORDER BY bin) AS cum_c,
                sum(c) OVER (PARTITION BY flag)              AS total
-        FROM counts
+        FROM {counts}
     ),
     quantiles AS (
         SELECT flag, q, min(bin) AS qbin
@@ -673,19 +686,43 @@ def _q113(d: dict) -> str:
     """
 
 
-def _register_q113():
-    from music_recommendation_service_spark.functions.dialect import register_sql
+# Round-12 optimization: the correlated n_values scalar subquery made
+# Spark execute the whole binned+counts lineitem aggregate a second time
+# (4 parquet scans / 12 Exchange in the sf0.1 plan). The Spark build
+# materializes the O(groups x bins) counts relation once; the quantile
+# window, the quantile pick, and the subquery all read the tiny parquet.
+# The DuckDB oracle keeps the inline form, pinning identical rows.
+def _q113_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from music_recommendation_service_spark.sources.writers import (
+        scratch_materialize,
+    )
 
-    register_sql(
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    counts = scratch_materialize(
+        spark.sql(
+            f"WITH {_q113_counts_sql()}\n    SELECT flag, bin, c FROM counts"
+        ),
+        "q113_counts",
+    )
+    counts.createOrReplaceTempView("q113_counts_mat")
+    from music_recommendation_service_spark.functions.dialect import SPARK
+
+    return spark.sql(_q113(SPARK, counts_src="q113_counts_mat"))
+
+
+def _register_q113():
+    from music_recommendation_service_spark.plans import register
+    from music_recommendation_service_spark.functions.dialect import DUCK
+
+    register(
         "q113_histogram_quantiles",
-        _q113,
-        ("lineitem",),
+        oracle=_q113(DUCK),
         doc="Fixed-bin histogram p50/p90/p99 midpoint estimates per return "
         "flag — the batch twin of the maintainable percentile view "
         "(histogram_quantile over snapshot_maintain_aggregate hist state); "
         "O(groups x bins) agg, no per-group value sort.",
         tags=("analytics", "histogram", "quantile", "sketch"),
-    )
+    )(_q113_build)
 
 
 _register_q113()
