@@ -435,8 +435,17 @@ def q104_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id")
-    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     ty = F.col("event_type")
+    # Only the three funnel types feed the windows; rows of other types
+    # would ride along as inert carriers (their t0..t2 collapse in the
+    # per-user min), so filtering them BEFORE the exchange shuffles ~40%
+    # fewer bytes and pushes the IN-list into the parquet scan. A user
+    # with no view row is dropped by the t0 filter either way.
+    e = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .where(ty.isin("view", "click", "purchase"))
+    )
     staged = (
         e.withColumn(
             "t0", F.min(F.when(ty == "view", F.col("ts"))).over(w)
