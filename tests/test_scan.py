@@ -189,3 +189,39 @@ def test_holt_linear_empty_series(spark):
     df = spark.createDataFrame([], "t long, y double")
     out = holt_linear(df, "t", "y", 0.5, 0.3)
     assert out.count() == 0 and "level" in out.columns
+
+
+def test_default_parts_adapts_to_upstream_splits(spark):
+    """Round-12: the scan's default width derives from the input's split
+    count (capped by the session parallelism), not a flat
+    defaultParallelism — a tiny series folds in one task per pass, and
+    the default-width result matches an explicit wide scan exactly."""
+    from music_recommendation_service_spark.operators.scan import (
+        _default_parts,
+        holt_linear,
+    )
+
+    tiny = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(30)], ["t", "y"]
+    ).coalesce(1)
+    assert _default_parts(tiny) == 1
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 100000, 1, par * 4).selectExpr(
+        "id AS t", "CAST(id % 11 AS DOUBLE) AS y"
+    )
+    assert _default_parts(wide) == par  # capped at session parallelism
+
+    got = {
+        r["t"]: (r["level"], r["trend"])
+        for r in holt_linear(tiny, "t", "y", 0.5, 0.3).collect()
+    }
+    want = {
+        r["t"]: (r["level"], r["trend"])
+        for r in holt_linear(
+            tiny, "t", "y", 0.5, 0.3, num_partitions=16
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k][0] - want[k][0]) < 1e-9
+        assert abs(got[k][1] - want[k][1]) < 1e-9
