@@ -77,6 +77,7 @@ def cooccurrence_pairs(
     score_col: str = "score",
     cap_group_size: int | None = None,
     config: PairConfig | None = None,
+    pre_distinct: bool = False,
 ) -> DataFrame:
     """Distinct (group, item) -> canonical pair counts.
 
@@ -87,10 +88,21 @@ def cooccurrence_pairs(
     ``config`` threads the hot-key policy (cap / exact salting); the
     explicit ``cap_group_size`` argument wins over ``config`` for
     backward compatibility.
+
+    ``pre_distinct`` declares that ``df`` is ALREADY distinct on
+    (group, item) — e.g. a scratch-materialized silver relation built with
+    ``.distinct()``. The internal distinct is then skipped: since the plan
+    references the base on BOTH self-join sides, a redundant distinct is a
+    redundant exchange+aggregate executed twice (guide §2.4 — "a distinct
+    on data that is already unique"). Semantics are identical by the
+    caller's declaration; only set it for relations whose construction
+    guarantees uniqueness.
     """
     cfg = config or PairConfig()
     cap = cap_group_size if cap_group_size is not None else cfg.cap_group_size
-    base = df.select(group_col, item_col).distinct()
+    base = df.select(group_col, item_col)
+    if not pre_distinct:
+        base = base.distinct()
     if cap is not None:
         rn = F.row_number().over(
             Window.partitionBy(group_col).orderBy(F.col(item_col))

@@ -202,12 +202,16 @@ def basket_pairs_co2(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= 2 — consumed by q123 (rule metrics) and q122 (as the co-purchase
     edge set). Scratch-materialized once per session under a shared key,
     the same discipline as the q73/q96 co-return edge table."""
+    from music_recommendation_service_spark.plans.reference_parity import _baskets_m
     from music_recommendation_service_spark.sources.writers import scratch_materialize
 
-    li = _t(spark, sf_dir, "lineitem")
     return scratch_materialize(
         cooccurrence_pairs(
-            li, group_col="l_orderkey", item_col="l_partkey", score_col="co"
+            _baskets_m(spark, sf_dir),
+            group_col="l_orderkey",
+            item_col="l_partkey",
+            score_col="co",
+            pre_distinct=True,
         ).filter(F.col("co") >= _MIN_CO),
         "basket_pairs_co2",
     )
@@ -254,17 +258,16 @@ def basket_pairs_co2(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("assoc-rules", "pairs", "J2"),
 )
 def q123_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from music_recommendation_service_spark.plans.reference_parity import _baskets_m
     from music_recommendation_service_spark.sources.writers import scratch_materialize
 
-    li = _t(spark, sf_dir, "lineitem")
     # The baskets distinct feeds THREE consumers (n, and the freq dim used
     # on both rule sides); inlined, each re-scans lineitem and re-runs the
     # distinct shuffle. Materialize the distinct once (round-12; same
     # silver-table discipline as basket_pairs_co2 above) — n and freq then
-    # aggregate a small parquet.
-    baskets = scratch_materialize(
-        li.select("l_orderkey", "l_partkey").distinct(), "q123_baskets"
-    )
+    # aggregate a small parquet. The copy is the SHARED baskets silver
+    # relation (same key as q02's pair build), paid once per session.
+    baskets = _baskets_m(spark, sf_dir)
     n = baskets.select(
         F.countDistinct("l_orderkey").cast("double").alias("n_baskets")
     )

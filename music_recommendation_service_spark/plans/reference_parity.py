@@ -113,11 +113,14 @@ def q01_weekly_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q02_song_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self equi+theta join on the basket key with pair-count aggregation.
 
-    The pair table is scratch-materialized (semanticHash-keyed): this IS the
+    The pair table is scratch-materialized (plan-digest-keyed): this IS the
     reference's silver ``song_similarity_by_playlist`` table
     (``process_song_similarity.py:42-44``) — computed once, then READ by its
-    consumers (q05's serving scorer), exactly the medallion contract."""
-    return _sim_pairs_m(spark, sf_dir)
+    consumers (q05's serving scorer), exactly the medallion contract.
+    ``inline_cold``: q02 consumes the table once, so its first run eats the
+    inline plan while a background thread lands the silver copy for
+    q05/q122/q123 — the cold run no longer serializes behind the write."""
+    return _sim_pairs_m(spark, sf_dir, inline_cold=True)
 
 
 # ---------------------------------------------------------------------------
@@ -151,8 +154,9 @@ _LIKES_SQL = """
 def q03_collaborative_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-like pair counts over the distinct user->item 'likes' relation —
     materialized as the silver CF table (``process_collaborative_filtering.py:
-    46-51``) and shared with q05's scorer via the scratch cache."""
-    return _cf_pairs_m(spark, sf_dir).select(
+    46-51``) and shared with q05's scorer via the scratch cache (inline_cold:
+    same first-run overlap as q02)."""
+    return _cf_pairs_m(spark, sf_dir, inline_cold=True).select(
         F.col("item_id_1"), F.col("item_id_2"), F.col("score")
     )
 
@@ -177,37 +181,87 @@ def _likes_m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scratch_materialize(_likes(spark, sf_dir), "likes")
 
 
-def _cf_pairs_m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Silver co-like pair table (q03's output), materialized and shared:
-    q03 and q05 hit the same semanticHash-keyed scratch copy, mirroring the
-    reference where the serving layer READS the silver CF table instead of
-    recomputing it (``RecommendationService.cs:24-29``)."""
+def _baskets_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct (order, item) basket relation, scratch-materialized once
+    per session. SHARED across the whole basket family — q02's pair build
+    here, q122/q123's via ``plans/olap_ext.basket_pairs_co2`` — because the
+    identical plan+name yields the identical cache key. Materializing the
+    distinct once means the pair self-join's two sides each scan a small
+    parquet instead of re-running the scan+distinct exchange per side
+    (guide §2.4; same discipline as ``_likes_m``)."""
     from music_recommendation_service_spark.sources.writers import scratch_materialize
 
     return scratch_materialize(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct(),
+        "baskets",
+    )
+
+
+def _pairs_from(
+    plan: DataFrame, name: str, inline_cold: bool
+) -> DataFrame:
+    """Serve a silver pair table from the session scratch cache.
+
+    ``inline_cold=False``: blocking materialize (the shape q05 needs — its
+    symmetrization consumes the table twice, so it must be parquet-backed
+    before the scorer runs). ``inline_cold=True``: the cold run consumes the
+    INLINE plan while a background thread populates the cache (guide §2.6 —
+    the q05_sym_all pattern): right for q02/q03 which consume the pair
+    table exactly once, so inline costs one compute and sheds the blocking
+    write+readback barrier from the first run."""
+    from music_recommendation_service_spark.sources.writers import (
+        scratch_lookup,
+        scratch_materialize,
+        scratch_materialize_async,
+    )
+
+    if not inline_cold:
+        return scratch_materialize(plan, name)
+    got = scratch_lookup(plan, name)
+    if got is not None:
+        return got
+    scratch_materialize_async(plan, name)
+    return plan
+
+
+def _cf_pairs_m(
+    spark: SparkSession, sf_dir: str, inline_cold: bool = False
+) -> DataFrame:
+    """Silver co-like pair table (q03's output), materialized and shared:
+    q03 and q05 hit the same plan-digest-keyed scratch copy, mirroring the
+    reference where the serving layer READS the silver CF table instead of
+    recomputing it (``RecommendationService.cs:24-29``). ``pre_distinct``:
+    the likes relation is distinct by construction AND parquet-backed, so
+    the pair build skips the per-side re-distinct exchange."""
+    return _pairs_from(
         cooccurrence_pairs(
             _likes_m(spark, sf_dir),
             "user_id",
             "item_id",
             config=PairConfig.from_env(),
+            pre_distinct=True,
         ),
         "cf_pairs",
+        inline_cold,
     )
 
 
-def _sim_pairs_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sim_pairs_m(
+    spark: SparkSession, sf_dir: str, inline_cold: bool = False
+) -> DataFrame:
     """Silver basket co-occurrence pair table (q02's output), materialized
-    and shared with q05 the same way."""
-    from music_recommendation_service_spark.sources.writers import scratch_materialize
-
-    return scratch_materialize(
+    and shared with q05 the same way, built over the shared materialized
+    baskets distinct."""
+    return _pairs_from(
         cooccurrence_pairs(
-            _t(spark, sf_dir, "lineitem"),
+            _baskets_m(spark, sf_dir),
             "l_orderkey",
             "l_partkey",
             config=PairConfig.from_env(),
+            pre_distinct=True,
         ),
         "sim_pairs",
+        inline_cold,
     )
 
 

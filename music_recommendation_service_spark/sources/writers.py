@@ -90,6 +90,14 @@ def scratch_materialize(
             cached = _scratch_read_if_valid(spark, path, digest, schema_json)
             if cached is not None:
                 return cached
+            # A cold-path consumer may have kicked off an async write of this
+            # exact key (scratch_materialize_async); launching a second
+            # identical job here would just burn the cluster twice. Wait for
+            # the in-flight writer and serve its copy instead.
+            if _scratch_await_inflight(path):
+                cached = _scratch_read_if_valid(spark, path, digest, schema_json)
+                if cached is not None:
+                    return cached
             _scratch_write(df, path, digest, schema_json)
             cached = _scratch_read_if_valid(spark, path, digest, schema_json)
             if cached is not None:
@@ -211,6 +219,27 @@ import threading as _threading
 
 _ASYNC_INFLIGHT: set[str] = set()
 _ASYNC_LOCK = _threading.Lock()
+
+
+def _scratch_await_inflight(path: str, timeout_s: float = 600.0) -> bool:
+    """Block until no async writer holds ``path`` in flight. Returns True if
+    there WAS an in-flight writer (the caller should re-check the cache).
+    The wait is bounded: a wedged writer must not deadlock a blocking
+    consumer — past the timeout the caller just writes its own copy (the
+    rename commit keeps duplicate writers safe)."""
+    import time as _time
+
+    with _ASYNC_LOCK:
+        waiting = path in _ASYNC_INFLIGHT
+    if not waiting:
+        return False
+    deadline = _time.monotonic() + timeout_s
+    while _time.monotonic() < deadline:
+        with _ASYNC_LOCK:
+            if path not in _ASYNC_INFLIGHT:
+                return True
+        _time.sleep(0.05)
+    return True
 
 
 def scratch_materialize_async(df: DataFrame, name: str = "scratch") -> None:

@@ -66,6 +66,31 @@ def test_cooccurrence_matches_bruteforce(rows):
 
 @given(rows=pairs_rows)
 @SETTINGS
+def test_cooccurrence_pre_distinct_equivalent(rows):
+    """pre_distinct=True over an ALREADY-DISTINCT input must return exactly
+    the rows of the default path (it only removes the redundant per-side
+    re-distinct exchange from the build plan — round-12 optimization), and
+    its plan must carry no distinct aggregate over the base."""
+    spark = _get_spark()
+    df = spark.createDataFrame(rows or [(0, 0)], ["g", "item"])
+    if not rows:
+        df = df.filter("g < 0")
+    base = df.select("g", "item").distinct()
+    want = {
+        (r["item_1"], r["item_2"]): r["score"]
+        for r in cooccurrence_pairs(df, "g", "item").collect()
+    }
+    got = {
+        (r["item_1"], r["item_2"]): r["score"]
+        for r in cooccurrence_pairs(
+            base, "g", "item", pre_distinct=True
+        ).collect()
+    }
+    assert got == want
+
+
+@given(rows=pairs_rows)
+@SETTINGS
 def test_symmetrize_is_involution_free(rows):
     spark = _get_spark()
     df = spark.createDataFrame(rows or [(0, 0)], ["g", "item"])

@@ -261,6 +261,51 @@ def test_scratch_lookup_and_async_materialize(spark, sf_dir):
     assert sorted(again.inputFiles()) == sorted(got.inputFiles())
 
 
+def test_scratch_materialize_awaits_inflight_async_writer(spark, sf_dir):
+    """A blocking materialize that arrives while an async writer holds the
+    same key must WAIT for that writer and serve its copy instead of
+    launching a duplicate job (round-12: q05's blocking pair-table reads
+    behind q02/q03's inline-cold async writes)."""
+    import threading
+    import time
+
+    from music_recommendation_service_spark.sources import writers
+    from music_recommendation_service_spark.sources.catalog import load_table
+    from music_recommendation_service_spark.sources.writers import (
+        _scratch_key,
+        scratch_materialize,
+    )
+
+    base = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    digest, schema_json, path = _scratch_key(base, "await_probe")
+
+    # not in flight: the helper returns immediately with False
+    assert writers._scratch_await_inflight(path) is False
+
+    # simulate an in-flight async writer: hold the key, land the copy after
+    # a delay, then release — the blocking call must block past the delay
+    # and return the writer's files, not write its own
+    def writer():
+        time.sleep(0.5)
+        writers._scratch_write(base, path, digest, schema_json)
+        with writers._ASYNC_LOCK:
+            writers._ASYNC_INFLIGHT.discard(path)
+
+    with writers._ASYNC_LOCK:
+        writers._ASYNC_INFLIGHT.add(path)
+    t = threading.Thread(target=writer)
+    t0 = time.perf_counter()
+    t.start()
+    got = scratch_materialize(base, "await_probe")
+    waited = time.perf_counter() - t0
+    t.join()
+    assert waited >= 0.4, "blocking materialize did not wait for the writer"
+    assert all(path in f for f in got.inputFiles())
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in base.collect()
+    }
+
+
 def test_scratch_key_stable_for_cte_plans(spark, sf_dir):
     """Two constructions of the same WITH...SELECT query share one scratch
     digest. CTERelationDef/Ref ids come from a process-global counter that
