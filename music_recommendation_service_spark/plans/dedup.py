@@ -82,9 +82,11 @@ register_sql(
 # count -> Jaccard = shared / (|A|+|B|-shared). Shingles with document
 # frequency > 100 are dropped from candidate generation (skew guard).
 # ---------------------------------------------------------------------------
-def _q27_sh(d: dict) -> str:
-    """The exploded shingle inverted index (doc_id, shingle)."""
-    return f"SELECT doc_id, {d['explode'](_shingles(d), 's')} FROM documents"
+def _q27_sh(d: dict, src: str = "documents") -> str:
+    """The exploded shingle inverted index (doc_id, shingle). ``src`` lets
+    the Spark build substitute a parallelism-spread copy of the corpus (the
+    oracle keeps the plain table — identical rows either way)."""
+    return f"SELECT doc_id, {d['explode'](_shingles(d), 's')} FROM {src}"
 
 
 def _q27(
@@ -142,11 +144,28 @@ def _q27(
 # silver table on the lake at 100 TB. The oracle keeps the inline CTE form,
 # pinning identical semantics.
 def _q27_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from music_recommendation_service_spark.sources.catalog import load_table
+    from music_recommendation_service_spark.sources.catalog import (
+        load_table,
+        spread_if_narrow,
+    )
     from music_recommendation_service_spark.sources.writers import scratch_materialize
 
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    sh = scratch_materialize(spark.sql(_q27_sh(SPARK)), "q27_shingles")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    # The CPU of the whole index build is the per-document shingle pipeline
+    # (split -> n-gram transform -> array_distinct -> explode). A test-SF
+    # corpus lands as ONE parquet file => one task runs it single-threaded
+    # (measured: the explode alone drops 3.6-6.8s -> 0.5-1.2s interleaved
+    # at sf0.1 once spread across cores; no-op at scale where the scan is
+    # already parallel — see spread_if_narrow). The REBALANCE before the
+    # write lets AQE size the scratch files by bytes (guide §6.2): without
+    # it the 32-way compute lands 32 tiny files whose per-file open cost
+    # the four warm consumers then pay every run (measured +0.2-0.4s warm).
+    spread_if_narrow(docs).createOrReplaceTempView("q27_docs")
+    sh = scratch_materialize(
+        spark.sql(_q27_sh(SPARK, src="q27_docs")).hint("rebalance"),
+        "q27_shingles",
+    )
     sh.createOrReplaceTempView("q27_sh_mat")
     # Probe side of the pair self-join spread across the session's
     # parallelism (see _q27 docstring); the other three consumers (sizes,

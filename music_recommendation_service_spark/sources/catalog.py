@@ -103,6 +103,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_if_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin the relation across the cluster's cores when its scan
+    parallelism is LOWER than the core count.
+
+    A small table landing as one parquet file gives every downstream
+    CPU-heavy expression pipeline (tokenize/shingle/explode) exactly ONE
+    task (guide §2.5: one unsplittable input = input skew — repartition
+    immediately after the read). Scale-adaptive by construction: at real
+    scale the scan already carries >= defaultParallelism splits and this is
+    a no-op — no shuffle is ever added for data that is already spread.
+    Round-robin repartition is deterministic under retries (Spark sorts
+    before repartitioning, SPARK-23207) and row-preserving."""
+    sc = df.sparkSession.sparkContext
+    try:
+        splits = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive
+        return df
+    if splits >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism)
+
+
 def _delta_available() -> bool:
     try:  # pragma: no cover - environment probe
         import delta  # noqa: F401
