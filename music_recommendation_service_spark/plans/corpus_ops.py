@@ -277,7 +277,15 @@ def _q102_members_body(d: dict) -> str:
     )"""
 
 
-def _q102(d: dict, members_src: str | None = None) -> str:
+def _q102(
+    d: dict, members_src: str | None = None, probe_src: str | None = None
+) -> str:
+    """``probe_src`` (Spark build only) substitutes a parallelism-spread
+    copy of the members relation for the self-join's PROBE side: the
+    materialized members parquet lands as a few files, so the broadcast
+    self-join otherwise evaluates the whole intra-cell quadratic (the
+    cosine in the join condition) on a handful of tasks — measured 83s at
+    sf1 vs 17s before materialization. Same rows either way."""
     cos = f"({d['dot']('x.v', 'y.v')}) / (x.nrm * y.nrm)"
     if members_src is None:
         head = f"    WITH {_q102_members_body(d)},\n"
@@ -285,11 +293,12 @@ def _q102(d: dict, members_src: str | None = None) -> str:
     else:
         head = "    WITH "
         members = members_src
+    probe = probe_src or members
     return f"""
 {head}    pairs AS (
         SELECT x.vec_id AS dup_id, x.cell AS cell,
                y.vec_id AS keep_cand, {cos} AS cos
-        FROM {members} x JOIN {members} y
+        FROM {probe} x JOIN {members} y
           ON x.cell = y.cell AND x.vec_id > y.vec_id
         WHERE {cos} >= {SEMDEDUP_TAU}
     )
@@ -392,7 +401,18 @@ def _q102_build(spark, sf_dir: str):
         "q102_members",
     )
     m.createOrReplaceTempView("q102_members_mat")
-    return spark.sql(_q102(SPARK, members_src="q102_members_mat"))
+    # Probe side spread across the session's parallelism (see _q102
+    # docstring; the q27 probe-side pattern).
+    m.repartition(spark.sparkContext.defaultParallelism).createOrReplaceTempView(
+        "q102_members_rep"
+    )
+    return spark.sql(
+        _q102(
+            SPARK,
+            members_src="q102_members_mat",
+            probe_src="q102_members_rep",
+        )
+    )
 
 
 def _register_q102():

@@ -116,11 +116,8 @@ def q02_song_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pair table is scratch-materialized (plan-digest-keyed): this IS the
     reference's silver ``song_similarity_by_playlist`` table
     (``process_song_similarity.py:42-44``) — computed once, then READ by its
-    consumers (q05's serving scorer), exactly the medallion contract.
-    ``inline_cold``: q02 consumes the table once, so its first run eats the
-    inline plan while a background thread lands the silver copy for
-    q05/q122/q123 — the cold run no longer serializes behind the write."""
-    return _sim_pairs_m(spark, sf_dir, inline_cold=True)
+    consumers (q05's serving scorer), exactly the medallion contract."""
+    return _sim_pairs_m(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -154,9 +151,8 @@ _LIKES_SQL = """
 def q03_collaborative_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-like pair counts over the distinct user->item 'likes' relation —
     materialized as the silver CF table (``process_collaborative_filtering.py:
-    46-51``) and shared with q05's scorer via the scratch cache (inline_cold:
-    same first-run overlap as q02)."""
-    return _cf_pairs_m(spark, sf_dir, inline_cold=True).select(
+    46-51``) and shared with q05's scorer via the scratch cache."""
+    return _cf_pairs_m(spark, sf_dir).select(
         F.col("item_id_1"), F.col("item_id_2"), F.col("score")
     )
 
@@ -183,12 +179,13 @@ def _likes_m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _baskets_m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The distinct (order, item) basket relation, scratch-materialized once
-    per session. SHARED across the whole basket family — q02's pair build
-    here, q122/q123's via ``plans/olap_ext.basket_pairs_co2`` — because the
-    identical plan+name yields the identical cache key. Materializing the
-    distinct once means the pair self-join's two sides each scan a small
-    parquet instead of re-running the scan+distinct exchange per side
-    (guide §2.4; same discipline as ``_likes_m``)."""
+    per session and SHARED between q123's rule metrics and q122/q123's
+    ``plans/olap_ext.basket_pairs_co2`` (identical plan+name => identical
+    cache key). Both were already paying this write for their own
+    consumers; sharing it means one build per session, and the co2 pair
+    build reads the parquet with ``pre_distinct`` instead of re-running
+    the scan+distinct exchange once per self-join side (guide §2.4).
+    q02's pair build deliberately does NOT use it — see _sim_pairs_m."""
     from music_recommendation_service_spark.sources.writers import scratch_materialize
 
     return scratch_materialize(
@@ -197,43 +194,18 @@ def _baskets_m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pairs_from(
-    plan: DataFrame, name: str, inline_cold: bool
-) -> DataFrame:
-    """Serve a silver pair table from the session scratch cache.
-
-    ``inline_cold=False``: blocking materialize (the shape q05 needs — its
-    symmetrization consumes the table twice, so it must be parquet-backed
-    before the scorer runs). ``inline_cold=True``: the cold run consumes the
-    INLINE plan while a background thread populates the cache (guide §2.6 —
-    the q05_sym_all pattern): right for q02/q03 which consume the pair
-    table exactly once, so inline costs one compute and sheds the blocking
-    write+readback barrier from the first run."""
-    from music_recommendation_service_spark.sources.writers import (
-        scratch_lookup,
-        scratch_materialize,
-        scratch_materialize_async,
-    )
-
-    if not inline_cold:
-        return scratch_materialize(plan, name)
-    got = scratch_lookup(plan, name)
-    if got is not None:
-        return got
-    scratch_materialize_async(plan, name)
-    return plan
-
-
-def _cf_pairs_m(
-    spark: SparkSession, sf_dir: str, inline_cold: bool = False
-) -> DataFrame:
+def _cf_pairs_m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Silver co-like pair table (q03's output), materialized and shared:
     q03 and q05 hit the same plan-digest-keyed scratch copy, mirroring the
     reference where the serving layer READS the silver CF table instead of
     recomputing it (``RecommendationService.cs:24-29``). ``pre_distinct``:
     the likes relation is distinct by construction AND parquet-backed, so
-    the pair build skips the per-side re-distinct exchange."""
-    return _pairs_from(
+    the pair build skips the re-distinct exchange it would otherwise run
+    once per self-join side — strictly less work at every SF (round-12;
+    pair-build plan 8 Exchange -> 4, plans/r12/q03_pairbuild_*)."""
+    from music_recommendation_service_spark.sources.writers import scratch_materialize
+
+    return scratch_materialize(
         cooccurrence_pairs(
             _likes_m(spark, sf_dir),
             "user_id",
@@ -242,26 +214,33 @@ def _cf_pairs_m(
             pre_distinct=True,
         ),
         "cf_pairs",
-        inline_cold,
     )
 
 
-def _sim_pairs_m(
-    spark: SparkSession, sf_dir: str, inline_cold: bool = False
-) -> DataFrame:
+def _sim_pairs_m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Silver basket co-occurrence pair table (q02's output), materialized
-    and shared with q05 the same way, built over the shared materialized
-    baskets distinct."""
-    return _pairs_from(
+    and shared with q05 the same way.
+
+    Round-12 note: building this over the shared materialized baskets
+    relation (pre_distinct) plus an inline-cold async write was tried and
+    REVERTED on sf1 evidence — the blocking 6M-row baskets write costs
+    more at 10x than the removed re-distinct saves (q02 cold 8.0s -> 14.7s
+    at sf1), and the inline+async double-compute bled into the neighboring
+    timed queries (q05 cold 31s -> 120s). One job that distincts inline on
+    both sides and lands the pair table directly is the better shape once
+    the input no longer fits the page cache. q122/q123 keep the shared
+    baskets base: they were already paying that write for their own
+    consumers."""
+    from music_recommendation_service_spark.sources.writers import scratch_materialize
+
+    return scratch_materialize(
         cooccurrence_pairs(
-            _baskets_m(spark, sf_dir),
+            _t(spark, sf_dir, "lineitem"),
             "l_orderkey",
             "l_partkey",
             config=PairConfig.from_env(),
-            pre_distinct=True,
         ),
         "sim_pairs",
-        inline_cold,
     )
 
 
