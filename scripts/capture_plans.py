@@ -1,5 +1,5 @@
 """Capture .explain("formatted") for every benched catalog query into
-plans/r12/<query>_<tag>.txt — the optimization round's plan evidence.
+plans/<round>/<query>_<tag>.txt (default round r13; --round r12 for the base worktree) — the optimization round's plan evidence.
 
 Usage: python scripts/capture_plans.py <tag> [--only q05,q27] [--sf-dir DIR]
 
@@ -56,7 +56,10 @@ def main() -> None:
     ]
     if only is not None:
         names = [n for n in names if n in only]
-    out = Path(__file__).resolve().parent.parent / "plans" / "r12"
+    rnd = "r13"
+    if "--round" in sys.argv:
+        rnd = sys.argv[sys.argv.index("--round") + 1]
+    out = Path(__file__).resolve().parent.parent / "plans" / rnd
     out.mkdir(parents=True, exist_ok=True)
     for name in names:
         try:

@@ -286,7 +286,14 @@ def test_plan_audit_counts_and_smells(spark, sf_dir):
 
     a05 = plan_audit(reg["q05_hybrid_recommendations"].build(spark, sf_dir))
     assert a05["joins"]["cartesian"] == 0
-    assert a05["joins"]["broadcast_hash"] >= 5
+    # round 13: the already-liked exclusion rides the scoring union/aggregate
+    # (liked-flag rows) instead of per-branch broadcast anti-joins, so the
+    # plan carries exactly the two candidate-fanout broadcast joins (item,
+    # social) — and NO anti-join at all.
+    assert a05["joins"]["broadcast_hash"] >= 2
+    assert "LeftAnti" not in reg[
+        "q05_hybrid_recommendations"
+    ].build(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert a05["window_group_limits"] >= 1
     assert "no plan smells" in format_audit(a05) or a05["smells"]
 
