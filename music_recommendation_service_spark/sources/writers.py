@@ -242,6 +242,26 @@ def _scratch_await_inflight(path: str, timeout_s: float = 600.0) -> bool:
     return True
 
 
+def scratch_drain_async(timeout_s: float = 600.0) -> bool:
+    """Block until EVERY in-flight async scratch writer has finished (or the
+    timeout fires); returns True when the set drained. For callers about to
+    change session-global execution conf (q122's BFS loop scopes AQE off for
+    its waves): a background writer shares the session's SQLConf, so the
+    toggle must not overlap a running write — drain first, then toggle.
+    New writers cannot start mid-loop (they are launched by query builds on
+    the calling thread)."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_s
+    while _time.monotonic() < deadline:
+        with _ASYNC_LOCK:
+            if not _ASYNC_INFLIGHT:
+                return True
+        _time.sleep(0.02)
+    with _ASYNC_LOCK:
+        return not _ASYNC_INFLIGHT
+
+
 def scratch_materialize_async(df: DataFrame, name: str = "scratch") -> None:
     """Materialize ``df`` to the scratch cache on a background thread.
 
