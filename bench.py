@@ -36,6 +36,17 @@ one query at ~10x) is caught by the post bracket. A sweep whose factor
 is >>1 was measured during a burst — read its timings accordingly. Cold
 is a single unavoidable sample; its sweep's factor says how much to
 trust it.
+
+Scaling legibility (round 13, additive keys only)
+-------------------------------------------------
+``master``/``cpus`` record what the session actually ran with (the env
+contract: local[$SPARK_GRAFT_CPUS]), and ``tasks`` records each headline
+query's scheduled-task total on the last warm sweep — the direct reading
+of WHY an 8-vs-32-core ratio at sf0.1 sits near 1 (a warm query that
+schedules a few dozen tasks is session/scheduler-bound, not CPU-bound).
+The sf1 heavy-family mode (``--sf1``) is where core-count ratios carry
+signal; BENCH_LOCAL_sf1*.json artifacts pair 32- and 8-core runs.
+The one-line JSON stays the LAST stdout line — nothing prints after it.
 """
 
 from __future__ import annotations
@@ -130,12 +141,54 @@ def main() -> None:
     runs: dict[str, list[float]] = {name: [] for name in bench_queries}
     calibration: list[float] = []
     calibration_post: list[float] = []
-    for _ in range(N_RUNS):
+    # Per-query total task counts (round-12 verdict order #2: make scaling
+    # legible — a query whose warm run schedules a handful of tasks is
+    # fixed-overhead-bound at this SF and CANNOT separate 8 from 32 cores;
+    # the task count says which queries the cpu ratio is meaningful for).
+    # Collected on the LAST warm sweep via job groups + the status tracker;
+    # purely additive to the artifact.
+    tasks: dict[str, int] = {}
+    # Per-query spill/shuffle bytes on the same sweep (round-12 verdict
+    # order #9: a memory baseline for the biggest shuffles, committed in
+    # the bench tail). Read from the app status store per stage.
+    spill: dict[str, dict] = {}
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def _group_metrics(group: str) -> tuple[int, dict]:
+        n = 0
+        agg = {"mem_spill": 0, "disk_spill": 0, "shuf_read": 0, "shuf_write": 0}
+        try:
+            store = sc._jsc.sc().statusStore()
+            for jid in tracker.getJobIdsForGroup(group):
+                ji = tracker.getJobInfo(jid)
+                for sid in ji.stageIds if ji else []:
+                    si = tracker.getStageInfo(sid)
+                    n += si.numTasks if si else 0
+                    try:
+                        sd = store.lastStageAttempt(sid)
+                        agg["mem_spill"] += sd.memoryBytesSpilled()
+                        agg["disk_spill"] += sd.diskBytesSpilled()
+                        agg["shuf_read"] += sd.shuffleReadBytes()
+                        agg["shuf_write"] += sd.shuffleWriteBytes()
+                    except Exception:
+                        pass  # skipped stage (no attempt) — counts stay
+        except Exception:
+            return -1, agg  # tracker unavailable — never fail the bench
+        return n, agg
+
+    for sweep in range(N_RUNS):
+        last = sweep == N_RUNS - 1
         calibration.append(calibrate())
         for name, q in bench_queries.items():
+            if last:
+                sc.setJobGroup(f"bench:{name}", name)
             t0 = time.perf_counter()
             q.build(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             runs[name].append(round(time.perf_counter() - t0, 3))
+            if last:
+                tasks[name], spill[name] = _group_metrics(f"bench:{name}")
+                sc.setLocalProperty("spark.jobGroup.id", None)
         # a burst can START mid-sweep and be invisible to the pre-probe
         # (observed: one sweep's q27 at ~10x with a clean pre-probe);
         # the post-probe brackets each sweep from both sides.
@@ -323,6 +376,18 @@ def main() -> None:
                     for pre, post in zip(calibration, calibration_post)
                 ],
                 "n_runs": N_RUNS,
+                # scaling legibility (round-12 verdict order #2): the master
+                # and effective core count the session actually ran with,
+                # plus per-query scheduled-task totals for the last warm
+                # sweep — a query with ~32 tasks at sf0.1 is fixed-overhead
+                # bound and its 8-vs-32-core ratio carries no signal.
+                "master": spark.sparkContext.master,
+                "cpus": spark.sparkContext.defaultParallelism,
+                "tasks": tasks,
+                # per-query spill + shuffle bytes for the same sweep (the
+                # sf1 artifacts carry the memory baseline for the heavy
+                # family's biggest shuffles — q05 candidates, q27 index)
+                "spill": spill,
                 "queries_ext": queries_ext,
                 "floors": floors,
                 "partition_pruning": partition_pruning,
