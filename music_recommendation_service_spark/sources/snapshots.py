@@ -797,11 +797,12 @@ def _read_parquet_checkpoint(path: str, ckpt: dict, table=None) -> list[dict]:
     if table is None:
         abs_p = os.path.join(_manifest_dir(path), ckpt["ref"])
         table = pq.read_table(io.BytesIO(_fs().read_bytes(abs_p)))
-    d = table.to_pydict()
     if ckpt.get("layout", "json") == "typed":
-        out = _decode_typed_ckpt(d, ckpt)
+        out = _decode_typed_ckpt_fast(table, ckpt)
+        if out is None:  # guard tripped (escapes/non-finite) or no orjson
+            out = _decode_typed_ckpt(table.to_pydict(), ckpt)
     else:
-        out = _decode_json_ckpt(d)
+        out = _decode_json_ckpt(table.to_pydict())
     if len(out) != ckpt.get("count", len(out)):
         raise RuntimeError(
             f"parquet checkpoint {ckpt['ref']} at {path}: read "
@@ -834,6 +835,154 @@ def _decode_json_ckpt(d: dict) -> list[dict]:
             e.update(extra_v[i])
         out.append(e)
     return out
+
+
+def _decode_typed_ckpt_fast(table, ckpt: dict):
+    """C-speed twin of :func:`_decode_typed_ckpt`: synthesize the entry list
+    as ONE JSON array with vectorized Arrow string kernels and parse it with
+    ``orjson`` (dicts built in C, ~1.6x the pure-Python loop at 200k
+    entries; the residual cost is materializing the dicts themselves, which
+    no parser layout removes). Returns ``None`` — caller falls back to the
+    exact per-entry loop — when orjson is unavailable, any string value
+    would need JSON escaping (quote/backslash/control chars; engine paths
+    and partition values never do, but the guard is checked, not assumed),
+    a float stat is non-finite, or the synthesized text fails to parse.
+    Value fidelity: int64/bool casts are exact; Arrow's float64->string is
+    shortest-round-trip (a ``.0`` is appended to bare integers so they
+    parse back as float); strings pass through untouched."""
+    try:
+        import orjson
+    except Exception:  # pragma: no cover - optional fast path
+        return None
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = table.num_rows
+    if n == 0:
+        return []
+    stats_cols = ckpt.get("stats_cols") or []
+    part_cols = ckpt.get("part_cols") or []
+    needs_esc = r'["\\\x00-\x1f]'
+
+    def col(name):
+        return table.column(name).combine_chunks()
+
+    def J(*parts):
+        return pc.binary_join_element_wise(*parts, "")
+
+    def guard_str(c) -> bool:
+        return not pc.any(pc.match_substring_regex(c, needs_esc)).as_py()
+
+    def txt_of(c):
+        """JSON literal text for a scalar column; None => needs fallback."""
+        t = c.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            if not guard_str(c):
+                return None
+            return pc.fill_null(J('"', c, '"'), "null")
+        if pa.types.is_floating(t):
+            if pc.any(pc.invert(pc.is_finite(c))).as_py():
+                return None  # inf/nan is not JSON — exact loop handles it
+            s = pc.cast(c, pa.string())
+            s = pc.if_else(
+                pc.match_substring_regex(s, r"[.eE]"), s, J(s, ".0")
+            )
+            return pc.fill_null(s, "null")
+        return pc.fill_null(pc.cast(c, pa.string()), "null")  # int64 / bool
+
+    path_c = col("path")
+    if not guard_str(path_c):
+        return None
+    rows_txt = txt_of(col("rows"))
+
+    # stats object: ',"<col>":[min,max]' per present column, joined, the
+    # leading comma sliced off, braces wrapped (an all-absent row is '{}').
+    snull = pc.fill_null(col("stats_null"), False)
+    inner = None
+    for i, cname in enumerate(stats_cols):
+        mn = txt_of(col(f"s{i}_min"))
+        mx = txt_of(col(f"s{i}_max"))
+        if mn is None or mx is None:
+            return None
+        key = json.dumps(cname)  # escaped + quoted column name
+        frag = J("," + key + ":[", mn, ",", mx, "]")
+        frag = pc.if_else(pc.fill_null(col(f"s{i}_has"), False), frag, "")
+        inner = frag if inner is None else J(inner, frag)
+    if inner is None:
+        stats_txt = pc.if_else(snull, "null", "{}")
+    else:
+        body = pc.utf8_slice_codeunits(inner, 1)
+        stats_txt = pc.if_else(snull, "null", J("{", body, "}"))
+
+    # partition object: every part col present when the row has one
+    pnull = pc.fill_null(col("part_null"), True)
+    pfrag = None
+    for j_, cname in enumerate(part_cols):
+        v = txt_of(col(f"p{j_}"))
+        if v is None:
+            return None
+        piece = J("," + json.dumps(cname) + ":", v)
+        pfrag = piece if pfrag is None else J(pfrag, piece)
+    if pfrag is None:
+        part_txt = pc.if_else(pnull, "", ',"partition":{}')
+    else:
+        body = pc.utf8_slice_codeunits(pfrag, 1)
+        part_txt = pc.if_else(pnull, "", J(',"partition":{', body, "}"))
+
+    # dv: {"ref": ...} with "n" only when present
+    dref = col("dv_ref")
+    if not guard_str(dref):
+        return None
+    dn = col("dv_n")
+    dv_tail = pc.if_else(
+        pc.is_null(dn),
+        pa.scalar('"}'),
+        J('","n":', pc.fill_null(pc.cast(dn, pa.string()), ""), "}"),
+    )
+    dv_txt = pc.if_else(
+        pc.invert(pc.is_null(dref)),
+        J(',"dv":{"ref":"', pc.fill_null(dref, ""), dv_tail),
+        "",
+    )
+
+    # bloom_ref: skipped when null OR empty (the loop's `if bref:`)
+    bref = col("bloom_ref")
+    if not guard_str(bref):
+        return None
+    b_present = pc.and_kleene(
+        pc.invert(pc.is_null(bref)),
+        pc.invert(pc.equal(pc.fill_null(bref, ""), "")),
+    )
+    bloom_txt = pc.if_else(
+        pc.fill_null(b_present, False),
+        J(',"bloom_ref":"', pc.fill_null(bref, ""), '"'),
+        "",
+    )
+
+    # extra: already a JSON object string — merge by splicing past its '{'
+    # (a malformed splice fails orjson below and falls back, never corrupts)
+    ex = col("extra")
+    ex_present = pc.and_kleene(
+        pc.invert(pc.is_null(ex)),
+        pc.invert(pc.equal(pc.fill_null(ex, ""), "")),
+    )
+    close_txt = pc.if_else(
+        pc.fill_null(ex_present, False),
+        J(",", pc.utf8_slice_codeunits(pc.fill_null(ex, "{}"), 1)),
+        "}",
+    )
+
+    rows_json = J(
+        '{"path":"', path_c, '","rows":', rows_txt, ',"stats":', stats_txt,
+        part_txt, dv_txt, bloom_txt, close_txt,
+    )
+    joined = pc.binary_join(
+        pa.chunked_array([pa.ListArray.from_arrays([0, n], rows_json)]), ","
+    )
+    try:
+        return orjson.loads("[" + joined.to_pylist()[0] + "]")
+    except Exception:
+        return None
 
 
 def _decode_typed_ckpt(d: dict, ckpt: dict) -> list[dict]:

@@ -506,3 +506,85 @@ def test_vacuum_materialized_ckpt_stamps_min_writer(spark, tmp_path, monkeypatch
     assert m.get("min_writer", 1) >= 3
     assert m.get("min_reader", 1) >= 3
     assert S.snapshot_read(spark, p).count() == 201
+
+
+def test_typed_fast_decode_matches_loop_and_guards_fall_back():
+    """Round-13: the orjson fast decode must agree with the per-entry
+    Python loop BY VALUE AND TYPE on every protocol entry shape, and must
+    decline (return None -> loop fallback) whenever a string would need
+    JSON escaping or a float stat is non-finite."""
+    import io
+    import math
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    files = [
+        {"path": "v=1-a/f1.parquet", "rows": 10, "stats": {"k": [1, 9]}},
+        {"path": "v=1-a/f2.parquet", "rows": None, "stats": None},
+        {
+            "path": "v=1-a/year=1990/f3.parquet",
+            "rows": 5,
+            # integral float bounds must come back as FLOATS (3.0, not 3)
+            "stats": {"year": [1990, 1990], "f": [3.0, 2.5e-15]},
+            "partition": {"year": "1990"},
+        },
+        {
+            "path": "v=1-a/year=x/f3b.parquet",
+            "rows": 6,
+            "stats": {"year": [1, 2], "f": [-0.0, 1e308]},
+            "partition": {"year": None},
+        },
+        {
+            "path": "v=2-b/f4.parquet",
+            "rows": 7,
+            "stats": {"k": [4, 8], "s": ["a", "zz"], "t": [None, None]},
+            "dv": {"ref": "dv=3-c", "n": 2},
+            "bloom_ref": "v=2-b/_blooms.json",
+        },
+        {"path": "v=2-b/f5.parquet", "rows": 2, "stats": {}, "dv": {"ref": "dv=4-d"}},
+        {
+            "path": "v=2-b/f6-ünïcode.parquet",
+            "rows": 3,
+            "stats": None,
+            "future_key": {"nested": [1, "x", None], "f": 2.5},
+        },
+    ]
+
+    def decode_both(entries):
+        with tempfile.TemporaryDirectory() as d:
+            S._fs().mkdirs(S._manifest_dir(d))
+            ckpt = S._write_parquet_checkpoint(d, entries, 1)
+            assert ckpt["layout"] == "typed", ckpt
+            abs_p = os.path.join(S._manifest_dir(d), ckpt["ref"])
+            table = pq.read_table(io.BytesIO(S._fs().read_bytes(abs_p)))
+            fast = S._decode_typed_ckpt_fast(table, ckpt)
+            slow = S._decode_typed_ckpt(table.to_pydict(), ckpt)
+        return fast, slow
+
+    fast, slow = decode_both(files)
+    assert fast == slow == files
+    # dict equality treats 3 == 3.0 — pin the TYPES of the float stats too
+    k_lo, k_hi = fast[2]["stats"]["f"]
+    assert isinstance(k_lo, float) and isinstance(k_hi, float)
+    assert repr(k_lo) == "3.0" and k_hi == 2.5e-15
+    z_lo, z_hi = fast[3]["stats"]["f"]
+    assert math.copysign(1.0, z_lo) == -1.0 and z_hi == 1e308
+
+    # a path needing JSON escaping -> fast path declines, loop still exact
+    nasty = [{"path": 'v=1-a/we"ird\\f.parquet', "rows": 1, "stats": None}]
+    fast, slow = decode_both(nasty)
+    assert fast is None and slow == nasty
+
+    # non-finite float stats -> decline (orjson cannot carry inf/nan)
+    inf_files = [
+        {"path": "v=1-a/f.parquet", "rows": 1, "stats": {"k": [1.0, math.inf]}}
+    ]
+    fast, slow = decode_both(inf_files)
+    assert fast is None and slow == inf_files
+
+    # and the public resolve serves the same entries either way
+    with tempfile.TemporaryDirectory() as d:
+        S._fs().mkdirs(S._manifest_dir(d))
+        ckpt = S._write_parquet_checkpoint(d, files, 1)
+        assert S._read_parquet_checkpoint(d, ckpt) == files
