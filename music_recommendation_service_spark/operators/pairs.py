@@ -96,11 +96,22 @@ def cooccurrence_pairs(
     redundant exchange+aggregate executed twice (guide §2.4 — "a distinct
     on data that is already unique"). Semantics are identical by the
     caller's declaration; only set it for relations whose construction
-    guarantees uniqueness.
+    guarantees uniqueness. HAZARD (round-12 advice): nothing validates the
+    declaration in production — a relation distinct on MORE columns than
+    the projected two would silently inflate pair counts. Set
+    SPARK_GRAFT_PAIR_VALIDATE=1 (tests/debug) to assert it with a count
+    comparison before trusting a new call site.
     """
     cfg = config or PairConfig()
     cap = cap_group_size if cap_group_size is not None else cfg.cap_group_size
     base = df.select(group_col, item_col)
+    if pre_distinct and os.environ.get("SPARK_GRAFT_PAIR_VALIDATE") == "1":
+        n, nd = base.count(), base.distinct().count()
+        if n != nd:
+            raise AssertionError(
+                f"pre_distinct declared but ({group_col}, {item_col}) has "
+                f"{n} rows vs {nd} distinct — caller's uniqueness claim is wrong"
+            )
     if not pre_distinct:
         base = base.distinct()
     if cap is not None:

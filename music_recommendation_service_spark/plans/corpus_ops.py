@@ -402,10 +402,14 @@ def _q102_build(spark, sf_dir: str):
     )
     m.createOrReplaceTempView("q102_members_mat")
     # Probe side spread across the session's parallelism (see _q102
-    # docstring; the q27 probe-side pattern).
-    m.repartition(spark.sparkContext.defaultParallelism).createOrReplaceTempView(
-        "q102_members_rep"
-    )
+    # docstring; the q27 probe-side pattern). spread_if_narrow, not an
+    # unconditional repartition (round-12 advice): the extra exchange of
+    # the widest relation (embedding vectors) only appears when the
+    # materialized scan landed fewer splits than cores — at scale the scan
+    # is already parallel and NO shuffle is added.
+    from music_recommendation_service_spark.sources.catalog import spread_if_narrow
+
+    spread_if_narrow(m).createOrReplaceTempView("q102_members_rep")
     return spark.sql(
         _q102(
             SPARK,

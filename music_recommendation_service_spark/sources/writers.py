@@ -233,12 +233,22 @@ def _scratch_await_inflight(path: str, timeout_s: float = 600.0) -> bool:
         waiting = path in _ASYNC_INFLIGHT
     if not waiting:
         return False
+    # Visibility (round-12 advice): a wedged async writer otherwise shows
+    # up as an unexplained multi-minute pause on the blocking path.
+    import logging
+
+    log = logging.getLogger(__name__)
+    log.warning("scratch: blocking materialize waiting on in-flight async writer: %s", path)
     deadline = _time.monotonic() + timeout_s
     while _time.monotonic() < deadline:
         with _ASYNC_LOCK:
             if path not in _ASYNC_INFLIGHT:
                 return True
         _time.sleep(0.05)
+    log.warning(
+        "scratch: wait on in-flight async writer timed out after %.0fs, "
+        "writing own copy: %s", timeout_s, path,
+    )
     return True
 
 

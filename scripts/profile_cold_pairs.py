@@ -55,6 +55,15 @@ def run_mode(mode: str) -> None:
     scratch = tempfile.mkdtemp(prefix=f"coldprof_{mode}_")
     os.environ["SPARK_GRAFT_SCRATCH"] = scratch
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    try:
+        _run_mode_body(mode, scratch)
+    finally:  # round-12 advice: a crash after mkdtemp must not leak scratch
+        import shutil
+
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _run_mode_body(mode: str, scratch: str) -> None:
 
     from music_recommendation_service_spark.plans import registry
     from music_recommendation_service_spark.session import get_spark
@@ -135,9 +144,6 @@ def run_mode(mode: str) -> None:
         out["cf_inline_consume"] = _noop(plan)
 
     print("RESULT " + json.dumps({"mode": mode, "sf_dir": SF_DIR, **out}))
-    import shutil
-
-    shutil.rmtree(scratch, ignore_errors=True)
 
 
 if __name__ == "__main__":
@@ -149,11 +155,17 @@ if __name__ == "__main__":
     else:
         modes = MODES
     for m in modes:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", m],
-            capture_output=True,
-            text=True,
-        )
+        try:
+            # round-12 advice: one wedged child JVM must not hang the sweep
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child", m],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            print(json.dumps({"mode": m, "error": "child timed out (1800s)"}))
+            continue
         for line in r.stdout.splitlines():
             if line.startswith("RESULT "):
                 print(line[len("RESULT "):])

@@ -282,23 +282,38 @@ def test_scratch_materialize_awaits_inflight_async_writer(spark, sf_dir):
     # not in flight: the helper returns immediately with False
     assert writers._scratch_await_inflight(path) is False
 
-    # simulate an in-flight async writer: hold the key, land the copy after
-    # a delay, then release — the blocking call must block past the delay
-    # and return the writer's files, not write its own
+    # simulate an in-flight async writer: hold the key, land the copy only
+    # AFTER the blocking call has demonstrably entered the await (round-12
+    # advice: a fixed pre-sleep could let the writer release first on a
+    # loaded JVM, and the test would pass without exercising the wait).
+    entered = threading.Event()
+    orig_await = writers._scratch_await_inflight
+
+    def spying_await(p, timeout_s=600.0):
+        if p == path:
+            entered.set()
+        return orig_await(p, timeout_s)
+
     def writer():
-        time.sleep(0.5)
+        assert entered.wait(60), "blocking call never reached the await"
+        time.sleep(0.5)  # keep it parked IN the wait, measurably
         writers._scratch_write(base, path, digest, schema_json)
         with writers._ASYNC_LOCK:
             writers._ASYNC_INFLIGHT.discard(path)
 
     with writers._ASYNC_LOCK:
         writers._ASYNC_INFLIGHT.add(path)
+    writers._scratch_await_inflight = spying_await
     t = threading.Thread(target=writer)
-    t0 = time.perf_counter()
     t.start()
-    got = scratch_materialize(base, "await_probe")
-    waited = time.perf_counter() - t0
-    t.join()
+    try:
+        t0 = time.perf_counter()
+        got = scratch_materialize(base, "await_probe")
+        waited = time.perf_counter() - t0
+    finally:
+        writers._scratch_await_inflight = orig_await
+        t.join()
+    assert entered.is_set()
     assert waited >= 0.4, "blocking materialize did not wait for the writer"
     assert all(path in f for f in got.inputFiles())
     assert {tuple(r) for r in got.collect()} == {
