@@ -588,7 +588,12 @@ def q05_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("item_id", "score"),
         "q05_trending",
     )
-    active_users = likes.select("user_id").distinct()
+    # active_users is O(customers) rows and otherwise re-runs a distinct
+    # exchange over likes every execution — the fourth and last bounded
+    # silver dim of the scorer (round-13 interleaved A/B: ~0.2s/run).
+    active_users = scratch_materialize(
+        likes.select("user_id").distinct(), "q05_active_users"
+    )
     trend_cand = active_users.crossJoin(F.broadcast(trending))
 
     # The candidate keys are nearly unique (measured at sf0.1: 8.0M candidate
