@@ -169,10 +169,10 @@ def _q27_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh.createOrReplaceTempView("q27_sh_mat")
     # Probe side of the pair self-join spread across the session's
     # parallelism (see _q27 docstring); the other three consumers (sizes,
-    # common, build side b) keep the plain 1-file scan.
-    sh.repartition(spark.sparkContext.defaultParallelism).createOrReplaceTempView(
-        "q27_sh_rep"
-    )
+    # common, build side b) keep the plain 1-file scan. Conditional spread
+    # (round-12 advice pattern): at scale the scratch scan already carries
+    # >= defaultParallelism splits and no shuffle is added.
+    spread_if_narrow(sh).createOrReplaceTempView("q27_sh_rep")
     # Per-doc shingle counts, aggregated ONCE: the sizes CTE feeds two join
     # sides, and CTE inlining re-executes the scan+aggregate per side.
     sizes = scratch_materialize(
@@ -826,9 +826,12 @@ def _q131_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Re-spread the tiny materialized prefix across the session's
     # parallelism so the candidate self-join stage is not bounded by the
     # scratch file count (1-2 files after AQE coalescing at write time).
-    p.repartition(spark.sparkContext.defaultParallelism).createOrReplaceTempView(
-        "q131_p_rep"
-    )
+    # spread_if_narrow, not an unconditional repartition (round-12 advice,
+    # applied to q102 in c04efd8): at scale the scratch scan already
+    # carries >= defaultParallelism splits and NO shuffle is added.
+    from music_recommendation_service_spark.sources.catalog import spread_if_narrow
+
+    spread_if_narrow(p).createOrReplaceTempView("q131_p_rep")
     # Per-doc shingle-set arrays for the map-side verification (see the
     # _q131 Spark tail): O(docs) rows, materialized once so both
     # verification broadcasts build from a 6k-row parquet instead of
@@ -1043,10 +1046,12 @@ def _q135_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q135_prefix",
     )
     # Same re-spread as _q131_build: the candidate self-join stage should
-    # run at session parallelism, not at the scratch file count.
-    p.repartition(spark.sparkContext.defaultParallelism).createOrReplaceTempView(
-        "q135_p_rep"
-    )
+    # run at session parallelism, not at the scratch file count — and like
+    # q131/q102 the spread is conditional (spread_if_narrow): no shuffle is
+    # added when the scratch scan is already as wide as the session.
+    from music_recommendation_service_spark.sources.catalog import spread_if_narrow
+
+    spread_if_narrow(p).createOrReplaceTempView("q135_p_rep")
     return spark.sql(
         _q135(
             SPARK,
