@@ -83,6 +83,13 @@ SF1_QUERIES = [
     "q134_ann_pq",
     "q135_edit_distance_join",
     "q142_incremental_hybrid_recommendations",
+    # round-13 additions (verdict order #7): the q46-q58 TPC-H join family,
+    # so the shared-dim decision is made on committed sf1 numbers — at
+    # sf0.1 all four are fixed-overhead-bound (7-11 tasks)
+    "q46_shipping_priority",
+    "q47_local_supplier_volume",
+    "q51_nation_trade_volume",
+    "q58_nation_profit",
     # partition-era lifecycle family (round-10/11): scratch snapshot tables
     # built once per dataset, then metadata-pruned scans — their 10x
     # numbers pin that the partition machinery's win survives scale
