@@ -588,6 +588,8 @@ def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "J1", "A1", "O2"),
 )
 def q46_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from music_recommendation_service_spark.sources.catalog import fits_broadcast
+
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
@@ -595,9 +597,19 @@ def q46_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
     )
+    co = c.join(o, c.c_custkey == o.o_custkey)
+    # The orders ⋈ lineitem leg is fact-fact: when lineitem's 4-column
+    # slice cannot fit the broadcast threshold (footer-counted rows, not
+    # the compressed-file estimate the planner would trust), pin the join
+    # to shuffled-hash building the smaller c⋈o side — at sf1 the planner
+    # otherwise broadcasts the FACT, a serial multi-second hash build that
+    # no core count parallelizes (measured: q47's twin shape 4.2-4.9s ->
+    # 1.0-1.3s; 8-vs-32-core ratio was 0.96, i.e. fully serial). At sf0.1
+    # the slice fits and the all-broadcast plan is byte-identical.
+    if fits_broadcast(l, ncols=4) is False:
+        co = co.hint("shuffle_hash")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, o.o_orderkey == l.l_orderkey)
+        co.join(l, o.o_orderkey == l.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -636,6 +648,8 @@ def q46_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "J1", "A1"),
 )
 def q47_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from music_recommendation_service_spark.sources.catalog import fits_broadcast
+
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -645,9 +659,17 @@ def q47_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = F.broadcast(_t(spark, sf_dir, "nation"))
     r = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    co = c.join(o, c.c_custkey == o.o_custkey)
+    # Same fact-fact guard as q46: at sf1 the planner's file-size estimate
+    # let it broadcast lineitem's 4-column slice (a serial ~240 MB hash
+    # build — the 8-vs-32-core ratio was 0.96, fully serial); shuffled-hash
+    # building the smaller c⋈o side runs 4.2-4.9s -> 1.0-1.3s interleaved
+    # (rows exceptAll-equal both ways). sf0.1 fits and keeps the
+    # all-broadcast plan byte-identical.
+    if fits_broadcast(l, ncols=4) is False:
+        co = co.hint("shuffle_hash")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, o.o_orderkey == l.l_orderkey)
+        co.join(l, o.o_orderkey == l.l_orderkey)
         .join(
             s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
@@ -752,10 +774,26 @@ def q51_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
         )
     )
+    # Deliberate join strategy (guide §3.1): the nation-sliced supplier dim
+    # (2 of 25 nations, O(suppliers/12) rows at every scale) is the side to
+    # broadcast into the lineitem probe — the planner instead broadcast the
+    # FILTERED LINEITEM (and orders) from file-size estimates, a serial
+    # fact-sized hash build (sf1: 8-vs-32-core ratio 0.96). The supplier
+    # slice broadcasts only while raw supplier fits the threshold by footer
+    # count; past that both legs pin shuffled-hash. The orders leg gets the
+    # same q46/q47/q58 guard. At sf0.1 the supplier slice is ~800 rows vs
+    # the 170k-row lineitem broadcast it replaces — strictly smaller.
+    from music_recommendation_service_spark.sources.catalog import fits_broadcast
+
+    sn = s.join(n1, s.s_nationkey == F.col("n1_key"))
+    sn = F.broadcast(sn) if fits_broadcast(s, ncols=2) is not False else sn.hint(
+        "shuffle_hash"
+    )
+    sl = sn.join(l, s.s_suppkey == l.l_suppkey)
+    if fits_broadcast(o, ncols=2) is False:
+        sl = sl.hint("shuffle_hash")
     return (
-        s.join(n1, s.s_nationkey == F.col("n1_key"))
-        .join(l, s.s_suppkey == l.l_suppkey)
-        .join(o, o.o_orderkey == l.l_orderkey)
+        sl.join(o, o.o_orderkey == l.l_orderkey)
         .join(c.join(n2, c.c_nationkey == F.col("n2_key")), o.o_custkey == c.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(

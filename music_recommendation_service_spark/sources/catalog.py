@@ -155,6 +155,32 @@ def rows_in_files(df: DataFrame) -> int | None:
         return None
 
 
+def fits_broadcast(df: DataFrame, ncols: int) -> bool | None:
+    """Whether a relation's projected slice would fit the session's
+    autoBroadcastJoinThreshold as an in-memory HashedRelation — decided
+    from parquet FOOTER row counts instead of Spark's compressed-file-size
+    heuristic, which undercounts the in-memory blow-up of a fact-sized
+    build side by ~10x (zstd parquet -> UnsafeRow hash relation) and lets
+    the planner pick a multi-second SINGLE-THREADED broadcast build
+    (guide §3.1: "estimates are often badly wrong ... use an explicit
+    hint when you know").
+
+    Estimate per row: an UnsafeRow of ``ncols`` 8-byte slots plus one
+    null-bitset word (8*(ncols+1)), plus ~16 bytes of hash-map entry
+    overhead, times 1.5 for map load-factor headroom. Returns None when
+    the input is not a footer-countable parquet scan (caller keeps the
+    planner's choice)."""
+    rows = rows_in_files(df)
+    if rows is None:
+        return None
+    est = rows * (8 * (ncols + 1) + 16) * 1.5
+    try:
+        thr = int(df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    except Exception:  # pragma: no cover - unparsable unit suffix form
+        thr = 10 * 1024 * 1024
+    return est <= thr
+
+
 def _delta_available() -> bool:
     try:  # pragma: no cover - environment probe
         import delta  # noqa: F401

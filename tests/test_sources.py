@@ -437,3 +437,24 @@ def test_q05_scoring_width_scales_with_input(spark, sf_dir):
         df._jdf.queryExecution().executedPlan().toString(),
     )
     assert str(want) in widths
+
+
+def test_fits_broadcast_footer_threshold(spark, tmp_path):
+    """fits_broadcast estimates the in-memory hash relation from footer
+    row counts against the session's autoBroadcastJoinThreshold — the
+    deliberate join-strategy guard for the q46-q58 fact-fact legs."""
+    from music_recommendation_service_spark.sources.catalog import fits_broadcast
+
+    small = str(tmp_path / "small.parquet")
+    spark.range(0, 1000).write.parquet(small)
+    df = spark.read.parquet(small)
+    assert fits_broadcast(df, ncols=4) is True
+    # threshold 64 MB / (8*5 + 16)*1.5 bytes/row -> flips false around 800k
+    # rows for a 4-column slice
+    thr = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    flip_rows = thr // int((8 * 5 + 16) * 1.5) + 1
+    big = str(tmp_path / "big.parquet")
+    spark.range(0, flip_rows).write.parquet(big)
+    assert fits_broadcast(spark.read.parquet(big), ncols=4) is False
+    # non-parquet input declines instead of guessing
+    assert fits_broadcast(spark.range(5), ncols=1) is None
