@@ -167,12 +167,19 @@ def _q27_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q27_shingles",
     )
     sh.createOrReplaceTempView("q27_sh_mat")
-    # Probe side of the pair self-join spread across the session's
-    # parallelism (see _q27 docstring); the other three consumers (sizes,
-    # common, build side b) keep the plain 1-file scan. Conditional spread
-    # (round-12 advice pattern): at scale the scratch scan already carries
-    # >= defaultParallelism splits and no shuffle is added.
-    spread_if_narrow(sh).createOrReplaceTempView("q27_sh_rep")
+    # Probe side of the pair self-join: hash-repartitioned on the join key
+    # ``s`` at the session's configured shuffle parallelism (explicit count
+    # — AQE must not byte-coalesce it: the pair-explode stage is per-ROW
+    # expensive, not per-byte, and measured at sf1 AQE coalesced its 14 MB
+    # input to 10 tasks, 44s of CPU on a 32-core box; the same guard
+    # q131/q135 use for their verification stages). Partitioning BY THE
+    # JOIN KEY is never a wasted exchange: if the planner shuffles the
+    # pair join the exchange is reused as-is, and if it broadcasts, the
+    # exchange is what gives the explode stage its width. The other three
+    # consumers (sizes, common, build side b) keep the plain scan.
+    sh.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "s"
+    ).createOrReplaceTempView("q27_sh_rep")
     # Per-doc shingle counts, aggregated ONCE: the sizes CTE feeds two join
     # sides, and CTE inlining re-executes the scan+aggregate per side.
     sizes = scratch_materialize(

@@ -114,12 +114,24 @@ def spread_if_narrow(df: DataFrame) -> DataFrame:
     scale the scan already carries >= defaultParallelism splits and this is
     a no-op — no shuffle is ever added for data that is already spread.
     Round-robin repartition is deterministic under retries (Spark sorts
-    before repartitioning, SPARK-23207) and row-preserving."""
+    before repartitioning, SPARK-23207) and row-preserving.
+
+    The split count is read from the PLANNED SQL scan (executedPlan's
+    physical RDD — planning only, no job): ``df.rdd.getNumPartitions()``
+    converts through the RDD path whose partitioning can disagree with
+    the SQL scan's openCost file packing (measured at sf1: a 32-file
+    scratch read reported 32 RDD partitions while the SQL stage ran 10
+    tasks, leaving the downstream pair-explode 3x under-parallel)."""
     sc = df.sparkSession.sparkContext
     try:
-        splits = df.rdd.getNumPartitions()
+        splits = (
+            df._jdf.queryExecution().executedPlan().execute().getNumPartitions()
+        )
     except Exception:  # pragma: no cover - defensive
-        return df
+        try:
+            splits = df.rdd.getNumPartitions()
+        except Exception:  # pragma: no cover - defensive
+            return df
     if splits >= sc.defaultParallelism:
         return df
     return df.repartition(sc.defaultParallelism)
